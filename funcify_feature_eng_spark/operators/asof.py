@@ -1,0 +1,296 @@
+"""Point-in-time (as-of) join — the engine's core operator.
+
+Reference semantics: ``FeatureJsonValueStore.retrieveFromStore(PlannedValue)``
+returns the Tracked value whose ``valueAtTimestamp`` is the latest at-or-before
+the request time (reference ``schema/feature/FeatureJsonValueStore.kt:11-18``,
+``schema/tracking/TrackableValue.kt:147-155``; identity construction at
+``materializer/dispatch/DefaultSingleRequestMaterializationDispatchService.kt:960-1127``).
+Per BASELINE.json the Spark realization must be a sort-merge as-of join at
+(entity, ts) with zero temporal leakage.
+
+Three physical strategies, all pure DataFrame API (no Catalyst extensions —
+SURVEY.md §4):
+
+* ``union_window`` (default): tag left/right, union, one window pass per
+  entity with ``last(ignorenulls)`` forward-fill of the right-row payload,
+  keep left rows. ONE shuffle (the window exchange), no join at all; the
+  sort within partitions is exactly the "sort-merge" of a classic as-of.
+* ``merge_asof``: co-grouped ``applyInPandas`` running ``pd.merge_asof``
+  per entity group — the Arrow path, used to cross-validate and for payloads
+  whose types the window trick can't carry.
+* ``segmented``: skew-resistant two-pass variant for hot entities. Rows are
+  time-bucketed; pass 1 computes per-(entity, bucket) last right payloads and
+  forward-fills them across buckets (tiny, bucket-level window); pass 2 does
+  the within-bucket as-of partitioned by (entity, bucket), so no single
+  partition ever holds a whole hot entity. ``coalesce(within_bucket, carry_in)``
+  is exact because every right row in an earlier time bucket is strictly
+  earlier than any left row in a later bucket.
+
+Leakage contract: with ``allow_exact_matches=False`` a right row at exactly
+the left timestamp is NOT visible (strict prior); ties among right rows at
+the same (entity, ts) are broken by ``right_order`` columns — pass them to
+make results deterministic when the right side can carry duplicates.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+_T = "__asof_t"
+_SIDE = "__asof_side"
+_RV = "__asof_rv"
+_RVF = "__asof_rvf"
+_B = "__asof_bucket"
+
+
+def _validate(left: DataFrame, on: Sequence[str], out_names: Sequence[str]) -> None:
+    clash = set(out_names) & set(left.columns)
+    if clash:
+        raise ValueError(
+            f"as-of output columns {sorted(clash)} collide with left columns; "
+            "pass value_cols={right_col: out_name} to rename"
+        )
+    missing = set(on) - set(left.columns)
+    if missing:
+        raise ValueError(f"join keys {sorted(missing)} missing from left side")
+
+
+def _normalize_values(value_cols: Sequence[str] | dict[str, str]) -> dict[str, str]:
+    if isinstance(value_cols, dict):
+        return dict(value_cols)
+    return {c: c for c in value_cols}
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    on: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    value_cols: Sequence[str] | dict[str, str],
+    allow_exact_matches: bool = True,
+    right_order: Sequence[str] = (),
+    strategy: str = "union_window",
+    bucket_seconds: int = 86400,
+) -> DataFrame:
+    """For each left row, attach the latest right payload with
+    ``right_ts <= left_ts`` (or ``<`` when ``allow_exact_matches=False``),
+    per ``on`` entity. Left rows with no prior right row get NULLs.
+    """
+    vals = _normalize_values(value_cols)
+    _validate(left, on, list(vals.values()))
+    if strategy == "union_window":
+        return _asof_union_window(
+            left, right, on, left_ts, right_ts, vals, allow_exact_matches, right_order
+        )
+    if strategy == "merge_asof":
+        return _asof_merge_pandas(
+            left, right, on, left_ts, right_ts, vals, allow_exact_matches, right_order
+        )
+    if strategy == "segmented":
+        return _asof_segmented(
+            left, right, on, left_ts, right_ts, vals, allow_exact_matches, right_order,
+            bucket_seconds,
+        )
+    raise ValueError(f"unknown strategy {strategy!r}")
+
+
+def _tagged_union(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    vals: dict[str, str],
+    right_order: Sequence[str],
+) -> DataFrame:
+    rv = F.struct(*[F.col(rc).alias(out) for rc, out in vals.items()])
+    tie = [F.col(c).alias(f"__tie_{i}") for i, c in enumerate(right_order)]
+    right2 = right.select(
+        *[F.col(c) for c in on],
+        F.col(right_ts).alias(_T),
+        F.lit(0).alias(_SIDE),
+        rv.alias(_RV),
+        *tie,
+    )
+    left2 = left.select(
+        "*", F.col(left_ts).alias(_T), F.lit(1).alias(_SIDE)
+    )
+    return left2.unionByName(right2, allowMissingColumns=True)
+
+
+def _ffill_and_project(
+    u: DataFrame,
+    left_cols: Sequence[str],
+    on: Sequence[str],
+    vals: dict[str, str],
+    allow_exact_matches: bool,
+    n_tie: int,
+    extra_keys: Sequence[str] = (),
+) -> DataFrame:
+    # Exact-match ties: right rows (side=0) sort BEFORE left rows at the same
+    # ts when matches at equal ts are allowed, AFTER them when strict.
+    side_order = F.col(_SIDE).asc() if allow_exact_matches else F.col(_SIDE).desc()
+    tie_order = [F.col(f"__tie_{i}").asc_nulls_first() for i in range(n_tie)]
+    w = (
+        Window.partitionBy(*on, *extra_keys)
+        .orderBy(F.col(_T).asc(), side_order, *tie_order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    filled = u.withColumn(_RVF, F.last(_RV, ignorenulls=True).over(w))
+    out_vals = [F.col(f"{_RVF}.{out}").alias(out) for out in vals.values()]
+    return filled.filter(F.col(_SIDE) == 1).select(*left_cols, *out_vals)
+
+
+def _asof_union_window(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    vals: dict[str, str],
+    allow_exact_matches: bool,
+    right_order: Sequence[str],
+) -> DataFrame:
+    u = _tagged_union(left, right, on, left_ts, right_ts, vals, right_order)
+    return _ffill_and_project(
+        u, left.columns, on, vals, allow_exact_matches, len(right_order)
+    )
+
+
+def _asof_merge_pandas(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    vals: dict[str, str],
+    allow_exact_matches: bool,
+    right_order: Sequence[str],
+) -> DataFrame:
+    """Arrow co-grouped ``pd.merge_asof`` per entity (SURVEY.md §4: option (b))."""
+    import pandas as pd  # local import: executors need it, driver may not at plan time
+
+    from pyspark.sql.types import StructType
+
+    left_schema = left.schema
+    right_sel = right.select(
+        *on,
+        right_ts,
+        *[F.col(rc).alias(o) for rc, o in vals.items()],
+        *[F.col(c).alias(f"__tie_{i}") for i, c in enumerate(right_order)],
+    )
+    out_fields = list(left_schema.fields) + [
+        right_sel.schema[o] for o in vals.values()
+    ]
+    out_schema = StructType(out_fields)
+    out_names = list(vals.values())
+    lts, rts = left_ts, right_ts
+    order_cols = list(right_order)
+
+    def merge(l: pd.DataFrame, r: pd.DataFrame) -> pd.DataFrame:
+        if l.empty:
+            return pd.DataFrame(columns=[f.name for f in out_fields])
+        orig_cols = list(l.columns)
+        if r.empty:
+            for o in out_names:
+                l[o] = None
+            return l
+        l = l.sort_values(lts, kind="stable").reset_index(drop=True)
+        r = (
+            r.sort_values([rts, *[f"__tie_{i}" for i in range(len(order_cols))]]
+                          if order_cols else rts, kind="stable")
+            .reset_index(drop=True)
+        )
+        merged = pd.merge_asof(
+            l,
+            r[[rts, *out_names]],
+            left_on=lts,
+            right_on=rts,
+            direction="backward",
+            allow_exact_matches=allow_exact_matches,
+            suffixes=("", "__r"),
+        )
+        return merged[orig_cols + out_names]
+
+    grouped = left.groupBy(*on).cogroup(right_sel.groupBy(*on))
+    return grouped.applyInPandas(merge, schema=out_schema)
+
+
+def _asof_segmented(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    vals: dict[str, str],
+    allow_exact_matches: bool,
+    right_order: Sequence[str],
+    bucket_seconds: int,
+) -> DataFrame:
+    """Skew-resistant two-pass as-of (see module docstring)."""
+    on = list(on)
+    bucket = lambda c: F.floor(F.unix_timestamp(F.col(c)) / F.lit(bucket_seconds))  # noqa: E731
+
+    rv = F.struct(*[F.col(rc).alias(out) for rc, out in vals.items()])
+    # order key for max_by within a bucket: (ts, right_order...) lexicographic
+    ordk = F.struct(
+        F.col(right_ts), *[F.col(c) for c in right_order]
+    )
+    right_b = right.withColumn(_B, bucket(right_ts))
+    bucket_last = right_b.groupBy(*on, _B).agg(F.max_by(rv, ordk).alias(_RV))
+
+    # carry-in per left bucket: last right payload from any STRICTLY EARLIER bucket
+    left_b = left.withColumn(_B, bucket(left_ts))
+    bucket_spine = (
+        left_b.select(*on, _B).distinct()
+        .withColumn("__is_left", F.lit(1))
+        .unionByName(bucket_last.select(*on, _B).withColumn("__is_left", F.lit(0)),
+                     allowMissingColumns=True)
+        .select(*on, _B, "__is_left").distinct()
+    )
+    spine_vals = bucket_spine.join(bucket_last, on=[*on, _B], how="left")
+    # For a left bucket row, carry-in must come from a STRICTLY EARLIER bucket:
+    # a same-bucket right payload may postdate individual left rows. Sorting
+    # left-side spine rows (is_left=1) BEFORE right-side ones within a bucket
+    # keeps the same bucket's payload out of the strictly-preceding frame;
+    # masking is_left=1 rows to NULL leaves exactly the earlier buckets' lasts.
+    wprev = (
+        Window.partitionBy(*on)
+        .orderBy(F.col(_B).asc(), F.col("__is_left").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carry = (
+        spine_vals.withColumn(
+            "__prev_rv",
+            F.last(
+                F.when(F.col("__is_left") == 0, F.col(_RV)), ignorenulls=True
+            ).over(wprev),
+        )
+        .filter(F.col("__is_left") == 1)
+        .select(*on, _B, F.col("__prev_rv"))
+    )
+
+    # within-bucket exact as-of, partitioned by (entity, bucket); _B is a
+    # union key so right rows land in the same window partition as left rows
+    wb_vals = {rc: f"__wb_{out}" for rc, out in vals.items()}
+    u = _tagged_union(left_b, right_b, [*on, _B], left_ts, right_ts, wb_vals, right_order)
+    within = _ffill_and_project(
+        u,
+        [*left.columns, _B],
+        on,
+        wb_vals,
+        allow_exact_matches,
+        len(right_order),
+        extra_keys=[_B],
+    )
+    joined = within.join(carry, on=[*on, _B], how="left")
+    out_cols = [
+        F.coalesce(F.col(f"__wb_{out}"), F.col(f"__prev_rv.{out}")).alias(out)
+        for out in vals.values()
+    ]
+    return joined.select(*left.columns, *out_cols)

@@ -1,0 +1,138 @@
+"""Windowed sequence features over (entity, time)-ordered rows.
+
+The reference has no SQL window functions; its sequential semantics are the
+point-in-time store (``TrackableValue.valueAtTimestamp`` ≤ now — reference
+``schema/tracking/TrackableValue.kt:147-155``) and time-ordered nested
+collections. Here those semantics become native Spark window functions over
+``Window.partitionBy(entity).orderBy(order_cols)`` — one shuffle, fully
+JVM-side, whole-stage-codegen eligible (SURVEY.md §2.5).
+
+All helpers take explicit ``keys`` / ``order`` so they work for any entity
+table: transcripts ``(conv_id, [turn_idx, ts])`` or events
+``(user_id, [ts, event_id])``.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window, WindowSpec
+from pyspark.sql import functions as F
+
+
+def ordered_window(keys: Sequence[str], order: Sequence[str]) -> WindowSpec:
+    """The canonical per-entity window: partition by entity, total order in time.
+
+    ``order`` must be a total order within the entity (e.g. ``[turn_idx, ts]``
+    or ``[ts, event_id]``) — the zero-leakage tie-break requirement
+    (BASELINE.json north_rule) is exactly "make ties impossible".
+    """
+    return Window.partitionBy(*keys).orderBy(*[F.col(c).asc() for c in order])
+
+
+def lag_col(col: str, keys: Sequence[str], order: Sequence[str], n: int = 1) -> Column:
+    """Strictly-prior value: the reference's "latest prior state" per entity."""
+    return F.lag(col, n).over(ordered_window(keys, order))
+
+
+def lead_col(col: str, keys: Sequence[str], order: Sequence[str], n: int = 1) -> Column:
+    return F.lead(col, n).over(ordered_window(keys, order))
+
+
+def gap_seconds(ts_col: str, keys: Sequence[str], order: Sequence[str]) -> Column:
+    """Inter-turn gap in seconds; NULL at the first row of each entity."""
+    w = ordered_window(keys, order)
+    prev = F.lag(ts_col, 1).over(w)
+    return (F.unix_timestamp(ts_col) - F.unix_timestamp(prev)).cast("double")
+
+
+def ffill_col(
+    col: str, keys: Sequence[str], order: Sequence[str], *, strict_prior: bool = False
+) -> Column:
+    """Forward-fill: last non-null value at-or-before this row.
+
+    ``strict_prior=True`` excludes the current row — the read-through
+    semantics of the feature store (value known strictly before now).
+    """
+    w = ordered_window(keys, order)
+    hi = -1 if strict_prior else 0
+    return F.last(col, ignorenulls=True).over(w.rowsBetween(Window.unboundedPreceding, hi))
+
+
+def bfill_col(col: str, keys: Sequence[str], order: Sequence[str]) -> Column:
+    """Backward-fill: first non-null value at-or-after this row."""
+    w = ordered_window(keys, order)
+    return F.first(col, ignorenulls=True).over(w.rowsBetween(0, Window.unboundedFollowing))
+
+
+def session_id(
+    ts_col: str,
+    keys: Sequence[str],
+    order: Sequence[str],
+    gap_threshold_s: float = 1800.0,
+) -> Column:
+    """Gap-based session index per entity (0-based).
+
+    A new session starts when the inter-row gap exceeds the threshold;
+    computed as a cumulative sum of boundary flags — a single window pass.
+    """
+    w = ordered_window(keys, order)
+    gap = gap_seconds(ts_col, keys, order)
+    boundary = F.when(gap > gap_threshold_s, F.lit(1)).otherwise(F.lit(0))
+    return F.sum(boundary).over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("int")
+
+
+def row_number_col(keys: Sequence[str], order: Sequence[str]) -> Column:
+    return F.row_number().over(ordered_window(keys, order))
+
+
+def turn_features(
+    df: DataFrame,
+    *,
+    keys: Sequence[str] = ("conv_id",),
+    order: Sequence[str] = ("turn_idx", "ts"),
+    ts_col: str = "ts",
+    role_col: str | None = "role",
+    tool_col: str | None = "tool",
+    text_col: str | None = "text",
+    gap_threshold_s: float = 1800.0,
+) -> DataFrame:
+    """The flagship turn-feature bundle (BASELINE.json north_star):
+
+    prior_role, prior_tool (strict-prior ffill), gap_secs, session_id,
+    turn_len — all in ONE window shuffle.
+    """
+    out = df
+    if role_col:
+        out = out.withColumn("prior_role", lag_col(role_col, keys, order))
+    if tool_col:
+        out = out.withColumn(
+            "prior_tool", ffill_col(tool_col, keys, order, strict_prior=True)
+        )
+    out = out.withColumn("gap_secs", gap_seconds(ts_col, keys, order))
+    out = out.withColumn("session_id", session_id(ts_col, keys, order, gap_threshold_s))
+    if text_col:
+        out = out.withColumn("turn_len", F.length(F.col(text_col)))
+    return out
+
+
+def collect_ordered(
+    df: DataFrame,
+    value_col: str,
+    *,
+    keys: Sequence[str] = ("conv_id",),
+    order: Sequence[str] = ("turn_idx", "ts"),
+    out_col: str = "collected",
+) -> DataFrame:
+    """Assemble the time-ordered nested collection per entity.
+
+    Reference analog: nested list fields like ``filmography: [Show!]!``
+    ordered by their ``@lastUpdated`` field. ``sort_array`` over structs
+    keyed by the order columns gives a deterministic ordering regardless
+    of shuffle layout (never rely on collect_list order alone).
+    """
+    pairs = F.struct(*[F.col(c) for c in order], F.col(value_col).alias("__v"))
+    agg = df.groupBy(*keys).agg(
+        F.transform(F.sort_array(F.collect_list(pairs)), lambda s: s["__v"]).alias(out_col)
+    )
+    return agg

@@ -1,0 +1,158 @@
+"""As-of join: all three strategies vs a pandas merge_asof oracle, plus
+zero-temporal-leakage adversarial cases (SURVEY.md §5 test plan #3)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from funcify_feature_eng_spark.operators.asof import asof_join
+
+STRATEGIES = ["union_window", "merge_asof", "segmented"]
+
+
+def oracle_asof(left_pd, right_pd, allow_exact_matches=True):
+    l = left_pd.sort_values("ts", kind="stable").reset_index(drop=True)
+    r = (
+        right_pd.sort_values(["value_at_ts", "value"], kind="stable")
+        .reset_index(drop=True)[["conv_id", "value_at_ts", "value"]]
+        .rename(columns={"value": "store_value"})
+    )
+    m = pd.merge_asof(
+        l,
+        r,
+        left_on="ts",
+        right_on="value_at_ts",
+        by="conv_id",
+        direction="backward",
+        allow_exact_matches=allow_exact_matches,
+    )
+    return m.sort_values(["conv_id", "turn_idx"], kind="stable").reset_index(drop=True)
+
+
+def _run(spark, transcripts, feature_store, strategy, allow_exact_matches=True, **kw):
+    out = asof_join(
+        transcripts,
+        feature_store,
+        on=["conv_id"],
+        left_ts="ts",
+        right_ts="value_at_ts",
+        value_cols={"value": "store_value"},
+        allow_exact_matches=allow_exact_matches,
+        right_order=["value"],
+        strategy=strategy,
+        **kw,
+    )
+    return out.orderBy("conv_id", "turn_idx").toPandas().reset_index(drop=True)
+
+
+@pytest.mark.parametrize("strategy", STRATEGIES)
+@pytest.mark.parametrize("exact", [True, False])
+def test_asof_matches_pandas_oracle(
+    spark, transcripts, feature_store, transcripts_pd, feature_store_pd, strategy, exact
+):
+    got = _run(spark, transcripts, feature_store, strategy, allow_exact_matches=exact)
+    exp = oracle_asof(transcripts_pd, feature_store_pd, allow_exact_matches=exact)
+    assert len(got) == len(exp)
+    g = got["store_value"].to_numpy(object)
+    e = exp["store_value"].to_numpy(object)
+    same = (g == e) | (pd.isna(g.astype(object)) & pd.isna(e.astype(object)))
+    assert same.all(), (
+        f"{strategy} exact={exact}: {int((~same).sum())} mismatches; "
+        f"first at {np.flatnonzero(~same)[:3]}"
+    )
+
+
+@pytest.mark.parametrize("strategy", STRATEGIES)
+def test_zero_leakage_future_values_invisible(spark, strategy):
+    """Right rows timestamped after the request must never appear."""
+    left = spark.createDataFrame(
+        [("c1", 0, "2024-01-01 00:00:00"), ("c1", 1, "2024-01-01 01:00:00")],
+        "conv_id string, turn_idx int, ts_s string",
+    ).selectExpr("conv_id", "turn_idx", "cast(ts_s as timestamp) as ts")
+    right = spark.createDataFrame(
+        [("c1", "2024-01-01 02:00:00", "future")],
+        "conv_id string, vts_s string, value string",
+    ).selectExpr("conv_id", "cast(vts_s as timestamp) as value_at_ts", "value")
+    got = asof_join(
+        left, right, on=["conv_id"], left_ts="ts", right_ts="value_at_ts",
+        value_cols={"value": "v"}, strategy=strategy,
+    ).toPandas()
+    assert got["v"].isna().all()
+
+
+@pytest.mark.parametrize("strategy", STRATEGIES)
+def test_equal_ts_tie_semantics(spark, strategy):
+    """allow_exact_matches toggles visibility of a right row at exactly left.ts."""
+    left = spark.createDataFrame(
+        [("c1", 0, "2024-01-01 00:00:00")], "conv_id string, turn_idx int, ts_s string"
+    ).selectExpr("conv_id", "turn_idx", "cast(ts_s as timestamp) as ts")
+    right = spark.createDataFrame(
+        [("c1", "2024-01-01 00:00:00", "same_instant")],
+        "conv_id string, vts_s string, value string",
+    ).selectExpr("conv_id", "cast(vts_s as timestamp) as value_at_ts", "value")
+
+    inc = asof_join(
+        left, right, on=["conv_id"], left_ts="ts", right_ts="value_at_ts",
+        value_cols={"value": "v"}, allow_exact_matches=True, strategy=strategy,
+    ).toPandas()
+    assert (inc["v"] == "same_instant").all()
+
+    exc = asof_join(
+        left, right, on=["conv_id"], left_ts="ts", right_ts="value_at_ts",
+        value_cols={"value": "v"}, allow_exact_matches=False, strategy=strategy,
+    ).toPandas()
+    assert exc["v"].isna().all()
+
+
+@pytest.mark.parametrize("strategy", STRATEGIES)
+def test_duplicate_right_ts_deterministic_tiebreak(spark, strategy):
+    """Two right rows at the same instant: right_order picks the winner."""
+    left = spark.createDataFrame(
+        [("c1", 0, "2024-01-01 01:00:00")], "conv_id string, turn_idx int, ts_s string"
+    ).selectExpr("conv_id", "turn_idx", "cast(ts_s as timestamp) as ts")
+    right = spark.createDataFrame(
+        [("c1", "2024-01-01 00:00:00", "a"), ("c1", "2024-01-01 00:00:00", "b")],
+        "conv_id string, vts_s string, value string",
+    ).selectExpr("conv_id", "cast(vts_s as timestamp) as value_at_ts", "value")
+    got = asof_join(
+        left, right, on=["conv_id"], left_ts="ts", right_ts="value_at_ts",
+        value_cols={"value": "v"}, right_order=["value"], strategy=strategy,
+    ).toPandas()
+    assert (got["v"] == "b").all()  # max by (ts, value)
+
+
+@pytest.mark.parametrize("strategy", STRATEGIES)
+def test_entity_isolation(spark, strategy):
+    """A right row for another entity must never leak across conv_ids."""
+    left = spark.createDataFrame(
+        [("c1", 0, "2024-01-01 05:00:00"), ("c2", 0, "2024-01-01 05:00:00")],
+        "conv_id string, turn_idx int, ts_s string",
+    ).selectExpr("conv_id", "turn_idx", "cast(ts_s as timestamp) as ts")
+    right = spark.createDataFrame(
+        [("c1", "2024-01-01 00:00:00", "only_c1")],
+        "conv_id string, vts_s string, value string",
+    ).selectExpr("conv_id", "cast(vts_s as timestamp) as value_at_ts", "value")
+    got = (
+        asof_join(
+            left, right, on=["conv_id"], left_ts="ts", right_ts="value_at_ts",
+            value_cols={"value": "v"}, strategy=strategy,
+        )
+        .orderBy("conv_id")
+        .toPandas()
+    )
+    assert got.loc[0, "v"] == "only_c1"
+    assert pd.isna(got.loc[1, "v"])
+
+
+def test_segmented_matches_union_window_small_buckets(
+    spark, transcripts, feature_store, transcripts_pd, feature_store_pd
+):
+    """Tiny buckets force heavy carry-in use; result must still be exact."""
+    got = _run(spark, transcripts, feature_store, "segmented", bucket_seconds=3600)
+    exp = oracle_asof(transcripts_pd, feature_store_pd)
+    g = got["store_value"].to_numpy(object)
+    e = exp["store_value"].to_numpy(object)
+    same = (g == e) | (pd.isna(g.astype(object)) & pd.isna(e.astype(object)))
+    assert same.all()
