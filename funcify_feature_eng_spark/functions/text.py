@@ -1,0 +1,137 @@
+"""Text-analysis functions for large-scale training-data pipelines.
+
+All pure Column expressions (JVM-side, codegen-eligible): token counting,
+quality scoring, n-gram heuristic language ID, shingling, and document
+fingerprints. These extend the reference's transformer surface to the ops a
+100 TB document pipeline needs; they run over the ``documents`` table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword lists for the n-gram/stopword heuristic.
+STOPWORDS = {
+    "en": ["the", "a", "and", "to", "of", "in", "is", "that", "it", "for"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "es", "se", "no"],
+    "fr": ["le", "la", "de", "et", "un", "est", "que", "pour", "dans", "ce"],
+    "de": ["der", "die", "das", "und", "ist", "von", "mit", "den", "ein", "zu"],
+}
+
+
+def tokens(c: Column) -> Column:
+    """Whitespace tokenization; empty/NULL text → empty array."""
+    t = F.split(F.trim(c), r"\s+")
+    return F.when(F.length(F.trim(c)) > 0, t).otherwise(F.array().cast("array<string>"))
+
+
+def token_count(c: Column) -> Column:
+    return F.size(tokens(c))
+
+
+def bpe_ish_token_count(c: Column) -> Column:
+    """BPE-ish proxy: count word pieces + digits + punctuation runs, the
+    standard regex approximation of subword token counts."""
+    return F.size(
+        F.regexp_extract_all(c, F.lit(r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"), F.lit(0))
+    )
+
+
+def char_len(c: Column) -> Column:
+    return F.length(c)
+
+
+def alpha_ratio(c: Column) -> Column:
+    """Fraction of alphabetic chars — a classic quality signal."""
+    n = F.length(c)
+    alpha = F.length(F.regexp_replace(c, r"[^A-Za-z]", ""))
+    return F.when(n > 0, alpha.cast("double") / n.cast("double")).otherwise(F.lit(0.0))
+
+
+def punct_ratio(c: Column) -> Column:
+    n = F.length(c)
+    punct = F.length(c) - F.length(F.regexp_replace(c, r"[^\w\s]", ""))
+    return F.when(n > 0, punct.cast("double") / n.cast("double")).otherwise(F.lit(0.0))
+
+
+def mean_word_len(c: Column) -> Column:
+    tk = tokens(c)
+    total = F.aggregate(tk, F.lit(0), lambda acc, x: acc + F.length(x))
+    return F.when(F.size(tk) > 0, total.cast("double") / F.size(tk)).otherwise(F.lit(0.0))
+
+
+def _count_in(tk: Column, words: list[str]) -> Column:
+    """Occurrences of any of ``words`` in token array ``tk``.
+
+    NB: the predicate must be a unary lambda — PySpark treats a second
+    parameter (even defaulted) as the element-index argument.
+    """
+    sw = F.array(*[F.lit(w) for w in words])
+
+    def pred(x: Column) -> Column:
+        return F.array_contains(sw, x)
+
+    return F.size(F.filter(tk, pred))
+
+
+def stopword_ratio(c: Column, lang: str = "en") -> Column:
+    """Fraction of tokens in the language's stopword list."""
+    tk = tokens(F.lower(c))
+    hits = _count_in(tk, STOPWORDS[lang])
+    return F.when(F.size(tk) > 0, hits.cast("double") / F.size(tk)).otherwise(F.lit(0.0))
+
+
+def quality_score(c: Column) -> Column:
+    """Composite [0,1] quality score: length band + alpha ratio + stopword
+    presence. Deterministic, fully columnar."""
+    n = F.length(c)
+    len_score = F.when((n >= 50) & (n <= 5000), F.lit(1.0)).when(n > 0, F.lit(0.5)).otherwise(
+        F.lit(0.0)
+    )
+    return F.round((len_score + alpha_ratio(c) + stopword_ratio(c)) / F.lit(3.0), 6)
+
+
+def lang_id(c: Column) -> Column:
+    """Stopword-vote language ID over {en,es,fr,de}; 'und' when no votes.
+
+    Ties break by the fixed language order (greatest wins in struct-max
+    comparison, so order langs so that earlier = lower priority)."""
+    tk = tokens(F.lower(c))
+    scores = []
+    for lang in ["de", "fr", "es", "en"]:  # later = higher tie priority
+        scores.append(
+            F.struct(
+                _count_in(tk, STOPWORDS[lang]).alias("n"),
+                F.lit(lang).alias("lang"),
+            )
+        )
+    best = F.greatest(*scores)
+    return F.when(best["n"] > 0, best["lang"]).otherwise(F.lit("und"))
+
+
+def shingles(c: Column, k: int = 3) -> Column:
+    """Word k-shingles as strings (for MinHash/Jaccard dedup)."""
+    tk = tokens(F.lower(c))
+    n = F.size(tk)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    return F.when(
+        n >= k,
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(tk, i + 1, k))),
+    ).otherwise(F.array(F.concat_ws(" ", tk)))
+
+
+def char_ngrams(c: Column, n: int = 5) -> Column:
+    """Character n-grams (for n-gram Jaccard)."""
+    s = F.lower(c)
+    ln = F.length(s)
+    idx = F.sequence(F.lit(1), F.greatest(ln - n + 1, F.lit(1)))
+    return F.when(ln >= n, F.transform(idx, lambda i: F.substring(s, i, n))).otherwise(
+        F.array(s)
+    )
+
+
+def fingerprint64(c: Column) -> Column:
+    """Stable 64-bit document fingerprint (xxhash64 of normalized text) —
+    the exact-dedup key and lineage content hash."""
+    return F.xxhash64(F.lower(F.trim(F.regexp_replace(c, r"\s+", " "))))

@@ -40,10 +40,15 @@ def lead_col(col: str, keys: Sequence[str], order: Sequence[str], n: int = 1) ->
 
 
 def gap_seconds(ts_col: str, keys: Sequence[str], order: Sequence[str]) -> Column:
-    """Inter-turn gap in seconds; NULL at the first row of each entity."""
+    """Inter-turn gap in seconds (microsecond-exact); NULL at the first row.
+
+    unix_micros keeps the arithmetic integer until the final division so the
+    result is bit-identical across engines (DuckDB: epoch_us/1000000.0)."""
     w = ordered_window(keys, order)
-    prev = F.lag(ts_col, 1).over(w)
-    return (F.unix_timestamp(ts_col) - F.unix_timestamp(prev)).cast("double")
+    # cast handles TIMESTAMP_NTZ inputs (identity under the UTC session tz)
+    cur = F.col(ts_col).cast("timestamp")
+    prev = F.lag(cur, 1).over(w)
+    return (F.unix_micros(cur) - F.unix_micros(prev)) / F.lit(1000000.0)
 
 
 def ffill_col(

@@ -1,0 +1,264 @@
+"""FeatureModel — the declarative feature registry + DAG compiler.
+
+Re-expresses the reference's request-materialization pipeline
+(``materializer/graph/RequestMaterializationGraph.kt:23-54`` →
+``materializer/dispatch/DispatchedRequestMaterializationGraph.kt:14-26``)
+Spark-first:
+
+* a *request* is a list of output column names (the tabular entry point B,
+  ``TabularQueryDocumentCreator.kt:44-108``),
+* *compile* resolves each name against spine columns, the alias registry and
+  declared features (the J1 auto-wiring precedence, simplified to: exact
+  column → alias/convention-equivalent column → feature), topo-sorts the
+  feature DAG (J5 ``dispatch/...DispatchService.kt:761-853``), and caches the
+  plan by request shape (the 24 h plan cache,
+  ``DefaultSingleRequestMaterializationGraphService.kt:78-84``),
+* *lower* turns the plan into ONE DataFrame lineage: window features share a
+  single window pass, transformer features become ``withColumns`` batches
+  (whole-stage codegen keeps them in one stage), as-of features become
+  ``asof_join`` stages. Spark's lazy DAG is the dispatched-publisher graph;
+  Catalyst's ReuseExchange is the ``.cache()`` memoization.
+
+Temporal auto-tracking (J3, ``StandardQueryConnector.kt:2512-2602``): the
+model requires an ``event_time`` column and refuses to compile if the spine
+lacks it — every feature value is implicitly "as of" that column.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from funcify_feature_eng_spark.functions.registry import TransformerRegistry, default_registry
+from funcify_feature_eng_spark.functions.scalars import to_snake_case
+from funcify_feature_eng_spark.operators import windows as W
+from funcify_feature_eng_spark.operators.asof import asof_join
+
+_WINDOW_OPS = {"lag", "lead", "ffill", "ffill_strict", "bfill", "gap", "session", "row_number"}
+
+
+@dataclass
+class FeatureSpec:
+    name: str
+    kind: str  # "transformer" | "window" | "asof"
+    transformer: str | None = None
+    args: tuple[str, ...] = ()  # column or feature names (by-name wiring, J1)
+    op: str | None = None  # window op
+    col: str | None = None  # window input column
+    params: dict[str, Any] = field(default_factory=dict)
+    # as-of fields
+    store_name: str | None = None
+    right_ts: str | None = None
+    value_col: str | None = None
+    allow_exact_matches: bool = True
+    right_order: tuple[str, ...] = ()
+
+    def deps(self) -> tuple[str, ...]:
+        if self.kind == "transformer":
+            return self.args
+        if self.kind == "window":
+            return (self.col,) if self.col else ()
+        return ()
+
+
+class PlanError(ValueError):
+    pass
+
+
+class FeatureModel:
+    """Registry of sources (named right-side tables), transformers and
+    features over one entity spine — the FeatureEngineeringModel analog
+    (``schema/FeatureEngineeringModel.kt:24-52``)."""
+
+    def __init__(
+        self,
+        entity_key: str = "conv_id",
+        order: Sequence[str] = ("turn_idx", "ts"),
+        event_time: str = "ts",
+        registry: TransformerRegistry | None = None,
+    ) -> None:
+        self.entity_key = entity_key
+        self.order = tuple(order)
+        self.event_time = event_time
+        self.registry = registry or default_registry()
+        self._features: dict[str, FeatureSpec] = {}
+        self._aliases: dict[str, str] = {}  # canon(alias) -> feature/column name
+        self._stores: dict[str, DataFrame] = {}
+        self._plan_cache: dict[tuple[str, ...], list[FeatureSpec]] = {}
+
+    # ------------------------------------------------------------- declare
+    def register_store(self, name: str, df: DataFrame) -> None:
+        """A point-in-time right-side table (feature store / dimension state)."""
+        self._stores[name] = df
+
+    def alias(self, alias: str, target: str) -> None:
+        """@alias directive analog (AliasCoordinatesRegistry)."""
+        self._aliases[to_snake_case(alias)] = target
+
+    def declare_transformer_feature(
+        self, name: str, transformer: str, args: Sequence[str], **params: Any
+    ) -> None:
+        if transformer not in self.registry:
+            raise PlanError(f"feature {name!r}: unknown transformer {transformer!r}")
+        self._add(FeatureSpec(name, "transformer", transformer=transformer,
+                              args=tuple(args), params=params))
+
+    def declare_window_feature(
+        self, name: str, op: str, col: str | None = None, **params: Any
+    ) -> None:
+        if op not in _WINDOW_OPS:
+            raise PlanError(f"feature {name!r}: unknown window op {op!r} "
+                            f"(known: {sorted(_WINDOW_OPS)})")
+        self._add(FeatureSpec(name, "window", op=op, col=col, params=params))
+
+    def declare_asof_feature(
+        self,
+        name: str,
+        store: str,
+        right_ts: str,
+        value_col: str,
+        allow_exact_matches: bool = True,
+        right_order: Sequence[str] = (),
+    ) -> None:
+        if store not in self._stores:
+            raise PlanError(f"feature {name!r}: store {store!r} not registered")
+        self._add(FeatureSpec(name, "asof", store_name=store, right_ts=right_ts,
+                              value_col=value_col, allow_exact_matches=allow_exact_matches,
+                              right_order=tuple(right_order)))
+
+    def _add(self, spec: FeatureSpec) -> None:
+        if spec.name in self._features:
+            raise PlanError(f"feature {spec.name!r} already declared")
+        self._features[spec.name] = spec
+        self._plan_cache.clear()
+
+    # ------------------------------------------------------------- compile
+    def resolve_name(self, requested: str, spine_cols: Sequence[str]) -> tuple[str, str]:
+        """Tabular name resolution (J1 precedence, simplified):
+        (1) exact spine column → passthrough; (2) exact feature;
+        (3) alias registry; (4) convention-equivalent column or feature.
+        Returns (kind, resolved_name) with kind in {column, feature}."""
+        if requested in spine_cols:
+            return ("column", requested)
+        if requested in self._features:
+            return ("feature", requested)
+        canon = to_snake_case(requested)
+        if canon in self._aliases:
+            return self.resolve_name(self._aliases[canon], spine_cols)
+        for c in spine_cols:
+            if to_snake_case(c) == canon:
+                return ("column", c)
+        for f in self._features:
+            if to_snake_case(f) == canon:
+                return ("feature", f)
+        raise PlanError(
+            f"cannot resolve output column {requested!r}: not a spine column, "
+            f"feature, or alias (features: {sorted(self._features)})"
+        )
+
+    def compile(self, columns: Sequence[str], spine_cols: Sequence[str]) -> list[FeatureSpec]:
+        """Topo-sorted feature stages needed for the requested columns
+        (plan-cached by request shape)."""
+        key = tuple(sorted(columns)) + ("|",) + tuple(sorted(spine_cols))
+        if key in self._plan_cache:
+            return self._plan_cache[key]
+        needed: dict[str, FeatureSpec] = {}
+
+        def visit(fname: str, stack: tuple[str, ...]) -> None:
+            if fname in stack:
+                raise PlanError(f"feature dependency cycle: {' -> '.join(stack + (fname,))}")
+            if fname in needed:
+                return
+            spec = self._features[fname]
+            for dep in spec.deps():
+                kind, resolved = self.resolve_name(dep, spine_cols)
+                if kind == "feature":
+                    visit(resolved, stack + (fname,))
+            needed[fname] = spec  # post-order insert = topo order
+
+        for col in columns:
+            kind, resolved = self.resolve_name(col, spine_cols)
+            if kind == "feature":
+                visit(resolved, ())
+        plan = list(needed.values())
+        self._plan_cache[key] = plan
+        return plan
+
+    # ------------------------------------------------------------- lower/run
+    def materialize(self, spine: DataFrame, columns: Sequence[str]) -> DataFrame:
+        """Entry point B analog: bare column-name list + spine → wide DataFrame
+        with exactly the requested columns (features + pass-through) in
+        request order. No sort is imposed — callers order on output when
+        stable presentation matters (O1)."""
+        if self.event_time not in spine.columns:
+            raise PlanError(
+                f"spine lacks event-time column {self.event_time!r} — temporal "
+                "auto-tracking (J3) requires it on every source"
+            )
+        plan = self.compile(columns, spine.columns)
+        df = spine
+        keys, order = (self.entity_key,), self.order
+
+        # group consecutive same-kind stages so transformer batches stay in
+        # one codegen stage and window features share the one window pass
+        i = 0
+        while i < len(plan):
+            spec = plan[i]
+            if spec.kind in ("transformer", "window"):
+                batch = []
+                while i < len(plan) and plan[i].kind in ("transformer", "window"):
+                    batch.append(plan[i])
+                    i += 1
+                # a transformer may depend on a window feature in the same
+                # batch — withColumns resolves sequentially via select chain
+                exprs = {}
+                for s in batch:
+                    exprs[s.name] = self._lower_one(s, keys, order)
+                    df = df.withColumn(s.name, exprs[s.name])
+            else:  # asof
+                df = asof_join(
+                    df,
+                    self._stores[spec.store_name],
+                    on=[self.entity_key],
+                    left_ts=self.event_time,
+                    right_ts=spec.right_ts,
+                    value_cols={spec.value_col: spec.name},
+                    allow_exact_matches=spec.allow_exact_matches,
+                    right_order=spec.right_order,
+                )
+                i += 1
+
+        out_cols = []
+        for col in columns:
+            kind, resolved = self.resolve_name(col, spine.columns)
+            out_cols.append(F.col(resolved).alias(col))
+        return df.select(*out_cols)
+
+    def _lower_one(self, spec: FeatureSpec, keys, order):
+        if spec.kind == "transformer":
+            cols = [F.col(a) for a in spec.args]
+            return self.registry.apply(spec.transformer, *cols, **spec.params)
+        op, c = spec.op, spec.col
+        if op == "lag":
+            return W.lag_col(c, keys, order, spec.params.get("n", 1))
+        if op == "lead":
+            return W.lead_col(c, keys, order, spec.params.get("n", 1))
+        if op == "ffill":
+            return W.ffill_col(c, keys, order)
+        if op == "ffill_strict":
+            return W.ffill_col(c, keys, order, strict_prior=True)
+        if op == "bfill":
+            return W.bfill_col(c, keys, order)
+        if op == "gap":
+            return W.gap_seconds(c or self.event_time, keys, order)
+        if op == "session":
+            return W.session_id(
+                c or self.event_time, keys, order, spec.params.get("gap_threshold_s", 1800.0)
+            )
+        if op == "row_number":
+            return W.row_number_col(keys, order)
+        raise PlanError(f"unhandled window op {op!r}")
