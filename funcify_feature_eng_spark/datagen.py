@@ -69,14 +69,15 @@ def gen_transcripts(
     tool = _TOOLS[rng.integers(0, 4, n)].astype(object)
     tool[rng.random(n) < 0.7] = None
 
-    # text: 0..~2000 chars of seeded lorem; include empty strings
-    n_words = rng.integers(0, 60, n)
-    word_pick = rng.integers(0, len(_WORDS), int(n_words.sum()))
-    texts: list[str] = []
-    pos = 0
-    for k in n_words:
-        texts.append(" ".join(_WORDS[w] for w in word_pick[pos : pos + k]))
-        pos += k
+    # text: 0..~2000 chars of seeded lorem; include empty strings. A seeded
+    # pool of 4096 distinct texts keeps generation O(pool) instead of O(rows)
+    # (13M-row bench fixtures) while preserving determinism and skew.
+    pool_rng = np.random.default_rng(seed + 7)
+    pool: list[str] = []
+    for _ in range(4096):
+        k = int(pool_rng.integers(0, 60))
+        pool.append(" ".join(_WORDS[w] for w in pool_rng.integers(0, len(_WORDS), k)))
+    texts = np.array(pool, dtype=object)[rng.integers(0, len(pool), n)]
 
     # ts: monotone non-decreasing within conversation; gaps 1s..3h, with
     # ~5% zero-gap (duplicate ts) adjacent turns to exercise tie-breaks.
@@ -195,17 +196,38 @@ def gen_shows(n: int = 200, seed: int = 42) -> pa.Table:
     )
 
 
-def ensure_dataset(out_dir: str, n_convs: int = 2000, seed: int = 42, hot: int = 0) -> str:
+def ensure_dataset(
+    out_dir: str, n_convs: int = 2000, seed: int = 42, hot: int = 0, n_files: int = 1
+) -> str:
     """Write transcripts/feature_store/shows parquet under ``out_dir`` once.
 
     Idempotent (content is a pure function of the args); returns out_dir.
+    ``n_files`` > 1 splits transcripts into conv-contiguous files (a dir of
+    parquet parts) so scan parallelism isn't capped by row-group count.
     """
     os.makedirs(out_dir, exist_ok=True)
-    marker = os.path.join(out_dir, f".done_{n_convs}_{seed}_{hot}")
+    marker = os.path.join(out_dir, f".done_{n_convs}_{seed}_{hot}_{n_files}")
     if os.path.exists(marker):
         return out_dir
     tr = gen_transcripts(n_convs=n_convs, seed=seed, hot_conv_turns=hot)
-    pq.write_table(tr, os.path.join(out_dir, "transcripts.parquet"))
+    tr_path = os.path.join(out_dir, "transcripts.parquet")
+    if n_files <= 1:
+        pq.write_table(tr, tr_path)
+    else:
+        # split on conversation boundaries so files stay conv-contiguous
+        conv = tr.column("conv_id").to_numpy(zero_copy_only=False)
+        bounds = np.flatnonzero(conv[1:] != conv[:-1]) + 1
+        cuts = [0] + [
+            int(bounds[min(len(bounds) - 1, int(i * len(bounds) / n_files))])
+            for i in range(1, n_files)
+        ] + [len(conv)]
+        os.makedirs(tr_path, exist_ok=True)
+        for i in range(n_files):
+            if cuts[i + 1] > cuts[i]:
+                pq.write_table(
+                    tr.slice(cuts[i], cuts[i + 1] - cuts[i]),
+                    os.path.join(tr_path, f"part-{i:05d}.parquet"),
+                )
     pq.write_table(gen_feature_store(tr, seed=seed), os.path.join(out_dir, "feature_store.parquet"))
     pq.write_table(gen_shows(seed=seed), os.path.join(out_dir, "shows.parquet"))
     with open(marker, "w") as f:

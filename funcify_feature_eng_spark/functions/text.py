@@ -92,12 +92,14 @@ def quality_score(c: Column) -> Column:
     return F.round((len_score + alpha_ratio(c) + stopword_ratio(c)) / F.lit(3.0), 6)
 
 
-def lang_id(c: Column) -> Column:
-    """Stopword-vote language ID over {en,es,fr,de}; 'und' when no votes.
+def lang_id_from_tokens(tk: Column) -> Column:
+    """Stopword-vote language ID from a pre-tokenized (lowercased) array.
+
+    Tokenize once and reuse the column — the 4-language expression tree is
+    4× smaller, which cuts whole-stage-codegen compile time materially.
 
     Ties break by the fixed language order (greatest wins in struct-max
     comparison, so order langs so that earlier = lower priority)."""
-    tk = tokens(F.lower(c))
     scores = []
     for lang in ["de", "fr", "es", "en"]:  # later = higher tie priority
         scores.append(
@@ -108,6 +110,11 @@ def lang_id(c: Column) -> Column:
         )
     best = F.greatest(*scores)
     return F.when(best["n"] > 0, best["lang"]).otherwise(F.lit("und"))
+
+
+def lang_id(c: Column) -> Column:
+    """Stopword-vote language ID over raw text (see lang_id_from_tokens)."""
+    return lang_id_from_tokens(tokens(F.lower(c)))
 
 
 def shingles(c: Column, k: int = 3) -> Column:

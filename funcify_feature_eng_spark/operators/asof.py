@@ -25,6 +25,12 @@ SURVEY.md §4):
   partition ever holds a whole hot entity. ``coalesce(within_bucket, carry_in)``
   is exact because every right row in an earlier time bucket is strictly
   earlier than any left row in a later bucket.
+* ``broadcast``: for SMALL right sides (a feature store / dimension state
+  that fits in executor memory). The right side is aggregated to one
+  time-sorted struct array per entity, broadcast, and each left row scans
+  its entity's array with vectorized higher-order functions. ZERO shuffle
+  of the left side — the correct plan when the left is 100 TB and the
+  right is megabytes; the other strategies shuffle the full left payload.
 
 Leakage contract: with ``allow_exact_matches=False`` a right row at exactly
 the left timestamp is NOT visible (strict prior); ties among right rows at
@@ -95,6 +101,10 @@ def asof_join(
         return _asof_segmented(
             left, right, on, left_ts, right_ts, vals, allow_exact_matches, right_order,
             bucket_seconds,
+        )
+    if strategy == "broadcast":
+        return _asof_broadcast(
+            left, right, on, left_ts, right_ts, vals, allow_exact_matches, right_order
         )
     raise ValueError(f"unknown strategy {strategy!r}")
 
@@ -219,6 +229,41 @@ def _asof_merge_pandas(
 
     grouped = left.groupBy(*on).cogroup(right_sel.groupBy(*on))
     return grouped.applyInPandas(merge, schema=out_schema)
+
+
+def _asof_broadcast(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    vals: dict[str, str],
+    allow_exact_matches: bool,
+    right_order: Sequence[str],
+) -> DataFrame:
+    """Small-right as-of: broadcast per-entity sorted arrays, no left shuffle.
+
+    The right side collapses to one row per entity holding a
+    ``sort_array``-ordered array of (ts, tie..., payload) structs; the as-of
+    lookup is ``element_at(filter(arr, e -> e.t <= ts), -1)`` — linear in the
+    per-entity right count, fully inside whole-stage codegen.
+    """
+    entry = F.struct(
+        F.col(right_ts).alias("__t"),
+        *[F.col(c).alias(f"__tie_{i}") for i, c in enumerate(right_order)],
+        F.struct(*[F.col(rc).alias(out) for rc, out in vals.items()]).alias("__p"),
+    )
+    agg = right.groupBy(*on).agg(F.sort_array(F.collect_list(entry)).alias("__arr"))
+    joined = left.join(F.broadcast(agg), on=list(on), how="left")
+    lt = F.col(left_ts)
+
+    def visible(e: Column) -> Column:
+        return e["__t"] <= lt if allow_exact_matches else e["__t"] < lt
+
+    # try_element_at: empty filtered array (no visible prior row) → NULL
+    last_vis = F.try_element_at(F.filter(F.col("__arr"), visible), F.lit(-1))
+    out_vals = [last_vis["__p"][out].alias(out) for out in vals.values()]
+    return joined.select(*left.columns, *out_vals)
 
 
 def _asof_segmented(

@@ -1,0 +1,130 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary + metadata.
+
+The Spark-side machinery is real and tested — schema contracts, Arrow batch
+shape, ``mapInPandas`` partitioning — while the actual media decoding is
+stubbed behind ``DecoderRegistry`` (the image/audio libraries are not in this
+container). Swap ``fake_image_decoder`` for a Pillow/torchaudio-backed one
+in production; nothing else changes.
+
+Schema contract for a media column pair::
+
+    media        binary          -- opaque payload
+    media_meta   struct<kind:string, width:int, height:int,
+                        sample_rate:int, n_frames:int>
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MEDIA_META_SCHEMA = (
+    "struct<kind:string, width:int, height:int, sample_rate:int, n_frames:int>"
+)
+
+
+def attach_fake_media(df: DataFrame, id_col: str, kind: str = "image") -> DataFrame:
+    """Deterministic fake media payloads keyed by id — test fixture for the
+    plumbing (payload = repeated md5-ish bytes of the id)."""
+    payload = F.sha2(F.col(id_col).cast("string"), 256).cast("binary")
+    meta = F.struct(
+        F.lit(kind).alias("kind"),
+        F.lit(64).alias("width"),
+        F.lit(64).alias("height"),
+        F.lit(16000).alias("sample_rate"),
+        F.lit(1).alias("n_frames"),
+    )
+    return df.withColumn("media", payload).withColumn("media_meta", meta)
+
+
+def fake_image_decoder(payload: bytes, meta: dict) -> np.ndarray:
+    """Deterministic stand-in for a real image decode: bytes → (h, w) float
+    array. Replace with Pillow in production; signature is the contract."""
+    if payload is None:
+        raise ValueError("NULL media payload")
+    w, h = int(meta.get("width") or 8), int(meta.get("height") or 8)
+    w, h = min(w, 64), min(h, 64)
+    raw = np.frombuffer((payload * ((w * h) // max(len(payload), 1) + 1))[: w * h], dtype=np.uint8)
+    return raw.reshape(h, w).astype(np.float32) / 255.0
+
+
+class DecoderRegistry:
+    """kind → decoder(payload, meta) -> np.ndarray. Real decoders are
+    registered at deployment; the default carries deterministic fakes."""
+
+    def __init__(self) -> None:
+        self._decoders: dict[str, Callable[[bytes, dict], np.ndarray]] = {}
+
+    def register(self, kind: str, fn: Callable[[bytes, dict], np.ndarray]) -> None:
+        self._decoders[kind] = fn
+
+    def get(self, kind: str) -> Callable[[bytes, dict], np.ndarray]:
+        if kind not in self._decoders:
+            raise NotImplementedError(
+                f"no decoder registered for media kind {kind!r} — the real "
+                "image/audio libraries are not available in this environment; "
+                "register one (e.g. Pillow-based) via DecoderRegistry.register"
+            )
+        return self._decoders[kind]
+
+
+def default_registry() -> DecoderRegistry:
+    r = DecoderRegistry()
+    r.register("image", fake_image_decoder)
+    return r
+
+
+def extract_media_features(
+    df: DataFrame,
+    registry: DecoderRegistry | None = None,
+    media_col: str = "media",
+    meta_col: str = "media_meta",
+    batch_cols: tuple[str, ...] = ("doc_id",),
+) -> DataFrame:
+    """Decode + feature-extract media via ``mapInPandas`` (Arrow batches).
+
+    Output: ``batch_cols`` + (mean_intensity double, std_intensity double,
+    n_bytes int). The decode runs per Arrow batch — vectorized dispatch, no
+    per-row Python UDF overhead beyond the unavoidable decode itself.
+    """
+    reg = registry or default_registry()
+    out_schema = ", ".join(
+        [f"{c} {t}" for c, t in zip(batch_cols, ["long"] * len(batch_cols))]
+        + ["mean_intensity double", "std_intensity double", "n_bytes int"]
+    )
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                meta = row[meta_col] if isinstance(row[meta_col], dict) else (
+                    row[meta_col].asDict() if hasattr(row[meta_col], "asDict")
+                    else dict(zip(
+                        ["kind", "width", "height", "sample_rate", "n_frames"],
+                        row[meta_col],
+                    ))
+                )
+                arr = reg.get(meta["kind"])(row[media_col], meta)
+                rows.append(
+                    [row[c] for c in batch_cols]
+                    + [float(arr.mean()), float(arr.std()), len(row[media_col])]
+                )
+            yield pd.DataFrame(
+                rows, columns=[*batch_cols, "mean_intensity", "std_intensity", "n_bytes"]
+            )
+
+    return df.select(*batch_cols, media_col, meta_col).mapInPandas(process, out_schema)
+
+
+def resize_stub(df: DataFrame, width: int, height: int) -> DataFrame:
+    """Resize is decode-dependent → explicit NotImplementedError stub with
+    the schema contract in place (returns the plan-compatible frame)."""
+    raise NotImplementedError(
+        "resize requires a real image library (Pillow/opencv) not present in "
+        "this environment; the mapInPandas plumbing pattern is "
+        "extract_media_features — register a decoder and map the resize there"
+    )

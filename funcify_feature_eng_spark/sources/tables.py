@@ -1,0 +1,145 @@
+"""Table readers/writers: Iceberg-first with transparent parquet fallback.
+
+The engine targets Iceberg transcript tables (BASELINE.json north_rule). In
+environments without an Iceberg catalog (this sandbox) the same call reads a
+parquet path — one code path, different format, as planned in SURVEY.md §7.1.
+
+Reference analogs: S1/S2 data-element scans
+(``gql-data-source/.../ServiceBackedDataElementSourceCallable.kt:92-110``)
+become table scans with *selections* = column pruning and *arguments* =
+pushed-down filters; S5 CSV scan
+(``beam/.../NetflixMoviesTvShowsFeaturesPipeline.kt:61-120``) becomes
+``read_netflix_csv`` with the reference's reshaping rules inlined as native
+column expressions (``stream/StreamFunctions.kt:289-375``).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TRANSCRIPT_SCHEMA = (
+    "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+)
+
+
+def _is_path(location: str) -> bool:
+    return "/" in location or location.endswith(".parquet") or location.startswith("file:")
+
+
+def read_table(
+    spark: SparkSession,
+    location: str,
+    columns: Sequence[str] | None = None,
+    predicate: Column | str | None = None,
+) -> DataFrame:
+    """Scan an Iceberg table name or a parquet path.
+
+    ``columns``/``predicate`` express the reference's selection-set projection
+    (P1) and argument pushdown — both reach the scan via Catalyst
+    (ColumnPruning / PushDownPredicates → file and partition pruning).
+    """
+    df = spark.read.parquet(location) if _is_path(location) else spark.read.table(location)
+    if predicate is not None:
+        df = df.filter(predicate)
+    if columns:
+        df = df.select(*columns)
+    return df
+
+
+def write_table(
+    df: DataFrame,
+    location: str,
+    mode: str = "append",
+    partition_by: Sequence[str] = (),
+) -> None:
+    """Append/overwrite to an Iceberg table or parquet path."""
+    if _is_path(location):
+        w = df.write.mode(mode)
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(location)
+    else:
+        w = df.writeTo(location)
+        if mode == "append":
+            w.append()
+        else:
+            w.createOrReplace()
+
+
+def read_transcripts(
+    spark: SparkSession,
+    location: str,
+    conv_ids: Sequence[str] | None = None,
+    min_ts: str | None = None,
+    max_ts: str | None = None,
+) -> DataFrame:
+    """The canonical transcript source with pushdown-friendly filters.
+
+    Filtering the spine on conv_id/ts BEFORE any join/window is the engine's
+    equivalent of the reference pushing argument values into the source call
+    (SURVEY.md §4 predicate pushdown row).
+    """
+    df = read_table(spark, location)
+    if conv_ids is not None:
+        df = df.filter(F.col("conv_id").isin(list(conv_ids)))
+    if min_ts is not None:
+        df = df.filter(F.col("ts") >= F.lit(min_ts).cast("timestamp"))
+    if max_ts is not None:
+        df = df.filter(F.col("ts") < F.lit(max_ts).cast("timestamp"))
+    return df
+
+
+def ingest_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_col: str = "conv_id",
+    n_buckets: int = 64,
+    sort_cols: Sequence[str] = ("conv_id", "turn_idx", "ts"),
+) -> None:
+    """One-time ingest into a bucketed+sorted table (the 100 TB layout).
+
+    Downstream per-entity windows and as-of merges over a table bucketed by
+    the entity key and sorted by (entity, time) need NO exchange — the
+    feature pass becomes embarrassingly parallel per bucket. On Iceberg the
+    equivalent is a ``bucket(N, conv_id)`` partition transform + sorted
+    write order.
+    """
+    (
+        df.write.mode("overwrite")
+        .bucketBy(n_buckets, bucket_col)
+        .sortBy(*sort_cols)
+        .format("parquet")
+        .saveAsTable(table_name)
+    )
+
+
+def read_netflix_csv(spark: SparkSession, path: str) -> DataFrame:
+    """Reference corpus reader with the observable reshaping semantics of
+    ``stream/StreamFunctions.kt:289-375`` as native expressions:
+    split ``cast``/``listed_in`` on ", ", regex-parse ``duration`` into
+    minutes vs seasons, int-coerce ``release_year``."""
+    from funcify_feature_eng_spark.functions.scalars import (
+        parse_duration_minutes,
+        parse_num_seasons,
+        split_list,
+    )
+
+    raw = spark.read.csv(path, header=True, escape='"', multiLine=True)
+    return raw.select(
+        F.col("show_id"),
+        F.col("type"),
+        F.col("title"),
+        F.col("director"),
+        split_list(F.col("cast")).alias("cast"),
+        F.col("country"),
+        F.to_date(F.col("date_added"), "MMMM d, yyyy").alias("date_added"),
+        F.col("release_year").cast("int").alias("release_year"),
+        F.col("rating"),
+        parse_duration_minutes(F.col("duration")).alias("duration_min"),
+        parse_num_seasons(F.col("duration")).alias("num_seasons"),
+        split_list(F.col("listed_in")).alias("listed_in"),
+        F.col("description"),
+    )

@@ -1,0 +1,148 @@
+"""Feature store lifecycle: the TrackableValue Planned→Calculated→Tracked
+state machine re-expressed as set operations over a feature table.
+
+Reference semantics (``schema/tracking/TrackableValue.kt:17-41,109-193``):
+a *Planned* value has an identity (feature path, entity, contextual params)
+but no value; read-through (``FeatureJsonValueStore.kt:11-18``) turns it
+*Tracked* if the store holds a value at-or-before the request time; otherwise
+the calculator computes it (*Calculated*, stamped with ``calculated_ts``) and
+the publisher writes it back (``FeatureJsonValuePublisher.kt:11-18``).
+
+Spark realization — per request batch:
+
+1. ``read_through``: as-of join of the request spine against the store →
+   rows split into tracked (hit) / planned (miss),
+2. ``calculate``: compute the feature column for the planned rows only,
+3. ``publish``: append the newly calculated rows to the store table.
+
+The store is an Iceberg table when a catalog is configured (partitioned by
+feature_id, bucketed on entity for co-located as-of reads); the sandbox
+fallback is plain parquet at a path — same code path, different format
+(SURVEY.md §7.1).
+
+Schema (FIXTURES.md §2): feature_id, conv_id (entity), params_hash, value
+(JSON string), value_at_ts, calculated_ts.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from funcify_feature_eng_spark.operators.asof import asof_join
+
+STORE_COLUMNS = ["feature_id", "conv_id", "params_hash", "value", "value_at_ts", "calculated_ts"]
+
+
+@dataclass
+class FeatureStore:
+    """Point-in-time feature-value store over a table path or Iceberg name."""
+
+    spark: SparkSession
+    location: str  # path (parquet fallback) or catalog.db.table (Iceberg)
+    entity_col: str = "conv_id"
+
+    @property
+    def _is_table(self) -> bool:
+        return not ("/" in self.location or self.location.startswith("file:"))
+
+    def read(self, feature_id: str | None = None) -> DataFrame:
+        if self._is_table:
+            df = self.spark.read.table(self.location)
+        else:
+            try:
+                df = self.spark.read.parquet(self.location)
+            except Exception:
+                return self._empty()
+        if feature_id is not None:
+            # partition-pruned on Iceberg (store is partitioned by feature_id)
+            df = df.filter(F.col("feature_id") == feature_id)
+        return df
+
+    def _empty(self) -> DataFrame:
+        return self.spark.createDataFrame(
+            [],
+            "feature_id string, conv_id string, params_hash string, "
+            "value string, value_at_ts timestamp, calculated_ts timestamp",
+        )
+
+    # ----------------------------------------------------------- lifecycle
+    def read_through(
+        self,
+        spine: DataFrame,
+        feature_id: str,
+        out_col: str,
+        ts_col: str = "ts",
+        params_hash: str = "default",
+        allow_exact_matches: bool = True,
+    ) -> DataFrame:
+        """Planned → Tracked where a stored value exists at-or-before the
+        request time (S7/J2). Adds ``out_col`` (NULL = still Planned) and
+        ``out_col + '_at_ts'`` (the valueAtTimestamp witness)."""
+        store = self.read(feature_id).filter(F.col("params_hash") == params_hash)
+        return asof_join(
+            spine,
+            store,
+            on=[self.entity_col],
+            left_ts=ts_col,
+            right_ts="value_at_ts",
+            value_cols={"value": out_col, "value_at_ts": f"{out_col}_at_ts"},
+            allow_exact_matches=allow_exact_matches,
+            right_order=["calculated_ts", "value"],
+        )
+
+    def publish(
+        self,
+        calculated: DataFrame,
+        feature_id: str,
+        value_col: str,
+        ts_col: str = "ts",
+        params_hash: str = "default",
+    ) -> None:
+        """Calculated → Tracked: append newly computed values (S8).
+
+        ``value_at_ts`` = the event time the value is valid from; the value
+        is serialized to a JSON string (MapType-free Arrow-safe blob)."""
+        now = F.current_timestamp()
+        rows = calculated.select(
+            F.lit(feature_id).alias("feature_id"),
+            F.col(self.entity_col).alias("conv_id"),
+            F.lit(params_hash).alias("params_hash"),
+            F.to_json(F.struct(F.col(value_col).alias("v"))).alias("value"),
+            F.col(ts_col).cast("timestamp").alias("value_at_ts"),
+            now.alias("calculated_ts"),
+        )
+        if self._is_table:
+            rows.writeTo(self.location).append()
+        else:
+            rows.write.mode("append").parquet(self.location)
+
+    def materialize_with_store(
+        self,
+        spine: DataFrame,
+        feature_id: str,
+        compute,
+        out_col: str,
+        ts_col: str = "ts",
+        publish: bool = True,
+    ) -> DataFrame:
+        """Full lifecycle for one feature: read-through, compute only the
+        misses (anti-pattern: recompute everything), publish the new rows.
+
+        ``compute(df) -> df_with_out_col`` computes the feature on the rows
+        given; it is applied only to Planned (store-miss) rows.
+        """
+        hit = self.read_through(spine, feature_id, out_col, ts_col)
+        tracked = hit.filter(F.col(out_col).isNotNull())
+        planned = hit.filter(F.col(out_col).isNull()).drop(out_col, f"{out_col}_at_ts")
+        calculated = compute(planned).withColumn(
+            f"{out_col}_at_ts", F.col(ts_col).cast("timestamp")
+        )
+        if publish:
+            self.publish(calculated, feature_id, out_col, ts_col)
+        # tracked store values are JSON blobs; keep both sides as-is
+        return tracked.unionByName(
+            calculated.withColumn(out_col, F.to_json(F.struct(F.col(out_col).alias("v"))))
+        )

@@ -9,7 +9,7 @@ import pytest
 
 from funcify_feature_eng_spark.operators.asof import asof_join
 
-STRATEGIES = ["union_window", "merge_asof", "segmented"]
+STRATEGIES = ["union_window", "merge_asof", "segmented", "broadcast"]
 
 
 def oracle_asof(left_pd, right_pd, allow_exact_matches=True):

@@ -1,0 +1,147 @@
+"""Dedup, similarity, multimodal plumbing, and source reshaping tests."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from funcify_feature_eng_spark.operators.dedup import (
+    exact_dedup,
+    exact_dup_groups,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash64,
+    simhash_near_pairs,
+)
+from funcify_feature_eng_spark.operators.multimodal import (
+    attach_fake_media,
+    extract_media_features,
+    resize_stub,
+)
+from funcify_feature_eng_spark.operators.similarity import (
+    all_pairs_topk,
+    ann_lsh_topk,
+    cosine_topk,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+        (3, "the quick brown fox jumps over the lazy cat"),  # near dup
+        (4, "completely different text about spark engines"),
+        (5, ""),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup_keeps_min_id(spark, docs):
+    out = exact_dedup(docs, "doc_id", "text").orderBy("doc_id").toPandas()
+    assert list(out["doc_id"]) == [1, 3, 4, 5]
+    groups = exact_dup_groups(docs, "doc_id", "text").orderBy("keep_id").toPandas()
+    assert groups.loc[groups["keep_id"] == 1, "n_copies"].iloc[0] == 2
+
+
+def test_ngram_jaccard_finds_near_dup(spark, docs):
+    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", n=5, threshold=0.5).toPandas()
+    got = set(map(tuple, pairs[["doc_a", "doc_b"]].itertuples(index=False)))
+    assert (1, 2) in got  # exact dup → jaccard 1.0
+    assert (1, 3) in got and (2, 3) in got  # near dup
+    assert not any(4 in p for p in got)
+
+
+def test_minhash_lsh_finds_near_dup(spark, docs):
+    pairs = minhash_lsh_pairs(
+        docs, "doc_id", "text", num_hashes=64, bands=32, verify_threshold=0.4
+    ).toPandas()
+    got = set(map(tuple, pairs[["doc_a", "doc_b"]].itertuples(index=False)))
+    assert (1, 2) in got
+    assert pairs.set_index(["doc_a", "doc_b"]).loc[(1, 2), "jaccard"] == 1.0
+
+
+def test_simhash_exact_dup_identical_hash(spark, docs):
+    sh = simhash64(docs.filter("doc_id in (1,2,4)"), "doc_id", "text").toPandas()
+    h = sh.set_index("doc")["simhash"]
+    assert h[1] == h[2]
+    assert h[1] != h[4]
+    pairs = simhash_near_pairs(docs.filter("text != ''"), "doc_id", "text", max_hamming=10).toPandas()
+    got = set(map(tuple, pairs[["doc_a", "doc_b"]].itertuples(index=False)))
+    assert (1, 2) in got
+
+
+def test_cosine_topk_exact(spark):
+    rows = [(0, [1.0, 0.0, 0.0]), (1, [0.9, 0.1, 0.0]), (2, [0.0, 1.0, 0.0]), (3, [-1.0, 0.0, 0.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = cosine_topk(df.filter("vec_id != 0"), [1.0, 0.0, 0.0], k=2).toPandas()
+    assert list(out["vec_id"]) == [1, 2]
+    assert out["cos_sim"][0] > 0.99
+
+
+def test_ann_lsh_quality(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter("vec_id = 0").head()["embedding"]
+    exact = cosine_topk(emb.filter("vec_id != 0"), q, k=1).toPandas()
+    approx = ann_lsh_topk(
+        emb.filter("vec_id != 0"), q, k=10, n_planes=10, max_probe_hamming=4
+    ).toPandas()
+    # LSH is approximate: require the probed best to be within a small
+    # cosine margin of the exact best (the recall-quality contract), and
+    # deterministic across runs (seeded hyperplanes)
+    assert len(approx) > 0
+    assert approx["cos_sim"][0] >= exact["cos_sim"][0] - 0.05
+    again = ann_lsh_topk(
+        emb.filter("vec_id != 0"), q, k=10, n_planes=10, max_probe_hamming=4
+    ).toPandas()
+    assert list(again["vec_id"]) == list(approx["vec_id"])
+
+
+def test_all_pairs_topk_shape(spark):
+    rows = [(i, [float(i), 1.0]) for i in range(6)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = all_pairs_topk(df, k=2).toPandas()
+    assert len(out) == 12  # 6 rows x top-2
+    assert (out.groupby("id_a").size() == 2).all()
+
+
+def test_multimodal_plumbing(spark, docs):
+    media = attach_fake_media(docs.filter("doc_id <= 3"), "doc_id")
+    feats = extract_media_features(media, batch_cols=("doc_id",)).orderBy("doc_id").toPandas()
+    assert list(feats.columns) == ["doc_id", "mean_intensity", "std_intensity", "n_bytes"]
+    assert len(feats) == 3
+    assert (feats["n_bytes"] == 64).all()  # sha2-256 hex payload (64 ascii bytes)
+    assert feats["mean_intensity"].between(0, 1).all()
+    # determinism: same id → same features
+    again = extract_media_features(media, batch_cols=("doc_id",)).orderBy("doc_id").toPandas()
+    assert np.allclose(feats["mean_intensity"], again["mean_intensity"])
+
+
+def test_resize_stub_raises(spark, docs):
+    with pytest.raises(NotImplementedError, match="image library"):
+        resize_stub(docs, 32, 32)
+
+
+def test_unregistered_kind_raises(spark, docs):
+    media = attach_fake_media(docs.limit(1), "doc_id", kind="video")
+    with pytest.raises(Exception, match="no decoder registered"):
+        extract_media_features(media, batch_cols=("doc_id",)).collect()
+
+
+def test_netflix_reshaping(spark, tmp_path):
+    from funcify_feature_eng_spark.sources.tables import read_netflix_csv
+
+    csv = tmp_path / "shows.csv"
+    csv.write_text(
+        "show_id,type,title,director,cast,country,date_added,release_year,rating,duration,listed_in,description\n"
+        's1,Movie,T1,Dir A,"Actor A, Actor B",US,"June 9, 2023",2001,PG,90 min,"Drama, Comedy",d1\n'
+        's2,TV Show,T2,,"Actor C",US,"January 1, 2020",1899,TV-MA,2 Seasons,Drama,d2\n'
+    )
+    df = read_netflix_csv(spark, str(csv)).orderBy("show_id").toPandas()
+    assert list(df.loc[0, "cast"]) == ["Actor A", "Actor B"]
+    assert df.loc[0, "duration_min"] == 90 and pd.isna(df.loc[0, "num_seasons"])
+    assert df.loc[1, "num_seasons"] == 2 and pd.isna(df.loc[1, "duration_min"])
+    assert df.loc[0, "release_year"] == 2001
+    assert str(df.loc[0, "date_added"]) == "2023-06-09"

@@ -1,0 +1,67 @@
+"""Structured Streaming surface: micro-batch DAG reuse + session windows."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from funcify_feature_eng_spark.plans.model import FeatureModel
+from funcify_feature_eng_spark.streaming.runner import (
+    materialize_stream,
+    session_windows_stream,
+)
+
+
+@pytest.fixture()
+def stream_input(spark, data_dir, tmp_path):
+    # file-source stream over the transcript fixture (availableNow drains it
+    # as micro-batches and terminates — deterministic for tests). File
+    # streams require a directory source, so stage the fixture into one.
+    batch = spark.read.parquet(os.path.join(data_dir, "transcripts.parquet"))
+    src = str(tmp_path / "stream_src")
+    batch.repartition(4).write.parquet(src)
+    return spark.readStream.schema(batch.schema).parquet(src)
+
+
+def test_materialize_stream_reuses_batch_dag(spark, stream_input, tmp_path, transcripts):
+    m = FeatureModel()
+    m.declare_window_feature("prior_role", op="lag", col="role")
+    m.declare_transformer_feature("turn_len", "char_len", args=["text"])
+
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def sink(df, batch_id):
+        df.write.mode("append").parquet(out_dir)
+
+    q = materialize_stream(
+        stream_input, m,
+        ["conv_id", "turn_idx", "text", "prior_role", "turn_len"],
+        sink=sink, checkpoint_dir=ckpt,
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out_dir)
+    assert got.count() == transcripts.count()
+    assert set(got.columns) == {"conv_id", "turn_idx", "text", "prior_role", "turn_len"}
+    # turn_len is batch-independent → must equal the batch computation exactly
+    joined = got.alias("s").join(
+        transcripts.alias("b"), ["conv_id", "turn_idx"]
+    ).where(F.col("s.turn_len") != F.length("b.text"))
+    assert joined.count() == 0
+
+
+def test_session_windows_stream_counts(spark, stream_input, tmp_path, transcripts):
+    sessions = session_windows_stream(stream_input, entity_col="conv_id", ts_col="ts",
+                                      gap_seconds=1800)
+    q = (
+        sessions.writeStream.outputMode("complete")
+        .format("memory").queryName("sess")
+        .option("checkpointLocation", str(tmp_path / "ck2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("select sum(n_turns) as n from sess").head()["n"]
+    assert got == transcripts.count()  # every turn lands in exactly one session
