@@ -169,6 +169,82 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(docs, "doc_id", "text", n=5, threshold=0.3)
 
 
+def q_top_nations_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join coverage: lineitem⋈orders⋈customer⋈nation with broadcast dims.
+
+    nation/customer are small → F.broadcast keeps the big fact table from
+    shuffling (one exchange for the final groupBy only).
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    rev = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+        .groupBy("n_name")
+        .agg(
+            F.sum(dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - dec("l_discount")))
+            .cast("decimal(38,4)")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+    return rev
+
+
+def q_event_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered nested collection per entity (collect_ordered operator)."""
+    from funcify_feature_eng_spark.operators.windows import collect_ordered
+
+    ev = _t(spark, sf_dir, "events")
+    return collect_ordered(
+        ev, "event_type", keys=("user_id",), order=("ts", "event_id"), out_col="event_seq"
+    ).select("user_id", F.concat_ws(",", "event_seq").alias("event_seq_csv"))
+
+
+def q_user_running_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-based running aggregates (rows-between windows)."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).cast("long").alias("events_so_far"),
+        F.max(F.col("value").cast("decimal(18,2)")).over(w).alias("running_max_value"),
+    )
+
+
+def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite quality score on a cross-engine-exact floor grid."""
+    from funcify_feature_eng_spark.functions.text import alpha_ratio, stopword_ratio
+
+    docs = _t(spark, sf_dir, "documents")
+    n = F.length("text")
+    len_score = (
+        F.when((n >= 50) & (n <= 5000), F.lit(1.0)).when(n > 0, F.lit(0.5)).otherwise(F.lit(0.0))
+    )
+    q = (len_score + alpha_ratio(F.col("text")) + stopword_ratio(F.col("text"))) / F.lit(3.0)
+    return docs.select("doc_id", F.floor(q * F.lit(1000000.0)).alias("quality_e6"))
+
+
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing (rows-only: mapInPandas decode is not SQL)."""
+    from funcify_feature_eng_spark.operators.multimodal import (
+        attach_fake_media,
+        extract_media_features,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return extract_media_features(attach_fake_media(docs, "doc_id"), batch_cols=("doc_id",))
+
+
 def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return minhash_lsh_pairs(docs, "doc_id", "text", num_hashes=64, bands=16,
@@ -202,6 +278,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash_near_pairs": q_simhash_near_pairs,
+        "top_nations_revenue": q_top_nations_revenue,
+        "event_sequences": q_event_sequences,
+        "user_running_stats": q_user_running_stats,
+        "doc_quality": q_doc_quality,
+        "media_features": q_media_features,
     }
 
 
@@ -346,6 +427,58 @@ WHERE shared / (sa.sz + sb.sz - shared) >= 0.3
 """
 
 
+_TOP_NATIONS_SQL = """
+SELECT n_name,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+            AS DECIMAL(38,4)) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+_EVENT_SEQ_SQL = """
+SELECT user_id,
+       string_agg(event_type, ',' ORDER BY ts, event_id) AS event_seq_csv
+FROM events GROUP BY user_id
+"""
+
+_RUNNING_STATS_SQL = """
+SELECT event_id, user_id,
+       CAST(COUNT(*) OVER w AS BIGINT) AS events_so_far,
+       MAX(CAST(value AS DECIMAL(18,2))) OVER w AS running_max_value
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+
+
+def _doc_quality_sql() -> str:
+    words = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
+    return f"""
+WITH t AS (
+  SELECT doc_id, text, length(text) AS n,
+         CASE WHEN length(trim(lower(text))) > 0
+              THEN regexp_split_to_array(trim(lower(text)), '\\s+')
+              ELSE [] END AS tk
+  FROM documents
+)
+SELECT doc_id, CAST(floor(1000000.0 * (
+    (CASE WHEN n >= 50 AND n <= 5000 THEN 1.0 WHEN n > 0 THEN 0.5 ELSE 0.0 END)
+  + (CASE WHEN n > 0
+          THEN length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0 / n
+          ELSE 0.0 END)
+  + (CASE WHEN len(tk) > 0
+          THEN len(list_filter(tk, x -> list_contains([{words}], x))) * 1.0 / len(tk)
+          ELSE 0.0 END)
+) / 3.0) AS BIGINT) AS quality_e6
+FROM t
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "turn_features": _TURN_FEATURES_SQL,
@@ -358,6 +491,10 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": _lang_sql(),
         "ann_cosine_topk": _ANN_SQL,
         "ngram_jaccard_pairs": _NGRAM_JACCARD_SQL,
-        # minhash_lsh_pairs / simhash_near_pairs: engine-hash-dependent →
-        # rows-only check (documented weaker gate)
+        "top_nations_revenue": _TOP_NATIONS_SQL,
+        "event_sequences": _EVENT_SEQ_SQL,
+        "user_running_stats": _RUNNING_STATS_SQL,
+        "doc_quality": _doc_quality_sql(),
+        # minhash_lsh_pairs / simhash_near_pairs / media_features:
+        # engine-hash- or mapInPandas-dependent → rows-only check
     }
