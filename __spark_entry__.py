@@ -165,7 +165,14 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact all-pairs n-gram Jaccard — intrinsically O(sum df²); the scale
+    path is minhash_lsh_pairs. SPARK_GRAFT_NGRAM_CAP (bench) bounds the
+    corpus so timing runs don't execute a billion-row self-join on the
+    tiny-vocabulary synthetic docs."""
     docs = _t(spark, sf_dir, "documents")
+    cap = int(os.environ.get("SPARK_GRAFT_NGRAM_CAP", "0"))
+    if cap > 0:
+        docs = docs.filter(F.col("doc_id") < cap)
     return ngram_jaccard_pairs(docs, "doc_id", "text", n=5, threshold=0.3)
 
 

@@ -64,6 +64,9 @@ def run_default() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "?"
+    # exact all-pairs jaccard is quadratic on the tiny-vocab synthetic docs;
+    # bound it for timing (the at-scale near-dup path is minhash_lsh_pairs)
+    os.environ.setdefault("SPARK_GRAFT_NGRAM_CAP", "500")
     spark = get_spark("bench", master=f"local[{cpus}]")
     ensure_dataset(BENCH_DATA, n_convs=N_CONVS, seed=42, hot=HOT, n_files=64)
 
