@@ -111,14 +111,17 @@ def turn_features(
     if role_col:
         out = out.withColumn("prior_role", lag_col(role_col, keys, order))
     if tool_col:
-        out = out.withColumn(
-            "prior_tool", ffill_col(tool_col, keys, order, strict_prior=True)
-        )
+        # strict-prior ffill as last(lag(col)) over (unbounded, 0): the lag
+        # shares the offset-frame WindowExec with the other lags and the
+        # ffill shares the (unbounded, 0) frame with the session cumsum —
+        # one fewer WindowExec pass than the (unbounded, -1) formulation
+        out = out.withColumn("__lag_tool", lag_col(tool_col, keys, order))
+        out = out.withColumn("prior_tool", ffill_col("__lag_tool", keys, order))
     out = out.withColumn("gap_secs", gap_seconds(ts_col, keys, order))
     out = out.withColumn("session_id", session_id(ts_col, keys, order, gap_threshold_s))
     if text_col:
         out = out.withColumn("turn_len", F.length(F.col(text_col)))
-    return out
+    return out.drop("__lag_tool")
 
 
 def collect_ordered(
