@@ -241,6 +241,15 @@ def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", F.floor(q * F.lit(1000000.0)).alias("quality_e6"))
 
 
+def q_event_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2 parity: JSON value extraction by path over the untyped props blob."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("prop_k"),
+    )
+
+
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing (rows-only: mapInPandas decode is not SQL)."""
     from funcify_feature_eng_spark.operators.multimodal import (
@@ -289,6 +298,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_sequences": q_event_sequences,
         "user_running_stats": q_user_running_stats,
         "doc_quality": q_doc_quality,
+        "event_props_extract": q_event_props_extract,
         "media_features": q_media_features,
     }
 
@@ -502,6 +512,9 @@ def oracle_sql() -> dict[str, str]:
         "event_sequences": _EVENT_SEQ_SQL,
         "user_running_stats": _RUNNING_STATS_SQL,
         "doc_quality": _doc_quality_sql(),
+        "event_props_extract": (
+            "SELECT event_id, CAST(json_extract(props, '$.k') AS INTEGER) AS prop_k FROM events"
+        ),
         # minhash_lsh_pairs / simhash_near_pairs / media_features:
         # engine-hash- or mapInPandas-dependent → rows-only check
     }

@@ -80,10 +80,14 @@ class FeatureModel:
         order: Sequence[str] = ("turn_idx", "ts"),
         event_time: str = "ts",
         registry: TransformerRegistry | None = None,
+        max_depth: int = 7,
     ) -> None:
         self.entity_key = entity_key
         self.order = tuple(order)
         self.event_time = event_time
+        # plan-depth bound: the reference's ModelLimits.maximumOperationDepth
+        # (default 7, min 3 — schema/limit/ModelLimits.kt:14-16,50)
+        self.max_depth = max(int(max_depth), 3)
         self.registry = registry or default_registry()
         self._features: dict[str, FeatureSpec] = {}
         self._aliases: dict[str, str] = {}  # canon(alias) -> feature/column name
@@ -171,6 +175,11 @@ class FeatureModel:
         def visit(fname: str, stack: tuple[str, ...]) -> None:
             if fname in stack:
                 raise PlanError(f"feature dependency cycle: {' -> '.join(stack + (fname,))}")
+            if len(stack) >= self.max_depth:
+                raise PlanError(
+                    f"feature dependency depth exceeds max_depth={self.max_depth} "
+                    f"at {' -> '.join(stack + (fname,))}"
+                )
             if fname in needed:
                 return
             spec = self._features[fname]

@@ -104,6 +104,17 @@ def test_unknown_transformer_raises():
         m.declare_transformer_feature("f", "nope", args=["x"])
 
 
+def test_max_depth_enforced():
+    m = FeatureModel(max_depth=3)
+    m.declare_window_feature("f0", op="row_number")
+    for i in range(1, 6):
+        m.declare_transformer_feature(f"f{i}", "negative_to_null", args=[f"f{i-1}"])
+    with pytest.raises(PlanError, match="max_depth"):
+        m.compile(["f5"], spine_cols=["conv_id", "ts"])
+    # within the bound compiles fine
+    assert len(m.compile(["f2"], spine_cols=["conv_id", "ts"])) == 3
+
+
 def test_topo_order_feature_on_feature(model, transcripts):
     plan = model.compile(["gap_nonneg"], transcripts.columns)
     names = [s.name for s in plan]
