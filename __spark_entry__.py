@@ -375,9 +375,9 @@ SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies FROM documents GROUP BY text
 
 _DOC_STATS_SQL = """
 SELECT doc_id,
-       CASE WHEN length(trim(text)) > 0
-            THEN len(regexp_split_to_array(trim(text), '\\s+')) ELSE 0 END AS n_tokens,
-       length(text) AS char_len,
+       CAST(CASE WHEN length(trim(text)) > 0
+            THEN len(regexp_split_to_array(trim(text), '\\s+')) ELSE 0 END AS INTEGER) AS n_tokens,
+       CAST(length(text) AS INTEGER) AS char_len,
        CAST(floor(CASE WHEN length(text) > 0
                   THEN 1000000.0 * length(regexp_replace(text, '[^A-Za-z]', '', 'g')) / length(text)
                   ELSE 0.0 END) AS BIGINT) AS alpha_e6
