@@ -241,6 +241,21 @@ def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", F.floor(q * F.lit(1000000.0)).alias("quality_e6"))
 
 
+def q_doc_tokens_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Arrow path in the gate: a vectorized pandas UDF (Series→Series)
+    whose result must match the JVM/SQL oracle exactly — the 'transformer
+    source as pandas-UDF stage' contract from the north star."""
+    # no type hints: `from __future__ import annotations` stringifies them,
+    # which PySpark's pandas_udf signature inspection can't resolve
+    def _py_token_count(texts):
+        return texts.fillna("").map(lambda t: len(t.split())).astype("int32")
+
+    py_token_count = F.pandas_udf(_py_token_count, "int")
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", py_token_count(F.col("text")).alias("n_tokens_py"))
+
+
 def q_event_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P2 parity: JSON value extraction by path over the untyped props blob."""
     ev = _t(spark, sf_dir, "events")
@@ -299,6 +314,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_running_stats": q_user_running_stats,
         "doc_quality": q_doc_quality,
         "event_props_extract": q_event_props_extract,
+        "doc_tokens_pandas": q_doc_tokens_pandas,
         "media_features": q_media_features,
     }
 
@@ -515,6 +531,13 @@ def oracle_sql() -> dict[str, str]:
         "event_props_extract": (
             "SELECT event_id, CAST(json_extract(props, '$.k') AS INTEGER) AS prop_k FROM events"
         ),
+        "doc_tokens_pandas": """
+SELECT doc_id,
+       CAST(CASE WHEN length(trim(text)) > 0
+            THEN len(regexp_split_to_array(trim(text), '\\s+')) ELSE 0 END AS INTEGER)
+       AS n_tokens_py
+FROM documents
+""",
         # minhash_lsh_pairs / simhash_near_pairs / media_features:
         # engine-hash- or mapInPandas-dependent → rows-only check
     }
