@@ -82,13 +82,35 @@ def asof_join(
     right_order: Sequence[str] = (),
     strategy: str = "union_window",
     bucket_seconds: int = 86400,
+    direction: str = "backward",
 ) -> DataFrame:
     """For each left row, attach the latest right payload with
     ``right_ts <= left_ts`` (or ``<`` when ``allow_exact_matches=False``),
     per ``on`` entity. Left rows with no prior right row get NULLs.
+
+    ``direction="forward"`` flips the search: the EARLIEST right payload with
+    ``right_ts >= left_ts`` (or ``>``) — the backfill/next-state lookup.
+    Forward mode supports the ``broadcast`` and ``merge_asof`` strategies
+    (tie-break among equal right_ts picks the min (right_ts, right_order)).
     """
     vals = _normalize_values(value_cols)
     _validate(left, on, list(vals.values()))
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"unknown direction {direction!r}")
+    if direction == "forward":
+        if strategy == "broadcast":
+            return _asof_broadcast(
+                left, right, on, left_ts, right_ts, vals, allow_exact_matches,
+                right_order, forward=True,
+            )
+        if strategy == "merge_asof":
+            return _asof_merge_pandas(
+                left, right, on, left_ts, right_ts, vals, allow_exact_matches,
+                right_order, direction="forward",
+            )
+        raise ValueError(
+            "direction='forward' supports strategies 'broadcast' and 'merge_asof'"
+        )
     if strategy == "union_window":
         return _asof_union_window(
             left, right, on, left_ts, right_ts, vals, allow_exact_matches, right_order
@@ -181,6 +203,7 @@ def _asof_merge_pandas(
     vals: dict[str, str],
     allow_exact_matches: bool,
     right_order: Sequence[str],
+    direction: str = "backward",
 ) -> DataFrame:
     """Arrow co-grouped ``pd.merge_asof`` per entity (SURVEY.md §4: option (b))."""
     import pandas as pd  # local import: executors need it, driver may not at plan time
@@ -221,7 +244,7 @@ def _asof_merge_pandas(
             r[[rts, *out_names]],
             left_on=lts,
             right_on=rts,
-            direction="backward",
+            direction=direction,
             allow_exact_matches=allow_exact_matches,
             suffixes=("", "__r"),
         )
@@ -240,6 +263,7 @@ def _asof_broadcast(
     vals: dict[str, str],
     allow_exact_matches: bool,
     right_order: Sequence[str],
+    forward: bool = False,
 ) -> DataFrame:
     """Small-right as-of: broadcast per-entity sorted arrays, no left shuffle.
 
@@ -258,10 +282,14 @@ def _asof_broadcast(
     lt = F.col(left_ts)
 
     def visible(e: Column) -> Column:
+        if forward:
+            return e["__t"] >= lt if allow_exact_matches else e["__t"] > lt
         return e["__t"] <= lt if allow_exact_matches else e["__t"] < lt
 
-    # try_element_at: empty filtered array (no visible prior row) → NULL
-    last_vis = F.try_element_at(F.filter(F.col("__arr"), visible), F.lit(-1))
+    # try_element_at: empty filtered array (no visible row) → NULL.
+    # backward: latest visible (last of the sorted array); forward: earliest.
+    pick = F.lit(1) if forward else F.lit(-1)
+    last_vis = F.try_element_at(F.filter(F.col("__arr"), visible), pick)
     out_vals = [last_vis["__p"][out].alias(out) for out in vals.values()]
     return joined.select(*left.columns, *out_vals)
 
