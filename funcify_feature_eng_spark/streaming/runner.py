@@ -49,6 +49,66 @@ def materialize_stream(
     return writer.start()
 
 
+def stateful_turn_features_stream(
+    stream_df: DataFrame,
+    entity_col: str = "conv_id",
+    order_col: str = "turn_idx",
+    ts_col: str = "ts",
+    gap_seconds: float = 1800.0,
+):
+    """Custom stateful streaming operator: per-entity session ids and prior
+    roles that are CONTINUOUS across micro-batches (and across restarts via
+    the checkpoint), unlike the per-batch window in ``materialize_stream``.
+
+    Built on ``applyInPandasWithState`` — per-entity GroupState carries
+    (last_ts_us, last_role, session_id); each batch's rows are processed in
+    (order_col, ts) order inside vectorized pandas. Assumes in-order arrival
+    per entity across batches (the transcript ingest contract); late rows
+    belong to the store read-through path, as in the reference.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = (
+        f"{entity_col} string, {order_col} int, {ts_col} timestamp, "
+        "role string, prior_role string, session_id int"
+    )
+    state_schema = "last_ts_us long, last_role string, session_id int"
+    gap_us = int(gap_seconds * 1_000_000)
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        rows = rows.sort_values([order_col, ts_col], kind="stable").reset_index(drop=True)
+        if state.exists:
+            last_ts_us, last_role, session_id = state.get
+        else:
+            last_ts_us, last_role, session_id = None, None, 0
+        ts_us = rows[ts_col].astype("datetime64[us]").astype("int64")
+        # vectorized: gap vs previous row, first row vs carried state
+        prev = ts_us.shift(1)
+        if last_ts_us is not None:
+            prev.iloc[0] = last_ts_us
+        boundary = (ts_us - prev) > gap_us
+        out = rows[[entity_col, order_col, ts_col, "role"]].copy()
+        out["prior_role"] = rows["role"].shift(1)
+        if last_role is not None:
+            out.loc[out.index[0], "prior_role"] = last_role
+        out["session_id"] = (session_id + boundary.fillna(False).cumsum()).astype("int32")
+        state.update(
+            (int(ts_us.iloc[-1]), str(rows["role"].iloc[-1]), int(out["session_id"].iloc[-1]))
+        )
+        yield out
+
+    return (
+        stream_df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+        .groupBy(entity_col)
+        .applyInPandasWithState(
+            update, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+        )
+    )
+
+
 def session_windows_stream(
     stream_df: DataFrame,
     entity_col: str = "conv_id",

@@ -52,6 +52,68 @@ def test_materialize_stream_reuses_batch_dag(spark, stream_input, tmp_path, tran
     assert joined.count() == 0
 
 
+def test_stateful_sessionization_across_restarts(spark, data_dir, tmp_path, transcripts):
+    """State continuity: run phase-1 turns, terminate, add phase-2 files,
+    restart from the checkpoint — session ids must match the batch result."""
+    import os as _os
+
+    from funcify_feature_eng_spark.operators.windows import turn_features
+    from funcify_feature_eng_spark.streaming.runner import stateful_turn_features_stream
+
+    batch = spark.read.parquet(_os.path.join(data_dir, "transcripts.parquet"))
+    sample_convs = [r["conv_id"] for r in
+                    batch.select("conv_id").distinct().orderBy("conv_id").limit(20).collect()]
+    sample = batch.filter(batch.conv_id.isin(sample_convs))
+
+    src = str(tmp_path / "src")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    _os.makedirs(src, exist_ok=True)
+    # phase 1: first half of each conversation; phase 2: the rest
+    sample.filter("turn_idx < 5").coalesce(1).write.parquet(src + "/p1")
+    schema = sample.schema
+
+    def drain():
+        stream = spark.readStream.schema(schema).option("latestFirst", "false").parquet(
+            src + "/p*"
+        )
+        q = (
+            stateful_turn_features_stream(stream)
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    drain()
+    sample.filter("turn_idx >= 5").coalesce(1).write.parquet(src + "/p2")
+    drain()  # restart from checkpoint; state carries across runs
+
+    got = (
+        spark.read.parquet(out_dir)
+        .orderBy("conv_id", "turn_idx")
+        .toPandas()
+        .reset_index(drop=True)
+    )
+    exp = (
+        turn_features(sample)
+        .select("conv_id", "turn_idx", "prior_role", "session_id")
+        .orderBy("conv_id", "turn_idx")
+        .toPandas()
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(exp)
+    assert (got["session_id"].to_numpy() == exp["session_id"].to_numpy()).all()
+    import pandas as pd
+
+    g, e = got["prior_role"].to_numpy(object), exp["prior_role"].to_numpy(object)
+    same = (g == e) | (pd.isna(g.astype(object)) & pd.isna(e.astype(object)))
+    assert same.all()
+
+
 def test_session_windows_stream_counts(spark, stream_input, tmp_path, transcripts):
     sessions = session_windows_stream(stream_input, entity_col="conv_id", ts_col="ts",
                                       gap_seconds=1800)
