@@ -137,10 +137,14 @@ def minhash_lsh_pairs(
         .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
         .distinct()
     )
-    # exact verification on candidates only
+    # exact verification on candidates only; intersect 64-bit shingle hashes
+    # instead of shingle strings — the verify join then shuffles longs, not
+    # documents (collision odds 2^-64 per pair are noise vs the threshold)
     grams = df.select(
         F.col(id_col).alias("doc"),
-        F.array_distinct(shingles(F.col(text_col), shingle_k)).alias("gs"),
+        F.array_distinct(
+            F.transform(shingles(F.col(text_col), shingle_k), lambda s: F.xxhash64(s))
+        ).alias("gs"),
     )
     out = (
         cand.join(grams.withColumnRenamed("doc", "doc_a").withColumnRenamed("gs", "gs_a"), "doc_a")

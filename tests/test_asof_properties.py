@@ -27,14 +27,21 @@ right_rows = st.lists(
 )
 
 
-def brute_force(left, right, exact):
+def brute_force(left, right, exact, forward=False):
     out = []
     for ent, lts in left:
-        cands = [
-            (rts, v) for (rent, rts, v) in right
-            if rent == ent and (rts <= lts if exact else rts < lts)
-        ]
-        out.append(max(cands)[1] if cands else None)  # max (ts, value) tie-break
+        if forward:
+            cands = [
+                (rts, v) for (rent, rts, v) in right
+                if rent == ent and (rts >= lts if exact else rts > lts)
+            ]
+            out.append(min(cands)[1] if cands else None)  # min (ts, value)
+        else:
+            cands = [
+                (rts, v) for (rent, rts, v) in right
+                if rent == ent and (rts <= lts if exact else rts < lts)
+            ]
+            out.append(max(cands)[1] if cands else None)  # max (ts, value)
     return out
 
 
@@ -64,4 +71,31 @@ def test_asof_never_leaks_and_matches_bruteforce(spark, strategy, left, right, e
         .collect()
     )
     expected = brute_force(left, right, exact)
+    assert [r["val"] for r in got] == expected
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(left=left_rows, right=right_rows, exact=st.booleans())
+def test_forward_asof_matches_bruteforce(spark, left, right, exact):
+    ldf = spark.createDataFrame(
+        [(e, i, t) for i, (e, t) in enumerate(left)],
+        "ent string, idx int, ts timestamp",
+    )
+    rdf = spark.createDataFrame(
+        [(e, t, v) for (e, t, v) in right] or [("__none__", BASE, 0)],
+        "ent string, vts timestamp, v int",
+    )
+    if not right:
+        rdf = rdf.filter("ent != '__none__'")
+    got = (
+        asof_join(
+            ldf, rdf, on=["ent"], left_ts="ts", right_ts="vts",
+            value_cols={"v": "val"}, allow_exact_matches=exact,
+            right_order=["v"], strategy="broadcast", direction="forward",
+        )
+        .orderBy("idx")
+        .collect()
+    )
+    expected = brute_force(left, right, exact, forward=True)
     assert [r["val"] for r in got] == expected
