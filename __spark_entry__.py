@@ -262,6 +262,47 @@ def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", F.floor(q * F.lit(1000000.0)).alias("quality_e6"))
 
 
+def q_embedding_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (the vector flavor of dedup).
+
+    Small corpus → broadcast cross join; at scale the LSH-bucketed variant
+    (similarity.ann_lsh_topk signatures) bounds the candidate set. Cosine on
+    a floor-1e4 grid for cross-engine exactness."""
+    from funcify_feature_eng_spark.functions.vectors import dot, norm
+
+    emb = _t(spark, sf_dir, "embeddings")
+    # precompute norms per ROW (O(n)) so the pair loop does one dot, not three
+    a = emb.select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"),
+        norm(F.col("embedding")).alias("na"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"),
+        norm(F.col("embedding")).alias("nb"),
+    )
+    pairs = (
+        a.join(F.broadcast(b), F.col("vec_a") < F.col("vec_b"))
+        .withColumn(
+            "cos_e4",
+            F.floor(dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
+                    * F.lit(10000.0)),
+        )
+        .filter(F.col("cos_e4") >= 4500)
+        .select("vec_a", "vec_b", "cos_e4")
+    )
+    return pairs
+
+
+def q_doc_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish subword-proxy token count (regex class runs)."""
+    from funcify_feature_eng_spark.functions.text import bpe_ish_token_count
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", bpe_ish_token_count(F.col("text")).alias("n_bpe_tokens")
+    )
+
+
 def q_doc_tokens_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The Arrow path in the gate: a vectorized pandas UDF (Series→Series)
     whose result must match the JVM/SQL oracle exactly — the 'transformer
@@ -336,6 +377,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_running_stats": q_user_running_stats,
         "doc_quality": q_doc_quality,
         "event_props_extract": q_event_props_extract,
+        "embedding_dup_pairs": q_embedding_dup_pairs,
+        "doc_bpe_tokens": q_doc_bpe_tokens,
         "doc_tokens_pandas": q_doc_tokens_pandas,
         "media_features": q_media_features,
     }
@@ -560,6 +603,25 @@ FROM events e
         "event_props_extract": (
             "SELECT event_id, CAST(json_extract(props, '$.k') AS INTEGER) AS prop_k FROM events"
         ),
+        "embedding_dup_pairs": """
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       CAST(floor(10000.0 *
+         list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+         (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+          sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))
+       ) AS BIGINT) AS cos_e4
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE floor(10000.0 *
+         list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+         (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+          sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))) >= 4500
+""",
+        "doc_bpe_tokens": r"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]'))
+            AS INTEGER) AS n_bpe_tokens
+FROM documents
+""",
         "doc_tokens_pandas": """
 SELECT doc_id,
        CAST(CASE WHEN length(trim(text)) > 0
