@@ -271,6 +271,9 @@ def q_embedding_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from funcify_feature_eng_spark.functions.vectors import dot, norm
 
     emb = _t(spark, sf_dir, "embeddings")
+    cap = int(os.environ.get("SPARK_GRAFT_PAIRS_CAP", "0"))
+    if cap > 0:  # bench-only bound; exact all-pairs is O(n²) by definition
+        emb = emb.filter(F.col("vec_id") < cap)
     # precompute norms per ROW (O(n)) so the pair loop does one dot, not three
     a = emb.select(
         F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"),

@@ -67,6 +67,7 @@ def run_default() -> None:
     # exact all-pairs jaccard is quadratic on the tiny-vocab synthetic docs;
     # bound it for timing (the at-scale near-dup path is minhash_lsh_pairs)
     os.environ.setdefault("SPARK_GRAFT_NGRAM_CAP", "500")
+    os.environ.setdefault("SPARK_GRAFT_PAIRS_CAP", "1000")
     spark = get_spark("bench", master=f"local[{cpus}]")
     ensure_dataset(BENCH_DATA, n_convs=N_CONVS, seed=42, hot=HOT, n_files=64)
 
