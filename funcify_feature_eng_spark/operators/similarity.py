@@ -77,6 +77,106 @@ def ann_lsh_topk(
     return cosine_topk(probed, query_vec, k, id_col, vec_col, round_to)
 
 
+def ivf_assign(
+    df: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    out_col: str = "ivf_cluster",
+) -> DataFrame:
+    """Assign each vector to its nearest centroid (IVF coarse quantizer).
+
+    Centroids are plan-time literals (seeded/deterministic); assignment is a
+    greatest-over-structs expression — JVM-side, one scan. At 100 TB the
+    assignment is computed at ingest and the table is partitioned by
+    ``ivf_cluster`` so probes prune partitions.
+    """
+    scored = []
+    for i, c in enumerate(centroids):
+        lit = F.array(*[F.lit(float(x)) for x in c])
+        scored.append(F.struct(cosine(F.col(vec_col), lit).alias("s"), F.lit(i).alias("c")))
+    return df.withColumn(out_col, F.greatest(*scored)["c"])
+
+
+def make_ivf_centroids(
+    df: DataFrame,
+    n_clusters: int = 16,
+    vec_col: str = "embedding",
+    seed: int = 42,
+    lloyd_iters: int = 1,
+) -> list[list[float]]:
+    """Deterministic IVF centroids: seeded sample init + a few Lloyd
+    iterations, all as DataFrame aggregations (mean per cluster)."""
+    import numpy as np
+
+    n = df.count()
+    # deterministic init: order by a content hash (seeded), not by partition
+    # layout — limit without order is not stable across runs
+    sample = [
+        r[0]
+        for r in df.select(vec_col)
+        .orderBy(F.hash(F.col(vec_col), F.lit(seed)))
+        .limit(n_clusters)
+        .collect()
+    ]
+    _ = n
+    cents = [list(map(float, v)) for v in sample]
+    while len(cents) < n_clusters:
+        cents.append(cents[len(cents) % max(len(sample), 1)])
+    for _ in range(lloyd_iters):
+        assigned = ivf_assign(df, cents, vec_col)
+        rows = (
+            assigned.groupBy("ivf_cluster")
+            .agg(
+                # sort before folding: float addition is order-sensitive and
+                # collect_list order follows the shuffle — sort makes the
+                # centroid bits deterministic across runs
+                F.aggregate(
+                    F.sort_array(
+                        F.collect_list(F.transform(F.col(vec_col), lambda x: x.cast("double")))
+                    ),
+                    F.array(*[F.lit(0.0) for _ in cents[0]]),
+                    lambda acc, v: F.zip_with(acc, v, lambda a, b: a + b),
+                ).alias("sums"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .collect()
+        )
+        new = {
+            int(r["ivf_cluster"]): (np.asarray(r["sums"], dtype=float) / r["n"]).tolist()
+            for r in rows
+        }
+        cents = [new.get(i, cents[i]) for i in range(len(cents))]
+    return cents
+
+
+def ivf_topk(
+    df: DataFrame,
+    query_vec,
+    centroids: list[list[float]],
+    k: int = 10,
+    n_probes: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """IVF approximate top-k: score the query against the centroids on the
+    driver (O(n_clusters)), scan only the ``n_probes`` nearest clusters,
+    exact-rerank inside them."""
+    import numpy as np
+
+    q = np.asarray(query_vec, dtype=float)
+    qn = np.linalg.norm(q) or 1.0
+    sims = []
+    for i, c in enumerate(centroids):
+        cv = np.asarray(c, dtype=float)
+        d = np.linalg.norm(cv) or 1.0
+        sims.append((float(np.dot(q, cv) / (qn * d)), i))
+    probes = [i for _, i in sorted(sims, reverse=True)[:n_probes]]
+    assigned = ivf_assign(df, centroids, vec_col)
+    pruned = assigned.filter(F.col("ivf_cluster").isin(probes))
+    return cosine_topk(pruned, query_vec, k, id_col, vec_col, round_to)
+
+
 def all_pairs_topk(
     df: DataFrame,
     k: int = 5,

@@ -99,6 +99,30 @@ def test_ann_lsh_quality(spark, sf_dir):
     assert list(again["vec_id"]) == list(approx["vec_id"])
 
 
+def test_ivf_topk_quality_and_determinism(spark, sf_dir):
+    from funcify_feature_eng_spark.operators.similarity import (
+        ivf_assign,
+        ivf_topk,
+        make_ivf_centroids,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = make_ivf_centroids(emb, n_clusters=8, lloyd_iters=1)
+    assert len(cents) == 8 and len(cents[0]) == 64
+    # deterministic: same seed → same centroids
+    cents2 = make_ivf_centroids(emb, n_clusters=8, lloyd_iters=1)
+    assert cents == cents2
+    # every vector gets a cluster in range
+    assigned = ivf_assign(emb, cents)
+    assert assigned.filter("ivf_cluster < 0 or ivf_cluster > 7").count() == 0
+    q = emb.filter("vec_id = 0").head()["embedding"]
+    exact = cosine_topk(emb.filter("vec_id != 0"), q, k=1).toPandas()
+    approx = ivf_topk(emb.filter("vec_id != 0"), q, cents, k=10, n_probes=3).toPandas()
+    assert len(approx) > 0
+    # probing 3/8 clusters must land within a small margin of the exact best
+    assert approx["cos_sim"][0] >= exact["cos_sim"][0] - 0.05
+
+
 def test_all_pairs_topk_shape(spark):
     rows = [(i, [float(i), 1.0]) for i in range(6)]
     df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
