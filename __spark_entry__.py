@@ -78,7 +78,10 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_events"),
             F.min("ts").alias("session_start"),
             F.max("ts").alias("session_end"),
-            F.sum(F.col("value").cast("decimal(18,2)")).cast("decimal(38,2)").alias("total_value"),
+            # decimal-exact SUM internally; final output cast to DOUBLE so the
+            # driver's value hash sees one representation on both engines
+            # (exact: magnitudes here are far below 2^53)
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
         )
     )
 
@@ -139,10 +142,11 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(F.col("l_quantity") < 50)
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(dec("l_quantity")).cast("decimal(38,2)").alias("sum_qty"),
-            F.sum(dec("l_extendedprice")).cast("decimal(38,2)").alias("sum_base_price"),
+            # decimal-exact SUMs; DOUBLE only on the final output columns
+            F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(dec("l_extendedprice")).cast("double").alias("sum_base_price"),
             F.sum(dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - dec("l_discount")))
-            .cast("decimal(38,4)")
+            .cast("double")
             .alias("sum_disc_price"),
             F.count(F.lit(1)).alias("count_order"),
         )
@@ -215,7 +219,7 @@ def q_top_nations_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(
             F.sum(dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - dec("l_discount")))
-            .cast("decimal(38,4)")
+            .cast("double")
             .alias("revenue"),
             F.count(F.lit(1)).alias("n_items"),
         )
@@ -245,7 +249,8 @@ def q_user_running_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "user_id",
         F.count(F.lit(1)).over(w).cast("long").alias("events_so_far"),
-        F.max(F.col("value").cast("decimal(18,2)")).over(w).alias("running_max_value"),
+        F.max(F.col("value").cast("decimal(18,2)")).over(w).cast("double")
+        .alias("running_max_value"),
     )
 
 
@@ -406,14 +411,14 @@ FROM g
 
 _SESSIONIZE_SQL = f"""
 WITH g AS (
-  SELECT user_id, ts, value,
+  SELECT user_id, ts, event_id, value,
          (epoch_us(ts) - epoch_us(lag(ts) OVER w)) / 1000000.0 AS gap_secs
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ), s AS (
   SELECT user_id, ts, value,
          CAST(SUM(CASE WHEN gap_secs > {GAP_S} THEN 1 ELSE 0 END)
-              OVER (PARTITION BY user_id ORDER BY ts
+              OVER (PARTITION BY user_id ORDER BY ts, event_id
                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS INT) AS session_id
   FROM g
 )
@@ -421,7 +426,7 @@ SELECT user_id, session_id,
        COUNT(*) AS n_events,
        MIN(ts) AS session_start,
        MAX(ts) AS session_end,
-       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_value
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
 FROM s GROUP BY user_id, session_id
 """
 
@@ -443,11 +448,11 @@ SELECT user_id, event_id, value, CAST(rnk AS INT) AS rnk FROM (
 
 _PRICING_SQL = """
 SELECT l_returnflag, l_linestatus,
-       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_base_price,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
                 (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
-            AS DECIMAL(38,4)) AS sum_disc_price,
+            AS DOUBLE) AS sum_disc_price,
        COUNT(*) AS count_order
 FROM lineitem WHERE l_quantity < 50
 GROUP BY l_returnflag, l_linestatus
@@ -463,7 +468,8 @@ SELECT doc_id,
             THEN len(regexp_split_to_array(trim(text), '\\s+')) ELSE 0 END AS INTEGER) AS n_tokens,
        CAST(length(text) AS INTEGER) AS char_len,
        CAST(floor(CASE WHEN length(text) > 0
-                  THEN 1000000.0 * length(regexp_replace(text, '[^A-Za-z]', '', 'g')) / length(text)
+                  THEN 1000000.0 * (length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0
+                                    / length(text))
                   ELSE 0.0 END) AS BIGINT) AS alpha_e6
 FROM documents
 """
@@ -532,7 +538,7 @@ _TOP_NATIONS_SQL = """
 SELECT n_name,
        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
                 (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
-            AS DECIMAL(38,4)) AS revenue,
+            AS DOUBLE) AS revenue,
        COUNT(*) AS n_items
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
@@ -550,7 +556,7 @@ FROM events GROUP BY user_id
 _RUNNING_STATS_SQL = """
 SELECT event_id, user_id,
        CAST(COUNT(*) OVER w AS BIGINT) AS events_so_far,
-       MAX(CAST(value AS DECIMAL(18,2))) OVER w AS running_max_value
+       CAST(MAX(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS running_max_value
 FROM events
 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
@@ -608,16 +614,18 @@ FROM events e
         ),
         "embedding_dup_pairs": """
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-       CAST(floor(10000.0 *
+       CAST(floor(
          list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
          (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
           sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))
+         * 10000.0
        ) AS BIGINT) AS cos_e4
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-WHERE floor(10000.0 *
+WHERE floor(
          list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
          (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
-          sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))) >= 4500
+          sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))
+         * 10000.0) >= 4500
 """,
         "doc_bpe_tokens": r"""
 SELECT doc_id,

@@ -38,8 +38,11 @@ def norm_cell(v):
         if math.isnan(v):
             return "NaN"
         return repr(v)
+    # NO Decimal normalization: the driver's hash compares engine-native
+    # representations, and str(Decimal('243192.00')) != repr(243192.0) — a
+    # float() norm here masked 4 real driver hash failures in round 1.
     if isinstance(v, decimal.Decimal):
-        return repr(float(v))
+        return str(v)
     if isinstance(v, datetime.datetime):
         return v.isoformat()
     return str(v)
