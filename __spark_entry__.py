@@ -318,7 +318,8 @@ def q_doc_tokens_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     # no type hints: `from __future__ import annotations` stringifies them,
     # which PySpark's pandas_udf signature inspection can't resolve
     def _py_token_count(texts):
-        return texts.fillna("").map(lambda t: len(t.split())).astype("int32")
+        # vectorized pandas string ops end-to-end (no per-row .map lambda)
+        return texts.fillna("").str.split().str.len().astype("int32")
 
     py_token_count = F.pandas_udf(_py_token_count, "int")
 
@@ -336,7 +337,9 @@ def q_event_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal plumbing (rows-only: mapInPandas decode is not SQL)."""
+    """Multimodal decode via mapInPandas, oracle-checkable: the fake decoder
+    is sha2-based and integer-valued, and the extraction computes moments in
+    a fixed op order, so DuckDB reproduces the doubles bit-for-bit."""
     from funcify_feature_eng_spark.operators.multimodal import (
         attach_fake_media,
         extract_media_features,
@@ -640,6 +643,39 @@ SELECT doc_id,
        AS n_tokens_py
 FROM documents
 """,
-        # minhash_lsh_pairs / simhash_near_pairs / media_features:
-        # engine-hash- or mapInPandas-dependent → rows-only check
+        # minhash/simhash depend on Spark's xxhash64, which DuckDB cannot
+        # compute — the oracle is a parquet fixture precomputed by an
+        # independent pure-Python reimplementation of the full pipeline
+        # (scripts/make_fixtures.py on functions/xxh64.py, locked against
+        # Spark in tests/test_xxh64.py; freshness in test_fixture_oracles.py)
+        # media: payload = sha2(doc_id, 256) hex cast to binary = the 64
+        # ASCII bytes of the hex string; the fake decode tiles it to a 64x64
+        # grid = exactly 64 copies, so grid moments = moments of one copy
+        # with S,Q,n scaled by 64 — all integer-exact, divisions mirrored
+        "media_features": """
+WITH h AS (
+  SELECT doc_id, sha256(CAST(doc_id AS VARCHAR)) AS hx FROM documents
+), c AS (
+  SELECT doc_id, hx, unnest(range(1, 65)) AS i FROM h
+), s AS (
+  SELECT doc_id,
+         MIN(length(hx)) AS plen,
+         SUM(ascii(substr(hx, CAST(i AS INT), 1))) AS s1,
+         SUM(ascii(substr(hx, CAST(i AS INT), 1)) * ascii(substr(hx, CAST(i AS INT), 1))) AS q1
+  FROM c GROUP BY doc_id
+)
+SELECT doc_id,
+       ((64 * s1) / 4096) / 255.0 AS mean_intensity,
+       sqrt((64 * q1) / 4096 - ((64 * s1) / 4096) * ((64 * s1) / 4096)) / 255.0 AS std_intensity,
+       CAST(plen AS INTEGER) AS n_bytes
+FROM s
+""",
+        "minhash_lsh_pairs": (
+            "SELECT doc_a, doc_b, jaccard "
+            "FROM '/root/repo/fixtures/minhash_pairs_sf0.01.parquet'"
+        ),
+        "simhash_near_pairs": (
+            "SELECT doc_a, doc_b, hamming "
+            "FROM '/root/repo/fixtures/simhash_pairs_sf0.01.parquet'"
+        ),
     }

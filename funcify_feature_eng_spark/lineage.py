@@ -29,8 +29,9 @@ from pyspark.sql import functions as F
 def fingerprint_df(df: DataFrame, extra: str = "") -> str:
     """Content-based stage fingerprint: logical plan + input file identity.
 
-    The analyzed plan captures the computation; input files (path + size)
-    capture the data version. No wall-clock component.
+    The analyzed plan captures the computation; input files (path + size +
+    mtime_ns) capture the data version — size alone would miss an in-place
+    rewrite of identical byte length and serve stale checkpoints.
     """
     plan = df._jdf.queryExecution().analyzed().toString()
     files = sorted(df.inputFiles())
@@ -41,7 +42,7 @@ def fingerprint_df(df: DataFrame, extra: str = "") -> str:
         p = f.removeprefix("file:")
         try:
             st = os.stat(p)
-            h.update(f"{f}:{st.st_size}".encode())
+            h.update(f"{f}:{st.st_size}:{st.st_mtime_ns}".encode())
         except OSError:
             h.update(f.encode())
     return h.hexdigest()

@@ -92,17 +92,20 @@ def minhash_signature(
     num_hashes: int = 64,
     shingle_k: int = 3,
 ) -> DataFrame:
-    """MinHash signatures: min over shingles of seeded xxhash64, one column
-    pass — explode + single groupBy with ``num_hashes`` min-aggregates
-    (map-side combine keeps the shuffle at num_hashes longs per doc)."""
-    sh = df.select(
-        F.col(id_col).alias("doc"),
-        F.explode(F.array_distinct(shingles(F.col(text_col), shingle_k))).alias("s"),
+    """MinHash signatures as one ``array<long>`` column — ZERO shuffle.
+
+    sig[i] = min over distinct shingles s of xxhash64(i, s), computed with
+    nested higher-order functions entirely inside the row (no explode, no
+    groupBy): at 100 TB the signature pass is a pure map stage. The seeded
+    hash is xxhash64(i, s) — hashing the index column first is value-equal
+    to the seeded-literal form xxhash64(lit(i), s).
+    """
+    sh = F.array_distinct(shingles(F.col(text_col), shingle_k))
+    sig = F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda i: F.array_min(F.transform(sh, lambda s: F.xxhash64(i, s))),
     )
-    aggs = [
-        F.min(F.xxhash64(F.lit(i), F.col("s"))).alias(f"h{i}") for i in range(num_hashes)
-    ]
-    return sh.groupBy("doc").agg(*aggs)
+    return df.select(F.col(id_col).alias("doc"), sig.alias("sig"))
 
 
 def minhash_lsh_pairs(
@@ -113,42 +116,111 @@ def minhash_lsh_pairs(
     bands: int = 16,
     shingle_k: int = 3,
     verify_threshold: float = 0.7,
+    bucket_cap: int = 64,
+    prefilter_margin: float = 0.25,
 ) -> DataFrame:
-    """MinHash + LSH near-dup pairs: band the signature, bucket-join for
-    candidates, then verify candidates with EXACT shingle Jaccard.
+    """MinHash + LSH near-dup pairs, engineered for web-corpus skew.
 
-    rows/bucket is bounded by banding; candidate verification joins back to
-    the shingle sets only for candidate docs (semi-join pruning).
+    Pipeline (each guard exists because web corpora are full of boilerplate):
+
+    1. **Exact-dup collapse** — group docs by ``fingerprint64(text)``; only
+       one representative per distinct text enters LSH. Identical docs are
+       the #1 source of quadratic LSH buckets and they don't need MinHash
+       at all. Pairs are re-expanded afterwards (within-group pairs are
+       jaccard 1.0 by construction).
+    2. **Zero-shuffle signatures** — per-row array expression (see
+       minhash_signature); the signature+gram base is persisted once and
+       reused by the banding and both verify branches, so the plan never
+       recomputes the hash pipeline per join branch.
+    3. **Bucket cap** — (band, bandsig) buckets larger than ``bucket_cap``
+       distinct texts are dropped from candidate generation (a bucket of m
+       docs is m² candidates; oversized buckets on DISTINCT texts are
+       hash-collision noise or pathological boilerplate, both better served
+       by the exact-dup path). Set ``bucket_cap=0`` to disable.
+    4. **Signature-agreement pre-filter** — candidates whose estimated
+       Jaccard (fraction of agreeing signature slots, an unbiased MinHash
+       estimate) is below ``verify_threshold - prefilter_margin`` are
+       dropped BEFORE the exact verify join ships the full shingle-hash
+       arrays. With 64 hashes the estimate's σ ≈ 0.0625, so the default
+       0.25 margin is 4σ — false-negative odds per true pair ≈ 1e-6.
+    5. **Exact verify** — surviving candidates get exact Jaccard on the
+       64-bit shingle-hash sets (longs, not strings, cross the shuffle).
     """
     assert num_hashes % bands == 0
     rows_per_band = num_hashes // bands
-    sig = minhash_signature(df, id_col, text_col, num_hashes, shingle_k)
-    band_cols = []
-    for b in range(bands):
-        cols = [F.col(f"h{b * rows_per_band + i}") for i in range(rows_per_band)]
-        band_cols.append(F.struct(F.lit(b).alias("band"), F.xxhash64(*cols).alias("sig")))
-    banded = sig.select("doc", F.explode(F.array(*band_cols)).alias("bk")).select(
-        "doc", F.col("bk.band").alias("band"), F.col("bk.sig").alias("sig")
+
+    # 1) collapse exact duplicates: one representative text per fingerprint
+    docs = df.select(
+        F.col(id_col).alias("doc"),
+        F.col(text_col).alias("__text"),
+        fingerprint64(F.col(text_col)).alias("fp"),
     )
+    wfp = Window.partitionBy("fp").orderBy(F.col("doc").asc())
+    membership = docs.select("doc", "fp").withColumn("grp_rn", F.row_number().over(wfp))
+    reps = (
+        docs.withColumn("grp_rn", F.row_number().over(wfp))
+        .filter(F.col("grp_rn") == 1)
+        .select("doc", "fp", "__text")
+    )
+
+    # 2) signature + gram-hash base, persisted (reused 3x: banding, verify a/b)
+    sh = F.array_distinct(shingles(F.col("__text"), shingle_k))
+    gs = F.array_distinct(F.transform(sh, lambda s: F.xxhash64(s)))
+    sig = F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda i: F.array_min(F.transform(sh, lambda s: F.xxhash64(i, s))),
+    )
+    base = reps.select("doc", "fp", gs.alias("gs"), sig.alias("sig")).persist()
+
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.xxhash64(
+                *[F.element_at("sig", b * rows_per_band + i + 1) for i in range(rows_per_band)]
+            ).alias("bsig"),
+        )
+        for b in range(bands)
+    ]
+    banded = base.select("doc", F.explode(F.array(*band_cols)).alias("bk")).select(
+        "doc", F.col("bk.band").alias("band"), F.col("bk.bsig").alias("bsig")
+    )
+
+    # 3) cap oversized buckets before the self-join goes quadratic
+    if bucket_cap:
+        ok_buckets = (
+            banded.groupBy("band", "bsig")
+            .agg(F.count(F.lit(1)).alias("__bn"))
+            .filter(F.col("__bn") <= bucket_cap)
+            .select("band", "bsig")
+        )
+        banded = banded.join(ok_buckets, on=["band", "bsig"])
+
     cand = (
         banded.alias("a")
-        .join(banded.alias("b"), on=["band", "sig"])
+        .join(banded.alias("b"), on=["band", "bsig"])
         .filter(F.col("a.doc") < F.col("b.doc"))
         .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
         .distinct()
     )
-    # exact verification on candidates only; intersect 64-bit shingle hashes
-    # instead of shingle strings — the verify join then shuffles longs, not
-    # documents (collision odds 2^-64 per pair are noise vs the threshold)
-    grams = df.select(
-        F.col(id_col).alias("doc"),
-        F.array_distinct(
-            F.transform(shingles(F.col(text_col), shingle_k), lambda s: F.xxhash64(s))
-        ).alias("gs"),
+
+    # 4) + 5) pre-filter on signature agreement, then exact verify
+    side_a = base.select(
+        F.col("doc").alias("doc_a"), F.col("fp").alias("fp_a"),
+        F.col("gs").alias("gs_a"), F.col("sig").alias("sig_a"),
     )
-    out = (
-        cand.join(grams.withColumnRenamed("doc", "doc_a").withColumnRenamed("gs", "gs_a"), "doc_a")
-        .join(grams.withColumnRenamed("doc", "doc_b").withColumnRenamed("gs", "gs_b"), "doc_b")
+    side_b = base.select(
+        F.col("doc").alias("doc_b"), F.col("fp").alias("fp_b"),
+        F.col("gs").alias("gs_b"), F.col("sig").alias("sig_b"),
+    )
+    agree = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda m: m
+        )
+    )
+    rep_pairs = (
+        cand.join(side_a, "doc_a")
+        .join(side_b, "doc_b")
+        .filter(agree >= F.lit(int((verify_threshold - prefilter_margin) * num_hashes)))
         .withColumn(
             "jaccard",
             F.round(
@@ -158,9 +230,35 @@ def minhash_lsh_pairs(
             ),
         )
         .filter(F.col("jaccard") >= verify_threshold)
-        .select("doc_a", "doc_b", "jaccard")
+        .select("fp_a", "fp_b", "jaccard")
     )
-    return out
+
+    # re-expand exact-dup groups: cross-group pairs inherit the rep pair's
+    # jaccard (same texts); within-group pairs are jaccard 1.0 by identity
+    ma = membership.select(F.col("fp").alias("fp_a"), F.col("doc").alias("da"))
+    mb = membership.select(F.col("fp").alias("fp_b"), F.col("doc").alias("db"))
+    cross = (
+        rep_pairs.join(ma, "fp_a")
+        .join(mb, "fp_b")
+        .select(
+            F.least("da", "db").alias("doc_a"),
+            F.greatest("da", "db").alias("doc_b"),
+            "jaccard",
+        )
+    )
+    within = (
+        membership.alias("x")
+        .join(membership.alias("y"), on="fp")
+        .filter(F.col("x.doc") < F.col("y.doc"))
+        .select(
+            F.col("x.doc").alias("doc_a"),
+            F.col("y.doc").alias("doc_b"),
+            F.lit(1.0).alias("jaccard"),
+        )
+    )
+    if verify_threshold <= 1.0:
+        return cross.unionByName(within)
+    return cross
 
 
 def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -189,12 +287,23 @@ def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return agg.select("doc", packed.alias("simhash"))
 
 
-def simhash_near_pairs(df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3) -> DataFrame:
+def simhash_near_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    bucket_cap: int = 256,
+) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance, blocked on 16-bit chunks.
 
     Pigeonhole: two hashes within Hamming r≤3 share at least one of 4
-    16-bit chunks exactly — join per chunk, then verify bit_count(xor)."""
-    sh = simhash64(df, id_col, text_col)
+    16-bit chunks exactly — join per chunk, then verify bit_count(xor).
+    The simhash base is persisted (both self-join branches reuse one
+    computation), and chunk buckets above ``bucket_cap`` docs are dropped
+    from candidate generation — a 16-bit chunk shared by m docs yields m²
+    candidates, and at web scale boilerplate makes such buckets real
+    (``bucket_cap=0`` disables the cap)."""
+    sh = simhash64(df, id_col, text_col).persist()
     chunks = sh.select(
         "doc",
         "simhash",
@@ -210,6 +319,14 @@ def simhash_near_pairs(df: DataFrame, id_col: str, text_col: str, max_hamming: i
             )
         ).alias("c"),
     ).select("doc", "simhash", F.col("c.ci").alias("ci"), F.col("c.cv").alias("cv"))
+    if bucket_cap:
+        ok = (
+            chunks.groupBy("ci", "cv")
+            .agg(F.count(F.lit(1)).alias("__bn"))
+            .filter(F.col("__bn") <= bucket_cap)
+            .select("ci", "cv")
+        )
+        chunks = chunks.join(ok, on=["ci", "cv"])
     pairs = (
         chunks.alias("a")
         .join(chunks.alias("b"), on=["ci", "cv"])

@@ -42,14 +42,16 @@ def attach_fake_media(df: DataFrame, id_col: str, kind: str = "image") -> DataFr
 
 
 def fake_image_decoder(payload: bytes, meta: dict) -> np.ndarray:
-    """Deterministic stand-in for a real image decode: bytes → (h, w) float
-    array. Replace with Pillow in production; signature is the contract."""
+    """Deterministic stand-in for a real image decode: bytes → (h, w) uint8
+    intensity grid. Replace with Pillow in production; the contract is
+    'decoder returns integer-valued intensities in [0, 255]' so downstream
+    statistics stay integer-exact (and therefore oracle-checkable)."""
     if payload is None:
         raise ValueError("NULL media payload")
     w, h = int(meta.get("width") or 8), int(meta.get("height") or 8)
     w, h = min(w, 64), min(h, 64)
     raw = np.frombuffer((payload * ((w * h) // max(len(payload), 1) + 1))[: w * h], dtype=np.uint8)
-    return raw.reshape(h, w).astype(np.float32) / 255.0
+    return raw.reshape(h, w)
 
 
 class DecoderRegistry:
@@ -91,31 +93,46 @@ def extract_media_features(
     n_bytes int). The decode runs per Arrow batch — vectorized dispatch, no
     per-row Python UDF overhead beyond the unavoidable decode itself.
     """
+    import math
+
     reg = registry or default_registry()
     out_schema = ", ".join(
         [f"{c} {t}" for c, t in zip(batch_cols, ["long"] * len(batch_cols))]
         + ["mean_intensity double", "std_intensity double", "n_bytes int"]
     )
 
+    def _as_meta(m) -> dict:
+        if isinstance(m, dict):
+            return m
+        if hasattr(m, "asDict"):
+            return m.asDict()
+        return dict(zip(["kind", "width", "height", "sample_rate", "n_frames"], m))
+
     def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = []
-            for _, row in pdf.iterrows():
-                meta = row[meta_col] if isinstance(row[meta_col], dict) else (
-                    row[meta_col].asDict() if hasattr(row[meta_col], "asDict")
-                    else dict(zip(
-                        ["kind", "width", "height", "sample_rate", "n_frames"],
-                        row[meta_col],
-                    ))
-                )
-                arr = reg.get(meta["kind"])(row[media_col], meta)
-                rows.append(
-                    [row[c] for c in batch_cols]
-                    + [float(arr.mean()), float(arr.std()), len(row[media_col])]
-                )
-            yield pd.DataFrame(
-                rows, columns=[*batch_cols, "mean_intensity", "std_intensity", "n_bytes"]
-            )
+            # column-wise extraction (no iterrows): Arrow delivered columns,
+            # keep them columnar; only the decode itself is per-item
+            payloads = pdf[media_col].tolist()
+            metas = [_as_meta(m) for m in pdf[meta_col].tolist()]
+            means, stds, nbytes = [], [], []
+            for payload, meta in zip(payloads, metas):
+                arr = reg.get(meta["kind"])(payload, meta)
+                # integer-exact moments (decoder contract: integer-valued
+                # intensities), normalized in a fixed op order so an external
+                # oracle computing the same ints reproduces the doubles bit-
+                # for-bit: mean = (S/n)/255, std = sqrt(Q/n - (S/n)^2)/255
+                s = int(arr.sum(dtype=np.int64))
+                q = int((arr.astype(np.int64) ** 2).sum())
+                n = int(arr.size)
+                mean_raw = s / n
+                means.append(mean_raw / 255.0)
+                stds.append(math.sqrt(q / n - mean_raw * mean_raw) / 255.0)
+                nbytes.append(len(payload))
+            out = {c: pdf[c].to_numpy() for c in batch_cols}
+            out["mean_intensity"] = np.asarray(means, dtype=np.float64)
+            out["std_intensity"] = np.asarray(stds, dtype=np.float64)
+            out["n_bytes"] = np.asarray(nbytes, dtype=np.int32)
+            yield pd.DataFrame(out)
 
     return df.select(*batch_cols, media_col, meta_col).mapInPandas(process, out_schema)
 

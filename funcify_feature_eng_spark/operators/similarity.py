@@ -108,7 +108,6 @@ def make_ivf_centroids(
     iterations, all as DataFrame aggregations (mean per cluster)."""
     import numpy as np
 
-    n = df.count()
     # deterministic init: order by a content hash (seeded), not by partition
     # layout — limit without order is not stable across runs
     sample = [
@@ -118,7 +117,6 @@ def make_ivf_centroids(
         .limit(n_clusters)
         .collect()
     ]
-    _ = n
     cents = [list(map(float, v)) for v in sample]
     while len(cents) < n_clusters:
         cents.append(cents[len(cents) % max(len(sample), 1)])

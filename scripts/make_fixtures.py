@@ -1,0 +1,205 @@
+"""Generate oracle fixtures for the hash-dependent dedup gate queries.
+
+The driver's DuckDB oracle cannot compute Spark's xxhash64, so the expected
+outputs of ``minhash_lsh_pairs`` and ``simhash_near_pairs`` are precomputed
+here by an INDEPENDENT pure-Python re-implementation of the pipelines
+(tokenizing, shingling, MinHash, banding, bucket cap, signature pre-filter,
+exact verify / SimHash bit votes, chunk blocking, Hamming verify) on top of
+``functions/xxh64.py`` (locked against Spark in tests/test_xxh64.py).
+``oracle_sql()`` then just selects the fixture parquet.
+
+Run whenever the testdata changes:  python scripts/make_fixtures.py
+tests/test_fixture_oracles.py asserts fixture == live Spark output, so a
+stale fixture fails fast.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+from collections import Counter, defaultdict
+from decimal import ROUND_HALF_UP, Decimal
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from funcify_feature_eng_spark.functions.xxh64 import spark_xxhash64
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+FIXDIR = os.path.join(REPO, "fixtures")
+
+# parameters MUST mirror __spark_entry__.q_minhash_lsh_pairs / q_simhash_near_pairs
+MINHASH = dict(num_hashes=64, bands=16, shingle_k=3, verify_threshold=0.5,
+               bucket_cap=64, prefilter_margin=0.25)
+SIMHASH = dict(max_hamming=3, bucket_cap=256)
+
+
+def _tokens(text: str) -> list[str]:
+    t = text.strip()
+    return re.split(r"\s+", t) if t else []
+
+
+def _shingles(text: str, k: int) -> list[str]:
+    tk = _tokens(text.lower())
+    if len(tk) >= k:
+        return [" ".join(tk[i : i + k]) for i in range(len(tk) - k + 1)]
+    return [" ".join(tk)]
+
+
+def _fingerprint64(text: str) -> int:
+    return spark_xxhash64(re.sub(r"\s+", " ", text).strip().lower())
+
+
+def _round6_half_up(x: float) -> float:
+    # Spark Round(double, 6): BigDecimal.valueOf(x).setScale(6, HALF_UP)
+    return float(Decimal(repr(x)).quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP))
+
+
+def minhash_pairs(docs: list[tuple[int, str]]) -> list[tuple[int, int, float]]:
+    p = MINHASH
+    # 1) exact-dup collapse
+    groups: dict[int, list[int]] = defaultdict(list)
+    texts: dict[int, str] = {}
+    for doc_id, text in docs:
+        fp = _fingerprint64(text)
+        groups[fp].append(doc_id)
+        if fp not in texts:
+            texts[fp] = text  # representative text (identical within group)
+    reps = {fp: min(ids) for fp, ids in groups.items()}
+
+    # 2) signatures + gram sets per representative
+    sig: dict[int, list[int]] = {}
+    grams: dict[int, set[int]] = {}
+    for fp, text in texts.items():
+        sh = list(dict.fromkeys(_shingles(text, p["shingle_k"])))
+        grams[fp] = {spark_xxhash64(s) for s in sh}
+        sig[fp] = [
+            min(spark_xxhash64(("int", i), s) for s in sh)
+            for i in range(p["num_hashes"])
+        ]
+
+    # 3) banding + bucket cap
+    rpb = p["num_hashes"] // p["bands"]
+    buckets: dict[tuple[int, int], list[int]] = defaultdict(list)
+    for fp, s in sig.items():
+        for b in range(p["bands"]):
+            bsig = spark_xxhash64(*[("long", v) for v in s[b * rpb : (b + 1) * rpb]])
+            buckets[(b, bsig)].append(fp)
+    cand: set[tuple[int, int]] = set()
+    for members in buckets.values():
+        if p["bucket_cap"] and len(members) > p["bucket_cap"]:
+            continue
+        ms = sorted(members, key=lambda fp: reps[fp])
+        for i in range(len(ms)):
+            for j in range(i + 1, len(ms)):
+                a, b = ms[i], ms[j]
+                if reps[a] != reps[b]:
+                    cand.add((a, b) if reps[a] < reps[b] else (b, a))
+
+    # 4) signature-agreement pre-filter + 5) exact verify
+    min_agree = int((p["verify_threshold"] - p["prefilter_margin"]) * p["num_hashes"])
+    rep_pairs: list[tuple[int, int, float]] = []
+    for fa, fb in cand:
+        agree = sum(1 for x, y in zip(sig[fa], sig[fb]) if x == y)
+        if agree < min_agree:
+            continue
+        inter = len(grams[fa] & grams[fb])
+        union = len(grams[fa] | grams[fb])
+        j = _round6_half_up(inter / union)
+        if j >= p["verify_threshold"]:
+            rep_pairs.append((fa, fb, j))
+
+    # expand exact-dup groups
+    out: list[tuple[int, int, float]] = []
+    for fa, fb, j in rep_pairs:
+        for da in groups[fa]:
+            for db in groups[fb]:
+                out.append((min(da, db), max(da, db), j))
+    if p["verify_threshold"] <= 1.0:
+        for ids in groups.values():
+            s = sorted(ids)
+            for i in range(len(s)):
+                for k in range(i + 1, len(s)):
+                    out.append((s[i], s[k], 1.0))
+    return sorted(out)
+
+
+def simhash_pairs(docs: list[tuple[int, str]]) -> list[tuple[int, int, int]]:
+    p = SIMHASH
+    M = (1 << 64) - 1
+    sim: dict[int, int] = {}  # doc -> unsigned simhash
+    for doc_id, text in docs:
+        # Spark: split(lower(trim(text)), \s+) — empty text yields [""],
+        # matching re.split's behavior on ""
+        toks = re.split(r"\s+", text.strip().lower())
+        votes = [0] * 64
+        for t in toks:
+            u = spark_xxhash64(t) & M
+            for i in range(64):
+                votes[i] += 1 if (u >> i) & 1 else -1
+        u = 0
+        for i in range(64):
+            if votes[i] > 0:
+                u |= 1 << i
+        sim[doc_id] = u
+
+    buckets: dict[tuple[int, int], list[int]] = defaultdict(list)
+    for doc_id, u in sim.items():
+        for ci in range(4):
+            buckets[(ci, (u >> (16 * ci)) & 0xFFFF)].append(doc_id)
+    cand: set[tuple[int, int]] = set()
+    for members in buckets.values():
+        if p["bucket_cap"] and len(members) > p["bucket_cap"]:
+            continue
+        ms = sorted(members)
+        for i in range(len(ms)):
+            for j in range(i + 1, len(ms)):
+                cand.add((ms[i], ms[j]))
+    out = []
+    for a, b in cand:
+        h = bin(sim[a] ^ sim[b]).count("1")
+        if h <= p["max_hamming"]:
+            out.append((a, b, h))
+    return sorted(out)
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    sf = os.path.basename(sf_dir.rstrip("/"))
+    os.makedirs(FIXDIR, exist_ok=True)
+    tbl = pq.read_table(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+    docs = list(zip(tbl["doc_id"].to_pylist(), tbl["text"].to_pylist()))
+    print(f"{len(docs)} docs from {sf_dir}")
+
+    mh = minhash_pairs(docs)
+    pq.write_table(
+        pa.table(
+            {
+                "doc_a": pa.array([r[0] for r in mh], pa.int64()),
+                "doc_b": pa.array([r[1] for r in mh], pa.int64()),
+                "jaccard": pa.array([r[2] for r in mh], pa.float64()),
+            }
+        ),
+        os.path.join(FIXDIR, f"minhash_pairs_{sf}.parquet"),
+    )
+    print(f"minhash_pairs_{sf}.parquet: {len(mh)} pairs")
+
+    sh = simhash_pairs(docs)
+    pq.write_table(
+        pa.table(
+            {
+                "doc_a": pa.array([r[0] for r in sh], pa.int64()),
+                "doc_b": pa.array([r[1] for r in sh], pa.int64()),
+                "hamming": pa.array([r[2] for r in sh], pa.int32()),
+            }
+        ),
+        os.path.join(FIXDIR, f"simhash_pairs_{sf}.parquet"),
+    )
+    print(f"simhash_pairs_{sf}.parquet: {len(sh)} pairs")
+
+
+if __name__ == "__main__":
+    main()

@@ -11,9 +11,9 @@ import __spark_entry__ as entrymod
 def test_oracle_keys_subset_of_queries():
     qs, os_ = entrymod.queries(), entrymod.oracle_sql()
     assert set(os_).issubset(set(qs))
-    missing_oracle = sorted(set(qs) - set(os_))
-    # only the documented engine-hash/mapInPandas ops may be rows-only
-    assert missing_oracle == ["media_features", "minhash_lsh_pairs", "simhash_near_pairs"]
+    # every query is oracle-backed: SQL-expressible ops inline, the
+    # hash-dependent dedup ops via precomputed pure-Python fixtures
+    assert sorted(set(qs) - set(os_)) == []
 
 
 @pytest.mark.parametrize("name", sorted(entrymod.queries()))
