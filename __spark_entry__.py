@@ -125,6 +125,29 @@ def q_next_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", "user_id", "next_purchase_value")
 
 
+def q_next_purchase_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of via the shuffle-based union_window strategy — the path
+    for a large non-broadcastable right side (same semantics as
+    next_purchase, distinct physical plan: one window exchange, no join)."""
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    out = asof_join(
+        ev.select("event_id", "user_id", "ts"),
+        purchases,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        value_cols={"value": "next_purchase_value"},
+        allow_exact_matches=False,
+        right_order=["event_id"],
+        strategy="union_window",
+        direction="forward",
+    )
+    return out.select("event_id", "user_id", "next_purchase_value")
+
+
 def q_top_events_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy(F.col("value").desc(), F.col("event_id").asc())
@@ -374,6 +397,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": q_sessionize,
         "asof_prior_purchase": q_asof_prior_purchase,
         "next_purchase": q_next_purchase,
+        "next_purchase_shuffle": q_next_purchase_shuffle,
         "top_events_per_user": q_top_events_per_user,
         "pricing_summary": q_pricing_summary,
         "dedup_exact": q_dedup_exact,
@@ -595,6 +619,14 @@ def oracle_sql() -> dict[str, str]:
         "sessionize": _SESSIONIZE_SQL,
         "asof_prior_purchase": _ASOF_SQL,
         "next_purchase": """
+SELECT e.event_id, e.user_id,
+       (SELECT p.value FROM events p
+         WHERE p.user_id = e.user_id AND p.event_type = 'purchase' AND p.ts > e.ts
+         ORDER BY p.ts ASC, p.event_id ASC LIMIT 1) AS next_purchase_value
+FROM events e
+""",
+        # same semantics, different physical strategy on the Spark side
+        "next_purchase_shuffle": """
 SELECT e.event_id, e.user_id,
        (SELECT p.value FROM events p
          WHERE p.user_id = e.user_id AND p.event_type = 'purchase' AND p.ts > e.ts

@@ -90,43 +90,34 @@ def asof_join(
 
     ``direction="forward"`` flips the search: the EARLIEST right payload with
     ``right_ts >= left_ts`` (or ``>``) — the backfill/next-state lookup.
-    Forward mode supports the ``broadcast`` and ``merge_asof`` strategies
-    (tie-break among equal right_ts picks the min (right_ts, right_order)).
+    All four strategies support both directions (tie-break among equal
+    right_ts: backward picks the max (right_ts, right_order), forward the
+    min — the mirror-image semantics).
     """
     vals = _normalize_values(value_cols)
     _validate(left, on, list(vals.values()))
     if direction not in ("backward", "forward"):
         raise ValueError(f"unknown direction {direction!r}")
-    if direction == "forward":
-        if strategy == "broadcast":
-            return _asof_broadcast(
-                left, right, on, left_ts, right_ts, vals, allow_exact_matches,
-                right_order, forward=True,
-            )
-        if strategy == "merge_asof":
-            return _asof_merge_pandas(
-                left, right, on, left_ts, right_ts, vals, allow_exact_matches,
-                right_order, direction="forward",
-            )
-        raise ValueError(
-            "direction='forward' supports strategies 'broadcast' and 'merge_asof'"
-        )
+    forward = direction == "forward"
     if strategy == "union_window":
         return _asof_union_window(
-            left, right, on, left_ts, right_ts, vals, allow_exact_matches, right_order
+            left, right, on, left_ts, right_ts, vals, allow_exact_matches, right_order,
+            forward=forward,
         )
     if strategy == "merge_asof":
         return _asof_merge_pandas(
-            left, right, on, left_ts, right_ts, vals, allow_exact_matches, right_order
+            left, right, on, left_ts, right_ts, vals, allow_exact_matches, right_order,
+            direction=direction,
         )
     if strategy == "segmented":
         return _asof_segmented(
             left, right, on, left_ts, right_ts, vals, allow_exact_matches, right_order,
-            bucket_seconds,
+            bucket_seconds, forward=forward,
         )
     if strategy == "broadcast":
         return _asof_broadcast(
-            left, right, on, left_ts, right_ts, vals, allow_exact_matches, right_order
+            left, right, on, left_ts, right_ts, vals, allow_exact_matches, right_order,
+            forward=forward,
         )
     raise ValueError(f"unknown strategy {strategy!r}")
 
@@ -163,17 +154,29 @@ def _ffill_and_project(
     allow_exact_matches: bool,
     n_tie: int,
     extra_keys: Sequence[str] = (),
+    forward: bool = False,
 ) -> DataFrame:
-    # Exact-match ties: right rows (side=0) sort BEFORE left rows at the same
-    # ts when matches at equal ts are allowed, AFTER them when strict.
-    side_order = F.col(_SIDE).asc() if allow_exact_matches else F.col(_SIDE).desc()
+    # Exact-match ties (backward): right rows (side=0) sort BEFORE left rows
+    # at the same ts when matches at equal ts are allowed, AFTER them when
+    # strict — so the (preceding, 0] frame sees exactly the visible rows.
+    # Forward mirrors both the side order and the frame: first_value over
+    # [0, following) with right rows sorting AFTER left rows when exact
+    # matches are allowed, BEFORE them when strict.
     tie_order = [F.col(f"__tie_{i}").asc_nulls_first() for i in range(n_tie)]
+    if forward:
+        side_order = F.col(_SIDE).desc() if allow_exact_matches else F.col(_SIDE).asc()
+        frame = (0, Window.unboundedFollowing)
+        pick = F.first
+    else:
+        side_order = F.col(_SIDE).asc() if allow_exact_matches else F.col(_SIDE).desc()
+        frame = (Window.unboundedPreceding, 0)
+        pick = F.last
     w = (
         Window.partitionBy(*on, *extra_keys)
         .orderBy(F.col(_T).asc(), side_order, *tie_order)
-        .rowsBetween(Window.unboundedPreceding, 0)
+        .rowsBetween(*frame)
     )
-    filled = u.withColumn(_RVF, F.last(_RV, ignorenulls=True).over(w))
+    filled = u.withColumn(_RVF, pick(_RV, ignorenulls=True).over(w))
     out_vals = [F.col(f"{_RVF}.{out}").alias(out) for out in vals.values()]
     return filled.filter(F.col(_SIDE) == 1).select(*left_cols, *out_vals)
 
@@ -187,10 +190,12 @@ def _asof_union_window(
     vals: dict[str, str],
     allow_exact_matches: bool,
     right_order: Sequence[str],
+    forward: bool = False,
 ) -> DataFrame:
     u = _tagged_union(left, right, on, left_ts, right_ts, vals, right_order)
     return _ffill_and_project(
-        u, left.columns, on, vals, allow_exact_matches, len(right_order)
+        u, left.columns, on, vals, allow_exact_matches, len(right_order),
+        forward=forward,
     )
 
 
@@ -304,45 +309,60 @@ def _asof_segmented(
     allow_exact_matches: bool,
     right_order: Sequence[str],
     bucket_seconds: int,
+    forward: bool = False,
 ) -> DataFrame:
-    """Skew-resistant two-pass as-of (see module docstring)."""
+    """Skew-resistant two-pass as-of (see module docstring). ``forward``
+    mirrors every step: per-bucket FIRST payloads, carry-in from strictly
+    LATER buckets, forward within-bucket pass."""
     on = list(on)
     bucket = lambda c: F.floor(F.unix_timestamp(F.col(c)) / F.lit(bucket_seconds))  # noqa: E731
 
     rv = F.struct(*[F.col(rc).alias(out) for rc, out in vals.items()])
-    # order key for max_by within a bucket: (ts, right_order...) lexicographic
+    # order key within a bucket: (ts, right_order...) lexicographic —
+    # backward keeps the max (latest), forward the min (earliest)
     ordk = F.struct(
         F.col(right_ts), *[F.col(c) for c in right_order]
     )
     right_b = right.withColumn(_B, bucket(right_ts))
-    bucket_last = right_b.groupBy(*on, _B).agg(F.max_by(rv, ordk).alias(_RV))
+    bucket_pick = (F.min_by if forward else F.max_by)(rv, ordk).alias(_RV)
+    bucket_edge = right_b.groupBy(*on, _B).agg(bucket_pick)
 
-    # carry-in per left bucket: last right payload from any STRICTLY EARLIER bucket
+    # carry per left bucket: the edge payload from any STRICTLY earlier
+    # (backward) / later (forward) bucket
     left_b = left.withColumn(_B, bucket(left_ts))
     bucket_spine = (
         left_b.select(*on, _B).distinct()
         .withColumn("__is_left", F.lit(1))
-        .unionByName(bucket_last.select(*on, _B).withColumn("__is_left", F.lit(0)),
+        .unionByName(bucket_edge.select(*on, _B).withColumn("__is_left", F.lit(0)),
                      allowMissingColumns=True)
         .select(*on, _B, "__is_left").distinct()
     )
-    spine_vals = bucket_spine.join(bucket_last, on=[*on, _B], how="left")
-    # For a left bucket row, carry-in must come from a STRICTLY EARLIER bucket:
-    # a same-bucket right payload may postdate individual left rows. Sorting
-    # left-side spine rows (is_left=1) BEFORE right-side ones within a bucket
-    # keeps the same bucket's payload out of the strictly-preceding frame;
-    # masking is_left=1 rows to NULL leaves exactly the earlier buckets' lasts.
-    wprev = (
-        Window.partitionBy(*on)
-        .orderBy(F.col(_B).asc(), F.col("__is_left").desc())
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
+    spine_vals = bucket_spine.join(bucket_edge, on=[*on, _B], how="left")
+    # Same-bucket right payloads must stay OUT of the carry frame (they may
+    # postdate/predate individual left rows — the within-bucket pass handles
+    # them). Backward: left spine rows sort BEFORE right ones inside a bucket
+    # and the frame is strictly-preceding; forward mirrors with right rows
+    # sorting BEFORE left ones and a strictly-following frame.
+    if forward:
+        wcarry = (
+            Window.partitionBy(*on)
+            .orderBy(F.col(_B).asc(), F.col("__is_left").asc())
+            .rowsBetween(1, Window.unboundedFollowing)
+        )
+        carry_pick = F.first
+    else:
+        wcarry = (
+            Window.partitionBy(*on)
+            .orderBy(F.col(_B).asc(), F.col("__is_left").desc())
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        carry_pick = F.last
     carry = (
         spine_vals.withColumn(
             "__prev_rv",
-            F.last(
+            carry_pick(
                 F.when(F.col("__is_left") == 0, F.col(_RV)), ignorenulls=True
-            ).over(wprev),
+            ).over(wcarry),
         )
         .filter(F.col("__is_left") == 1)
         .select(*on, _B, F.col("__prev_rv"))
@@ -360,6 +380,7 @@ def _asof_segmented(
         allow_exact_matches,
         len(right_order),
         extra_keys=[_B],
+        forward=forward,
     )
     joined = within.join(carry, on=[*on, _B], how="left")
     out_cols = [

@@ -95,9 +95,11 @@ class FeatureModel:
         self._plan_cache: dict[tuple[str, ...], list[FeatureSpec]] = {}
 
     # ------------------------------------------------------------- declare
-    def register_store(self, name: str, df: DataFrame) -> None:
-        """A point-in-time right-side table (feature store / dimension state)."""
-        self._stores[name] = df
+    def register_store(self, name: str, store) -> None:
+        """A point-in-time right side: either a plain DataFrame (dimension
+        state) or a :class:`~funcify_feature_eng_spark.store.FeatureStore`
+        (lifecycle-managed, identity = (feature_id, contextual params))."""
+        self._stores[name] = store
 
     def alias(self, alias: str, target: str) -> None:
         """@alias directive analog (AliasCoordinatesRegistry)."""
@@ -123,16 +125,24 @@ class FeatureModel:
         self,
         name: str,
         store: str,
-        right_ts: str,
-        value_col: str,
+        right_ts: str = "value_at_ts",
+        value_col: str = "value",
         allow_exact_matches: bool = True,
         right_order: Sequence[str] = (),
+        params: dict[str, Any] | None = None,
     ) -> None:
+        """A point-in-time feature against a registered store.
+
+        When the registered store is a FeatureStore, materialization routes
+        through ``FeatureStore.read_through`` with ``params`` as the
+        contextual-parameter identity (two parameterizations of one feature
+        path never collide — DispatchService.kt:960-1127 semantics)."""
         if store not in self._stores:
             raise PlanError(f"feature {name!r}: store {store!r} not registered")
         self._add(FeatureSpec(name, "asof", store_name=store, right_ts=right_ts,
                               value_col=value_col, allow_exact_matches=allow_exact_matches,
-                              right_order=tuple(right_order)))
+                              right_order=tuple(right_order),
+                              params=dict(params or {})))
 
     def _add(self, spec: FeatureSpec) -> None:
         if spec.name in self._features:
@@ -229,16 +239,32 @@ class FeatureModel:
                     exprs[s.name] = self._lower_one(s, keys, order)
                     df = df.withColumn(s.name, exprs[s.name])
             else:  # asof
-                df = asof_join(
-                    df,
-                    self._stores[spec.store_name],
-                    on=[self.entity_key],
-                    left_ts=self.event_time,
-                    right_ts=spec.right_ts,
-                    value_cols={spec.value_col: spec.name},
-                    allow_exact_matches=spec.allow_exact_matches,
-                    right_order=spec.right_order,
-                )
+                target = self._stores[spec.store_name]
+                # lazy import: store.py imports asof_join from operators
+                from funcify_feature_eng_spark.store import FeatureStore
+
+                if isinstance(target, FeatureStore):
+                    # lifecycle path: identity = (feature path, contextual
+                    # params) — read_through filters on the computed hash
+                    df = target.read_through(
+                        df,
+                        feature_id=spec.name,
+                        out_col=spec.name,
+                        ts_col=self.event_time,
+                        params=spec.params,
+                        allow_exact_matches=spec.allow_exact_matches,
+                    )
+                else:
+                    df = asof_join(
+                        df,
+                        target,
+                        on=[self.entity_key],
+                        left_ts=self.event_time,
+                        right_ts=spec.right_ts,
+                        value_cols={spec.value_col: spec.name},
+                        allow_exact_matches=spec.allow_exact_matches,
+                        right_order=spec.right_order,
+                    )
                 i += 1
 
         out_cols = []

@@ -26,7 +26,10 @@ Schema (FIXTURES.md §2): feature_id, conv_id (entity), params_hash, value
 
 from __future__ import annotations
 
+import hashlib
+import json
 from dataclasses import dataclass
+from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -34,6 +37,20 @@ from pyspark.sql import functions as F
 from funcify_feature_eng_spark.operators.asof import asof_join
 
 STORE_COLUMNS = ["feature_id", "conv_id", "params_hash", "value", "value_at_ts", "calculated_ts"]
+
+
+def contextual_params_hash(params: dict[str, Any] | None) -> str:
+    """Store-value identity hash over the feature's contextual parameters.
+
+    The reference keys tracked values on (featurePath, contextualParameters)
+    — ``DefaultSingleRequestMaterializationDispatchService.kt:960-1127``,
+    ``TrackableValue.kt:147-155`` — so two parameterizations of one feature
+    must never collide. Canonical form: sorted-key compact JSON of the
+    materialized arguments, sha256-hexed. ``None``/``{}`` hash identically
+    (the no-arguments identity).
+    """
+    canon = json.dumps(params or {}, sort_keys=True, separators=(",", ":"), default=str)
+    return hashlib.sha256(canon.encode()).hexdigest()
 
 
 @dataclass
@@ -75,13 +92,19 @@ class FeatureStore:
         feature_id: str,
         out_col: str,
         ts_col: str = "ts",
-        params_hash: str = "default",
+        params: dict[str, Any] | None = None,
+        params_hash: str | None = None,
         allow_exact_matches: bool = True,
     ) -> DataFrame:
         """Planned → Tracked where a stored value exists at-or-before the
         request time (S7/J2). Adds ``out_col`` (NULL = still Planned) and
-        ``out_col + '_at_ts'`` (the valueAtTimestamp witness)."""
-        store = self.read(feature_id).filter(F.col("params_hash") == params_hash)
+        ``out_col + '_at_ts'`` (the valueAtTimestamp witness).
+
+        Identity is (feature_id, contextual params): ``params`` is hashed via
+        :func:`contextual_params_hash`; a pre-computed ``params_hash`` wins
+        if supplied."""
+        ph = params_hash or contextual_params_hash(params)
+        store = self.read(feature_id).filter(F.col("params_hash") == ph)
         return asof_join(
             spine,
             store,
@@ -99,17 +122,19 @@ class FeatureStore:
         feature_id: str,
         value_col: str,
         ts_col: str = "ts",
-        params_hash: str = "default",
+        params: dict[str, Any] | None = None,
+        params_hash: str | None = None,
     ) -> None:
         """Calculated → Tracked: append newly computed values (S8).
 
         ``value_at_ts`` = the event time the value is valid from; the value
-        is serialized to a JSON string (MapType-free Arrow-safe blob)."""
+        is serialized to a JSON string (MapType-free Arrow-safe blob).
+        Identity: (feature_id, contextual_params_hash(params))."""
         now = F.current_timestamp()
         rows = calculated.select(
             F.lit(feature_id).alias("feature_id"),
             F.col(self.entity_col).alias("conv_id"),
-            F.lit(params_hash).alias("params_hash"),
+            F.lit(params_hash or contextual_params_hash(params)).alias("params_hash"),
             F.to_json(F.struct(F.col(value_col).alias("v"))).alias("value"),
             F.col(ts_col).cast("timestamp").alias("value_at_ts"),
             now.alias("calculated_ts"),
@@ -127,21 +152,23 @@ class FeatureStore:
         out_col: str,
         ts_col: str = "ts",
         publish: bool = True,
+        params: dict[str, Any] | None = None,
     ) -> DataFrame:
         """Full lifecycle for one feature: read-through, compute only the
         misses (anti-pattern: recompute everything), publish the new rows.
 
         ``compute(df) -> df_with_out_col`` computes the feature on the rows
-        given; it is applied only to Planned (store-miss) rows.
+        given; it is applied only to Planned (store-miss) rows. ``params``
+        carries the contextual parameters into the store identity.
         """
-        hit = self.read_through(spine, feature_id, out_col, ts_col)
+        hit = self.read_through(spine, feature_id, out_col, ts_col, params=params)
         tracked = hit.filter(F.col(out_col).isNotNull())
         planned = hit.filter(F.col(out_col).isNull()).drop(out_col, f"{out_col}_at_ts")
         calculated = compute(planned).withColumn(
             f"{out_col}_at_ts", F.col(ts_col).cast("timestamp")
         )
         if publish:
-            self.publish(calculated, feature_id, out_col, ts_col)
+            self.publish(calculated, feature_id, out_col, ts_col, params=params)
         # tracked store values are JSON blobs; keep both sides as-is
         return tracked.unionByName(
             calculated.withColumn(out_col, F.to_json(F.struct(F.col(out_col).alias("v"))))

@@ -146,7 +146,7 @@ def test_entity_isolation(spark, strategy):
     assert pd.isna(got.loc[1, "v"])
 
 
-@pytest.mark.parametrize("strategy", ["broadcast", "merge_asof"])
+@pytest.mark.parametrize("strategy", ["broadcast", "merge_asof", "union_window", "segmented"])
 @pytest.mark.parametrize("exact", [True, False])
 def test_forward_asof_matches_pandas(
     spark, transcripts, feature_store, transcripts_pd, feature_store_pd, strategy, exact
@@ -180,15 +180,37 @@ def test_forward_asof_matches_pandas(
     assert same.all(), f"{strategy} exact={exact}: {int((~same).sum())} mismatches"
 
 
-def test_forward_unsupported_strategy_raises(spark, transcripts, feature_store):
+def test_forward_segmented_small_buckets_matches_pandas(
+    spark, transcripts, feature_store, transcripts_pd, feature_store_pd
+):
+    """Tiny buckets force heavy carry-forward use; must still be exact."""
     from funcify_feature_eng_spark.operators.asof import asof_join
 
-    with pytest.raises(ValueError, match="forward"):
+    got = (
         asof_join(
             transcripts, feature_store, on=["conv_id"], left_ts="ts",
-            right_ts="value_at_ts", value_cols={"value": "v"},
-            strategy="union_window", direction="forward",
+            right_ts="value_at_ts", value_cols={"value": "next_value"},
+            right_order=["value"], strategy="segmented", direction="forward",
+            bucket_seconds=3600,
         )
+        .orderBy("conv_id", "turn_idx")
+        .toPandas()
+    )
+    l = transcripts_pd.sort_values("ts", kind="stable").reset_index(drop=True)
+    r = (
+        feature_store_pd.sort_values(["value_at_ts", "value"], kind="stable")
+        .reset_index(drop=True)[["conv_id", "value_at_ts", "value"]]
+        .rename(columns={"value": "next_value"})
+    )
+    exp = (
+        pd.merge_asof(l, r, left_on="ts", right_on="value_at_ts", by="conv_id",
+                      direction="forward", allow_exact_matches=True)
+        .sort_values(["conv_id", "turn_idx"], kind="stable")
+        .reset_index(drop=True)
+    )
+    g, e = got["next_value"].to_numpy(object), exp["next_value"].to_numpy(object)
+    same = (g == e) | (pd.isna(g.astype(object)) & pd.isna(e.astype(object)))
+    assert same.all(), f"{int((~same).sum())} mismatches"
 
 
 def test_segmented_matches_union_window_small_buckets(

@@ -74,10 +74,11 @@ def test_asof_never_leaks_and_matches_bruteforce(spark, strategy, left, right, e
     assert [r["val"] for r in got] == expected
 
 
+@pytest.mark.parametrize("strategy", ["broadcast", "union_window", "segmented"])
 @settings(max_examples=12, deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
 @given(left=left_rows, right=right_rows, exact=st.booleans())
-def test_forward_asof_matches_bruteforce(spark, left, right, exact):
+def test_forward_asof_matches_bruteforce(spark, strategy, left, right, exact):
     ldf = spark.createDataFrame(
         [(e, i, t) for i, (e, t) in enumerate(left)],
         "ent string, idx int, ts timestamp",
@@ -92,7 +93,7 @@ def test_forward_asof_matches_bruteforce(spark, left, right, exact):
         asof_join(
             ldf, rdf, on=["ent"], left_ts="ts", right_ts="vts",
             value_cols={"v": "val"}, allow_exact_matches=exact,
-            right_order=["v"], strategy="broadcast", direction="forward",
+            right_order=["v"], strategy=strategy, direction="forward",
         )
         .orderBy("idx")
         .collect()

@@ -120,3 +120,55 @@ def test_lineage_file_is_jsonl(spark, tmp_path, transcripts):
     with open(path) as f:
         lines = [l for l in f if l.strip()]
     assert len(lines) == 2
+
+
+def test_contextual_params_identity_no_collision(spark, tmp_store):
+    """Two parameterizations of ONE feature path must not collide — the
+    reference keys tracked values on (featurePath, contextualParameters)
+    (DispatchService.kt:960-1127, TrackableValue.kt:147-155)."""
+    from funcify_feature_eng_spark.store import contextual_params_hash
+
+    spine = _spine(spark)
+    tmp_store.publish(
+        spine.withColumn("f", F.lit(7)), "features/f", "f", params={"window": "7d"}
+    )
+    tmp_store.publish(
+        spine.withColumn("f", F.lit(30)), "features/f", "f", params={"window": "30d"}
+    )
+    # hash is canonical: key order doesn't matter, values do
+    assert contextual_params_hash({"a": 1, "b": 2}) == contextual_params_hash({"b": 2, "a": 1})
+    assert contextual_params_hash({"window": "7d"}) != contextual_params_hash({"window": "30d"})
+
+    got7 = tmp_store.read_through(spine, "features/f", "v", params={"window": "7d"})
+    got30 = tmp_store.read_through(spine, "features/f", "v", params={"window": "30d"})
+    vals7 = {r["v"] for r in got7.collect() if r["v"] is not None}
+    vals30 = {r["v"] for r in got30.collect() if r["v"] is not None}
+    assert vals7 == {'{"v":7}'} and vals30 == {'{"v":30}'}
+    # unknown parameterization: all Planned (no bleed from other params)
+    miss = tmp_store.read_through(spine, "features/f", "v", params={"window": "90d"})
+    assert [r["v"] for r in miss.collect()] == [None, None, None]
+
+
+def test_feature_model_routes_asof_through_feature_store(spark, tmp_store):
+    """FeatureModel asof features use FeatureStore.read_through with the
+    declared contextual params as the store identity."""
+    from funcify_feature_eng_spark.plans.model import FeatureModel
+
+    spine = _spine(spark)
+    tmp_store.publish(
+        spine.withColumn("g", F.lit(1)), "g7", "g", params={"window": "7d"}
+    )
+    tmp_store.publish(
+        spine.withColumn("g", F.lit(2)), "g30", "g", params={"window": "30d"}
+    )
+
+    m = FeatureModel(entity_key="conv_id", order=("turn_idx",), event_time="ts")
+    m.register_store("fs", tmp_store)
+    m.declare_asof_feature("g7", store="fs", params={"window": "7d"})
+    m.declare_asof_feature("g30", store="fs", params={"window": "30d"})
+    out = m.materialize(spine, ["conv_id", "turn_idx", "g7", "g30"]).orderBy(
+        "conv_id", "turn_idx"
+    )
+    rows = out.collect()
+    assert {r["g7"] for r in rows} == {'{"v":1}'}
+    assert {r["g30"] for r in rows} == {'{"v":2}'}
