@@ -148,6 +148,31 @@ def q_next_purchase_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", "user_id", "next_purchase_value")
 
 
+def q_request_doc_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entry point A analog: a nested request document (variables + aliased,
+    parameterized feature selections) compiled onto the same plan as the
+    tabular path (plans/document.py; reference
+    DefaultMaterializationPreparsedDocumentProvider.kt:250-327)."""
+    from funcify_feature_eng_spark.plans.document import materialize_document
+
+    ev = _t(spark, sf_dir, "events")
+    doc = {
+        "variables": {"gap": 900.0},
+        "select": {
+            "columns": ["event_id", "user_id", "event_type"],
+            "features": {
+                "prior_event_type": {},
+                "tight_session": {
+                    "feature": "session_id",
+                    "args": {"gap_threshold_s": "$gap"},
+                },
+                "event_seq": {},
+            },
+        },
+    }
+    return materialize_document(_events_model(), ev, doc)
+
+
 def q_top_events_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy(F.col("value").desc(), F.col("event_id").asc())
@@ -398,6 +423,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_prior_purchase": q_asof_prior_purchase,
         "next_purchase": q_next_purchase,
         "next_purchase_shuffle": q_next_purchase_shuffle,
+        "request_doc_features": q_request_doc_features,
         "top_events_per_user": q_top_events_per_user,
         "pricing_summary": q_pricing_summary,
         "dedup_exact": q_dedup_exact,
@@ -632,6 +658,22 @@ SELECT e.event_id, e.user_id,
          WHERE p.user_id = e.user_id AND p.event_type = 'purchase' AND p.ts > e.ts
          ORDER BY p.ts ASC, p.event_id ASC LIMIT 1) AS next_purchase_value
 FROM events e
+""",
+        "request_doc_features": """
+WITH g AS (
+  SELECT event_id, user_id, event_type, ts,
+         lag(event_type) OVER w AS prior_event_type,
+         (epoch_us(ts) - epoch_us(lag(ts) OVER w)) / 1000000.0 AS gap_secs,
+         CAST(row_number() OVER w AS INT) AS event_seq
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT event_id, user_id, event_type, prior_event_type,
+       CAST(SUM(CASE WHEN gap_secs > 900.0 THEN 1 ELSE 0 END)
+            OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS INT) AS tight_session,
+       event_seq
+FROM g
 """,
         "top_events_per_user": _TOP_EVENTS_SQL,
         "pricing_summary": _PRICING_SQL,

@@ -21,6 +21,9 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 
+NUMERIC_TYPES = {"tinyint", "smallint", "int", "bigint", "float", "double"}
+
+
 @dataclass
 class Transformer:
     name: str
@@ -28,9 +31,32 @@ class Transformer:
     args: tuple[str, ...] = ("input",)
     defaults: dict[str, Any] = field(default_factory=dict)
     description: str = ""
+    # input-schema validation (P6, DefaultJacksonJqTransformer.kt:89-113):
+    # arg name → expected Spark type ("double", "string", "array<string>",
+    # ...) or the JSON-Schema-style family "number" (any numeric). Validated
+    # at plan time against the actual frame schema — the Spark analog of the
+    # reference's runtime JSON-Schema check on the jq input document.
+    arg_types: dict[str, str] = field(default_factory=dict)
 
     def __call__(self, *cols: Column, **kwargs: Any) -> Column:
         return self.builder(*cols, **kwargs)
+
+    def validate_input_types(self, actual: dict[str, str]) -> None:
+        """``actual``: arg name → the bound column's Spark simpleString type.
+        Raises TypeError on mismatch (the P6 contract)."""
+        for arg, want in self.arg_types.items():
+            got = actual.get(arg)
+            if got is None:
+                continue  # arg bound to a literal/default — nothing to check
+            if want == "number":
+                ok = got in NUMERIC_TYPES or got.startswith("decimal")
+            else:
+                ok = got == want
+            if not ok:
+                raise TypeError(
+                    f"transformer {self.name!r}: arg {arg!r} expects type "
+                    f"{want!r} but is bound to a column of type {got!r}"
+                )
 
 
 class TransformerRegistry:
@@ -47,8 +73,10 @@ class TransformerRegistry:
         args: Sequence[str] = ("input",),
         defaults: dict[str, Any] | None = None,
         description: str = "",
+        arg_types: dict[str, str] | None = None,
     ) -> Transformer:
-        t = Transformer(name, builder, tuple(args), defaults or {}, description)
+        t = Transformer(name, builder, tuple(args), defaults or {}, description,
+                        arg_types or {})
         self._by_name[_canon(name)] = t
         return t
 

@@ -103,6 +103,9 @@ def load_transformers_yaml(registry: TransformerRegistry, yaml_text: str) -> lis
             args=args,
             defaults=t.get("defaults", {}),
             description=t.get("description", "yaml-declared"),
+            # P6: optional input schema — `types: {input: double}` (or the
+            # JSON-Schema-ish family "number"), enforced at plan time
+            arg_types={str(k): str(v) for k, v in (t.get("types") or {}).items()},
         )
         names.append(t["name"])
     return names

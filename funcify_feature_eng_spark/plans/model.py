@@ -92,14 +92,45 @@ class FeatureModel:
         self._features: dict[str, FeatureSpec] = {}
         self._aliases: dict[str, str] = {}  # canon(alias) -> feature/column name
         self._stores: dict[str, DataFrame] = {}
+        # unconnected data-element sources joinable on a key (J1 tiers 5/6)
+        self._sources: dict[str, tuple[DataFrame, str, bool]] = {}
+        # per-domain @lastUpdated registry (J3): store/source name → its
+        # temporal attribute (LastUpdatedCoordinatesRegistry.kt:22-35)
+        self._last_updated: dict[str, str] = {}
         self._plan_cache: dict[tuple[str, ...], list[FeatureSpec]] = {}
 
     # ------------------------------------------------------------- declare
-    def register_store(self, name: str, store) -> None:
+    def register_store(self, name: str, store, last_updated: str | None = None) -> None:
         """A point-in-time right side: either a plain DataFrame (dimension
         state) or a :class:`~funcify_feature_eng_spark.store.FeatureStore`
-        (lifecycle-managed, identity = (feature_id, contextual params))."""
+        (lifecycle-managed, identity = (feature_id, contextual params)).
+
+        ``last_updated`` registers the domain's temporal attribute (the
+        @lastUpdated directive, ``StandardQueryConnector.kt:2512-2602``):
+        as-of features over this store then need no per-feature ``right_ts``
+        — each right-side source carries its own timestamp column."""
+        if last_updated is not None:
+            if isinstance(store, DataFrame) and last_updated not in store.columns:
+                raise PlanError(
+                    f"store {name!r}: @lastUpdated column {last_updated!r} "
+                    f"not in its columns"
+                )
+            self._last_updated[name] = last_updated
         self._stores[name] = store
+
+    def register_source(
+        self, name: str, df: DataFrame, join_key: str | None = None, broadcast: bool = True
+    ) -> None:
+        """An *unconnected* data-element source (J1 tiers 5/6,
+        ``StandardQueryConnector.kt:682-762``): a table not part of the spine
+        whose fields can satisfy requested columns / feature arguments via an
+        automatic equi-join on ``join_key`` (default: the entity key).
+        ``broadcast=True`` marks it dimension-sized (J6 batched key loading)."""
+        key = join_key or self.entity_key
+        if key not in df.columns:
+            raise PlanError(f"source {name!r}: join key {key!r} not in its columns")
+        self._sources[name] = (df, key, broadcast)
+        self._plan_cache.clear()
 
     def alias(self, alias: str, target: str) -> None:
         """@alias directive analog (AliasCoordinatesRegistry)."""
@@ -125,7 +156,7 @@ class FeatureModel:
         self,
         name: str,
         store: str,
-        right_ts: str = "value_at_ts",
+        right_ts: str | None = None,
         value_col: str = "value",
         allow_exact_matches: bool = True,
         right_order: Sequence[str] = (),
@@ -151,33 +182,73 @@ class FeatureModel:
         self._plan_cache.clear()
 
     # ------------------------------------------------------------- compile
-    def resolve_name(self, requested: str, spine_cols: Sequence[str]) -> tuple[str, str]:
-        """Tabular name resolution (J1 precedence, simplified):
-        (1) exact spine column → passthrough; (2) exact feature;
-        (3) alias registry; (4) convention-equivalent column or feature.
-        Returns (kind, resolved_name) with kind in {column, feature}."""
+    def resolve_name(
+        self,
+        requested: str,
+        spine_cols: Sequence[str],
+        variables: Sequence[str] = (),
+    ) -> tuple[str, Any]:
+        """Tabular name resolution — the J1 6-tier precedence
+        (``StandardQueryConnector.kt:682-762``):
+        (1) connected field: exact spine column → passthrough;
+        (2) feature field (feature-on-feature wiring): exact feature;
+        (3) alias registry (@alias, unique field on connected source);
+        (4) convention-equivalent (snake_case) spine column or feature —
+            the 'field with alternatives' tier;
+        (5) field on an UNCONNECTED registered source (raw-input
+            satisfiability) → automatic equi-join, ambiguity is an error;
+        (6) the request's variable set → literal column
+            (VARIABLE_VALUE_PROVIDED).
+        Returns (kind, resolved) with kind in
+        {column, feature, source, variable}; ``source`` resolves to
+        (source_name, field_name)."""
         if requested in spine_cols:
             return ("column", requested)
         if requested in self._features:
             return ("feature", requested)
         canon = to_snake_case(requested)
         if canon in self._aliases:
-            return self.resolve_name(self._aliases[canon], spine_cols)
+            return self.resolve_name(self._aliases[canon], spine_cols, variables)
         for c in spine_cols:
             if to_snake_case(c) == canon:
                 return ("column", c)
         for f in self._features:
             if to_snake_case(f) == canon:
                 return ("feature", f)
+        hits = [
+            (src, field)
+            for src, (df, _k, _b) in self._sources.items()
+            for field in df.columns
+            if field == requested or to_snake_case(field) == canon
+        ]
+        if len(hits) > 1:
+            raise PlanError(
+                f"output column {requested!r} is ambiguous across sources: "
+                f"{sorted(f'{s}.{f}' for s, f in hits)}"
+            )
+        if hits:
+            return ("source", hits[0])
+        if requested in variables:
+            return ("variable", requested)
         raise PlanError(
             f"cannot resolve output column {requested!r}: not a spine column, "
-            f"feature, or alias (features: {sorted(self._features)})"
+            f"feature, alias, source field, or variable "
+            f"(features: {sorted(self._features)}; sources: {sorted(self._sources)})"
         )
 
-    def compile(self, columns: Sequence[str], spine_cols: Sequence[str]) -> list[FeatureSpec]:
+    def compile(
+        self,
+        columns: Sequence[str],
+        spine_cols: Sequence[str],
+        var_keys: Sequence[str] = (),
+    ) -> list[FeatureSpec]:
         """Topo-sorted feature stages needed for the requested columns
-        (plan-cached by request shape)."""
-        key = tuple(sorted(columns)) + ("|",) + tuple(sorted(spine_cols))
+        (plan-cached by request shape + variable-KEY set, mirroring the
+        reference's plan-cache key)."""
+        key = (
+            tuple(sorted(columns)) + ("|",) + tuple(sorted(spine_cols))
+            + ("$",) + tuple(sorted(var_keys))
+        )
         if key in self._plan_cache:
             return self._plan_cache[key]
         needed: dict[str, FeatureSpec] = {}
@@ -194,13 +265,13 @@ class FeatureModel:
                 return
             spec = self._features[fname]
             for dep in spec.deps():
-                kind, resolved = self.resolve_name(dep, spine_cols)
+                kind, resolved = self.resolve_name(dep, spine_cols, var_keys)
                 if kind == "feature":
                     visit(resolved, stack + (fname,))
             needed[fname] = spec  # post-order insert = topo order
 
         for col in columns:
-            kind, resolved = self.resolve_name(col, spine_cols)
+            kind, resolved = self.resolve_name(col, spine_cols, var_keys)
             if kind == "feature":
                 visit(resolved, ())
         plan = list(needed.values())
@@ -208,18 +279,54 @@ class FeatureModel:
         return plan
 
     # ------------------------------------------------------------- lower/run
-    def materialize(self, spine: DataFrame, columns: Sequence[str]) -> DataFrame:
+    def materialize(
+        self,
+        spine: DataFrame,
+        columns: Sequence[str],
+        variables: dict[str, Any] | None = None,
+    ) -> DataFrame:
         """Entry point B analog: bare column-name list + spine → wide DataFrame
         with exactly the requested columns (features + pass-through) in
         request order. No sort is imposed — callers order on output when
-        stable presentation matters (O1)."""
+        stable presentation matters (O1).
+
+        ``variables`` is the request's variable set (J1 tier 6): a requested
+        name or feature argument found in neither the spine, the features,
+        nor a registered source binds to its variable value as a literal."""
+        variables = dict(variables or {})
         if self.event_time not in spine.columns:
             raise PlanError(
                 f"spine lacks event-time column {self.event_time!r} — temporal "
                 "auto-tracking (J3) requires it on every source"
             )
-        plan = self.compile(columns, spine.columns)
+        plan = self.compile(columns, spine.columns, tuple(sorted(variables)))
+
+        # J1 wiring pass: resolve every requested column AND feature argument;
+        # tier-5 hits become one pruned equi-join per source (broadcast for
+        # dimension-sized sources, J6), tier-6 hits become literal columns.
+        needed: dict[str, tuple[str, Any]] = {}
+        for col in columns:
+            needed[col] = self.resolve_name(col, spine.columns, variables)
+        for spec in plan:
+            for dep in spec.deps():
+                needed.setdefault(dep, self.resolve_name(dep, spine.columns, variables))
+        per_src: dict[str, dict[str, str]] = {}
+        for req, (kind, res) in needed.items():
+            if kind == "source":
+                src, field = res
+                per_src.setdefault(src, {})[req] = field
         df = spine
+        for src, fields in per_src.items():
+            src_df, join_key, bcast = self._sources[src]
+            sel = src_df.select(
+                join_key, *[F.col(f).alias(req) for req, f in fields.items()]
+            )
+            if bcast:
+                sel = F.broadcast(sel)
+            df = df.join(sel, on=join_key, how="left")
+        for req, (kind, _res) in needed.items():
+            if kind == "variable":
+                df = df.withColumn(req, F.lit(variables[req]))
         keys, order = (self.entity_key,), self.order
 
         # group consecutive same-kind stages so transformer batches stay in
@@ -236,6 +343,8 @@ class FeatureModel:
                 # batch — withColumns resolves sequentially via select chain
                 exprs = {}
                 for s in batch:
+                    if s.kind == "transformer":
+                        self._validate_transformer_input(s, df)
                     exprs[s.name] = self._lower_one(s, keys, order)
                     df = df.withColumn(s.name, exprs[s.name])
             else:  # asof
@@ -255,12 +364,22 @@ class FeatureModel:
                         allow_exact_matches=spec.allow_exact_matches,
                     )
                 else:
+                    # per-domain temporal attribute: explicit right_ts wins,
+                    # else the store's registered @lastUpdated column (J3)
+                    rts = spec.right_ts or self._last_updated.get(spec.store_name)
+                    if rts is None:
+                        raise PlanError(
+                            f"as-of feature {spec.name!r}: store "
+                            f"{spec.store_name!r} has no registered "
+                            f"@lastUpdated column and the feature declares no "
+                            f"right_ts — register_store(..., last_updated=...)"
+                        )
                     df = asof_join(
                         df,
                         target,
                         on=[self.entity_key],
                         left_ts=self.event_time,
-                        right_ts=spec.right_ts,
+                        right_ts=rts,
                         value_cols={spec.value_col: spec.name},
                         allow_exact_matches=spec.allow_exact_matches,
                         right_order=spec.right_order,
@@ -269,9 +388,29 @@ class FeatureModel:
 
         out_cols = []
         for col in columns:
-            kind, resolved = self.resolve_name(col, spine.columns)
-            out_cols.append(F.col(resolved).alias(col))
+            kind, resolved = needed[col]
+            if kind in ("source", "variable"):
+                out_cols.append(F.col(col))  # materialized under the requested name
+            else:
+                out_cols.append(F.col(resolved).alias(col))
         return df.select(*out_cols)
+
+    def _validate_transformer_input(self, spec: FeatureSpec, df: DataFrame) -> None:
+        """P6 input-schema validation at plan time: each declared arg type on
+        the transformer is checked against the bound column's actual Spark
+        type (the analog of the reference's JSON-Schema check on the jq
+        input — DefaultJacksonJqTransformer.kt:89-113)."""
+        t = self.registry.get(spec.transformer)
+        field_types = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+        actual = {
+            arg_name: field_types[col_name]
+            for arg_name, col_name in zip(t.args, spec.args)
+            if col_name in field_types
+        }
+        try:
+            t.validate_input_types(actual)
+        except TypeError as e:
+            raise PlanError(f"feature {spec.name!r}: {e}") from e
 
     def _lower_one(self, spec: FeatureSpec, keys, order):
         if spec.kind == "transformer":

@@ -119,3 +119,143 @@ def test_topo_order_feature_on_feature(model, transcripts):
     plan = model.compile(["gap_nonneg"], transcripts.columns)
     names = [s.name for s in plan]
     assert names.index("gap_secs") < names.index("gap_nonneg")
+
+
+def test_j1_tier5_source_field_auto_join(spark):
+    """A requested name on an UNCONNECTED registered source auto-joins
+    (J1 tier 5, StandardQueryConnector.kt:682-762)."""
+    from funcify_feature_eng_spark.plans.model import FeatureModel
+
+    spine = spark.createDataFrame(
+        [("u1", 0, "2024-01-01 00:00:00"), ("u2", 0, "2024-01-01 00:00:00")],
+        "user_id string, turn_idx int, ts_s string",
+    ).selectExpr("user_id", "turn_idx", "cast(ts_s as timestamp) as ts")
+    users = spark.createDataFrame(
+        [("u1", "gold"), ("u2", "silver")], "user_id string, userTier string"
+    )
+    m = FeatureModel(entity_key="user_id", order=("turn_idx",), event_time="ts")
+    m.register_source("users", users)
+    out = m.materialize(spine, ["user_id", "user_tier"]).orderBy("user_id").collect()
+    assert [r["user_tier"] for r in out] == ["gold", "silver"]
+
+
+def test_j1_tier5_feature_arg_from_source(spark):
+    """A transformer feature ARGUMENT wired from an unconnected source."""
+    from funcify_feature_eng_spark.plans.model import FeatureModel
+
+    spine = spark.createDataFrame(
+        [("u1", 0, "2024-01-01 00:00:00")],
+        "user_id string, turn_idx int, ts_s string",
+    ).selectExpr("user_id", "turn_idx", "cast(ts_s as timestamp) as ts")
+    users = spark.createDataFrame([("u1", -5)], "user_id string, balance int")
+    m = FeatureModel(entity_key="user_id", order=("turn_idx",), event_time="ts")
+    m.register_source("users", users)
+    m.declare_transformer_feature("clean_balance", "negative_to_null", ["balance"])
+    out = m.materialize(spine, ["user_id", "clean_balance"]).collect()
+    assert out[0]["clean_balance"] is None
+
+
+def test_j1_tier6_variable_set(spark):
+    """A name satisfiable only from the request's variable set binds as a
+    literal (VARIABLE_VALUE_PROVIDED, J1 tier 6)."""
+    from funcify_feature_eng_spark.plans.model import FeatureModel
+
+    spine = spark.createDataFrame(
+        [("u1", 0, "2024-01-01 00:00:00")],
+        "user_id string, turn_idx int, ts_s string",
+    ).selectExpr("user_id", "turn_idx", "cast(ts_s as timestamp) as ts")
+    m = FeatureModel(entity_key="user_id", order=("turn_idx",), event_time="ts")
+    out = m.materialize(spine, ["user_id", "region"], variables={"region": "emea"})
+    assert out.collect()[0]["region"] == "emea"
+
+
+def test_j1_tier5_ambiguous_source_field_rejected(spark):
+    from funcify_feature_eng_spark.plans.model import FeatureModel, PlanError
+
+    spine = spark.createDataFrame(
+        [("u1", 0, "2024-01-01 00:00:00")],
+        "user_id string, turn_idx int, ts_s string",
+    ).selectExpr("user_id", "turn_idx", "cast(ts_s as timestamp) as ts")
+    a = spark.createDataFrame([("u1", 1)], "user_id string, score int")
+    b = spark.createDataFrame([("u1", 2)], "user_id string, score int")
+    m = FeatureModel(entity_key="user_id", order=("turn_idx",), event_time="ts")
+    m.register_source("a", a)
+    m.register_source("b", b)
+    with pytest.raises(PlanError, match="ambiguous"):
+        m.materialize(spine, ["user_id", "score"])
+
+
+def test_j3_per_domain_last_updated_registry(spark):
+    """Two right-side stores with DIFFERENT timestamp columns, neither
+    passing right_ts at declare time — the per-domain @lastUpdated registry
+    supplies each (StandardQueryConnector.kt:2512-2602)."""
+    from funcify_feature_eng_spark.plans.model import FeatureModel, PlanError
+
+    spine = spark.createDataFrame(
+        [("u1", 0, "2024-01-02 00:00:00")],
+        "user_id string, turn_idx int, ts_s string",
+    ).selectExpr("user_id", "turn_idx", "cast(ts_s as timestamp) as ts")
+    s1 = spark.createDataFrame(
+        [("u1", "2024-01-01 00:00:00", 10)], "user_id string, updated_at_s string, v int"
+    ).selectExpr("user_id", "cast(updated_at_s as timestamp) as updated_at", "v")
+    s2 = spark.createDataFrame(
+        [("u1", "2024-01-01 12:00:00", 20)], "user_id string, effective_ts_s string, w int"
+    ).selectExpr("user_id", "cast(effective_ts_s as timestamp) as effective_ts", "w")
+
+    m = FeatureModel(entity_key="user_id", order=("turn_idx",), event_time="ts")
+    m.register_store("s1", s1, last_updated="updated_at")
+    m.register_store("s2", s2, last_updated="effective_ts")
+    m.declare_asof_feature("f1", store="s1", value_col="v")
+    m.declare_asof_feature("f2", store="s2", value_col="w")
+    row = m.materialize(spine, ["user_id", "f1", "f2"]).collect()[0]
+    assert (row["f1"], row["f2"]) == (10, 20)
+
+    # missing registry entry AND no explicit right_ts → plan error
+    m2 = FeatureModel(entity_key="user_id", order=("turn_idx",), event_time="ts")
+    m2.register_store("s1", s1)
+    m2.declare_asof_feature("f1", store="s1", value_col="v")
+    with pytest.raises(PlanError, match="lastUpdated"):
+        m2.materialize(spine, ["user_id", "f1"])
+
+    # bad registry column rejected at registration
+    with pytest.raises(PlanError, match="not in its columns"):
+        m2.register_store("bad", s1, last_updated="nope")
+
+
+def test_p6_transformer_input_schema_validation(spark):
+    """Declared arg types are enforced against the bound columns at plan
+    time (DefaultJacksonJqTransformer.kt:89-113 analog)."""
+    from funcify_feature_eng_spark.functions.registry import default_registry
+    from funcify_feature_eng_spark.functions.yaml_loader import load_transformers_yaml
+    from funcify_feature_eng_spark.plans.model import FeatureModel, PlanError
+
+    reg = default_registry()
+    load_transformers_yaml(
+        reg,
+        """
+transformers:
+  - name: halve
+    args: [input]
+    types: {input: number}
+    expr: "input / 2.0"
+  - name: shout
+    args: [input]
+    types: {input: string}
+    expr: "upper(input)"
+""",
+    )
+    spine = spark.createDataFrame(
+        [("u1", 0, "2024-01-01 00:00:00", 4.0, "hi")],
+        "user_id string, turn_idx int, ts_s string, x double, s string",
+    ).selectExpr("user_id", "turn_idx", "cast(ts_s as timestamp) as ts", "x", "s")
+
+    m = FeatureModel(entity_key="user_id", order=("turn_idx",), event_time="ts",
+                     registry=reg)
+    m.declare_transformer_feature("hx", "halve", ["x"])      # number ✓ (double)
+    m.declare_transformer_feature("up", "shout", ["s"])      # string ✓
+    row = m.materialize(spine, ["hx", "up"]).collect()[0]
+    assert (row["hx"], row["up"]) == (2.0, "HI")
+
+    m.declare_transformer_feature("bad", "shout", ["x"])     # double vs string ✗
+    with pytest.raises(PlanError, match="expects type 'string'"):
+        m.materialize(spine, ["bad"])
