@@ -183,6 +183,63 @@ def q_top_events_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_window_fills(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ffill / bfill / lead coverage (§2.5): last and next purchase value per
+    user plus the next event type — all three share ONE window exchange."""
+    from funcify_feature_eng_spark.operators.windows import (
+        bfill_col,
+        ffill_col,
+        lead_col,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    keys, order = ("user_id",), ("ts", "event_id")
+    ev = ev.withColumn(
+        "__pv", F.when(F.col("event_type") == "purchase", F.col("value"))
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        ffill_col("__pv", keys, order).alias("last_purchase_value"),
+        lead_col("event_type", keys, order).alias("next_event_type"),
+        bfill_col("__pv", keys, order).alias("future_purchase_value"),
+    )
+
+
+def q_golden_scalars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1/F3 golden transformers in the driver gate (exact jq semantics:
+    jq-transformers.yml:2-19)."""
+    from funcify_feature_eng_spark.functions.scalars import (
+        extract_decade,
+        negative_to_null,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        negative_to_null(F.col("value") - F.lit(100.0)).alias("value_minus_100"),
+        extract_decade(F.year("ts")).alias("yy"),
+    )
+
+
+def q_doc_list_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2/F6/F7 golden transformers: list split + size, name components."""
+    from funcify_feature_eng_spark.functions.scalars import (
+        first_name,
+        last_name,
+        list_size,
+        split_list,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        list_size(split_list(F.col("text"), " ")).alias("n_items"),
+        first_name(F.col("text")).alias("first_tok"),
+        last_name(F.col("text")).alias("last_tok"),
+    )
+
+
 def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
@@ -425,6 +482,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "next_purchase_shuffle": q_next_purchase_shuffle,
         "request_doc_features": q_request_doc_features,
         "top_events_per_user": q_top_events_per_user,
+        "window_fills": q_window_fills,
+        "golden_scalars": q_golden_scalars,
+        "doc_list_ops": q_doc_list_ops,
         "pricing_summary": q_pricing_summary,
         "dedup_exact": q_dedup_exact,
         "doc_stats": q_doc_stats,
@@ -676,6 +736,35 @@ SELECT event_id, user_id, event_type, prior_event_type,
 FROM g
 """,
         "top_events_per_user": _TOP_EVENTS_SQL,
+        "window_fills": """
+SELECT event_id, user_id,
+       last_value(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
+         OVER wpast AS last_purchase_value,
+       lead(event_type) OVER w AS next_event_type,
+       first_value(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
+         OVER wfut AS future_purchase_value
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id),
+       wpast AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+       wfut AS (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+""",
+        "golden_scalars": """
+SELECT event_id,
+       CASE WHEN (value - 100.0) >= 0 THEN value - 100.0 END AS value_minus_100,
+       CAST(CASE WHEN year(ts) >= 1900 THEN year(ts) % 100 END AS INT) AS yy
+FROM events
+""",
+        "doc_list_ops": """
+SELECT doc_id,
+       CASE WHEN text IS NOT NULL AND length(text) > 0
+            THEN CAST(len(str_split(text, ' ')) AS INT) END AS n_items,
+       regexp_split_to_array(trim(text), '\\s+')[1] AS first_tok,
+       CASE WHEN len(regexp_split_to_array(trim(text), '\\s+')) > 1
+            THEN regexp_split_to_array(trim(text), '\\s+')[-1] END AS last_tok
+FROM documents
+""",
         "pricing_summary": _PRICING_SQL,
         "dedup_exact": _DEDUP_EXACT_SQL,
         "doc_stats": _DOC_STATS_SQL,

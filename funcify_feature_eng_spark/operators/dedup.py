@@ -149,18 +149,20 @@ def minhash_lsh_pairs(
     assert num_hashes % bands == 0
     rows_per_band = num_hashes // bands
 
-    # 1) collapse exact duplicates: one representative text per fingerprint
+    # 1) collapse exact duplicates: one representative text per fingerprint.
+    # membership is a map-only projection (fingerprint is per-row); the rep
+    # pick is ONE min_by aggregation with map-side partial combine — cheaper
+    # than a window sort, and the only corpus-wide shuffle in the collapse.
     docs = df.select(
         F.col(id_col).alias("doc"),
         F.col(text_col).alias("__text"),
         fingerprint64(F.col(text_col)).alias("fp"),
     )
-    wfp = Window.partitionBy("fp").orderBy(F.col("doc").asc())
-    membership = docs.select("doc", "fp").withColumn("grp_rn", F.row_number().over(wfp))
+    membership = docs.select("doc", "fp")
     reps = (
-        docs.withColumn("grp_rn", F.row_number().over(wfp))
-        .filter(F.col("grp_rn") == 1)
-        .select("doc", "fp", "__text")
+        docs.groupBy("fp")
+        .agg(F.min_by(F.struct("doc", "__text"), F.col("doc")).alias("__r"))
+        .select(F.col("__r.doc").alias("doc"), "fp", F.col("__r.__text").alias("__text"))
     )
 
     # 2) signature + gram-hash base, persisted (reused 3x: banding, verify a/b)
