@@ -294,6 +294,32 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.orderBy(F.col("cos_e4").desc(), F.col("vec_id").asc()).limit(10)
 
 
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN scale path in the gate: random-hyperplane LSH probe (Hamming ≤ 2
+    of the query signature) + exact cosine rerank of the probed rows only.
+    The hyperplanes are seeded literals shared verbatim with the DuckDB twin,
+    so both engines compute identical signatures."""
+    import numpy as np
+
+    from funcify_feature_eng_spark.functions.vectors import hyperplane_signature
+    from funcify_feature_eng_spark.operators.similarity import make_hyperplanes
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    planes = make_hyperplanes(len(qvec), n_planes=12, seed=42)
+    qsig = sum((1 << i) for i, p in enumerate(planes) if float(np.dot(qvec, p)) >= 0)
+    sig = emb.filter(F.col("vec_id") != 0).withColumn(
+        "__sig", hyperplane_signature(F.col("embedding"), planes)
+    )
+    probed = sig.filter(F.bit_count(F.col("__sig").bitwiseXOR(F.lit(qsig))) <= 2)
+    scored = probed.select(
+        "vec_id",
+        F.floor(cosine(F.col("embedding"), F.array(*[F.lit(float(x)) for x in qvec]))
+                * F.lit(10000.0)).alias("cos_e4"),
+    )
+    return scored.orderBy(F.col("cos_e4").desc(), F.col("vec_id").asc()).limit(10)
+
+
 def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact all-pairs n-gram Jaccard — intrinsically O(sum df²); the scale
     path is minhash_lsh_pairs. SPARK_GRAFT_NGRAM_CAP (bench) bounds the
@@ -490,6 +516,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_stats": q_doc_stats,
         "lang_id": q_lang_id,
         "ann_cosine_topk": q_ann_cosine_topk,
+        "ann_lsh_topk": q_ann_lsh_topk,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash_near_pairs": q_simhash_near_pairs,
@@ -699,6 +726,37 @@ FROM t
 """
 
 
+def _ann_lsh_sql() -> str:
+    """DuckDB twin of q_ann_lsh_topk: identical literal hyperplanes; the
+    Hamming distance is the count of per-plane sign disagreements with the
+    query's signs (no packed-long bit ops needed)."""
+    from funcify_feature_eng_spark.operators.similarity import make_hyperplanes
+
+    planes = make_hyperplanes(64, n_planes=12, seed=42)
+
+    def arr(p: list[float]) -> str:
+        return "[" + ", ".join(repr(float(x)) for x in p) + "]"
+
+    ham = " + ".join(
+        f"(CASE WHEN (list_dot_product(e.embedding::DOUBLE[], {arr(p)}) >= 0) "
+        f"<> (list_dot_product(q.qe, {arr(p)}) >= 0) THEN 1 ELSE 0 END)"
+        for p in planes
+    )
+    return f"""
+WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0),
+s AS (
+  SELECT e.vec_id,
+         ({ham}) AS hamming,
+         list_dot_product(e.embedding::DOUBLE[], q.qe) /
+         (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) *
+          sqrt(list_dot_product(q.qe, q.qe))) AS c
+  FROM embeddings e, q WHERE e.vec_id <> 0
+)
+SELECT vec_id, CAST(floor(c * 10000.0) AS BIGINT) AS cos_e4
+FROM s WHERE hamming <= 2 ORDER BY cos_e4 DESC, vec_id ASC LIMIT 10
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "turn_features": _TURN_FEATURES_SQL,
@@ -770,6 +828,7 @@ FROM documents
         "doc_stats": _DOC_STATS_SQL,
         "lang_id": _lang_sql(),
         "ann_cosine_topk": _ANN_SQL,
+        "ann_lsh_topk": _ann_lsh_sql(),
         "ngram_jaccard_pairs": _NGRAM_JACCARD_SQL,
         "top_nations_revenue": _TOP_NATIONS_SQL,
         "event_sequences": _EVENT_SEQ_SQL,
