@@ -480,6 +480,35 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_media_features(attach_fake_media(docs, "doc_id"), batch_cols=("doc_id",))
 
 
+def q_doc_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-shard fixed-budget sequence packing (LLM pretraining batch prep):
+    one window pass per shard, no global sort (operators/packing.py)."""
+    from funcify_feature_eng_spark.operators.packing import pack_documents
+
+    docs = _t(spark, sf_dir, "documents")
+    docs = docs.withColumn("n_tokens", token_count(F.col("text")))
+    out = pack_documents(
+        docs, "doc_id", "n_tokens", budget=2048,
+        shard_col=F.pmod(F.col("doc_id"), F.lit(8)),
+    )
+    return out.select(
+        "doc_id", F.col("shard").cast("int").alias("shard"), "pack_id", "offset_in_pack"
+    )
+
+
+def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs → connected components (the retention-policy input):
+    iterative min-label propagation, one shuffle per round
+    (operators/graph.py)."""
+    from funcify_feature_eng_spark.operators.graph import connected_components
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, "doc_id", "text", num_hashes=64, bands=16,
+                              shingle_k=3, verify_threshold=0.5)
+    comp = connected_components(pairs, "doc_a", "doc_b")
+    return comp.select(F.col("node").alias("doc_id"), F.col("comp").alias("cluster_id"))
+
+
 def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return minhash_lsh_pairs(docs, "doc_id", "text", num_hashes=64, bands=16,
@@ -518,6 +547,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "doc_packing": q_doc_packing,
+        "dup_clusters": q_dup_clusters,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash_near_pairs": q_simhash_near_pairs,
         "top_nations_revenue": q_top_nations_revenue,
@@ -864,6 +895,41 @@ SELECT doc_id,
             THEN len(regexp_split_to_array(trim(text), '\\s+')) ELSE 0 END AS INTEGER)
        AS n_tokens_py
 FROM documents
+""",
+        "doc_packing": """
+WITH t AS (
+  SELECT doc_id, doc_id % 8 AS shard,
+         CASE WHEN length(trim(text)) > 0
+              THEN len(regexp_split_to_array(trim(text), '\\s+')) ELSE 0 END AS n_tokens
+  FROM documents
+), c AS (
+  SELECT doc_id, shard, n_tokens,
+         SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           - n_tokens AS start_tok
+  FROM t
+)
+SELECT doc_id, CAST(shard AS INT) AS shard,
+       CAST(floor(start_tok / 2048) AS BIGINT) AS pack_id,
+       CAST(start_tok % 2048 AS BIGINT) AS offset_in_pack
+FROM c
+""",
+        # dup_clusters: transitive closure over the (fixture) dup-pair graph;
+        # tractable in DuckDB at gate scale, while the Spark side runs the
+        # iterative min-label propagation that scales
+        "dup_clusters": """
+WITH RECURSIVE pairs AS (
+  SELECT doc_a, doc_b FROM '/root/repo/fixtures/minhash_pairs_sf0.01.parquet'
+), edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION
+  SELECT doc_b AS a, doc_a AS b FROM pairs
+), reach AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+)
+SELECT a AS doc_id, least(a, MIN(b)) AS cluster_id FROM reach GROUP BY a
 """,
         # minhash/simhash depend on Spark's xxhash64, which DuckDB cannot
         # compute — the oracle is a parquet fixture precomputed by an

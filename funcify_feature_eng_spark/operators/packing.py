@@ -1,0 +1,59 @@
+"""Sequence packing for LLM training pipelines.
+
+Packing concatenates documents into fixed-token-budget training sequences.
+The scalable formulation is *per-shard prefix-sum packing*: shard the corpus
+(documents are independent), order deterministically within the shard, and
+assign each document to the pack containing its start offset
+(``floor(prefix_tokens / budget)``). One window pass per shard, no global
+sort, embarrassingly parallel across shards — the 100 TB posture. Documents
+may straddle pack boundaries (standard for packed pretraining batches where
+the loader chunks the concatenated stream); ``offset_in_pack`` gives the
+straddle position.
+
+This is an engine extension beyond the reference (its pipeline stops at
+feature vectors); it lives with the other training-data operators
+(SURVEY.md "training-data pipeline extensions").
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def pack_documents(
+    df: DataFrame,
+    id_col: str,
+    token_col: str | Column,
+    budget: int,
+    shard_col: str | Column | None = None,
+    order: Sequence[str] | None = None,
+) -> DataFrame:
+    """Assign each document a (shard, pack_id, offset_in_pack).
+
+    ``shard_col`` defaults to a single shard (small data); at scale pass a
+    shard expression (e.g. ``F.pmod(F.col(id), F.lit(1024))``) so each shard
+    packs independently in one window pass. ``order`` defaults to the id —
+    any deterministic total order within the shard works.
+    """
+    tok = F.col(token_col) if isinstance(token_col, str) else token_col
+    shard = (
+        F.lit(0) if shard_col is None
+        else (F.col(shard_col) if isinstance(shard_col, str) else shard_col)
+    )
+    order_cols = [F.col(c).asc() for c in (order or [id_col])]
+    out = df.withColumn("__shard", shard)
+    w = (
+        Window.partitionBy("__shard")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = F.sum(tok).over(w)
+    start = cum - tok  # prefix tokens strictly before this document
+    return (
+        out.withColumn("pack_id", F.floor(start / F.lit(budget)))
+        .withColumn("offset_in_pack", start % F.lit(budget))
+        .withColumnRenamed("__shard", "shard")
+    )

@@ -1,0 +1,69 @@
+"""Sequence packing and dup-cluster (connected components) operators."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from funcify_feature_eng_spark.operators.graph import (
+    connected_components,
+    keep_best_per_cluster,
+)
+from funcify_feature_eng_spark.operators.packing import pack_documents
+
+
+def test_pack_documents_offsets_and_straddle(spark):
+    docs = spark.createDataFrame(
+        [(1, 1000), (2, 1000), (3, 100), (4, 2000), (5, 1)],
+        "doc_id long, n_tokens int",
+    )
+    out = {
+        r["doc_id"]: (r["pack_id"], r["offset_in_pack"])
+        for r in pack_documents(docs, "doc_id", "n_tokens", budget=2048).collect()
+    }
+    # prefix starts: 0, 1000, 2000, 2100, 4100
+    assert out[1] == (0, 0)
+    assert out[2] == (0, 1000)      # straddles the 2048 boundary — starts in pack 0
+    assert out[3] == (0, 2000)
+    assert out[4] == (1, 2100 - 2048)
+    assert out[5] == (2, 4100 - 2 * 2048)
+
+
+def test_pack_documents_shards_are_independent(spark):
+    docs = spark.createDataFrame(
+        [(i, 500) for i in range(8)], "doc_id long, n_tokens int"
+    )
+    out = pack_documents(
+        docs, "doc_id", "n_tokens", budget=1000,
+        shard_col=F.pmod(F.col("doc_id"), F.lit(2)),
+    ).collect()
+    by_doc = {r["doc_id"]: (r["shard"], r["pack_id"]) for r in out}
+    # each shard has 4 docs of 500 tokens → packs 0,0,1,1 within the shard
+    for doc_id, (_shard, pack) in by_doc.items():
+        assert pack == (doc_id // 2) // 2
+
+
+def test_connected_components_known_graph(spark):
+    # components: {1,2,3,4} (chain), {10,11}, isolated nodes don't appear
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "doc_a long, doc_b long"
+    )
+    comp = {r["node"]: r["comp"] for r in connected_components(edges).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_keep_best_per_cluster(spark):
+    docs = spark.createDataFrame(
+        [(1, 0.5), (2, 0.9), (3, 0.9), (4, 0.1), (10, 0.2), (99, 0.0)],
+        "doc_id long, quality double",
+    )
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4)], "doc_a long, doc_b long"
+    )
+    comp = connected_components(edges)
+    kept = sorted(
+        r["doc_id"]
+        for r in keep_best_per_cluster(docs, comp, "doc_id", "quality").collect()
+    )
+    # cluster {1,2,3,4}: best quality 0.9 tie between 2 and 3 → smaller id 2;
+    # 10 and 99 are singletons (no dup pair) → kept
+    assert kept == [2, 10, 99]
