@@ -480,6 +480,56 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_media_features(attach_fake_media(docs, "doc_id"), batch_cols=("doc_id",))
 
 
+def q_doc_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment (operators/sampling.py).
+    The oracle uses the mod-bucket variant; production uses hash=True
+    (xxhash64 buckets — layout- and rerun-stable), covered by pytest."""
+    from funcify_feature_eng_spark.operators.sampling import assign_split
+
+    docs = _t(spark, sf_dir, "documents")
+    out = assign_split(
+        docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1},
+        resolution=100, hash=False,
+    )
+    return out.select("doc_id", "split")
+
+
+def q_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group quantiles (data-quality stats). Exact quantiles sort
+    within groups — fine for dashboard-scale groups; at 100 TB row counts use
+    approx_percentile (t-digest) instead, same call shape."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("p50"),
+        F.percentile("value", F.lit(0.9)).alias("p90"),
+        F.percentile("value", F.lit(0.99)).alias("p99"),
+    )
+
+
+def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram per event type (one groupBy, map-side combine)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type", F.floor(F.col("value") / F.lit(50.0)).alias("bin"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def q_events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot/crosstab reshaping: per-user event-type counts as columns."""
+    ev = _t(spark, sf_dir, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    out = (
+        ev.groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+    )
+    # pivot leaves NULL for absent combos; normalize to 0 for the oracle
+    return out.select(
+        "user_id", *[F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}") for t in types]
+    )
+
+
 def q_doc_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-shard fixed-budget sequence packing (LLM pretraining batch prep):
     one window pass per shard, no global sort (operators/packing.py)."""
@@ -547,6 +597,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "doc_split": q_doc_split,
+        "value_quantiles": q_value_quantiles,
+        "value_histogram": q_value_histogram,
+        "events_pivot": q_events_pivot,
         "doc_packing": q_doc_packing,
         "dup_clusters": q_dup_clusters,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
@@ -895,6 +949,33 @@ SELECT doc_id,
             THEN len(regexp_split_to_array(trim(text), '\\s+')) ELSE 0 END AS INTEGER)
        AS n_tokens_py
 FROM documents
+""",
+        "doc_split": """
+SELECT doc_id,
+       CASE WHEN doc_id % 100 < 80 THEN 'train'
+            WHEN doc_id % 100 < 90 THEN 'val'
+            ELSE 'test' END AS split
+FROM documents
+""",
+        "value_quantiles": """
+SELECT event_type,
+       quantile_cont(value, 0.5) AS p50,
+       quantile_cont(value, 0.9) AS p90,
+       quantile_cont(value, 0.99) AS p99
+FROM events GROUP BY event_type
+""",
+        "value_histogram": """
+SELECT event_type, CAST(floor(value / 50.0) AS BIGINT) AS bin, COUNT(*) AS n
+FROM events GROUP BY event_type, floor(value / 50.0)
+""",
+        "events_pivot": """
+SELECT user_id,
+       CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+       CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+       CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+       CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+       CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view
+FROM events GROUP BY user_id
 """,
         "doc_packing": """
 WITH t AS (

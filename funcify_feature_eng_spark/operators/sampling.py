@@ -1,0 +1,61 @@
+"""Deterministic splitting & sampling for training-data pipelines.
+
+Train/val/test assignment and subsampling at 100 TB must be (a) stable
+across reruns and cluster layouts, (b) a pure map over the id — never a
+global shuffle or a random() that changes per task retry. Both operators key
+on a 64-bit content hash of the id (xxhash64, same family the dedup
+fingerprints use): bucket = pmod(xxhash64(id), resolution).
+
+``bucket_expr(..., hash=False)`` switches to plain ``pmod(id, resolution)``
+for cross-engine oracle checks (modulo is SQL-universal; the hash variant is
+what production uses and is covered by tests/fixtures).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def bucket_expr(id_col: str | Column, resolution: int = 10_000, hash: bool = True) -> Column:
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    key = F.xxhash64(c) if hash else c
+    return F.pmod(key, F.lit(resolution))
+
+
+def assign_split(
+    df: DataFrame,
+    id_col: str,
+    weights: dict[str, float],
+    out_col: str = "split",
+    resolution: int = 10_000,
+    hash: bool = True,
+) -> DataFrame:
+    """Stable split assignment: id → bucket → first split whose cumulative
+    weight covers the bucket. Weights must sum to 1 (±1e-9)."""
+    total = sum(weights.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split weights must sum to 1, got {total}")
+    b = bucket_expr(id_col, resolution, hash)
+    expr = None
+    acc = 0.0
+    items = list(weights.items())
+    for name, w in items[:-1]:
+        acc += w
+        cond = b < int(round(acc * resolution))
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    last = items[-1][0]
+    expr = F.lit(last) if expr is None else expr.otherwise(F.lit(last))
+    return df.withColumn(out_col, expr)
+
+
+def deterministic_sample(
+    df: DataFrame,
+    id_col: str,
+    fraction: float,
+    resolution: int = 10_000,
+    hash: bool = True,
+) -> DataFrame:
+    """Keep ~fraction of rows, stably (same ids every run, layout-independent
+    — unlike ``df.sample`` whose output depends on partitioning)."""
+    return df.filter(bucket_expr(id_col, resolution, hash) < int(round(fraction * resolution)))

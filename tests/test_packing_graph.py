@@ -67,3 +67,36 @@ def test_keep_best_per_cluster(spark):
     # cluster {1,2,3,4}: best quality 0.9 tie between 2 and 3 → smaller id 2;
     # 10 and 99 are singletons (no dup pair) → kept
     assert kept == [2, 10, 99]
+
+
+def test_assign_split_hash_stable_and_weighted(spark):
+    from funcify_feature_eng_spark.operators.sampling import (
+        assign_split,
+        deterministic_sample,
+    )
+
+    docs = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    out = assign_split(docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    counts = {r["split"]: r["n"] for r in
+              out.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert set(counts) == {"train", "val", "test"}
+    assert 0.7 < counts["train"] / 2000 < 0.9          # hash buckets ≈ weights
+    # stability: same ids → same assignment on recompute
+    a = {r["doc_id"]: r["split"] for r in out.collect()}
+    b = {r["doc_id"]: r["split"] for r in
+         assign_split(docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}).collect()}
+    assert a == b
+    # sample ⊂ ids, deterministic, ≈ fraction
+    s1 = {r["doc_id"] for r in deterministic_sample(docs, "doc_id", 0.25).collect()}
+    s2 = {r["doc_id"] for r in deterministic_sample(docs, "doc_id", 0.25).collect()}
+    assert s1 == s2 and 0.18 < len(s1) / 2000 < 0.32
+
+
+def test_split_weights_must_sum_to_one(spark):
+    import pytest as _pytest
+
+    from funcify_feature_eng_spark.operators.sampling import assign_split
+
+    docs = spark.range(3).withColumnRenamed("id", "doc_id")
+    with _pytest.raises(ValueError, match="sum to 1"):
+        assign_split(docs, "doc_id", {"a": 0.5, "b": 0.2})
