@@ -320,6 +320,47 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.orderBy(F.col("cos_e4").desc(), F.col("vec_id").asc()).limit(10)
 
 
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN in the gate: coarse-quantize every vector to its nearest
+    centroid, probe the 2 centroids nearest the query, exact-rerank only the
+    probed clusters (operators/similarity.py::ivf_assign). Centroids here
+    are data-derived literals (the embeddings of vec_id 1..16) so the DuckDB
+    twin computes the identical assignment; production centroids come from
+    make_ivf_centroids (seeded Lloyd) with partition-by-cluster at ingest."""
+    from funcify_feature_eng_spark.operators.similarity import ivf_assign
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cent_rows = (
+        emb.filter((F.col("vec_id") >= 1) & (F.col("vec_id") <= 16))
+        .orderBy("vec_id").select("embedding").collect()
+    )
+    centroids = [[float(x) for x in r[0]] for r in cent_rows]  # index i ↔ vec_id i+1
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]]
+
+    def seq_cos(a: list[float], b: list[float]) -> float:
+        dot = n1 = n2 = 0.0
+        for x, y in zip(a, b):  # sequential fold — mirrors the engines' order
+            dot += x * y
+            n1 += x * x
+            n2 += y * y
+        return dot / ((n1 ** 0.5) * (n2 ** 0.5))
+
+    ranked = sorted(
+        range(len(centroids)),
+        key=lambda i: (seq_cos(qvec, centroids[i]), i),
+        reverse=True,
+    )
+    probes = ranked[:2]
+    assigned = ivf_assign(emb.filter(F.col("vec_id") != 0), centroids)
+    pruned = assigned.filter(F.col("ivf_cluster").isin(probes))
+    scored = pruned.select(
+        "vec_id",
+        F.floor(cosine(F.col("embedding"), F.array(*[F.lit(x) for x in qvec]))
+                * F.lit(10000.0)).alias("cos_e4"),
+    )
+    return scored.orderBy(F.col("cos_e4").desc(), F.col("vec_id").asc()).limit(10)
+
+
 def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact all-pairs n-gram Jaccard — intrinsically O(sum df²); the scale
     path is minhash_lsh_pairs. SPARK_GRAFT_NGRAM_CAP (bench) bounds the
@@ -596,6 +637,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "doc_split": q_doc_split,
         "value_quantiles": q_value_quantiles,
@@ -914,6 +956,38 @@ FROM documents
         "lang_id": _lang_sql(),
         "ann_cosine_topk": _ANN_SQL,
         "ann_lsh_topk": _ann_lsh_sql(),
+        # IVF: identical tie rule to ivf_assign's greatest-struct (equal
+        # cosine → larger index wins → cid DESC); centroids are vec_id 1..16
+        "ann_ivf_topk": """
+WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0),
+cents AS (
+  SELECT vec_id AS cid, embedding::DOUBLE[] AS ce
+  FROM embeddings WHERE vec_id BETWEEN 1 AND 16
+),
+probes AS (
+  SELECT cid FROM cents, q
+  ORDER BY list_dot_product(q.qe, ce) /
+           (sqrt(list_dot_product(q.qe, q.qe)) * sqrt(list_dot_product(ce, ce))) DESC,
+           cid DESC
+  LIMIT 2
+),
+assigned AS (
+  SELECT e.vec_id, e.embedding::DOUBLE[] AS v,
+         (SELECT cid FROM cents
+           ORDER BY list_dot_product(e.embedding::DOUBLE[], ce) /
+                    (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) *
+                     sqrt(list_dot_product(ce, ce))) DESC,
+                    cid DESC
+           LIMIT 1) AS cl
+  FROM embeddings e WHERE e.vec_id <> 0
+)
+SELECT vec_id,
+       CAST(floor(list_dot_product(v, q.qe) /
+                  (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(q.qe, q.qe)))
+                  * 10000.0) AS BIGINT) AS cos_e4
+FROM assigned, q WHERE cl IN (SELECT cid FROM probes)
+ORDER BY cos_e4 DESC, vec_id ASC LIMIT 10
+""",
         "ngram_jaccard_pairs": _NGRAM_JACCARD_SQL,
         "top_nations_revenue": _TOP_NATIONS_SQL,
         "event_sequences": _EVENT_SEQ_SQL,

@@ -33,11 +33,14 @@ def connected_components(
         .distinct()
         .persist()
     )
+    # localCheckpoint (eager) per round truncates the lazy lineage — without
+    # it an N-round loop hands downstream consumers an N-times-unrolled plan
+    # (thousands of phantom exchanges in EXPLAIN, ballooning analysis time)
     labels = (
         sym.select(F.col("a").alias("node"))
         .distinct()
         .withColumn("comp", F.col("node"))
-        .persist()
+        .localCheckpoint()
     )
     for _ in range(max_iters):
         # neighbor minimum: node <- min(comp over neighbors ∪ self)
@@ -52,7 +55,7 @@ def connected_components(
                 "node",
                 F.least(F.col("comp"), F.coalesce("nbr_comp", "comp")).alias("comp"),
             )
-            .persist()
+            .localCheckpoint()
         )
         changed = (
             new_labels.alias("n")
@@ -60,7 +63,6 @@ def connected_components(
             .filter(F.col("n.comp") != F.col("o.comp"))
             .count()
         )
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break
