@@ -37,9 +37,20 @@ MINHASH = dict(num_hashes=64, bands=16, shingle_k=3, verify_threshold=0.5,
 SIMHASH = dict(max_hamming=3, bucket_cap=256)
 
 
+# Java/Spark semantics, NOT Python's: Spark trim() strips only the SPACE
+# character (0x20), and Java \s is ASCII [ \t\n\x0B\f\r] — Python str.strip()
+# and re's \s additionally strip/match unicode whitespace (\xa0,  , …),
+# which would silently diverge from the engine on non-ASCII corpora.
+_JWS = r"[ \t\n\x0b\f\r]+"
+
+
+def _jtrim(s: str) -> str:
+    return s.strip(" ")
+
+
 def _tokens(text: str) -> list[str]:
-    t = text.strip()
-    return re.split(r"\s+", t) if t else []
+    t = _jtrim(text)
+    return re.split(_JWS, t) if t else []
 
 
 def _shingles(text: str, k: int) -> list[str]:
@@ -50,7 +61,7 @@ def _shingles(text: str, k: int) -> list[str]:
 
 
 def _fingerprint64(text: str) -> int:
-    return spark_xxhash64(re.sub(r"\s+", " ", text).strip().lower())
+    return spark_xxhash64(_jtrim(re.sub(_JWS, " ", text)).lower())
 
 
 def _round6_half_up(x: float) -> float:
@@ -133,8 +144,8 @@ def simhash_pairs(docs: list[tuple[int, str]]) -> list[tuple[int, int, int]]:
     sim: dict[int, int] = {}  # doc -> unsigned simhash
     for doc_id, text in docs:
         # Spark: split(lower(trim(text)), \s+) — empty text yields [""],
-        # matching re.split's behavior on ""
-        toks = re.split(r"\s+", text.strip().lower())
+        # matching re.split's behavior on ""; Java-exact trim/\s as above
+        toks = re.split(_JWS, _jtrim(text).lower())
         votes = [0] * 64
         for t in toks:
             u = spark_xxhash64(t) & M

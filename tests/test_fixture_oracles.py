@@ -48,3 +48,38 @@ def test_simhash_fixture_matches_spark(spark):
     }
     want = _fixture_rows("simhash_pairs_sf0.01.parquet")
     assert got == want
+
+
+def test_python_replication_matches_spark_on_nasty_text(spark):
+    """The fixture generator's tokenize/shingle/fingerprint replication must
+    match Spark on adversarial text: unicode whitespace (which Java's \\s and
+    trim() do NOT treat as whitespace, unlike Python's str.strip/re \\s),
+    tabs/newlines, empties, and repeated separators."""
+    import scripts.make_fixtures as mf
+    from pyspark.sql import functions as F
+
+    from funcify_feature_eng_spark.functions.text import fingerprint64, shingles
+
+    nasty = [
+        "plain words here",
+        "  leading and trailing  ",
+        "tab\tand\nnewline\x0bmix",
+        "\xa0unicode\xa0space\xa0",      # NBSP: NOT whitespace to Java
+        "thin space",                # U+2009: NOT whitespace to Java
+        "",
+        "   ",
+        "\t",
+        "one",
+        "UPPER Case MiXeD",
+        "a  b   c    d",
+    ]
+    df = spark.createDataFrame([(s,) for s in nasty], "text string")
+    rows = df.select(
+        "text",
+        shingles(F.col("text"), 3).alias("sh"),
+        fingerprint64(F.col("text")).alias("fp"),
+    ).collect()
+    for r in rows:
+        want_sh = mf._shingles(r["text"], 3)
+        assert list(r["sh"]) == want_sh, (r["text"], list(r["sh"]), want_sh)
+        assert r["fp"] == mf._fingerprint64(r["text"]), r["text"]
