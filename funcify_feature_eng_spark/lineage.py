@@ -115,6 +115,50 @@ class LineageTracker:
         )
         return result
 
+    def run_incremental(
+        self,
+        stage: str,
+        spine: DataFrame,
+        compute,
+        ts_col: str = "ts",
+    ) -> DataFrame:
+        """Watermark-based incremental refresh: process only spine rows with
+        ``ts_col`` strictly after the stage's recorded high-watermark, APPEND
+        their computed output to the stage, and advance the watermark.
+
+        ``compute(new_rows_df) -> df`` runs on the new slice only — the
+        standard production pattern for daily/hourly feature refresh (the
+        batch analog of a streaming watermark). Late rows at-or-before the
+        watermark are skipped by contract; a true backfill is
+        ``invalidate(stage)`` + full rerun. Returns the full stage output.
+        """
+        rec = self._records().get(stage)
+        out = self._out_path(stage)
+        wm = rec.get("watermark") if rec else None
+        new = spine
+        if wm is not None and os.path.exists(out):
+            new = spine.filter(F.col(ts_col) > F.lit(wm).cast("timestamp"))
+        bounds = new.agg(
+            F.count(F.lit(1)).alias("n"), F.max(F.col(ts_col)).alias("mx")
+        ).collect()[0]
+        if bounds["n"] == 0:
+            return self.spark.read.parquet(out)
+        t0 = time.time()
+        compute(new).write.mode("append" if wm is not None else "overwrite").parquet(out)
+        result = self.spark.read.parquet(out)
+        self._append(
+            {
+                "stage": stage,
+                "fingerprint": rec.get("fingerprint") if rec else "incremental",
+                "watermark": bounds["mx"].isoformat(sep=" "),
+                "n_rows": result.count(),
+                "rows_appended": bounds["n"],
+                "wall_sec": round(time.time() - t0, 3),
+                "completed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+            }
+        )
+        return result
+
     def invalidate(self, stage: str) -> None:
         """Drop a stage's record so the next run recomputes it."""
         recs = self._records()

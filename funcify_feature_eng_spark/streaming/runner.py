@@ -109,6 +109,40 @@ def stateful_turn_features_stream(
     )
 
 
+def asof_enrich_stream(
+    stream_df: DataFrame,
+    store_df: DataFrame,
+    on: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    value_cols: dict[str, str],
+    allow_exact_matches: bool = False,
+) -> DataFrame:
+    """Stream-static point-in-time enrichment: each streaming row picks up
+    the latest strictly-prior store value for its entity — the store
+    read-through (S7/J2) applied to a live stream.
+
+    Uses the broadcast as-of strategy, which is STATELESS per streaming row
+    (the static store collapses to one sorted array per entity, broadcast;
+    the lookup is a row-local array scan) — so it composes with any
+    downstream streaming operator and needs no watermark or state store.
+    This is the 100 TB posture for stream enrichment too: the stream never
+    shuffles, only the (small) store does.
+    """
+    from funcify_feature_eng_spark.operators.asof import asof_join
+
+    return asof_join(
+        stream_df.withColumn(left_ts, F.col(left_ts).cast("timestamp")),
+        store_df,
+        on=list(on),
+        left_ts=left_ts,
+        right_ts=right_ts,
+        value_cols=value_cols,
+        allow_exact_matches=allow_exact_matches,
+        strategy="broadcast",
+    )
+
+
 def session_windows_stream(
     stream_df: DataFrame,
     entity_col: str = "conv_id",

@@ -172,3 +172,40 @@ def test_feature_model_routes_asof_through_feature_store(spark, tmp_store):
     rows = out.collect()
     assert {r["g7"] for r in rows} == {'{"v":1}'}
     assert {r["g30"] for r in rows} == {'{"v":2}'}
+
+
+def test_run_incremental_processes_only_new_rows(spark, tmp_path):
+    """Watermark-based refresh: second run computes ONLY rows after the
+    recorded high-watermark and appends; watermark advances."""
+    from funcify_feature_eng_spark.lineage import LineageTracker
+
+    tracker = LineageTracker(spark, str(tmp_path / "inc"))
+    phase1 = _spine(spark)  # ts up to 2024-01-01 02:00
+
+    calls = []
+
+    def compute(df):
+        calls.append(1)
+        return df.withColumn("f", F.col("turn_idx") * 10)
+
+    out1 = tracker.run_incremental("feat", phase1, compute, ts_col="ts")
+    assert out1.count() == 3
+    rec1 = tracker.metrics("feat")
+    assert rec1["rows_appended"] == 3 and "02:00" in rec1["watermark"]
+
+    # phase 2: one old row (skipped by contract) + two new rows
+    phase2 = phase1.unionByName(
+        spark.createDataFrame(
+            [("c1", 2, "2024-01-01 05:00:00"), ("c2", 1, "2024-01-01 06:00:00"),
+             ("c9", 0, "2024-01-01 00:30:00")],  # late: before the watermark
+            "conv_id string, turn_idx int, ts_s string",
+        ).selectExpr("conv_id", "turn_idx", "cast(ts_s as timestamp) as ts")
+    )
+    out2 = tracker.run_incremental("feat", phase2, compute, ts_col="ts")
+    assert out2.count() == 5  # 3 + 2 new (late c9 row skipped)
+    rec2 = tracker.metrics("feat")
+    assert rec2["rows_appended"] == 2 and "06:00" in rec2["watermark"]
+
+    # no new data → no-op, output unchanged
+    out3 = tracker.run_incremental("feat", phase2, compute, ts_col="ts")
+    assert out3.count() == 5

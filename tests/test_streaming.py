@@ -127,3 +127,37 @@ def test_session_windows_stream_counts(spark, stream_input, tmp_path, transcript
     q.awaitTermination(120)
     got = spark.sql("select sum(n_turns) as n from sess").head()["n"]
     assert got == transcripts.count()  # every turn lands in exactly one session
+
+
+def test_asof_enrich_stream_matches_batch(spark, stream_input, data_dir, tmp_path, transcripts):
+    """Stream-static point-in-time enrichment must equal the batch as-of:
+    same strictly-prior semantics, computed per micro-batch row."""
+    import os as _os
+
+    from funcify_feature_eng_spark.operators.asof import asof_join
+    from funcify_feature_eng_spark.streaming.runner import asof_enrich_stream
+
+    fs = spark.read.parquet(_os.path.join(data_dir, "feature_store.parquet"))
+    enriched = asof_enrich_stream(
+        stream_input, fs, on=["conv_id"], left_ts="ts", right_ts="value_at_ts",
+        value_cols={"value": "asof_store_value"},
+    )
+    out_dir = str(tmp_path / "enriched_out")
+    q = (
+        enriched.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", str(tmp_path / "enrich_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out_dir).select("conv_id", "turn_idx", "asof_store_value")
+    exp = asof_join(
+        transcripts, fs, on=["conv_id"], left_ts="ts", right_ts="value_at_ts",
+        value_cols={"value": "asof_store_value"}, allow_exact_matches=False,
+        strategy="broadcast",
+    ).select("conv_id", "turn_idx", "asof_store_value")
+    assert got.count() == exp.count()
+    # anti-join both ways: streaming result ≡ batch result
+    assert got.exceptAll(exp).count() == 0
+    assert exp.exceptAll(got).count() == 0
