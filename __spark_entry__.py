@@ -521,6 +521,26 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_media_features(attach_fake_media(docs, "doc_id"), batch_cols=("doc_id",))
 
 
+def q_shows_reshaped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5 CSV scan + reshaping (StreamFunctions.kt:289-375 semantics): parse
+    duration/seasons regexes, month-name dates, comma-joined lists. Input is
+    the deterministic repo fixture CSV (the driver testdata has no raw-CSV
+    table); the oracle reads the same file via DuckDB read_csv."""
+    from funcify_feature_eng_spark.functions.scalars import list_size
+    from funcify_feature_eng_spark.sources.tables import read_netflix_csv
+
+    df = read_netflix_csv(spark, "/root/repo/fixtures/shows_raw.csv")
+    return df.select(
+        "show_id",
+        "type",
+        "release_year",
+        "duration_min",
+        "num_seasons",
+        list_size(F.col("cast")).alias("cast_count"),
+        "date_added",
+    )
+
+
 def q_doc_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic train/val/test assignment (operators/sampling.py).
     The oracle uses the mod-bucket variant; production uses hash=True
@@ -639,6 +659,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "shows_reshaped": q_shows_reshaped,
         "doc_split": q_doc_split,
         "value_quantiles": q_value_quantiles,
         "value_histogram": q_value_histogram,
@@ -1023,6 +1044,18 @@ SELECT doc_id,
             THEN len(regexp_split_to_array(trim(text), '\\s+')) ELSE 0 END AS INTEGER)
        AS n_tokens_py
 FROM documents
+""",
+        "shows_reshaped": r"""
+SELECT show_id, type,
+       CAST(release_year AS INT) AS release_year,
+       CAST(CASE WHEN regexp_extract(duration, '(\d+)\s+min', 1) <> ''
+            THEN regexp_extract(duration, '(\d+)\s+min', 1) END AS INT) AS duration_min,
+       CAST(CASE WHEN regexp_extract(duration, '(\d+)\s+[Ss]easons?', 1) <> ''
+            THEN regexp_extract(duration, '(\d+)\s+[Ss]easons?', 1) END AS INT) AS num_seasons,
+       CAST(CASE WHEN "cast" IS NOT NULL AND length("cast") > 0
+            THEN len(str_split("cast", ', ')) END AS INT) AS cast_count,
+       CAST(strptime(date_added, '%B %d, %Y') AS DATE) AS date_added
+FROM read_csv('/root/repo/fixtures/shows_raw.csv', header=true, all_varchar=true)
 """,
         "doc_split": """
 SELECT doc_id,

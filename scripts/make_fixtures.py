@@ -177,6 +177,41 @@ def simhash_pairs(docs: list[tuple[int, str]]) -> list[tuple[int, int, int]]:
     return sorted(out)
 
 
+def make_shows_csv(path: str) -> int:
+    """Raw netflix-shaped CSV derived from the deterministic gen_shows
+    fixture: duration back-formatted to '<n> min' / '<n> Season(s)', dates to
+    'Month DD, YYYY', list columns comma-joined — the S5 scan+reshaping gate
+    input (the driver testdata has no raw CSV table)."""
+    import csv
+    import datetime as dt
+
+    from funcify_feature_eng_spark.datagen import gen_shows
+
+    tbl = gen_shows().to_pylist()
+    with open(path, "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(
+            ["show_id", "type", "title", "director", "cast", "country",
+             "date_added", "release_year", "rating", "duration",
+             "listed_in", "description"]
+        )
+        for r in tbl:
+            if r["duration_min"] is not None:
+                duration = f"{r['duration_min']} min"
+            else:
+                n = r["num_seasons"]
+                duration = f"{n} Season" + ("s" if n != 1 else "")
+            d: dt.date = r["date_added"]
+            date_added = f"{d.strftime('%B')} {d.day:02d}, {d.year}"
+            w.writerow(
+                [r["show_id"], r["type"], r["title"], r["director"] or "",
+                 ", ".join(r["cast"]), r["country"] or "", date_added,
+                 r["release_year"], r["rating"], duration,
+                 ", ".join(r["listed_in"]), r["description"]]
+            )
+    return len(tbl)
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     sf = os.path.basename(sf_dir.rstrip("/"))
@@ -210,6 +245,9 @@ def main() -> None:
         os.path.join(FIXDIR, f"simhash_pairs_{sf}.parquet"),
     )
     print(f"simhash_pairs_{sf}.parquet: {len(sh)} pairs")
+
+    n = make_shows_csv(os.path.join(FIXDIR, "shows_raw.csv"))
+    print(f"shows_raw.csv: {n} rows")
 
 
 if __name__ == "__main__":
