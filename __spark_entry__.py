@@ -521,6 +521,47 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_media_features(attach_fake_media(docs, "doc_id"), batch_cols=("doc_id",))
 
 
+def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capstone: the end-to-end training-corpus curation pipeline — exact
+    dedup (keep min id per text) → near-dup clusters → keep the best-quality
+    member per cluster → language + quality filters. Composes exact_dedup,
+    minhash_lsh_pairs, connected_components, keep_best_per_cluster, lang_id
+    and quality_score into ONE job, the actual 100 TB use-case."""
+    from funcify_feature_eng_spark.functions.text import (
+        lang_id_from_tokens,
+        stopword_ratio,
+        tokens,
+    )
+    from funcify_feature_eng_spark.operators.dedup import exact_dedup
+    from funcify_feature_eng_spark.operators.graph import (
+        connected_components,
+        keep_best_per_cluster,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    n = F.length("text")
+    len_score = (
+        F.when((n >= 50) & (n <= 5000), F.lit(1.0)).when(n > 0, F.lit(0.5)).otherwise(F.lit(0.0))
+    )
+    quality = F.floor(
+        (len_score + alpha_ratio(F.col("text")) + stopword_ratio(F.col("text")))
+        / F.lit(3.0) * F.lit(1000000.0)
+    )
+    scored = docs.select(
+        "doc_id", "text",
+        quality.alias("quality_e6"),
+        lang_id_from_tokens(tokens(F.lower(F.col("text")))).alias("lang_pred"),
+    )
+    survivors = exact_dedup(scored, "doc_id", "text")
+    pairs = minhash_lsh_pairs(docs, "doc_id", "text", num_hashes=64, bands=16,
+                              shingle_k=3, verify_threshold=0.5)
+    comp = connected_components(pairs, "doc_a", "doc_b")
+    kept = keep_best_per_cluster(survivors, comp, "doc_id", "quality_e6")
+    return kept.filter(
+        (F.col("lang_pred") == "en") & (F.col("quality_e6") >= 600000)
+    ).select("doc_id", "lang_pred", "quality_e6")
+
+
 def q_shows_reshaped(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S5 CSV scan + reshaping (StreamFunctions.kt:289-375 semantics): parse
     duration/seasons regexes, month-name dates, comma-joined lists. Input is
@@ -659,6 +700,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "corpus_curation": q_corpus_curation,
         "shows_reshaped": q_shows_reshaped,
         "doc_split": q_doc_split,
         "value_quantiles": q_value_quantiles,
@@ -905,6 +947,43 @@ FROM s WHERE hamming <= 2 ORDER BY cos_e4 DESC, vec_id ASC LIMIT 10
 """
 
 
+def _corpus_curation_sql() -> str:
+    """DuckDB twin of the curation capstone: quality + lang subqueries reuse
+    the per-op oracles; near-dup components come from the fixture pair graph
+    via a recursive closure; exact dedup groups on the fingerprint's
+    normalization (Java-semantics whitespace collapse + space trim + lower)."""
+    norm = "lower(trim(regexp_replace(text, '[ \t\n\x0B\f\r]+', ' ', 'g'), ' '))"
+    return f"""
+WITH RECURSIVE qual AS ({_doc_quality_sql()}),
+lang AS ({_lang_sql()}),
+surv AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY {norm}),
+pairs AS (
+  SELECT doc_a, doc_b FROM '/root/repo/fixtures/minhash_pairs_sf0.01.parquet'
+), edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION SELECT doc_b AS a, doc_a AS b FROM pairs
+), reach AS (
+  SELECT a, b FROM edges
+  UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+), comp AS (
+  SELECT a AS doc_id, least(a, MIN(b)) AS comp FROM reach GROUP BY a
+), m AS (
+  SELECT s.doc_id, COALESCE(c.comp, s.doc_id) AS grp
+  FROM surv s LEFT JOIN comp c USING (doc_id)
+), ranked AS (
+  SELECT m.doc_id, m.grp,
+         row_number() OVER (PARTITION BY m.grp
+                            ORDER BY q.quality_e6 DESC, m.doc_id ASC) AS rn
+  FROM m JOIN qual q ON q.doc_id = m.doc_id
+)
+SELECT r.doc_id, l.lang_pred, q.quality_e6
+FROM ranked r
+JOIN lang l ON l.doc_id = r.doc_id
+JOIN qual q ON q.doc_id = r.doc_id
+WHERE r.rn = 1 AND l.lang_pred = 'en' AND q.quality_e6 >= 600000
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "turn_features": _TURN_FEATURES_SQL,
@@ -1045,6 +1124,7 @@ SELECT doc_id,
        AS n_tokens_py
 FROM documents
 """,
+        "corpus_curation": _corpus_curation_sql(),
         "shows_reshaped": r"""
 SELECT show_id, type,
        CAST(release_year AS INT) AS release_year,
