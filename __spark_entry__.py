@@ -183,6 +183,37 @@ def q_top_events_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_turn_features_segmented(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The skew-proof windowed-feature variant in the gate: (entity,
+    time-bucket) partitioning + cross-bucket prefix carry must be VALUE-EXACT
+    vs the plain one-window formulation (same oracle shape as turn_features,
+    plus a strict-prior forward-fill)."""
+    from funcify_feature_eng_spark.operators.windows_segmented import (
+        turn_features_segmented,
+    )
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "purchase_tag", F.when(F.col("event_type") == "purchase", F.col("event_type"))
+    )
+    out = turn_features_segmented(
+        ev,
+        keys=("user_id",),
+        order=("ts", "event_id"),
+        ts_col="ts",
+        role_col="event_type",
+        tool_col="purchase_tag",
+        text_col=None,
+        gap_threshold_s=GAP_S,
+        bucket_seconds=7 * 86400,  # weekly buckets → real cross-bucket carry
+    )
+    return out.select(
+        "event_id", "user_id",
+        F.col("prior_role").alias("prior_event_type"),
+        F.col("prior_tool").alias("last_purchase_tag"),
+        "gap_secs", "session_id",
+    )
+
+
 def q_window_fills(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ffill / bfill / lead coverage (§2.5): last and next purchase value per
     user plus the next event type — all three share ONE window exchange."""
@@ -689,6 +720,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "next_purchase_shuffle": q_next_purchase_shuffle,
         "request_doc_features": q_request_doc_features,
         "top_events_per_user": q_top_events_per_user,
+        "turn_features_segmented": q_turn_features_segmented,
         "window_fills": q_window_fills,
         "golden_scalars": q_golden_scalars,
         "doc_list_ops": q_doc_list_ops,
@@ -1021,6 +1053,25 @@ SELECT event_id, user_id, event_type, prior_event_type,
 FROM g
 """,
         "top_events_per_user": _TOP_EVENTS_SQL,
+        # the segmented (skew-proof) variant must equal the plain window
+        # formulation — the oracle IS the plain formulation
+        "turn_features_segmented": f"""
+WITH g AS (
+  SELECT event_id, user_id, event_type, ts,
+         lag(event_type) OVER w AS prior_event_type,
+         last_value(CASE WHEN event_type = 'purchase' THEN event_type END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_purchase_tag,
+         (epoch_us(ts) - epoch_us(lag(ts) OVER w)) / 1000000.0 AS gap_secs
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT event_id, user_id, prior_event_type, last_purchase_tag, gap_secs,
+       CAST(SUM(CASE WHEN gap_secs > {GAP_S} THEN 1 ELSE 0 END)
+            OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS INT) AS session_id
+FROM g
+""",
         "window_fills": """
 SELECT event_id, user_id,
        last_value(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
