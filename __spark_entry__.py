@@ -948,6 +948,32 @@ FROM t
 """
 
 
+def _fixture_values(filename: str, cols: list[str]) -> str:
+    """Render a fixture parquet as a typed SQL VALUES relation (tiny rows).
+
+    The fixtures are precomputed by the independent pure-Python pipeline in
+    scripts/make_fixtures.py; inlining them keeps the oracle self-contained —
+    no filesystem reads inside the driver's DuckDB connection. Columns are
+    CAST to match the parquet types (a bare float literal in VALUES would be
+    typed DECIMAL and render '0.900000' instead of the double's '0.9')."""
+    import pyarrow.parquet as pq
+
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "fixtures", filename)
+    tbl = pq.read_table(path, columns=cols)
+    sql_type = {}
+    for c in cols:
+        t = str(tbl.schema.field(c).type)
+        sql_type[c] = {"double": "DOUBLE", "float": "DOUBLE", "int64": "BIGINT",
+                       "int32": "INTEGER"}.get(t, "VARCHAR")
+    data = list(zip(*[tbl[c].to_pylist() for c in cols]))
+    typed = ", ".join(f"CAST({c} AS {sql_type[c]}) AS {c}" for c in cols)
+    if not data:
+        nulls = ", ".join(f"CAST(NULL AS {sql_type[c]}) AS {c}" for c in cols)
+        return f"SELECT {nulls} WHERE FALSE"
+    rows = ", ".join("(" + ", ".join(repr(v) for v in r) + ")" for r in data)
+    return f"SELECT {typed} FROM (VALUES {rows}) AS t({', '.join(cols)})"
+
+
 def _ann_lsh_sql() -> str:
     """DuckDB twin of q_ann_lsh_topk: identical literal hyperplanes; the
     Hamming distance is the count of per-plane sign disagreements with the
@@ -990,7 +1016,7 @@ WITH RECURSIVE qual AS ({_doc_quality_sql()}),
 lang AS ({_lang_sql()}),
 surv AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY {norm}),
 pairs AS (
-  SELECT doc_a, doc_b FROM '/root/repo/fixtures/minhash_pairs_sf0.01.parquet'
+  {_fixture_values("minhash_pairs_sf0.01.parquet", ["doc_a", "doc_b"])}
 ), edges AS (
   SELECT doc_a AS a, doc_b AS b FROM pairs
   UNION SELECT doc_b AS a, doc_a AS b FROM pairs
@@ -1236,9 +1262,9 @@ FROM c
         # dup_clusters: transitive closure over the (fixture) dup-pair graph;
         # tractable in DuckDB at gate scale, while the Spark side runs the
         # iterative min-label propagation that scales
-        "dup_clusters": """
+        "dup_clusters": f"""
 WITH RECURSIVE pairs AS (
-  SELECT doc_a, doc_b FROM '/root/repo/fixtures/minhash_pairs_sf0.01.parquet'
+  {_fixture_values("minhash_pairs_sf0.01.parquet", ["doc_a", "doc_b"])}
 ), edges AS (
   SELECT doc_a AS a, doc_b AS b FROM pairs
   UNION
@@ -1277,12 +1303,12 @@ SELECT doc_id,
        CAST(plen AS INTEGER) AS n_bytes
 FROM s
 """,
-        "minhash_lsh_pairs": (
-            "SELECT doc_a, doc_b, jaccard "
-            "FROM '/root/repo/fixtures/minhash_pairs_sf0.01.parquet'"
+        "minhash_lsh_pairs": _fixture_values(
+            "minhash_pairs_sf0.01.parquet", ["doc_a", "doc_b", "jaccard"]
         ),
         "simhash_near_pairs": (
-            "SELECT doc_a, doc_b, hamming "
-            "FROM '/root/repo/fixtures/simhash_pairs_sf0.01.parquet'"
+            "SELECT doc_a, doc_b, CAST(hamming AS INT) AS hamming FROM ("
+            + _fixture_values("simhash_pairs_sf0.01.parquet", ["doc_a", "doc_b", "hamming"])
+            + ")"
         ),
     }
