@@ -958,7 +958,20 @@ def _fixture_values(filename: str, cols: list[str]) -> str:
     typed DECIMAL and render '0.900000' instead of the double's '0.9')."""
     import pyarrow.parquet as pq
 
-    path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "fixtures", filename)
+    repo = os.path.dirname(os.path.abspath(__file__))
+    # self-healing: if the driver regenerated the sf0.01 testdata since the
+    # fixtures were built, recompute them (pure Python, seconds) instead of
+    # serving stale expected values
+    try:
+        import scripts.make_fixtures as mf
+
+        stamp_path = os.path.join(repo, "fixtures", ".stamp_sf0.01")
+        stamp = open(stamp_path).read() if os.path.exists(stamp_path) else ""
+        if stamp != mf.source_stamp("/root/testdata/sf0.01"):
+            mf.main("/root/testdata/sf0.01")
+    except FileNotFoundError:
+        pass  # no driver testdata present (unit-test environments)
+    path = os.path.join(repo, "fixtures", filename)
     tbl = pq.read_table(path, columns=cols)
     sql_type = {}
     for c in cols:

@@ -212,8 +212,15 @@ def make_shows_csv(path: str) -> int:
     return len(tbl)
 
 
-def main() -> None:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+def source_stamp(sf_dir: str) -> str:
+    """Identity of the fixture's source data: path + size + mtime_ns."""
+    p = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(p)
+    return f"{p}:{st.st_size}:{st.st_mtime_ns}"
+
+
+def main(sf_dir: str | None = None) -> None:
+    sf_dir = sf_dir or (sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01")
     sf = os.path.basename(sf_dir.rstrip("/"))
     os.makedirs(FIXDIR, exist_ok=True)
     tbl = pq.read_table(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
@@ -248,6 +255,9 @@ def main() -> None:
 
     n = make_shows_csv(os.path.join(FIXDIR, "shows_raw.csv"))
     print(f"shows_raw.csv: {n} rows")
+
+    with open(os.path.join(FIXDIR, f".stamp_{sf}"), "w") as f:
+        f.write(source_stamp(sf_dir))
 
 
 if __name__ == "__main__":
