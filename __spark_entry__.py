@@ -552,6 +552,27 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_media_features(attach_fake_media(docs, "doc_id"), batch_cols=("doc_id",))
 
 
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking: ~40-token chunks with 10-token overlap, one
+    columnar map stage (operators/chunking.py)."""
+    from funcify_feature_eng_spark.operators.chunking import chunk_documents
+
+    docs = _t(spark, sf_dir, "documents")
+    return chunk_documents(docs, "doc_id", "text", chunk_tokens=40, overlap_tokens=10)
+
+
+def q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: eval docs (doc_id % 10 == 0) checked for
+    word-5-gram overlap against the train split (the rest) via an
+    8-byte-hash inverted-index semi join (operators/contamination.py)."""
+    from funcify_feature_eng_spark.operators.contamination import contamination_report
+
+    docs = _t(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 10 != 0)
+    ev = docs.filter(F.col("doc_id") % 10 == 0)
+    return contamination_report(train, ev, "doc_id", "text", k=5, min_shared=3)
+
+
 def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Capstone: the end-to-end training-corpus curation pipeline — exact
     dedup (keep min id per text) → near-dup clusters → keep the best-quality
@@ -732,6 +753,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "doc_chunks": q_doc_chunks,
+        "decontamination": q_decontamination,
         "corpus_curation": q_corpus_curation,
         "shows_reshaped": q_shows_reshaped,
         "doc_split": q_doc_split,
@@ -1213,6 +1236,57 @@ SELECT doc_id,
             THEN len(regexp_split_to_array(trim(text), '\\s+')) ELSE 0 END AS INTEGER)
        AS n_tokens_py
 FROM documents
+""",
+        "doc_chunks": """
+WITH t AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(text)) > 0
+              THEN regexp_split_to_array(trim(text), '\\s+')
+              ELSE [] END AS tk
+  FROM documents
+), s AS (
+  SELECT doc_id, tk, len(tk) AS n,
+         CASE WHEN len(tk) > 0
+              THEN 1 + greatest(0, CAST(floor((len(tk) - 11) / 30) AS INT))
+              ELSE 0 END AS n_chunks
+  FROM t
+)
+SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+       array_to_string(tk[CAST(i*30+1 AS INT):CAST(i*30+40 AS INT)], ' ') AS chunk_text,
+       CAST(least(n - i*30, 40) AS INT) AS n_chunk_tokens
+FROM s, LATERAL (SELECT unnest(range(0, n_chunks)) AS i) u
+""",
+        "decontamination": """
+WITH docs AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(lower(text))) > 0
+              THEN regexp_split_to_array(trim(lower(text)), '\\s+')
+              ELSE [] END AS tk
+  FROM documents
+), grams AS (
+  SELECT DISTINCT doc_id,
+         CASE WHEN len(tk) >= 5
+              THEN array_to_string(tk[CAST(i AS INT):CAST(i+4 AS INT)], ' ')
+              ELSE array_to_string(tk, ' ') END AS g
+  FROM docs, LATERAL (
+    SELECT unnest(range(1, greatest(len(tk) - 3, 2))) AS i
+  ) u
+  WHERE len(tk) >= 5 OR i = 1
+), train_grams AS (
+  SELECT DISTINCT g FROM grams WHERE doc_id % 10 <> 0
+), eg AS (
+  SELECT doc_id, g FROM grams WHERE doc_id % 10 = 0
+), tot AS (
+  SELECT doc_id, COUNT(*) AS n_grams FROM eg GROUP BY doc_id
+), sh AS (
+  SELECT eg.doc_id, COUNT(*) AS n_shared
+  FROM eg JOIN train_grams tg ON tg.g = eg.g
+  GROUP BY eg.doc_id
+)
+SELECT t.doc_id, t.n_grams,
+       COALESCE(sh.n_shared, 0) AS n_shared,
+       COALESCE(sh.n_shared, 0) >= 3 AS contaminated
+FROM tot t LEFT JOIN sh ON sh.doc_id = t.doc_id
 """,
         "corpus_curation": _corpus_curation_sql(),
         "shows_reshaped": r"""
