@@ -2,16 +2,20 @@
 
 ``entry(spark)`` runs the flagship turn-feature query at sf0.001;
 ``queries()`` exposes each implemented operator over the driver testdata;
-``oracle_sql()`` carries the DuckDB-equivalent SQL (same column names and
-types) for the value-hash correctness gate. Non-SQL-expressible ops
-(MinHash LSH, SimHash — they depend on engine hash functions) have no
-oracle entry and get the rows-only check.
+``oracle_sql()`` carries a DuckDB-equivalent twin (same column names and
+types) for EVERY query. Hash-dependent ops (MinHash LSH, SimHash — they
+depend on Spark's xxhash64) are oracle-backed by precomputed fixtures from
+an independent pure-Python pipeline (scripts/make_fixtures.py over
+functions/xxh64.py, locked against Spark in tests/test_xxh64.py), inlined
+as typed VALUES and auto-regenerated when the testdata changes.
 
 Cross-engine exactness rules used throughout (so value hashes match):
 - time deltas via integer microseconds divided by 1e6 (identical doubles)
-- money/quantity aggregates in DECIMAL (exact), never float sums
+- money/quantity aggregates in DECIMAL (exact); final outputs cast to
+  DOUBLE so both engines hash one representation
 - ratios as int/int double division, or floor(x * 10^k) grids for
-  order-sensitive float reductions (cosine)
+  order-sensitive float reductions (cosine); identical operation order on
+  both sides everywhere
 """
 
 from __future__ import annotations
@@ -552,6 +556,35 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_media_features(attach_fake_media(docs, "doc_id"), batch_cols=("doc_id",))
 
 
+def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition quality signal (Gopher-style): the most frequent word
+    bigram per document and the fraction of characters its occurrences
+    cover (count x len / doc len, the standard approximation). Exploded
+    bigrams + one groupBy + one window — scalable, unlike per-row O(B²)
+    array scans."""
+    from funcify_feature_eng_spark.functions.text import shingles
+
+    docs = _t(spark, sf_dir, "documents")
+    grams = docs.select(
+        "doc_id",
+        F.length("text").alias("doc_len"),
+        F.explode(shingles(F.col("text"), 2)).alias("g"),
+    )
+    counts = grams.groupBy("doc_id", "doc_len", "g").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("cnt").desc(), F.col("g").asc())
+    top = counts.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return top.select(
+        "doc_id",
+        F.col("cnt").alias("top_bigram_count"),
+        F.floor(
+            F.lit(1000000.0)
+            * (F.col("cnt") * F.length("g") * F.lit(1.0) / F.col("doc_len"))
+        ).alias("rep_e6"),
+    )
+
+
 def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Context-window chunking: ~40-token chunks with 10-token overlap, one
     columnar map stage (operators/chunking.py)."""
@@ -753,6 +786,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "doc_repetition": q_doc_repetition,
         "doc_chunks": q_doc_chunks,
         "decontamination": q_decontamination,
         "corpus_curation": q_corpus_curation,
@@ -1236,6 +1270,33 @@ SELECT doc_id,
             THEN len(regexp_split_to_array(trim(text), '\\s+')) ELSE 0 END AS INTEGER)
        AS n_tokens_py
 FROM documents
+""",
+        "doc_repetition": """
+WITH docs AS (
+  SELECT doc_id, length(text) AS doc_len,
+         CASE WHEN length(trim(lower(text))) > 0
+              THEN regexp_split_to_array(trim(lower(text)), '\\s+')
+              ELSE [] END AS tk
+  FROM documents
+), grams AS (
+  SELECT doc_id, doc_len,
+         CASE WHEN len(tk) >= 2
+              THEN array_to_string(tk[CAST(i AS INT):CAST(i+1 AS INT)], ' ')
+              ELSE array_to_string(tk, ' ') END AS g
+  FROM docs, LATERAL (
+    SELECT unnest(range(1, greatest(len(tk), 2))) AS i
+  ) u
+  WHERE len(tk) >= 2 OR i = 1
+), counts AS (
+  SELECT doc_id, doc_len, g, COUNT(*) AS cnt FROM grams GROUP BY doc_id, doc_len, g
+), ranked AS (
+  SELECT doc_id, doc_len, g, cnt,
+         row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, g ASC) AS rn
+  FROM counts
+)
+SELECT doc_id, cnt AS top_bigram_count,
+       CAST(floor(1000000.0 * (cnt * length(g) * 1.0 / doc_len)) AS BIGINT) AS rep_e6
+FROM ranked WHERE rn = 1
 """,
         "doc_chunks": """
 WITH t AS (
