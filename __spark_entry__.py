@@ -556,6 +556,23 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_media_features(attach_fake_media(docs, "doc_id"), batch_cols=("doc_id",))
 
 
+def q_doc_nfc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC canonicalization (Arrow pandas-UDF path). The input is
+    forced non-trivial on every row by appending a DECOMPOSED a+combining-
+    acute, which NFC must compose — so the gate checks real normalization,
+    not an ASCII no-op."""
+    from funcify_feature_eng_spark.functions.text import nfc_normalize
+
+    docs = _t(spark, sf_dir, "documents")
+    raw = F.concat(F.substring("text", 1, 12), F.lit("a\u0301"))
+    return docs.select(
+        "doc_id",
+        F.length(raw).alias("len_before"),
+        nfc_normalize(raw).alias("nfc_text"),
+        F.length(nfc_normalize(raw)).alias("len_after"),
+    )
+
+
 def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Repetition quality signal (Gopher-style): the most frequent word
     bigram per document and the fraction of characters its occurrences
@@ -786,6 +803,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "doc_nfc": q_doc_nfc,
         "doc_repetition": q_doc_repetition,
         "doc_chunks": q_doc_chunks,
         "decontamination": q_decontamination,
@@ -1269,6 +1287,13 @@ SELECT doc_id,
        CAST(CASE WHEN length(trim(text)) > 0
             THEN len(regexp_split_to_array(trim(text), '\\s+')) ELSE 0 END AS INTEGER)
        AS n_tokens_py
+FROM documents
+""",
+        "doc_nfc": """
+SELECT doc_id,
+       CAST(length(substr(text, 1, 12) || 'a' || chr(769)) AS INT) AS len_before,
+       nfc_normalize(substr(text, 1, 12) || 'a' || chr(769)) AS nfc_text,
+       CAST(length(nfc_normalize(substr(text, 1, 12) || 'a' || chr(769))) AS INT) AS len_after
 FROM documents
 """,
         "doc_repetition": """

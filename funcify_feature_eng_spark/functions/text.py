@@ -138,6 +138,22 @@ def char_ngrams(c: Column, n: int = 5) -> Column:
     )
 
 
+def nfc_normalize(c: Column) -> Column:
+    """Unicode NFC normalization — text canonicalization ahead of dedup /
+    tokenization (decomposed 'a'+combining-acute → composed 'á').
+
+    Spark has no built-in normalizer, so this is the Arrow path: a
+    vectorized pandas UDF over ``unicodedata.normalize`` (same Unicode
+    standard as DuckDB's utf8proc-based nfc_normalize — outputs agree
+    byte-for-byte, which the gate checks)."""
+    def _norm(s):
+        import unicodedata
+
+        return s.map(lambda t: unicodedata.normalize("NFC", t) if t is not None else None)
+
+    return F.pandas_udf(_norm, "string")(c)
+
+
 def fingerprint64(c: Column) -> Column:
     """Stable 64-bit document fingerprint (xxhash64 of normalized text) —
     the exact-dedup key and lineage content hash."""
