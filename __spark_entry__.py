@@ -1053,12 +1053,19 @@ def _fixture_values(filename: str, cols: list[str]) -> str:
         t = str(tbl.schema.field(c).type)
         sql_type[c] = {"double": "DOUBLE", "float": "DOUBLE", "int64": "BIGINT",
                        "int32": "INTEGER"}.get(t, "VARCHAR")
+    def lit(v) -> str:
+        if v is None:
+            return "NULL"
+        if isinstance(v, str):  # SQL string literal, not Python repr
+            return "'" + v.replace("'", "''") + "'"
+        return repr(v)  # ints / floats: repr round-trips exactly
+
     data = list(zip(*[tbl[c].to_pylist() for c in cols]))
     typed = ", ".join(f"CAST({c} AS {sql_type[c]}) AS {c}" for c in cols)
     if not data:
         nulls = ", ".join(f"CAST(NULL AS {sql_type[c]}) AS {c}" for c in cols)
         return f"SELECT {nulls} WHERE FALSE"
-    rows = ", ".join("(" + ", ".join(repr(v) for v in r) + ")" for r in data)
+    rows = ", ".join("(" + ", ".join(lit(v) for v in r) + ")" for r in data)
     return f"SELECT {typed} FROM (VALUES {rows}) AS t({', '.join(cols)})"
 
 
