@@ -324,9 +324,13 @@ class FeatureModel:
             if bcast:
                 sel = F.broadcast(sel)
             df = df.join(sel, on=join_key, how="left")
-        for req, (kind, _res) in needed.items():
+        for req, (kind, res) in needed.items():
             if kind == "variable":
                 df = df.withColumn(req, F.lit(variables[req]))
+            elif kind == "column" and res != req:
+                # tier-4 convention match used as a feature ARGUMENT: the
+                # stage lowers F.col(<name as written>), so alias it in
+                df = df.withColumn(req, F.col(res))
         keys, order = (self.entity_key,), self.order
 
         # group consecutive same-kind stages so transformer batches stay in

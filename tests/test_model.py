@@ -259,3 +259,18 @@ transformers:
     m.declare_transformer_feature("bad", "shout", ["x"])     # double vs string ✗
     with pytest.raises(PlanError, match="expects type 'string'"):
         m.materialize(spine, ["bad"])
+
+
+def test_convention_equivalent_column_as_feature_arg(spark):
+    """A feature ARGUMENT written in another naming convention (camelCase)
+    binds to the snake_case spine column (J1 tier 4 for arguments)."""
+    from funcify_feature_eng_spark.plans.model import FeatureModel
+
+    spine = spark.createDataFrame(
+        [("u1", 3, "2024-01-01 00:00:00")],
+        "user_id string, turn_idx int, ts_s string",
+    ).selectExpr("user_id", "turn_idx", "cast(ts_s as timestamp) as ts")
+    m = FeatureModel(entity_key="user_id", order=("turn_idx",), event_time="ts")
+    m.declare_transformer_feature("clean_idx", "negative_to_null", ["turnIdx"])
+    out = m.materialize(spine, ["user_id", "clean_idx"]).collect()
+    assert out[0]["clean_idx"] == 3
