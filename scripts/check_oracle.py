@@ -5,6 +5,10 @@ DuckDB over the same parquet tables, then compares row count, column names,
 and an order-insensitive value hash (rows sorted, columns sorted by name).
 
 Usage: python scripts/check_oracle.py [sf_dir]  (default /root/testdata/sf0.01)
+
+NB: the fixture-backed oracles (minhash/simhash/dup_clusters/corpus_curation)
+are pinned to the sf0.01 testdata — the sf the driver's gate runs at; at any
+other sf_dir those four will legitimately mismatch.
 """
 
 from __future__ import annotations
