@@ -24,7 +24,8 @@ import os
 import sys
 from collections.abc import Callable
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+_REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, _REPO)
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -672,7 +673,7 @@ def q_shows_reshaped(spark: SparkSession, sf_dir: str) -> DataFrame:
     from funcify_feature_eng_spark.functions.scalars import list_size
     from funcify_feature_eng_spark.sources.tables import read_netflix_csv
 
-    df = read_netflix_csv(spark, "/root/repo/fixtures/shows_raw.csv")
+    df = read_netflix_csv(spark, os.path.join(_REPO, "fixtures", "shows_raw.csv"))
     return df.select(
         "show_id",
         "type",
@@ -1036,13 +1037,23 @@ def _fixture_values(filename: str, cols: list[str]) -> str:
     repo = os.path.dirname(os.path.abspath(__file__))
     # self-healing: if the driver regenerated the sf0.01 testdata since the
     # fixtures were built, recompute them (pure Python, seconds) instead of
-    # serving stale expected values
+    # serving stale expected values. The stamp is keyed on a CONTENT hash of
+    # documents.parquet (not mtime), so a byte-identical rewrite never
+    # triggers a regeneration; an actual data change regenerates LOUDLY.
     try:
         import scripts.make_fixtures as mf
 
         stamp_path = os.path.join(repo, "fixtures", ".stamp_sf0.01")
         stamp = open(stamp_path).read() if os.path.exists(stamp_path) else ""
-        if stamp != mf.source_stamp("/root/testdata/sf0.01"):
+        current = mf.source_stamp("/root/testdata/sf0.01")
+        if stamp != current:
+            print(
+                "WARNING: fixtures/ stale vs /root/testdata/sf0.01 "
+                f"(stamp {stamp[-16:] or '<none>'} != {current[-16:]}); "
+                "regenerating oracle fixtures from the independent pure-"
+                "Python pipeline (scripts/make_fixtures.py)",
+                file=sys.stderr,
+            )
             mf.main("/root/testdata/sf0.01")
     except FileNotFoundError:
         pass  # no driver testdata present (unit-test environments)
@@ -1382,7 +1393,7 @@ SELECT t.doc_id, t.n_grams,
 FROM tot t LEFT JOIN sh ON sh.doc_id = t.doc_id
 """,
         "corpus_curation": _corpus_curation_sql(),
-        "shows_reshaped": r"""
+        "shows_reshaped": rf"""
 SELECT show_id, type,
        CAST(release_year AS INT) AS release_year,
        CAST(CASE WHEN regexp_extract(duration, '(\d+)\s+min', 1) <> ''
@@ -1392,7 +1403,7 @@ SELECT show_id, type,
        CAST(CASE WHEN "cast" IS NOT NULL AND length("cast") > 0
             THEN len(str_split("cast", ', ')) END AS INT) AS cast_count,
        CAST(strptime(date_added, '%B %d, %Y') AS DATE) AS date_added
-FROM read_csv('/root/repo/fixtures/shows_raw.csv', header=true, all_varchar=true)
+FROM read_csv('{os.path.join(_REPO, "fixtures", "shows_raw.csv")}', header=true, all_varchar=true)
 """,
         "doc_split": """
 SELECT doc_id,

@@ -147,9 +147,8 @@ def nfc_normalize(c: Column) -> Column:
     standard as DuckDB's utf8proc-based nfc_normalize — outputs agree
     byte-for-byte, which the gate checks)."""
     def _norm(s):
-        import unicodedata
-
-        return s.map(lambda t: unicodedata.normalize("NFC", t) if t is not None else None)
+        # pandas' vectorized normalizer (unicodedata underneath, NaN-safe)
+        return s.str.normalize("NFC")
 
     return F.pandas_udf(_norm, "string")(c)
 

@@ -143,8 +143,20 @@ class LineageTracker:
         ).collect()[0]
         if bounds["n"] == 0:
             return self.spark.read.parquet(out)
+        if bounds["mx"] is None:
+            # n > 0 but every ts is NULL: no watermark can be derived, and
+            # appending first would leave the stage updated with no record —
+            # refuse BEFORE any write so the stage stays consistent
+            raise ValueError(
+                f"run_incremental({stage!r}): {bounds['n']} new rows but "
+                f"{ts_col!r} is NULL on all of them — cannot advance the "
+                "watermark; fix the spine's event-time column or use run_stage"
+            )
         t0 = time.time()
-        compute(new).write.mode("append" if wm is not None else "overwrite").parquet(out)
+        out_df = compute(new).persist()
+        rows_appended = out_df.count()  # rows actually written, not spine rows
+        out_df.write.mode("append" if wm is not None else "overwrite").parquet(out)
+        out_df.unpersist()
         result = self.spark.read.parquet(out)
         self._append(
             {
@@ -152,7 +164,7 @@ class LineageTracker:
                 "fingerprint": rec.get("fingerprint") if rec else "incremental",
                 "watermark": bounds["mx"].isoformat(sep=" "),
                 "n_rows": result.count(),
-                "rows_appended": bounds["n"],
+                "rows_appended": rows_appended,
                 "wall_sec": round(time.time() - t0, 3),
                 "completed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
             }

@@ -258,9 +258,14 @@ def minhash_lsh_pairs(
             F.lit(1.0).alias("jaccard"),
         )
     )
-    if verify_threshold <= 1.0:
-        return cross.unionByName(within)
-    return cross
+    out = cross.unionByName(within) if verify_threshold <= 1.0 else cross
+    # the pair list is orders of magnitude smaller than the signature base:
+    # materialize it eagerly (localCheckpoint) so the persisted base can be
+    # RELEASED before returning — a long-lived session (driver gate, bench
+    # loop) must not accumulate executor storage across repeated calls
+    out = out.localCheckpoint()
+    base.unpersist()
+    return out
 
 
 def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -341,4 +346,8 @@ def simhash_near_pairs(
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+    # eager-materialize the (small) pair list, then release the persisted
+    # simhash base — see minhash_lsh_pairs for why
+    pairs = pairs.localCheckpoint()
+    sh.unpersist()
     return pairs

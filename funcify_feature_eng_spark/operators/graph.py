@@ -2,59 +2,105 @@
 
 Near-dup detection (MinHash/SimHash) emits PAIRS; retention policies need
 CLUSTERS (keep one representative per connected component of the dup graph).
-Components are computed by iterative minimum-label propagation: each node
-adopts the smallest label among itself and its neighbors until fixpoint —
-the alternating small-star/large-star trick (Kiveris et al., "Connected
-Components in MapReduce and Beyond", SOCC'14) bounds the iteration count to
-O(log n) on real graphs; plain propagation used here converges in
-O(diameter) rounds, which for dup clusters (dense, tiny diameter) is ~2-3.
-Each round is one shuffle on node id; convergence is a driver-side count of
-changed labels (O(1) result per round, not a collect of the data).
+
+Algorithm: minimum-label propagation with POINTER JUMPING (path doubling) —
+each round first takes the neighbor minimum (one propagation hop), then
+shortcuts every label through the label table itself (``comp <- label(comp)``,
+the Shiloach–Vishkin contraction step). The shortcut squares the distance a
+label travels per round, so convergence is O(log diameter) rounds instead of
+the O(diameter) of plain propagation — a 1M-hop boilerplate chain (real at
+web-corpus scale with low thresholds) finishes in ~20 rounds, not 1M. This is
+the same bound the alternating small-star/large-star scheme achieves (Kiveris
+et al., "Connected Components in MapReduce and Beyond", SOCC'14) with a
+simpler invariant: ``label(x) <= x`` always, labels are always node ids.
+
+Each round is a bounded number of shuffles on node id; convergence is a
+driver-side count of changed labels (O(1) per round, never a data collect).
+Every round's label table is ``localCheckpoint``-ed (eager) to truncate the
+lazy lineage — and the PREVIOUS round's checkpoint is explicitly released so
+a long-lived session (driver gate, bench loop) does not accumulate executor
+storage across rounds or calls. Hitting ``max_iters`` without convergence
+raises by default (silent wrong labels would make downstream retention
+over-keep duplicates undetected).
 """
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+def _persistent_rdd_ids(sc) -> set[int]:
+    return {int(k) for k in sc._jsc.getPersistentRDDs().keySet().toArray()}
+
+
+def _release_rdds(sc, ids: set[int]) -> None:
+    m = sc._jsc.getPersistentRDDs()
+    for i in ids:
+        if m.containsKey(i):
+            m.get(i).unpersist(False)
 
 
 def connected_components(
     edges: DataFrame,
     src: str = "doc_a",
     dst: str = "doc_b",
-    max_iters: int = 20,
+    max_iters: int = 25,
+    on_nonconverged: str = "raise",
 ) -> DataFrame:
     """(node, component) for every node appearing in ``edges``; the
     component id is the MINIMUM node id in the component (canonical,
-    deterministic)."""
+    deterministic).
+
+    ``max_iters`` bounds rounds; with pointer jumping the requirement is
+    ~log2(diameter) + 2, so the default 25 covers any graph whose diameter
+    fits in a long. If the loop still exits with changes pending,
+    ``on_nonconverged`` decides: ``"raise"`` (default — unconverged labels
+    are silently-wrong data) or ``"warn"`` (return the partial labels and
+    emit a loud warning).
+    """
+    spark = edges.sparkSession
+    sc = spark.sparkContext
+    baseline_ids = _persistent_rdd_ids(sc)
+
     sym = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .distinct()
         .persist()
     )
-    # localCheckpoint (eager) per round truncates the lazy lineage — without
-    # it an N-round loop hands downstream consumers an N-times-unrolled plan
-    # (thousands of phantom exchanges in EXPLAIN, ballooning analysis time)
     labels = (
         sym.select(F.col("a").alias("node"))
         .distinct()
         .withColumn("comp", F.col("node"))
         .localCheckpoint()
     )
+    round_ids = _persistent_rdd_ids(sc) - baseline_ids  # this round's checkpoint
+    changed = -1
     for _ in range(max_iters):
-        # neighbor minimum: node <- min(comp over neighbors ∪ self)
+        known = _persistent_rdd_ids(sc)
+        # 1) propagation hop: node <- min(comp over neighbors ∪ self)
         nbr = (
             sym.join(labels.withColumnRenamed("node", "b"), on="b")
             .groupBy(F.col("a").alias("node"))
             .agg(F.min("comp").alias("nbr_comp"))
         )
+        prop = labels.join(nbr, on="node", how="left").select(
+            "node",
+            F.least(F.col("comp"), F.coalesce("nbr_comp", "comp")).alias("comp"),
+        )
+        # 2) pointer jumping: comp <- label(comp). comp is always a node id
+        # (labels are minima over node ids) and label(x) <= x, so the lookup
+        # self-join both always hits and only ever decreases the label —
+        # doubling the propagation distance covered per round.
+        lookup = prop.select(
+            F.col("node").alias("comp"), F.col("comp").alias("comp2")
+        )
         new_labels = (
-            labels.join(nbr, on="node", how="left")
-            .select(
-                "node",
-                F.least(F.col("comp"), F.coalesce("nbr_comp", "comp")).alias("comp"),
-            )
+            prop.join(lookup, on="comp", how="left")
+            .select("node", F.least(F.col("comp"), F.coalesce("comp2", "comp")).alias("comp"))
             .localCheckpoint()
         )
         changed = (
@@ -63,10 +109,23 @@ def connected_components(
             .filter(F.col("n.comp") != F.col("o.comp"))
             .count()
         )
+        # the superseded round's checkpoint is dead — release it now
+        _release_rdds(sc, round_ids)
+        round_ids = _persistent_rdd_ids(sc) - known
         labels = new_labels
         if changed == 0:
             break
     sym.unpersist()
+    if changed != 0:
+        msg = (
+            f"connected_components did not converge within max_iters={max_iters} "
+            f"({changed} labels still changing) — component ids are WRONG; "
+            "raise max_iters (rounds needed ≈ log2(graph diameter) + 2)"
+        )
+        if on_nonconverged == "warn":
+            warnings.warn(msg, RuntimeWarning, stacklevel=2)
+        else:
+            raise RuntimeError(msg)
     return labels
 
 

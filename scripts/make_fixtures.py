@@ -213,10 +213,19 @@ def make_shows_csv(path: str) -> int:
 
 
 def source_stamp(sf_dir: str) -> str:
-    """Identity of the fixture's source data: path + size + mtime_ns."""
+    """Identity of the fixture's source data: path + CONTENT hash.
+
+    Content-keyed, not mtime-keyed: a byte-identical rewrite of the testdata
+    (re-download, touch) must not look like a data change — otherwise the
+    oracle would silently regenerate committed fixtures at gate time."""
+    import hashlib
+
     p = os.path.join(sf_dir, "documents.parquet")
-    st = os.stat(p)
-    return f"{p}:{st.st_size}:{st.st_mtime_ns}"
+    h = hashlib.sha256()
+    with open(p, "rb") as f:
+        for chunk in iter(lambda: f.read(1 << 20), b""):
+            h.update(chunk)
+    return f"{p}:{h.hexdigest()}"
 
 
 def main(sf_dir: str | None = None) -> None:

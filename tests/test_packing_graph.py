@@ -100,3 +100,53 @@ def test_split_weights_must_sum_to_one(spark):
     docs = spark.range(3).withColumnRenamed("id", "doc_id")
     with _pytest.raises(ValueError, match="sum to 1"):
         assign_split(docs, "doc_id", {"a": 0.5, "b": 0.2})
+
+
+def test_connected_components_chain_converges_in_log_rounds(spark):
+    """Adversarial chain graph: 0-1-2-...-300. Plain min-label propagation
+    needs 300 rounds; pointer jumping must finish within ~log2(300)+slack.
+    max_iters=12 would fail the old O(diameter) algorithm loudly."""
+    n = 300
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "doc_a long, doc_b long"
+    )
+    comp = {
+        r["node"]: r["comp"]
+        for r in connected_components(edges, max_iters=12).collect()
+    }
+    assert len(comp) == n + 1
+    assert all(c == 0 for c in comp.values())
+
+
+def test_connected_components_nonconvergence_raises(spark):
+    import pytest
+
+    n = 64
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "doc_a long, doc_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, max_iters=2)
+    # warn mode returns partial labels instead
+    import warnings
+
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        out = connected_components(edges, max_iters=2, on_nonconverged="warn")
+        assert out.count() == n + 1
+        assert any("did not converge" in str(x.message) for x in w)
+
+
+def test_connected_components_releases_checkpoint_storage(spark):
+    """Round-superseded label checkpoints must be unpersisted (ADVICE r2):
+    after a call, at most ONE extra persisted RDD (the returned final labels)
+    may remain beyond what existed before."""
+    sc = spark.sparkContext
+    before = {int(k) for k in sc._jsc.getPersistentRDDs().keySet().toArray()}
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(100)], "doc_a long, doc_b long"
+    )
+    labels = connected_components(edges, max_iters=12)
+    labels.count()
+    after = {int(k) for k in sc._jsc.getPersistentRDDs().keySet().toArray()}
+    assert len(after - before) <= 1
