@@ -178,6 +178,41 @@ def q_request_doc_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return materialize_document(_events_model(), ev, doc)
 
 
+def q_request_doc_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested list selection through the document API (the ListSegment
+    fan-out of schema/path/result/ListSegment.kt:9-29, composer direction
+    DefaultGQLDocumentComposer.kt): the request declares entity → ordered
+    collection → per-element fields, one field being a windowed FEATURE
+    (lag) evaluated at element grain. The result is one row per entity with
+    an ordered array<struct>; the gate flattens it to hashable scalars
+    (size + order-sensitive CSVs) so the DuckDB twin is string_agg."""
+    from funcify_feature_eng_spark.plans.document import materialize_document
+
+    ev = _t(spark, sf_dir, "events")
+    doc = {
+        "select": {
+            "columns": ["user_id"],
+            "collections": {
+                "turns": {
+                    "fields": {
+                        "event_type": {},                       # element column
+                        "prior": {"feature": "prior_event_type"},  # element feature
+                    }
+                }
+            },
+        },
+    }
+    out = materialize_document(_events_model(), ev, doc)
+    return out.select(
+        "user_id",
+        F.size("turns").alias("n_turns"),
+        F.concat_ws(",", F.transform("turns", lambda x: x["event_type"])).alias("types_csv"),
+        F.concat_ws(
+            ",", F.transform("turns", lambda x: F.coalesce(x["prior"], F.lit("-")))
+        ).alias("prior_csv"),
+    )
+
+
 def q_top_events_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy(F.col("value").desc(), F.col("event_id").asc())
@@ -775,6 +810,79 @@ def q_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_near_pairs(docs, "doc_id", "text", max_hamming=3)
 
 
+_STORE_CUT = "2024-01-16 00:00:00"
+_STORE_T2 = "2024-01-31 00:00:00"
+
+
+def q_store_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's defining semantic end-to-end in the gate: the
+    Planned→Calculated→Tracked feature-store lifecycle
+    (schema/tracking/TrackableValue.kt:17-41,147-193, read-through
+    FeatureJsonValueStore.kt:11-18, publish FeatureJsonValuePublisher.kt:11-18,
+    dispatch DefaultSingleRequestMaterializationDispatchService.kt:891-929).
+
+    Pass 1: per-user requests at a cutoff time against an EMPTY store — every
+    value is Planned, gets Calculated (events-so-far count), and is published
+    (value_at_ts = request time). Pass 2: the same requests again PLUS a later
+    request per user — every value must now come back as a Tracked
+    read-through hit: the cutoff request by exact match, the later request by
+    the point-in-time as-of rule (value valid-from cutoff served at t2, so
+    ``value_at`` = cutoff ≠ ``req_ts`` is the as-of witness). The ``served``
+    column is the engine's own branch tag; a read-through miss would flip it
+    to 'computed' and (for t2) move ``value_at`` — either breaks the hash.
+    """
+    import atexit
+    import shutil
+    import tempfile
+
+    from funcify_feature_eng_spark.store import FeatureStore
+
+    store_dir = tempfile.mkdtemp(prefix="sgstore_")
+    atexit.register(shutil.rmtree, store_dir, ignore_errors=True)
+    store = FeatureStore(spark, os.path.join(store_dir, "fs"), entity_col="user_id")
+    ev = _t(spark, sf_dir, "events")
+    users = ev.select("user_id").distinct()
+
+    def compute(planned: DataFrame) -> DataFrame:
+        # events-so-far at the request time, computed ONLY for store misses
+        e = ev.select(F.col("user_id").alias("__u"), F.col("ts").alias("__ev_ts"),
+                      "event_id")
+        j = planned.join(
+            e, (planned["user_id"] == e["__u"]) & (e["__ev_ts"] <= planned["ts"]), "left"
+        )
+        return j.groupBy(planned["user_id"], planned["ts"]).agg(
+            F.count("event_id").cast("double").alias("events_so_far")
+        )
+
+    spine1 = users.select("user_id", F.lit(_STORE_CUT).cast("timestamp").alias("ts"))
+    p1 = store.materialize_with_store(
+        spine1, "events_so_far", compute, "events_so_far", ts_col="ts",
+        tag_col="served",
+    )  # publish happens eagerly here: Calculated → Tracked in the store
+    spine2 = users.select(
+        "user_id",
+        F.explode(
+            F.array(F.lit(_STORE_CUT).cast("timestamp"), F.lit(_STORE_T2).cast("timestamp"))
+        ).alias("ts"),
+    )
+    p2 = store.materialize_with_store(
+        spine2, "events_so_far", compute, "events_so_far", ts_col="ts",
+        tag_col="served",
+    )
+
+    def shape(df: DataFrame, pass_no: int) -> DataFrame:
+        return df.select(
+            F.lit(pass_no).alias("pass_no"),
+            "user_id",
+            F.col("ts").alias("req_ts"),
+            F.get_json_object("events_so_far", "$.v").cast("double").alias("events_so_far"),
+            "served",
+            F.col("events_so_far_at_ts").alias("value_at"),
+        )
+
+    return shape(p1, 1).unionByName(shape(p2, 2))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: windowed turn features + strictly-prior as-of join at sf0.001."""
     sf_dir = "/root/testdata/sf0.001"
@@ -791,6 +899,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "next_purchase": q_next_purchase,
         "next_purchase_shuffle": q_next_purchase_shuffle,
         "request_doc_features": q_request_doc_features,
+        "request_doc_nested": q_request_doc_nested,
         "top_events_per_user": q_top_events_per_user,
         "turn_features_segmented": q_turn_features_segmented,
         "window_fills": q_window_fills,
@@ -827,6 +936,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_bpe_tokens": q_doc_bpe_tokens,
         "doc_tokens_pandas": q_doc_tokens_pandas,
         "media_features": q_media_features,
+        "store_lifecycle": q_store_lifecycle,
     }
 
 
@@ -1184,6 +1294,18 @@ SELECT event_id, user_id, event_type, prior_event_type,
        event_seq
 FROM g
 """,
+        "request_doc_nested": """
+WITH g AS (
+  SELECT user_id, event_type, ts, event_id,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prior
+  FROM events
+)
+SELECT user_id,
+       CAST(COUNT(*) AS INT) AS n_turns,
+       string_agg(event_type, ',' ORDER BY ts, event_id) AS types_csv,
+       string_agg(coalesce(prior, '-'), ',' ORDER BY ts, event_id) AS prior_csv
+FROM g GROUP BY user_id
+""",
         "top_events_per_user": _TOP_EVENTS_SQL,
         # the segmented (skew-proof) variant must equal the plain window
         # formulation — the oracle IS the plain formulation
@@ -1493,6 +1615,29 @@ SELECT doc_id,
        sqrt((64 * q1) / 4096 - ((64 * s1) / 4096) * ((64 * s1) / 4096)) / 255.0 AS std_intensity,
        CAST(plen AS INTEGER) AS n_bytes
 FROM s
+""",
+        # the store lifecycle's values computed directly (no store): both
+        # pass-2 rows must carry the SAME value as pass 1 with served='store'
+        # and value_at pinned to the cutoff (the as-of read-through witness)
+        "store_lifecycle": f"""
+WITH u AS (SELECT DISTINCT user_id FROM events),
+f AS (
+  SELECT u.user_id,
+         CAST((SELECT COUNT(*) FROM events e
+               WHERE e.user_id = u.user_id
+                 AND e.ts <= TIMESTAMP '{_STORE_CUT}') AS DOUBLE) AS v
+  FROM u
+)
+SELECT 1 AS pass_no, user_id, TIMESTAMP '{_STORE_CUT}' AS req_ts,
+       v AS events_so_far, 'computed' AS served,
+       TIMESTAMP '{_STORE_CUT}' AS value_at
+FROM f
+UNION ALL
+SELECT 2, user_id, TIMESTAMP '{_STORE_CUT}', v, 'store', TIMESTAMP '{_STORE_CUT}'
+FROM f
+UNION ALL
+SELECT 2, user_id, TIMESTAMP '{_STORE_T2}', v, 'store', TIMESTAMP '{_STORE_CUT}'
+FROM f
 """,
         "minhash_lsh_pairs": _fixture_values(
             "minhash_pairs_sf0.01.parquet", ["doc_a", "doc_b", "jaccard"]

@@ -47,8 +47,9 @@ from pyspark.sql import DataFrame
 from funcify_feature_eng_spark.plans.model import FeatureModel, PlanError
 
 _TOP_KEYS = {"variables", "select"}
-_SELECT_KEYS = {"columns", "features"}
+_SELECT_KEYS = {"columns", "features", "collections"}
 _FEATURE_KEYS = {"feature", "args"}
+_COLLECTION_KEYS = {"fields", "unnest"}
 
 
 def _resolve_args(args: dict[str, Any], variables: dict[str, Any]) -> dict[str, Any]:
@@ -67,9 +68,28 @@ def _resolve_args(args: dict[str, Any], variables: dict[str, Any]) -> dict[str, 
     return out
 
 
-def parse_document(doc: dict[str, Any]) -> tuple[dict, list[str], dict[str, dict]]:
+def _parse_feature_specs(feats: dict, what: str) -> dict[str, dict]:
+    norm: dict[str, dict] = {}
+    for out_name, spec in feats.items():
+        if spec is None:
+            spec = {}
+        if not isinstance(spec, dict):
+            raise PlanError(f"{what} {out_name!r} must be a dict")
+        unknown = set(spec) - _FEATURE_KEYS
+        if unknown:
+            raise PlanError(f"{what} {out_name!r} has unknown keys: {sorted(unknown)}")
+        norm[out_name] = {
+            "feature": spec.get("feature", out_name),
+            "args": dict(spec.get("args", {})),
+        }
+    return norm
+
+
+def parse_document(
+    doc: dict[str, Any]
+) -> tuple[dict, list[str], dict[str, dict], dict[str, dict]]:
     """Validate the request document (the parse/validate stage). Returns
-    (variables, passthrough columns, feature selections)."""
+    (variables, passthrough columns, feature selections, collections)."""
     if not isinstance(doc, dict):
         raise PlanError("request document must be a dict")
     unknown = set(doc) - _TOP_KEYS
@@ -88,24 +108,34 @@ def parse_document(doc: dict[str, Any]) -> tuple[dict, list[str], dict[str, dict
     feats = select.get("features", {})
     if not isinstance(feats, dict):
         raise PlanError("'select.features' must be a dict of name -> spec")
-    norm: dict[str, dict] = {}
-    for out_name, spec in feats.items():
-        if spec is None:
-            spec = {}
+    norm = _parse_feature_specs(feats, "feature selection")
+    colls_in = select.get("collections", {})
+    if not isinstance(colls_in, dict):
+        raise PlanError("'select.collections' must be a dict of name -> spec")
+    colls: dict[str, dict] = {}
+    for out_name, spec in colls_in.items():
         if not isinstance(spec, dict):
-            raise PlanError(f"feature selection {out_name!r} must be a dict")
-        unknown = set(spec) - _FEATURE_KEYS
+            raise PlanError(f"collection {out_name!r} must be a dict")
+        unknown = set(spec) - _COLLECTION_KEYS
         if unknown:
-            raise PlanError(
-                f"feature selection {out_name!r} has unknown keys: {sorted(unknown)}"
-            )
-        norm[out_name] = {
-            "feature": spec.get("feature", out_name),
-            "args": dict(spec.get("args", {})),
+            raise PlanError(f"collection {out_name!r} has unknown keys: {sorted(unknown)}")
+        fields = spec.get("fields")
+        if not isinstance(fields, dict) or not fields:
+            raise PlanError(f"collection {out_name!r} requires a non-empty 'fields' dict")
+        colls[out_name] = {
+            "fields": _parse_feature_specs(fields, f"collection {out_name!r} field"),
+            "unnest": bool(spec.get("unnest", False)),
         }
-    if not columns and not norm:
+    if sum(1 for c in colls.values() if c["unnest"]) > 1:
+        raise PlanError("at most one collection may set 'unnest': true")
+    if colls and feats:
+        raise PlanError(
+            "'features' (entity-row grain) and 'collections' (per-entity "
+            "grain) cannot mix in one document — split into two requests"
+        )
+    if not columns and not norm and not colls:
         raise PlanError("document selects nothing")
-    return variables, columns, norm
+    return variables, columns, norm, colls
 
 
 def _doc_cache_key(doc: dict[str, Any]) -> str:
@@ -119,11 +149,48 @@ def _doc_cache_key(doc: dict[str, Any]) -> str:
     )
 
 
-def compile_document(model: FeatureModel, doc: dict[str, Any]) -> tuple[FeatureModel, list[str]]:
+def _bind_feature_selections(
+    model: FeatureModel,
+    req: FeatureModel,
+    feats: dict[str, dict],
+    variables: dict,
+    what: str = "document",
+) -> list[str]:
+    """Register aliased/parameterized feature variants on the request-scoped
+    model; names that are neither declared features nor variant-requiring
+    pass through as data-element columns (P1). Returns output column names."""
+    out_cols: list[str] = []
+    for out_name, sel in feats.items():
+        base_name = sel["feature"]
+        if base_name not in model._features:
+            if sel["args"]:
+                raise PlanError(
+                    f"{what} selects unknown feature {base_name!r} "
+                    f"(declared: {sorted(model._features)})"
+                )
+            out_cols.append(out_name)  # plain column passthrough
+            continue
+        args = _resolve_args(sel["args"], variables)
+        base = model._features[base_name]
+        if out_name == base_name and not args:
+            out_cols.append(out_name)
+            continue
+        # aliased/parameterized variant: a request-scoped FeatureSpec with
+        # document args overriding the declared defaults
+        variant = replace(base, name=out_name, params={**base.params, **args})
+        if out_name in req._features:
+            del req._features[out_name]
+        req._features[out_name] = variant
+        out_cols.append(out_name)
+    return out_cols
+
+
+def compile_document(model: FeatureModel, doc: dict[str, Any]) -> tuple[FeatureModel, list[str], dict[str, dict]]:
     """Compile a request document against a base model: returns a
-    request-scoped model (base features + parameterized/aliased variants)
-    and the output column list for ``materialize``."""
-    variables, columns, feats = parse_document(doc)
+    request-scoped model (base features + parameterized/aliased variants),
+    the output column list for ``materialize``, and the compiled collection
+    specs (field output names bound, ListSegment analog)."""
+    variables, columns, feats, colls = parse_document(doc)
 
     req = FeatureModel(
         entity_key=model.entity_key,
@@ -138,28 +205,30 @@ def compile_document(model: FeatureModel, doc: dict[str, Any]) -> tuple[FeatureM
     req._sources = dict(model._sources)
 
     out_cols = list(columns)
-    for out_name, sel in feats.items():
-        base_name = sel["feature"]
-        if base_name not in model._features:
+    if colls:
+        # collections change the result grain to one row per entity (or per
+        # element when unnested); top-level columns must be the entity key
+        extra = [c for c in columns if c != model.entity_key]
+        if extra:
             raise PlanError(
-                f"document selects unknown feature {base_name!r} "
-                f"(declared: {sorted(model._features)})"
+                "with 'collections', top-level 'columns' may only contain "
+                f"the entity key {model.entity_key!r} (got {extra}); select "
+                "per-element columns as collection fields instead"
             )
-        args = _resolve_args(sel["args"], variables)
-        base = model._features[base_name]
-        if out_name == base_name and not args:
-            out_cols.append(out_name)
-            continue
-        # aliased/parameterized variant: a request-scoped FeatureSpec with
-        # document args overriding the declared defaults
-        variant = replace(
-            base, name=out_name, params={**base.params, **args}
-        )
-        if out_name in req._features:
-            del req._features[out_name]
-        req._features[out_name] = variant
-        out_cols.append(out_name)
-    return req, out_cols
+        for cname, cspec in colls.items():
+            cspec["field_cols"] = _bind_feature_selections(
+                model, req, cspec["fields"], variables, what=f"collection {cname!r}"
+            )
+    else:
+        # strictly-validated flat path: unknown feature names are errors
+        for out_name, sel in feats.items():
+            if sel["feature"] not in model._features:
+                raise PlanError(
+                    f"document selects unknown feature {sel['feature']!r} "
+                    f"(declared: {sorted(model._features)})"
+                )
+        out_cols += _bind_feature_selections(model, req, feats, variables)
+    return req, out_cols, colls
 
 
 def materialize_document(
@@ -180,7 +249,74 @@ def materialize_document(
     if hit is None:
         hit = compile_document(model, doc)
         cache[key] = hit
-    req, out_cols = hit
-    # variables also feed J1 tier-6 resolution (names satisfiable from the
-    # request's variable set), not just feature arguments
-    return req.materialize(spine, out_cols, variables=doc.get("variables"))
+    req, out_cols, colls = hit
+    variables = doc.get("variables")
+    if not colls:
+        # variables also feed J1 tier-6 resolution (names satisfiable from
+        # the request's variable set), not just feature arguments
+        return req.materialize(spine, out_cols, variables=variables)
+    return _materialize_collections(req, spine, out_cols, colls, variables)
+
+
+def _materialize_collections(
+    req: FeatureModel,
+    spine: DataFrame,
+    out_cols: list[str],
+    colls: dict[str, dict],
+    variables: dict | None,
+) -> DataFrame:
+    """ListSegment fan-in/fan-out: materialize element-grain fields, then
+    either collect them into ordered ``array<struct>`` columns (one row per
+    entity — the nested-document composition direction of
+    ``DefaultGQLDocumentComposer.kt``) or, for a collection marked
+    ``unnest: true``, re-explode to one row per element with its index (the
+    result-path fan-out of ``schema/path/result/ListSegment.kt:9-29``).
+
+    One element-grain pass serves every collection; the collect is a single
+    groupBy(entity) with one ``collect_list`` per collection — ordering is
+    encoded in the struct prefix (the model's order columns) and enforced
+    with ``array_sort``, then stripped, so no per-group sort/window is needed
+    beyond the one aggregation exchange."""
+    from pyspark.sql import functions as F
+
+    entity = req.entity_key
+    order_cols = list(req.order)
+    field_union: list[str] = []
+    for cspec in colls.values():
+        for f in cspec["field_cols"]:
+            if f not in field_union:
+                field_union.append(f)
+    elem_cols = [entity] + [c for c in order_cols if c not in field_union] + field_union
+    elems = req.materialize(spine, elem_cols, variables=variables)
+
+    aggs = []
+    for cname, cspec in colls.items():
+        packed = F.struct(
+            *[F.col(c).alias(f"__o{i}") for i, c in enumerate(order_cols)],
+            *[F.col(f).alias(f) for f in cspec["field_cols"]],
+        )
+        aggs.append(F.array_sort(F.collect_list(packed)).alias(cname))
+    out = elems.groupBy(entity).agg(*aggs)
+
+    unnest_name = next((n for n, c in colls.items() if c["unnest"]), None)
+
+    def _strip(field_cols: list[str]):
+        # NB: a one-parameter lambda — a default second param would make
+        # PySpark treat it as the (element, index) binary form
+        return lambda x: F.struct(*[x[f].alias(f) for f in field_cols])
+
+    for cname, cspec in colls.items():
+        out = out.withColumn(cname, F.transform(F.col(cname), _strip(cspec["field_cols"])))
+    if unnest_name is not None:
+        fields = colls[unnest_name]["field_cols"]
+        out = out.select(
+            entity,
+            *[c for c in colls if c != unnest_name],
+            F.posexplode(F.col(unnest_name)).alias(f"{unnest_name}_idx", "__e"),
+        ).select(
+            entity,
+            *[c for c in colls if c != unnest_name],
+            f"{unnest_name}_idx",
+            *[F.col("__e")[f].alias(f) for f in fields],
+        )
+    return out

@@ -104,7 +104,13 @@ class FeatureStore:
         :func:`contextual_params_hash`; a pre-computed ``params_hash`` wins
         if supplied."""
         ph = params_hash or contextual_params_hash(params)
-        store = self.read(feature_id).filter(F.col("params_hash") == ph)
+        # storage schema keeps the canonical entity column name (conv_id);
+        # rename to the caller's entity_col so the as-of keys line up
+        store = (
+            self.read(feature_id)
+            .filter(F.col("params_hash") == ph)
+            .withColumnRenamed("conv_id", self.entity_col)
+        )
         return asof_join(
             spine,
             store,
@@ -153,6 +159,7 @@ class FeatureStore:
         ts_col: str = "ts",
         publish: bool = True,
         params: dict[str, Any] | None = None,
+        tag_col: str | None = None,
     ) -> DataFrame:
         """Full lifecycle for one feature: read-through, compute only the
         misses (anti-pattern: recompute everything), publish the new rows.
@@ -160,6 +167,10 @@ class FeatureStore:
         ``compute(df) -> df_with_out_col`` computes the feature on the rows
         given; it is applied only to Planned (store-miss) rows. ``params``
         carries the contextual parameters into the store identity.
+        ``tag_col``, when set, adds a provenance column: ``'store'`` for
+        Tracked read-through hits, ``'computed'`` for freshly Calculated
+        rows — the observable witness of the Planned→Calculated→Tracked
+        state each value took (``TrackableValue.kt:17-41``).
         """
         hit = self.read_through(spine, feature_id, out_col, ts_col, params=params)
         tracked = hit.filter(F.col(out_col).isNotNull())
@@ -169,6 +180,9 @@ class FeatureStore:
         )
         if publish:
             self.publish(calculated, feature_id, out_col, ts_col, params=params)
+        if tag_col is not None:
+            tracked = tracked.withColumn(tag_col, F.lit("store"))
+            calculated = calculated.withColumn(tag_col, F.lit("computed"))
         # tracked store values are JSON blobs; keep both sides as-is
         return tracked.unionByName(
             calculated.withColumn(out_col, F.to_json(F.struct(F.col(out_col).alias("v"))))

@@ -4,7 +4,8 @@ Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` twin on
 DuckDB over the same parquet tables, then compares row count, column names,
 and an order-insensitive value hash (rows sorted, columns sorted by name).
 
-Usage: python scripts/check_oracle.py [sf_dir]  (default /root/testdata/sf0.01)
+Usage: python scripts/check_oracle.py [sf_dir] [only_query ...]
+(default sf_dir /root/testdata/sf0.01; with query names given, checks those)
 
 NB: the fixture-backed oracles (minhash/simhash/dup_clusters/corpus_curation)
 are pinned to the sf0.01 testdata — the sf the driver's gate runs at; at any
@@ -65,7 +66,9 @@ def value_hash(rows, colnames) -> str:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    args = sys.argv[1:]
+    sf_dir = args.pop(0) if args and os.path.isdir(args[0]) else "/root/testdata/sf0.01"
+    only = set(args)
     spark = get_spark("oracle-check", master="local[8]")
     con = duckdb.connect()
     for t in TABLES:
@@ -76,6 +79,8 @@ def main() -> int:
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
     failures = 0
     for name, fn in qs.items():
+        if only and name not in only:
+            continue
         t0 = time.time()
         sdf = fn(spark, sf_dir)
         srows = sdf.collect()

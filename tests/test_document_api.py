@@ -142,3 +142,101 @@ def test_plan_cache_reuses_compiled_request(spark):
     first = m._doc_cache[next(iter(m._doc_cache))]
     materialize_document(m, _events(spark), doc)
     assert m._doc_cache[next(iter(m._doc_cache))] is first
+
+
+# ------------------------------------------------------- nested collections
+def test_collection_collect_direction(spark):
+    """ListSegment fan-in: entity → ordered array<struct> with an element
+    feature (lag) inside (reference schema/path/result/ListSegment.kt:9-29)."""
+    doc = {
+        "select": {
+            "columns": ["user_id"],
+            "collections": {
+                "turns": {"fields": {"event_type": {},
+                                     "prior": {"feature": "prior_event_type"}}}
+            },
+        }
+    }
+    out = materialize_document(_model(), _events(spark), doc)
+    rows = {r["user_id"]: r["turns"] for r in out.collect()}
+    assert [t["event_type"] for t in rows["u1"]] == ["view", "click", "view"]
+    assert [t["prior"] for t in rows["u1"]] == [None, "view", "click"]
+    assert [t["event_type"] for t in rows["u2"]] == ["view"]
+
+
+def test_collection_unnest_direction(spark):
+    """ListSegment fan-out: one row per element with its index."""
+    doc = {
+        "select": {
+            "columns": ["user_id"],
+            "collections": {
+                "turns": {
+                    "fields": {"event_type": {}, "seq": {"feature": "event_seq"}},
+                    "unnest": True,
+                }
+            },
+        }
+    }
+    out = materialize_document(_model(), _events(spark), doc)
+    assert set(out.columns) == {"user_id", "turns_idx", "event_type", "seq"}
+    got = sorted(
+        (r["user_id"], r["turns_idx"], r["event_type"], r["seq"])
+        for r in out.collect()
+    )
+    assert got == [
+        ("u1", 0, "view", 1), ("u1", 1, "click", 2), ("u1", 2, "view", 3),
+        ("u2", 0, "view", 1),
+    ]
+
+
+def test_collection_with_parameterized_element_feature(spark):
+    """Variables bind inside collection fields exactly like flat features."""
+    doc = {
+        "variables": {"gap": 1200.0},
+        "select": {
+            "columns": ["user_id"],
+            "collections": {
+                "turns": {"fields": {"s": {"feature": "session_id",
+                                           "args": {"gap_threshold_s": "$gap"}}}}
+            },
+        },
+    }
+    out = materialize_document(_model(), _events(spark), doc)
+    rows = {r["user_id"]: [t["s"] for t in r["turns"]] for r in out.collect()}
+    # u1 gaps: 600s (same session), 3000s (> 1200 → new session)
+    assert rows["u1"] == [0, 0, 1]
+
+
+def test_collection_rejects_non_entity_columns():
+    doc = {
+        "select": {
+            "columns": ["user_id", "event_type"],
+            "collections": {"turns": {"fields": {"event_type": {}}}},
+        }
+    }
+    with pytest.raises(PlanError, match="entity key"):
+        compile_document(_model(), doc)
+
+
+def test_collection_rejects_mixing_with_flat_features():
+    doc = {
+        "select": {
+            "features": {"event_seq": {}},
+            "collections": {"turns": {"fields": {"event_type": {}}}},
+        }
+    }
+    with pytest.raises(PlanError, match="cannot mix"):
+        parse_document(doc)
+
+
+def test_two_unnest_collections_rejected():
+    doc = {
+        "select": {
+            "collections": {
+                "a": {"fields": {"event_type": {}}, "unnest": True},
+                "b": {"fields": {"event_type": {}}, "unnest": True},
+            }
+        }
+    }
+    with pytest.raises(PlanError, match="at most one"):
+        parse_document(doc)

@@ -209,3 +209,30 @@ def test_run_incremental_processes_only_new_rows(spark, tmp_path):
     # no new data → no-op, output unchanged
     out3 = tracker.run_incremental("feat", phase2, compute, ts_col="ts")
     assert out3.count() == 5
+
+
+def test_materialize_with_store_tag_col_and_custom_entity(spark, tmp_path):
+    """Planned→Calculated→Tracked witness: pass 1 computes everything
+    (tag 'computed'), pass 2 serves everything from the store ('store'),
+    including an as-of hit at a later request time; entity_col other than
+    the storage-canonical conv_id round-trips through the rename."""
+    from funcify_feature_eng_spark.store import FeatureStore
+
+    store = FeatureStore(spark, str(tmp_path / "fs"), entity_col="user_id")
+    spine = spark.createDataFrame(
+        [("u1", "2024-01-10 00:00:00"), ("u2", "2024-01-10 00:00:00")],
+        "user_id string, ts_s string",
+    ).select("user_id", F.col("ts_s").cast("timestamp").alias("ts"))
+
+    def compute(planned):
+        return planned.withColumn("f", F.length("user_id").cast("double"))
+
+    p1 = store.materialize_with_store(spine, "f", compute, "f", tag_col="src")
+    assert {r["src"] for r in p1.collect()} == {"computed"}
+
+    later = spine.withColumn("ts", F.col("ts") + F.expr("INTERVAL 5 DAYS"))
+    p2 = store.materialize_with_store(later, "f", compute, "f", tag_col="src")
+    rows = p2.collect()
+    assert {r["src"] for r in rows} == {"store"}
+    # as-of witness: served value_at is the ORIGINAL publish time, not ts
+    assert all(r["f_at_ts"] != r["ts"] for r in rows)
