@@ -580,16 +580,22 @@ def q_event_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal decode via mapInPandas, oracle-checkable: the fake decoder
-    is sha2-based and integer-valued, and the extraction computes moments in
-    a fixed op order, so DuckDB reproduces the doubles bit-for-bit."""
+    """Multimodal decode via mapInPandas, oracle-checkable: the fake decoders
+    are sha2-based and integer-valued, and the extraction computes moments in
+    a fixed op order, so DuckDB reproduces the doubles bit-for-bit. TWO media
+    kinds alternate per row (even doc_id → image grid, odd → audio waveform
+    with a different byte transform), exercising the DecoderRegistry
+    per-row dispatch — a dispatch bug changes values, not just the label."""
     from funcify_feature_eng_spark.operators.multimodal import (
         attach_fake_media,
         extract_media_features,
     )
 
     docs = _t(spark, sf_dir, "documents")
-    return extract_media_features(attach_fake_media(docs, "doc_id"), batch_cols=("doc_id",))
+    kind = F.when(F.col("doc_id") % 2 == 0, F.lit("image")).otherwise(F.lit("audio"))
+    return extract_media_features(
+        attach_fake_media(docs, "doc_id", kind=kind), batch_cols=("doc_id",)
+    )
 
 
 def q_doc_nfc(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -743,6 +749,23 @@ def q_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile("value", F.lit(0.5)).alias("p50"),
         F.percentile("value", F.lit(0.9)).alias("p90"),
         F.percentile("value", F.lit(0.99)).alias("p99"),
+    )
+
+
+def q_value_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The documented 100 TB swap for value_quantiles, actually gated:
+    approx_percentile (Greenwald-Khanna sketch, bounded memory, partial-
+    aggregable — no per-group sort). With accuracy ≥ group size the sketch
+    retains every sample and returns the exact nearest-rank order statistic;
+    Spark's rank rule ceil(p·n) and DuckDB quantile_disc's floor(p·(n-1))+1
+    are algebraically identical for 0<p<1, so the twin is exact. At real
+    scale drop accuracy to 10^4: same call shape, rank error ≤ n/10^4."""
+    ev = _t(spark, sf_dir, "events")
+    acc = 1_000_000
+    return ev.groupBy("event_type").agg(
+        F.expr(f"approx_percentile(value, 0.5, {acc})").alias("p50"),
+        F.expr(f"approx_percentile(value, 0.9, {acc})").alias("p90"),
+        F.expr(f"approx_percentile(value, 0.99, {acc})").alias("p99"),
     )
 
 
@@ -921,6 +944,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shows_reshaped": q_shows_reshaped,
         "doc_split": q_doc_split,
         "value_quantiles": q_value_quantiles,
+        "value_quantiles_approx": q_value_quantiles_approx,
         "value_histogram": q_value_histogram,
         "events_pivot": q_events_pivot,
         "doc_packing": q_doc_packing,
@@ -1541,6 +1565,13 @@ SELECT event_type,
        quantile_cont(value, 0.99) AS p99
 FROM events GROUP BY event_type
 """,
+        "value_quantiles_approx": """
+SELECT event_type,
+       quantile_disc(value, 0.5) AS p50,
+       quantile_disc(value, 0.9) AS p90,
+       quantile_disc(value, 0.99) AS p99
+FROM events GROUP BY event_type
+""",
         "value_histogram": """
 SELECT event_type, CAST(floor(value / 50.0) AS BIGINT) AS bin, COUNT(*) AS n
 FROM events GROUP BY event_type, floor(value / 50.0)
@@ -1595,9 +1626,11 @@ SELECT a AS doc_id, least(a, MIN(b)) AS cluster_id FROM reach GROUP BY a
         # (scripts/make_fixtures.py on functions/xxh64.py, locked against
         # Spark in tests/test_xxh64.py; freshness in test_fixture_oracles.py)
         # media: payload = sha2(doc_id, 256) hex cast to binary = the 64
-        # ASCII bytes of the hex string; the fake decode tiles it to a 64x64
-        # grid = exactly 64 copies, so grid moments = moments of one copy
-        # with S,Q,n scaled by 64 — all integer-exact, divisions mirrored
+        # ASCII bytes of the hex string. image (even doc_id): tiled to a
+        # 64x64 grid = exactly 64 copies, so grid moments = one copy's
+        # moments with S,Q,n scaled by 64. audio (odd): (3·byte) mod 256
+        # waveform tiled 16x (sample_rate/1000) = 1024 samples. All
+        # integer-exact, divisions mirrored in Python's op order.
         "media_features": """
 WITH h AS (
   SELECT doc_id, sha256(CAST(doc_id AS VARCHAR)) AS hx FROM documents
@@ -1607,12 +1640,21 @@ WITH h AS (
   SELECT doc_id,
          MIN(length(hx)) AS plen,
          SUM(ascii(substr(hx, CAST(i AS INT), 1))) AS s1,
-         SUM(ascii(substr(hx, CAST(i AS INT), 1)) * ascii(substr(hx, CAST(i AS INT), 1))) AS q1
+         SUM(ascii(substr(hx, CAST(i AS INT), 1)) * ascii(substr(hx, CAST(i AS INT), 1))) AS q1,
+         SUM((ascii(substr(hx, CAST(i AS INT), 1)) * 3) % 256) AS s3,
+         SUM(((ascii(substr(hx, CAST(i AS INT), 1)) * 3) % 256)
+             * ((ascii(substr(hx, CAST(i AS INT), 1)) * 3) % 256)) AS q3
   FROM c GROUP BY doc_id
 )
 SELECT doc_id,
-       ((64 * s1) / 4096) / 255.0 AS mean_intensity,
-       sqrt((64 * q1) / 4096 - ((64 * s1) / 4096) * ((64 * s1) / 4096)) / 255.0 AS std_intensity,
+       CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind,
+       CASE WHEN doc_id % 2 = 0
+            THEN ((64 * s1) / 4096) / 255.0
+            ELSE ((16 * s3) / 1024) / 255.0 END AS mean_intensity,
+       CASE WHEN doc_id % 2 = 0
+            THEN sqrt((64 * q1) / 4096 - ((64 * s1) / 4096) * ((64 * s1) / 4096)) / 255.0
+            ELSE sqrt((16 * q3) / 1024 - ((16 * s3) / 1024) * ((16 * s3) / 1024)) / 255.0
+       END AS std_intensity,
        CAST(plen AS INTEGER) AS n_bytes
 FROM s
 """,

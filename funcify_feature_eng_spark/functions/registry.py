@@ -37,9 +37,25 @@ class Transformer:
     # at plan time against the actual frame schema — the Spark analog of the
     # reference's runtime JSON-Schema check on the jq input document.
     arg_types: dict[str, str] = field(default_factory=dict)
+    # VALUE-level validation (the other half of P6): a JSON-Schema-subset
+    # dict applied to the transformer's JSON-blob input column at execution
+    # time via plans/validation.py — malformed or constraint-violating blobs
+    # are quarantined with reasons, not silently nulled.
+    value_schema: dict[str, Any] | None = None
 
     def __call__(self, *cols: Column, **kwargs: Any) -> Column:
         return self.builder(*cols, **kwargs)
+
+    def guard_values(self, df, col: str):
+        """Split ``df`` into (valid, quarantined) under ``value_schema``;
+        identity split when no value schema is declared."""
+        if self.value_schema is None:
+            return df, df.limit(0).withColumn(
+                "violations", F.array().cast("array<string>")
+            )
+        from funcify_feature_eng_spark.plans.validation import validate_json_values
+
+        return validate_json_values(df, col, self.value_schema)
 
     def validate_input_types(self, actual: dict[str, str]) -> None:
         """``actual``: arg name → the bound column's Spark simpleString type.
@@ -74,9 +90,10 @@ class TransformerRegistry:
         defaults: dict[str, Any] | None = None,
         description: str = "",
         arg_types: dict[str, str] | None = None,
+        value_schema: dict[str, Any] | None = None,
     ) -> Transformer:
         t = Transformer(name, builder, tuple(args), defaults or {}, description,
-                        arg_types or {})
+                        arg_types or {}, value_schema)
         self._by_name[_canon(name)] = t
         return t
 

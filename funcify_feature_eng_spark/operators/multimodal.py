@@ -27,12 +27,14 @@ MEDIA_META_SCHEMA = (
 )
 
 
-def attach_fake_media(df: DataFrame, id_col: str, kind: str = "image") -> DataFrame:
+def attach_fake_media(df: DataFrame, id_col: str, kind="image") -> DataFrame:
     """Deterministic fake media payloads keyed by id — test fixture for the
-    plumbing (payload = repeated md5-ish bytes of the id)."""
+    plumbing (payload = repeated md5-ish bytes of the id). ``kind`` is a
+    string or a Column (per-row kinds exercise the decoder dispatch)."""
     payload = F.sha2(F.col(id_col).cast("string"), 256).cast("binary")
+    kind_col = kind if not isinstance(kind, str) else F.lit(kind)
     meta = F.struct(
-        F.lit(kind).alias("kind"),
+        kind_col.alias("kind"),
         F.lit(64).alias("width"),
         F.lit(64).alias("height"),
         F.lit(16000).alias("sample_rate"),
@@ -52,6 +54,21 @@ def fake_image_decoder(payload: bytes, meta: dict) -> np.ndarray:
     w, h = min(w, 64), min(h, 64)
     raw = np.frombuffer((payload * ((w * h) // max(len(payload), 1) + 1))[: w * h], dtype=np.uint8)
     return raw.reshape(h, w)
+
+
+def fake_audio_decoder(payload: bytes, meta: dict) -> np.ndarray:
+    """Deterministic stand-in for an audio decode: bytes → 1-D integer PCM
+    proxy in [0, 255] (tiled ``(3·byte) mod 256`` waveform, sample_rate/1000
+    repetitions). Replace with a torchaudio/soundfile decode in production;
+    the integer-valued contract keeps downstream moments oracle-checkable.
+    The transform differs from the image tiling so a kind-dispatch bug
+    changes the output values, not just a label."""
+    if payload is None:
+        raise ValueError("NULL media payload")
+    reps = max(int(meta.get("sample_rate") or 16000) // 1000, 1)
+    base = np.frombuffer(payload, dtype=np.uint8).astype(np.int64)
+    wave = ((base * 3) % 256).astype(np.uint8)
+    return np.tile(wave, reps)
 
 
 class DecoderRegistry:
@@ -77,6 +94,7 @@ class DecoderRegistry:
 def default_registry() -> DecoderRegistry:
     r = DecoderRegistry()
     r.register("image", fake_image_decoder)
+    r.register("audio", fake_audio_decoder)
     return r
 
 
@@ -89,16 +107,18 @@ def extract_media_features(
 ) -> DataFrame:
     """Decode + feature-extract media via ``mapInPandas`` (Arrow batches).
 
-    Output: ``batch_cols`` + (mean_intensity double, std_intensity double,
-    n_bytes int). The decode runs per Arrow batch — vectorized dispatch, no
-    per-row Python UDF overhead beyond the unavoidable decode itself.
+    Output: ``batch_cols`` + (kind string, mean_intensity double,
+    std_intensity double, n_bytes int) — ``kind`` is echoed from the row's
+    metadata so per-row decoder dispatch is observable. The decode runs per
+    Arrow batch — vectorized dispatch, no per-row Python UDF overhead beyond
+    the unavoidable decode itself.
     """
     import math
 
     reg = registry or default_registry()
     out_schema = ", ".join(
         [f"{c} {t}" for c, t in zip(batch_cols, ["long"] * len(batch_cols))]
-        + ["mean_intensity double", "std_intensity double", "n_bytes int"]
+        + ["kind string", "mean_intensity double", "std_intensity double", "n_bytes int"]
     )
 
     def _as_meta(m) -> dict:
@@ -129,6 +149,7 @@ def extract_media_features(
                 stds.append(math.sqrt(q / n - mean_raw * mean_raw) / 255.0)
                 nbytes.append(len(payload))
             out = {c: pdf[c].to_numpy() for c in batch_cols}
+            out["kind"] = [m["kind"] for m in metas]
             out["mean_intensity"] = np.asarray(means, dtype=np.float64)
             out["std_intensity"] = np.asarray(stds, dtype=np.float64)
             out["n_bytes"] = np.asarray(nbytes, dtype=np.int32)

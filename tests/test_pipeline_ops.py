@@ -134,7 +134,8 @@ def test_all_pairs_topk_shape(spark):
 def test_multimodal_plumbing(spark, docs):
     media = attach_fake_media(docs.filter("doc_id <= 3"), "doc_id")
     feats = extract_media_features(media, batch_cols=("doc_id",)).orderBy("doc_id").toPandas()
-    assert list(feats.columns) == ["doc_id", "mean_intensity", "std_intensity", "n_bytes"]
+    assert list(feats.columns) == ["doc_id", "kind", "mean_intensity", "std_intensity", "n_bytes"]
+    assert (feats["kind"] == "image").all()
     assert len(feats) == 3
     assert (feats["n_bytes"] == 64).all()  # sha2-256 hex payload (64 ascii bytes)
     assert feats["mean_intensity"].between(0, 1).all()
@@ -169,3 +170,28 @@ def test_netflix_reshaping(spark, tmp_path):
     assert df.loc[1, "num_seasons"] == 2 and pd.isna(df.loc[1, "duration_min"])
     assert df.loc[0, "release_year"] == 2001
     assert str(df.loc[0, "date_added"]) == "2023-06-09"
+
+
+def test_multimodal_audio_kind_dispatch(spark, docs):
+    """Per-row kind dispatch: image and audio rows in ONE batch route to
+    different decoders whose outputs provably differ."""
+    from pyspark.sql import functions as F
+    from funcify_feature_eng_spark.operators.multimodal import (
+        attach_fake_media,
+        extract_media_features,
+    )
+
+    kind = F.when(F.col("doc_id") % 2 == 0, F.lit("image")).otherwise(F.lit("audio"))
+    media = attach_fake_media(docs.filter("doc_id <= 6"), "doc_id", kind=kind)
+    feats = extract_media_features(media, batch_cols=("doc_id",)).orderBy("doc_id").toPandas()
+    assert all(
+        k == ("image" if i % 2 == 0 else "audio")
+        for i, k in zip(feats["doc_id"], feats["kind"])
+    )
+    # the audio transform ((3b) mod 256) changes the moments for the same payload
+    img = attach_fake_media(docs.filter("doc_id <= 6"), "doc_id", kind="image")
+    all_img = extract_media_features(img, batch_cols=("doc_id",)).orderBy("doc_id").toPandas()
+    audio_rows = feats[feats["kind"] == "audio"].reset_index(drop=True)
+    img_same_ids = all_img[all_img["doc_id"] % 2 == 1].reset_index(drop=True)
+    assert (audio_rows["mean_intensity"] != img_same_ids["mean_intensity"]).any()
+    assert (feats["n_bytes"] == 64).all()
