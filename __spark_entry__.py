@@ -833,6 +833,50 @@ def q_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_near_pairs(docs, "doc_id", "text", max_hamming=3)
 
 
+def q_doc_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction + audit counts (pre-tokenization scrubbing pass every
+    production training pipeline runs). The corpus is digit-free, so a
+    deterministic synthetic suffix (email + phone + SSN derived from doc_id)
+    makes redaction observable; the pure-regexp_replace chain is JVM-side
+    and scan-speed at 100 TB (functions/text.py::pii_redact)."""
+    from funcify_feature_eng_spark.functions.text import pii_counts, pii_redact
+
+    docs = _t(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.substring("text", 1, 40),
+        F.lit(" contact user"), F.col("doc_id").cast("string"), F.lit("@example.com"),
+        F.lit(" or call 415-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" ssn 123-45-6789"),
+    )
+    n_email, n_ssn, n_phone = pii_counts(raw)
+    return docs.select(
+        "doc_id",
+        pii_redact(raw).alias("clean_text"),
+        n_email.alias("n_emails"),
+        n_ssn.alias("n_ssns"),
+        n_phone.alias("n_phones"),
+    )
+
+
+def q_vocab_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary statistics (tokenizer/vocab construction input):
+    term frequency + document frequency per lowercased whitespace token,
+    top 50 by TF with a deterministic tie-break. One explode + one groupBy
+    (map-side combine) + TakeOrdered — no global sort at 100 TB."""
+    from funcify_feature_eng_spark.functions.text import tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("term")
+    )
+    agg = tok.groupBy("term").agg(
+        F.count(F.lit(1)).alias("term_freq"),
+        F.countDistinct("doc_id").alias("doc_freq"),
+    )
+    return agg.orderBy(F.col("term_freq").desc(), F.col("term").asc()).limit(50)
+
+
 _STORE_CUT = "2024-01-16 00:00:00"
 _STORE_T2 = "2024-01-31 00:00:00"
 
@@ -961,6 +1005,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_tokens_pandas": q_doc_tokens_pandas,
         "media_features": q_media_features,
         "store_lifecycle": q_store_lifecycle,
+        "doc_pii": q_doc_pii,
+        "vocab_top_terms": q_vocab_top_terms,
     }
 
 
@@ -1279,6 +1325,39 @@ FROM ranked r
 JOIN lang l ON l.doc_id = r.doc_id
 JOIN qual q ON q.doc_id = r.doc_id
 WHERE r.rn = 1 AND l.lang_pred = 'en' AND q.quality_e6 >= 600000
+"""
+
+
+def _doc_pii_sql() -> str:
+    """DuckDB twin of q_doc_pii: identical regexes (ASCII classes — Java and
+    RE2 agree), identical application order (email → SSN → phone, since an
+    SSN also matches the phone shape); 'g' flag because DuckDB's
+    regexp_replace is first-match-only by default while Spark's replaces all."""
+    from funcify_feature_eng_spark.functions.text import (
+        PII_EMAIL_RE,
+        PII_PHONE_RE,
+        PII_SSN_RE,
+    )
+
+    e, s, p = PII_EMAIL_RE, PII_SSN_RE, PII_PHONE_RE
+    return f"""
+WITH r AS (
+  SELECT doc_id,
+         substr(text, 1, 40) || ' contact user' || CAST(doc_id AS VARCHAR)
+           || '@example.com' || ' or call 415-555-'
+           || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+           || ' ssn 123-45-6789' AS raw
+  FROM documents
+)
+SELECT doc_id,
+       regexp_replace(regexp_replace(regexp_replace(raw,
+           '{e}', '<EMAIL>', 'g'), '{s}', '<SSN>', 'g'), '{p}', '<PHONE>', 'g')
+         AS clean_text,
+       CAST(len(regexp_extract_all(raw, '{e}')) AS INT) AS n_emails,
+       CAST(len(regexp_extract_all(raw, '{s}')) AS INT) AS n_ssns,
+       CAST(len(regexp_extract_all(regexp_replace(raw, '{s}', '<SSN>', 'g'), '{p}'))
+            AS INT) AS n_phones
+FROM r
 """
 
 
@@ -1657,6 +1736,19 @@ SELECT doc_id,
        END AS std_intensity,
        CAST(plen AS INTEGER) AS n_bytes
 FROM s
+""",
+        "doc_pii": _doc_pii_sql(),
+        "vocab_top_terms": """
+WITH tk AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
+  FROM documents WHERE length(trim(text)) > 0
+)
+SELECT term,
+       COUNT(*) AS term_freq,
+       COUNT(DISTINCT doc_id) AS doc_freq
+FROM tk GROUP BY term
+ORDER BY term_freq DESC, term ASC LIMIT 50
 """,
         # the store lifecycle's values computed directly (no store): both
         # pass-2 rows must carry the SAME value as pass 1 with served='store'

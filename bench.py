@@ -87,16 +87,16 @@ def run_default() -> None:
     turns_per_sec = round(n_turns / times["flagship_transcripts"], 1)
 
     for name, fn in entrymod.queries().items():
+        # min-of-2 for EVERY query: the sandbox VM suffers minute-scale
+        # noisy-neighbor CPU steal, and single-shot timings of sub-second
+        # queries manufacture phantom regressions round-over-round (r01: a
+        # 6s query recorded 95.9s). First run also serves as plan warm-up.
         t0 = time.time()
         _force(fn(spark, sf_dir))
         t1 = time.time() - t0
-        # the sandbox VM suffers minute-scale noisy-neighbor CPU steal; a
-        # single inflated run misreports the engine (r01: a 6s query recorded
-        # 95.9s). Queries past the noise floor get a second run, min kept.
-        if t1 > 3.0:
-            t0 = time.time()
-            _force(fn(spark, sf_dir))
-            t1 = min(t1, time.time() - t0)
+        t0 = time.time()
+        _force(fn(spark, sf_dir))
+        t1 = min(t1, time.time() - t0)
         times[name] = round(t1, 3)
 
     # steady-state layout: bucketed+sorted ingest (one-time, untimed) makes
@@ -124,9 +124,9 @@ def run_default() -> None:
         },
         "protocol": (
             "one Spark session local[{}] sf{}; every query forced end-to-end "
-            "via noop write; flagship = warm-up then min-of-3; bucketed "
-            "flagship = pre-ingested bucketed+sorted table, warm-up then "
-            "min-of-2".format(cpus, sf)
+            "via noop write and timed min-of-2; flagship = warm-up then "
+            "min-of-3; bucketed flagship = pre-ingested bucketed+sorted "
+            "table, warm-up then min-of-2".format(cpus, sf)
         ),
     }))
     spark.stop()

@@ -157,3 +157,31 @@ def fingerprint64(c: Column) -> Column:
     """Stable 64-bit document fingerprint (xxhash64 of normalized text) —
     the exact-dedup key and lineage content hash."""
     return F.xxhash64(F.lower(F.trim(F.regexp_replace(c, r"\s+", " "))))
+
+
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE_RE = r"\+?[0-9][0-9()\-\s]{7,}[0-9]"
+PII_SSN_RE = r"[0-9]{3}-[0-9]{2}-[0-9]{4}"
+
+
+def pii_redact(c: Column) -> Column:
+    """PII scrubbing for training corpora: emails, SSN-shaped ids, and
+    phone-shaped digit runs replaced with typed placeholder tags. Pure
+    regexp_replace chain — JVM-side, codegen-resident, scan-speed at 100 TB
+    (the standard pre-tokenization redaction pass). Order matters: SSN
+    before phone (an SSN also matches the phone shape)."""
+    out = F.regexp_replace(c, PII_EMAIL_RE, "<EMAIL>")
+    out = F.regexp_replace(out, PII_SSN_RE, "<SSN>")
+    out = F.regexp_replace(out, PII_PHONE_RE, "<PHONE>")
+    return out
+
+
+def pii_counts(c: Column) -> tuple[Column, Column, Column]:
+    """(n_emails, n_ssns, n_phones) found in the raw text — the audit
+    metric that accompanies redaction. SSNs are counted exactly; phone
+    counts exclude SSN matches by counting on the SSN-redacted text."""
+    n_email = F.size(F.regexp_extract_all(c, F.lit(PII_EMAIL_RE), 0))
+    n_ssn = F.size(F.regexp_extract_all(c, F.lit(PII_SSN_RE), 0))
+    wo_ssn = F.regexp_replace(c, PII_SSN_RE, "<SSN>")
+    n_phone = F.size(F.regexp_extract_all(wo_ssn, F.lit(PII_PHONE_RE), 0))
+    return n_email, n_ssn, n_phone

@@ -81,14 +81,18 @@ def minhash_pairs(docs: list[tuple[int, str]]) -> list[tuple[int, int, float]]:
             texts[fp] = text  # representative text (identical within group)
     reps = {fp: min(ids) for fp, ids in groups.items()}
 
-    # 2) signatures + gram sets per representative
+    # 2) signatures + gram sets per representative. Mirrors
+    # operators/dedup._minhash_sig_expr: per shingle a = xxh64(s) once (the
+    # only string hash); slot i = xxh64(a as long, i as int) — the long is
+    # re-keyed per slot, the string never re-hashed.
     sig: dict[int, list[int]] = {}
     grams: dict[int, set[int]] = {}
     for fp, text in texts.items():
         sh = list(dict.fromkeys(_shingles(text, p["shingle_k"])))
-        grams[fp] = {spark_xxhash64(s) for s in sh}
+        hs = [spark_xxhash64(s) for s in sh]
+        grams[fp] = set(hs)
         sig[fp] = [
-            min(spark_xxhash64(("int", i), s) for s in sh)
+            min(spark_xxhash64(("long", a), ("int", i)) for a in hs)
             for i in range(p["num_hashes"])
         ]
 
