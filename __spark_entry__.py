@@ -516,26 +516,32 @@ def q_embedding_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Small corpus → broadcast cross join; at scale the LSH-bucketed variant
     (similarity.ann_lsh_topk signatures) bounds the candidate set. Cosine on
     a floor-1e4 grid for cross-engine exactness."""
-    from funcify_feature_eng_spark.functions.vectors import dot, norm
+    from funcify_feature_eng_spark.functions.vectors import dot_raw, norm
 
     emb = _t(spark, sf_dir, "embeddings")
     cap = int(os.environ.get("SPARK_GRAFT_PAIRS_CAP", "0"))
     if cap > 0:  # bench-only bound; exact all-pairs is O(n²) by definition
         emb = emb.filter(F.col("vec_id") < cap)
-    # precompute norms per ROW (O(n)) so the pair loop does one dot, not three
-    a = emb.select(
-        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"),
+    # precompute norms AND the float→double cast per ROW (O(n)) so the pair
+    # loop does exactly one zip_with + fold, no per-pair array casts
+    ed = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    # the quadratic work lives on the STREAM side of the broadcast NL join;
+    # a small parquet arrives as one input split, so spread it explicitly
+    # (a shuffle of n rows buys n·(n-1)/2 pair evaluations of parallelism)
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    a = emb.repartition(n_part, "vec_id").select(
+        F.col("vec_id").alias("vec_a"), ed.alias("ea"),
         norm(F.col("embedding")).alias("na"),
     )
     b = emb.select(
-        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"),
+        F.col("vec_id").alias("vec_b"), ed.alias("eb"),
         norm(F.col("embedding")).alias("nb"),
     )
     pairs = (
         a.join(F.broadcast(b), F.col("vec_a") < F.col("vec_b"))
         .withColumn(
             "cos_e4",
-            F.floor(dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
+            F.floor(dot_raw(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
                     * F.lit(10000.0)),
         )
         .filter(F.col("cos_e4") >= 4500)
@@ -622,8 +628,9 @@ def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     bigrams + one groupBy + one window — scalable, unlike per-row O(B²)
     array scans."""
     from funcify_feature_eng_spark.functions.text import shingles
+    from funcify_feature_eng_spark.operators.util import spread_small_input
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = spread_small_input(_t(spark, sf_dir, "documents"))
     grams = docs.select(
         "doc_id",
         F.length("text").alias("doc_len"),
@@ -632,14 +639,20 @@ def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = grams.groupBy("doc_id", "doc_len", "g").agg(
         F.count(F.lit(1)).alias("cnt")
     )
-    w = Window.partitionBy("doc_id").orderBy(F.col("cnt").desc(), F.col("g").asc())
-    top = counts.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    # top bigram per doc via min_by on (-cnt, g): highest count, ties broken
+    # by gram ascending — a hash aggregate with map-side partial combine,
+    # where a row_number window would sort every doc's gram counts
+    top = counts.groupBy("doc_id").agg(
+        F.min_by(
+            F.struct("cnt", "g", "doc_len"), F.struct((-F.col("cnt")).alias("nc"), "g")
+        ).alias("t")
+    )
     return top.select(
         "doc_id",
-        F.col("cnt").alias("top_bigram_count"),
+        F.col("t.cnt").alias("top_bigram_count"),
         F.floor(
             F.lit(1000000.0)
-            * (F.col("cnt") * F.length("g") * F.lit(1.0) / F.col("doc_len"))
+            * (F.col("t.cnt") * F.length("t.g") * F.lit(1.0) / F.col("t.doc_len"))
         ).alias("rep_e6"),
     )
 

@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from funcify_feature_eng_spark.functions.text import char_ngrams, fingerprint64, shingles
+from funcify_feature_eng_spark.operators.util import spread_small_input
 
 
 def exact_dup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -57,7 +58,8 @@ def ngram_jaccard_pairs(
     use minhash_lsh for the at-scale candidate path.
     """
     grams = (
-        df.select(
+        spread_small_input(df)
+        .select(
             F.col(id_col).alias("doc"),
             F.explode(F.array_distinct(char_ngrams(F.col(text_col), n))).alias("g"),
         )
@@ -300,27 +302,45 @@ def minhash_lsh_pairs(
 def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """64-bit SimHash per doc: per-token xxhash64, signed bit-vote, sign pack.
 
-    explode → one groupBy with 64 conditional sums (all JVM-side); the
-    Hamming-neighborhood join for near-dups is ``bit_count(a ^ b) <= r`` on
-    the packed long.
+    Computed ZERO-shuffle, entirely inside the row: tokenize → hash each
+    token once → one ``aggregate`` fold accumulating the 64 signed bit-votes
+    (a + 1 if the token hash has bit i set else −1) → pack sign bits. The
+    earlier explode + groupBy-with-64-conditional-sums formulation paid a
+    250k-row shuffle plus a 64-buffer hash aggregate too wide for
+    whole-stage codegen; the per-row fold does the identical arithmetic in
+    a pure map stage. Bit i is tested as ``h & (1<<i) != 0`` via a literal
+    powers array (PySpark's shift functions take only Python-int distances,
+    not lambda variables); the i=63 power is ``-(1<<63)``, whose two's-
+    complement bit pattern both tests and packs the sign bit correctly.
+    The Hamming-neighborhood join for near-dups is ``bit_count(a ^ b) <= r``
+    on the packed long. Docs with NULL text are dropped (as the explode
+    formulation did). spread_small_input keeps the dense map stage parallel
+    when the input arrives as a handful of splits (no-op at scale).
     """
-    tok = df.select(
-        F.col(id_col).alias("doc"),
-        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("t"),
-    ).withColumn("h", F.xxhash64("t"))
-    votes = [
-        F.sum(
-            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"b{i}")
-        for i in range(64)
-    ]
-    agg = tok.groupBy("doc").agg(*votes)
-    packed = None
-    for i in range(64):
-        bit = F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
-        term = bit * F.lit(1 << i).cast("long") if i < 63 else bit * F.lit(-(1 << 63)).cast("long")
-        packed = term if packed is None else packed + term
-    return agg.select("doc", packed.alias("simhash"))
+    df = spread_small_input(df.filter(F.col(text_col).isNotNull()))
+    powers = F.array(
+        *[F.lit(1 << i if i < 63 else -(1 << 63)).cast("long") for i in range(64)]
+    )
+    hs = F.transform(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), lambda t: F.xxhash64(t)
+    )
+    votes = F.aggregate(
+        hs,
+        F.array_repeat(F.lit(0), 64),
+        lambda acc, h: F.zip_with(
+            acc,
+            powers,
+            lambda a, p: a + F.when(h.bitwiseAND(p) != 0, 1).otherwise(-1),
+        ),
+    )
+    packed = F.aggregate(
+        F.zip_with(
+            votes, powers, lambda v, p: F.when(v > 0, p).otherwise(F.lit(0).cast("long"))
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return df.select(F.col(id_col).alias("doc"), packed.alias("simhash"))
 
 
 def simhash_near_pairs(

@@ -71,6 +71,27 @@ def connected_components(
         .distinct()
         .persist()
     )
+    # localCheckpoint materializes via the RDD path, which hides the (often
+    # tiny) label table from AQE's runtime partition coalescing — so every
+    # per-round join would shuffle to the session's full partition count no
+    # matter how small the graph. Size the loop's shuffle partitioning from
+    # the measured edge count instead (the count also forces sym's persist),
+    # and restore the session conf afterwards. At web scale the edge count
+    # keeps this at the session default; on a small dup graph the rounds
+    # become a handful of single-task stages instead of 32-task barriers.
+    n_edges = sym.count()
+    shuffle_conf = "spark.sql.shuffle.partitions"
+    session_parts = int(spark.conf.get(shuffle_conf))
+    loop_parts = max(1, min(session_parts, n_edges // 50_000 + 1))
+    spark.conf.set(shuffle_conf, str(loop_parts))
+    try:
+        return _cc_loop(spark, sc, sym, baseline_ids, max_iters, on_nonconverged)
+    finally:
+        spark.conf.set(shuffle_conf, str(session_parts))
+        sym.unpersist()
+
+
+def _cc_loop(spark, sc, sym, baseline_ids, max_iters, on_nonconverged):
     labels = (
         sym.select(F.col("a").alias("node"))
         .distinct()
@@ -90,6 +111,7 @@ def connected_components(
         prop = labels.join(nbr, on="node", how="left").select(
             "node",
             F.least(F.col("comp"), F.coalesce("nbr_comp", "comp")).alias("comp"),
+            F.col("comp").alias("old_comp"),
         )
         # 2) pointer jumping: comp <- label(comp). comp is always a node id
         # (labels are minima over node ids) and label(x) <= x, so the lookup
@@ -98,24 +120,26 @@ def connected_components(
         lookup = prop.select(
             F.col("node").alias("comp"), F.col("comp").alias("comp2")
         )
+        # carry the pre-round label through the join so convergence is a
+        # flag count on the (already materialized) checkpoint — one job per
+        # round, not a second label-vs-label join job
         new_labels = (
             prop.join(lookup, on="comp", how="left")
-            .select("node", F.least(F.col("comp"), F.coalesce("comp2", "comp")).alias("comp"))
+            .select(
+                "node",
+                F.least(F.col("comp"), F.coalesce("comp2", "comp")).alias("comp"),
+                F.col("old_comp"),
+            )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), on="node")
-            .filter(F.col("n.comp") != F.col("o.comp"))
-            .count()
-        )
+        changed = new_labels.filter(F.col("comp") != F.col("old_comp")).count()
+        new_labels = new_labels.drop("old_comp")
         # the superseded round's checkpoint is dead — release it now
         _release_rdds(sc, round_ids)
         round_ids = _persistent_rdd_ids(sc) - known
         labels = new_labels
         if changed == 0:
             break
-    sym.unpersist()
     if changed != 0:
         msg = (
             f"connected_components did not converge within max_iters={max_iters} "
