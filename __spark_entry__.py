@@ -379,8 +379,10 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     qvec = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
     planes = make_hyperplanes(len(qvec), n_planes=12, seed=42)
     qsig = sum((1 << i) for i, p in enumerate(planes) if float(np.dot(qvec, p)) >= 0)
-    sig = emb.filter(F.col("vec_id") != 0).withColumn(
-        "__sig", hyperplane_signature(F.col("embedding"), planes)
+    sig = (
+        emb.filter(F.col("vec_id") != 0)
+        .withColumn("__vd", F.transform(F.col("embedding"), lambda x: x.cast("double")))
+        .withColumn("__sig", hyperplane_signature(F.col("__vd"), planes, precast=True))
     )
     probed = sig.filter(F.bit_count(F.col("__sig").bitwiseXOR(F.lit(qsig))) <= 2)
     scored = probed.select(
@@ -399,6 +401,7 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     twin computes the identical assignment; production centroids come from
     make_ivf_centroids (seeded Lloyd) with partition-by-cluster at ingest."""
     from funcify_feature_eng_spark.operators.similarity import ivf_assign
+    from funcify_feature_eng_spark.operators.util import spread_small_input
 
     emb = _t(spark, sf_dir, "embeddings")
     cent_rows = (
@@ -422,7 +425,7 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         reverse=True,
     )
     probes = ranked[:2]
-    assigned = ivf_assign(emb.filter(F.col("vec_id") != 0), centroids)
+    assigned = ivf_assign(spread_small_input(emb.filter(F.col("vec_id") != 0)), centroids)
     pruned = assigned.filter(F.col("ivf_cluster").isin(probes))
     scored = pruned.select(
         "vec_id",

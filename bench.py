@@ -87,17 +87,22 @@ def run_default() -> None:
     turns_per_sec = round(n_turns / times["flagship_transcripts"], 1)
 
     for name, fn in entrymod.queries().items():
-        # min-of-2 for EVERY query: the sandbox VM suffers minute-scale
-        # noisy-neighbor CPU steal, and single-shot timings of sub-second
-        # queries manufacture phantom regressions round-over-round (r01: a
-        # 6s query recorded 95.9s). First run also serves as plan warm-up.
-        t0 = time.time()
-        _force(fn(spark, sf_dir))
-        t1 = time.time() - t0
-        t0 = time.time()
-        _force(fn(spark, sf_dir))
-        t1 = min(t1, time.time() - t0)
-        times[name] = round(t1, 3)
+        # adaptive min-of-2..4: the sandbox VM suffers minute-scale
+        # noisy-neighbor CPU steal windows large enough to inflate a 4 s
+        # query to 35 s across BOTH of two runs. Sample until the best two
+        # agree within 50% (or 4 tries) and keep the min — cheap/stable
+        # queries still stop at two runs; only steal-window victims re-run.
+        # First run also serves as plan warm-up.
+        samples = []
+        for _ in range(4):
+            t0 = time.time()
+            _force(fn(spark, sf_dir))
+            samples.append(time.time() - t0)
+            if len(samples) >= 2:
+                s = sorted(samples)
+                if s[0] < 1.0 or s[1] <= 1.5 * s[0]:
+                    break
+        times[name] = round(min(samples), 3)
 
     # steady-state layout: bucketed+sorted ingest (one-time, untimed) makes
     # the feature pass exchange-free — the 100 TB production posture. Runs
@@ -124,7 +129,8 @@ def run_default() -> None:
         },
         "protocol": (
             "one Spark session local[{}] sf{}; every query forced end-to-end "
-            "via noop write and timed min-of-2; flagship = warm-up then "
+            "via noop write, timed adaptive min-of-2..4 (re-run until best "
+            "two samples agree within 50%); flagship = warm-up then "
             "min-of-3; bucketed flagship = pre-ingested bucketed+sorted "
             "table, warm-up then min-of-2".format(cpus, sf)
         ),

@@ -52,14 +52,17 @@ def l2_distance(a: Column, b: Column) -> Column:
     )
 
 
-def hyperplane_signature(v: Column, planes: list[list[float]]) -> Column:
+def hyperplane_signature(v: Column, planes: list[list[float]], precast: bool = False) -> Column:
     """Random-hyperplane LSH signature: one sign bit per plane, packed into a
     long. ``planes`` are deterministic (seeded numpy) literals — generated at
-    plan time, broadcast as constants into codegen."""
+    plan time, broadcast as constants into codegen. Pass ``precast=True``
+    when ``v`` is already ``array<double>`` (hoisted to a per-row projection
+    by the caller) so the per-plane dot skips the cast-allocating transform."""
+    d = dot_raw if precast else dot
     bits = []
     for i, p in enumerate(planes):
         lit = F.array(*[F.lit(float(x)) for x in p])
-        bits.append(F.when(dot(v, lit) >= 0, F.lit(1 << i)).otherwise(F.lit(0)))
+        bits.append(F.when(d(v, lit) >= 0, F.lit(1 << i)).otherwise(F.lit(0)))
     out = bits[0]
     for b in bits[1:]:
         out = out + b

@@ -70,10 +70,12 @@ def ann_lsh_topk(
     for i, p in enumerate(planes):
         if float(np.dot(query_vec, p)) >= 0:
             qsig |= 1 << i
-    sig = df.withColumn("__sig", hyperplane_signature(F.col(vec_col), planes))
+    sig = df.withColumn(
+        "__vd", F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    ).withColumn("__sig", hyperplane_signature(F.col("__vd"), planes, precast=True))
     probed = sig.filter(
         F.bit_count(F.col("__sig").bitwiseXOR(F.lit(qsig))) <= max_probe_hamming
-    )
+    ).drop("__vd", "__sig")
     return cosine_topk(probed, query_vec, k, id_col, vec_col, round_to)
 
 
@@ -89,12 +91,35 @@ def ivf_assign(
     greatest-over-structs expression — JVM-side, one scan. At 100 TB the
     assignment is computed at ingest and the table is partitioned by
     ``ivf_cluster`` so probes prune partitions.
+
+    The row's double-cast vector and norm are hoisted into their own
+    projection (evaluated once, not once per centroid — CollapseProject
+    keeps non-cheap multiply-referenced aliases in place), and each
+    centroid's norm is a driver-computed constant: Python folds the same
+    doubles in the same order as the JVM aggregate would, so the scores are
+    bit-identical to the inline ``cosine`` form, preserving greatest-struct
+    tie behavior.
     """
+    import math
+
+    from funcify_feature_eng_spark.functions.vectors import dot_raw
+
+    base = df.withColumn(
+        "__vd", F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    ).withColumn("__nv", F.sqrt(dot_raw(F.col("__vd"), F.col("__vd"))))
     scored = []
     for i, c in enumerate(centroids):
         lit = F.array(*[F.lit(float(x)) for x in c])
-        scored.append(F.struct(cosine(F.col(vec_col), lit).alias("s"), F.lit(i).alias("c")))
-    return df.withColumn(out_col, F.greatest(*scored)["c"])
+        # plain sequential sum — same add order as the JVM aggregate fold
+        # (math.fsum would compensate and diverge in the last ulp)
+        sq = 0.0
+        for x in c:
+            sq += float(x) * float(x)
+        cn = math.sqrt(sq)
+        denom = F.col("__nv") * F.lit(cn)
+        s = F.when(denom > 0, dot_raw(F.col("__vd"), lit) / denom).otherwise(F.lit(0.0))
+        scored.append(F.struct(s.alias("s"), F.lit(i).alias("c")))
+    return base.withColumn(out_col, F.greatest(*scored)["c"]).drop("__vd", "__nv")
 
 
 def make_ivf_centroids(
