@@ -893,6 +893,55 @@ def q_vocab_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.orderBy(F.col("term_freq").desc(), F.col("term").asc()).limit(50)
 
 
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide line dedup (C4/RefinedWeb boilerplate pass): first
+    occurrence of each line in the corpus survives, every later occurrence —
+    in ANY document — is dropped (operators/dedup.py::line_dedup). The
+    corpus has no newlines, so the gate builds a deterministic 3-line text:
+    two document-derived lines plus one boilerplate line shared by every
+    doc; only doc 0 keeps the boilerplate."""
+    from funcify_feature_eng_spark.operators.dedup import line_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    raw = F.concat_ws(
+        "\n",
+        F.substring("text", 1, 60),
+        F.lit("subscribe to our newsletter today"),
+        F.substring("text", 61, 60),
+    )
+    return line_dedup(docs.select("doc_id", raw.alias("text")), "doc_id", "text")
+
+
+def q_doc_salient_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document salient terms: top-3 terms by TF weighted by corpus
+    rarity, score_e6 = floor(tf·10^6/df). Integer-exact across engines —
+    IEEE division of exactly-representable ints is correctly rounded, where
+    an ln()-based idf is transcendental and may differ in the last ulp
+    between libm implementations (at production scale swap in ln(N/df);
+    the plan shape is identical). Two groupBys (doc-term tf, term df — both
+    map-side combinable) + one join on term + one per-doc top-3 window."""
+    from funcify_feature_eng_spark.functions.text import tokens
+    from funcify_feature_eng_spark.operators.util import spread_small_input
+
+    docs = spread_small_input(_t(spark, sf_dir, "documents"))
+    tok = docs.select(
+        "doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("term")
+    )
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    scored = tf.join(dfreq, "term").withColumn(
+        "score_e6", F.floor(F.col("tf") * F.lit(1000000.0) / F.col("df"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score_e6").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", F.col("rank").cast("int").alias("rank"), "term", "score_e6")
+    )
+
+
 _STORE_CUT = "2024-01-16 00:00:00"
 _STORE_T2 = "2024-01-31 00:00:00"
 
@@ -1023,6 +1072,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "store_lifecycle": q_store_lifecycle,
         "doc_pii": q_doc_pii,
         "vocab_top_terms": q_vocab_top_terms,
+        "line_dedup": q_line_dedup,
+        "doc_salient_terms": q_doc_salient_terms,
     }
 
 
@@ -1754,6 +1805,51 @@ SELECT doc_id,
 FROM s
 """,
         "doc_pii": _doc_pii_sql(),
+        # line_dedup: same first-occurrence-wins rule; string_agg skips the
+        # NULLed-out duplicate lines and orders by original position
+        "line_dedup": """
+WITH r AS (
+  SELECT doc_id,
+         string_split(substr(text, 1, 60) || chr(10)
+           || 'subscribe to our newsletter today' || chr(10)
+           || substr(text, 61, 60), chr(10)) AS parts
+  FROM documents
+), l AS (
+  SELECT doc_id, i - 1 AS pos, parts[i] AS line
+  FROM r, LATERAL (SELECT unnest(generate_series(1, len(parts))) AS i) g
+), m AS (
+  SELECT doc_id, pos, line,
+         row_number() OVER (PARTITION BY line ORDER BY doc_id, pos) AS rn
+  FROM l
+)
+SELECT doc_id,
+       coalesce(string_agg(CASE WHEN rn = 1 THEN line END, chr(10) ORDER BY pos), '') AS text,
+       COUNT(*) AS n_lines,
+       CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS INT) AS n_dropped
+FROM m GROUP BY doc_id
+""",
+        "doc_salient_terms": """
+WITH tk AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
+  FROM documents WHERE length(trim(text)) > 0
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM tk GROUP BY doc_id, term
+), df AS (
+  SELECT term, COUNT(DISTINCT doc_id) AS df FROM tk GROUP BY term
+), s AS (
+  SELECT tf.doc_id, tf.term,
+         CAST(floor(tf.tf * 1000000.0 / df.df) AS BIGINT) AS score_e6
+  FROM tf JOIN df USING (term)
+), ranked AS (
+  SELECT doc_id, term, score_e6,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score_e6 DESC, term ASC) AS rank
+  FROM s
+)
+SELECT doc_id, CAST(rank AS INT) AS rank, term, score_e6
+FROM ranked WHERE rank <= 3
+""",
         "vocab_top_terms": """
 WITH tk AS (
   SELECT doc_id,

@@ -299,6 +299,58 @@ def minhash_lsh_pairs(
     return out
 
 
+def line_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    sep: str = "\n",
+) -> DataFrame:
+    """Corpus-wide line/paragraph dedup (the C4/RefinedWeb boilerplate pass):
+    every line that already occurred earlier in the corpus — in ANY document
+    — is dropped; the first occurrence (ordered by (doc id, line position))
+    survives. Returns (id, text with surviving lines re-joined, n_lines,
+    n_dropped).
+
+    Web corpora are full of repeated boilerplate lines (navigation, cookie
+    banners, signatures); removing them document-locally misses the
+    cross-document repetition that actually poisons training data.
+
+    Scale shape: posexplode lines → ONE shuffle on the 64-bit line
+    fingerprint (8-byte keys; the line text rides along only to be
+    reassembled) → row_number picks the global first occurrence → one
+    groupBy(id) re-assembly with an order-struct sort. No O(n²) anywhere;
+    both shuffles are linear in total line count.
+    """
+    lines = spread_small_input(df).select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "line"),
+    )
+    # partition by (hash, line): the 8-byte hash does the distribution work,
+    # the line itself disambiguates 2^-64 collisions so dedup stays EXACT
+    w = Window.partitionBy(F.xxhash64("line"), "line").orderBy("id", "pos")
+    marked = lines.withColumn("__rn", F.row_number().over(w))
+    kept = (
+        marked.groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum((F.col("__rn") > 1).cast("int")).alias("n_dropped"),
+            # collect_list skips NULLs: only first-occurrence lines survive
+            F.array_sort(
+                F.collect_list(F.when(F.col("__rn") == 1, F.struct("pos", "line")))
+            ).alias("keep"),
+        )
+        .select(
+            F.col("id").alias(id_col),
+            F.array_join(
+                F.transform("keep", lambda s: s["line"]), sep
+            ).alias(text_col),
+            "n_lines",
+            F.col("n_dropped").cast("int").alias("n_dropped"),
+        )
+    )
+    return kept
+
+
 def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """64-bit SimHash per doc: per-token xxhash64, signed bit-vote, sign pack.
 

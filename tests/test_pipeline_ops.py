@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 from funcify_feature_eng_spark.operators.dedup import (
     exact_dedup,
     exact_dup_groups,
+    line_dedup,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
     simhash64,
@@ -195,3 +196,26 @@ def test_multimodal_audio_kind_dispatch(spark, docs):
     img_same_ids = all_img[all_img["doc_id"] % 2 == 1].reset_index(drop=True)
     assert (audio_rows["mean_intensity"] != img_same_ids["mean_intensity"]).any()
     assert (feats["n_bytes"] == 64).all()
+
+
+def test_line_dedup_first_occurrence_wins(spark):
+    # boilerplate "B" appears in all three docs; "A" twice inside doc 1;
+    # doc order (id, position) decides who keeps each line
+    rows = [
+        (1, "A\nB\nA\nX"),
+        (2, "B\nY"),
+        (3, "Y\nB\nZ"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in line_dedup(df, "doc_id", "text").collect()}
+    assert out[1]["text"] == "A\nB\nX" and out[1]["n_dropped"] == 1
+    assert out[2]["text"] == "Y" and out[2]["n_dropped"] == 1
+    assert out[3]["text"] == "Z" and out[3]["n_dropped"] == 2
+    assert all(out[i]["n_lines"] == len(rows[i - 1][1].split("\n")) for i in out)
+
+
+def test_line_dedup_all_lines_dropped_yields_empty_text(spark):
+    df = spark.createDataFrame([(1, "B\nB"), (2, "B")], ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in line_dedup(df, "doc_id", "text").collect()}
+    assert out[1]["text"] == "B" and out[1]["n_dropped"] == 1
+    assert out[2]["text"] == "" and out[2]["n_dropped"] == 1
