@@ -928,7 +928,9 @@ def q_doc_salient_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("term")
     )
     tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    dfreq = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    # df derived FROM tf (one row per (doc, term) ⇒ count per term = number
+    # of docs containing it) — no second pass over the raw token explode
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     scored = tf.join(dfreq, "term").withColumn(
         "score_e6", F.floor(F.col("tf") * F.lit(1000000.0) / F.col("df"))
     )
@@ -939,6 +941,82 @@ def q_doc_salient_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= 3)
         .select("doc_id", F.col("rank").cast("int").alias("rank"), "term", "score_e6")
+    )
+
+
+_STREAM_GATE_SEQ = [0]
+
+
+def q_stream_turn_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 streaming in the DRIVER gate: the cross-batch stateful
+    sessionizer (streaming/runner.py::stateful_turn_features_stream,
+    applyInPandasWithState) run as a real Structured Streaming query over 2
+    micro-batches, its appended output returned as a batch frame. The input
+    is split into 2 files by global ts order (per-user in-order arrival
+    across batches — the transcript ingest contract), so per-user state
+    (prior role, session id) provably crosses micro-batch boundaries; the
+    oracle is the BATCH formulation (global lag + gap-cumsum), i.e. the
+    stream ≡ batch equivalence itself is what the gate hashes. The
+    pandas round-trip below is gate input scaffolding (building ordered
+    micro-batch files), not part of the operator."""
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from funcify_feature_eng_spark.streaming.runner import (
+        stateful_turn_features_stream,
+    )
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.col("event_type").alias("role"), "ts"
+    )
+    tmp = os.path.join(
+        "/tmp", f"spark_graft_stream_gate_{os.path.basename(os.path.normpath(sf_dir))}"
+    )
+    pdf = ev.orderBy("ts", "event_id").toPandas()
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)
+    os.makedirs(tmp)
+    n = len(pdf)
+    for i in range(2):
+        part = pdf.iloc[i * n // 2 : (i + 1) * n // 2]
+        fp = os.path.join(tmp, f"b{i}.parquet")
+        pq.write_table(
+            pa.Table.from_pandas(part, preserve_index=False), fp,
+            coerce_timestamps="us", allow_truncated_timestamps=True,
+        )
+        os.utime(fp, (1_700_000_000 + i, 1_700_000_000 + i))  # batch order
+    sch = spark.read.parquet(tmp).schema
+    stream = (
+        spark.readStream.schema(sch).option("maxFilesPerTrigger", "1").parquet(tmp)
+    )
+    out = stateful_turn_features_stream(
+        stream, entity_col="user_id", order_col="event_id", ts_col="ts",
+        gap_seconds=GAP_S,
+    )
+    _STREAM_GATE_SEQ[0] += 1
+    qname = f"stream_turn_features_sink_{_STREAM_GATE_SEQ[0]}"
+    # each micro-batch spins up a state-store partition per shuffle
+    # partition; at gate scale 32×4 empty-ish state partitions are pure
+    # overhead, so scope the conf down for the stream's lifetime
+    shuffle_conf = "spark.sql.shuffle.partitions"
+    session_parts = spark.conf.get(shuffle_conf)
+    spark.conf.set(shuffle_conf, "4")
+    try:
+        q = (
+            out.writeStream.format("memory").queryName(qname)
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set(shuffle_conf, session_parts)
+    return spark.table(qname).select(
+        "user_id",
+        "event_id",
+        "role",
+        "prior_role",
+        F.col("session_id").cast("int").alias("session_id"),
     )
 
 
@@ -1074,6 +1152,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_top_terms": q_vocab_top_terms,
         "line_dedup": q_line_dedup,
         "doc_salient_terms": q_doc_salient_terms,
+        "stream_turn_features": q_stream_turn_features,
     }
 
 
@@ -1805,6 +1884,25 @@ SELECT doc_id,
 FROM s
 """,
         "doc_pii": _doc_pii_sql(),
+        # stream_turn_features' oracle is the BATCH formulation: the gate
+        # hashes the stream ≡ batch equivalence of the stateful sessionizer
+        "stream_turn_features": f"""
+WITH o AS (
+  SELECT user_id, event_id, event_type, ts,
+         lag(event_type) OVER w AS prior_role,
+         lag(ts) OVER w AS prev_ts
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+)
+SELECT user_id, CAST(event_id AS INT) AS event_id, event_type AS role,
+       prior_role,
+       CAST(SUM(CASE WHEN prev_ts IS NOT NULL
+                      AND epoch_us(ts) - epoch_us(prev_ts) > {int(GAP_S * 1_000_000)}
+                 THEN 1 ELSE 0 END)
+            OVER (PARTITION BY user_id ORDER BY event_id
+                  ROWS UNBOUNDED PRECEDING) AS INT) AS session_id
+FROM o
+""",
         # line_dedup: same first-occurrence-wins rule; string_agg skips the
         # NULLed-out duplicate lines and orders by original position
         "line_dedup": """

@@ -68,8 +68,12 @@ def stateful_turn_features_stream(
     """
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+    # entity/order types follow the input stream (conv ids are strings,
+    # event ids are ints — the operator shouldn't care)
+    in_types = {f.name: f.dataType.simpleString() for f in stream_df.schema.fields}
     out_schema = (
-        f"{entity_col} string, {order_col} int, {ts_col} timestamp, "
+        f"{entity_col} {in_types.get(entity_col, 'string')}, "
+        f"{order_col} {in_types.get(order_col, 'int')}, {ts_col} timestamp, "
         "role string, prior_role string, session_id int"
     )
     state_schema = "last_ts_us long, last_role string, session_id int"
