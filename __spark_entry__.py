@@ -944,6 +944,51 @@ def q_doc_salient_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-rule resumability in the DRIVER gate: two watermark-based
+    incremental runs of the same stage (lineage.py::run_incremental). Pass 1
+    sees events before the cut (computes + records the high-watermark);
+    pass 2 sees the FULL spine but by contract computes only rows after the
+    watermark and appends. Each compute tags its rows with the pass number,
+    so the hashed result proves the increment: if pass 2 recomputed old rows
+    they would carry tag 2 and the hash would diverge from the oracle, whose
+    CASE reconstructs the (deterministic, data-derived) watermark as
+    max(ts) below the cut."""
+    import shutil
+
+    from funcify_feature_eng_spark.lineage import LineageTracker
+
+    base = os.path.join(
+        "/tmp", f"spark_graft_lineage_gate_{os.path.basename(os.path.normpath(sf_dir))}"
+    )
+    if os.path.exists(base):
+        shutil.rmtree(base)
+    tracker = LineageTracker(spark, base)
+    ev = _t(spark, sf_dir, "events")
+    cut = _STORE_CUT
+    state = {"pass": 0}
+
+    def compute(new: DataFrame) -> DataFrame:
+        state["pass"] += 1
+        return new.select(
+            "event_id",
+            "user_id",
+            "event_type",
+            "ts",
+            F.floor(F.col("value") * F.lit(1000000.0)).alias("value_e6"),
+            F.get_json_object("props", "$.k").cast("int").alias("prop_k"),
+            F.lit(state["pass"]).cast("int").alias("pass_no"),
+        )
+
+    tracker.run_incremental(
+        "ev_features", ev.filter(F.col("ts") < F.lit(cut)), compute, ts_col="ts"
+    )
+    out = tracker.run_incremental("ev_features", ev, compute, ts_col="ts")
+    return out.select(
+        "event_id", "user_id", "event_type", "value_e6", "prop_k", "pass_no"
+    )
+
+
 _STREAM_GATE_SEQ = [0]
 
 
@@ -1153,6 +1198,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup": q_line_dedup,
         "doc_salient_terms": q_doc_salient_terms,
         "stream_turn_features": q_stream_turn_features,
+        "incremental_refresh": q_incremental_refresh,
     }
 
 
@@ -1884,6 +1930,17 @@ SELECT doc_id,
 FROM s
 """,
         "doc_pii": _doc_pii_sql(),
+        # incremental_refresh: pass_no reconstructs the watermark semantics
+        # — pass 1 iff ts <= max(ts) below the cut (the recorded watermark)
+        "incremental_refresh": f"""
+SELECT event_id, user_id, event_type,
+       CAST(floor(value * 1000000.0) AS BIGINT) AS value_e6,
+       CAST(json_extract(props, '$.k') AS INT) AS prop_k,
+       CASE WHEN ts <= (SELECT max(ts) FROM events
+                        WHERE ts < TIMESTAMP '{_STORE_CUT}')
+            THEN 1 ELSE 2 END AS pass_no
+FROM events
+""",
         # stream_turn_features' oracle is the BATCH formulation: the gate
         # hashes the stream ≡ batch equivalence of the stateful sessionizer
         "stream_turn_features": f"""
