@@ -109,6 +109,50 @@ def q_asof_prior_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", "user_id", "event_type", "prior_purchase_value")
 
 
+def q_asof_prior_purchase_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME point-in-time semantics through the sort-merge strategy the
+    north star names (repartition-by-key + sortWithinPartitions + Arrow
+    merge_asof per partition) — value-identical to the broadcast
+    formulation, so it shares asof_prior_purchase's oracle."""
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    out = asof_join(
+        ev.select("event_id", "user_id", "ts", "event_type"),
+        purchases,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        value_cols={"value": "prior_purchase_value"},
+        allow_exact_matches=False,
+        right_order=["event_id"],
+        strategy="merge_asof",
+    )
+    return out.select("event_id", "user_id", "event_type", "prior_purchase_value")
+
+
+def q_asof_prior_purchase_segmented(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The skew-proof segmented strategy (hot entities split into bounded
+    segments with a cross-segment carry) on the same semantics/oracle."""
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    out = asof_join(
+        ev.select("event_id", "user_id", "ts", "event_type"),
+        purchases,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        value_cols={"value": "prior_purchase_value"},
+        allow_exact_matches=False,
+        right_order=["event_id"],
+        strategy="segmented",
+    )
+    return out.select("event_id", "user_id", "event_type", "prior_purchase_value")
+
+
 def q_next_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Forward as-of (backfill direction): earliest purchase strictly after."""
     ev = _t(spark, sf_dir, "events")
@@ -989,6 +1033,44 @@ def q_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_value_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6 VALUE-level validation in the driver gate: a JSON-Schema-subset
+    check compiled to pure Column predicates (plans/validation.py — no
+    Python UDF) splits rows into valid/quarantined with named reasons.
+    The corpus props are all valid, so three deterministic corruption
+    classes are planted by event_id: malformed JSON, a missing required
+    key, and an out-of-range value; the oracle reconstructs the same
+    verdicts and reason strings."""
+    from funcify_feature_eng_spark.plans.validation import validate_json_values
+
+    ev = _t(spark, sf_dir, "events")
+    planted = ev.select(
+        "event_id",
+        F.when(F.col("event_id") % 10 == 1, F.lit("not json"))
+        .when(F.col("event_id") % 10 == 2, F.lit('{"j": 5}'))
+        .when(F.col("event_id") % 10 == 3, F.lit('{"k": 1000}'))
+        .otherwise(F.col("props"))
+        .alias("props"),
+    )
+    schema = {
+        "type": "object",
+        "required": ["k"],
+        "properties": {"k": {"type": "integer", "minimum": 0, "maximum": 100}},
+    }
+    valid, quarantined = validate_json_values(planted, "props", schema)
+    return valid.select(
+        "event_id",
+        F.lit("valid").alias("status"),
+        F.lit(None).cast("string").alias("reasons"),
+    ).unionByName(
+        quarantined.select(
+            "event_id",
+            F.lit("quarantined").alias("status"),
+            F.array_join("violations", "; ").alias("reasons"),
+        )
+    )
+
+
 _STREAM_GATE_SEQ = [0]
 
 
@@ -1151,6 +1233,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "turn_features": q_turn_features,
         "sessionize": q_sessionize,
         "asof_prior_purchase": q_asof_prior_purchase,
+        "asof_prior_purchase_merge": q_asof_prior_purchase_merge,
+        "asof_prior_purchase_segmented": q_asof_prior_purchase_segmented,
         "next_purchase": q_next_purchase,
         "next_purchase_shuffle": q_next_purchase_shuffle,
         "request_doc_features": q_request_doc_features,
@@ -1199,6 +1283,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_salient_terms": q_doc_salient_terms,
         "stream_turn_features": q_stream_turn_features,
         "incremental_refresh": q_incremental_refresh,
+        "value_validation": q_value_validation,
     }
 
 
@@ -1558,6 +1643,10 @@ def oracle_sql() -> dict[str, str]:
         "turn_features": _TURN_FEATURES_SQL,
         "sessionize": _SESSIONIZE_SQL,
         "asof_prior_purchase": _ASOF_SQL,
+        # same semantics through different physical strategies — the gate
+        # proves all three produce identical values
+        "asof_prior_purchase_merge": _ASOF_SQL,
+        "asof_prior_purchase_segmented": _ASOF_SQL,
         "next_purchase": """
 SELECT e.event_id, e.user_id,
        (SELECT p.value FROM events p
@@ -1930,6 +2019,17 @@ SELECT doc_id,
 FROM s
 """,
         "doc_pii": _doc_pii_sql(),
+        # value_validation: verdicts + reason strings reconstructed from the
+        # planted corruption classes (clean rows all satisfy the schema)
+        "value_validation": """
+SELECT event_id,
+       CASE WHEN event_id % 10 IN (1, 2, 3) THEN 'quarantined' ELSE 'valid' END AS status,
+       CASE WHEN event_id % 10 = 1 THEN 'malformed JSON'
+            WHEN event_id % 10 = 2 THEN 'k: required'
+            WHEN event_id % 10 = 3 THEN 'k: above maximum 100'
+       END AS reasons
+FROM events
+""",
         # incremental_refresh: pass_no reconstructs the watermark semantics
         # — pass 1 iff ts <= max(ts) below the cut (the recorded watermark)
         "incremental_refresh": f"""

@@ -216,9 +216,14 @@ def _asof_merge_pandas(
     from pyspark.sql.types import StructType
 
     left_schema = left.schema
+    # the right timestamp ALWAYS travels under a private alias: when left and
+    # right derive from the same source DataFrame (self-as-of, e.g. events
+    # vs their own purchase subset), the analyzer's self-join attribute
+    # dedup silently drops a right column whose name+lineage collide with a
+    # left column — observed as the right cogroup pdf arriving without `ts`
     right_sel = right.select(
         *on,
-        right_ts,
+        F.col(right_ts).alias("__rts"),
         *[F.col(rc).alias(o) for rc, o in vals.items()],
         *[F.col(c).alias(f"__tie_{i}") for i, c in enumerate(right_order)],
     )
@@ -227,7 +232,7 @@ def _asof_merge_pandas(
     ]
     out_schema = StructType(out_fields)
     out_names = list(vals.values())
-    lts, rts = left_ts, right_ts
+    lts, rts = left_ts, "__rts"
     order_cols = list(right_order)
 
     def merge(l: pd.DataFrame, r: pd.DataFrame) -> pd.DataFrame:

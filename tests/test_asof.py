@@ -223,3 +223,33 @@ def test_segmented_matches_union_window_small_buckets(
     e = exp["store_value"].to_numpy(object)
     same = (g == e) | (pd.isna(g.astype(object)) & pd.isna(e.astype(object)))
     assert same.all()
+
+
+def test_merge_asof_self_join_same_source_same_ts_name(spark):
+    """Regression: when left and right derive from the SAME DataFrame and the
+    timestamp columns share a name, the analyzer's self-join attribute dedup
+    used to drop the right side's ts from the cogroup pdf (KeyError 'ts').
+    The strategy must handle self-as-of (events vs their own subset)."""
+    from pyspark.sql import functions as F
+
+    from funcify_feature_eng_spark.operators.asof import asof_join
+
+    rows = [
+        (1, 10, "2024-01-01 00:00:00", "view", None),
+        (2, 10, "2024-01-01 01:00:00", "purchase", 5.0),
+        (3, 10, "2024-01-01 02:00:00", "view", None),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts string, event_type string, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    right = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    out = asof_join(
+        ev.select("event_id", "user_id", "ts"), right,
+        on=["user_id"], left_ts="ts", right_ts="ts",
+        value_cols={"value": "prior_value"},
+        allow_exact_matches=False, right_order=["event_id"],
+        strategy="merge_asof",
+    ).orderBy("event_id").collect()
+    assert [r["prior_value"] for r in out] == [None, None, 5.0]
