@@ -1033,6 +1033,20 @@ def q_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group quota sampling (corpus mixing): at most 700 events per
+    event_type, chosen by deterministic pseudo-random order
+    (operators/sampling.py::quota_per_group). The oracle uses the
+    Knuth-multiplicative order variant (hash=False), exact in BIGINT
+    arithmetic on both engines; the xxhash64 production path is
+    pytest-covered, same convention as doc_split."""
+    from funcify_feature_eng_spark.operators.sampling import quota_per_group
+
+    ev = _t(spark, sf_dir, "events")
+    out = quota_per_group(ev, "event_type", "event_id", 700, hash=False)
+    return out.select("event_id", "event_type")
+
+
 def q_value_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P6 VALUE-level validation in the driver gate: a JSON-Schema-subset
     check compiled to pure Column predicates (plans/validation.py — no
@@ -1057,17 +1071,23 @@ def q_value_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "required": ["k"],
         "properties": {"k": {"type": "integer", "minimum": 0, "maximum": 100}},
     }
-    valid, quarantined = validate_json_values(planted, "props", schema)
-    return valid.select(
+    from funcify_feature_eng_spark.plans.validation import violations_col
+
+    # one pass: the valid/quarantined SPLIT (validate_json_values, pytest-
+    # covered) is two filters over the same scan — a union of both branches
+    # would evaluate every JSON check twice; deriving status from the
+    # violations array keeps the gate single-scan
+    _ = validate_json_values  # split API exercised in tests/test_validation.py
+    # materialize the violations array in its own projection so the three
+    # references below don't each re-run every JSON check (CollapseProject
+    # keeps non-cheap multiply-referenced aliases in place)
+    tagged = planted.select(
+        "event_id", violations_col("props", schema).alias("__v")
+    )
+    return tagged.select(
         "event_id",
-        F.lit("valid").alias("status"),
-        F.lit(None).cast("string").alias("reasons"),
-    ).unionByName(
-        quarantined.select(
-            "event_id",
-            F.lit("quarantined").alias("status"),
-            F.array_join("violations", "; ").alias("reasons"),
-        )
+        F.when(F.size("__v") > 0, F.lit("quarantined")).otherwise("valid").alias("status"),
+        F.when(F.size("__v") > 0, F.array_join("__v", "; ")).alias("reasons"),
     )
 
 
@@ -1284,6 +1304,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_turn_features": q_stream_turn_features,
         "incremental_refresh": q_incremental_refresh,
         "value_validation": q_value_validation,
+        "quota_sample": q_quota_sample,
     }
 
 
@@ -2019,6 +2040,15 @@ SELECT doc_id,
 FROM s
 """,
         "doc_pii": _doc_pii_sql(),
+        "quota_sample": """
+SELECT event_id, event_type FROM (
+  SELECT event_id, event_type,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY (event_id * 2654435761) % 4294967296 ASC,
+                                     event_id ASC) AS rn
+  FROM events
+) WHERE rn <= 700
+""",
         # value_validation: verdicts + reason strings reconstructed from the
         # planted corruption classes (clean rows all satisfy the schema)
         "value_validation": """

@@ -59,3 +59,36 @@ def deterministic_sample(
     """Keep ~fraction of rows, stably (same ids every run, layout-independent
     — unlike ``df.sample`` whose output depends on partitioning)."""
     return df.filter(bucket_expr(id_col, resolution, hash) < int(round(fraction * resolution)))
+
+
+def quota_per_group(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    n_per_group: int,
+    hash: bool = True,
+) -> DataFrame:
+    """Per-group quota sampling — the corpus-mixing primitive: keep at most
+    ``n_per_group`` rows of each group (domain, language, source), chosen in
+    a deterministic pseudo-random order so reruns and layout changes keep
+    the SAME rows and no group dominates the mix.
+
+    Order key is ``xxhash64(id)`` (production) or Knuth multiplicative
+    hashing ``(id * 2654435761) mod 2^32`` (``hash=False`` — exact in both
+    Spark and any SQL engine's BIGINT arithmetic, used by cross-engine
+    oracle checks; same convention as ``bucket_expr``). One shuffle on the
+    group key + a per-group sort bounded by group size; at web scale groups
+    are domains (thousands) over billions of rows — if a single group is
+    shuffle-hot, pre-filter with ``deterministic_sample`` to an upper bound
+    first, then apply the exact quota.
+    """
+    from pyspark.sql import Window
+
+    c = F.col(id_col)
+    key = F.xxhash64(c) if hash else F.pmod(c * F.lit(2654435761), F.lit(4294967296))
+    w = Window.partitionBy(group_col).orderBy(key.asc(), c.asc())
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= n_per_group)
+        .drop("__rn")
+    )

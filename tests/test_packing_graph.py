@@ -150,3 +150,25 @@ def test_connected_components_releases_checkpoint_storage(spark):
     labels.count()
     after = {int(k) for k in sc._jsc.getPersistentRDDs().keySet().toArray()}
     assert len(after - before) <= 1
+
+
+def test_quota_per_group_stable_and_capped(spark):
+    from pyspark.sql import functions as F
+
+    from funcify_feature_eng_spark.operators.sampling import quota_per_group
+
+    rows = [(i, f"g{i % 3}") for i in range(200)]
+    df = spark.createDataFrame(rows, "id long, grp string")
+    out = quota_per_group(df, "grp", "id", 20).orderBy("id").collect()
+    by_grp = {}
+    for r in out:
+        by_grp.setdefault(r["grp"], []).append(r["id"])
+    assert all(len(v) == 20 for v in by_grp.values())
+    # layout-independent: a different partitioning keeps the SAME rows
+    again = (
+        quota_per_group(df.repartition(7, "id"), "grp", "id", 20)
+        .orderBy("id").collect()
+    )
+    assert [r["id"] for r in again] == [r["id"] for r in out]
+    # quota larger than the group passes everything through
+    assert quota_per_group(df, "grp", "id", 1000).count() == 200
