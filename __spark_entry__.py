@@ -1653,7 +1653,8 @@ SELECT doc_id,
          AS clean_text,
        CAST(len(regexp_extract_all(raw, '{e}')) AS INT) AS n_emails,
        CAST(len(regexp_extract_all(raw, '{s}')) AS INT) AS n_ssns,
-       CAST(len(regexp_extract_all(regexp_replace(raw, '{s}', '<SSN>', 'g'), '{p}'))
+       CAST(len(regexp_extract_all(regexp_replace(regexp_replace(raw,
+                '{e}', '<EMAIL>', 'g'), '{s}', '<SSN>', 'g'), '{p}'))
             AS INT) AS n_phones
 FROM r
 """
@@ -2044,7 +2045,8 @@ FROM s
 SELECT event_id, event_type FROM (
   SELECT event_id, event_type,
          row_number() OVER (PARTITION BY event_type
-                            ORDER BY (event_id * 2654435761) % 4294967296 ASC,
+                            ORDER BY ((event_id % 2147483648) * 2654435761)
+                                     % 4294967296 ASC,
                                      event_id ASC) AS rn
   FROM events
 ) WHERE rn <= 700

@@ -178,10 +178,15 @@ def pii_redact(c: Column) -> Column:
 
 def pii_counts(c: Column) -> tuple[Column, Column, Column]:
     """(n_emails, n_ssns, n_phones) found in the raw text — the audit
-    metric that accompanies redaction. SSNs are counted exactly; phone
-    counts exclude SSN matches by counting on the SSN-redacted text."""
+    metric that accompanies redaction. Phones are counted on the
+    email+SSN-redacted text, mirroring ``pii_redact``'s application order
+    exactly: a digit run inside an email (user123456789@...) is an email,
+    not a phone, and counting it as both would make the audit disagree
+    with the redacted output it describes."""
     n_email = F.size(F.regexp_extract_all(c, F.lit(PII_EMAIL_RE), 0))
     n_ssn = F.size(F.regexp_extract_all(c, F.lit(PII_SSN_RE), 0))
-    wo_ssn = F.regexp_replace(c, PII_SSN_RE, "<SSN>")
-    n_phone = F.size(F.regexp_extract_all(wo_ssn, F.lit(PII_PHONE_RE), 0))
+    wo_prior = F.regexp_replace(
+        F.regexp_replace(c, PII_EMAIL_RE, "<EMAIL>"), PII_SSN_RE, "<SSN>"
+    )
+    n_phone = F.size(F.regexp_extract_all(wo_prior, F.lit(PII_PHONE_RE), 0))
     return n_email, n_ssn, n_phone

@@ -320,10 +320,23 @@ def line_dedup(
     reassembled) → row_number picks the global first occurrence → one
     groupBy(id) re-assembly with an order-struct sort. No O(n²) anywhere;
     both shuffles are linear in total line count.
+
+    NULL-text documents pass through unchanged (text NULL, 0 lines) — a
+    dedup pass must never drop documents. ``sep`` is a LITERAL separator
+    (escaped before it reaches the regex-based split).
     """
-    lines = spread_small_input(df).select(
+    import re
+
+    df = spread_small_input(df)
+    null_docs = df.filter(F.col(text_col).isNull()).select(
+        F.col(id_col),
+        F.lit(None).cast("string").alias(text_col),
+        F.lit(0).cast("long").alias("n_lines"),
+        F.lit(0).cast("int").alias("n_dropped"),
+    )
+    lines = df.filter(F.col(text_col).isNotNull()).select(
         F.col(id_col).alias("id"),
-        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "line"),
+        F.posexplode(F.split(F.col(text_col), re.escape(sep))).alias("pos", "line"),
     )
     # partition by (hash, line): the 8-byte hash does the distribution work,
     # the line itself disambiguates 2^-64 collisions so dedup stays EXACT
@@ -348,7 +361,7 @@ def line_dedup(
             F.col("n_dropped").cast("int").alias("n_dropped"),
         )
     )
-    return kept
+    return kept.unionByName(null_docs)
 
 
 def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:

@@ -63,7 +63,6 @@ def connected_components(
     """
     spark = edges.sparkSession
     sc = spark.sparkContext
-    baseline_ids = _persistent_rdd_ids(sc)
 
     sym = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
@@ -80,6 +79,12 @@ def connected_components(
     # keeps this at the session default; on a small dup graph the rounds
     # become a handful of single-task stages instead of 32-task barriers.
     n_edges = sym.count()
+    # baseline is snapshotted AFTER the count: a cached DataFrame's RDD only
+    # registers in getPersistentRDDs at materialization, so a pre-persist
+    # snapshot would let round 1's checkpoint-release sweep unpersist sym
+    # itself — every later round would then recompute the edge
+    # symmetrization from source
+    baseline_ids = _persistent_rdd_ids(sc)
     shuffle_conf = "spark.sql.shuffle.partitions"
     session_parts = int(spark.conf.get(shuffle_conf))
     loop_parts = max(1, min(session_parts, n_edges // 50_000 + 1))

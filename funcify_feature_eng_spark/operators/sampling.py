@@ -74,9 +74,11 @@ def quota_per_group(
     the SAME rows and no group dominates the mix.
 
     Order key is ``xxhash64(id)`` (production) or Knuth multiplicative
-    hashing ``(id * 2654435761) mod 2^32`` (``hash=False`` — exact in both
-    Spark and any SQL engine's BIGINT arithmetic, used by cross-engine
-    oracle checks; same convention as ``bucket_expr``). One shuffle on the
+    hashing ``((id mod 2^31) * 2654435761) mod 2^32`` (``hash=False`` — the
+    inner mod keeps the product below 2^63 so the arithmetic is exact (and
+    ANSI-safe) in any engine's BIGINT for ALL 64-bit ids; used by
+    cross-engine oracle checks, same convention as ``bucket_expr``). One
+    shuffle on the
     group key + a per-group sort bounded by group size; at web scale groups
     are domains (thousands) over billions of rows — if a single group is
     shuffle-hot, pre-filter with ``deterministic_sample`` to an upper bound
@@ -85,7 +87,11 @@ def quota_per_group(
     from pyspark.sql import Window
 
     c = F.col(id_col)
-    key = F.xxhash64(c) if hash else F.pmod(c * F.lit(2654435761), F.lit(4294967296))
+    key = (
+        F.xxhash64(c)
+        if hash
+        else F.pmod(F.pmod(c, F.lit(2147483648)) * F.lit(2654435761), F.lit(4294967296))
+    )
     w = Window.partitionBy(group_col).orderBy(key.asc(), c.asc())
     return (
         df.withColumn("__rn", F.row_number().over(w))

@@ -5,7 +5,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 
-def spread_small_input(df: DataFrame, min_rows_per_partition: int = 1) -> DataFrame:
+def spread_small_input(df: DataFrame) -> DataFrame:
     """Round-robin repartition a DataFrame whose partition count is below the
     cluster's default parallelism — and leave it untouched otherwise.
 

@@ -255,13 +255,12 @@ def materialize_document(
         # variables also feed J1 tier-6 resolution (names satisfiable from
         # the request's variable set), not just feature arguments
         return req.materialize(spine, out_cols, variables=variables)
-    return _materialize_collections(req, spine, out_cols, colls, variables)
+    return _materialize_collections(req, spine, colls, variables)
 
 
 def _materialize_collections(
     req: FeatureModel,
     spine: DataFrame,
-    out_cols: list[str],
     colls: dict[str, dict],
     variables: dict | None,
 ) -> DataFrame:

@@ -70,8 +70,14 @@ def _prop_checks(col: str, name: str, spec: dict[str, Any]) -> list[Column]:
             F.when(present & ~raw.isin("true", "false"), F.lit(f"{name}: expected boolean"))
         )
     elif t == "string":
-        # get_json_object unquotes strings; a JSON number/bool also yields a
-        # value — enforce via the raw JSON text shape when enum is absent
+        # get_json_object unquotes strings AND stringifies numbers/bools, so
+        # the unquoted value can't distinguish "123" from 123 — enforce the
+        # string type on the raw JSON text shape: the property's value must
+        # start with a quote (supported schema subset is flat objects)
+        quoted = F.col(col).rlike(f'"{name}"\\s*:\\s*"')
+        checks.append(
+            F.when(present & ~quoted, F.lit(f"{name}: expected string"))
+        )
         if "enum" in spec:
             checks.append(
                 F.when(
@@ -101,9 +107,11 @@ def violations_col(col: str, schema: dict[str, Any]) -> Column:
         F.when(blob.isNotNull() & parsed.isNull(), F.lit("malformed JSON"))
     )
     if schema.get("type") == "object":
+        # ltrim: leading whitespace (CSV ingestion etc.) is valid JSON and
+        # must not flip a parseable object into quarantine
         checks.append(
             F.when(
-                blob.isNotNull() & parsed.isNotNull() & ~blob.startswith("{"),
+                blob.isNotNull() & parsed.isNotNull() & ~F.ltrim(blob).startswith("{"),
                 F.lit("expected object"),
             )
         )

@@ -69,6 +69,13 @@ def main() -> int:
     args = sys.argv[1:]
     sf_dir = args.pop(0) if args and os.path.isdir(args[0]) else "/root/testdata/sf0.01"
     only = set(args)
+    # a mistyped sf_dir would otherwise fall through into `only`, match no
+    # query, and exit green having verified NOTHING — fail loudly instead
+    known = set(entrymod.queries())
+    unknown = only - known
+    if unknown:
+        print(f"ERROR: not query names (mistyped path?): {sorted(unknown)}")
+        return 2
     spark = get_spark("oracle-check", master="local[8]")
     con = duckdb.connect()
     for t in TABLES:

@@ -172,3 +172,15 @@ def test_quota_per_group_stable_and_capped(spark):
     assert [r["id"] for r in again] == [r["id"] for r in out]
     # quota larger than the group passes everything through
     assert quota_per_group(df, "grp", "id", 1000).count() == 200
+
+
+def test_quota_per_group_mod_variant_ansi_safe_for_64bit_ids(spark):
+    from funcify_feature_eng_spark.operators.sampling import quota_per_group
+
+    big = 10**18
+    df = spark.createDataFrame(
+        [(big + i, "g") for i in range(10)], "id long, grp string"
+    )
+    # must not raise ArithmeticException under ANSI mode
+    out = quota_per_group(df, "grp", "id", 3, hash=False).collect()
+    assert len(out) == 3

@@ -219,3 +219,30 @@ def test_line_dedup_all_lines_dropped_yields_empty_text(spark):
     out = {r["doc_id"]: r for r in line_dedup(df, "doc_id", "text").collect()}
     assert out[1]["text"] == "B" and out[1]["n_dropped"] == 1
     assert out[2]["text"] == "" and out[2]["n_dropped"] == 1
+
+
+def test_line_dedup_null_text_passthrough_and_literal_sep(spark):
+    df = spark.createDataFrame(
+        [(1, "A|B"), (2, None), (3, "B|C")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in line_dedup(df, "doc_id", "text", sep="|").collect()}
+    # NULL doc survives untouched (a dedup pass must never drop documents)
+    assert out[2]["text"] is None and out[2]["n_lines"] == 0
+    # '|' is treated literally, not as regex alternation
+    assert out[1]["text"] == "A|B" and out[3]["text"] == "C" and out[3]["n_dropped"] == 1
+
+
+def test_pii_counts_email_digits_not_phone(spark):
+    from funcify_feature_eng_spark.functions.text import pii_counts, pii_redact
+
+    df = spark.createDataFrame(
+        [(1, "contact user123456789@example.com now")], "i long, t string"
+    )
+    ne, ns, np_ = pii_counts(F.col("t"))
+    row = df.select(
+        pii_redact(F.col("t")).alias("clean"), ne.alias("e"), ns.alias("s"), np_.alias("p")
+    ).head()
+    # the digit run inside the email is an EMAIL, not a phone — the audit
+    # counts must agree with what pii_redact actually masks
+    assert row["clean"] == "contact <EMAIL> now"
+    assert (row["e"], row["s"], row["p"]) == (1, 0, 0)

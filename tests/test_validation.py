@@ -95,3 +95,25 @@ def test_transformer_guard_without_schema_is_identity(spark):
     valid, quarantined = t.guard_values(_df(spark), "props")
     assert valid.count() == 10 and quarantined.count() == 0
     assert "violations" in quarantined.columns
+
+
+def test_string_type_enforced_and_leading_whitespace_object_valid(spark):
+    from funcify_feature_eng_spark.plans.validation import validate_json_values
+
+    schema = {
+        "type": "object",
+        "required": ["tag"],
+        "properties": {"tag": {"type": "string"}},
+    }
+    df = spark.createDataFrame(
+        [
+            (1, '{"tag": "ok"}'),
+            (2, '{"tag": 123}'),        # wrong type must quarantine
+            (3, '  {"tag": "ws"}'),     # leading whitespace is valid JSON
+        ],
+        "id long, blob string",
+    )
+    valid, quarantined = validate_json_values(df, "blob", schema)
+    assert sorted(r["id"] for r in valid.collect()) == [1, 3]
+    q = {r["id"]: list(r["violations"]) for r in quarantined.collect()}
+    assert q == {2: ["tag: expected string"]}
