@@ -1033,6 +1033,49 @@ def q_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_RAG_QUERY = "key table scan window"
+
+
+def q_chunk_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-ingest capstone (the RAG shape): context-window chunking →
+    per-chunk embedding → exact cosine top-k for a query string, one job.
+    The embedding is the deterministic sha-stub (vectors.sha_embed_dims —
+    a real model is the single swap point; everything around it is the
+    production plumbing). Integer components keep every sum exact, so the
+    only FP ops are the final norm/divide, deterministic on both engines."""
+    import math
+
+    from funcify_feature_eng_spark.functions.vectors import (
+        sha_embed_dims,
+        sha_embed_py,
+    )
+    from funcify_feature_eng_spark.operators.chunking import chunk_documents
+
+    docs = _t(spark, sf_dir, "documents")
+    chunks = chunk_documents(docs, "doc_id", "text", chunk_tokens=40, overlap_tokens=10)
+    base = chunks.select(
+        "doc_id", "chunk_idx", F.sha2(F.col("chunk_text"), 256).alias("__hx")
+    )
+    dims = sha_embed_dims(F.col("__hx"))
+    q = sha_embed_py(_RAG_QUERY)
+    qn = math.sqrt(sum(x * x for x in q))
+    dot = None
+    sq = None
+    for d_expr, qi in zip(dims, q):
+        term = d_expr * F.lit(qi)
+        term2 = d_expr * d_expr
+        dot = term if dot is None else dot + term
+        sq = term2 if sq is None else sq + term2
+    scored = base.select(
+        "doc_id",
+        "chunk_idx",
+        F.floor(F.lit(10000.0) * dot / (F.sqrt(sq) * F.lit(qn))).alias("cos_e4"),
+    )
+    return scored.orderBy(
+        F.col("cos_e4").desc(), F.col("doc_id").asc(), F.col("chunk_idx").asc()
+    ).limit(10)
+
+
 def q_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group quota sampling (corpus mixing): at most 700 events per
     event_type, chosen by deterministic pseudo-random order
@@ -1305,6 +1348,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_refresh": q_incremental_refresh,
         "value_validation": q_value_validation,
         "quota_sample": q_quota_sample,
+        "chunk_ann_topk": q_chunk_ann_topk,
     }
 
 
@@ -1657,6 +1701,53 @@ SELECT doc_id,
                 '{e}', '<EMAIL>', 'g'), '{s}', '<SSN>', 'g'), '{p}'))
             AS INT) AS n_phones
 FROM r
+"""
+
+
+def _chunk_ann_sql() -> str:
+    """DuckDB twin of q_chunk_ann_topk: same chunking CTE as doc_chunks,
+    sha256-ascii embedding dims written out explicitly (integer-exact), the
+    query vector and its norm inlined as literals shared with the Spark
+    side."""
+    import math
+
+    from funcify_feature_eng_spark.functions.vectors import sha_embed_py
+
+    q = sha_embed_py(_RAG_QUERY)
+    qn = repr(math.sqrt(sum(x * x for x in q)))
+    dim_defs = ", ".join(
+        "("
+        + " + ".join(f"ascii(substr(hx, {d * 8 + j + 1}, 1))" for j in range(8))
+        + f") AS d{d}"
+        for d in range(8)
+    )
+    dot = " + ".join(f"d{d} * {q[d]}" for d in range(8))
+    sq = " + ".join(f"d{d} * d{d}" for d in range(8))
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(text)) > 0
+              THEN regexp_split_to_array(trim(text), '\\s+')
+              ELSE [] END AS tk
+  FROM documents
+), s AS (
+  SELECT doc_id, tk, len(tk) AS n,
+         CASE WHEN len(tk) > 0
+              THEN 1 + greatest(0, CAST(floor((len(tk) - 11) / 30) AS INT))
+              ELSE 0 END AS n_chunks
+  FROM t
+), ch AS (
+  SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+         sha256(array_to_string(tk[CAST(i*30+1 AS INT):CAST(i*30+40 AS INT)], ' ')) AS hx
+  FROM s, LATERAL (SELECT unnest(range(0, n_chunks)) AS i) u
+), d AS (
+  SELECT doc_id, chunk_idx, {dim_defs} FROM ch
+)
+SELECT doc_id, chunk_idx,
+       CAST(floor(10000.0 * ({dot}) / (sqrt({sq}) * {qn})) AS BIGINT) AS cos_e4
+FROM d
+ORDER BY cos_e4 DESC, doc_id ASC, chunk_idx ASC
+LIMIT 10
 """
 
 
@@ -2041,6 +2132,7 @@ SELECT doc_id,
 FROM s
 """,
         "doc_pii": _doc_pii_sql(),
+        "chunk_ann_topk": _chunk_ann_sql(),
         "quota_sample": """
 SELECT event_id, event_type FROM (
   SELECT event_id, event_type,

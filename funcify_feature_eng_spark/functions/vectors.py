@@ -67,3 +67,33 @@ def hyperplane_signature(v: Column, planes: list[list[float]], precast: bool = F
     for b in bits[1:]:
         out = out + b
     return out.cast("long")
+
+
+def sha_embed_dims(hex_col: Column, dim: int = 8, bytes_per_dim: int = 8) -> list[Column]:
+    """Deterministic text-embedding STUB: ``dim`` integer components, each
+    the sum of ``bytes_per_dim`` ascii codes of a sha256-hex slice. Real
+    embedding models aren't in this container — this keeps the RETRIEVAL
+    plumbing (chunk → embed → index → top-k) fully real and cross-engine
+    exact (sha256 + ascii exist in any SQL engine), with the model call as
+    the single swap point. Pass the PROJECTED hex column (one sha256 per
+    row), not an inline expression, so the hash isn't recomputed per
+    component."""
+    out = []
+    for d in range(dim):
+        comp = None
+        for j in range(bytes_per_dim):
+            a = F.ascii(F.substring(hex_col, d * bytes_per_dim + j + 1, 1))
+            comp = a if comp is None else comp + a
+        out.append(comp)
+    return out
+
+
+def sha_embed_py(text: str, dim: int = 8, bytes_per_dim: int = 8) -> list[int]:
+    """Driver-side twin of sha_embed_dims (query-vector construction)."""
+    import hashlib
+
+    hx = hashlib.sha256(text.encode()).hexdigest()
+    return [
+        sum(ord(hx[d * bytes_per_dim + j]) for j in range(bytes_per_dim))
+        for d in range(dim)
+    ]
