@@ -1098,9 +1098,10 @@ def q_value_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
     classes are planted by event_id: malformed JSON, a missing required
     key, and an out-of-range value; the oracle reconstructs the same
     verdicts and reason strings."""
+    from funcify_feature_eng_spark.operators.util import spread_small_input
     from funcify_feature_eng_spark.plans.validation import validate_json_values
 
-    ev = _t(spark, sf_dir, "events")
+    ev = spread_small_input(_t(spark, sf_dir, "events"))
     planted = ev.select(
         "event_id",
         F.when(F.col("event_id") % 10 == 1, F.lit("not json"))

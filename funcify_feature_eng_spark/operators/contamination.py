@@ -14,9 +14,13 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from funcify_feature_eng_spark.functions.text import shingles
+from funcify_feature_eng_spark.operators.util import spread_small_input
 
 
 def _gram_hashes(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
+    # shingling+explode is the dense map stage — keep it parallel when the
+    # input arrives as a handful of splits (no-op at scale)
+    df = spread_small_input(df)
     return df.select(
         F.col(id_col).alias("doc"),
         F.explode(F.array_distinct(shingles(F.col(text_col), k))).alias("g"),
