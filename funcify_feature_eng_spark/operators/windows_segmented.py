@@ -52,6 +52,13 @@ def turn_features_segmented(
     Buckets are time-ranges (``bucket_seconds``); pass ``bucket_rows`` to
     bucket by row index instead when the entity has a known dense index
     (uses ``order[0]`` — e.g. turn_idx — divided by bucket_rows).
+
+    PRECONDITION for time bucketing: ``ts_col`` must be non-decreasing in
+    the ``order`` sort within each entity (the transcript ingest contract —
+    turn index and wall clock agree). A row whose turn index is later but
+    timestamp earlier would land in an earlier bucket and be stitched out
+    of turn order. When the two can disagree, use ``bucket_rows`` (bucketing
+    on the order column itself), which needs no such assumption.
     """
     keys = list(keys)
     if bucket_rows is not None:

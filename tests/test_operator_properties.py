@@ -1,0 +1,157 @@
+"""Property-based invariants (hypothesis) for the corpus operators —
+complements the fixed-case tests the way the reference's randomized
+round-trip tests complement its golden files (SURVEY.md §5).
+
+All examples are seeded/deterministic (hypothesis derandomized via profile
+defaults in CI-less runs) and sized for the shared local[4] session.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+SETTLE = settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+line_alphabet = st.sampled_from(["a", "b", "c", "dd", ""])
+doc_lines = st.lists(line_alphabet, min_size=0, max_size=5)
+corpus = st.lists(doc_lines, min_size=1, max_size=8)
+
+
+@SETTLE
+@given(corpus=corpus)
+def test_line_dedup_invariants(spark, corpus):
+    from funcify_feature_eng_spark.operators.dedup import line_dedup
+
+    rows = [(i, "\n".join(lines)) for i, lines in enumerate(corpus)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in line_dedup(df, "doc_id", "text").collect()}
+
+    def kept_lines(i):
+        # "" is a legitimate line: a doc that KEPT one empty line re-joins
+        # to "" exactly like a doc that kept nothing — disambiguate via the
+        # row's own accounting columns
+        n_kept = out[i]["n_lines"] - out[i]["n_dropped"]
+        if n_kept == 0:
+            return []
+        lines = out[i]["text"].split("\n")
+        assert len(lines) == n_kept
+        return lines
+
+    # 1) every document survives
+    assert set(out) == {i for i, _ in rows}
+    # 2) across the whole output corpus, no line occurs twice
+    seen: set[str] = set()
+    for i, _ in rows:
+        for ln in kept_lines(i):
+            assert ln not in seen, f"line {ln!r} survived twice"
+            seen.add(ln)
+    # 3) the surviving set is exactly the distinct lines of the input
+    all_lines = {ln for _, t in rows for ln in t.split("\n")}
+    assert seen == all_lines
+    # 4) per-doc accounting: n_lines is the input count
+    for i, t in rows:
+        assert out[i]["n_lines"] == len(t.split("\n"))
+    # 5) first-occurrence-wins: each surviving line sits in the doc where it
+    # first appeared (scanning docs in id order, positions in order)
+    first_doc: dict[str, int] = {}
+    for i, t in rows:
+        for ln in t.split("\n"):
+            first_doc.setdefault(ln, i)
+    for i, _ in rows:
+        for ln in kept_lines(i):
+            assert first_doc[ln] == i
+
+
+@SETTLE
+@given(
+    toks=st.lists(st.integers(min_value=1, max_value=9), min_size=1, max_size=20),
+    budget=st.integers(min_value=5, max_value=15),
+)
+def test_pack_documents_prefix_invariants(spark, toks, budget):
+    from funcify_feature_eng_spark.operators.packing import pack_documents
+
+    rows = [(i, t) for i, t in enumerate(toks)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens int")
+    out = (
+        pack_documents(df, "doc_id", "n_tokens", budget=budget)
+        .orderBy("doc_id")
+        .collect()
+    )
+    # replay the prefix-sum: pack boundaries must match exactly
+    prefix = 0
+    for r, (_, t) in zip(out, rows):
+        assert r["pack_id"] == prefix // budget
+        assert r["offset_in_pack"] == prefix % budget
+        prefix += t
+    # pack ids are non-decreasing and dense enough: every pack below the
+    # final one has its full budget covered by the concatenated stream
+    assert out[-1]["pack_id"] == (prefix - toks[-1]) // budget
+
+
+@SETTLE
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["c1", "c2"]),          # conv
+            st.integers(min_value=0, max_value=40),  # ts seconds
+            st.sampled_from(["user", "tool", None]),  # tool value (nullable)
+        ),
+        min_size=1,
+        max_size=16,
+    )
+)
+def test_segmented_windows_equal_plain_random(spark, rows):
+    """Segmented (skew-proof) window features must be VALUE-identical to the
+    plain single-window formulation on arbitrary contract-conforming inputs
+    — including duplicate timestamps and NULL runs. Time bucketing requires
+    ts non-decreasing in turn order (the ingest contract, see the operator
+    docstring), so turn_idx is assigned in ts order; the bucket_rows
+    variant is exercised on the RAW (unsorted-ts) assignment, since row
+    bucketing needs no such assumption."""
+    import datetime as dt
+
+    from funcify_feature_eng_spark.operators.windows_segmented import (
+        turn_features_segmented,
+    )
+    from funcify_feature_eng_spark.operators.windows import turn_features
+
+    base = dt.datetime(2024, 1, 1)
+
+    def check(df, **seg_kw):
+        plain = turn_features(df).orderBy("conv_id", "turn_idx").collect()
+        seg = (
+            turn_features_segmented(df, **seg_kw)
+            .orderBy("conv_id", "turn_idx")
+            .collect()
+        )
+        assert len(plain) == len(seg)
+        for p, s in zip(plain, seg):
+            for col in p.asDict():
+                if col in s.asDict():
+                    assert s[col] == p[col], f"{col}: {s[col]!r} != {p[col]!r}"
+
+    schema = (
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp"
+    )
+    # time-bucketed: turn order follows ts (ties keep generation order)
+    ordered = sorted(enumerate(rows), key=lambda kv: (kv[1][0], kv[1][1], kv[0]))
+    idx_within: dict[str, int] = {}
+    data = []
+    for orig_i, (c, s, tool) in ordered:
+        i = idx_within.get(c, 0)
+        idx_within[c] = i + 1
+        data.append((c, i, "user", f"t{orig_i}", tool, base + dt.timedelta(seconds=s)))
+    check(spark.createDataFrame(data, schema), bucket_seconds=7)
+
+    # row-bucketed: arbitrary ts-vs-turn order is allowed
+    raw = [
+        (c, i, "user", f"t{i}", tool, base + dt.timedelta(seconds=s))
+        for i, (c, s, tool) in enumerate(rows)
+    ]
+    check(spark.createDataFrame(raw, schema), bucket_rows=3)
