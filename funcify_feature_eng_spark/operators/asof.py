@@ -260,7 +260,17 @@ def _asof_merge_pandas(
         )
         return merged[orig_cols + out_names]
 
-    grouped = left.groupBy(*on).cogroup(right_sel.groupBy(*on))
+    # pre-partition both sides by the entity key at full parallelism: the
+    # stage cost here is per-GROUP Python/Arrow overhead, not bytes, and
+    # AQE's size-based coalescing would funnel hundreds of groups into a
+    # couple of tasks. An explicit repartition pins the partitioning, and
+    # the cogroup reuses it (no second exchange).
+    p = left.sparkSession.sparkContext.defaultParallelism
+    grouped = (
+        left.repartition(p, *on)
+        .groupBy(*on)
+        .cogroup(right_sel.repartition(p, *on).groupBy(*on))
+    )
     return grouped.applyInPandas(merge, schema=out_schema)
 
 
