@@ -55,6 +55,7 @@ def stateful_turn_features_stream(
     order_col: str = "turn_idx",
     ts_col: str = "ts",
     gap_seconds: float = 1800.0,
+    state_ttl_s: float | None = None,
 ):
     """Custom stateful streaming operator: per-entity session ids and prior
     roles that are CONTINUOUS across micro-batches (and across restarts via
@@ -65,6 +66,16 @@ def stateful_turn_features_stream(
     (order_col, ts) order inside vectorized pandas. Assumes in-order arrival
     per entity across batches (the transcript ingest contract); late rows
     belong to the store read-through path, as in the reference.
+
+    ``state_ttl_s`` bounds state growth — MANDATORY at web scale: with no
+    timeout, every conversation ever seen keeps a state row forever, and at
+    10^12 turns the state store becomes the job's largest table. With a TTL
+    (pick ≥ the session gap, e.g. hours), a conversation idle past it is
+    evicted; if it later resumes, its next turn starts a fresh session with
+    NULL prior_role — exactly what the gap rule would produce for a pause
+    that long (for TTL ≥ gap the session ids restart at 0; downstream
+    should key sessions by (conv_id, session_start_ts) when conversations
+    can outlive the TTL).
     """
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -79,9 +90,17 @@ def stateful_turn_features_stream(
     state_schema = "last_ts_us long, last_role string, session_id int"
     gap_us = int(gap_seconds * 1_000_000)
 
+    use_ttl = state_ttl_s is not None
+    ttl_ms = int(state_ttl_s * 1000) if use_ttl else 0
+
     def update(key, pdfs, state: GroupState):
         import pandas as pd
 
+        if use_ttl and state.hasTimedOut:
+            # idle past the TTL: evict — the conversation's next turn (if
+            # any) starts fresh, matching the gap rule for long pauses
+            state.remove()
+            return
         rows = pd.concat(list(pdfs), ignore_index=True)
         rows = rows.sort_values([order_col, ts_col], kind="stable").reset_index(drop=True)
         if state.exists:
@@ -102,14 +121,17 @@ def stateful_turn_features_stream(
         state.update(
             (int(ts_us.iloc[-1]), str(rows["role"].iloc[-1]), int(out["session_id"].iloc[-1]))
         )
+        if use_ttl:
+            state.setTimeoutDuration(ttl_ms)
         yield out
 
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout if use_ttl else GroupStateTimeout.NoTimeout
+    )
     return (
         stream_df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
         .groupBy(entity_col)
-        .applyInPandasWithState(
-            update, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
-        )
+        .applyInPandasWithState(update, out_schema, state_schema, "append", timeout)
     )
 
 

@@ -161,3 +161,45 @@ def test_asof_enrich_stream_matches_batch(spark, stream_input, data_dir, tmp_pat
     # anti-join both ways: streaming result ≡ batch result
     assert got.exceptAll(exp).count() == 0
     assert exp.exceptAll(got).count() == 0
+
+
+def test_stateful_sessionizer_with_state_ttl(spark, data_dir, tmp_path):
+    """state_ttl_s bounds the state store (mandatory at web scale). With a
+    TTL comfortably above the batch cadence, results are identical to the
+    untimed operator — eviction only changes behavior for conversations
+    idle past the TTL."""
+    import os as _os
+
+    from funcify_feature_eng_spark.streaming.runner import stateful_turn_features_stream
+
+    batch = spark.read.parquet(_os.path.join(data_dir, "transcripts.parquet"))
+    convs = [r["conv_id"] for r in
+             batch.select("conv_id").distinct().orderBy("conv_id").limit(8).collect()]
+    sample = batch.filter(batch.conv_id.isin(convs))
+    src = str(tmp_path / "src_ttl")
+    sample.coalesce(1).write.parquet(src)
+    schema = sample.schema
+
+    def run(dirname, **kw):
+        out_dir = str(tmp_path / dirname)
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = (
+            stateful_turn_features_stream(stream, **kw)
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", str(tmp_path / (dirname + "_ckpt")))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        return (
+            spark.read.parquet(out_dir)
+            .orderBy("conv_id", "turn_idx")
+            .select("conv_id", "turn_idx", "prior_role", "session_id")
+            .collect()
+        )
+
+    plain = run("out_nottl")
+    ttl = run("out_ttl", state_ttl_s=3600.0)
+    assert ttl == plain
