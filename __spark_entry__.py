@@ -1169,7 +1169,7 @@ def q_stream_turn_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     # parquet — rebuild only when the source changes (content stamp), so
     # bench re-runs of this query time the STREAM, not the file prep
     src = os.path.join(sf_dir, "events.parquet")
-    stamp_val = f"{os.path.getsize(src)}:2"
+    stamp_val = f"{os.path.getsize(src)}:{os.path.getmtime(src)}:2"
     stamp_fp = os.path.join(tmp, "_stamp")
     fresh = os.path.exists(stamp_fp) and open(stamp_fp).read() == stamp_val
     if not fresh:
@@ -1715,6 +1715,22 @@ FROM r
 """
 
 
+_CHUNK_CTE = """
+WITH t AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(text)) > 0
+              THEN regexp_split_to_array(trim(text), '\\s+')
+              ELSE [] END AS tk
+  FROM documents
+), s AS (
+  SELECT doc_id, tk, len(tk) AS n,
+         CASE WHEN len(tk) > 0
+              THEN 1 + greatest(0, CAST(floor((len(tk) - 11) / 30) AS INT))
+              ELSE 0 END AS n_chunks
+  FROM t
+)"""  # chunk_tokens=40, overlap=10, step=30 — shared by doc_chunks + chunk_ann_topk
+
+
 def _chunk_ann_sql() -> str:
     """DuckDB twin of q_chunk_ann_topk: same chunking CTE as doc_chunks,
     sha256-ascii embedding dims written out explicitly (integer-exact), the
@@ -1734,20 +1750,7 @@ def _chunk_ann_sql() -> str:
     )
     dot = " + ".join(f"d{d} * {q[d]}" for d in range(8))
     sq = " + ".join(f"d{d} * d{d}" for d in range(8))
-    return f"""
-WITH t AS (
-  SELECT doc_id,
-         CASE WHEN length(trim(text)) > 0
-              THEN regexp_split_to_array(trim(text), '\\s+')
-              ELSE [] END AS tk
-  FROM documents
-), s AS (
-  SELECT doc_id, tk, len(tk) AS n,
-         CASE WHEN len(tk) > 0
-              THEN 1 + greatest(0, CAST(floor((len(tk) - 11) / 30) AS INT))
-              ELSE 0 END AS n_chunks
-  FROM t
-), ch AS (
+    return _CHUNK_CTE + f""", ch AS (
   SELECT doc_id, CAST(i AS INT) AS chunk_idx,
          sha256(array_to_string(tk[CAST(i*30+1 AS INT):CAST(i*30+40 AS INT)], ' ')) AS hx
   FROM s, LATERAL (SELECT unnest(range(0, n_chunks)) AS i) u
@@ -1971,20 +1974,7 @@ SELECT doc_id, cnt AS top_bigram_count,
        CAST(floor(1000000.0 * (cnt * length(g) * 1.0 / doc_len)) AS BIGINT) AS rep_e6
 FROM ranked WHERE rn = 1
 """,
-        "doc_chunks": """
-WITH t AS (
-  SELECT doc_id,
-         CASE WHEN length(trim(text)) > 0
-              THEN regexp_split_to_array(trim(text), '\\s+')
-              ELSE [] END AS tk
-  FROM documents
-), s AS (
-  SELECT doc_id, tk, len(tk) AS n,
-         CASE WHEN len(tk) > 0
-              THEN 1 + greatest(0, CAST(floor((len(tk) - 11) / 30) AS INT))
-              ELSE 0 END AS n_chunks
-  FROM t
-)
+        "doc_chunks": _CHUNK_CTE + """
 SELECT doc_id, CAST(i AS INT) AS chunk_idx,
        array_to_string(tk[CAST(i*30+1 AS INT):CAST(i*30+40 AS INT)], ' ') AS chunk_text,
        CAST(least(n - i*30, 40) AS INT) AS n_chunk_tokens
@@ -2148,7 +2138,8 @@ FROM s
 SELECT event_id, event_type FROM (
   SELECT event_id, event_type,
          row_number() OVER (PARTITION BY event_type
-                            ORDER BY ((event_id % 2147483648) * 2654435761)
+                            ORDER BY ((((event_id % 2147483648) + 2147483648)
+                                       % 2147483648) * 2654435761)
                                      % 4294967296 ASC,
                                      event_id ASC) AS rn
   FROM events

@@ -73,8 +73,13 @@ def _prop_checks(col: str, name: str, spec: dict[str, Any]) -> list[Column]:
         # get_json_object unquotes strings AND stringifies numbers/bools, so
         # the unquoted value can't distinguish "123" from 123 — enforce the
         # string type on the raw JSON text shape: the property's value must
-        # start with a quote (supported schema subset is flat objects)
-        quoted = F.col(col).rlike(f'"{name}"\\s*:\\s*"')
+        # start with a quote. The property name is regex-escaped (names like
+        # "a+b" are data, not patterns). Flat-object subset only: a nested
+        # object containing the same key name elsewhere can satisfy this
+        # shape check (documented limitation of the supported subset).
+        import re as _re
+
+        quoted = F.col(col).rlike(f'"{_re.escape(name)}"\\s*:\\s*"')
         checks.append(
             F.when(present & ~quoted, F.lit(f"{name}: expected string"))
         )

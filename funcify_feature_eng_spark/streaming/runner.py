@@ -69,13 +69,16 @@ def stateful_turn_features_stream(
 
     ``state_ttl_s`` bounds state growth — MANDATORY at web scale: with no
     timeout, every conversation ever seen keeps a state row forever, and at
-    10^12 turns the state store becomes the job's largest table. With a TTL
-    (pick ≥ the session gap, e.g. hours), a conversation idle past it is
-    evicted; if it later resumes, its next turn starts a fresh session with
-    NULL prior_role — exactly what the gap rule would produce for a pause
-    that long (for TTL ≥ gap the session ids restart at 0; downstream
-    should key sessions by (conv_id, session_start_ts) when conversations
-    can outlive the TTL).
+    10^12 turns the state store becomes the job's largest table. The TTL is
+    EVENT-time (watermark-driven, ``withWatermark`` + EventTimeTimeout), so
+    job downtime or replay does NOT evict live conversations — a key times
+    out only when the stream's event time has really advanced past its last
+    turn by the TTL. For TTL ≥ the session gap, eviction matches the gap
+    rule: a resumed conversation starts a new session anyway. Because
+    session_id restarts at 0 after eviction, the output carries
+    ``session_start_ts`` (the first turn ts of the row's session) — key
+    sessions by (conv_id, session_start_ts) when conversations can outlive
+    the TTL.
     """
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -85,53 +88,77 @@ def stateful_turn_features_stream(
     out_schema = (
         f"{entity_col} {in_types.get(entity_col, 'string')}, "
         f"{order_col} {in_types.get(order_col, 'int')}, {ts_col} timestamp, "
-        "role string, prior_role string, session_id int"
+        "role string, prior_role string, session_id int, "
+        "session_start_ts timestamp"
     )
-    state_schema = "last_ts_us long, last_role string, session_id int"
+    state_schema = (
+        "last_ts_us long, last_role string, session_id int, session_start_us long"
+    )
     gap_us = int(gap_seconds * 1_000_000)
 
     use_ttl = state_ttl_s is not None
     ttl_ms = int(state_ttl_s * 1000) if use_ttl else 0
 
     def update(key, pdfs, state: GroupState):
+        import numpy as np
         import pandas as pd
 
         if use_ttl and state.hasTimedOut:
-            # idle past the TTL: evict — the conversation's next turn (if
-            # any) starts fresh, matching the gap rule for long pauses
+            # event time advanced past this conversation's last turn by the
+            # TTL: evict — a later resume starts fresh, which for TTL ≥ gap
+            # is what the gap rule produces anyway
             state.remove()
             return
         rows = pd.concat(list(pdfs), ignore_index=True)
         rows = rows.sort_values([order_col, ts_col], kind="stable").reset_index(drop=True)
         if state.exists:
-            last_ts_us, last_role, session_id = state.get
+            last_ts_us, last_role, session_id, session_start_us = state.get
         else:
-            last_ts_us, last_role, session_id = None, None, 0
+            last_ts_us, last_role, session_id, session_start_us = None, None, 0, None
         ts_us = rows[ts_col].astype("datetime64[us]").astype("int64")
         # vectorized: gap vs previous row, first row vs carried state
         prev = ts_us.shift(1)
         if last_ts_us is not None:
             prev.iloc[0] = last_ts_us
         boundary = (ts_us - prev) > gap_us
+        b = boundary.fillna(False)
         out = rows[[entity_col, order_col, ts_col, "role"]].copy()
         out["prior_role"] = rows["role"].shift(1)
         if last_role is not None:
             out.loc[out.index[0], "prior_role"] = last_role
-        out["session_id"] = (session_id + boundary.fillna(False).cumsum()).astype("int32")
+        out["session_id"] = (session_id + b.cumsum()).astype("int32")
+        # session epoch: ts of the session's first turn, carried across
+        # batches — the stable session key when ids can restart after a TTL
+        starts = pd.Series(np.where(b, ts_us, np.nan), index=ts_us.index)
+        if not b.iloc[0]:
+            starts.iloc[0] = (
+                session_start_us if session_start_us is not None else ts_us.iloc[0]
+            )
+        start_us = starts.ffill().astype("int64")
+        out["session_start_ts"] = pd.to_datetime(start_us, unit="us")
         state.update(
-            (int(ts_us.iloc[-1]), str(rows["role"].iloc[-1]), int(out["session_id"].iloc[-1]))
+            (
+                int(ts_us.iloc[-1]),
+                str(rows["role"].iloc[-1]),
+                int(out["session_id"].iloc[-1]),
+                int(start_us.iloc[-1]),
+            )
         )
         if use_ttl:
-            state.setTimeoutDuration(ttl_ms)
+            # event-time timeout: fires only when the WATERMARK (not the
+            # wall clock) passes last turn + TTL, so downtime/replay never
+            # evicts live conversations
+            state.setTimeoutTimestamp(int(ts_us.iloc[-1] // 1000) + ttl_ms)
         yield out
 
-    timeout = (
-        GroupStateTimeout.ProcessingTimeTimeout if use_ttl else GroupStateTimeout.NoTimeout
-    )
-    return (
-        stream_df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
-        .groupBy(entity_col)
-        .applyInPandasWithState(update, out_schema, state_schema, "append", timeout)
+    src = stream_df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    if use_ttl:
+        src = src.withWatermark(ts_col, "0 seconds")
+        timeout = GroupStateTimeout.EventTimeTimeout
+    else:
+        timeout = GroupStateTimeout.NoTimeout
+    return src.groupBy(entity_col).applyInPandasWithState(
+        update, out_schema, state_schema, "append", timeout
     )
 
 

@@ -2,8 +2,8 @@
 complements the fixed-case tests the way the reference's randomized
 round-trip tests complement its golden files (SURVEY.md §5).
 
-All examples are seeded/deterministic (hypothesis derandomized via profile
-defaults in CI-less runs) and sized for the shared local[4] session.
+All examples are deterministic (``derandomize=True`` — failures are
+reproducible run-to-run) and sized for the shared local[4] session.
 """
 
 from __future__ import annotations
@@ -12,6 +12,7 @@ from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
 SETTLE = settings(
+    derandomize=True,
     max_examples=15,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],

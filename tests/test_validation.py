@@ -117,3 +117,18 @@ def test_string_type_enforced_and_leading_whitespace_object_valid(spark):
     assert sorted(r["id"] for r in valid.collect()) == [1, 3]
     q = {r["id"]: list(r["violations"]) for r in quarantined.collect()}
     assert q == {2: ["tag: expected string"]}
+
+
+def test_property_name_with_regex_metacharacters(spark):
+    """Regression: the string-type shape check regex-escapes the property
+    name — a key like 'a+b' is data, not a pattern."""
+    from funcify_feature_eng_spark.plans.validation import validate_json_values
+
+    schema = {"type": "object", "properties": {"a+b": {"type": "string"}}}
+    df = spark.createDataFrame(
+        [(1, '{"a+b": "x"}'), (2, '{"a+b": 3}')], "id long, blob string"
+    )
+    valid, quarantined = validate_json_values(df, "blob", schema)
+    assert [r["id"] for r in valid.collect()] == [1]
+    q = quarantined.collect()
+    assert len(q) == 1 and list(q[0]["violations"]) == ["a+b: expected string"]
