@@ -156,3 +156,58 @@ def test_segmented_windows_equal_plain_random(spark, rows):
         for i, (c, s, tool) in enumerate(rows)
     ]
     check(spark.createDataFrame(raw, schema), bucket_rows=3)
+
+
+WORDS = ["alpha", "beta", "gamma", "delta", "eps", "zeta"]
+base_doc = st.lists(st.sampled_from(WORDS), min_size=4, max_size=9)
+
+
+@settings(derandomize=True, max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    docs=st.lists(base_doc, min_size=2, max_size=5),
+    mutate_at=st.integers(min_value=0, max_value=6),
+)
+def test_minhash_lsh_vs_exact_jaccard_random(spark, docs, mutate_at):
+    """Randomized precision/recall contract for minhash_lsh_pairs:
+    every reported pair's jaccard is the EXACT value and ≥ threshold
+    (the verify stage guarantees precision), and every pair whose true
+    jaccard is comfortably above threshold is found (banding miss odds at
+    J ≥ 0.75 with 64 hashes / 16 bands ≈ 2e-4; derandomized, so green
+    once = green always). A forced near-dup (one-word mutation) keeps the
+    positive class populated."""
+    from funcify_feature_eng_spark.operators.dedup import minhash_lsh_pairs
+
+    texts = [" ".join(w) for w in docs]
+    mutated = list(docs[0])
+    mutated[mutate_at % len(mutated)] = "OMEGA"
+    texts.append(" ".join(mutated))
+
+    def sh(t, k=3):
+        tk = t.lower().split()
+        if len(tk) >= k:
+            return {" ".join(tk[i : i + k]) for i in range(len(tk) - k + 1)}
+        return {" ".join(tk)}
+
+    def jac(a, b):
+        sa, sb = sh(a), sh(b)
+        return len(sa & sb) / len(sa | sb)
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in minhash_lsh_pairs(
+            df, "doc_id", "text", verify_threshold=0.5
+        ).collect()
+    }
+    # precision: reported jaccard is exact and above threshold
+    for (a, b), j in got.items():
+        true_j = jac(texts[a], texts[b])
+        assert abs(j - round(true_j, 6)) < 1e-9
+        assert j >= 0.5
+    # recall: comfortably-similar pairs must be present
+    for a in range(len(texts)):
+        for b in range(a + 1, len(texts)):
+            if jac(texts[a], texts[b]) >= 0.75:
+                assert (a, b) in got, f"missed pair ({a},{b})"
