@@ -28,6 +28,7 @@ from __future__ import annotations
 
 import hashlib
 import json
+import os
 from dataclasses import dataclass
 from typing import Any
 
@@ -187,3 +188,45 @@ class FeatureStore:
         return tracked.unionByName(
             calculated.withColumn(out_col, F.to_json(F.struct(F.col(out_col).alias("v"))))
         )
+
+    def compact(self) -> dict[str, int]:
+        """Rewrite the store keeping only the LATEST record per tracked-value
+        identity point (feature_id, entity, params_hash, value_at_ts).
+
+        ``publish`` appends; re-publishing a point (recomputation, replayed
+        job, backfill overlap) leaves shadowed duplicates that the as-of
+        read already ignores (``right_order=["calculated_ts", "value"]``
+        picks the latest) but that bloat storage and slow every read — the
+        standard append-table maintenance problem. Compaction is one
+        ``max_by`` aggregation per key (map-side combinable; at scale run
+        per feature_id partition). Single-writer assumption: do not compact
+        concurrently with publishes. Returns row counts before/after.
+        """
+        import shutil
+
+        df = self.read()
+        latest = (
+            df.groupBy("feature_id", "conv_id", "params_hash", "value_at_ts")
+            .agg(
+                F.max_by(
+                    F.struct(*STORE_COLUMNS), F.struct("calculated_ts", "value")
+                ).alias("r")
+            )
+            .select("r.*")
+        )
+        if self._is_table:
+            n_before = df.count()
+            latest.writeTo(self.location).createOrReplace()
+            n_after = self.spark.read.table(self.location).count()
+            return {"rows_before": n_before, "rows_after": n_after}
+        # parquet fallback: materialize the survivors BESIDE the store (the
+        # aggregation reads the store lazily — rewriting in place would read
+        # what it deletes), then swap directories
+        n_before = df.count()
+        tmp = self.location.rstrip("/") + "__compacting"
+        if os.path.exists(tmp):
+            shutil.rmtree(tmp)
+        latest.write.mode("overwrite").parquet(tmp)
+        shutil.rmtree(self.location)
+        os.rename(tmp, self.location)
+        return {"rows_before": n_before, "rows_after": self.read().count()}

@@ -236,3 +236,25 @@ def test_materialize_with_store_tag_col_and_custom_entity(spark, tmp_path):
     assert {r["src"] for r in rows} == {"store"}
     # as-of witness: served value_at is the ORIGINAL publish time, not ts
     assert all(r["f_at_ts"] != r["ts"] for r in rows)
+
+
+def test_store_compact_removes_shadowed_duplicates(spark, tmp_store):
+    """Re-publishing the same identity point appends shadowed rows; compact
+    keeps only the latest per (feature, entity, params, value_at_ts) and
+    read-through results are unchanged."""
+    import time as _time
+
+    spine = _spine(spark)
+    tmp_store.publish(spine.withColumn("f", F.col("turn_idx") * 10), "features/f", "f")
+    _time.sleep(1.1)  # calculated_ts granularity: the re-publish must be later
+    tmp_store.publish(spine.withColumn("f", F.col("turn_idx") * 10), "features/f", "f")
+    before = tmp_store.read_through(spine, "features/f", "fv").orderBy(
+        "conv_id", "turn_idx").collect()
+    stats = tmp_store.compact()
+    assert stats["rows_before"] == 6 and stats["rows_after"] == 3
+    after = tmp_store.read_through(spine, "features/f", "fv").orderBy(
+        "conv_id", "turn_idx").collect()
+    assert [r["fv"] for r in after] == [r["fv"] for r in before]
+    # the survivors are the LATEST records (second publish's calculated_ts)
+    cts = {r["calculated_ts"] for r in tmp_store.read().collect()}
+    assert len(cts) == 1
