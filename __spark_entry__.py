@@ -1033,6 +1033,43 @@ def q_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-vocabulary rate per document — the KenLM-free quality proxy:
+    the fraction of a doc's tokens outside the corpus's top-30 vocabulary.
+    Integer-exact across engines (counts and one IEEE division; a log-prob
+    LM score would hinge on transcendental libm agreement). Two passes over
+    the token explode: a 30-row vocab broadcast, then a per-doc count of
+    non-members — both map-side combinable."""
+    from funcify_feature_eng_spark.functions.text import tokens
+    from funcify_feature_eng_spark.operators.util import spread_small_input
+
+    docs = spread_small_input(_t(spark, sf_dir, "documents"))
+    tok = docs.select(
+        "doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("term")
+    )
+    vocab = (
+        tok.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .orderBy(F.col("tf").desc(), F.col("term").asc())
+        .limit(30)
+        .select("term")
+    )
+    scored = (
+        tok.join(F.broadcast(vocab.withColumn("__in", F.lit(1))), "term", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.when(F.col("__in").isNull(), 1).otherwise(0)).alias("n_oov"),
+        )
+    )
+    return scored.select(
+        "doc_id",
+        "n_tokens",
+        F.col("n_oov").cast("long").alias("n_oov"),
+        F.floor(F.col("n_oov") * F.lit(1000000.0) / F.col("n_tokens")).alias("oov_e6"),
+    )
+
+
 _RAG_QUERY = "key table scan window"
 
 
@@ -1360,6 +1397,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_validation": q_value_validation,
         "quota_sample": q_quota_sample,
         "chunk_ann_topk": q_chunk_ann_topk,
+        "doc_oov_rate": q_doc_oov_rate,
     }
 
 
@@ -2134,6 +2172,25 @@ FROM s
 """,
         "doc_pii": _doc_pii_sql(),
         "chunk_ann_topk": _chunk_ann_sql(),
+        "doc_oov_rate": """
+WITH tk AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
+  FROM documents WHERE length(trim(text)) > 0
+), vocab AS (
+  SELECT term FROM (
+    SELECT term, COUNT(*) AS tf FROM tk GROUP BY term
+    ORDER BY tf DESC, term ASC LIMIT 30
+  )
+)
+SELECT doc_id,
+       COUNT(*) AS n_tokens,
+       SUM(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS n_oov,
+       CAST(floor(SUM(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END)
+                  * 1000000.0 / COUNT(*)) AS BIGINT) AS oov_e6
+FROM tk LEFT JOIN (SELECT term, 1 AS x FROM vocab) v USING (term)
+GROUP BY doc_id
+""",
         "quota_sample": """
 SELECT event_id, event_type FROM (
   SELECT event_id, event_type,
