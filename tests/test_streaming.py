@@ -203,3 +203,66 @@ def test_stateful_sessionizer_with_state_ttl(spark, data_dir, tmp_path):
     plain = run("out_nottl")
     ttl = run("out_ttl", state_ttl_s=3600.0)
     assert ttl == plain
+
+
+def test_stateful_sessionizer_event_time_ttl_evicts_idle_state(spark, tmp_path):
+    """Event-time TTL: a conversation idle past the TTL (by WATERMARK, not
+    wall clock) is evicted — its resume starts session 0 with NULL prior
+    and a fresh session_start_ts; a conversation within the TTL keeps its
+    state across the same batches."""
+    import os as _os
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from funcify_feature_eng_spark.streaming.runner import stateful_turn_features_stream
+
+    src = str(tmp_path / "ttl_src")
+    _os.makedirs(src)
+    t0 = pd.Timestamp("2024-01-01 00:00:00")
+    H = pd.Timedelta(hours=1)
+
+    def write_batch(i, rows):
+        pdf = pd.DataFrame(rows, columns=["conv_id", "turn_idx", "role", "ts"])
+        pdf["turn_idx"] = pdf["turn_idx"].astype("int32")
+        fp = _os.path.join(src, f"b{i}.parquet")
+        pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False), fp,
+                       coerce_timestamps="us", allow_truncated_timestamps=True)
+        _os.utime(fp, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    # Event-time timeouts fire only for keys WITHOUT data in the batch, so
+    # eviction (batch 2, watermark = batch-1 max = t0+10h > idle's
+    # t0 + TTL) and idle's resume (batch 3) must be separate batches.
+    write_batch(0, [("idle", 0, "user", t0), ("live", 0, "user", t0)])
+    write_batch(1, [("live", 1, "tool", t0 + 10 * H)])
+    write_batch(2, [("live", 2, "tool", t0 + 10 * H + pd.Timedelta(seconds=1))])
+    write_batch(3, [("idle", 1, "asst", t0 + 11 * H), ("live", 3, "user", t0 + 11 * H)])
+
+    schema = "conv_id string, turn_idx int, role string, ts timestamp"
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(src)
+    )
+    out_dir = str(tmp_path / "ttl_out")
+    q = (
+        stateful_turn_features_stream(
+            stream, entity_col="conv_id", order_col="turn_idx",
+            gap_seconds=86400.0,  # gap never splits sessions here; TTL does
+            state_ttl_s=2 * 3600.0,
+        )
+        .writeStream.format("parquet").option("path", out_dir)
+        .option("checkpointLocation", str(tmp_path / "ttl_ckpt"))
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(180)
+    rows = {
+        (r["conv_id"], r["turn_idx"]): r
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    # idle's state was evicted between batch 1 and 2: resume = fresh session
+    assert rows[("idle", 1)]["prior_role"] is None
+    assert rows[("idle", 1)]["session_id"] == 0
+    assert rows[("idle", 1)]["session_start_ts"] == (t0 + 11 * H).to_pydatetime()
+    # live stayed within the TTL at every step: state carried through
+    assert rows[("live", 3)]["prior_role"] == "tool"
+    assert rows[("live", 3)]["session_start_ts"] == t0.to_pydatetime()
