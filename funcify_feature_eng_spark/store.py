@@ -201,6 +201,17 @@ class FeatureStore:
         ``max_by`` aggregation per key (map-side combinable; at scale run
         per feature_id partition). Single-writer assumption: do not compact
         concurrently with publishes. Returns row counts before/after.
+
+        Catalog tables are rewritten with ``overwritePartitions`` — every
+        identity key keeps at least one survivor, so every populated
+        partition is rewritten in place and the table's partition spec and
+        properties are PRESERVED (a replace-table write would silently drop
+        the feature_id partitioning the reads prune on). The parquet
+        fallback supports LOCAL paths only (matching its role as the
+        no-catalog sandbox path) and swaps via rename-aside: the previous
+        store is moved to ``<location>__precompact`` before the survivors
+        are installed, so no crash window leaves the data deleted — if a
+        crash strands the aside directory, rename it back to recover.
         """
         import shutil
 
@@ -216,17 +227,29 @@ class FeatureStore:
         )
         if self._is_table:
             n_before = df.count()
-            latest.writeTo(self.location).createOrReplace()
+            latest.writeTo(self.location).overwritePartitions()
             n_after = self.spark.read.table(self.location).count()
             return {"rows_before": n_before, "rows_after": n_after}
-        # parquet fallback: materialize the survivors BESIDE the store (the
-        # aggregation reads the store lazily — rewriting in place would read
-        # what it deletes), then swap directories
+        loc = self.location.removeprefix("file:")
+        if "://" in loc or ":/" in loc.split("/", 1)[0]:
+            raise NotImplementedError(
+                f"compact() on the parquet fallback supports local paths only, "
+                f"got {self.location!r} — use a catalog table for remote stores"
+            )
+        if not os.path.exists(loc):
+            return {"rows_before": 0, "rows_after": 0}
+        # materialize the survivors BESIDE the store (the aggregation reads
+        # the store lazily — rewriting in place would read what it deletes),
+        # then swap with the old store renamed ASIDE first, never deleted
+        # before the new data is in place
         n_before = df.count()
-        tmp = self.location.rstrip("/") + "__compacting"
-        if os.path.exists(tmp):
-            shutil.rmtree(tmp)
+        tmp = loc.rstrip("/") + "__compacting"
+        aside = loc.rstrip("/") + "__precompact"
+        for d in (tmp, aside):
+            if os.path.exists(d):
+                shutil.rmtree(d)
         latest.write.mode("overwrite").parquet(tmp)
-        shutil.rmtree(self.location)
-        os.rename(tmp, self.location)
+        os.rename(loc, aside)
+        os.rename(tmp, loc)
+        shutil.rmtree(aside)
         return {"rows_before": n_before, "rows_after": self.read().count()}

@@ -56,6 +56,7 @@ def stateful_turn_features_stream(
     ts_col: str = "ts",
     gap_seconds: float = 1800.0,
     state_ttl_s: float | None = None,
+    watermark_delay_s: float | None = None,
 ):
     """Custom stateful streaming operator: per-entity session ids and prior
     roles that are CONTINUOUS across micro-batches (and across restarts via
@@ -79,6 +80,19 @@ def stateful_turn_features_stream(
     ``session_start_ts`` (the first turn ts of the row's session) — key
     sessions by (conv_id, session_start_ts) when conversations can outlive
     the TTL.
+
+    The TTL requires a watermark, and the watermark's late-data filter is
+    GLOBAL: a conversation whose events lag other conversations by more
+    than the delay gets rows dropped even if each conversation is in order
+    internally. ``watermark_delay_s`` bounds that cross-entity skew and
+    defaults to ``gap_seconds`` (a conversation further behind than the
+    session gap would start a new session anyway); without a TTL no
+    watermark is applied and nothing is ever dropped.
+
+    STATE-SCHEMA NOTE: the carried state is
+    (last_ts_us, last_role, session_id, session_start_us); checkpoints
+    written by versions without ``session_start_us`` cannot be restarted
+    against this operator — discard the checkpoint and reprocess.
     """
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -153,7 +167,8 @@ def stateful_turn_features_stream(
 
     src = stream_df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
     if use_ttl:
-        src = src.withWatermark(ts_col, "0 seconds")
+        delay = gap_seconds if watermark_delay_s is None else watermark_delay_s
+        src = src.withWatermark(ts_col, f"{int(delay)} seconds")
         timeout = GroupStateTimeout.EventTimeTimeout
     else:
         timeout = GroupStateTimeout.NoTimeout

@@ -249,6 +249,7 @@ def test_stateful_sessionizer_event_time_ttl_evicts_idle_state(spark, tmp_path):
             stream, entity_col="conv_id", order_col="turn_idx",
             gap_seconds=86400.0,  # gap never splits sessions here; TTL does
             state_ttl_s=2 * 3600.0,
+            watermark_delay_s=0.0,  # in-order test data: no cross-batch lag
         )
         .writeStream.format("parquet").option("path", out_dir)
         .option("checkpointLocation", str(tmp_path / "ttl_ckpt"))
