@@ -1175,26 +1175,15 @@ def q_value_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
 _STREAM_GATE_SEQ = [0]
 
 
-def q_stream_turn_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """§2.8 streaming in the DRIVER gate: the cross-batch stateful
-    sessionizer (streaming/runner.py::stateful_turn_features_stream,
-    applyInPandasWithState) run as a real Structured Streaming query over 2
-    micro-batches, its appended output returned as a batch frame. The input
-    is split into 2 files by global ts order (per-user in-order arrival
-    across batches — the transcript ingest contract), so per-user state
-    (prior role, session id) provably crosses micro-batch boundaries; the
-    oracle is the BATCH formulation (global lag + gap-cumsum), i.e. the
-    stream ≡ batch equivalence itself is what the gate hashes. The
-    pandas round-trip below is gate input scaffolding (building ordered
-    micro-batch files), not part of the operator."""
+def _stream_batch_files(spark: SparkSession, sf_dir: str) -> str:
+    """Build (or reuse) the 2-file ts-ordered micro-batch split of the
+    events table used by the streaming gates. Pure scaffolding derived from
+    the source parquet — rebuilt only when a content stamp changes so bench
+    re-runs time the stream, not file prep."""
     import shutil
 
     import pyarrow as pa
     import pyarrow.parquet as pq
-
-    from funcify_feature_eng_spark.streaming.runner import (
-        stateful_turn_features_stream,
-    )
 
     ev = _t(spark, sf_dir, "events").select(
         "user_id", "event_id", F.col("event_type").alias("role"), "ts"
@@ -1202,9 +1191,6 @@ def q_stream_turn_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     tmp = os.path.join(
         "/tmp", f"spark_graft_stream_gate_{os.path.basename(os.path.normpath(sf_dir))}"
     )
-    # the micro-batch files are pure scaffolding derived from the source
-    # parquet — rebuild only when the source changes (content stamp), so
-    # bench re-runs of this query time the STREAM, not the file prep
     src = os.path.join(sf_dir, "events.parquet")
     stamp_val = f"{os.path.getsize(src)}:{os.path.getmtime(src)}:2"
     stamp_fp = os.path.join(tmp, "_stamp")
@@ -1225,6 +1211,62 @@ def q_stream_turn_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             os.utime(fp, (1_700_000_000 + i, 1_700_000_000 + i))  # batch order
         with open(stamp_fp, "w") as f:
             f.write(stamp_val)
+    return tmp
+
+
+def q_stream_model_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6 parity path in the DRIVER gate: ``materialize_stream`` runs the
+    SAME batch FeatureModel DAG on each micro-batch via foreachBatch (the
+    reference's message-stream entry, StreamFunctions.kt:180-287, upgraded
+    to Structured Streaming). Window features are BATCH-LOCAL by contract
+    (cross-batch state belongs to the store read-through / stateful
+    operator), so the oracle partitions its windows on (user, batch-half) —
+    the per-batch semantics themselves are what the gate hashes."""
+    import shutil
+
+    from funcify_feature_eng_spark.streaming.runner import materialize_stream
+
+    tmp = _stream_batch_files(spark, sf_dir)
+    sch = spark.read.parquet(tmp).schema
+    stream = (
+        spark.readStream.schema(sch).option("maxFilesPerTrigger", "1").parquet(tmp)
+        .withColumnRenamed("role", "event_type")
+    )
+    # SIBLING of the input dir — inside it, the file stream source (and the
+    # schema read) would ingest the sink's own output as new batches
+    out_dir = tmp + "_model_out"
+    if os.path.exists(out_dir):
+        shutil.rmtree(out_dir)
+    cols = ["event_id", "user_id", "event_type", "prior_event_type",
+            "gap_secs", "session_id", "event_seq"]
+
+    def sink(df: DataFrame, batch_id: int) -> None:
+        df.withColumn("batch_id", F.lit(batch_id + 1).cast("int")).write.mode(
+            "append"
+        ).parquet(out_dir)
+
+    q = materialize_stream(stream, _events_model(), cols, sink=sink)
+    q.awaitTermination()
+    return spark.read.parquet(out_dir).select(*cols, "batch_id")
+
+
+def q_stream_turn_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 streaming in the DRIVER gate: the cross-batch stateful
+    sessionizer (streaming/runner.py::stateful_turn_features_stream,
+    applyInPandasWithState) run as a real Structured Streaming query over 2
+    micro-batches, its appended output returned as a batch frame. The input
+    is split into 2 files by global ts order (per-user in-order arrival
+    across batches — the transcript ingest contract), so per-user state
+    (prior role, session id) provably crosses micro-batch boundaries; the
+    oracle is the BATCH formulation (global lag + gap-cumsum), i.e. the
+    stream ≡ batch equivalence itself is what the gate hashes. The
+    pandas round-trip below is gate input scaffolding (building ordered
+    micro-batch files), not part of the operator."""
+    from funcify_feature_eng_spark.streaming.runner import (
+        stateful_turn_features_stream,
+    )
+
+    tmp = _stream_batch_files(spark, sf_dir)
     sch = spark.read.parquet(tmp).schema
     stream = (
         spark.readStream.schema(sch).option("maxFilesPerTrigger", "1").parquet(tmp)
@@ -1393,6 +1435,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup": q_line_dedup,
         "doc_salient_terms": q_doc_salient_terms,
         "stream_turn_features": q_stream_turn_features,
+        "stream_model_features": q_stream_model_features,
         "incremental_refresh": q_incremental_refresh,
         "value_validation": q_value_validation,
         "quota_sample": q_quota_sample,
@@ -2223,6 +2266,33 @@ SELECT event_id, user_id, event_type,
                         WHERE ts < TIMESTAMP '{_STORE_CUT}')
             THEN 1 ELSE 2 END AS pass_no
 FROM events
+""",
+        # stream_model_features: foreachBatch reuses the batch DAG with
+        # BATCH-LOCAL windows — the oracle partitions on (user, batch half)
+        "stream_model_features": f"""
+WITH o AS (
+  SELECT event_id, user_id, event_type, ts,
+         row_number() OVER (ORDER BY ts, event_id) AS grn,
+         COUNT(*) OVER () AS nn
+  FROM events
+), b AS (
+  SELECT event_id, user_id, event_type, ts,
+         CASE WHEN grn <= CAST(floor(nn / 2.0) AS BIGINT) THEN 1 ELSE 2 END AS batch
+  FROM o
+), g AS (
+  SELECT event_id, user_id, event_type, batch, ts,
+         lag(event_type) OVER w AS prior_event_type,
+         (epoch_us(ts) - epoch_us(lag(ts) OVER w)) / 1000000.0 AS gap_secs,
+         CAST(row_number() OVER w AS INT) AS event_seq
+  FROM b
+  WINDOW w AS (PARTITION BY user_id, batch ORDER BY ts, event_id)
+)
+SELECT event_id, user_id, event_type, prior_event_type, gap_secs,
+       CAST(SUM(CASE WHEN gap_secs > {GAP_S} THEN 1 ELSE 0 END)
+            OVER (PARTITION BY user_id, batch ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS INT) AS session_id,
+       event_seq, CAST(batch AS INT) AS batch_id
+FROM g
 """,
         # stream_turn_features' oracle is the BATCH formulation: the gate
         # hashes the stream ≡ batch equivalence of the stateful sessionizer
