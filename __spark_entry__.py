@@ -1214,6 +1214,17 @@ def _stream_batch_files(spark: SparkSession, sf_dir: str) -> str:
     return tmp
 
 
+def _stream_source(spark: SparkSession, sf_dir: str):
+    """(tmp_dir, streaming DataFrame) over the 2-file micro-batch split —
+    one definition of the micro-batch contract for both streaming gates."""
+    tmp = _stream_batch_files(spark, sf_dir)
+    sch = spark.read.parquet(tmp).schema
+    stream = (
+        spark.readStream.schema(sch).option("maxFilesPerTrigger", "1").parquet(tmp)
+    )
+    return tmp, stream
+
+
 def q_stream_model_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S6 parity path in the DRIVER gate: ``materialize_stream`` runs the
     SAME batch FeatureModel DAG on each micro-batch via foreachBatch (the
@@ -1226,12 +1237,8 @@ def q_stream_model_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from funcify_feature_eng_spark.streaming.runner import materialize_stream
 
-    tmp = _stream_batch_files(spark, sf_dir)
-    sch = spark.read.parquet(tmp).schema
-    stream = (
-        spark.readStream.schema(sch).option("maxFilesPerTrigger", "1").parquet(tmp)
-        .withColumnRenamed("role", "event_type")
-    )
+    tmp, stream = _stream_source(spark, sf_dir)
+    stream = stream.withColumnRenamed("role", "event_type")
     # SIBLING of the input dir — inside it, the file stream source (and the
     # schema read) would ingest the sink's own output as new batches
     out_dir = tmp + "_model_out"
@@ -1266,11 +1273,7 @@ def q_stream_turn_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         stateful_turn_features_stream,
     )
 
-    tmp = _stream_batch_files(spark, sf_dir)
-    sch = spark.read.parquet(tmp).schema
-    stream = (
-        spark.readStream.schema(sch).option("maxFilesPerTrigger", "1").parquet(tmp)
-    )
+    tmp, stream = _stream_source(spark, sf_dir)
     out = stateful_turn_features_stream(
         stream, entity_col="user_id", order_col="event_id", ts_col="ts",
         gap_seconds=GAP_S,

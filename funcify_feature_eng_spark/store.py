@@ -215,40 +215,54 @@ class FeatureStore:
         """
         import shutil
 
-        df = self.read()
-        latest = (
-            df.groupBy("feature_id", "conv_id", "params_hash", "value_at_ts")
-            .agg(
-                F.max_by(
-                    F.struct(*STORE_COLUMNS), F.struct("calculated_ts", "value")
-                ).alias("r")
+        def survivors(df):
+            return (
+                df.groupBy("feature_id", "conv_id", "params_hash", "value_at_ts")
+                .agg(
+                    F.max_by(
+                        F.struct(*STORE_COLUMNS), F.struct("calculated_ts", "value")
+                    ).alias("r")
+                )
+                .select("r.*")
             )
-            .select("r.*")
-        )
+
         if self._is_table:
+            df = self.read()
             n_before = df.count()
-            latest.writeTo(self.location).overwritePartitions()
+            survivors(df).writeTo(self.location).overwritePartitions()
             n_after = self.spark.read.table(self.location).count()
             return {"rows_before": n_before, "rows_after": n_after}
         loc = self.location.removeprefix("file:")
-        if "://" in loc or ":/" in loc.split("/", 1)[0]:
+        # any scheme prefix (hdfs:/..., s3a://...) means non-local: the
+        # first path segment contains a colon
+        if ":" in loc.split("/", 1)[0]:
             raise NotImplementedError(
                 f"compact() on the parquet fallback supports local paths only, "
                 f"got {self.location!r} — use a catalog table for remote stores"
             )
+        tmp = loc.rstrip("/") + "__compacting"
+        aside = loc.rstrip("/") + "__precompact"
+        # resolve a previously interrupted compaction FIRST — before any
+        # read: aside present without the store = crashed between the two
+        # renames (recover the original; reading now would see an empty
+        # store and compact everything away); aside present WITH the store
+        # = crashed after install, aside is a completed backup (discard)
+        if os.path.exists(aside):
+            if not os.path.exists(loc):
+                os.rename(aside, loc)
+            else:
+                shutil.rmtree(aside)
         if not os.path.exists(loc):
             return {"rows_before": 0, "rows_after": 0}
         # materialize the survivors BESIDE the store (the aggregation reads
         # the store lazily — rewriting in place would read what it deletes),
         # then swap with the old store renamed ASIDE first, never deleted
         # before the new data is in place
+        df = self.read()
         n_before = df.count()
-        tmp = loc.rstrip("/") + "__compacting"
-        aside = loc.rstrip("/") + "__precompact"
-        for d in (tmp, aside):
-            if os.path.exists(d):
-                shutil.rmtree(d)
-        latest.write.mode("overwrite").parquet(tmp)
+        if os.path.exists(tmp):
+            shutil.rmtree(tmp)
+        survivors(df).write.mode("overwrite").parquet(tmp)
         os.rename(loc, aside)
         os.rename(tmp, loc)
         shutil.rmtree(aside)

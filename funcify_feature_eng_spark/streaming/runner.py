@@ -87,7 +87,10 @@ def stateful_turn_features_stream(
     internally. ``watermark_delay_s`` bounds that cross-entity skew and
     defaults to ``gap_seconds`` (a conversation further behind than the
     session gap would start a new session anyway); without a TTL no
-    watermark is applied and nothing is ever dropped.
+    watermark is applied and nothing is ever dropped. Since the watermark
+    trails max event time by the delay, eviction effectively happens once
+    event time passes a key's last turn by TTL + delay — size the TTL with
+    the delay in mind.
 
     STATE-SCHEMA NOTE: the carried state is
     (last_ts_us, last_role, session_id, session_start_us); checkpoints
@@ -168,7 +171,11 @@ def stateful_turn_features_stream(
     src = stream_df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
     if use_ttl:
         delay = gap_seconds if watermark_delay_s is None else watermark_delay_s
-        src = src.withWatermark(ts_col, f"{int(delay)} seconds")
+        if delay < 0:
+            raise ValueError(f"watermark_delay_s must be >= 0, got {delay}")
+        # milliseconds: int() of a seconds float would floor a sub-second
+        # delay to the zero-delay watermark this knob exists to avoid
+        src = src.withWatermark(ts_col, f"{int(delay * 1000)} milliseconds")
         timeout = GroupStateTimeout.EventTimeTimeout
     else:
         timeout = GroupStateTimeout.NoTimeout
