@@ -1175,6 +1175,42 @@ def q_value_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
 _STREAM_GATE_SEQ = [0]
 
 
+def q_store_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8 publish + store maintenance in the DRIVER gate: publish the same
+    deterministic feature twice (the replayed-job shape — identical values,
+    later calculated_ts), compact, and return the surviving store records
+    plus the before/after row counts. The oracle reconstructs the survivors
+    directly from the events table: exactly one record per identity point,
+    carrying the value the SECOND publish wrote (identical by construction,
+    proving latest-wins), with rows_before = 2x rows_after proving the
+    shadowed generation was actually removed."""
+    import shutil
+
+    from funcify_feature_eng_spark.store import FeatureStore
+
+    base = os.path.join(
+        "/tmp", f"spark_graft_compact_gate_{os.path.basename(os.path.normpath(sf_dir))}"
+    )
+    if os.path.exists(base):
+        shutil.rmtree(base)
+    store = FeatureStore(spark, base, entity_col="user_id")
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "ts", F.floor(F.col("value") * F.lit(1000000.0)).alias("v_e6")
+    )
+    store.publish(ev, "features/value_e6", "v_e6")
+    store.publish(ev, "features/value_e6", "v_e6")  # replayed job: shadowed
+    stats = store.compact()
+    return store.read().select(
+        "feature_id",
+        F.col("conv_id").cast("long").alias("user_id"),
+        "params_hash",
+        "value",
+        "value_at_ts",
+        F.lit(stats["rows_before"]).cast("long").alias("rows_before"),
+        F.lit(stats["rows_after"]).cast("long").alias("rows_after"),
+    )
+
+
 def _stream_batch_files(spark: SparkSession, sf_dir: str) -> str:
     """Build (or reuse) the 2-file ts-ordered micro-batch split of the
     events table used by the streaming gates. Pure scaffolding derived from
@@ -1439,6 +1475,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_salient_terms": q_doc_salient_terms,
         "stream_turn_features": q_stream_turn_features,
         "stream_model_features": q_stream_model_features,
+        "store_compaction": q_store_compaction,
         "incremental_refresh": q_incremental_refresh,
         "value_validation": q_value_validation,
         "quota_sample": q_quota_sample,
@@ -2268,6 +2305,18 @@ SELECT event_id, user_id, event_type,
        CASE WHEN ts <= (SELECT max(ts) FROM events
                         WHERE ts < TIMESTAMP '{_STORE_CUT}')
             THEN 1 ELSE 2 END AS pass_no
+FROM events
+""",
+        # store_compaction survivors reconstructed straight from events;
+        # duplicate (user,ts) points cannot occur (ts unique per user)
+        "store_compaction": """
+SELECT 'features/value_e6' AS feature_id,
+       user_id,
+       '44136fa355b3678a1146ad16f7e8649e94fb4fc21fe77e8310c060f61caaff8a' AS params_hash,
+       '{"v":' || CAST(CAST(floor(value * 1000000.0) AS BIGINT) AS VARCHAR) || '}' AS value,
+       ts AS value_at_ts,
+       2 * (SELECT COUNT(*) FROM events) AS rows_before,
+       (SELECT COUNT(*) FROM events) AS rows_after
 FROM events
 """,
         # stream_model_features: foreachBatch reuses the batch DAG with
