@@ -325,15 +325,22 @@ def q_golden_scalars(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F1/F3 golden transformers in the driver gate (exact jq semantics:
     jq-transformers.yml:2-19)."""
     from funcify_feature_eng_spark.functions.scalars import (
+        decimal7,
         extract_decade,
         negative_to_null,
     )
 
     ev = _t(spark, sf_dir, "events")
+    # F9 HALF_EVEN on exactly-representable quarters: x.0/.25/.5/.75 have
+    # exact binary forms, so Spark's bround and DuckDB's roundbankers see
+    # the IDENTICAL value at every tie — banker's rounding is hash-provable
+    # without double→decimal representation ambiguity
+    quarters = F.floor(F.col("value") * F.lit(4.0)) / F.lit(4.0)
     return ev.select(
         "event_id",
         negative_to_null(F.col("value") - F.lit(100.0)).alias("value_minus_100"),
         extract_decade(F.year("ts")).alias("yy"),
+        decimal7(quarters, 1).cast("double").alias("d7_q"),
     )
 
 
@@ -1975,7 +1982,8 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id),
         "golden_scalars": """
 SELECT event_id,
        CASE WHEN (value - 100.0) >= 0 THEN value - 100.0 END AS value_minus_100,
-       CAST(CASE WHEN year(ts) >= 1900 THEN year(ts) % 100 END AS INT) AS yy
+       CAST(CASE WHEN year(ts) >= 1900 THEN year(ts) % 100 END AS INT) AS yy,
+       roundbankers(floor(value * 4.0) / 4.0, 1) AS d7_q
 FROM events
 """,
         "doc_list_ops": """
