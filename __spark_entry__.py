@@ -59,6 +59,9 @@ def _events_model() -> FeatureModel:
     m.declare_window_feature("gap_secs", op="gap")
     m.declare_window_feature("session_id", op="session", gap_threshold_s=GAP_S)
     m.declare_window_feature("event_seq", op="row_number")
+    # feature-on-feature (J5): the transformer consumes the gap_secs FEATURE,
+    # so the gated queries exercise topo ordering of the feature DAG
+    m.declare_transformer_feature("gap_nonneg", "negative_to_null", args=["gap_secs"])
     return m
 
 
@@ -68,7 +71,7 @@ def q_turn_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _events_model().materialize(
         ev,
         ["event_id", "user_id", "event_type", "prior_event_type",
-         "gap_secs", "session_id", "event_seq"],
+         "gap_secs", "session_id", "event_seq", "gap_nonneg"],
     )
 
 
@@ -1504,7 +1507,8 @@ SELECT event_id, user_id, event_type, prior_event_type, gap_secs,
        CAST(SUM(CASE WHEN gap_secs > {GAP_S} THEN 1 ELSE 0 END)
             OVER (PARTITION BY user_id ORDER BY ts, event_id
                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS INT) AS session_id,
-       event_seq
+       event_seq,
+       CASE WHEN gap_secs >= 0 THEN gap_secs END AS gap_nonneg
 FROM g
 """
 
