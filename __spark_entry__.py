@@ -338,7 +338,9 @@ def q_golden_scalars(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exact binary forms, so Spark's bround and DuckDB's roundbankers see
     # the IDENTICAL value at every tie — banker's rounding is hash-provable
     # without double→decimal representation ambiguity
-    quarters = F.floor(F.col("value") * F.lit(4.0)) / F.lit(4.0)
+    # % 1000 bounds the domain so decimal(7,1) can never ANSI-overflow on a
+    # larger fixture; double fmod is IEEE-identical across engines
+    quarters = F.floor((F.col("value") % F.lit(1000.0)) * F.lit(4.0)) / F.lit(4.0)
     return ev.select(
         "event_id",
         negative_to_null(F.col("value") - F.lit(100.0)).alias("value_minus_100"),
@@ -1987,7 +1989,7 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id),
 SELECT event_id,
        CASE WHEN (value - 100.0) >= 0 THEN value - 100.0 END AS value_minus_100,
        CAST(CASE WHEN year(ts) >= 1900 THEN year(ts) % 100 END AS INT) AS yy,
-       roundbankers(floor(value * 4.0) / 4.0, 1) AS d7_q
+       roundbankers(floor((value % 1000.0) * 4.0) / 4.0, 1) AS d7_q
 FROM events
 """,
         "doc_list_ops": """
@@ -2325,7 +2327,9 @@ FROM events
 SELECT 'features/value_e6' AS feature_id,
        user_id,
        '44136fa355b3678a1146ad16f7e8649e94fb4fc21fe77e8310c060f61caaff8a' AS params_hash,
-       '{"v":' || CAST(CAST(floor(value * 1000000.0) AS BIGINT) AS VARCHAR) || '}' AS value,
+       CASE WHEN value IS NULL THEN '{}'
+            ELSE '{"v":' || CAST(CAST(floor(value * 1000000.0) AS BIGINT) AS VARCHAR) || '}'
+       END AS value,
        ts AS value_at_ts,
        2 * (SELECT COUNT(*) FROM events) AS rows_before,
        (SELECT COUNT(*) FROM events) AS rows_after
