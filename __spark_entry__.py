@@ -349,6 +349,47 @@ def q_golden_scalars(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_jq_transformers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4 closed: the reference's jq transformer YAML declared VERBATIM
+    (jq-transformers.yml:2-19, evaluated per-value by
+    DefaultJacksonJqTransformer.kt:43-62) now COMPILES to Column
+    expressions via functions/jq_compile.py — plus extra jq programs
+    exercising pipe, //-alternative, elif chains, floor, string concat and
+    jq truthiness, so the gate covers the language, not just 3 programs."""
+    from funcify_feature_eng_spark.functions.jq_compile import (
+        REFERENCE_TRANSFORMERS_YAML,
+    )
+    from funcify_feature_eng_spark.functions.registry import TransformerRegistry
+    from funcify_feature_eng_spark.functions.yaml_loader import load_transformers_yaml
+
+    reg = TransformerRegistry()
+    load_transformers_yaml(reg, REFERENCE_TRANSFORMERS_YAML)
+    load_transformers_yaml(reg, """
+transformers:
+  - name: value_band
+    args: [input]
+    jq: 'if . < 100.0 then "low" elif . < 500.0 then "mid" else "big" end'
+    input_schema: {type: number}
+  - name: half_floor_or_neg1
+    args: [input]
+    jq: "(numbers | if . < 0.0 then null else floor end) // -1"
+    input_schema: {type: number}
+  - name: type_tag
+    args: [input]
+    jq: 'strings | ascii_upcase + "_T"'
+    input_schema: {type: string}
+""")
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        reg.get("negative_to_null")(F.col("value") - F.lit(100.0)).alias("v_nn"),
+        reg.get("extract_decade")(F.year("ts")).alias("yy_jq"),
+        reg.get("value_band")(F.col("value")).alias("band"),
+        reg.get("half_floor_or_neg1")(F.col("value") - F.lit(500.0)).alias("flo"),
+        reg.get("type_tag")(F.col("event_type")).alias("tag"),
+    )
+
+
 def q_doc_list_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F2/F6/F7 golden transformers: list split + size, name components."""
     from funcify_feature_eng_spark.functions.scalars import (
@@ -1447,6 +1488,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "turn_features_segmented": q_turn_features_segmented,
         "window_fills": q_window_fills,
         "golden_scalars": q_golden_scalars,
+        "jq_transformers": q_jq_transformers,
         "doc_list_ops": q_doc_list_ops,
         "pricing_summary": q_pricing_summary,
         "dedup_exact": q_dedup_exact,
@@ -1984,6 +2026,21 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id),
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
        wfut AS (PARTITION BY user_id ORDER BY ts, event_id
                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+""",
+        # jq-compiled transformers ≡ hand-written SQL semantics; BIGINT casts
+        # mirror jq's integer-truncating % and floor (jq_compile.py)
+        "jq_transformers": """
+SELECT event_id,
+       CASE WHEN (value - 100.0) >= 0.0 THEN value - 100.0 END AS v_nn,
+       CASE WHEN year(ts) >= 1900 THEN year(ts) % 100 END AS yy_jq,
+       CASE WHEN value < 100.0 THEN 'low'
+            WHEN value < 500.0 THEN 'mid'
+            ELSE 'big' END AS band,
+       COALESCE(CASE WHEN (value - 500.0) < 0.0 THEN NULL
+                     ELSE CAST(floor(value - 500.0) AS BIGINT) END, -1) AS flo,
+       translate(event_type, 'abcdefghijklmnopqrstuvwxyz',
+                 'ABCDEFGHIJKLMNOPQRSTUVWXYZ') || '_T' AS tag
+FROM events
 """,
         "golden_scalars": """
 SELECT event_id,

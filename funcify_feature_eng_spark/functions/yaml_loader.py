@@ -90,23 +90,80 @@ def compile_sql_transformer(expr: str, arg_names: list[str], defaults: dict[str,
 
 
 def load_transformers_yaml(registry: TransformerRegistry, yaml_text: str) -> list[str]:
-    """Register every transformer declared in ``yaml_text``; returns names."""
+    """Register every transformer declared in ``yaml_text``; returns names.
+
+    Two shapes are accepted:
+
+    1. The reference's **verbatim** shape (``JqTransformerYamlReader.kt``;
+       fixture ``stream/src/main/resources/jq-transformers.yml:2-19``): a
+       top-level LIST of ``{name, input_schema, output_schema, expression}``
+       where ``expression`` is a jq program — compiled to Column expressions
+       by :mod:`funcify_feature_eng_spark.functions.jq_compile`.
+    2. This engine's native shape: ``transformers:`` entries with either
+       ``expr:`` (Spark SQL text) or ``jq:`` (jq program), typed args and
+       defaults.
+    """
     import yaml
 
+    from funcify_feature_eng_spark.functions.jq_compile import compile_jq
+
     doc = yaml.safe_load(yaml_text) or {}
+    if isinstance(doc, list):
+        # reference-verbatim shape: unary jq transformers (input arg named
+        # "input" per DefaultFeatureCalculatorCallable.kt:91-103)
+        doc = {
+            "transformers": [
+                {
+                    "name": e["name"],
+                    "jq": e["expression"],
+                    "input_schema": e.get("input_schema") or {},
+                    "output_schema": e.get("output_schema") or {},
+                    "args": ["input"],
+                }
+                for e in doc
+            ]
+        }
     names = []
     for t in doc.get("transformers", []):
         args = [str(a) for a in t.get("args", ["input"])]
-        registry.register(
-            t["name"],
-            compile_sql_transformer(t["expr"], args, t.get("defaults", {})),
-            args=args,
-            defaults=t.get("defaults", {}),
-            description=t.get("description", "yaml-declared"),
-            # P6: optional input schema — `types: {input: double}` (or the
-            # JSON-Schema-ish family "number"), enforced at plan time
-            arg_types={str(k): str(v) for k, v in (t.get("types") or {}).items()},
-        )
+        if "jq" in t:
+            in_schema = t.get("input_schema") or {}
+            out_schema = t.get("output_schema") or {}
+            builder = compile_jq(
+                t["jq"],
+                input_type=str(in_schema.get("type", "any")),
+                output_type=out_schema.get("type"),
+            )
+            if len(args) != 1:
+                raise ValueError(
+                    f"jq transformer {t['name']!r} must be unary (got args={args})"
+                )
+            # plan-time input typing from the JSON Schema (P6): numeric
+            # families map to the registry's "number" family; exact string
+            # type maps through; array/object element types are unknown at
+            # this level so no plan-time constraint is emitted
+            arg_types = {}
+            st = in_schema.get("type")
+            if st in ("number", "integer"):
+                arg_types[args[0]] = "number"
+            elif st == "string":
+                arg_types[args[0]] = "string"
+            registry.register(
+                t["name"], builder, args=args, defaults=t.get("defaults", {}),
+                description=t.get("description", f"jq: {t['jq']}"),
+                arg_types=arg_types,
+            )
+        else:
+            registry.register(
+                t["name"],
+                compile_sql_transformer(t["expr"], args, t.get("defaults", {})),
+                args=args,
+                defaults=t.get("defaults", {}),
+                description=t.get("description", "yaml-declared"),
+                # P6: optional input schema — `types: {input: double}` (or the
+                # JSON-Schema-ish family "number"), enforced at plan time
+                arg_types={str(k): str(v) for k, v in (t.get("types") or {}).items()},
+            )
         names.append(t["name"])
     return names
 

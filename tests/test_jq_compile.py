@@ -1,0 +1,198 @@
+"""Golden tests for the jq-subset compiler (F4).
+
+The reference evaluates these exact programs per value through jackson-jq
+(``DefaultJacksonJqTransformer.kt:43-62``; goldens
+``JqTransformerYamlTest.kt:32-105``: negative_to_null(-1)→null,
+negative_to_null(1)→1). Here they compile to Column expressions and the
+same values must come out.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from funcify_feature_eng_spark.functions.jq_compile import (
+    REFERENCE_TRANSFORMERS_YAML,
+    compile_jq,
+    parse,
+)
+from funcify_feature_eng_spark.functions.registry import TransformerRegistry
+from funcify_feature_eng_spark.functions.yaml_loader import load_transformers_yaml
+
+
+def _run1(spark, builder, value, in_type="double"):
+    df = spark.createDataFrame([(value,)], f"v {in_type}")
+    return df.select(builder(F.col("v")).alias("out")).collect()[0]["out"]
+
+
+# ------------------------------------------------- reference YAML, verbatim
+
+
+@pytest.fixture(scope="module")
+def ref_registry():
+    reg = TransformerRegistry()
+    names = load_transformers_yaml(reg, REFERENCE_TRANSFORMERS_YAML)
+    assert names == ["negative_to_null", "list_size", "extract_decade"]
+    return reg
+
+
+def test_negative_to_null_golden(spark, ref_registry):
+    t = ref_registry.get("negative_to_null")
+    # JqTransformerYamlTest.kt:88-99: -1 → null, 1 → 1
+    assert _run1(spark, t, -1.0) is None
+    assert _run1(spark, t, 1.0) == 1.0
+    assert _run1(spark, t, 0.0) == 0.0
+    assert _run1(spark, t, None) is None
+
+
+def test_list_size_golden(spark, ref_registry):
+    t = ref_registry.get("list_size")
+    df = spark.createDataFrame([(["a", "b", "c"],), ([],), (None,)], "v array<string>")
+    got = [r["out"] for r in df.select(t(F.col("v")).alias("out")).collect()]
+    assert got == [3, 0, None]
+
+
+def test_extract_decade_golden(spark, ref_registry):
+    t = ref_registry.get("extract_decade")
+    assert _run1(spark, t, 1905, "int") == 5
+    assert _run1(spark, t, 1899, "int") is None
+    assert _run1(spark, t, 2023, "int") == 23
+    assert _run1(spark, t, None, "int") is None
+
+
+def test_reference_yaml_arg_typing(spark, ref_registry):
+    # P6 plan-time typing derived from input_schema: number family enforced
+    t = ref_registry.get("negative_to_null")
+    with pytest.raises(TypeError):
+        t.validate_input_types({"input": "string"})
+    t.validate_input_types({"input": "double"})  # ok
+
+
+# ----------------------------------------------------------- language tests
+
+
+def test_parse_shapes():
+    assert parse(".") == ("identity",)
+    assert parse(".a.b") == ("field", ("field", ("identity",), "a"), "b")
+    assert parse(". | length")[0] == "pipe"
+    assert parse("if . then 1 else 2 end")[0] == "if"
+    with pytest.raises(ValueError):
+        parse(". as $x | $x")  # unsupported: variable binding
+    with pytest.raises(ValueError):
+        parse("map(.)")  # unsupported builtin
+
+
+def test_truthiness_zero_and_null(spark):
+    # jq: 0 and "" are TRUTHY; only null/false are falsey
+    b = compile_jq('if . then "t" else "f" end', input_type="number")
+    assert _run1(spark, b, 0.0) == "t"
+    assert _run1(spark, b, None) == "f"
+    bb = compile_jq('if . then "t" else "f" end', input_type="boolean")
+    assert _run1(spark, bb, False, "boolean") == "f"
+    assert _run1(spark, bb, True, "boolean") == "t"
+    assert _run1(spark, bb, None, "boolean") == "f"
+
+
+def test_elif_chain(spark):
+    b = compile_jq(
+        'if . < 10 then "small" elif . < 100 then "mid" else "big" end',
+        input_type="number",
+    )
+    assert _run1(spark, b, 5.0) == "small"
+    assert _run1(spark, b, 50.0) == "mid"
+    assert _run1(spark, b, 500.0) == "big"
+
+
+def test_if_without_else_is_identity(spark):
+    # jq: "if A then B end" == "if A then B else . end"
+    b = compile_jq("if . < 0 then 0 end", input_type="number")
+    assert _run1(spark, b, -5.0) == 0
+    assert _run1(spark, b, 7.0) == 7.0
+
+
+def test_alternative_operator(spark):
+    b = compile_jq(". // -1", input_type="number")
+    assert _run1(spark, b, 3.0) == 3.0
+    assert _run1(spark, b, None) == -1
+    bb = compile_jq("(. > 10) // false", input_type="number")
+    assert _run1(spark, bb, 20.0) is True
+    assert _run1(spark, bb, None) is False  # NULL cmp → falsey → alt
+
+
+def test_and_or_not(spark):
+    b = compile_jq("(. > 0) and (. < 10)", input_type="number")
+    assert _run1(spark, b, 5.0) is True
+    assert _run1(spark, b, 50.0) is False
+    assert _run1(spark, b, None) is False  # null falsey, not NULL
+    b2 = compile_jq("(. < 0) or (. > 10)", input_type="number")
+    assert _run1(spark, b2, 5.0) is False
+    assert _run1(spark, b2, 50.0) is True
+    b3 = compile_jq(". | not", input_type="boolean")
+    assert _run1(spark, b3, False, "boolean") is True
+    assert _run1(spark, b3, None, "boolean") is True  # null falsey → not → true
+
+
+def test_arithmetic_jq_semantics(spark):
+    # jq: / is always float division; % truncates to integers
+    assert _run1(spark, compile_jq(". / 2", input_type="number"), 3.0) == 1.5
+    assert _run1(spark, compile_jq(". % 2", input_type="number"), 5.7) == 1
+    assert _run1(spark, compile_jq("(. * 2) + 1", input_type="number"), 4.0) == 9.0
+    assert _run1(spark, compile_jq("- .", input_type="number"), 4.0) == -4.0
+
+
+def test_string_ops(spark):
+    assert _run1(spark, compile_jq('. + "!"', input_type="string"), "hi", "string") == "hi!"
+    assert (
+        _run1(spark, compile_jq("ascii_downcase", input_type="string"), "ÆBC", "string")
+        == "Æbc"  # jq only maps A-Z, unlike F.lower
+    )
+    assert _run1(spark, compile_jq("length", input_type="string"), "abcd", "string") == 4
+    assert _run1(spark, compile_jq("tostring", input_type="integer"), 7, "int") == "7"
+
+
+def test_field_access_and_index(spark):
+    df = spark.createDataFrame(
+        [((1, "x"), ["p", "q", "r"])],
+        "s struct<a:int,b:string>, arr array<string>",
+    )
+    b = compile_jq(".a", input_type="object")
+    assert df.select(b(F.col("s")).alias("o")).collect()[0]["o"] == 1
+    bi = compile_jq(".[0]", input_type="array")
+    assert df.select(bi(F.col("arr")).alias("o")).collect()[0]["o"] == "p"
+    bn = compile_jq(".[-1]", input_type="array")
+    assert df.select(bn(F.col("arr")).alias("o")).collect()[0]["o"] == "r"
+
+
+def test_floor_ceil_fabs(spark):
+    assert _run1(spark, compile_jq("floor", input_type="number"), 3.7) == 3
+    assert _run1(spark, compile_jq("ceil", input_type="number"), 3.2) == 4
+    assert _run1(spark, compile_jq("fabs", input_type="number"), -3.5) == 3.5
+
+
+def test_type_filter_static_mismatch_is_null(spark):
+    # `numbers` over a declared string column: empty stream → NULL collapse
+    b = compile_jq("numbers", input_type="string")
+    assert _run1(spark, b, "hello", "string") is None
+
+
+def test_output_schema_coercion(spark):
+    # output integer on a float-typed result coerces (jq emits JSON ints)
+    b = compile_jq("floor", input_type="number", output_type="integer")
+    v = _run1(spark, b, 9.9)
+    assert v == 9 and isinstance(v, int)
+
+
+def test_whole_plan_is_jvm_side(spark):
+    """The compiled program must be pure Column expressions — no Python."""
+    reg = TransformerRegistry()
+    load_transformers_yaml(reg, REFERENCE_TRANSFORMERS_YAML)
+    df = spark.range(10).select(
+        (F.col("id") * 1.0).alias("v"), (F.col("id") + 1900).cast("int").alias("y")
+    )
+    out = df.select(
+        reg.get("negative_to_null")(F.col("v") - 5).alias("a"),
+        reg.get("extract_decade")(F.col("y")).alias("b"),
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
