@@ -260,6 +260,46 @@ def q_request_doc_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_request_graphql_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entry point A front door: GraphQL document TEXT (the reference's
+    primary API — DefaultRawGraphQLRequest.kt; the fixed query shape of
+    stream/StreamFunctions.kt:62-102 transcribed to the events schema).
+    Exercises: typed+defaulted variables, domain wrappers, entity grouping,
+    an unnested to-many collection, a fragment spread, an aliased feature
+    selection, and an ad-hoc transformer invocation with a literal arg."""
+    from funcify_feature_eng_spark.plans.graphql import materialize_graphql
+
+    src = """
+    query UserTurns($gap: Float = 1800.0) {
+        dataElement {
+            user {
+                userId
+                turns @unnest {
+                    eventType
+                    priorEventType
+                }
+            }
+        }
+        transformer {
+            jq {
+                negOne: negative_to_null(input: -1)
+            }
+        }
+        features {
+            userFeatures {
+                nTurns: eventSeq
+                ...SessionFragment
+            }
+        }
+    }
+    fragment SessionFragment on User {
+        lastSession: session_id(gap_threshold_s: $gap)
+    }
+    """
+    ev = _t(spark, sf_dir, "events")
+    return materialize_graphql(_events_model(), ev, src, variables={"gap": 900.0})
+
+
 def q_top_events_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy(F.col("value").desc(), F.col("event_id").asc())
@@ -1484,6 +1524,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "next_purchase_shuffle": q_next_purchase_shuffle,
         "request_doc_features": q_request_doc_features,
         "request_doc_nested": q_request_doc_nested,
+        "request_graphql_doc": q_request_graphql_doc,
         "top_events_per_user": q_top_events_per_user,
         "turn_features_segmented": q_turn_features_segmented,
         "window_fills": q_window_fills,
@@ -1993,6 +2034,31 @@ SELECT user_id,
        string_agg(coalesce(prior, '-'), ',' ORDER BY ts, event_id) AS prior_csv
 FROM g GROUP BY user_id
 """,
+        # GraphQL text ≡ dict twin ≡ this plain-SQL formulation: session_id
+        # is a cumulative sum, so latest-in-order == MAX per user
+        "request_graphql_doc": """
+WITH g AS (
+  SELECT user_id, event_type, ts, event_id,
+         lag(event_type) OVER w AS prior_event_type,
+         CAST(row_number() OVER w AS INT) AS seq,
+         (epoch_us(ts) - epoch_us(lag(ts) OVER w)) / 1000000.0 AS gap_secs
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT *, CAST(SUM(CASE WHEN gap_secs > 900.0 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS INT) AS session_id
+  FROM s0
+)
+SELECT user_id AS "userId",
+       CAST(max(seq) OVER (PARTITION BY user_id) AS INT) AS "nTurns",
+       CAST(max(session_id) OVER (PARTITION BY user_id) AS INT) AS "lastSession",
+       CAST(NULL AS INT) AS "negOne",
+       CAST(seq - 1 AS INT) AS turns_idx,
+       event_type AS "eventType",
+       prior_event_type AS "priorEventType"
+FROM s
+""".replace("FROM s0", "FROM g"),
         "top_events_per_user": _TOP_EVENTS_SQL,
         # the segmented (skew-proof) variant must equal the plain window
         # formulation — the oracle IS the plain formulation

@@ -40,6 +40,7 @@ from __future__ import annotations
 
 import json
 from dataclasses import replace
+from collections.abc import Sequence
 from typing import Any
 
 from pyspark.sql import DataFrame
@@ -128,11 +129,6 @@ def parse_document(
         }
     if sum(1 for c in colls.values() if c["unnest"]) > 1:
         raise PlanError("at most one collection may set 'unnest': true")
-    if colls and feats:
-        raise PlanError(
-            "'features' (entity-row grain) and 'collections' (per-entity "
-            "grain) cannot mix in one document — split into two requests"
-        )
     if not columns and not norm and not colls:
         raise PlanError("document selects nothing")
     return variables, columns, norm, colls
@@ -161,13 +157,19 @@ def _bind_feature_selections(
     pass through as data-element columns (P1). Returns output column names."""
     out_cols: list[str] = []
     for out_name, sel in feats.items():
-        base_name = sel["feature"]
-        if base_name not in model._features:
+        base_name = _resolve_feature_name(model, sel["feature"])
+        if base_name is None:
             if sel["args"]:
                 raise PlanError(
-                    f"{what} selects unknown feature {base_name!r} "
+                    f"{what} selects unknown feature {sel['feature']!r} "
                     f"(declared: {sorted(model._features)})"
                 )
+            if out_name != sel["feature"]:
+                # aliased column passthrough (GraphQL `alias: field`): route
+                # through the alias registry so J1 tier-3 resolves it
+                from funcify_feature_eng_spark.functions.scalars import to_snake_case
+
+                req._aliases[to_snake_case(out_name)] = sel["feature"]
             out_cols.append(out_name)  # plain column passthrough
             continue
         args = _resolve_args(sel["args"], variables)
@@ -185,11 +187,37 @@ def _bind_feature_selections(
     return out_cols
 
 
-def compile_document(model: FeatureModel, doc: dict[str, Any]) -> tuple[FeatureModel, list[str], dict[str, dict]]:
+def _resolve_feature_name(model: FeatureModel, name: str) -> str | None:
+    """Resolve a selected feature name against the declared features with
+    the same convention-insensitive matching as J1 tiers 2-4 (exact, alias
+    registry, snake_case-equivalent) — so a GraphQL-style ``eventSeq``
+    selection binds the declared ``event_seq`` feature. None if no feature
+    matches (the name may still be a spine/source column)."""
+    from funcify_feature_eng_spark.functions.scalars import to_snake_case
+
+    if name in model._features:
+        return name
+    canon = to_snake_case(name)
+    target = model._aliases.get(canon)
+    if target is not None and target in model._features:
+        return target
+    for f in model._features:
+        if to_snake_case(f) == canon:
+            return f
+    return None
+
+
+def compile_document(
+    model: FeatureModel,
+    doc: dict[str, Any],
+    spine_cols: Sequence[str] | None = None,
+) -> tuple[FeatureModel, list[str], dict[str, dict]]:
     """Compile a request document against a base model: returns a
     request-scoped model (base features + parameterized/aliased variants),
     the output column list for ``materialize``, and the compiled collection
-    specs (field output names bound, ListSegment analog)."""
+    specs (field output names bound, ListSegment analog). With
+    ``spine_cols`` (known at materialize), flat feature selections may also
+    resolve to columns/sources/variables via J1 (GraphQL aliasing)."""
     variables, columns, feats, colls = parse_document(doc)
 
     req = FeatureModel(
@@ -203,30 +231,48 @@ def compile_document(model: FeatureModel, doc: dict[str, Any]) -> tuple[FeatureM
     req._aliases = dict(model._aliases)
     req._stores = dict(model._stores)
     req._sources = dict(model._sources)
+    req._last_updated = dict(model._last_updated)
 
     out_cols = list(columns)
     if colls:
         # collections change the result grain to one row per entity (or per
-        # element when unnested); top-level columns must be the entity key
-        extra = [c for c in columns if c != model.entity_key]
-        if extra:
-            raise PlanError(
-                "with 'collections', top-level 'columns' may only contain "
-                f"the entity key {model.entity_key!r} (got {extra}); select "
-                "per-element columns as collection fields instead"
-            )
+        # element when unnested). Non-collection selections (columns and
+        # features) are ENTITY-grain scalars: each takes the entity's
+        # latest-in-model-order value — the "current state" reading, the
+        # same latest-prior convention as J3/as-of. Deterministic because
+        # the model order is a total order per entity (O1).
+        scalar_outs = _bind_feature_selections(model, req, feats, variables)
+        out_cols += scalar_outs
         for cname, cspec in colls.items():
+            if cname in out_cols:
+                raise PlanError(
+                    f"collection {cname!r} collides with a scalar selection"
+                )
             cspec["field_cols"] = _bind_feature_selections(
                 model, req, cspec["fields"], variables, what=f"collection {cname!r}"
             )
+            out_cols.append(cname)
     else:
-        # strictly-validated flat path: unknown feature names are errors
+        # strictly-validated flat path: a feature selection must resolve to
+        # a declared feature, or (when the spine is known) to a column /
+        # source field / variable — unresolvable names are compile errors
         for out_name, sel in feats.items():
-            if sel["feature"] not in model._features:
+            if _resolve_feature_name(model, sel["feature"]) is not None:
+                continue
+            if spine_cols is None:
                 raise PlanError(
                     f"document selects unknown feature {sel['feature']!r} "
                     f"(declared: {sorted(model._features)})"
                 )
+            try:
+                model.resolve_name(
+                    sel["feature"], spine_cols,
+                    tuple(sorted(doc.get("variables", {}))),
+                )
+            except PlanError as e:
+                raise PlanError(
+                    f"document selects unknown feature {sel['feature']!r}: {e}"
+                ) from None
         out_cols += _bind_feature_selections(model, req, feats, variables)
     return req, out_cols, colls
 
@@ -247,7 +293,7 @@ def materialize_document(
     key = (_doc_cache_key(doc), json.dumps(doc.get("variables", {}), sort_keys=True, default=str))
     hit = cache.get(key)
     if hit is None:
-        hit = compile_document(model, doc)
+        hit = compile_document(model, doc, spine.columns)
         cache[key] = hit
     req, out_cols, colls = hit
     variables = doc.get("variables")
@@ -255,7 +301,7 @@ def materialize_document(
         # variables also feed J1 tier-6 resolution (names satisfiable from
         # the request's variable set), not just feature arguments
         return req.materialize(spine, out_cols, variables=variables)
-    return _materialize_collections(req, spine, colls, variables)
+    return _materialize_collections(req, spine, colls, variables, out_cols)
 
 
 def _materialize_collections(
@@ -263,6 +309,7 @@ def _materialize_collections(
     spine: DataFrame,
     colls: dict[str, dict],
     variables: dict | None,
+    out_cols: list[str],
 ) -> DataFrame:
     """ListSegment fan-in/fan-out: materialize element-grain fields, then
     either collect them into ordered ``array<struct>`` columns (one row per
@@ -270,6 +317,10 @@ def _materialize_collections(
     ``DefaultGQLDocumentComposer.kt``) or, for a collection marked
     ``unnest: true``, re-explode to one row per element with its index (the
     result-path fan-out of ``schema/path/result/ListSegment.kt:9-29``).
+
+    Non-collection selections in ``out_cols`` are entity-grain scalars:
+    each is the entity's latest-in-model-order value (``max_by`` over the
+    order tuple — same exchange as the collect, no extra window pass).
 
     One element-grain pass serves every collection; the collect is a single
     groupBy(entity) with one ``collect_list`` per collection — ordering is
@@ -280,14 +331,19 @@ def _materialize_collections(
 
     entity = req.entity_key
     order_cols = list(req.order)
+    scalar_outs = [c for c in out_cols if c not in colls]
     field_union: list[str] = []
     for cspec in colls.values():
         for f in cspec["field_cols"]:
             if f not in field_union:
                 field_union.append(f)
+    for s in scalar_outs:
+        if s not in field_union and s != entity:
+            field_union.append(s)
     elem_cols = [entity] + [c for c in order_cols if c not in field_union] + field_union
     elems = req.materialize(spine, elem_cols, variables=variables)
 
+    order_tuple = F.struct(*[F.col(c) for c in order_cols])
     aggs = []
     for cname, cspec in colls.items():
         packed = F.struct(
@@ -295,6 +351,9 @@ def _materialize_collections(
             *[F.col(f).alias(f) for f in cspec["field_cols"]],
         )
         aggs.append(F.array_sort(F.collect_list(packed)).alias(cname))
+    for s in scalar_outs:
+        if s != entity:
+            aggs.append(F.max_by(F.col(s), order_tuple).alias(s))
     out = elems.groupBy(entity).agg(*aggs)
 
     unnest_name = next((n for n, c in colls.items() if c["unnest"]), None)
@@ -304,18 +363,33 @@ def _materialize_collections(
         # PySpark treat it as the (element, index) binary form
         return lambda x: F.struct(*[x[f].alias(f) for f in field_cols])
 
+    from funcify_feature_eng_spark.functions.scalars import to_snake_case
+
+    def _selects_entity(c: str) -> bool:
+        # the entity key may be selected under a convention alias (userId)
+        # or a registered alias — don't re-prepend it then
+        canon = to_snake_case(c)
+        if c == entity or canon == entity:
+            return True
+        target = req._aliases.get(canon)
+        return target is not None and to_snake_case(target) == entity
+
     for cname, cspec in colls.items():
         out = out.withColumn(cname, F.transform(F.col(cname), _strip(cspec["field_cols"])))
-    if unnest_name is not None:
-        fields = colls[unnest_name]["field_cols"]
-        out = out.select(
-            entity,
-            *[c for c in colls if c != unnest_name],
-            F.posexplode(F.col(unnest_name)).alias(f"{unnest_name}_idx", "__e"),
-        ).select(
-            entity,
-            *[c for c in colls if c != unnest_name],
-            f"{unnest_name}_idx",
-            *[F.col("__e")[f].alias(f) for f in fields],
-        )
-    return out
+    keep = out_cols if any(_selects_entity(c) for c in out_cols) else [entity] + out_cols
+    if unnest_name is None:
+        return out.select(*keep)
+    fields = colls[unnest_name]["field_cols"]
+    pre = [c for c in keep if c != unnest_name]
+    out = out.select(
+        *pre, F.posexplode(F.col(unnest_name)).alias(f"{unnest_name}_idx", "__e")
+    )
+    # re-expand in document order, the unnested fields at the collection's slot
+    final: list = []
+    for c in keep:
+        if c == unnest_name:
+            final.append(F.col(f"{unnest_name}_idx"))
+            final.extend(F.col("__e")[f].alias(f) for f in fields)
+        else:
+            final.append(F.col(c))
+    return out.select(*final)

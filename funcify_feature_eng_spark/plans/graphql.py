@@ -1,0 +1,598 @@
+"""GraphQL-text front door for Entry point A.
+
+The reference's primary API is a **GraphQL document**: parsed, validated,
+and compiled onto the request-materialization graph
+(``materializer/request/DefaultRawGraphQLRequest.kt``; preparse plan +
+dispatch ``DefaultMaterializationPreparsedDocumentProvider.kt:250-327``;
+the shipped fixed query ``stream/StreamFunctions.kt:62-102``). This module
+is a hand-written parser for the GraphQL subset that query uses (no
+graphql-java / graphql-core in the sandbox), lowering the document to the
+dict shape :mod:`funcify_feature_eng_spark.plans.document` executes — the
+two front doors share one compiler and one plan cache, like the
+reference's one materialization graph behind both tabular and GraphQL
+entry points (``TabularQueryDocumentCreator.kt:44-108``).
+
+Supported GraphQL surface:
+
+- named/anonymous operations with variable definitions, NonNull/List type
+  annotations, and default values: ``query Q($gap: Float = 1800.0)``
+- selection sets, field aliases, arguments (variables ``$x`` and Int /
+  Float / String / Boolean / Null / Enum / List / Object literals)
+- fragment definitions + spreads (``...F`` / ``fragment F on T { ... }``)
+  and inline fragments (``... on T { ... }``). Type conditions are
+  recorded but not row-filtered: the engine's wide-schema subtype
+  convention applies — fields absent for a row's concrete subtype are
+  NULL (P4, same as ``shows_reshaped``).
+- directives; ``@unnest`` on a collection field maps to the document
+  compiler's ``unnest: true`` (result-path fan-out,
+  ``schema/path/result/ListSegment.kt:9-29``)
+
+Lowering conventions (the schema-to-model mapping the reference gets from
+its SDL metamodel, ``netflix_movies_and_tv_shows.graphqls``):
+
+- The three top-level domain wrappers mirror the reference metamodel's
+  three source kinds (``dataElement`` / ``transformer`` / ``features`` —
+  StreamFunctions.kt:64-92). One nesting level below each wrapper is a
+  *grouping* field (e.g. ``show(...)``, ``jq``, ``showFeatures``) whose
+  selections are the real payload.
+- Arguments on a data-element grouping field (``show(showId: $id)``) are
+  **entity lookups**: each becomes an equality filter on the
+  convention-matched spine column — the batch generalization of GraphQL's
+  single-entity fetch.
+- A leaf field with no alias/args under ``dataElement`` → passthrough
+  column (P1/S1); with alias or args → feature/column selection with
+  J1-convention name resolution.
+- A field WITH a selection set under the data element → a collection
+  (``cast { name }`` → ordered ``array<struct>``), ``@unnest`` to explode.
+- Fields under ``transformer`` call a registered transformer with literal
+  or variable arguments (ad-hoc invocation — the reference's
+  ``negative_to_null(input: -1)``); the result is a scalar output column.
+- Fields under ``features`` select declared features; arguments
+  parameterize them (variants), aliases rename outputs.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field as dc_field
+from typing import Any
+
+from pyspark.sql import DataFrame
+
+from funcify_feature_eng_spark.plans.model import FeatureModel, PlanError
+
+# ---------------------------------------------------------------- lexer
+
+_GQL_TOKEN = re.compile(
+    r"""
+    (?P<ws>[\s,]+ | \#[^\n]*)
+  | (?P<spread>\.\.\.)
+  | (?P<name>[_A-Za-z][_A-Za-z0-9]*)
+  | (?P<float>-?\d+\.\d+(?:[eE][+-]?\d+)? | -?\d+[eE][+-]?\d+)
+  | (?P<int>-?\d+)
+  | (?P<str>"(?:[^"\\\n]|\\.)*")
+  | (?P<punct>[{}()\[\]:=!$@|])
+    """,
+    re.VERBOSE,
+)
+
+
+def _lex(src: str) -> list[tuple[str, str]]:
+    toks: list[tuple[str, str]] = []
+    pos = 0
+    while pos < len(src):
+        m = _GQL_TOKEN.match(src, pos)
+        if not m:
+            raise PlanError(f"GraphQL: cannot tokenize at {src[pos:pos+25]!r}")
+        pos = m.end()
+        if m.lastgroup == "ws":
+            continue
+        toks.append((m.lastgroup, m.group()))
+    toks.append(("eof", ""))
+    return toks
+
+
+# ---------------------------------------------------------------- AST
+
+
+@dataclass
+class Field:
+    name: str
+    alias: str | None = None
+    args: dict[str, Any] = dc_field(default_factory=dict)
+    directives: list[str] = dc_field(default_factory=list)
+    selections: list["Field"] | None = None  # None = leaf
+
+    @property
+    def out_name(self) -> str:
+        return self.alias or self.name
+
+
+@dataclass
+class Operation:
+    name: str | None
+    variable_defs: dict[str, dict]  # var -> {"type": str, "required": bool, "default": ...}
+    selections: list[Field]
+
+
+class _Var:
+    """Marker for a ``$name`` argument value."""
+
+    __slots__ = ("name",)
+
+    def __init__(self, name: str):
+        self.name = name
+
+    def __repr__(self):
+        return f"${self.name}"
+
+
+class _GqlParser:
+    def __init__(self, toks: list[tuple[str, str]]):
+        self.toks = toks
+        self.i = 0
+
+    def peek(self):
+        return self.toks[self.i]
+
+    def next(self):
+        t = self.toks[self.i]
+        self.i += 1
+        return t
+
+    def expect(self, kind: str, text: str | None = None):
+        t = self.next()
+        if t[0] != kind or (text is not None and t[1] != text):
+            raise PlanError(f"GraphQL parse: expected {text or kind}, got {t}")
+        return t
+
+    def document(self) -> tuple[list[Operation], dict[str, tuple[str, list[Field]]]]:
+        ops: list[Operation] = []
+        frags: dict[str, tuple[str, list[Field]]] = {}
+        while self.peek()[0] != "eof":
+            k, v = self.peek()
+            if k == "name" and v == "fragment":
+                self.next()
+                fname = self.expect("name")[1]
+                self.expect("name", "on")
+                tcond = self.expect("name")[1]
+                frags[fname] = (tcond, self.selection_set())
+            elif k == "name" and v in ("query", "mutation", "subscription"):
+                if v != "query":
+                    raise PlanError(f"GraphQL: only 'query' operations supported, got {v!r}")
+                self.next()
+                oname = None
+                if self.peek()[0] == "name":
+                    oname = self.next()[1]
+                vdefs = {}
+                if self.peek() == ("punct", "("):
+                    vdefs = self.variable_defs()
+                self._skip_directives()
+                ops.append(Operation(oname, vdefs, self.selection_set()))
+            elif (k, v) == ("punct", "{"):  # anonymous shorthand
+                ops.append(Operation(None, {}, self.selection_set()))
+            else:
+                raise PlanError(f"GraphQL parse: unexpected token {k, v}")
+        if not ops:
+            raise PlanError("GraphQL document contains no operation")
+        return ops, frags
+
+    def variable_defs(self) -> dict[str, dict]:
+        self.expect("punct", "(")
+        out: dict[str, dict] = {}
+        while self.peek() != ("punct", ")"):
+            self.expect("punct", "$")
+            name = self.expect("name")[1]
+            self.expect("punct", ":")
+            typ, required = self.type_ref()
+            entry: dict[str, Any] = {"type": typ, "required": required}
+            if self.peek() == ("punct", "="):
+                self.next()
+                entry["default"] = self.value()
+                entry["required"] = False
+            out[name] = entry
+        self.next()  # ')'
+        return out
+
+    def type_ref(self) -> tuple[str, bool]:
+        if self.peek() == ("punct", "["):
+            self.next()
+            inner, _ = self.type_ref()
+            self.expect("punct", "]")
+            typ = f"[{inner}]"
+        else:
+            typ = self.expect("name")[1]
+        required = False
+        if self.peek() == ("punct", "!"):
+            self.next()
+            required = True
+        return typ, required
+
+    def selection_set(self) -> list[Field]:
+        self.expect("punct", "{")
+        out: list[Field] = []
+        while self.peek() != ("punct", "}"):
+            k, v = self.peek()
+            if k == "spread":
+                self.next()
+                if self.peek() == ("name", "on"):  # inline fragment
+                    self.next()
+                    tcond = self.expect("name")[1]
+                    self._skip_directives()
+                    inner = self.selection_set()
+                    out.append(Field(name=f"...on {tcond}", selections=inner))
+                else:
+                    fname = self.expect("name")[1]
+                    self._skip_directives()
+                    out.append(Field(name=f"...{fname}"))
+            elif k == "name":
+                out.append(self.field())
+            else:
+                raise PlanError(f"GraphQL parse: unexpected token in selection set {k, v}")
+        self.next()  # '}'
+        if not out:
+            raise PlanError("GraphQL: empty selection set")
+        return out
+
+    def field(self) -> Field:
+        name = self.expect("name")[1]
+        alias = None
+        if self.peek() == ("punct", ":"):
+            self.next()
+            alias, name = name, self.expect("name")[1]
+        args: dict[str, Any] = {}
+        if self.peek() == ("punct", "("):
+            self.next()
+            while self.peek() != ("punct", ")"):
+                an = self.expect("name")[1]
+                self.expect("punct", ":")
+                args[an] = self.value()
+            self.next()
+        directives = self._skip_directives()
+        selections = None
+        if self.peek() == ("punct", "{"):
+            selections = self.selection_set()
+        return Field(name=name, alias=alias, args=args,
+                     directives=directives, selections=selections)
+
+    def _skip_directives(self) -> list[str]:
+        out = []
+        while self.peek() == ("punct", "@"):
+            self.next()
+            out.append(self.expect("name")[1])
+            if self.peek() == ("punct", "("):  # directive args: consume
+                depth = 0
+                while True:
+                    t = self.next()
+                    if t == ("punct", "("):
+                        depth += 1
+                    elif t == ("punct", ")"):
+                        depth -= 1
+                        if depth == 0:
+                            break
+        return out
+
+    def value(self) -> Any:
+        k, v = self.next()
+        if (k, v) == ("punct", "$"):
+            return _Var(self.expect("name")[1])
+        if k == "int":
+            return int(v)
+        if k == "float":
+            return float(v)
+        if k == "str":
+            body = v[1:-1]
+            return (body.replace(r"\\", "\x00").replace(r"\"", '"')
+                    .replace(r"\n", "\n").replace(r"\t", "\t").replace("\x00", "\\"))
+        if k == "name":
+            if v == "true":
+                return True
+            if v == "false":
+                return False
+            if v == "null":
+                return None
+            return v  # enum value → string
+        if (k, v) == ("punct", "["):
+            items = []
+            while self.peek() != ("punct", "]"):
+                items.append(self.value())
+            self.next()
+            return items
+        if (k, v) == ("punct", "{"):
+            obj = {}
+            while self.peek() != ("punct", "}"):
+                on = self.expect("name")[1]
+                self.expect("punct", ":")
+                obj[on] = self.value()
+            self.next()
+            return obj
+        raise PlanError(f"GraphQL parse: bad value token {k, v}")
+
+
+def parse_graphql(src: str) -> tuple[list[Operation], dict[str, tuple[str, list[Field]]]]:
+    """Parse GraphQL source → (operations, fragments)."""
+    return _GqlParser(_lex(src)).document()
+
+
+# ------------------------------------------------------------- lowering
+
+_WRAPPERS = ("dataElement", "data_element", "transformer", "features")
+
+
+def _expand_fragments(
+    sels: list[Field], frags: dict[str, tuple[str, list[Field]]], depth: int = 0
+) -> list[Field]:
+    if depth > 16:
+        raise PlanError("GraphQL: fragment expansion too deep (cycle?)")
+    out: list[Field] = []
+    for f in sels:
+        if f.name.startswith("...on "):
+            out.extend(_expand_fragments(f.selections or [], frags, depth + 1))
+        elif f.name.startswith("..."):
+            fname = f.name[3:]
+            if fname not in frags:
+                raise PlanError(
+                    f"GraphQL: undefined fragment {fname!r} (defined: {sorted(frags)})"
+                )
+            out.extend(_expand_fragments(frags[fname][1], frags, depth + 1))
+        else:
+            if f.selections is not None:
+                f = Field(f.name, f.alias, f.args, f.directives,
+                          _expand_fragments(f.selections, frags, depth + 1))
+            out.append(f)
+    return out
+
+
+def _resolve_value(v: Any, variables: dict[str, Any]) -> Any:
+    if isinstance(v, _Var):
+        # leave as "$name" string: document._resolve_args owns variable
+        # binding (and its undefined-variable error)
+        return f"${v.name}"
+    if isinstance(v, list):
+        return [_resolve_value(x, variables) for x in v]
+    if isinstance(v, dict):
+        return {k: _resolve_value(x, variables) for k, x in v.items()}
+    return v
+
+
+@dataclass
+class LoweredRequest:
+    doc: dict[str, Any]  # plans.document dict shape
+    filters: dict[str, Any]  # spine column (as written) -> literal/variable value
+    transformer_calls: list[tuple[str, str, dict[str, Any]]]  # (out, name, args)
+    operation: Operation
+
+
+def lower_graphql(src: str, operation_name: str | None = None) -> LoweredRequest:
+    """Parse + lower a GraphQL document to the dict-document shape."""
+    ops, frags = parse_graphql(src)
+    if operation_name is not None:
+        matches = [o for o in ops if o.name == operation_name]
+        if not matches:
+            raise PlanError(
+                f"GraphQL: no operation named {operation_name!r} "
+                f"(defined: {[o.name for o in ops]})"
+            )
+        op = matches[0]
+    elif len(ops) == 1:
+        op = ops[0]
+    else:
+        raise PlanError(
+            "GraphQL: multiple operations require operation_name "
+            f"(defined: {[o.name for o in ops]})"
+        )
+
+    columns: list[str] = []
+    features: dict[str, dict] = {}
+    collections: dict[str, dict] = {}
+    filters: dict[str, Any] = {}
+    transformer_calls: list[tuple[str, str, dict[str, Any]]] = []
+
+    def add_leaf(f: Field) -> None:
+        # every leaf goes through 'features' (spec {} = plain passthrough):
+        # dict insertion order IS the GraphQL selection order, so outputs
+        # come back in document order regardless of alias/args
+        spec: dict[str, Any] = {}
+        if f.alias is not None:
+            spec["feature"] = f.name
+        if f.args:
+            spec["feature"] = f.name
+            spec["args"] = {k: _resolve_value(v, {}) for k, v in f.args.items()}
+        features[f.out_name] = spec
+
+    def add_collection(f: Field) -> None:
+        if f.args:
+            raise PlanError(
+                f"GraphQL: collection field {f.name!r} takes no arguments "
+                "(filters belong on the entity grouping field)"
+            )
+        fields: dict[str, dict] = {}
+        for leaf in f.selections or []:
+            if leaf.selections is not None:
+                raise PlanError(
+                    f"GraphQL: nested collection {leaf.name!r} inside "
+                    f"{f.name!r} is not supported (one list level per request)"
+                )
+            fields[leaf.out_name] = {
+                "feature": leaf.name,
+                "args": {k: _resolve_value(v, {}) for k, v in leaf.args.items()},
+            }
+        collections[f.out_name] = {
+            "fields": fields,
+            "unnest": "unnest" in f.directives,
+        }
+
+    def walk_data_element(sels: list[Field]) -> None:
+        for f in sels:
+            if f.selections is None:
+                add_leaf(f)
+                continue
+            # grouping field (show/user/...): args are entity lookups,
+            # children are the payload; a child WITH a selection set is a
+            # collection (to-many relation)
+            for k, v in f.args.items():
+                filters[k] = _resolve_value(v, {})
+            for child in f.selections:
+                if child.selections is None:
+                    add_leaf(child)
+                else:
+                    add_collection(child)
+
+    def walk_transformer(sels: list[Field]) -> None:
+        for f in sels:
+            if f.selections is not None and not f.args:
+                walk_transformer(f.selections)  # source-name grouping (jq)
+            else:
+                transformer_calls.append(
+                    (f.out_name,
+                     f.name,
+                     {k: _resolve_value(v, {}) for k, v in f.args.items()})
+                )
+
+    def walk_features(sels: list[Field]) -> None:
+        for f in sels:
+            if f.selections is not None and not f.args:
+                walk_features(f.selections)  # feature-group wrapper
+            elif f.selections is not None:
+                raise PlanError(
+                    f"GraphQL: feature {f.name!r} cannot both take arguments "
+                    "and group sub-selections"
+                )
+            else:
+                features[f.out_name] = {
+                    "feature": f.name,
+                    "args": {k: _resolve_value(v, {}) for k, v in f.args.items()},
+                }
+
+    top = _expand_fragments(op.selections, frags)
+    wrapper_seen = any(f.name in _WRAPPERS for f in top)
+    for f in top:
+        if f.name in ("dataElement", "data_element") and f.selections:
+            walk_data_element(_expand_fragments(f.selections, frags))
+        elif f.name == "transformer" and f.selections:
+            walk_transformer(f.selections)
+        elif f.name == "features" and f.selections:
+            walk_features(f.selections)
+        elif not wrapper_seen:
+            # no domain wrappers: the whole selection set IS the data element
+            if f.selections is None:
+                add_leaf(f)
+            else:
+                walk_data_element([f])
+        else:
+            raise PlanError(
+                f"GraphQL: unexpected top-level field {f.name!r} beside "
+                f"domain wrappers {_WRAPPERS}"
+            )
+
+    select: dict[str, Any] = {}
+    if columns:
+        select["columns"] = columns
+    if features:
+        select["features"] = features
+    if collections:
+        select["collections"] = collections
+    return LoweredRequest(
+        doc={"select": select}, filters=filters,
+        transformer_calls=transformer_calls, operation=op,
+    )
+
+
+# ------------------------------------------------------------ execution
+
+
+def materialize_graphql(
+    model: FeatureModel,
+    spine: DataFrame,
+    src: str,
+    variables: dict[str, Any] | None = None,
+    operation_name: str | None = None,
+) -> DataFrame:
+    """Execute a GraphQL request document against a FeatureModel + spine.
+
+    The full reference request path (``DefaultRawGraphQLRequest.kt``:
+    raw text + variables + operationName), Spark-first: parse → lower to
+    the dict document → one shared compile/materialize path. Variable
+    coercion follows the reference's GraphQL semantics: missing non-null
+    variables error; declared defaults apply (P5/P7,
+    ``MaterializationEdge.kt:7-14``)."""
+    from pyspark.sql import functions as F
+
+    from funcify_feature_eng_spark.plans.document import materialize_document
+
+    lowered = lower_graphql(src, operation_name)
+    op = lowered.operation
+
+    merged_vars = dict(variables or {})
+    for vname, vdef in op.variable_defs.items():
+        if vname in merged_vars:
+            continue
+        if "default" in vdef:
+            merged_vars[vname] = vdef["default"]
+        elif vdef["required"]:
+            raise PlanError(
+                f"GraphQL: required variable ${vname}: {vdef['type']}! not provided"
+            )
+    unknown = set(merged_vars) - set(op.variable_defs)
+    if op.variable_defs and unknown:
+        raise PlanError(
+            f"GraphQL: variables {sorted(unknown)} are not declared by the "
+            f"operation (declared: {sorted(op.variable_defs)})"
+        )
+
+    # request-scoped model clone: ad-hoc transformer invocations register as
+    # transformer features wired to synthesized literal variables (tier 6)
+    req = FeatureModel(
+        entity_key=model.entity_key, order=model.order,
+        event_time=model.event_time, registry=model.registry,
+        max_depth=model.max_depth,
+    )
+    req._features = dict(model._features)
+    req._aliases = dict(model._aliases)
+    req._stores = dict(model._stores)
+    req._sources = dict(model._sources)
+    req._last_updated = dict(model._last_updated)
+
+    doc = {"select": dict(lowered.doc["select"])}
+    if merged_vars:
+        doc["variables"] = merged_vars
+    feats = dict(doc["select"].get("features", {}))
+    for i, (out_name, tname, targs) in enumerate(lowered.transformer_calls):
+        arg_cols: list[str] = []
+        for k, v in targs.items():
+            if isinstance(v, str) and v.startswith("$"):
+                arg_cols.append(v[1:])  # variable-bound arg (tier 6)
+            else:
+                lit_name = f"__gql_lit_{i}_{k}"
+                merged_vars[lit_name] = v
+                doc["variables"] = merged_vars
+                arg_cols.append(lit_name)
+        req.declare_transformer_feature(out_name, tname, args=arg_cols)
+        feats[out_name] = {}
+    if feats:
+        doc["select"]["features"] = feats
+
+    filtered = spine
+    for col_name, v in lowered.filters.items():
+        kind, resolved = req.resolve_name(col_name, spine.columns, tuple(merged_vars))
+        if kind == "variable":
+            raise PlanError(
+                f"GraphQL: entity-lookup argument {col_name!r} must name a "
+                "spine column"
+            )
+        if kind != "column":
+            raise PlanError(
+                f"GraphQL: entity-lookup argument {col_name!r} resolved to a "
+                f"{kind}, expected a spine column"
+            )
+        value = v
+        if isinstance(v, str) and v.startswith("$"):
+            vname = v[1:]
+            if vname not in merged_vars:
+                raise PlanError(
+                    f"GraphQL: filter references undefined variable ${vname}"
+                )
+            value = merged_vars[vname]
+        filtered = filtered.filter(F.col(resolved) == F.lit(value))
+
+    return materialize_document(req, filtered, doc)

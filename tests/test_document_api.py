@@ -207,26 +207,32 @@ def test_collection_with_parameterized_element_feature(spark):
     assert rows["u1"] == [0, 0, 1]
 
 
-def test_collection_rejects_non_entity_columns():
+def test_collection_with_entity_grain_scalars(spark):
+    """Scalars alongside collections take the entity's LATEST-in-order value
+    (current-state reading): n_turns == event_seq at the last event."""
     doc = {
         "select": {
-            "columns": ["user_id", "event_type"],
+            "columns": ["user_id"],
+            "features": {"n_turns": {"feature": "event_seq"}},
             "collections": {"turns": {"fields": {"event_type": {}}}},
         }
     }
-    with pytest.raises(PlanError, match="entity key"):
+    out = materialize_document(_model(), _events(spark), doc)
+    assert out.columns == ["user_id", "n_turns", "turns"]
+    rows = {r["user_id"]: r for r in out.collect()}
+    for uid, r in rows.items():
+        assert r["n_turns"] == len(r["turns"])  # latest row_number == count
+
+
+def test_collection_scalar_name_collision_rejected():
+    doc = {
+        "select": {
+            "features": {"turns": {"feature": "event_seq"}},
+            "collections": {"turns": {"fields": {"event_type": {}}}},
+        }
+    }
+    with pytest.raises(PlanError, match="collides"):
         compile_document(_model(), doc)
-
-
-def test_collection_rejects_mixing_with_flat_features():
-    doc = {
-        "select": {
-            "features": {"event_seq": {}},
-            "collections": {"turns": {"fields": {"event_type": {}}}},
-        }
-    }
-    with pytest.raises(PlanError, match="cannot mix"):
-        parse_document(doc)
 
 
 def test_two_unnest_collections_rejected():

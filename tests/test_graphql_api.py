@@ -1,0 +1,225 @@
+"""GraphQL-text front door (Entry point A, reference-primary API).
+
+The reference's main path parses GraphQL document TEXT
+(``DefaultRawGraphQLRequest.kt``; fixed query
+``stream/StreamFunctions.kt:62-102``). These tests parse that query's
+shape — transcribed to the events schema — and prove the lowered request
+materializes byte-identically to its hand-built dict twin.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from funcify_feature_eng_spark.plans.document import materialize_document
+from funcify_feature_eng_spark.plans.graphql import (
+    lower_graphql,
+    materialize_graphql,
+    parse_graphql,
+)
+from funcify_feature_eng_spark.plans.model import FeatureModel, PlanError
+
+
+def _events(spark):
+    import datetime as dt
+
+    rows = []
+    base = dt.datetime(2024, 3, 1, 12, 0, 0)
+    for uid in (1, 2, 3):
+        for i in range(6):
+            rows.append(
+                (uid * 100 + i, base + dt.timedelta(seconds=uid * 53 + i * 700),
+                 uid, ["view", "click", "purchase"][i % 3], float(uid * 10 + i))
+            )
+    return spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+
+
+def _model():
+    from funcify_feature_eng_spark.functions.registry import default_registry
+
+    m = FeatureModel(entity_key="user_id", order=("ts", "event_id"), event_time="ts",
+                     registry=default_registry())
+    m.declare_window_feature("prior_event_type", op="lag", col="event_type")
+    m.declare_window_feature("session_id", op="session", gap_threshold_s=1800.0)
+    m.declare_window_feature("event_seq", op="row_number")
+    return m
+
+
+# The StreamFunctions.kt:62-102 QUERY, transcribed to the events schema:
+# same shape — operation with typed variables, dataElement wrapper with an
+# entity grouping field, nested to-many selection, domain-wrapped
+# transformer invocation with a literal arg, features wrapper with aliased
+# + fragment-spread selections.
+QUERY = """
+query UserTurns($gap: Float = 1800.0) {
+    dataElement {
+        user {
+            userId
+            turns {
+                eventType
+                priorEventType
+            }
+        }
+    }
+    transformer {
+        jq {
+            negOne: negative_to_null(input: -1)
+        }
+    }
+    features {
+        userFeatures {
+            nTurns: eventSeq
+            ...SessionFragment
+        }
+    }
+}
+fragment SessionFragment on User {
+    lastSession: session_id(gap_threshold_s: $gap)
+}
+"""
+
+
+def test_parse_stream_functions_query_shape():
+    ops, frags = parse_graphql(QUERY)
+    assert len(ops) == 1 and ops[0].name == "UserTurns"
+    assert ops[0].variable_defs == {
+        "gap": {"type": "Float", "required": False, "default": 1800.0}
+    }
+    assert "SessionFragment" in frags
+    lowered = lower_graphql(QUERY)
+    sel = lowered.doc["select"]
+    assert "columns" not in sel  # leaves route through features, in doc order
+    assert list(sel["features"]) == ["userId", "nTurns", "lastSession"]
+    assert sel["features"]["userId"] == {}
+    assert "turns" in sel["collections"]
+    assert sel["collections"]["turns"]["fields"] == {
+        "eventType": {"feature": "eventType", "args": {}},
+        "priorEventType": {"feature": "priorEventType", "args": {}},
+    }
+    assert sel["features"]["nTurns"] == {"feature": "eventSeq", "args": {}}
+    assert sel["features"]["lastSession"] == {
+        "feature": "session_id", "args": {"gap_threshold_s": "$gap"}
+    }
+    assert lowered.transformer_calls == [("negOne", "negative_to_null", {"input": -1})]
+
+
+def test_graphql_equals_dict_twin(spark):
+    """The gate property: GraphQL text ≡ hand-built dict document."""
+    ev = _events(spark)
+    out_gql = materialize_graphql(_model(), ev, QUERY).orderBy("userId")
+
+    m = _model()
+    m.declare_transformer_feature("negOne", "negative_to_null", args=["neg_lit"])
+    twin_doc = {
+        "variables": {"gap": 1800.0, "neg_lit": -1},
+        "select": {
+            "columns": ["userId"],
+            "features": {
+                "nTurns": {"feature": "eventSeq"},
+                "lastSession": {"feature": "session_id",
+                                "args": {"gap_threshold_s": "$gap"}},
+                "negOne": {},
+            },
+            "collections": {
+                "turns": {"fields": {"eventType": {}, "priorEventType": {}}}
+            },
+        },
+    }
+    out_twin = materialize_document(m, ev, twin_doc).orderBy("userId")
+    assert out_gql.columns == out_twin.columns
+    assert out_gql.collect() == out_twin.collect()
+
+
+def test_graphql_variable_overrides_default(spark):
+    ev = _events(spark)
+    # tiny gap → every turn its own session → lastSession = n-1
+    out = materialize_graphql(_model(), ev, QUERY, variables={"gap": 1.0})
+    rows = {r["userId"]: r for r in out.collect()}
+    assert all(r["lastSession"] == len(r["turns"]) - 1 for r in rows.values())
+    # default 1800 vs explicit: different plans, different values
+    out_def = materialize_graphql(_model(), ev, QUERY)
+    rows_def = {r["userId"]: r for r in out_def.collect()}
+    assert any(rows_def[u]["lastSession"] != rows[u]["lastSession"] for u in rows)
+
+
+def test_graphql_entity_lookup_filter(spark):
+    ev = _events(spark)
+    src = """
+    query One($uid: Int!) {
+        user(userId: $uid) {
+            userId
+            turns @unnest { eventType }
+        }
+    }
+    """
+    out = materialize_graphql(_model(), ev, src, variables={"uid": 2})
+    rows = out.collect()
+    assert len(rows) == 6 and all(r["userId"] == 2 for r in rows)
+    assert [r["turns_idx"] for r in rows] == list(range(6))
+
+
+def test_graphql_required_variable_missing(spark):
+    src = "query Q($uid: Int!) { user(userId: $uid) { userId } }"
+    with pytest.raises(PlanError, match="required variable"):
+        materialize_graphql(_model(), _events(spark), src)
+
+
+def test_graphql_undeclared_variable_rejected(spark):
+    with pytest.raises(PlanError, match="not declared"):
+        materialize_graphql(_model(), _events(spark), QUERY,
+                            variables={"gap": 1.0, "bogus": 2})
+
+
+def test_graphql_undefined_fragment():
+    with pytest.raises(PlanError, match="undefined fragment"):
+        lower_graphql("query { dataElement { user { ...Nope } } }")
+
+
+def test_graphql_inline_fragment_and_anonymous_op(spark):
+    # wide-schema subtype convention (P4): inline-fragment fields flatten
+    src = """
+    {
+        user {
+            userId
+            ... on PowerUser { nTurns: eventSeq }
+        }
+    }
+    """
+    out = materialize_graphql(_model(), _events(spark), src)
+    assert set(out.columns) == {"userId", "nTurns"}
+    assert out.count() == 18  # no collections → row grain
+
+
+def test_graphql_operation_name_selection(spark):
+    src = """
+    query A { user { userId } }
+    query B { user { userId nTurns: eventSeq } }
+    """
+    out = materialize_graphql(_model(), _events(spark), src, operation_name="B")
+    assert out.columns == ["userId", "nTurns"]
+    with pytest.raises(PlanError, match="multiple operations"):
+        materialize_graphql(_model(), _events(spark), src)
+    with pytest.raises(PlanError, match="no operation named"):
+        materialize_graphql(_model(), _events(spark), src, operation_name="C")
+
+
+def test_graphql_parse_errors():
+    with pytest.raises(PlanError, match="only 'query'"):
+        parse_graphql("mutation M { x { y } }")
+    with pytest.raises(PlanError, match="empty selection"):
+        parse_graphql("query { }")
+    with pytest.raises(PlanError, match="cannot tokenize"):
+        parse_graphql("query ~ { x }")
+
+
+def test_graphql_plain_flat_query(spark):
+    """No wrappers, no collections — the flat tabular path through text."""
+    out = materialize_graphql(
+        _model(), _events(spark),
+        'query { eventId: event_id userId priorEventType sess: session_id(gap_threshold_s: 600.0) }',
+    )
+    assert out.columns == ["eventId", "userId", "priorEventType", "sess"]
+    assert out.count() == 18
