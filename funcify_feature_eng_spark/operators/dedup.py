@@ -49,13 +49,26 @@ def ngram_jaccard_pairs(
     text_col: str,
     n: int = 5,
     threshold: float = 0.8,
+    max_gram_df: int | None = 1000,
 ) -> DataFrame:
     """Exact all-pairs n-gram Jaccard ≥ threshold (doc_a < doc_b).
 
     Inverted-index join: explode distinct n-grams, self-join on the n-gram,
     count co-occurrences, then |A∪B| = |A|+|B|−|A∩B|. The join key is the
-    64-bit hash of the n-gram, not the string. Exact (no LSH approximation);
-    use minhash_lsh for the at-scale candidate path.
+    64-bit hash of the n-gram, not the string.
+
+    **Hot-gram cap** (``max_gram_df``): a gram shared by m documents builds
+    an m² co-occurrence block in the self-join — one corpus-wide boilerplate
+    5-gram ("Subscribe to our newsletter…") at 100 TB is a quadratic
+    scale-killer. Grams with document frequency > ``max_gram_df`` are
+    excluded from CANDIDATE GENERATION (the self-join), bounding any one
+    gram's block at max_gram_df². Candidate pairs are then re-verified
+    against the FULL gram sets (hot grams included) so every reported
+    Jaccard is exact. The only semantic delta: a pair sharing *exclusively*
+    hot grams is not reported — at threshold ≥ 0.8 such a pair is
+    boilerplate-identical and belongs to exact/minhash dedup anyway.
+    ``max_gram_df=None`` disables the cap (pure exact mode). For corpora
+    where even capped exact counting is too wide, use minhash_lsh.
     """
     grams = (
         spread_small_input(df)
@@ -66,13 +79,45 @@ def ngram_jaccard_pairs(
         .select("doc", F.xxhash64("g").alias("gh"))
     )
     sizes = grams.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
-    co = (
-        grams.alias("a")
-        .join(grams.alias("b"), on="gh")
-        .filter(F.col("a.doc") < F.col("b.doc"))
-        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("shared"))
-    )
+
+    if max_gram_df is None:
+        co = (
+            grams.alias("a")
+            .join(grams.alias("b"), on="gh")
+            .filter(F.col("a.doc") < F.col("b.doc"))
+            .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+            .agg(F.count(F.lit(1)).alias("shared"))
+        )
+    else:
+        gram_df = grams.groupBy("gh").agg(F.count(F.lit(1)).alias("gdf"))
+        hot = gram_df.filter(F.col("gdf") > max_gram_df).select("gh")
+        cold = grams.join(hot, "gh", "left_anti")
+        cold_co = (
+            cold.alias("a")
+            .join(cold.alias("b"), on="gh")
+            .filter(F.col("a.doc") < F.col("b.doc"))
+            .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+            .agg(F.count(F.lit(1)).alias("shared_cold"))
+        )
+        # exact re-verification: add back hot grams SHARED by each candidate
+        # pair; hotg rows are only the hot-gram postings, and each join is an
+        # equi-join on the bounded candidate set — no quadratic block
+        hotg = grams.join(hot, "gh")
+        hot_co = (
+            cold_co.select("doc_a", "doc_b")
+            .join(hotg.select(F.col("doc").alias("doc_a"), "gh"), "doc_a")
+            .join(hotg.select(F.col("doc").alias("doc_b"), "gh"), ["doc_b", "gh"])
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count(F.lit(1)).alias("shared_hot"))
+        )
+        co = (
+            cold_co.join(hot_co, ["doc_a", "doc_b"], "left")
+            .select(
+                "doc_a",
+                "doc_b",
+                (F.col("shared_cold") + F.coalesce(F.col("shared_hot"), F.lit(0))).alias("shared"),
+            )
+        )
     out = (
         co.join(sizes.withColumnRenamed("doc", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
         .join(sizes.withColumnRenamed("doc", "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")

@@ -55,6 +55,51 @@ def test_ngram_jaccard_finds_near_dup(spark, docs):
     assert not any(4 in p for p in got)
 
 
+def test_ngram_hot_gram_cap(spark):
+    """A corpus-wide boilerplate chunk must not build an m² candidate block.
+
+    40 docs share one boilerplate chunk; their unique fillers share nothing.
+    Uncapped, every pair co-occurs on the hot grams (780 pairs at a tiny
+    threshold). Capped, those grams are barred from candidate generation →
+    0 pairs. Two planted docs that ALSO share a discriminative chunk still
+    pair, with jaccard EXACTLY equal to the uncapped value (hot grams are
+    added back in verification)."""
+    boiler = "subscribe to our newsletter for updates "
+    rows = []
+    for i in range(40):
+        # boiler FIRST, then a filler whose every 5-gram carries the doc
+        # number → the only cross-doc grams are the boiler's (df=42) and
+        # the boundary grams keyed by the leading digit (df≈10); with
+        # cap=5 both are hot, so no cold gram links two filler docs
+        filler = f"<{i:02d}>" * 10
+        rows.append((i, boiler + filler))
+    # planted near-dup pair sharing a private chunk (gram df = 2, sub-cap)
+    private = "zzz the rare shared private payload qqq"
+    rows.append((100, boiler + private))
+    rows.append((101, boiler + private + "x"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    uncapped = ngram_jaccard_pairs(df, "doc_id", "text", n=5, threshold=0.01,
+                                   max_gram_df=None).toPandas()
+    capped = ngram_jaccard_pairs(df, "doc_id", "text", n=5, threshold=0.01,
+                                 max_gram_df=5).toPandas()
+    assert len(uncapped) == 41 * 42 // 2  # every pair shares the boilerplate
+    got = {(r.doc_a, r.doc_b): r.jaccard for r in capped.itertuples()}
+    assert set(got) == {(100, 101)}  # boilerplate-only pairs gone
+    un = {(r.doc_a, r.doc_b): r.jaccard for r in uncapped.itertuples()}
+    assert got[(100, 101)] == un[(100, 101)]  # exact, hot grams included
+
+
+def test_ngram_cap_inactive_below_df(spark, docs):
+    """Default cap (1000) cannot trigger on small corpora — identical output."""
+    a = ngram_jaccard_pairs(docs, "doc_id", "text", n=5, threshold=0.5).toPandas()
+    b = ngram_jaccard_pairs(docs, "doc_id", "text", n=5, threshold=0.5,
+                            max_gram_df=None).toPandas()
+    key = ["doc_a", "doc_b"]
+    assert a.sort_values(key).reset_index(drop=True).equals(
+        b.sort_values(key).reset_index(drop=True))
+
+
 def test_minhash_lsh_finds_near_dup(spark, docs):
     pairs = minhash_lsh_pairs(
         docs, "doc_id", "text", num_hashes=64, bands=32, verify_threshold=0.4
