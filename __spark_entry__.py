@@ -909,10 +909,13 @@ def q_value_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The documented 100 TB swap for value_quantiles, actually gated:
     approx_percentile (Greenwald-Khanna sketch, bounded memory, partial-
     aggregable — no per-group sort). With accuracy ≥ group size the sketch
-    retains every sample and returns the exact nearest-rank order statistic;
-    Spark's rank rule ceil(p·n) and DuckDB quantile_disc's floor(p·(n-1))+1
-    are algebraically identical for 0<p<1, so the twin is exact. At real
-    scale drop accuracy to 10^4: same call shape, rank error ≤ n/10^4."""
+    retains every sample and returns the exact nearest-rank order statistic.
+    Both engines select rank ceil(p·n): Spark by its documented rule, and
+    DuckDB's quantile_disc empirically matches it at every n tested
+    (n=3..13 across tie-prone p) — note floor(p·(n-1))+1 is NOT the same
+    formula (n=7, p=0.9 gives 6 vs 7), the agreement is the engines', not
+    algebra's. At real scale drop accuracy to 10^4: same call shape, rank
+    error ≤ n/10^4."""
     ev = _t(spark, sf_dir, "events")
     acc = 1_000_000
     return ev.groupBy("event_type").agg(
@@ -1321,7 +1324,17 @@ def _stream_batch_files(spark: SparkSession, sf_dir: str) -> str:
         "/tmp", f"spark_graft_stream_gate_{os.path.basename(os.path.normpath(sf_dir))}"
     )
     src = os.path.join(sf_dir, "events.parquet")
-    stamp_val = f"{os.path.getsize(src)}:{os.path.getmtime(src)}:2"
+    # content-based stamp (like the fixture stamp): sampled byte slices +
+    # size — immune to mtime churn from copies/checkouts, cheap at any size
+    import hashlib
+
+    h = hashlib.sha256()
+    sz = os.path.getsize(src)
+    with open(src, "rb") as fh:
+        for off in (0, sz // 2, max(0, sz - 65536)):
+            fh.seek(off)
+            h.update(fh.read(65536))
+    stamp_val = f"{sz}:{h.hexdigest()[:16]}:3"
     stamp_fp = os.path.join(tmp, "_stamp")
     fresh = os.path.exists(stamp_fp) and open(stamp_fp).read() == stamp_val
     if not fresh:

@@ -197,6 +197,13 @@ def minhash_lsh_pairs(
 ) -> DataFrame:
     """MinHash + LSH near-dup pairs, engineered for web-corpus skew.
 
+    NB (API behavior): the returned pair list is EAGERLY computed at call
+    time — it is localCheckpoint-materialized so the heavyweight persisted
+    base can be released before returning. The checkpointed result itself
+    occupies (small) executor storage until the caller drops it: call
+    ``funcify_feature_eng_spark.operators.util.release(pairs)`` when done
+    in a long-lived session.
+
     Pipeline (each guard exists because web corpora are full of boilerplate):
 
     1. **Exact-dup collapse** — group docs by ``fingerprint64(text)``; only
@@ -461,6 +468,13 @@ def simhash_near_pairs(
     bucket_cap: int = 256,
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance, blocked on 16-bit chunks.
+
+    NB (API behavior): the returned pair list is EAGERLY computed at call
+    time — it is localCheckpoint-materialized so the heavyweight persisted
+    base can be released before returning. The checkpointed result itself
+    occupies (small) executor storage until the caller drops it: call
+    ``funcify_feature_eng_spark.operators.util.release(pairs)`` when done
+    in a long-lived session.
 
     Pigeonhole: two hashes within Hamming r≤3 share at least one of 4
     16-bit chunks exactly — join per chunk, then verify bit_count(xor).

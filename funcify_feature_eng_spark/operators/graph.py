@@ -85,20 +85,33 @@ def connected_components(
     # itself — every later round would then recompute the edge
     # symmetrization from source
     baseline_ids = _persistent_rdd_ids(sc)
-    shuffle_conf = "spark.sql.shuffle.partitions"
-    session_parts = int(spark.conf.get(shuffle_conf))
-    loop_parts = max(1, min(session_parts, n_edges // 50_000 + 1))
-    spark.conf.set(shuffle_conf, str(loop_parts))
     try:
-        return _cc_loop(spark, sc, sym, baseline_ids, max_iters, on_nonconverged)
+        session_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except ValueError:  # e.g. "auto" under some AQE configurations
+        session_parts = sc.defaultParallelism
+    # right-size the per-round shuffles from the measured edge count
+    # (localCheckpoint hides tables from AQE coalescing, so without this a
+    # 500-row dup graph would run 32-task barrier stages every round). The
+    # count is applied with EXPLICIT repartition(loop_parts, key) inside the
+    # loop — never by mutating the session-global shuffle-partition conf,
+    # which would silently shrink any concurrent query (e.g. a running
+    # stream) sharing this SparkSession.
+    loop_parts = max(1, min(session_parts, n_edges // 50_000 + 1))
+    try:
+        return _cc_loop(spark, sc, sym, baseline_ids, max_iters,
+                        on_nonconverged, loop_parts)
     finally:
-        spark.conf.set(shuffle_conf, str(session_parts))
         sym.unpersist()
 
 
-def _cc_loop(spark, sc, sym, baseline_ids, max_iters, on_nonconverged):
+def _cc_loop(spark, sc, sym, baseline_ids, max_iters, on_nonconverged, loop_parts):
+    # every shuffle boundary in the loop is pinned to loop_parts by an
+    # explicit repartition ON THE UPCOMING KEY: the join/agg then finds its
+    # required hash partitioning already satisfied, so no second exchange is
+    # added and partial aggregation still runs per partition
     labels = (
         sym.select(F.col("a").alias("node"))
+        .repartition(loop_parts, "node")
         .distinct()
         .withColumn("comp", F.col("node"))
         .localCheckpoint()
@@ -109,14 +122,20 @@ def _cc_loop(spark, sc, sym, baseline_ids, max_iters, on_nonconverged):
         known = _persistent_rdd_ids(sc)
         # 1) propagation hop: node <- min(comp over neighbors ∪ self)
         nbr = (
-            sym.join(labels.withColumnRenamed("node", "b"), on="b")
+            sym.repartition(loop_parts, "b")
+            .join(labels.withColumnRenamed("node", "b").repartition(loop_parts, "b"), on="b")
+            .repartition(loop_parts, "a")
             .groupBy(F.col("a").alias("node"))
             .agg(F.min("comp").alias("nbr_comp"))
         )
-        prop = labels.join(nbr, on="node", how="left").select(
-            "node",
-            F.least(F.col("comp"), F.coalesce("nbr_comp", "comp")).alias("comp"),
-            F.col("comp").alias("old_comp"),
+        prop = (
+            labels.repartition(loop_parts, "node")
+            .join(nbr, on="node", how="left")
+            .select(
+                "node",
+                F.least(F.col("comp"), F.coalesce("nbr_comp", "comp")).alias("comp"),
+                F.col("comp").alias("old_comp"),
+            )
         )
         # 2) pointer jumping: comp <- label(comp). comp is always a node id
         # (labels are minima over node ids) and label(x) <= x, so the lookup
@@ -124,12 +143,13 @@ def _cc_loop(spark, sc, sym, baseline_ids, max_iters, on_nonconverged):
         # doubling the propagation distance covered per round.
         lookup = prop.select(
             F.col("node").alias("comp"), F.col("comp").alias("comp2")
-        )
+        ).repartition(loop_parts, "comp")
         # carry the pre-round label through the join so convergence is a
         # flag count on the (already materialized) checkpoint — one job per
         # round, not a second label-vs-label join job
         new_labels = (
-            prop.join(lookup, on="comp", how="left")
+            prop.repartition(loop_parts, "comp")
+            .join(lookup, on="comp", how="left")
             .select(
                 "node",
                 F.least(F.col("comp"), F.coalesce("comp2", "comp")).alias("comp"),

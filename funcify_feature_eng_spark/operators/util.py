@@ -14,11 +14,27 @@ def spread_small_input(df: DataFrame) -> DataFrame:
     arrives as one split, so on a 32-core executor the whole stage runs on
     one core; spending an n-row shuffle to buy full parallelism on the dense
     stage is the right trade exactly when n is small. At 100 TB the input
-    has orders of magnitude more splits than cores and this is a no-op —
-    the check is driver-side plan inspection, no job is triggered.
+    has orders of magnitude more splits than cores and this is a no-op.
+
+    The probe is only free for SCAN-SHAPED inputs: under AQE, ``df.rdd``
+    finalizes the plan and can eagerly execute upstream shuffle stages. So
+    a frame whose plan already contains an Exchange is returned untouched
+    without probing — its parallelism is governed by the shuffle partition
+    count anyway, and the probe could cost real work.
     """
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    if "Exchange" in plan:
+        return df
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df
+
+
+def release(df: DataFrame) -> None:
+    """Release the storage behind an eagerly-materialized (localCheckpoint)
+    DataFrame returned by the dedup operators. The frame must not be used
+    afterwards: a local checkpoint truncates lineage, so its data cannot be
+    recomputed once unpersisted."""
+    df.rdd.unpersist()

@@ -66,6 +66,19 @@ class FeatureStore:
     def _is_table(self) -> bool:
         return not ("/" in self.location or self.location.startswith("file:"))
 
+    def _snapshot_isolating_catalog(self) -> bool:
+        """True when the table's catalog is a snapshot-isolating plugin
+        (Iceberg SparkCatalog / SparkSessionCatalog): a scan there pins a
+        snapshot, so reading and overwriting the same table in one job is
+        safe. Detected from the registered catalog plugin class."""
+        parts = self.location.split(".")
+        cat = parts[0] if len(parts) >= 3 else "spark_catalog"
+        try:
+            impl = self.spark.conf.get(f"spark.sql.catalog.{cat}", "") or ""
+        except Exception:
+            impl = ""
+        return "iceberg" in impl.lower()
+
     def read(self, feature_id: str | None = None) -> DataFrame:
         if self._is_table:
             df = self.spark.read.table(self.location)
@@ -229,7 +242,22 @@ class FeatureStore:
         if self._is_table:
             df = self.read()
             n_before = df.count()
-            survivors(df).writeTo(self.location).overwritePartitions()
+            out = survivors(df)
+            # read-then-overwrite of the SAME table in one job is only safe
+            # on snapshot-isolating catalogs (Iceberg: the scan pins the old
+            # snapshot). On the session catalog / Hive parquet tables Spark
+            # either rejects the self-overwrite or corrupts it — stage the
+            # survivors eagerly (localCheckpoint severs the read lineage)
+            # before the overwrite there.
+            staged = None
+            if not self._snapshot_isolating_catalog():
+                staged = out.localCheckpoint(eager=True)
+                out = staged
+            try:
+                out.writeTo(self.location).overwritePartitions()
+            finally:
+                if staged is not None:
+                    staged.rdd.unpersist()
             n_after = self.spark.read.table(self.location).count()
             return {"rows_before": n_before, "rows_after": n_after}
         loc = self.location.removeprefix("file:")
