@@ -8,8 +8,9 @@ the request time (reference ``schema/feature/FeatureJsonValueStore.kt:11-18``,
 Per BASELINE.json the Spark realization must be a sort-merge as-of join at
 (entity, ts) with zero temporal leakage.
 
-Three physical strategies, all pure DataFrame API (no Catalyst extensions —
-SURVEY.md §4):
+Physical strategies, all pure DataFrame API (no Catalyst extensions —
+SURVEY.md §4) — plus ``salted`` (literal hot-key salting, below) and
+``auto`` (size/skew-driven selection via :func:`choose_asof_strategy`):
 
 * ``union_window`` (default): tag left/right, union, one window pass per
   entity with ``last(ignorenulls)`` forward-fill of the right-row payload,
@@ -83,6 +84,8 @@ def asof_join(
     strategy: str = "union_window",
     bucket_seconds: int = 86400,
     direction: str = "backward",
+    num_salts: int = 16,
+    auto_config: dict | None = None,
 ) -> DataFrame:
     """For each left row, attach the latest right payload with
     ``right_ts <= left_ts`` (or ``<`` when ``allow_exact_matches=False``),
@@ -90,9 +93,24 @@ def asof_join(
 
     ``direction="forward"`` flips the search: the EARLIEST right payload with
     ``right_ts >= left_ts`` (or ``>``) — the backfill/next-state lookup.
-    All four strategies support both directions (tie-break among equal
+    All strategies support both directions (tie-break among equal
     right_ts: backward picks the max (right_ts, right_order), forward the
     min — the mirror-image semantics).
+
+    ``strategy="auto"`` picks the physical strategy from a right-side plan
+    size estimate and (sampled) left key-skew statistics — see
+    :func:`choose_asof_strategy`; ``auto_config`` forwards its keyword
+    thresholds. At 100 TB nobody should hand-pick a join strategy per
+    query; pass an explicit strategy only to pin a known-good plan.
+
+    ``strategy="salted"`` is the literal hot-key salting answer (the
+    north-rule's "salting for hot conversations"): each left row gets a
+    deterministic salt, the right side is replicated across ``num_salts``
+    salts, and the as-of runs partitioned on (entity, salt) — a hot entity
+    spreads over ``num_salts`` partitions at the cost of an
+    ``num_salts``-times right-side shuffle. Prefer ``segmented`` when the
+    right side is large (it replicates nothing); benched head-to-head in
+    BENCH.md.
     """
     vals = _normalize_values(value_cols)
     _validate(left, on, list(vals.values()))
@@ -113,6 +131,20 @@ def asof_join(
         return _asof_segmented(
             left, right, on, left_ts, right_ts, vals, allow_exact_matches, right_order,
             bucket_seconds, forward=forward,
+        )
+    if strategy == "salted":
+        return _asof_salted(
+            left, right, on, left_ts, right_ts, vals, allow_exact_matches, right_order,
+            num_salts, forward=forward,
+        )
+    if strategy == "auto":
+        chosen = choose_asof_strategy(left, right, on, **(auto_config or {}))
+        return asof_join(
+            left, right, on=on, left_ts=left_ts, right_ts=right_ts,
+            value_cols=vals, allow_exact_matches=allow_exact_matches,
+            right_order=right_order, strategy=chosen,
+            bucket_seconds=bucket_seconds, direction=direction,
+            num_salts=num_salts,
         )
     if strategy == "broadcast":
         return _asof_broadcast(
@@ -403,3 +435,106 @@ def _asof_segmented(
         for out in vals.values()
     ]
     return joined.select(*left.columns, *out_cols)
+
+
+_SALT = "__asof_salt"
+
+
+def _asof_salted(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    vals: dict[str, str],
+    allow_exact_matches: bool,
+    right_order: Sequence[str],
+    num_salts: int,
+    forward: bool = False,
+) -> DataFrame:
+    """Literal skew salting: the classic hot-key treatment applied to the
+    as-of. Left rows get ``salt = xxhash64(left_ts) % num_salts``
+    (deterministic — no rand(), results and tests are stable); right rows
+    are replicated to EVERY salt, so each (entity, salt) partition sees all
+    of its entity's right rows and the within-partition union-window as-of
+    is exact. A hot conversation's turns spread across ``num_salts``
+    window partitions instead of one.
+
+    Cost model vs ``segmented``: salting replicates the right side
+    ``num_salts``× through the shuffle (fine for thin right payloads),
+    while segmented shuffles each side once but runs two window passes.
+    The head-to-head on the hot-conversation fixture is recorded in
+    BENCH.md; ``segmented`` wins when the right side is heavy, ``salted``
+    when it is thin and the left dominates.
+    """
+    left2 = left.withColumn(
+        _SALT, F.pmod(F.xxhash64(F.col(left_ts)), F.lit(num_salts)).cast("int")
+    )
+    right2 = right.withColumn(
+        _SALT, F.explode(F.sequence(F.lit(0), F.lit(num_salts - 1)))
+    )
+    out = _asof_union_window(
+        left2, right2, [*on, _SALT], left_ts, right_ts, vals,
+        allow_exact_matches, right_order, forward=forward,
+    )
+    return out.drop(_SALT)
+
+
+def choose_asof_strategy(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    *,
+    broadcast_bytes: int | None = None,
+    skew_sample_fraction: float = 0.001,
+    skew_ratio: float = 8.0,
+    hot_key_rows: int = 500_000,
+    seed: int = 7,
+) -> str:
+    """Pick broadcast / segmented / union_window for an as-of join.
+
+    Decision procedure (in order):
+
+    1. **broadcast** when the right side's Catalyst plan-size estimate is
+       under ``broadcast_bytes`` (default: the session's
+       ``spark.sql.autoBroadcastJoinThreshold``). Free — no job runs; the
+       estimate comes from file statistics / plan stats, exactly the signal
+       Spark's own join planning uses.
+    2. **segmented** when sampled left-key statistics show a hot entity:
+       the max sampled key count exceeds ``skew_ratio``× the mean AND the
+       extrapolated hottest key exceeds ``hot_key_rows`` rows (below that a
+       single window partition handles it fine). This step RUNS ONE SMALL
+       JOB over ``skew_sample_fraction`` of the left side — the price of
+       not knowing your key distribution; recurring pipelines should cache
+       the decision or pin the strategy.
+    3. **union_window** otherwise — the one-shuffle default.
+    """
+    if broadcast_bytes is None:
+        try:
+            raw = left.sparkSession.conf.get("spark.sql.autoBroadcastJoinThreshold")
+            broadcast_bytes = int(str(raw).lower().removesuffix("b"))
+        except Exception:
+            broadcast_bytes = 10 << 20
+    try:
+        raw_est = right._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        est = raw_est if isinstance(raw_est, int) else int(str(raw_est))
+    except Exception:
+        est = 1 << 62  # unknown → assume big
+    if 0 < broadcast_bytes and est <= broadcast_bytes:
+        return "broadcast"
+
+    sample = left.select(*on)
+    if skew_sample_fraction < 1.0:
+        sample = sample.sample(False, skew_sample_fraction, seed=seed)
+    stats = (
+        sample.groupBy(*on)
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.max("c").alias("mx"), F.avg("c").alias("mean"))
+        .collect()[0]
+    )
+    if stats["mx"] is None:
+        return "union_window"
+    extrapolated_hot = stats["mx"] / max(skew_sample_fraction, 1e-12)
+    if stats["mx"] >= skew_ratio * stats["mean"] and extrapolated_hot >= hot_key_rows:
+        return "segmented"
+    return "union_window"

@@ -9,7 +9,7 @@ import pytest
 
 from funcify_feature_eng_spark.operators.asof import asof_join
 
-STRATEGIES = ["union_window", "merge_asof", "segmented", "broadcast"]
+STRATEGIES = ["union_window", "merge_asof", "segmented", "broadcast", "salted"]
 
 
 def oracle_asof(left_pd, right_pd, allow_exact_matches=True):
@@ -253,3 +253,56 @@ def test_merge_asof_self_join_same_source_same_ts_name(spark):
         strategy="merge_asof",
     ).orderBy("event_id").collect()
     assert [r["prior_value"] for r in out] == [None, None, 5.0]
+
+
+# ------------------------------------------------- auto strategy selection
+
+
+def test_auto_picks_broadcast_for_small_right(spark, transcripts, feature_store):
+    from funcify_feature_eng_spark.operators.asof import choose_asof_strategy
+
+    # the store parquet is tiny → its plan-size estimate sits far under the
+    # default broadcast threshold
+    assert choose_asof_strategy(transcripts, feature_store, ["conv_id"]) == "broadcast"
+
+
+def test_auto_picks_segmented_for_hot_key(spark, transcripts, feature_store):
+    from funcify_feature_eng_spark.operators.asof import choose_asof_strategy
+
+    # force the right side "big" (threshold 1 byte) and sample everything:
+    # the fixture's hot conversation dominates → segmented
+    chosen = choose_asof_strategy(
+        transcripts, feature_store, ["conv_id"],
+        broadcast_bytes=1, skew_sample_fraction=1.0, skew_ratio=4.0,
+        hot_key_rows=1000,
+    )
+    assert chosen == "segmented"
+
+
+def test_auto_picks_union_window_for_even_keys(spark, transcripts, feature_store):
+    from funcify_feature_eng_spark.operators.asof import choose_asof_strategy
+
+    even = transcripts.filter("conv_id != 'conv_00000500'")  # drop the hot conv
+    chosen = choose_asof_strategy(
+        even, feature_store, ["conv_id"],
+        broadcast_bytes=1, skew_sample_fraction=1.0, skew_ratio=8.0,
+        hot_key_rows=1000,
+    )
+    assert chosen == "union_window"
+
+
+@pytest.mark.parametrize("cfg", [
+    {},  # → broadcast (small store)
+    {"broadcast_bytes": 1, "skew_sample_fraction": 1.0,
+     "skew_ratio": 4.0, "hot_key_rows": 1000},  # → segmented
+])
+def test_auto_values_identical_to_explicit(
+    spark, transcripts, feature_store, cfg
+):
+    """Whatever auto picks, the VALUES equal the default strategy's."""
+    auto = _run(spark, transcripts, feature_store, "auto", auto_config=cfg)
+    base = _run(spark, transcripts, feature_store, "union_window")
+    g = auto["store_value"].to_numpy(object)
+    e = base["store_value"].to_numpy(object)
+    same = (g == e) | (pd.isna(g.astype(object)) & pd.isna(e.astype(object)))
+    assert bool(same.all())
