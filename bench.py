@@ -77,6 +77,7 @@ def run_default() -> None:
     # and the driver artifact should carry the defensible (min) number
     # alongside the individual runs
     n_turns = spark.read.parquet(os.path.join(BENCH_DATA, "transcripts.parquet")).count()
+    _ensure_bucketed_table(spark)  # ingest BEFORE any timing (disk traffic)
     _force(flagship(spark, BENCH_DATA))
     flagship_runs = []
     for _ in range(3):
@@ -85,6 +86,11 @@ def run_default() -> None:
         flagship_runs.append(round(time.time() - t0, 3))
     times["flagship_transcripts"] = min(flagship_runs)
     turns_per_sec = round(n_turns / times["flagship_transcripts"], 1)
+    # bucketed flagship measured IMMEDIATELY after plain — same calm/steal
+    # window, so the bucketed-vs-plain ratio is defensible (round-3 lesson:
+    # measuring it after the whole suite conflated layout with session
+    # pressure)
+    bucketed_tps = _bucketed_flagship(spark)
 
     for name, fn in entrymod.queries().items():
         # adaptive min-of-2..4: the sandbox VM suffers minute-scale
@@ -104,11 +110,6 @@ def run_default() -> None:
                     break
         times[name] = round(min(samples), 3)
 
-    # steady-state layout: bucketed+sorted ingest (one-time, untimed) makes
-    # the feature pass exchange-free — the 100 TB production posture. Runs
-    # LAST so the ingest's disk traffic doesn't pollute the query timings.
-    bucketed_tps = _bucketed_flagship(spark)
-
     total = round(sum(times.values()), 3)
     print(json.dumps({
         "metric": "headline query wall time (flagship transcripts + operator suite)",
@@ -120,6 +121,7 @@ def run_default() -> None:
         "flagship_turns_per_sec": turns_per_sec,
         "flagship_runs_sec": flagship_runs,
         "flagship_bucketed_turns_per_sec": bucketed_tps,
+        "bucketed_over_plain": round(bucketed_tps / turns_per_sec, 3),
         # no silent caps: the two intrinsically-quadratic EXACT all-pairs
         # baselines run corpus-bounded in timing mode (their at-scale paths
         # are minhash_lsh_pairs / ann_lsh|ivf, benched uncapped)
@@ -138,24 +140,36 @@ def run_default() -> None:
     spark.stop()
 
 
-def _bucketed_flagship(spark) -> float:
-    """Time the feature pass over a bucketed+sorted table (ingest untimed)."""
-    from funcify_feature_eng_spark.operators.asof import asof_join
-    from funcify_feature_eng_spark.operators.windows import turn_features
+def _ensure_bucketed_table(spark) -> None:
+    table = "bench_transcripts_bucketed"
+    if spark.catalog.tableExists(table):
+        return
     from funcify_feature_eng_spark.sources.tables import ingest_bucketed
 
-    table = "bench_transcripts_bucketed"
-    tr = spark.read.parquet(os.path.join(BENCH_DATA, "transcripts.parquet"))
-    if not spark.catalog.tableExists(table):
-        # the in-memory catalog resets per session but the warehouse dir
-        # persists — clear a stale location before re-ingesting
-        import shutil
+    # the in-memory catalog resets per session but the warehouse dir
+    # persists — clear a stale location before re-ingesting
+    import shutil
 
-        loc = os.path.join(os.getcwd(), "spark-warehouse", table)
-        shutil.rmtree(loc, ignore_errors=True)
-        ingest_bucketed(tr, table, bucket_col="conv_id", n_buckets=32)
+    loc = os.path.join(os.getcwd(), "spark-warehouse", table)
+    shutil.rmtree(loc, ignore_errors=True)
+    tr = spark.read.parquet(os.path.join(BENCH_DATA, "transcripts.parquet"))
+    ingest_bucketed(tr, table, bucket_col="conv_id", n_buckets=32)
+
+
+def _bucketed_flagship(spark) -> float:
+    """Time the feature pass over a bucketed+sorted table (ingest untimed).
+
+    ingest_bucketed writes ONE file per bucket, which makes it safe to let
+    the scan report its sort order (spark.sql.legacy.bucketedTableScan.
+    outputOrdering — off by default because multi-file buckets interleave
+    their sorted runs): the window then needs neither the exchange NOR the
+    sort. The conf is scoped to this measurement and restored."""
+    from funcify_feature_eng_spark.operators.asof import asof_join
+    from funcify_feature_eng_spark.operators.windows import turn_features
+
+    _ensure_bucketed_table(spark)
     fs = spark.read.parquet(os.path.join(BENCH_DATA, "feature_store.parquet"))
-    bucketed = spark.read.table(table)
+    bucketed = spark.read.table("bench_transcripts_bucketed")
     n = bucketed.count()
 
     def job():
@@ -166,12 +180,23 @@ def _bucketed_flagship(spark) -> float:
             right_order=["value"], strategy="broadcast",
         )
 
-    _force(job())  # warm
-    best = float("inf")
-    for _ in range(2):
-        t0 = time.time()
-        _force(job())
-        best = min(best, time.time() - t0)
+    conf_key = "spark.sql.legacy.bucketedTableScan.outputOrdering"
+    prior = spark.conf.get(conf_key, "false")
+    spark.conf.set(conf_key, "true")
+    try:
+        # assert the layout property the timing claims: zero hash exchange
+        # AND zero sort on the transcript side (only the tiny store-side
+        # agg exchange + broadcast remain)
+        plan = job()._jdf.queryExecution().executedPlan().toString()
+        assert "Sort [conv_id" not in plan, "bucketed scan failed to elide sort"
+        _force(job())  # warm
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            _force(job())
+            best = min(best, time.time() - t0)
+    finally:
+        spark.conf.set(conf_key, prior)
     return round(n / best, 1)
 
 

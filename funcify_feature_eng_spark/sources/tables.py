@@ -106,9 +106,17 @@ def ingest_bucketed(
     feature pass becomes embarrassingly parallel per bucket. On Iceberg the
     equivalent is a ``bucket(N, conv_id)`` partition transform + sorted
     write order.
+
+    The pre-write ``repartition(n_buckets, bucket_col)`` guarantees ONE
+    file per bucket: Spark's scan reports its outputOrdering (and elides
+    the window SORT, not just the exchange) only in that layout — with
+    multiple files per bucket their sorted runs interleave and every query
+    re-sorts. At 100 TB keep one file per bucket per partition (compaction
+    policy), not one global file.
     """
     (
-        df.write.mode("overwrite")
+        df.repartition(n_buckets, F.col(bucket_col))
+        .write.mode("overwrite")
         .bucketBy(n_buckets, bucket_col)
         .sortBy(*sort_cols)
         .format("parquet")

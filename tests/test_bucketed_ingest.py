@@ -30,6 +30,34 @@ def test_bucketed_scan_skips_window_exchange(spark, bucketed_table, transcripts)
     assert "Exchange hashpartitioning(conv_id" not in plan_bucketed
 
 
+def test_bucketed_scan_elides_sort_with_ordering_conf(spark, bucketed_table):
+    """ingest_bucketed guarantees one file per bucket, so letting the scan
+    report its sort order is safe — and the window then needs neither the
+    exchange NOR the sort. This is the bench's bucketed-flagship plan; pin
+    it so the exchange-free/sort-free property can't silently rot."""
+    conf_key = "spark.sql.legacy.bucketedTableScan.outputOrdering"
+    prior = spark.conf.get(conf_key, "false")
+    spark.conf.set(conf_key, "true")
+    try:
+        bucketed = spark.read.table(bucketed_table)
+        plan = turn_features(bucketed)._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hashpartitioning(conv_id" not in plan
+        assert "Sort [conv_id" not in plan
+        # and the values still match the plain computation under the conf
+        cols = ["conv_id", "turn_idx", "prior_role", "session_id"]
+        a = (
+            turn_features(bucketed).select(*cols)
+            .orderBy("conv_id", "turn_idx").toPandas()
+        )
+    finally:
+        spark.conf.set(conf_key, prior)
+    b = (
+        turn_features(spark.read.table(bucketed_table)).select(*cols)
+        .orderBy("conv_id", "turn_idx").toPandas()
+    )
+    assert a.equals(b)
+
+
 def test_bucketed_results_identical(spark, bucketed_table, transcripts):
     cols = ["conv_id", "turn_idx", "prior_role", "gap_secs", "session_id"]
     a = (
