@@ -57,6 +57,7 @@ def stateful_turn_features_stream(
     gap_seconds: float = 1800.0,
     state_ttl_s: float | None = None,
     watermark_delay_s: float | None = None,
+    max_disorder_s: float | None = None,
 ):
     """Custom stateful streaming operator: per-entity session ids and prior
     roles that are CONTINUOUS across micro-batches (and across restarts via
@@ -64,9 +65,23 @@ def stateful_turn_features_stream(
 
     Built on ``applyInPandasWithState`` — per-entity GroupState carries
     (last_ts_us, last_role, session_id); each batch's rows are processed in
-    (order_col, ts) order inside vectorized pandas. Assumes in-order arrival
-    per entity across batches (the transcript ingest contract); late rows
-    belong to the store read-through path, as in the reference.
+    (order_col, ts) order inside vectorized pandas.
+
+    **Arrival-order contract.** Default (``max_disorder_s=None``): in-order
+    arrival per entity across batches (the transcript ingest contract); a
+    row older than its entity's already-emitted frontier would compute
+    features against the wrong prior state, so route late rows to the
+    store read-through path, as in the reference. With
+    ``max_disorder_s=D`` set, the operator tolerates BOUNDED disorder:
+    rows are buffered in per-entity state and emitted in (order, ts) order
+    only once the entity's max seen event time has advanced past their
+    timestamp by D (a per-entity watermark). A row arriving later than D
+    (at or before the already-emitted frontier) is DROPPED — the same
+    beyond-watermark semantics Spark applies globally, here pinned
+    per-entity and tested. Buffered rows flush on the event-time TTL (set
+    ``state_ttl_s``!) or at stream end via the final watermark advance;
+    the global watermark delay defaults to ``max(gap, D)`` so Spark's own
+    late filter never discards rows the buffer was promised.
 
     ``state_ttl_s`` bounds state growth — MANDATORY at web scale: with no
     timeout, every conversation ever seen keeps a state row forever, and at
@@ -168,6 +183,19 @@ def stateful_turn_features_stream(
             state.setTimeoutTimestamp(int(ts_us.iloc[-1] // 1000) + ttl_ms)
         yield out
 
+    if max_disorder_s is not None:
+        if not use_ttl:
+            raise ValueError(
+                "max_disorder_s requires state_ttl_s: buffered tail rows "
+                "flush on the event-time timeout — without one they would "
+                "sit in state forever"
+            )
+        return _disorder_turn_features_stream(
+            stream_df, entity_col, order_col, ts_col, gap_seconds,
+            state_ttl_s, watermark_delay_s, max_disorder_s,
+            out_schema, in_types,
+        )
+
     src = stream_df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
     if use_ttl:
         delay = gap_seconds if watermark_delay_s is None else watermark_delay_s
@@ -181,6 +209,157 @@ def stateful_turn_features_stream(
         timeout = GroupStateTimeout.NoTimeout
     return src.groupBy(entity_col).applyInPandasWithState(
         update, out_schema, state_schema, "append", timeout
+    )
+
+
+def _disorder_turn_features_stream(
+    stream_df: DataFrame,
+    entity_col: str,
+    order_col: str,
+    ts_col: str,
+    gap_seconds: float,
+    state_ttl_s: float,
+    watermark_delay_s: float | None,
+    max_disorder_s: float,
+    out_schema: str,
+    in_types: dict[str, str],
+):
+    """Bounded-disorder variant: per-entity buffering + ordered emission.
+
+    Per-entity state additionally carries the PENDING buffer (rows not yet
+    safe to emit) and the emitted frontier (last emitted (order, ts)). A
+    row is emitted once the entity's max seen event time passes its ts by
+    ``max_disorder_s`` (data path) or once the GLOBAL watermark passes its
+    ts (timeout path — at that point Spark itself guarantees nothing older
+    can arrive). Rows at or behind the emitted frontier are dropped —
+    beyond-bound late data, the per-entity mirror of watermark drops.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_us = int(gap_seconds * 1_000_000)
+    dis_us = int(max_disorder_s * 1_000_000)
+    ttl_us = int(state_ttl_s * 1_000_000)
+    order_np = "int32" if in_types.get(order_col, "int") in ("int", "smallint") else "int64"
+    state_schema = (
+        "last_ts_us long, last_order long, last_role string, session_id int, "
+        "session_start_us long, max_seen_us long, "
+        "pend_order array<long>, pend_ts_us array<long>, pend_role array<string>"
+    )
+
+    def _emit(key, pend, st, upto_us):
+        """Emit pending rows with ts_us <= upto_us in (order, ts) order.
+        ``pend``: pd.DataFrame[o, t, r]; ``st``: state tuple. Returns
+        (out_pdf | None, new_pend, new_st)."""
+        import numpy as np
+        import pandas as pd
+
+        last_ts_us, last_order, last_role, session_id, session_start_us, max_seen = st
+        take = pend[pend["t"] <= upto_us].sort_values(["o", "t"], kind="stable")
+        rest = pend[pend["t"] > upto_us]
+        if take.empty:
+            return None, rest, st
+        ts_us = take["t"].reset_index(drop=True)
+        roles = take["r"].reset_index(drop=True)
+        prev = ts_us.shift(1)
+        if last_ts_us >= 0:
+            prev.iloc[0] = last_ts_us
+        b = ((ts_us - prev) > gap_us).fillna(False)
+        out = pd.DataFrame({
+            entity_col: key[0],
+            order_col: take["o"].to_numpy(order_np),
+            ts_col: pd.to_datetime(ts_us, unit="us"),
+            "role": roles,
+            "prior_role": roles.shift(1),
+            "session_id": (session_id + b.cumsum()).astype("int32"),
+        })
+        if last_ts_us >= 0:
+            out.loc[out.index[0], "prior_role"] = last_role
+        starts = pd.Series(np.where(b, ts_us, np.nan), index=ts_us.index)
+        if not b.iloc[0]:
+            starts.iloc[0] = (
+                session_start_us if session_start_us >= 0 else ts_us.iloc[0]
+            )
+        start_us = starts.ffill().astype("int64")
+        out["session_start_ts"] = pd.to_datetime(start_us, unit="us")
+        new_st = (
+            int(ts_us.iloc[-1]), int(take["o"].iloc[-1]), str(roles.iloc[-1]),
+            int(out["session_id"].iloc[-1]), int(start_us.iloc[-1]), max_seen,
+        )
+        return out, rest, new_st
+
+    def _rearm(state, st, pend, wm_ms):
+        # next wake-up: earliest pending row's flush point, else eviction;
+        # Spark requires the timestamp to be beyond the current watermark
+        if len(pend):
+            cand_ms = int(pend["t"].min() // 1000) + 1
+        else:
+            cand_ms = (st[5] + ttl_us) // 1000
+        state.setTimeoutTimestamp(max(cand_ms, wm_ms + 1))
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        empty_pend = pd.DataFrame({"o": [], "t": [], "r": []}).astype(
+            {"o": "int64", "t": "int64", "r": "object"}
+        )
+        if state.exists:
+            (l_ts, l_o, l_r, sid, s_start, mx, po, pt, pr) = state.get
+            st = (l_ts, l_o, l_r, sid, s_start, mx)
+            pend = pd.DataFrame({"o": list(po), "t": list(pt), "r": list(pr)}).astype(
+                {"o": "int64", "t": "int64", "r": "object"}
+            )
+        else:
+            st = (-1, -1, None, 0, -1, -1)
+            pend = empty_pend
+
+        wm_ms = state.getCurrentWatermarkMs()
+        if state.hasTimedOut:
+            # flush everything the GLOBAL watermark has sealed: nothing
+            # older can arrive past it, so emission is final and ordered
+            out, pend, st = _emit(key, pend, st, wm_ms * 1000)
+            if len(pend) == 0 and wm_ms * 1000 >= st[5] + ttl_us:
+                state.remove()
+            else:
+                state.update((*st, pend["o"].tolist(), pend["t"].tolist(),
+                              pend["r"].tolist()))
+                _rearm(state, st, pend, wm_ms)
+            if out is not None:
+                yield out
+            return
+
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        new = pd.DataFrame({
+            "o": rows[order_col].astype("int64"),
+            "t": rows[ts_col].astype("datetime64[us]").astype("int64"),
+            "r": rows["role"].astype(object),
+        })
+        # drop beyond-bound late rows: at or behind the emitted frontier
+        # (same fate Spark's watermark gives globally-late rows)
+        if st[0] >= 0:
+            frontier = (new["o"] > st[1]) | ((new["o"] == st[1]) & (new["t"] > st[0]))
+            new = new[frontier]
+        pend = pd.concat([pend, new], ignore_index=True)
+        mx = max(st[5], int(new["t"].max()) if len(new) else -1)
+        st = (*st[:5], mx)
+        # per-entity watermark: emit rows sealed by max seen - disorder
+        out, pend, st = _emit(key, pend, st, mx - dis_us)
+        state.update((*st, pend["o"].tolist(), pend["t"].tolist(), pend["r"].tolist()))
+        _rearm(state, st, pend, wm_ms)
+        if out is not None:
+            yield out
+
+    delay = max(gap_seconds, max_disorder_s) if watermark_delay_s is None else watermark_delay_s
+    if delay < max_disorder_s:
+        raise ValueError(
+            f"watermark_delay_s ({delay}) must be >= max_disorder_s "
+            f"({max_disorder_s}): Spark's global late filter would drop rows "
+            "inside the promised disorder bound"
+        )
+    src = stream_df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    src = src.withWatermark(ts_col, f"{int(delay * 1000)} milliseconds")
+    return src.groupBy(entity_col).applyInPandasWithState(
+        update, out_schema, state_schema, "append",
+        GroupStateTimeout.EventTimeTimeout,
     )
 
 

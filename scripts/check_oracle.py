@@ -85,6 +85,7 @@ def main() -> int:
 
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
     failures = 0
+    results: dict[str, dict] = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -95,6 +96,9 @@ def main() -> int:
         t_spark = time.time() - t0
         if name not in oracles:
             print(f"{name:24s} rows-only: {len(srows):7d} rows   ({t_spark:.1f}s spark)")
+            results[name] = {"rows_match": None, "schema_match": None,
+                             "hash_match": None, "spark_rows": len(srows),
+                             "oracle_rows": None, "err": None}
             continue
         t0 = time.time()
         res = con.sql(oracles[name])
@@ -108,6 +112,9 @@ def main() -> int:
         status = "OK " if (ok_rows and ok_cols and ok_hash) else "FAIL"
         if status == "FAIL":
             failures += 1
+        results[name] = {"rows_match": ok_rows, "schema_match": ok_cols,
+                         "hash_match": ok_hash, "spark_rows": len(srows),
+                         "oracle_rows": len(orows), "err": None}
         print(
             f"{name:24s} {status} rows {len(srows)}/{len(orows)} cols={ok_cols} "
             f"hash {sh}/{oh} ({t_spark:.1f}s spark, {t_duck:.1f}s duck)"
@@ -123,6 +130,20 @@ def main() -> int:
                     print(f"   spark: {a[:160]}\n   duck : {b[:160]}")
                     break
     spark.stop()
+    # machine-readable artifact in queries() (CI) order so the driver's
+    # CORRECTNESS_rN.json and this local replica diff cleanly (VERDICT r3
+    # task 10) — only written on FULL runs (no `only` filter)
+    if not only:
+        import json
+
+        rn = os.environ.get("SPARK_GRAFT_ROUND", "")
+        out_path = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            f"CORRECTNESS_local{('_r' + rn) if rn else ''}.json",
+        )
+        with open(out_path, "w") as fh:
+            json.dump(results, fh, indent=1)
+        print(f"wrote {out_path}")
     print("FAILURES:", failures)
     return 1 if failures else 0
 

@@ -267,3 +267,150 @@ def test_stateful_sessionizer_event_time_ttl_evicts_idle_state(spark, tmp_path):
     # live stayed within the TTL at every step: state carried through
     assert rows[("live", 3)]["prior_role"] == "tool"
     assert rows[("live", 3)]["session_start_ts"] == t0.to_pydatetime()
+
+
+def test_disorder_mode_reorders_within_bound(spark, tmp_path):
+    """Bounded disorder: a row arriving one batch LATE but within
+    max_disorder_s is buffered and emitted in (order, ts) position, with
+    session/prior features identical to fully-in-order processing."""
+    import os as _os
+
+    import pandas as pd
+
+    from funcify_feature_eng_spark.streaming.runner import stateful_turn_features_stream
+
+    def _df(rs):
+        return spark.createDataFrame(
+            [(c, i, r, pd.Timestamp(t).to_pydatetime()) for c, i, r, t in rs],
+            "conv_id string, turn_idx int, role string, ts timestamp",
+        )
+
+    src = str(tmp_path / "dis_src")
+    _os.makedirs(src, exist_ok=True)
+    # conv A turns at 0s/100s/200s/5000s; A1 arrives a batch late but within
+    # both the 600s disorder bound AND the global watermark (B stays close
+    # enough that wm < 100s when A1 lands). B alone advances event time
+    # later so A's pending tail flushes via the event-time timeout.
+    # batch 1: A0, A2 (A1 missing), B@1000s
+    _df([
+        ("A", 0, "user", "2024-01-01 00:00:00"),
+        ("A", 2, "user", "2024-01-01 00:03:20"),
+        ("B", 0, "user", "2024-01-01 00:16:40"),
+    ]).coalesce(1).write.parquet(src + "/p1")
+    schema = _df([("A", 0, "user", "2024-01-01 00:00:00")]).schema
+
+    out_dir = str(tmp_path / "dis_out")
+    ckpt = str(tmp_path / "dis_ckpt")
+
+    def drain():
+        stream = spark.readStream.schema(schema).option("latestFirst", "false").parquet(src + "/p*")
+        q = (
+            stateful_turn_features_stream(
+                stream, gap_seconds=1800.0, state_ttl_s=3600.0,
+                max_disorder_s=600.0,
+            )
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    drain()
+    # batch 2: A1 late-but-in-bound (100s), A3 (5000s), B@6000s
+    _df([
+        ("A", 1, "assistant", "2024-01-01 00:01:40"),
+        ("A", 3, "assistant", "2024-01-01 01:23:20"),
+        ("B", 1, "user", "2024-01-01 01:40:00"),
+    ]).coalesce(1).write.parquet(src + "/p2")
+    drain()
+    # batches 3+4: B advances the watermark past A3 + delay so the
+    # event-time timeout flushes A's pending tail
+    _df([("B", 2, "user", "2024-01-01 01:56:40")]).coalesce(1).write.parquet(src + "/p3")
+    drain()
+    _df([("B", 3, "user", "2024-01-01 02:00:00")]).coalesce(1).write.parquet(src + "/p4")
+    drain()
+
+    got = (
+        spark.read.parquet(out_dir)
+        .filter("conv_id = 'A'")
+        .orderBy("turn_idx")
+        .toPandas()
+    )
+    # all four A turns emitted, in order, session break at turn 3
+    assert got["turn_idx"].tolist() == [0, 1, 2, 3]
+    assert got["prior_role"].tolist()[1:] == ["user", "assistant", "user"]
+    assert pd.isna(got["prior_role"].iloc[0])
+    assert got["session_id"].tolist() == [0, 0, 0, 1]
+
+
+def test_disorder_mode_drops_beyond_frontier(spark, tmp_path):
+    """A row older than the emitted frontier (beyond the disorder bound)
+    is dropped — pinned semantics, the per-entity mirror of watermark
+    drops."""
+    import os as _os
+
+    import pandas as pd
+
+    from funcify_feature_eng_spark.streaming.runner import stateful_turn_features_stream
+
+    def _df(rs):
+        return spark.createDataFrame(
+            [(c, i, r, pd.Timestamp(t).to_pydatetime()) for c, i, r, t in rs],
+            "conv_id string, turn_idx int, role string, ts timestamp",
+        )
+
+    src = str(tmp_path / "drop_src")
+    _os.makedirs(src, exist_ok=True)
+    # batch 1: A0 @0s, A1 @100s, A5 @10000s  → frontier advances to A1
+    _df([
+        ("A", 0, "user", "2024-01-01 00:00:00"),
+        ("A", 1, "assistant", "2024-01-01 00:01:40"),
+        ("A", 5, "user", "2024-01-01 02:46:40"),
+    ]).coalesce(1).write.parquet(src + "/p1")
+    schema = _df([("A", 0, "user", "2024-01-01 00:00:00")]).schema
+    out_dir = str(tmp_path / "drop_out")
+    ckpt = str(tmp_path / "drop_ckpt")
+
+    def drain():
+        stream = spark.readStream.schema(schema).option("latestFirst", "false").parquet(src + "/p*")
+        q = (
+            stateful_turn_features_stream(
+                stream, gap_seconds=1800.0, state_ttl_s=3600.0,
+                max_disorder_s=600.0,
+            )
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    drain()
+    # batch 2: turn 0.5 @50s — BEHIND the emitted frontier (A0/A1 already
+    # emitted: 10000s - 600s disorder bound seals everything <= 9400s);
+    # wait, A0/A1 emitted because max_seen(10000) - 600 > 100. This row is
+    # beyond-bound late → dropped. B rows advance the watermark to flush A5.
+    _df([
+        ("A", 2, "tool", "2024-01-01 00:00:50"),
+        ("B", 0, "user", "2024-01-01 06:00:00"),
+    ]).coalesce(1).write.parquet(src + "/p2")
+    drain()
+    _df([("B", 1, "user", "2024-01-01 09:00:00")]).coalesce(1).write.parquet(src + "/p3")
+    drain()
+
+    got = (
+        spark.read.parquet(out_dir)
+        .filter("conv_id = 'A'")
+        .orderBy("turn_idx")
+        .toPandas()
+    )
+    # turns 0, 1, 5 emitted; the beyond-bound turn 2 is gone
+    assert got["turn_idx"].tolist() == [0, 1, 5]
+    # and turn 5 opened a new session (gap > 1800s), with prior from turn 1
+    assert got["session_id"].tolist() == [0, 0, 1]
+    assert got["prior_role"].tolist()[2] == "assistant"
