@@ -1445,6 +1445,118 @@ def q_stream_turn_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SENTINEL_UID = 2_000_000_000
+
+
+def _stream_disorder_files(spark: SparkSession, sf_dir: str) -> str:
+    """4-file micro-batch layout with BOUNDED DISORDER: rows from the
+    trailing D/2 window of batch 1 whose event_id % 3 == 0 arrive one batch
+    LATE (still inside the operator's disorder bound D and the global
+    watermark delay); two far-future sentinel batches advance the watermark
+    so every buffered tail flushes through the event-time timeout. Pure
+    gate scaffolding, content-stamped like _stream_batch_files."""
+    import hashlib
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    D_s = 2 * GAP_S
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.col("event_type").alias("role"), "ts"
+    )
+    tmp = os.path.join(
+        "/tmp",
+        f"spark_graft_stream_disorder_{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    src = os.path.join(sf_dir, "events.parquet")
+    h = hashlib.sha256()
+    sz = os.path.getsize(src)
+    with open(src, "rb") as fh:
+        for off in (0, sz // 2, max(0, sz - 65536)):
+            fh.seek(off)
+            h.update(fh.read(65536))
+    stamp_val = f"{sz}:{h.hexdigest()[:16]}:1"
+    stamp_fp = os.path.join(tmp, "_stamp")
+    fresh = os.path.exists(stamp_fp) and open(stamp_fp).read() == stamp_val
+    if not fresh:
+        import pandas as pd
+
+        pdf = ev.orderBy("ts", "event_id").toPandas()
+        if os.path.exists(tmp):
+            shutil.rmtree(tmp)
+        os.makedirs(tmp)
+        n = len(pdf)
+        t_cut = pdf["ts"].iloc[n // 2]
+        first_half = pdf["ts"] <= t_cut
+        in_window = first_half & (pdf["ts"] > t_cut - pd.Timedelta(seconds=D_s / 2))
+        delayed = in_window & (pdf["event_id"] % 3 == 0)
+        batches = [pdf[first_half & ~delayed], pdf[~first_half | delayed]]
+        max_ts = pdf["ts"].max()
+        for j, off_s in enumerate((2.5 * D_s, 3.0 * D_s)):
+            batches.append(pd.DataFrame({
+                "user_id": [_SENTINEL_UID],
+                "event_id": [1_000_000_000 + j],
+                "role": ["sentinel"],
+                "ts": [max_ts + pd.Timedelta(seconds=off_s)],
+            }))
+        for i, part in enumerate(batches):
+            fp = os.path.join(tmp, f"b{i}.parquet")
+            pq.write_table(
+                pa.Table.from_pandas(part, preserve_index=False), fp,
+                coerce_timestamps="us", allow_truncated_timestamps=True,
+            )
+            os.utime(fp, (1_700_000_000 + i, 1_700_000_000 + i))  # batch order
+        with open(stamp_fp, "w") as f:
+            f.write(stamp_val)
+    return tmp
+
+
+def q_stream_disorder_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 + out-of-order arrival in the DRIVER gate: the bounded-disorder
+    sessionizer (max_disorder_s) fed a stream where a deterministic subset
+    of rows arrives one micro-batch LATE (within the bound). The oracle is
+    the IN-ORDER batch formulation over all events — i.e. the gate hashes
+    the property that bounded disorder is fully absorbed: buffered rows are
+    emitted in order with identical features, tails flushed by the
+    watermark-driven timeout (sentinel batches advance the watermark and
+    are filtered from the output)."""
+    from funcify_feature_eng_spark.streaming.runner import (
+        stateful_turn_features_stream,
+    )
+
+    tmp = _stream_disorder_files(spark, sf_dir)
+    sch = spark.read.parquet(tmp).schema
+    stream = (
+        spark.readStream.schema(sch).option("maxFilesPerTrigger", "1").parquet(tmp)
+    )
+    D_s = 2 * GAP_S
+    out = stateful_turn_features_stream(
+        stream, entity_col="user_id", order_col="event_id", ts_col="ts",
+        gap_seconds=GAP_S, state_ttl_s=8 * GAP_S, max_disorder_s=D_s,
+    )
+    _STREAM_GATE_SEQ[0] += 1
+    qname = f"stream_disorder_sink_{_STREAM_GATE_SEQ[0]}"
+    shuffle_conf = "spark.sql.shuffle.partitions"
+    session_parts = spark.conf.get(shuffle_conf)
+    spark.conf.set(shuffle_conf, "4")
+    try:
+        q = (
+            out.writeStream.format("memory").queryName(qname)
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set(shuffle_conf, session_parts)
+    return spark.table(qname).filter(F.col("user_id") < _SENTINEL_UID).select(
+        "user_id",
+        F.col("event_id").cast("int").alias("event_id"),
+        "role",
+        "prior_role",
+        F.col("session_id").cast("int").alias("session_id"),
+    )
+
+
 _STORE_CUT = "2024-01-16 00:00:00"
 _STORE_T2 = "2024-01-31 00:00:00"
 
@@ -1582,6 +1694,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup": q_line_dedup,
         "doc_salient_terms": q_doc_salient_terms,
         "stream_turn_features": q_stream_turn_features,
+        "stream_disorder_features": q_stream_disorder_features,
         "stream_model_features": q_stream_model_features,
         "store_compaction": q_store_compaction,
         "incremental_refresh": q_incremental_refresh,
@@ -2500,6 +2613,25 @@ FROM g
 """,
         # stream_turn_features' oracle is the BATCH formulation: the gate
         # hashes the stream ≡ batch equivalence of the stateful sessionizer
+        # disorder gate: SAME in-order batch oracle — bounded disorder
+        # must be fully absorbed by the buffering sessionizer
+        "stream_disorder_features": f"""
+WITH o AS (
+  SELECT user_id, event_id, event_type, ts,
+         lag(event_type) OVER w AS prior_role,
+         lag(ts) OVER w AS prev_ts
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+)
+SELECT user_id, CAST(event_id AS INT) AS event_id, event_type AS role,
+       prior_role,
+       CAST(SUM(CASE WHEN prev_ts IS NOT NULL
+                      AND epoch_us(ts) - epoch_us(prev_ts) > {int(GAP_S * 1_000_000)}
+                 THEN 1 ELSE 0 END)
+            OVER (PARTITION BY user_id ORDER BY event_id
+                  ROWS UNBOUNDED PRECEDING) AS INT) AS session_id
+FROM o
+""",
         "stream_turn_features": f"""
 WITH o AS (
   SELECT user_id, event_id, event_type, ts,

@@ -489,6 +489,7 @@ def choose_asof_strategy(
     skew_sample_fraction: float = 0.001,
     skew_ratio: float = 8.0,
     hot_key_rows: int = 500_000,
+    salt_max_right_bytes: int | None = None,
     seed: int = 7,
 ) -> str:
     """Pick broadcast / segmented / union_window for an as-of join.
@@ -500,13 +501,16 @@ def choose_asof_strategy(
        ``spark.sql.autoBroadcastJoinThreshold``). Free — no job runs; the
        estimate comes from file statistics / plan stats, exactly the signal
        Spark's own join planning uses.
-    2. **segmented** when sampled left-key statistics show a hot entity:
-       the max sampled key count exceeds ``skew_ratio``× the mean AND the
-       extrapolated hottest key exceeds ``hot_key_rows`` rows (below that a
-       single window partition handles it fine). This step RUNS ONE SMALL
-       JOB over ``skew_sample_fraction`` of the left side — the price of
-       not knowing your key distribution; recurring pipelines should cache
-       the decision or pin the strategy.
+    2. When sampled left-key statistics show a hot entity (max sampled key
+       count exceeds ``skew_ratio``× the mean AND the extrapolated hottest
+       key exceeds ``hot_key_rows`` rows): **salted** if the right side is
+       thin enough to replicate (plan estimate ≤ ``salt_max_right_bytes``,
+       default 4× the broadcast threshold — the BENCH.md head-to-head
+       winner for the transcript shape), else **segmented** (replicates
+       nothing; pays two window passes). This step RUNS ONE SMALL JOB over
+       ``skew_sample_fraction`` of the left side — the price of not
+       knowing your key distribution; recurring pipelines should cache the
+       decision or pin the strategy.
     3. **union_window** otherwise — the one-shuffle default.
     """
     if broadcast_bytes is None:
@@ -536,5 +540,7 @@ def choose_asof_strategy(
         return "union_window"
     extrapolated_hot = stats["mx"] / max(skew_sample_fraction, 1e-12)
     if stats["mx"] >= skew_ratio * stats["mean"] and extrapolated_hot >= hot_key_rows:
-        return "segmented"
+        if salt_max_right_bytes is None:
+            salt_max_right_bytes = 4 * broadcast_bytes
+        return "salted" if est <= salt_max_right_bytes else "segmented"
     return "union_window"

@@ -266,17 +266,31 @@ def test_auto_picks_broadcast_for_small_right(spark, transcripts, feature_store)
     assert choose_asof_strategy(transcripts, feature_store, ["conv_id"]) == "broadcast"
 
 
-def test_auto_picks_segmented_for_hot_key(spark, transcripts, feature_store):
+def test_auto_picks_segmented_for_hot_key_heavy_right(spark, transcripts, feature_store):
     from funcify_feature_eng_spark.operators.asof import choose_asof_strategy
 
-    # force the right side "big" (threshold 1 byte) and sample everything:
-    # the fixture's hot conversation dominates → segmented
+    # force the right side "big" (threshold 1 byte → salting replication
+    # also disallowed) and sample everything: the fixture's hot
+    # conversation dominates → segmented
     chosen = choose_asof_strategy(
         transcripts, feature_store, ["conv_id"],
         broadcast_bytes=1, skew_sample_fraction=1.0, skew_ratio=4.0,
-        hot_key_rows=1000,
+        hot_key_rows=1000, salt_max_right_bytes=1,
     )
     assert chosen == "segmented"
+
+
+def test_auto_picks_salted_for_hot_key_thin_right(spark, transcripts, feature_store):
+    from funcify_feature_eng_spark.operators.asof import choose_asof_strategy
+
+    # hot key + right side thin enough to replicate → salted (the BENCH.md
+    # head-to-head winner for the transcript shape)
+    chosen = choose_asof_strategy(
+        transcripts, feature_store, ["conv_id"],
+        broadcast_bytes=1, skew_sample_fraction=1.0, skew_ratio=4.0,
+        hot_key_rows=1000, salt_max_right_bytes=1 << 30,
+    )
+    assert chosen == "salted"
 
 
 def test_auto_picks_union_window_for_even_keys(spark, transcripts, feature_store):
@@ -294,7 +308,11 @@ def test_auto_picks_union_window_for_even_keys(spark, transcripts, feature_store
 @pytest.mark.parametrize("cfg", [
     {},  # → broadcast (small store)
     {"broadcast_bytes": 1, "skew_sample_fraction": 1.0,
-     "skew_ratio": 4.0, "hot_key_rows": 1000},  # → segmented
+     "skew_ratio": 4.0, "hot_key_rows": 1000,
+     "salt_max_right_bytes": 1},  # → segmented
+    {"broadcast_bytes": 1, "skew_sample_fraction": 1.0,
+     "skew_ratio": 4.0, "hot_key_rows": 1000,
+     "salt_max_right_bytes": 1 << 30},  # → salted
 ])
 def test_auto_values_identical_to_explicit(
     spark, transcripts, feature_store, cfg
