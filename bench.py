@@ -310,8 +310,20 @@ broadcast (zero shuffle of the spine), input is a 64-file conv-contiguous
 layout so scan parallelism isn't row-group-bound, and AQE handles the Zipf
 skew. On a real cluster the same plan shards by executor count.
 """
-    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH.md"), "w") as f:
-        f.write(md)
+    # preserve any hand-written sections after the scaling block (salting
+    # head-to-head, growth-rate tables, ...): everything from the first
+    # literal "## Hot-key" or "## Dedup" heading onward survives a refresh
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH.md")
+    tail = ""
+    if os.path.exists(path):
+        old = open(path).read()
+        for marker in ("## Hot-key", "## Dedup"):
+            idx = old.find(marker)
+            if idx != -1:
+                tail = "\n" + old[idx:]
+                break
+    with open(path, "w") as f:
+        f.write(md + tail)
     print(md)
 
 

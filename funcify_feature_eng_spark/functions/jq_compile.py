@@ -19,7 +19,9 @@ Supported subset (everything the reference ships, plus the common core):
 - pipe ``|``
 - type filters ``numbers`` ``strings`` ``arrays`` ``booleans`` ``values``
 - ``length``, ``floor``, ``ceil``, ``fabs``, ``not``, ``tostring``,
-  ``tonumber``, ``ascii_downcase``, ``ascii_upcase``, ``abs``
+  ``tonumber``, ``ascii_downcase``, ``ascii_upcase``, ``add``, ``min``,
+  ``max``; unary-argument ``join/split/ltrimstr/rtrimstr/startswith/
+  endswith/test`` (``test`` uses Java regex flavor), ``abs``
 - ``if COND then A elif B then C else D end`` (``else`` optional = identity)
 - arithmetic ``+ - * / %`` (``/`` is float division, ``%`` truncates to
   integer — both as jq), unary minus, string/array ``+`` concat
@@ -123,7 +125,11 @@ def tokenize(src: str) -> list[tuple[str, str]]:
 
 _TYPE_FILTERS = {"numbers", "strings", "arrays", "booleans", "values", "nulls"}
 _BUILTINS = {"length", "floor", "ceil", "fabs", "abs", "tostring", "tonumber",
-             "ascii_downcase", "ascii_upcase"}
+             "ascii_downcase", "ascii_upcase", "add", "min", "max"}
+# one-argument builtins, called as name(arg) — jq separates args with ';'
+# but every supported builtin is unary so no separator handling is needed
+_ARG_BUILTINS = {"join", "split", "ltrimstr", "rtrimstr", "startswith",
+                 "endswith", "test"}
 
 
 class _Parser:
@@ -266,6 +272,15 @@ class _Parser:
             self.next()
             if v in _TYPE_FILTERS:
                 return ("typefilter", v)
+            if v in _ARG_BUILTINS:
+                if self.peek() != ("op", "("):
+                    raise ValueError(f"jq: {v} requires an argument, e.g. {v}(\"x\")")
+                self.next()
+                arg = self.pipe()
+                t = self.next()
+                if t != ("op", ")"):
+                    raise ValueError(f"jq parse: expected ')' after {v} arg, got {t}")
+                return ("call", v, arg)
             if v in _BUILTINS:
                 return ("builtin", v)
             raise ValueError(f"jq: unsupported function {v!r}")
@@ -379,6 +394,8 @@ def _compile(node, cur: Column, t: str) -> tuple[Column, str]:
         return F.lit(None), "null"
     if kind == "builtin":
         return _builtin(node[1], cur, t)
+    if kind == "call":
+        return _call(node[1], node[2], cur, t)
     if kind == "not":
         return ~F.coalesce(_truthy(cur, t), F.lit(False)), "boolean"
     if kind == "neg":
@@ -469,7 +486,77 @@ def _builtin(name: str, cur: Column, t: str) -> tuple[Column, str]:
         return _ascii_case(cur, lower=True), "string"
     if name == "ascii_upcase":
         return _ascii_case(cur, lower=False), "string"
+    if name == "add":
+        # jq add: sum of a numeric array ([] -> null); string/object concat
+        # variants are out of the static subset
+        if t not in ("array", "any"):
+            raise ValueError(f"jq: add on static type {t}")
+        return (
+            F.when(
+                F.size(cur) > 0,
+                F.aggregate(cur, F.lit(0.0), lambda acc, x: acc + x),
+            ),
+            "number",
+        )
+    if name == "min":
+        if t not in ("array", "any"):
+            raise ValueError(f"jq: min on static type {t}")
+        return F.array_min(cur), "any"
+    if name == "max":
+        if t not in ("array", "any"):
+            raise ValueError(f"jq: max on static type {t}")
+        return F.array_max(cur), "any"
     raise ValueError(f"jq: unsupported builtin {name!r}")
+
+
+def _call(name: str, arg_node, cur: Column, t: str) -> tuple[Column, str]:
+    """Unary-argument builtins. The argument is evaluated against the SAME
+    input as the call (jq semantics) — usually a literal."""
+    import re as _re
+
+    arg, at = _compile(arg_node, cur, t)
+    lit = arg_node[1] if arg_node[0] == "lit" else None
+    if name == "join":
+        if t not in ("array", "any"):
+            raise ValueError(f"jq: join on static type {t}")
+        return F.array_join(cur, lit if lit is not None else arg), "string"
+    if name == "split":
+        # jq split(s) is LITERAL (regex is the two-arg form) — escape it
+        if lit is None or not isinstance(lit, str):
+            raise ValueError("jq: split requires a literal string argument")
+        return F.split(cur, _re.escape(lit), -1), "array"
+    if name == "ltrimstr":
+        if lit is None or not isinstance(lit, str):
+            raise ValueError("jq: ltrimstr requires a literal string argument")
+        # jq: a non-matching prefix passes the input through unchanged
+        return (
+            F.when(
+                cur.startswith(lit),
+                cur.substr(F.lit(len(lit) + 1), F.length(cur)),
+            ).otherwise(cur),
+            "string",
+        )
+    if name == "rtrimstr":
+        if lit is None or not isinstance(lit, str):
+            raise ValueError("jq: rtrimstr requires a literal string argument")
+        return (
+            F.when(
+                cur.endswith(lit),
+                cur.substr(F.lit(1), F.length(cur) - F.lit(len(lit))),
+            ).otherwise(cur),
+            "string",
+        )
+    if name == "startswith":
+        return cur.startswith(lit if lit is not None else arg), "boolean"
+    if name == "endswith":
+        return cur.endswith(lit if lit is not None else arg), "boolean"
+    if name == "test":
+        if lit is None or not isinstance(lit, str):
+            raise ValueError("jq: test requires a literal regex argument")
+        # Java regex flavor, not jq's Oniguruma — identical for the common
+        # character-class/anchor/quantifier core
+        return cur.rlike(lit), "boolean"
+    raise ValueError(f"jq: unsupported function {name!r}")
 
 
 _UPPER = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"

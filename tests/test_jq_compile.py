@@ -196,3 +196,36 @@ def test_whole_plan_is_jvm_side(spark):
     )
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_array_builtins(spark):
+    df = spark.createDataFrame([([1.0, 2.0, 3.5],), ([],)], "v array<double>")
+    got = df.select(
+        compile_jq("add", input_type="array")(F.col("v")).alias("s"),
+        compile_jq("min", input_type="array")(F.col("v")).alias("mn"),
+        compile_jq("max", input_type="array")(F.col("v")).alias("mx"),
+    ).collect()
+    assert (got[0]["s"], got[0]["mn"], got[0]["mx"]) == (6.5, 1.0, 3.5)
+    assert (got[1]["s"], got[1]["mn"], got[1]["mx"]) == (None, None, None)  # jq: []|add == null
+
+
+def test_string_arg_builtins(spark):
+    def run(prog, v):
+        return _run1(spark, compile_jq(prog, input_type="string"), v, "string")
+
+    assert run('ltrimstr("pre_")', "pre_x") == "x"
+    assert run('ltrimstr("pre_")', "nope") == "nope"  # non-match passthrough
+    assert run('rtrimstr(".txt")', "a.txt") == "a"
+    assert run('split("|") | length', "a|b|c") == 3
+    assert run('startswith("ab")', "abc") is True
+    assert run('endswith("bc")', "abc") is True
+    assert run('test("^[a-z]+$")', "abc") is True
+    assert run('test("^[a-z]+$")', "a1c") is False
+    # join on a split round-trip
+    b = compile_jq('split(",") | join(";")', input_type="string")
+    assert _run1(spark, b, "x,y,z", "string") == "x;y;z"
+
+
+def test_arg_builtin_requires_paren():
+    with pytest.raises(ValueError, match="requires an argument"):
+        parse("split")
