@@ -893,6 +893,36 @@ def q_doc_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "split")
 
 
+def q_doc_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-order shuffle: dense global positions in a
+    pseudorandom permutation keyed only on doc_id — stable across reruns /
+    layouts / retries (operators/sampling.py::deterministic_shuffle;
+    range-partition + per-partition ranks + O(partitions) driver offsets).
+    Gate uses the mod-arithmetic key (hash=False) so DuckDB computes the
+    identical permutation."""
+    from funcify_feature_eng_spark.operators.sampling import deterministic_shuffle
+
+    docs = _t(spark, sf_dir, "documents")
+    return deterministic_shuffle(docs, "doc_id", seed=0, hash=False).select(
+        "doc_id", "pos"
+    )
+
+
+def q_corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus mixing: weighted fair interleave across sources — each doc's
+    mix_pos is its virtual time (rank_in_source - 0.5) / weight, so sorting
+    by mix_pos plays sources at their target rates
+    (operators/sampling.py::interleave_by_ratio). Unlisted sources → NULL
+    (excluded from the schedule)."""
+    from funcify_feature_eng_spark.operators.sampling import interleave_by_ratio
+
+    docs = _t(spark, sf_dir, "documents")
+    weights = {"src0": 0.5, "src1": 0.25, "src2": 0.15, "src3": 0.1}
+    return interleave_by_ratio(docs, "source", weights, "doc_id").select(
+        "doc_id", "source", "mix_pos"
+    )
+
+
 def q_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact per-group quantiles (data-quality stats). Exact quantiles sort
     within groups — fine for dashboard-scale groups; at 100 TB row counts use
@@ -1671,6 +1701,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_curation": q_corpus_curation,
         "shows_reshaped": q_shows_reshaped,
         "doc_split": q_doc_split,
+        "doc_shuffle": q_doc_shuffle,
+        "corpus_mixture": q_corpus_mixture,
         "value_quantiles": q_value_quantiles,
         "value_quantiles_approx": q_value_quantiles_approx,
         "value_histogram": q_value_histogram,
@@ -2162,6 +2194,24 @@ FROM g GROUP BY user_id
 """,
         # GraphQL text ≡ dict twin ≡ this plain-SQL formulation: session_id
         # is a cumulative sum, so latest-in-order == MAX per user
+        "doc_shuffle": """
+SELECT doc_id,
+       CAST(row_number() OVER (
+         ORDER BY (doc_id * 2654435761) % 2147483648, doc_id) - 1 AS BIGINT) AS pos
+FROM documents
+""",
+        # weighted fair interleave: same (rank - 0.5)/weight virtual time;
+        # int/double division is IEEE-exact on both engines
+        "corpus_mixture": """
+SELECT doc_id, source,
+       (CAST(row_number() OVER (
+          PARTITION BY source
+          ORDER BY (doc_id * 2654435761) % 2147483648, doc_id) AS DOUBLE)
+        - 1.0 + 0.5) /
+       CASE source WHEN 'src0' THEN 0.5 WHEN 'src1' THEN 0.25
+                   WHEN 'src2' THEN 0.15 WHEN 'src3' THEN 0.1 END AS mix_pos
+FROM documents
+""",
         "request_graphql_doc": """
 WITH g AS (
   SELECT user_id, event_type, ts, event_id,

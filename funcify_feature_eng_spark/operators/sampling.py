@@ -98,3 +98,100 @@ def quota_per_group(
         .filter(F.col("__rn") <= n_per_group)
         .drop("__rn")
     )
+
+
+def deterministic_shuffle(
+    df: DataFrame,
+    id_col: str,
+    seed: int = 0,
+    hash: bool = True,
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """Reproducible global training-order shuffle: every row gets a dense
+    position ``pos`` (0..n-1) in a pseudorandom permutation keyed only on
+    the id — stable across reruns, cluster layouts and task retries.
+
+    Training pipelines shuffle the corpus ONCE before sequence packing so
+    batches don't inherit source/time locality; a ``rand()``-ordered sort
+    silently reshuffles on retry, and a driver-side permutation doesn't
+    exist at 10^12 rows. Spark-first shape: the global rank decomposes over
+    DETERMINISTIC key-prefix buckets (the key's high bits) — never over
+    physical partition ids, whose range-sampled boundaries can differ
+    between the counting job and the output job. One aggregation counts
+    rows per bucket (uniform hash → uniform buckets), the driver turns the
+    ≤2^16 counts into cumulative offsets (O(buckets) metadata, same
+    legitimacy class as IVF centroid init), and one window per bucket
+    assigns local ranks: ``pos = offset[bucket] + local_rank``. Order key:
+    multiplicative (Knuth) hash with the mod-2^31 inner step that stays
+    ANSI-safe and SQL-universal (``hash=False``) or xxhash64
+    (``hash=True``, the production default).
+
+    ``n_partitions`` is accepted for call-site compatibility but the
+    result is layout-independent by construction.
+    """
+    from pyspark.sql import Window
+
+    c = F.col(id_col)
+    if hash:
+        key = F.xxhash64(c, F.lit(seed))
+        shift = 48  # 64-bit key → 2^16 buckets
+    else:
+        key = F.pmod((c + F.lit(seed)) * F.lit(2654435761), F.lit(2**31))
+        shift = 16  # 31-bit key → 2^15 buckets
+    keyed = df.withColumn("__shuf_key", key).withColumn(
+        "__shuf_b", F.shiftright(F.col("__shuf_key"), shift).cast("long")
+    )
+    counts = {
+        r["__shuf_b"]: r["cnt"]
+        for r in keyed.groupBy("__shuf_b").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    acc = 0
+    items = []
+    for b in sorted(counts):
+        items.append((b, acc))
+        acc += counts[b]
+    spark = df.sparkSession
+    offsets = spark.createDataFrame(items, "__shuf_b long, __shuf_off long")
+    w = Window.partitionBy("__shuf_b").orderBy(F.col("__shuf_key"), c)
+    return (
+        keyed.join(F.broadcast(offsets), "__shuf_b")
+        .withColumn(
+            "pos",
+            (F.row_number().over(w).cast("long") - 1 + F.col("__shuf_off")),
+        )
+        .drop("__shuf_key", "__shuf_b", "__shuf_off")
+    )
+
+
+def interleave_by_ratio(
+    df: DataFrame,
+    source_col: str,
+    weights: dict[str, float],
+    id_col: str,
+    out_col: str = "mix_pos",
+) -> DataFrame:
+    """Corpus mixing: a deterministic global training order in which each
+    source appears at its target rate (weighted fair interleave / deficit
+    round-robin — the "sample source s with probability w_s" schedule, made
+    reproducible). Every row gets virtual time
+    ``(rank_within_source - 1 + 0.5) / weight`` — sorting by ``mix_pos``
+    yields the mixed order; rank is per-source (one window exchange
+    partitioned by source; at 10^12 rows substitute the
+    deterministic_shuffle offset technique per source). Sources absent
+    from ``weights`` get NULL ``mix_pos`` (excluded from the schedule);
+    int/double division is IEEE-exact cross-engine (oracle-safe).
+    """
+    from pyspark.sql import Window
+
+    cases = None
+    for s, w_ in weights.items():
+        if w_ <= 0:
+            raise ValueError(f"weight for source {s!r} must be > 0")
+        cond = F.col(source_col) == s
+        cases = F.when(cond, F.lit(float(w_))) if cases is None else cases.when(cond, F.lit(float(w_)))
+    w = Window.partitionBy(source_col).orderBy(
+        F.pmod(F.col(id_col) * F.lit(2654435761), F.lit(2**31)), F.col(id_col)
+    )
+    rank = F.row_number().over(w).cast("double")
+    weight = cases  # NULL for unlisted sources → NULL mix_pos
+    return df.withColumn(out_col, (rank - F.lit(1.0) + F.lit(0.5)) / weight)

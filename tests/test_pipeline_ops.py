@@ -291,3 +291,41 @@ def test_pii_counts_email_digits_not_phone(spark):
     # counts must agree with what pii_redact actually masks
     assert row["clean"] == "contact <EMAIL> now"
     assert (row["e"], row["s"], row["p"]) == (1, 0, 0)
+
+
+def test_deterministic_shuffle_dense_and_stable(spark):
+    from funcify_feature_eng_spark.operators.sampling import deterministic_shuffle
+
+    df = spark.range(0, 1000).withColumnRenamed("id", "doc_id")
+    a = deterministic_shuffle(df, "doc_id", seed=3).select("doc_id", "pos").toPandas()
+    # dense permutation 0..n-1
+    assert sorted(a["pos"]) == list(range(1000))
+    # stable across reruns AND across a different partition count
+    b = deterministic_shuffle(df.repartition(7), "doc_id", seed=3,
+                              n_partitions=3).select("doc_id", "pos").toPandas()
+    assert a.sort_values("doc_id")["pos"].tolist() == b.sort_values("doc_id")["pos"].tolist()
+    # seed changes the permutation
+    c = deterministic_shuffle(df, "doc_id", seed=4).select("doc_id", "pos").toPandas()
+    assert a.sort_values("doc_id")["pos"].tolist() != c.sort_values("doc_id")["pos"].tolist()
+    # and it actually breaks locality: positions of consecutive ids are far apart
+    byid = a.sort_values("doc_id")["pos"].to_numpy()
+    import numpy as np
+
+    assert np.abs(np.diff(byid)).mean() > 100
+
+
+def test_interleave_by_ratio_rates(spark):
+    from funcify_feature_eng_spark.operators.sampling import interleave_by_ratio
+
+    rows = [(i, "a" if i % 4 != 0 else "b") for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = interleave_by_ratio(df, "source", {"a": 0.75, "b": 0.25}, "doc_id")
+    pdf = out.orderBy("mix_pos").toPandas()
+    # in any prefix of the schedule, source rates track the weights
+    head = pdf.head(100)["source"].value_counts()
+    assert 70 <= head.get("a", 0) <= 80
+    assert 20 <= head.get("b", 0) <= 30
+    # unlisted source → NULL mix_pos
+    df2 = spark.createDataFrame([(1, "zzz")], "doc_id long, source string")
+    out2 = interleave_by_ratio(df2, "source", {"a": 1.0}, "doc_id").toPandas()
+    assert out2["mix_pos"].isna().all()
