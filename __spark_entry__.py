@@ -1506,7 +1506,7 @@ def _stream_disorder_files(spark: SparkSession, sf_dir: str) -> str:
         for off in (0, sz // 2, max(0, sz - 65536)):
             fh.seek(off)
             h.update(fh.read(65536))
-    stamp_val = f"{sz}:{h.hexdigest()[:16]}:1"
+    stamp_val = f"{sz}:{h.hexdigest()[:16]}:2"
     stamp_fp = os.path.join(tmp, "_stamp")
     fresh = os.path.exists(stamp_fp) and open(stamp_fp).read() == stamp_val
     if not fresh:
@@ -1521,15 +1521,25 @@ def _stream_disorder_files(spark: SparkSession, sf_dir: str) -> str:
         first_half = pdf["ts"] <= t_cut
         in_window = first_half & (pdf["ts"] > t_cut - pd.Timedelta(seconds=D_s / 2))
         delayed = in_window & (pdf["event_id"] % 3 == 0)
-        batches = [pdf[first_half & ~delayed], pdf[~first_half | delayed]]
         max_ts = pdf["ts"].max()
-        for j, off_s in enumerate((2.5 * D_s, 3.0 * D_s)):
-            batches.append(pd.DataFrame({
+
+        def sentinel(j: int, off_s: float):
+            return pd.DataFrame({
                 "user_id": [_SENTINEL_UID],
                 "event_id": [1_000_000_000 + j],
                 "role": ["sentinel"],
                 "ts": [max_ts + pd.Timedelta(seconds=off_s)],
-            }))
+            })
+
+        # 3 batches: sentinel 1 rides WITH batch 2 (the watermark only
+        # advances at batch end, so one trailing sentinel batch remains to
+        # let the event-time timeouts fire with the advanced watermark)
+        batches = [
+            pdf[first_half & ~delayed],
+            pd.concat([pdf[~first_half | delayed], sentinel(0, 2.5 * D_s)],
+                      ignore_index=True),
+            sentinel(1, 3.0 * D_s),
+        ]
         for i, part in enumerate(batches):
             fp = os.path.join(tmp, f"b{i}.parquet")
             pq.write_table(
