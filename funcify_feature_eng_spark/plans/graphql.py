@@ -49,6 +49,12 @@ its SDL metamodel, ``netflix_movies_and_tv_shows.graphqls``):
   ``negative_to_null(input: -1)``); the result is a scalar output column.
 - Fields under ``features`` select declared features; arguments
   parameterize them (variants), aliases rename outputs.
+
+Known mapping caveat: a quoted STRING literal beginning with ``$`` (e.g.
+``tag(prefix: "$x")``) is passed through as the engine's ``$name``
+variable-reference convention and will resolve as a variable downstream —
+the dict-document API has the same convention, so the two front doors stay
+consistent, at the cost of that one corner of GraphQL literal semantics.
 """
 
 from __future__ import annotations
