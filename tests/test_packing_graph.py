@@ -112,10 +112,27 @@ def test_connected_components_chain_converges_in_log_rounds(spark):
     )
     comp = {
         r["node"]: r["comp"]
-        for r in connected_components(edges, max_iters=12).collect()
+        for r in connected_components(edges, max_iters=12, driver_threshold=0).collect()
     }
     assert len(comp) == n + 1
     assert all(c == 0 for c in comp.values())
+
+
+def test_cc_fast_path_equals_distributed(spark):
+    """The driver union-find fast path must be value-identical to the
+    distributed pointer-jumping loop on the same graph."""
+    import random
+
+    rng = random.Random(5)
+    edges = spark.createDataFrame(
+        [(rng.randrange(500), rng.randrange(500)) for _ in range(400)],
+        "doc_a long, doc_b long",
+    ).filter("doc_a != doc_b")
+    fast = {(r["node"], r["comp"])
+            for r in connected_components(edges).collect()}
+    dist = {(r["node"], r["comp"])
+            for r in connected_components(edges, driver_threshold=0).collect()}
+    assert fast == dist and len(fast) > 0
 
 
 def test_connected_components_nonconvergence_raises(spark):
@@ -126,13 +143,14 @@ def test_connected_components_nonconvergence_raises(spark):
         [(i, i + 1) for i in range(n)], "doc_a long, doc_b long"
     )
     with pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(edges, max_iters=2)
+        connected_components(edges, max_iters=2, driver_threshold=0)
     # warn mode returns partial labels instead
     import warnings
 
     with warnings.catch_warnings(record=True) as w:
         warnings.simplefilter("always")
-        out = connected_components(edges, max_iters=2, on_nonconverged="warn")
+        out = connected_components(edges, max_iters=2, on_nonconverged="warn",
+                                   driver_threshold=0)
         assert out.count() == n + 1
         assert any("did not converge" in str(x.message) for x in w)
 
@@ -146,7 +164,7 @@ def test_connected_components_releases_checkpoint_storage(spark):
     edges = spark.createDataFrame(
         [(i, i + 1) for i in range(100)], "doc_a long, doc_b long"
     )
-    labels = connected_components(edges, max_iters=12)
+    labels = connected_components(edges, max_iters=12, driver_threshold=0)
     labels.count()
     after = {int(k) for k in sc._jsc.getPersistentRDDs().keySet().toArray()}
     assert len(after - before) <= 1
