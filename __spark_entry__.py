@@ -1337,6 +1337,22 @@ def q_store_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def _content_stamp(path: str, version: str) -> str:
+    """Cheap content-based cache stamp: size + sha256 of three sampled
+    64 KiB slices (head / middle / tail) + a version suffix — immune to
+    mtime churn from copies/checkouts, O(1) at any file size."""
+    import hashlib
+
+    h = hashlib.sha256()
+    sz = os.path.getsize(path)
+    with open(path, "rb") as fh:
+        for off in (0, sz // 2, max(0, sz - 65536)):
+            fh.seek(off)
+            h.update(fh.read(65536))
+    return f"{sz}:{h.hexdigest()[:16]}:{version}"
+
+
 def _stream_batch_files(spark: SparkSession, sf_dir: str) -> str:
     """Build (or reuse) the 2-file ts-ordered micro-batch split of the
     events table used by the streaming gates. Pure scaffolding derived from
@@ -1354,17 +1370,7 @@ def _stream_batch_files(spark: SparkSession, sf_dir: str) -> str:
         "/tmp", f"spark_graft_stream_gate_{os.path.basename(os.path.normpath(sf_dir))}"
     )
     src = os.path.join(sf_dir, "events.parquet")
-    # content-based stamp (like the fixture stamp): sampled byte slices +
-    # size — immune to mtime churn from copies/checkouts, cheap at any size
-    import hashlib
-
-    h = hashlib.sha256()
-    sz = os.path.getsize(src)
-    with open(src, "rb") as fh:
-        for off in (0, sz // 2, max(0, sz - 65536)):
-            fh.seek(off)
-            h.update(fh.read(65536))
-    stamp_val = f"{sz}:{h.hexdigest()[:16]}:3"
+    stamp_val = _content_stamp(src, "3")
     stamp_fp = os.path.join(tmp, "_stamp")
     fresh = os.path.exists(stamp_fp) and open(stamp_fp).read() == stamp_val
     if not fresh:
@@ -1485,7 +1491,6 @@ def _stream_disorder_files(spark: SparkSession, sf_dir: str) -> str:
     watermark delay); two far-future sentinel batches advance the watermark
     so every buffered tail flushes through the event-time timeout. Pure
     gate scaffolding, content-stamped like _stream_batch_files."""
-    import hashlib
     import shutil
 
     import pyarrow as pa
@@ -1500,13 +1505,7 @@ def _stream_disorder_files(spark: SparkSession, sf_dir: str) -> str:
         f"spark_graft_stream_disorder_{os.path.basename(os.path.normpath(sf_dir))}",
     )
     src = os.path.join(sf_dir, "events.parquet")
-    h = hashlib.sha256()
-    sz = os.path.getsize(src)
-    with open(src, "rb") as fh:
-        for off in (0, sz // 2, max(0, sz - 65536)):
-            fh.seek(off)
-            h.update(fh.read(65536))
-    stamp_val = f"{sz}:{h.hexdigest()[:16]}:2"
+    stamp_val = _content_stamp(src, "2")
     stamp_fp = os.path.join(tmp, "_stamp")
     fresh = os.path.exists(stamp_fp) and open(stamp_fp).read() == stamp_val
     if not fresh:
@@ -2207,7 +2206,7 @@ FROM g GROUP BY user_id
         "doc_shuffle": """
 SELECT doc_id,
        CAST(row_number() OVER (
-         ORDER BY (doc_id * 2654435761) % 2147483648, doc_id) - 1 AS BIGINT) AS pos
+         ORDER BY ((doc_id % 2147483648) * 2654435761) % 2147483648, doc_id) - 1 AS BIGINT) AS pos
 FROM documents
 """,
         # weighted fair interleave: same (rank - 0.5)/weight virtual time;
@@ -2216,7 +2215,7 @@ FROM documents
 SELECT doc_id, source,
        (CAST(row_number() OVER (
           PARTITION BY source
-          ORDER BY (doc_id * 2654435761) % 2147483648, doc_id) AS DOUBLE)
+          ORDER BY ((doc_id % 2147483648) * 2654435761) % 2147483648, doc_id) AS DOUBLE)
         - 1.0 + 0.5) /
        CASE source WHEN 'src0' THEN 0.5 WHEN 'src1' THEN 0.25
                    WHEN 'src2' THEN 0.15 WHEN 'src3' THEN 0.1 END AS mix_pos

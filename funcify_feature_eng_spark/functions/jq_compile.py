@@ -43,6 +43,14 @@ Static-typing deltas from dynamic jq (documented, deliberate):
 - jq's empty stream collapsing (scalar output + no result → null) maps to
   NULL, matching the reference's own
   ``convertResultListIntoOutputSchemaFormatIfPossible`` for the scalar case.
+- Values reached through field/index access are statically typed ``any``;
+  their jq truthiness is approximated as non-NULL-ness, so a BOOLEAN
+  ``false`` stored in a struct field is truthy here. Compare explicitly
+  (``.flag == true``) for boolean fields — the typed-input paths (declared
+  ``input_schema: {type: boolean}``) have exact truthiness.
+- Ordering comparisons (``<`` etc.) use SQL null propagation, not jq's
+  total order across types (``null < false < …``); inside ``if`` both read
+  as falsey, so the observable delta is limited to direct boolean outputs.
 """
 
 from __future__ import annotations
@@ -433,8 +441,10 @@ def _compile(node, cur: Column, t: str) -> tuple[Column, str]:
         op, l, r = node[1], node[2], node[3]
         lc, _lt = _compile(l, cur, t)
         rc, _rt = _compile(r, cur, t)
+        # jq equality is TOTAL: null == null is true, x != null is true —
+        # null-safe comparison, not SQL's null-propagating =
         col = {
-            "==": lc == rc, "!=": lc != rc, "<": lc < rc,
+            "==": lc.eqNullSafe(rc), "!=": ~lc.eqNullSafe(rc), "<": lc < rc,
             "<=": lc <= rc, ">": lc > rc, ">=": lc >= rc,
         }[op]
         return col, "boolean"
@@ -519,7 +529,9 @@ def _call(name: str, arg_node, cur: Column, t: str) -> tuple[Column, str]:
     if name == "join":
         if t not in ("array", "any"):
             raise ValueError(f"jq: join on static type {t}")
-        return F.array_join(cur, lit if lit is not None else arg), "string"
+        if lit is None or not isinstance(lit, str):
+            raise ValueError("jq: join requires a literal string argument")
+        return F.array_join(cur, lit), "string"
     if name == "split":
         # jq split(s) is LITERAL (regex is the two-arg form) — escape it
         if lit is None or not isinstance(lit, str):

@@ -136,7 +136,12 @@ def deterministic_shuffle(
         key = F.xxhash64(c, F.lit(seed))
         shift = 48  # 64-bit key → 2^16 buckets
     else:
-        key = F.pmod((c + F.lit(seed)) * F.lit(2654435761), F.lit(2**31))
+        # inner mod keeps the product under 2^63 for 64-bit ids (ANSI-safe;
+        # same guard as quota_per_group) — identical values for ids < 2^31
+        key = F.pmod(
+            F.pmod(c + F.lit(seed), F.lit(2**31)) * F.lit(2654435761),
+            F.lit(2**31),
+        )
         shift = 16  # 31-bit key → 2^15 buckets
     keyed = df.withColumn("__shuf_key", key).withColumn(
         "__shuf_b", F.shiftright(F.col("__shuf_key"), shift).cast("long")
@@ -190,7 +195,8 @@ def interleave_by_ratio(
         cond = F.col(source_col) == s
         cases = F.when(cond, F.lit(float(w_))) if cases is None else cases.when(cond, F.lit(float(w_)))
     w = Window.partitionBy(source_col).orderBy(
-        F.pmod(F.col(id_col) * F.lit(2654435761), F.lit(2**31)), F.col(id_col)
+        F.pmod(F.pmod(F.col(id_col), F.lit(2**31)) * F.lit(2654435761), F.lit(2**31)),
+        F.col(id_col),
     )
     rank = F.row_number().over(w).cast("double")
     weight = cases  # NULL for unlisted sources → NULL mix_pos

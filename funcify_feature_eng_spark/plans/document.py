@@ -290,7 +290,14 @@ def materialize_document(
     if cache is None:
         cache = {}
         model._doc_cache = cache
-    key = (_doc_cache_key(doc), json.dumps(doc.get("variables", {}), sort_keys=True, default=str))
+    # spine columns join the key: compile now validates flat selections
+    # against them, so a compile cached for one spine must not be reused
+    # for a spine with different columns
+    key = (
+        _doc_cache_key(doc),
+        json.dumps(doc.get("variables", {}), sort_keys=True, default=str),
+        tuple(sorted(spine.columns)),
+    )
     hit = cache.get(key)
     if hit is None:
         hit = compile_document(model, doc, spine.columns)

@@ -388,7 +388,6 @@ def lower_graphql(src: str, operation_name: str | None = None) -> LoweredRequest
             f"(defined: {[o.name for o in ops]})"
         )
 
-    columns: list[str] = []
     features: dict[str, dict] = {}
     collections: dict[str, dict] = {}
     filters: dict[str, Any] = {}
@@ -492,8 +491,6 @@ def lower_graphql(src: str, operation_name: str | None = None) -> LoweredRequest
             )
 
     select: dict[str, Any] = {}
-    if columns:
-        select["columns"] = columns
     if features:
         select["features"] = features
     if collections:

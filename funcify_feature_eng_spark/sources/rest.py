@@ -76,6 +76,8 @@ def http_json_transport(
     import urllib.request
 
     def transport(keys: list) -> list[dict]:
+        import urllib.error
+
         body = json.dumps({key_field: list(keys)}).encode()
         last: Exception | None = None
         for attempt in range(retries):
@@ -86,8 +88,15 @@ def http_json_transport(
                 )
                 with urllib.request.urlopen(req, timeout=timeout_s) as resp:
                     return json.loads(resp.read().decode())
-            except Exception as e:  # transient network/5xx — retry
+            except urllib.error.HTTPError as e:
+                if e.code < 500:  # 4xx: the request is wrong — never retry
+                    raise RuntimeError(
+                        f"REST transport client error {e.code}: {e.reason}"
+                    ) from e
                 last = e
+            except Exception as e:  # transient network/5xx/timeout — retry
+                last = e
+            if attempt + 1 < retries:  # no pointless sleep after the last try
                 time.sleep(backoff_s * (2 ** attempt))
         raise RuntimeError(f"REST transport failed after {retries} tries: {last}") from last
 

@@ -67,17 +67,21 @@ class FeatureStore:
         return not ("/" in self.location or self.location.startswith("file:"))
 
     def _snapshot_isolating_catalog(self) -> bool:
-        """True when the table's catalog is a snapshot-isolating plugin
-        (Iceberg SparkCatalog / SparkSessionCatalog): a scan there pins a
-        snapshot, so reading and overwriting the same table in one job is
-        safe. Detected from the registered catalog plugin class."""
+        """True when EVERY table in the catalog is snapshot-isolating: only
+        Iceberg's pure SparkCatalog qualifies (each scan pins a snapshot,
+        so read-then-overwrite of the same table in one job is safe).
+        SparkSessionCatalog deliberately does NOT qualify — it DELEGATES
+        non-Iceberg tables to the builtin catalog, so a parquet/Hive table
+        living under it would be self-overwritten unstaged. Staging for an
+        Iceberg table under SparkSessionCatalog merely costs an extra
+        checkpoint; skipping it for a delegated parquet table corrupts."""
         parts = self.location.split(".")
         cat = parts[0] if len(parts) >= 3 else "spark_catalog"
         try:
             impl = self.spark.conf.get(f"spark.sql.catalog.{cat}", "") or ""
         except Exception:
             impl = ""
-        return "iceberg" in impl.lower()
+        return impl.endswith(".SparkCatalog") and "iceberg" in impl.lower()
 
     def read(self, feature_id: str | None = None) -> DataFrame:
         if self._is_table:

@@ -233,6 +233,15 @@ def _disorder_turn_features_stream(
     ts (timeout path — at that point Spark itself guarantees nothing older
     can arrive). Rows at or behind the emitted frontier are dropped —
     beyond-bound late data, the per-entity mirror of watermark drops.
+
+    The frontier is the last emitted **(order, ts) pair, compared
+    lexicographically** — exactly the batch formulation's sort order. A
+    row whose ORDER advances past the frontier but whose ts regresses
+    (inconsistent transcript data) is therefore kept, and its features
+    (negative gap, same session) equal what the batch twin computes for
+    the same rows — stream ≡ batch holds for inconsistent data too; the
+    ts-based sealing only delays emission, never reorders it relative to
+    the (order, ts) sort.
     """
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -254,8 +263,15 @@ def _disorder_turn_features_stream(
         import pandas as pd
 
         last_ts_us, last_order, last_role, session_id, session_start_us, max_seen = st
-        take = pend[pend["t"] <= upto_us].sort_values(["o", "t"], kind="stable")
-        rest = pend[pend["t"] > upto_us]
+        # prefix-closed emission: a row may emit only if EVERY pending row
+        # before it in (order, ts) is sealed too (running max of ts ≤ seal)
+        # — so emission is always in (order, ts) sequence even when a row's
+        # ts regresses while its order advances (inconsistent data), and
+        # the features equal the batch twin's for the same rows
+        pend = pend.sort_values(["o", "t"], kind="stable")
+        sealed = pend["t"].cummax() <= upto_us
+        take = pend[sealed]
+        rest = pend[~sealed]
         if take.empty:
             return None, rest, st
         ts_us = take["t"].reset_index(drop=True)
@@ -288,10 +304,12 @@ def _disorder_turn_features_stream(
         return out, rest, new_st
 
     def _rearm(state, st, pend, wm_ms):
-        # next wake-up: earliest pending row's flush point, else eviction;
-        # Spark requires the timestamp to be beyond the current watermark
+        # next wake-up: the FIRST pending row's flush point (pend arrives
+        # (order, ts)-sorted; prefix-closed emission means nothing can emit
+        # before it does), else eviction; Spark requires the timestamp to
+        # be beyond the current watermark
         if len(pend):
-            cand_ms = int(pend["t"].min() // 1000) + 1
+            cand_ms = int(pend["t"].iloc[0] // 1000) + 1
         else:
             cand_ms = (st[5] + ttl_us) // 1000
         state.setTimeoutTimestamp(max(cand_ms, wm_ms + 1))

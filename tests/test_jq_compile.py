@@ -229,3 +229,18 @@ def test_string_arg_builtins(spark):
 def test_arg_builtin_requires_paren():
     with pytest.raises(ValueError, match="requires an argument"):
         parse("split")
+
+
+def test_null_safe_equality(spark):
+    # jq: null == null → true; x != null → true (total equality)
+    b = compile_jq("if . == null then 0 else . end", input_type="number")
+    assert _run1(spark, b, None) == 0
+    assert _run1(spark, b, 5.0) == 5.0
+    bne = compile_jq('. != 3', input_type="number")
+    assert _run1(spark, bne, None) is True  # null != 3 in jq
+    assert _run1(spark, bne, 3.0) is False
+
+
+def test_join_requires_literal():
+    with pytest.raises(ValueError, match="literal string"):
+        compile_jq("join(.)", input_type="array")(F.lit(None))

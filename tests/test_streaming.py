@@ -414,3 +414,69 @@ def test_disorder_mode_drops_beyond_frontier(spark, tmp_path):
     # and turn 5 opened a new session (gap > 1800s), with prior from turn 1
     assert got["session_id"].tolist() == [0, 0, 1]
     assert got["prior_role"].tolist()[2] == "assistant"
+
+
+def test_disorder_mode_inconsistent_data_matches_batch_order(spark, tmp_path):
+    """A row whose ORDER advances while its ts regresses (inconsistent
+    transcript data) must still emit in (order, ts) sequence — prefix-closed
+    emission — with the same negative-gap features the batch formulation
+    produces. The later-order-earlier-ts row must NOT overtake the pending
+    higher-ts row before it."""
+    import os as _os
+
+    import pandas as pd
+
+    from funcify_feature_eng_spark.streaming.runner import stateful_turn_features_stream
+
+    def _df(rs):
+        return spark.createDataFrame(
+            [(c, i, r, pd.Timestamp(t).to_pydatetime()) for c, i, r, t in rs],
+            "conv_id string, turn_idx int, role string, ts timestamp",
+        )
+
+    src = str(tmp_path / "inc_src")
+    _os.makedirs(src, exist_ok=True)
+    # A: o0@0s, o1@300s, then INCONSISTENT pair o2@900s, o3@600s (ts regress)
+    _df([
+        ("A", 0, "user", "2024-01-01 00:00:00"),
+        ("A", 1, "assistant", "2024-01-01 00:05:00"),
+        ("A", 2, "user", "2024-01-01 00:15:00"),
+        ("A", 3, "tool", "2024-01-01 00:10:00"),
+        ("B", 0, "user", "2024-01-01 00:20:00"),
+    ]).coalesce(1).write.parquet(src + "/p1")
+    schema = _df([("A", 0, "user", "2024-01-01 00:00:00")]).schema
+    out_dir = str(tmp_path / "inc_out")
+    ckpt = str(tmp_path / "inc_ckpt")
+
+    def drain():
+        stream = spark.readStream.schema(schema).option("latestFirst", "false").parquet(src + "/p*")
+        q = (
+            stateful_turn_features_stream(
+                stream, gap_seconds=1800.0, state_ttl_s=3600.0,
+                max_disorder_s=600.0,
+            )
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    drain()
+    # advance the watermark so the tail flushes
+    _df([("B", 1, "user", "2024-01-01 02:00:00")]).coalesce(1).write.parquet(src + "/p2")
+    drain()
+    _df([("B", 2, "user", "2024-01-01 02:30:00")]).coalesce(1).write.parquet(src + "/p3")
+    drain()
+
+    got = (
+        spark.read.parquet(out_dir).filter("conv_id = 'A'")
+        .orderBy("turn_idx").toPandas()
+    )
+    assert got["turn_idx"].tolist() == [0, 1, 2, 3]
+    # prior_role follows ORDER (batch twin semantics): o3's prior is o2's
+    assert got["prior_role"].tolist()[1:] == ["user", "assistant", "user"]
+    # the negative gap (o3 ts < o2 ts) does not open a session
+    assert got["session_id"].tolist() == [0, 0, 0, 0]
