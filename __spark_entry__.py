@@ -502,6 +502,24 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.orderBy(F.col("cos_e4").desc(), F.col("vec_id").asc()).limit(10)
 
 
+def q_ann_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantized-scan ANN baseline: int8 symmetric quantization (4x scan
+    shrink + integer dots — the memory-bandwidth lever at 100 TB), cosine
+    over the quantized vectors (scale-free, so per-vector scales cancel).
+    Integer dots are exact in both engines; the floor grid pins the one
+    float quotient (operators/similarity.py::cosine_topk_int8)."""
+    from funcify_feature_eng_spark.operators.similarity import cosine_topk_int8
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    out = cosine_topk_int8(
+        emb.filter("vec_id != 0"), [float(x) for x in qvec], k=10, round_to=None,
+    )
+    return out.select(
+        "vec_id", F.floor(F.col("qcos_sim") * F.lit(1000000.0)).alias("qcos_e6")
+    )
+
+
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN scale path in the gate: random-hyperplane LSH probe (Hamming ≤ 2
     of the query signature) + exact cosine rerank of the probed rows only.
@@ -1700,6 +1718,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_stats": q_doc_stats,
         "lang_id": q_lang_id,
         "ann_cosine_topk": q_ann_cosine_topk,
+        "ann_int8_topk": q_ann_int8_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
@@ -2314,6 +2333,33 @@ FROM documents
         "doc_stats": _DOC_STATS_SQL,
         "lang_id": _lang_sql(),
         "ann_cosine_topk": _ANN_SQL,
+        # int8 quantized cosine: integer dots exact cross-engine; identical
+        # op order on the single float quotient; floor-grid score
+        "ann_int8_topk": """
+WITH base AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e,
+         list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) AS amax
+  FROM embeddings
+), qz AS (
+  SELECT vec_id,
+         CASE WHEN amax > 0
+              THEN list_transform(e, x -> CAST(floor(x * 127 / amax + 0.5) AS BIGINT))
+              ELSE list_transform(e, x -> CAST(0 AS BIGINT)) END AS q
+  FROM base
+), qq AS (SELECT q FROM qz WHERE vec_id = 0),
+s AS (
+  SELECT z.vec_id,
+         list_dot_product(z.q, qq.q) AS idot,
+         list_dot_product(z.q, z.q) AS inorm,
+         list_dot_product(qq.q, qq.q) AS qnorm
+  FROM qz z, qq WHERE z.vec_id <> 0
+)
+SELECT vec_id,
+       CAST(floor(CASE WHEN inorm > 0 AND qnorm > 0
+                       THEN idot / (sqrt(inorm) * sqrt(qnorm)) ELSE 0.0 END
+                  * 1000000.0) AS BIGINT) AS qcos_e6
+FROM s ORDER BY qcos_e6 DESC, vec_id ASC LIMIT 10
+""",
         "ann_lsh_topk": _ann_lsh_sql(),
         # IVF: identical tie rule to ivf_assign's greatest-struct (equal
         # cosine → larger index wins → cid DESC); centroids are vec_id 1..16

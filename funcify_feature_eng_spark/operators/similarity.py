@@ -220,3 +220,74 @@ def all_pairs_topk(
     )
     w = Window.partitionBy("id_a").orderBy(F.col("cos_sim").desc(), F.col("id_b").asc())
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def quantize_vec(v, levels: int = 127):
+    """Symmetric per-vector int8 quantization as a Column expression:
+    ``q_i = floor(x_i * levels / max|x| + 0.5)`` (array<int> in [-levels-1,
+    levels]; floor-based rounding because ``floor`` is IEEE-exact and
+    identical across engines, unlike round()'s HALF_UP/banker variants).
+    Zero vectors quantize to zeros.
+
+    At 100 TB this is the memory-bandwidth lever for ANN: 4x smaller scans
+    and integer dot products, with cosine UNCHANGED up to quantization
+    noise — cosine is scale-free, so per-vector scale factors cancel and
+    never need storing for ranking purposes.
+    """
+    v = F.transform(v, lambda x: x.cast("double"))
+    amax = F.array_max(F.transform(v, F.abs))
+    return F.when(
+        amax > 0,
+        F.transform(v, lambda x: F.floor(x * levels / amax + F.lit(0.5)).cast("int")),
+    ).otherwise(F.transform(v, lambda x: F.lit(0)))
+
+
+def quantize_embeddings(
+    df: DataFrame, vec_col: str = "embedding", out_col: str = "q_embedding",
+    levels: int = 127,
+) -> DataFrame:
+    return df.withColumn(out_col, quantize_vec(F.col(vec_col), levels))
+
+
+def cosine_topk_int8(
+    df: DataFrame,
+    query_vec,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    levels: int = 127,
+    round_to: int | None = 6,
+) -> DataFrame:
+    """Top-k by cosine over int8-QUANTIZED vectors — the quantized-scan
+    baseline (compose with LSH/IVF bucketing for the full at-scale path).
+
+    The integer dot products are EXACT in both engines; the final
+    ``int_dot / (sqrt(int_norm_a) * sqrt(int_norm_b))`` uses only
+    correctly-rounded IEEE ops on exact integers, so the score is
+    bit-identical cross-engine (oracle-safe without rounding grids —
+    ``round_to`` only stabilizes display/tie behavior like cosine_topk).
+    """
+    q = quantize_vec(F.col(vec_col), levels)
+    qq_lit = None  # quantize the query driver-side with the same formula
+    import math
+
+    amax = max(abs(float(x)) for x in query_vec) or 1.0
+    qq = [math.floor(float(x) * levels / amax + 0.5) for x in query_vec]
+    qq_lit = F.array(*[F.lit(int(x)) for x in qq])
+    idot = F.aggregate(
+        F.zip_with(q, qq_lit, lambda x, y: (x * y).cast("long")),
+        F.lit(0).cast("long"), lambda acc, x: acc + x,
+    )
+    inorm = F.aggregate(
+        F.transform(q, lambda x: (x * x).cast("long")),
+        F.lit(0).cast("long"), lambda acc, x: acc + x,
+    )
+    qnorm = float(sum(x * x for x in qq))
+    score = F.when(
+        (inorm > 0) & F.lit(qnorm > 0),
+        idot.cast("double") / (F.sqrt(inorm.cast("double")) * F.lit(math.sqrt(qnorm))),
+    ).otherwise(F.lit(0.0))
+    if round_to is not None:
+        score = F.round(score, round_to)
+    scored = df.select(F.col(id_col), score.alias("qcos_sim"))
+    return scored.orderBy(F.col("qcos_sim").desc(), F.col(id_col).asc()).limit(k)

@@ -329,3 +329,23 @@ def test_interleave_by_ratio_rates(spark):
     df2 = spark.createDataFrame([(1, "zzz")], "doc_id long, source string")
     out2 = interleave_by_ratio(df2, "source", {"a": 1.0}, "doc_id").toPandas()
     assert out2["mix_pos"].isna().all()
+
+
+def test_int8_quantized_topk_recall(spark, sf_dir):
+    """int8 quantization must preserve top-k ranking closely: >= 8/10
+    overlap with the exact float cosine top-10, and the quantized arrays
+    must actually be int8-range."""
+    from funcify_feature_eng_spark.operators.similarity import (
+        cosine_topk_int8,
+        quantize_embeddings,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = [float(x) for x in emb.filter("vec_id = 0").head()["embedding"]]
+    exact = cosine_topk(emb.filter("vec_id != 0"), q, k=10).toPandas()
+    quant = cosine_topk_int8(emb.filter("vec_id != 0"), q, k=10).toPandas()
+    overlap = len(set(exact["vec_id"]) & set(quant["vec_id"]))
+    assert overlap >= 8, f"quantized top-10 overlap {overlap}/10"
+    qdf = quantize_embeddings(emb).select("q_embedding").head(5)
+    for r in qdf:
+        assert all(-128 <= v <= 127 for v in r["q_embedding"])
