@@ -1013,6 +1013,42 @@ def q_doc_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batching over documents: padding-waste reducer for
+    eval/non-packed training (operators/packing.py::length_bucketed_batches);
+    token counts via the whitespace tokenizer the other doc gates use."""
+    from funcify_feature_eng_spark.operators.packing import length_bucketed_batches
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", token_count(F.col("text")).alias("n_tokens")
+    )
+    return length_bucketed_batches(docs, "doc_id", "n_tokens",
+                                   bucket_width=16, batch_rows=8)
+
+
+def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval leakage audit as one composed job: deterministic split
+    assignment (hash buckets) -> exact n-gram near-dup pairs -> keep pairs
+    that CROSS the split boundary. The pre-training hygiene check: an eval
+    doc with a near-dup in train invalidates the eval."""
+    from funcify_feature_eng_spark.operators.dedup import ngram_jaccard_pairs
+    from funcify_feature_eng_spark.operators.sampling import assign_split
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    # resolution 10: small gate ids spread across buckets (mod 10000 would
+    # put every doc < 500 in train — a 0-row gate verifies nothing)
+    split = assign_split(docs, "doc_id", {"train": 0.8, "eval": 0.2},
+                         hash=False, resolution=10)
+    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", n=5, threshold=0.6)
+    sa = split.select(F.col("doc_id").alias("doc_a"), F.col("split").alias("split_a"))
+    sb = split.select(F.col("doc_id").alias("doc_b"), F.col("split").alias("split_b"))
+    return (
+        pairs.join(sa, "doc_a").join(sb, "doc_b")
+        .filter(F.col("split_a") != F.col("split_b"))
+        .select("doc_a", "doc_b", "split_a", "split_b", "jaccard")
+    )
+
+
 def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs → connected components (the retention-policy input):
     iterative min-label propagation, one shuffle per round
@@ -1730,6 +1766,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shows_reshaped": q_shows_reshaped,
         "doc_split": q_doc_split,
         "doc_shuffle": q_doc_shuffle,
+        "length_buckets": q_length_buckets,
+        "split_leakage": q_split_leakage,
         "corpus_mixture": q_corpus_mixture,
         "value_quantiles": q_value_quantiles,
         "value_quantiles_approx": q_value_quantiles_approx,
@@ -2222,6 +2260,52 @@ FROM g GROUP BY user_id
 """,
         # GraphQL text ≡ dict twin ≡ this plain-SQL formulation: session_id
         # is a cumulative sum, so latest-in-order == MAX per user
+        "length_buckets": """
+WITH t AS (
+  SELECT doc_id,
+         CAST(CASE WHEN length(trim(text)) > 0
+              THEN len(regexp_split_to_array(trim(text), '\\s+')) ELSE 0 END AS INTEGER) AS n_tokens
+  FROM documents
+)
+SELECT doc_id, n_tokens,
+       CAST(floor(n_tokens / 16) AS INT) AS len_bucket,
+       CAST(floor((row_number() OVER (PARTITION BY floor(n_tokens / 16)
+                                      ORDER BY n_tokens, doc_id) - 1) / 8) AS INT)
+         AS batch_in_bucket,
+       CAST((floor(n_tokens / 16) + 1) * 16 AS INT) AS pad_to
+FROM t
+""",
+        "split_leakage": """
+WITH docs AS (SELECT doc_id, lower(text) AS s FROM documents WHERE doc_id < 500),
+grams AS (
+  SELECT DISTINCT doc_id, substr(s, CAST(i AS INT), 5) AS g
+  FROM docs, LATERAL (SELECT unnest(range(1, length(s) - 3)) AS i) t
+  WHERE length(s) >= 5
+  UNION
+  SELECT DISTINCT doc_id, s AS g FROM docs WHERE length(s) < 5
+),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM grams GROUP BY doc_id),
+co AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+pairs AS (
+  SELECT co.doc_a, co.doc_b,
+         shared / (sa.sz + sb.sz - shared) AS jaccard
+  FROM co JOIN sizes sa ON sa.doc_id = co.doc_a
+          JOIN sizes sb ON sb.doc_id = co.doc_b
+  WHERE shared / (sa.sz + sb.sz - shared) >= 0.6
+),
+sp AS (
+  SELECT doc_id,
+         CASE WHEN (doc_id % 10) < 8 THEN 'train' ELSE 'eval' END AS split
+  FROM docs
+)
+SELECT p.doc_a, p.doc_b, a.split AS split_a, b.split AS split_b, p.jaccard
+FROM pairs p JOIN sp a ON a.doc_id = p.doc_a JOIN sp b ON b.doc_id = p.doc_b
+WHERE a.split <> b.split
+""",
         "doc_shuffle": """
 SELECT doc_id,
        CAST(row_number() OVER (

@@ -202,3 +202,23 @@ def test_quota_per_group_mod_variant_ansi_safe_for_64bit_ids(spark):
     # must not raise ArithmeticException under ANSI mode
     out = quota_per_group(df, "grp", "id", 3, hash=False).collect()
     assert len(out) == 3
+
+
+def test_length_bucketed_batches(spark):
+    from funcify_feature_eng_spark.operators.packing import length_bucketed_batches
+
+    rows = [(i, 10 + (i * 37) % 500) for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens int")
+    out = length_bucketed_batches(df, "doc_id", "n_tokens",
+                                  bucket_width=64, batch_rows=16).toPandas()
+    # every row padded within its bucket's target; batches capped at 16
+    assert (out["n_tokens"] <= out["pad_to"]).all()
+    assert (out["pad_to"] - out["n_tokens"] < 64 + 64).all()
+    sizes = out.groupby(["len_bucket", "batch_in_bucket"]).size()
+    assert sizes.max() <= 16
+    # deterministic across reruns
+    again = length_bucketed_batches(df, "doc_id", "n_tokens",
+                                    bucket_width=64, batch_rows=16).toPandas()
+    key = ["doc_id"]
+    assert out.sort_values(key).reset_index(drop=True).equals(
+        again.sort_values(key).reset_index(drop=True))
