@@ -762,6 +762,21 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_video_frame_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal video kind: frame-sampling plumbing (every 2nd of 4
+    frames), one row per sampled frame with integer-exact per-frame means
+    (operators/multimodal.py::sample_video_frames; the deterministic fake
+    decoder stands in for av/ffmpeg — the swap point is the registry)."""
+    from funcify_feature_eng_spark.operators.multimodal import (
+        attach_fake_media,
+        sample_video_frames,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    media = attach_fake_media(docs, "doc_id", kind="video", n_frames=4)
+    return sample_video_frames(media, every_k=2)
+
+
 def q_doc_nfc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unicode NFC canonicalization (Arrow pandas-UDF path). The input is
     forced non-trivial on every row by appending a DECOMPOSED a+combining-
@@ -1786,6 +1801,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_bpe_tokens": q_doc_bpe_tokens,
         "doc_tokens_pandas": q_doc_tokens_pandas,
         "media_features": q_media_features,
+        "video_frame_features": q_video_frame_features,
         "store_lifecycle": q_store_lifecycle,
         "doc_pii": q_doc_pii,
         "vocab_top_terms": q_vocab_top_terms,
@@ -2703,6 +2719,24 @@ SELECT doc_id,
             ELSE sqrt((16 * q3) / 1024 - ((16 * s3) / 1024) * ((16 * s3) / 1024)) / 255.0
        END AS std_intensity,
        CAST(plen AS INTEGER) AS n_bytes
+FROM s
+""",
+        # video frames: byte b of frame f = (ascii + 97*f) % 256 over the
+        # 64 sha256-hex chars; mean in the decoder's fixed (sum/n)/255 order
+        "video_frame_features": """
+WITH h AS (
+  SELECT doc_id, sha256(CAST(doc_id AS VARCHAR)) AS hx FROM documents
+), c AS (
+  SELECT doc_id, hx, unnest(range(1, 65)) AS i FROM h
+), fr AS (SELECT unnest([0, 2]) AS frame_idx),
+s AS (
+  SELECT doc_id, frame_idx,
+         SUM((ascii(substr(hx, CAST(i AS INT), 1)) + 97 * frame_idx) % 256) AS sm
+  FROM c, fr GROUP BY doc_id, frame_idx
+)
+SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
+       (sm / 64) / 255.0 AS frame_mean,
+       CAST(4 AS INT) AS n_frames
 FROM s
 """,
         "doc_pii": _doc_pii_sql(),

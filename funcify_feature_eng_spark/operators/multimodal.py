@@ -27,10 +27,11 @@ MEDIA_META_SCHEMA = (
 )
 
 
-def attach_fake_media(df: DataFrame, id_col: str, kind="image") -> DataFrame:
+def attach_fake_media(df: DataFrame, id_col: str, kind="image", n_frames: int = 1) -> DataFrame:
     """Deterministic fake media payloads keyed by id — test fixture for the
     plumbing (payload = repeated md5-ish bytes of the id). ``kind`` is a
-    string or a Column (per-row kinds exercise the decoder dispatch)."""
+    string or a Column (per-row kinds exercise the decoder dispatch);
+    ``n_frames`` > 1 makes video-shaped metadata."""
     payload = F.sha2(F.col(id_col).cast("string"), 256).cast("binary")
     kind_col = kind if not isinstance(kind, str) else F.lit(kind)
     meta = F.struct(
@@ -38,7 +39,7 @@ def attach_fake_media(df: DataFrame, id_col: str, kind="image") -> DataFrame:
         F.lit(64).alias("width"),
         F.lit(64).alias("height"),
         F.lit(16000).alias("sample_rate"),
-        F.lit(1).alias("n_frames"),
+        F.lit(int(n_frames)).alias("n_frames"),
     )
     return df.withColumn("media", payload).withColumn("media_meta", meta)
 
@@ -71,6 +72,22 @@ def fake_audio_decoder(payload: bytes, meta: dict) -> np.ndarray:
     return np.tile(wave, reps)
 
 
+def fake_video_decoder(payload: bytes, meta: dict) -> np.ndarray:
+    """Deterministic stand-in for a video decode: bytes → (n_frames, 8, 8)
+    uint8 frames, frame f = ``(byte + 97·f) mod 256`` over the first 64
+    payload bytes (wraps for f ≥ 2, so a frame-index bug changes VALUES).
+    Replace with an av/ffmpeg-backed decode in production; integer-valued
+    frames keep per-frame statistics oracle-checkable."""
+    if payload is None:
+        raise ValueError("NULL media payload")
+    nf = max(int(meta.get("n_frames") or 1), 1)
+    base = np.frombuffer(payload[:64], dtype=np.uint8).astype(np.int64)
+    if base.size < 64:
+        base = np.pad(base, (0, 64 - base.size), mode="wrap")
+    frames = [((base + 97 * f) % 256).astype(np.uint8).reshape(8, 8) for f in range(nf)]
+    return np.stack(frames)
+
+
 class DecoderRegistry:
     """kind → decoder(payload, meta) -> np.ndarray. Real decoders are
     registered at deployment; the default carries deterministic fakes."""
@@ -95,6 +112,7 @@ def default_registry() -> DecoderRegistry:
     r = DecoderRegistry()
     r.register("image", fake_image_decoder)
     r.register("audio", fake_audio_decoder)
+    r.register("video", fake_video_decoder)
     return r
 
 
@@ -153,6 +171,60 @@ def extract_media_features(
             out["mean_intensity"] = np.asarray(means, dtype=np.float64)
             out["std_intensity"] = np.asarray(stds, dtype=np.float64)
             out["n_bytes"] = np.asarray(nbytes, dtype=np.int32)
+            yield pd.DataFrame(out)
+
+    return df.select(*batch_cols, media_col, meta_col).mapInPandas(process, out_schema)
+
+
+def sample_video_frames(
+    df: DataFrame,
+    every_k: int = 2,
+    registry: DecoderRegistry | None = None,
+    media_col: str = "media",
+    meta_col: str = "media_meta",
+    batch_cols: tuple[str, ...] = ("doc_id",),
+) -> DataFrame:
+    """Frame sampling for video media: decode per Arrow batch, keep every
+    ``every_k``-th frame (deterministic stride — the standard pretraining
+    frame subsampler), one output ROW per sampled frame with integer-exact
+    per-frame statistics. The decode is the only per-item Python; the
+    explode happens in the same batch (no separate shuffle)."""
+    reg = registry or default_registry()
+    out_schema = ", ".join(
+        [f"{c} long" for c in batch_cols]
+        + ["frame_idx int", "frame_mean double", "n_frames int"]
+    )
+
+    def _as_meta(m) -> dict:
+        if isinstance(m, dict):
+            return m
+        if hasattr(m, "asDict"):
+            return m.asDict()
+        return dict(zip(["kind", "width", "height", "sample_rate", "n_frames"], m))
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = {c: [] for c in batch_cols}
+            fidx, fmean, nfr = [], [], []
+            for row_i in range(len(pdf)):
+                meta = _as_meta(pdf[meta_col].iloc[row_i])
+                arr = reg.get(meta["kind"])(pdf[media_col].iloc[row_i], meta)
+                if arr.ndim != 3:
+                    raise ValueError(
+                        f"sample_video_frames expects (frames, h, w); kind "
+                        f"{meta['kind']!r} decoded to shape {arr.shape}"
+                    )
+                for f in range(0, arr.shape[0], every_k):
+                    for c in batch_cols:
+                        ids[c].append(pdf[c].iloc[row_i])
+                    fidx.append(f)
+                    # fixed op order (sum/n)/255 — see extract_media_features
+                    fmean.append((int(arr[f].sum(dtype=np.int64)) / arr[f].size) / 255.0)
+                    nfr.append(arr.shape[0])
+            out = dict(ids)
+            out["frame_idx"] = np.asarray(fidx, dtype=np.int32)
+            out["frame_mean"] = np.asarray(fmean, dtype=np.float64)
+            out["n_frames"] = np.asarray(nfr, dtype=np.int32)
             yield pd.DataFrame(out)
 
     return df.select(*batch_cols, media_col, meta_col).mapInPandas(process, out_schema)

@@ -349,3 +349,26 @@ def test_int8_quantized_topk_recall(spark, sf_dir):
     qdf = quantize_embeddings(emb).select("q_embedding").head(5)
     for r in qdf:
         assert all(-128 <= v <= 127 for v in r["q_embedding"])
+
+
+def test_video_frame_sampling(spark):
+    from funcify_feature_eng_spark.operators.multimodal import (
+        attach_fake_media,
+        sample_video_frames,
+    )
+
+    docs = spark.range(5).withColumnRenamed("id", "doc_id")
+    media = attach_fake_media(docs, "doc_id", kind="video", n_frames=6)
+    out = sample_video_frames(media, every_k=3).toPandas()
+    # frames 0 and 3 sampled for each of 5 docs
+    assert sorted(out["frame_idx"].unique()) == [0, 3]
+    assert len(out) == 10 and (out["n_frames"] == 6).all()
+    # frame transform is index-dependent: different frames, different means
+    by_doc = out.groupby("doc_id")["frame_mean"].nunique()
+    assert (by_doc == 2).all()
+    # non-video kinds are rejected loudly (2-D arrays)
+    img = attach_fake_media(docs, "doc_id", kind="image")
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="frames, h, w"):
+        sample_video_frames(img, every_k=2).collect()
