@@ -655,6 +655,59 @@ def q_user_running_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rolling_time_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing event-time RANGE-frame aggregates, strictly prior.
+
+    ROWS frames (user_running_stats) answer "over the last k events"; this
+    answers "over the last hour" — the frame width adapts to event density.
+    upper bound -1 second excludes the current row AND same-second ties, so
+    the feature is leakage-free and tie-deterministic by construction."""
+    from funcify_feature_eng_spark.operators.windows import rolling_time_agg
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.floor(F.col("value") * F.lit(1000000.0)).cast("long").alias("v_e6"),
+    )
+    out = rolling_time_agg(
+        ev, keys=["user_id"], ts_col="ts", value_col="v_e6", window_s=3600, out_prefix="h1"
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("h1_cnt").alias("n_prev_1h"),
+        F.col("h1_sum").alias("sum_prev_1h_e6"),
+    )
+
+
+def q_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-free cumulative target encoding of event_type by value.
+
+    Each row's encoding uses only strictly-earlier rows of its category
+    (ROWS .. 1 PRECEDING over a total order) — what an online counter
+    store would have seen at that instant. Smoothing on the integer grid:
+    (sum + m*prior) div (cnt + m), never leaves BIGINT."""
+    from funcify_feature_eng_spark.operators.encoding import cumulative_target_encode
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        "ts",
+        F.floor(F.col("value") * F.lit(1000000.0)).cast("long").alias("v_e6"),
+    )
+    out = cumulative_target_encode(
+        ev,
+        category_col="event_type",
+        target_col="v_e6",
+        order=("ts", "event_id"),
+        smoothing_m=10,
+        prior=245000000,
+        out_col="enc_e6",
+    )
+    return out.select("event_id", "event_type", "enc_e6_cnt", "enc_e6_sum", "enc_e6")
+
+
 def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composite quality score on a cross-engine-exact floor grid."""
     from funcify_feature_eng_spark.functions.text import alpha_ratio, stopword_ratio
@@ -1795,6 +1848,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_nations_revenue": q_top_nations_revenue,
         "event_sequences": q_event_sequences,
         "user_running_stats": q_user_running_stats,
+        "rolling_time_stats": q_rolling_time_stats,
+        "target_encoding": q_target_encoding,
         "doc_quality": q_doc_quality,
         "event_props_extract": q_event_props_extract,
         "embedding_dup_pairs": q_embedding_dup_pairs,
@@ -2497,6 +2552,43 @@ ORDER BY cos_e4 DESC, vec_id ASC LIMIT 10
         "top_nations_revenue": _TOP_NATIONS_SQL,
         "event_sequences": _EVENT_SEQ_SQL,
         "user_running_stats": _RUNNING_STATS_SQL,
+        # RANGE frame over integer epoch-seconds: both engines define the
+        # frame as [cur-3600, cur-1] over the ORDER BY value, so same-second
+        # ties are excluded identically
+        "rolling_time_stats": """
+WITH g AS (
+  SELECT event_id, user_id, epoch_us(ts) // 1000000 AS es,
+         CAST(floor(value * 1000000.0) AS BIGINT) AS v_e6
+  FROM events
+)
+SELECT event_id, user_id,
+       CAST(count(v_e6) OVER w AS BIGINT) AS n_prev_1h,
+       CAST(coalesce(sum(v_e6) OVER w, 0) AS BIGINT) AS sum_prev_1h_e6
+FROM g
+WINDOW w AS (PARTITION BY user_id ORDER BY es
+             RANGE BETWEEN 3600 PRECEDING AND 1 PRECEDING)
+""",
+        # integer-grid smoothed cumulative mean: Spark `div` and DuckDB `//`
+        # agree on non-negative BIGINT operands
+        "target_encoding": """
+WITH g AS (
+  SELECT event_id, event_type, ts,
+         CAST(floor(value * 1000000.0) AS BIGINT) AS v_e6
+  FROM events
+),
+c AS (
+  SELECT event_id, event_type,
+         CAST(count(v_e6) OVER w AS BIGINT) AS enc_e6_cnt,
+         CAST(coalesce(sum(v_e6) OVER w, 0) AS BIGINT) AS enc_e6_sum
+  FROM g
+  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+)
+SELECT event_id, event_type, enc_e6_cnt, enc_e6_sum,
+       CAST((enc_e6_sum + 10::BIGINT * 245000000::BIGINT) // (enc_e6_cnt + 10) AS BIGINT)
+         AS enc_e6
+FROM c
+""",
         "doc_quality": _doc_quality_sql(),
         "event_props_extract": (
             "SELECT event_id, CAST(json_extract(props, '$.k') AS INTEGER) AS prop_k FROM events"

@@ -91,6 +91,61 @@ def row_number_col(keys: Sequence[str], order: Sequence[str]) -> Column:
     return F.row_number().over(ordered_window(keys, order))
 
 
+def time_range_window(
+    keys: Sequence[str],
+    epoch_col: str | Column,
+    lower_s: int,
+    upper_s: int = -1,
+) -> WindowSpec:
+    """Event-time RANGE frame per entity: rows whose epoch-seconds order key
+    lies in ``[current + lower_s, current + upper_s]``.
+
+    The default ``upper_s=-1`` makes the frame STRICTLY PRIOR — rows tied
+    with the current row's timestamp are excluded along with the row itself,
+    so the feature is leakage-free by construction and deterministic under
+    ties (the north rule's zero-temporal-leakage requirement; reference
+    analog ``TrackableValue.valueAtTimestamp`` with ``< now``,
+    ``schema/tracking/TrackableValue.kt:147-155``).
+
+    RANGE frames need a single numeric order key; pass integral epoch
+    seconds (or any monotone integer clock). Unlike ROWS frames the frame
+    width adapts to event density — "count/sum over the trailing hour" is a
+    RANGE frame, not a ROWS frame. One shuffle on the entity key, JVM-side.
+    """
+    col = F.col(epoch_col) if isinstance(epoch_col, str) else epoch_col
+    return Window.partitionBy(*keys).orderBy(col.asc()).rangeBetween(lower_s, upper_s)
+
+
+def rolling_time_agg(
+    df: DataFrame,
+    *,
+    keys: Sequence[str],
+    ts_col: str,
+    value_col: Column | str,
+    window_s: int,
+    out_prefix: str = "prev",
+    include_current: bool = False,
+) -> DataFrame:
+    """Trailing event-time-window aggregates per entity: the count and sum of
+    ``value_col`` over the ``window_s`` seconds before each row.
+
+    ``include_current=False`` (the default) keeps the frame strictly prior —
+    rows at the exact same second (including the row itself) do not leak in.
+    Sum is NULL-coalesced to 0 so an empty frame reads as "no prior
+    activity", matching the store's missing-value semantics.
+    """
+    val = F.col(value_col) if isinstance(value_col, str) else value_col
+    epoch = F.floor(F.unix_micros(F.col(ts_col).cast("timestamp")) / F.lit(1000000)).cast("long")
+    upper = 0 if include_current else -1
+    w = time_range_window(keys, epoch, -window_s, upper)
+    return (
+        df.withColumn("__v", val)
+        .withColumn(f"{out_prefix}_cnt", F.count("__v").over(w).cast("long"))
+        .withColumn(f"{out_prefix}_sum", F.coalesce(F.sum("__v").over(w), F.lit(0)).cast("long"))
+        .drop("__v")
+    )
+
+
 def turn_features(
     df: DataFrame,
     *,
