@@ -708,6 +708,71 @@ def q_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", "event_type", "enc_e6_cnt", "enc_e6_sum", "enc_e6")
 
 
+def q_resample_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user hourly state grid: the point-in-time read evaluated at every
+    tick of a synthetic clock, via the engine's own as-of join. Leading
+    ticks before a user's first event stay NULL (no invented state)."""
+    from funcify_feature_eng_spark.operators.resample import resample_to_grid
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.floor(F.col("value") * F.lit(1000000.0)).cast("long").alias("v_e6"),
+    )
+    return resample_to_grid(
+        ev,
+        keys=["user_id"],
+        ts_col="ts",
+        value_col="v_e6",
+        tie_col="event_id",
+        step_s=3600,
+        out_value="value_at_tick",
+    ).select("user_id", "tick_es", "value_at_tick")
+
+
+def q_conv_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversation-grain feature vector: one window pass for inter-turn
+    gaps (microsecond-integer), then ONE groupBy — events count, session
+    count, distinct types, max/mean gap, total value. The entity-level
+    summary a transcript curation pipeline feeds to quality filters."""
+    ev = _t(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    g = ev.select(
+        "user_id",
+        "event_type",
+        (us - F.lag(us).over(w)).alias("gap_us"),
+        F.floor(F.col("value") * F.lit(1000000.0)).cast("long").alias("v_e6"),
+    )
+    agg = g.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        (
+            F.lit(1)
+            + F.coalesce(
+                F.sum(F.when(F.col("gap_us") > F.lit(900000000), 1).otherwise(0)), F.lit(0)
+            )
+        )
+        .cast("long")
+        .alias("n_sessions"),
+        F.countDistinct("event_type").cast("long").alias("n_types"),
+        F.max("gap_us").cast("long").alias("max_gap_us"),
+        F.sum("gap_us").cast("long").alias("__sum_gap"),
+        F.sum("v_e6").cast("long").alias("total_v_e6"),
+    )
+    return agg.select(
+        "user_id",
+        "n_events",
+        "n_sessions",
+        "n_types",
+        "max_gap_us",
+        F.when(F.col("n_events") > 1, F.expr("`__sum_gap` div (`n_events` - 1)"))
+        .cast("long")
+        .alias("mean_gap_us"),
+        "total_v_e6",
+    )
+
+
 def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composite quality score on a cross-engine-exact floor grid."""
     from funcify_feature_eng_spark.functions.text import alpha_ratio, stopword_ratio
@@ -1850,6 +1915,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_running_stats": q_user_running_stats,
         "rolling_time_stats": q_rolling_time_stats,
         "target_encoding": q_target_encoding,
+        "resample_grid": q_resample_grid,
+        "conv_rollup": q_conv_rollup,
         "doc_quality": q_doc_quality,
         "event_props_extract": q_event_props_extract,
         "embedding_dup_pairs": q_embedding_dup_pairs,
@@ -2588,6 +2655,45 @@ SELECT event_id, event_type, enc_e6_cnt, enc_e6_sum,
        CAST((enc_e6_sum + 10::BIGINT * 245000000::BIGINT) // (enc_e6_cnt + 10) AS BIGINT)
          AS enc_e6
 FROM c
+""",
+        # DuckDB's native ASOF JOIN is the independent twin of the engine's
+        # union-window as-of; latest-wins is pre-resolved per second so the
+        # as-of sees unique right timestamps (tie-deterministic)
+        "resample_grid": """
+WITH g AS (
+  SELECT event_id, user_id, epoch_us(ts) // 1000000 AS es,
+         CAST(floor(value * 1000000.0) AS BIGINT) AS v_e6
+  FROM events
+),
+latest AS (SELECT user_id, es, max_by(v_e6, event_id) AS v_e6 FROM g GROUP BY 1, 2),
+bounds AS (SELECT user_id, min(es) // 3600 AS g0, max(es) // 3600 AS g1 FROM g GROUP BY 1),
+grid AS (SELECT user_id, CAST(unnest(range(g0, g1 + 1)) * 3600 AS BIGINT) AS tick_es
+         FROM bounds)
+SELECT grid.user_id, grid.tick_es, latest.v_e6 AS value_at_tick
+FROM grid ASOF LEFT JOIN latest
+  ON grid.user_id = latest.user_id AND latest.es <= grid.tick_es
+""",
+        "conv_rollup": """
+WITH o AS (
+  SELECT user_id, event_type, event_id, epoch_us(ts) AS us,
+         CAST(floor(value * 1000000.0) AS BIGINT) AS v_e6
+  FROM events
+),
+g AS (
+  SELECT user_id, event_type, v_e6,
+         us - lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS gap_us
+  FROM o
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(1 + coalesce(sum(CASE WHEN gap_us > 900000000 THEN 1 ELSE 0 END), 0) AS BIGINT)
+         AS n_sessions,
+       CAST(count(DISTINCT event_type) AS BIGINT) AS n_types,
+       CAST(max(gap_us) AS BIGINT) AS max_gap_us,
+       CAST(CASE WHEN count(*) > 1 THEN sum(gap_us) // (count(*) - 1) END AS BIGINT)
+         AS mean_gap_us,
+       CAST(sum(v_e6) AS BIGINT) AS total_v_e6
+FROM g GROUP BY user_id
 """,
         "doc_quality": _doc_quality_sql(),
         "event_props_extract": (
