@@ -773,6 +773,17 @@ def q_conv_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_feature_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution drift of `value` between the two halves of the time
+    range: per-bucket ref/cur counts + global TVD on an integer grid (no
+    log, so the score is cross-engine bit-exact — deliberately TVD, not
+    PSI/KL)."""
+    from funcify_feature_eng_spark.operators.drift import drift_report
+
+    ev = _t(spark, sf_dir, "events")
+    return drift_report(ev, value_col="value", ts_col="ts", n_bins=10, bin_width=50.0)
+
+
 def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composite quality score on a cross-engine-exact floor grid."""
     from funcify_feature_eng_spark.functions.text import alpha_ratio, stopword_ratio
@@ -1917,6 +1928,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "target_encoding": q_target_encoding,
         "resample_grid": q_resample_grid,
         "conv_rollup": q_conv_rollup,
+        "feature_drift": q_feature_drift,
         "doc_quality": q_doc_quality,
         "event_props_extract": q_event_props_extract,
         "embedding_dup_pairs": q_embedding_dup_pairs,
@@ -2694,6 +2706,35 @@ SELECT user_id,
          AS mean_gap_us,
        CAST(sum(v_e6) AS BIGINT) AS total_v_e6
 FROM g GROUP BY user_id
+""",
+        # TVD stays in integer arithmetic end-to-end (the reason it was
+        # chosen over PSI/KL): |cnt_ref*n_cur - cnt_cur*n_ref| products,
+        # one floor division at the very end
+        "feature_drift": """
+WITH b AS (
+  SELECT CAST(least(9, CAST(floor(value / 50.0) AS BIGINT)) AS INT) AS bucket,
+         epoch_us(ts) AS us
+  FROM events
+),
+s AS (SELECT (min(us) + max(us)) // 2 AS split FROM b),
+c AS (
+  SELECT bucket,
+         CAST(sum(CASE WHEN us <= (SELECT split FROM s) THEN 1 ELSE 0 END) AS BIGINT)
+           AS cnt_ref,
+         CAST(sum(CASE WHEN us > (SELECT split FROM s) THEN 1 ELSE 0 END) AS BIGINT)
+           AS cnt_cur
+  FROM b GROUP BY bucket
+),
+t AS (
+  SELECT sum(cnt_ref) AS n_ref, sum(cnt_cur) AS n_cur,
+         sum(abs(cnt_ref * (SELECT sum(cnt_cur) FROM c)
+                 - cnt_cur * (SELECT sum(cnt_ref) FROM c))) AS num
+  FROM c
+)
+SELECT c.bucket, c.cnt_ref, c.cnt_cur,
+       CAST(t.n_ref AS BIGINT) AS n_ref, CAST(t.n_cur AS BIGINT) AS n_cur,
+       CAST((t.num * 1000000) // (2 * t.n_ref * t.n_cur) AS BIGINT) AS tvd_e6
+FROM c, t
 """,
         "doc_quality": _doc_quality_sql(),
         "event_props_extract": (
