@@ -1601,6 +1601,87 @@ def _stream_source(spark: SparkSession, sf_dir: str):
     return tmp, stream
 
 
+def _doc_stream_files(spark: SparkSession, sf_dir: str) -> str:
+    """2-file micro-batch split of documents WITH PLANTED DUPLICATES for the
+    streaming-dedup gate: batch 0 = originals + same-batch copies of the
+    first 50 docs (ids +20000, exercising the deterministic within-batch
+    min-id winner), batch 1 = a full duplicate copy (ids +10000) whose
+    suppression requires the seen-state to CROSS the batch boundary.
+    Content-stamped scaffolding, rebuilt only when the source changes."""
+    import shutil
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tmp = os.path.join(
+        "/tmp", f"spark_graft_dedup_stream_{os.path.basename(os.path.normpath(sf_dir))}"
+    )
+    src = os.path.join(sf_dir, "documents.parquet")
+    stamp_val = _content_stamp(src, "1")
+    stamp_fp = os.path.join(tmp, "_stamp")
+    fresh = os.path.exists(stamp_fp) and open(stamp_fp).read() == stamp_val
+    if not fresh:
+        pdf = (
+            _t(spark, sf_dir, "documents")
+            .select("doc_id", "text")
+            .orderBy("doc_id")
+            .toPandas()
+        )
+        if os.path.exists(tmp):
+            shutil.rmtree(tmp)
+        os.makedirs(tmp)
+        lo = pdf["doc_id"].min()
+        same_batch_dups = pdf[pdf["doc_id"] < lo + 50].assign(
+            doc_id=lambda d: d["doc_id"] + 20000
+        )
+        cross_batch_dups = pdf.assign(doc_id=lambda d: d["doc_id"] + 10000)
+        for i, part in enumerate((
+            pd.concat([pdf, same_batch_dups], ignore_index=True),
+            cross_batch_dups,
+        )):
+            fp = os.path.join(tmp, f"b{i}.parquet")
+            pq.write_table(pa.Table.from_pandas(part, preserve_index=False), fp)
+            os.utime(fp, (1_700_000_000 + i, 1_700_000_000 + i))  # batch order
+        with open(stamp_fp, "w") as f:
+            f.write(stamp_val)
+    return tmp
+
+
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup in the DRIVER gate: stateful_dedup_stream over
+    2 micro-batches with planted duplicates (see _doc_stream_files). The
+    oracle is the BATCH dedup semantics (min-id per text) over the same
+    constructed input — which collapses to the original documents rows —
+    so the hash proves both the within-batch deterministic winner AND the
+    cross-batch suppression."""
+    from funcify_feature_eng_spark.streaming.runner import stateful_dedup_stream
+
+    tmp = _doc_stream_files(spark, sf_dir)
+    sch = spark.read.parquet(tmp).schema
+    stream = (
+        spark.readStream.schema(sch).option("maxFilesPerTrigger", "1").parquet(tmp)
+    )
+    stream = stream.withColumn("char_len", F.length("text").cast("int"))
+    out = stateful_dedup_stream(
+        stream, id_col="doc_id", key_col="text", keep_cols=["char_len"]
+    )
+    _STREAM_GATE_SEQ[0] += 1
+    qname = f"stream_dedup_sink_{_STREAM_GATE_SEQ[0]}"
+    shuffle_conf = "spark.sql.shuffle.partitions"
+    session_parts = spark.conf.get(shuffle_conf)
+    spark.conf.set(shuffle_conf, "4")
+    try:
+        q = (
+            out.writeStream.format("memory").queryName(qname)
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set(shuffle_conf, session_parts)
+    return spark.table(qname).select("doc_id", "char_len")
+
+
 def q_stream_model_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S6 parity path in the DRIVER gate: ``materialize_stream`` runs the
     SAME batch FeatureModel DAG on each micro-batch via foreachBatch (the
@@ -1943,6 +2024,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_salient_terms": q_doc_salient_terms,
         "stream_turn_features": q_stream_turn_features,
         "stream_disorder_features": q_stream_disorder_features,
+        "stream_dedup": q_stream_dedup,
         "stream_model_features": q_stream_model_features,
         "store_compaction": q_store_compaction,
         "incremental_refresh": q_incremental_refresh,
@@ -3072,6 +3154,13 @@ SELECT event_id, user_id, event_type, prior_event_type, gap_secs,
                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS INT) AS session_id,
        event_seq, CAST(batch AS INT) AS batch_id
 FROM g
+""",
+        # stream dedup: the min-id-per-text BATCH semantics over the planted
+        # dup input collapses to exactly the original documents rows — any
+        # state failure (cross-batch leak or nondeterministic within-batch
+        # winner) surfaces extra/shifted doc_ids and breaks rows+hash
+        "stream_dedup": """
+SELECT doc_id, CAST(length(text) AS INT) AS char_len FROM documents
 """,
         # stream_turn_features' oracle is the BATCH formulation: the gate
         # hashes the stream ≡ batch equivalence of the stateful sessionizer

@@ -444,3 +444,53 @@ def session_windows_stream(
             "n_turns",
         )
     )
+
+
+def stateful_dedup_stream(
+    stream_df: DataFrame,
+    *,
+    id_col: str,
+    key_col: str,
+    keep_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Streaming first-occurrence exact dedup with cross-batch state.
+
+    Emits exactly one row per distinct ``key_col`` value across the whole
+    stream: the minimum-``id_col`` row of the key's FIRST micro-batch of
+    arrival; every later occurrence (same batch or any later batch) is
+    suppressed by a per-key seen-marker in GroupState. Unlike streaming
+    ``dropDuplicates`` the within-batch winner is DETERMINISTIC (min id),
+    not arrival order — so with batches ingested in id order the stream
+    output equals the batch semantics "keep the min-id row per key"
+    (``operators/dedup.py::exact_dedup``), which is what the driver gate
+    hashes.
+
+    The shuffle and the state key carry ``xxhash64(key_col)`` (8 bytes),
+    never the raw text — the same fingerprint contract (and the same
+    2^-64 collision caveat) as the batch exact dedup. State is O(1) per
+    distinct key with NO timeout: global exact dedup needs the full seen
+    set by definition. At 100 TB bound it by sharding the stream on the
+    fingerprint (state partitions by the groupBy key already) or, when the
+    dedup horizon is bounded in time, add a watermark TTL as in
+    :func:`stateful_turn_features_stream`.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    in_types = {f.name: f.dataType.simpleString() for f in stream_df.schema.fields}
+    out_fields = [id_col, *[c for c in keep_cols if c != id_col]]
+    out_schema = ", ".join(f"{c} {in_types[c]}" for c in out_fields)
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        if state.exists:
+            return
+        state.update((1,))
+        winner = rows.loc[[rows[id_col].idxmin()], out_fields]
+        yield winner
+
+    src = stream_df.withColumn("__fp", F.xxhash64(F.col(key_col)))
+    return src.groupBy("__fp").applyInPandasWithState(
+        update, out_schema, "seen int", "append", GroupStateTimeout.NoTimeout
+    )

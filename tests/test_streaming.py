@@ -480,3 +480,40 @@ def test_disorder_mode_inconsistent_data_matches_batch_order(spark, tmp_path):
     assert got["prior_role"].tolist()[1:] == ["user", "assistant", "user"]
     # the negative gap (o3 ts < o2 ts) does not open a session
     assert got["session_id"].tolist() == [0, 0, 0, 0]
+
+
+def test_stateful_dedup_stream_suppresses_cross_batch_dups(spark, tmp_path):
+    """Two micro-batches with overlapping texts: within-batch winner is the
+    MIN id (not arrival order), and batch-2 re-occurrences are suppressed
+    by state that crossed the boundary."""
+    import os as _os
+
+    import pandas as pd
+
+    from funcify_feature_eng_spark.streaming.runner import stateful_dedup_stream
+
+    src = str(tmp_path / "dsrc")
+    _os.makedirs(src)
+    b0 = pd.DataFrame(
+        {"doc_id": [7, 3, 12, 9], "text": ["aa", "aa", "bb", "cc"]}
+    )  # 'aa' twice in one batch -> id 3 must win
+    b1 = pd.DataFrame(
+        {"doc_id": [1, 20], "text": ["aa", "dd"]}
+    )  # 'aa' again (LOWER id, but batch 0 already owns it); 'dd' is new
+    for i, part in enumerate((b0, b1)):
+        fp = _os.path.join(src, f"b{i}.parquet")
+        part.to_parquet(fp)
+        _os.utime(fp, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    sch = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(sch).option("maxFilesPerTrigger", "1").parquet(src)
+    out = stateful_dedup_stream(stream, id_col="doc_id", key_col="text")
+    q = (
+        out.writeStream.format("memory").queryName("dedup_test_sink")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(180)
+    got = sorted(r["doc_id"] for r in spark.table("dedup_test_sink").collect())
+    # first-arrival-batch semantics: 'aa' -> 3 (NOT 1 from the later batch),
+    # 'bb' -> 12, 'cc' -> 9, 'dd' -> 20
+    assert got == [3, 9, 12, 20]
