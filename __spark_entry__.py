@@ -773,6 +773,37 @@ def q_conv_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact heavy-hitter profile of the entity key — the offline
+    full-fidelity counterpart of choose_asof_strategy's skew sampling."""
+    from funcify_feature_eng_spark.operators.profiling import key_skew_report
+
+    return key_skew_report(_t(spark, sf_dir, "events"), keys=["user_id"], top_k=10)
+
+
+def q_sessionize_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's NATIVE session_window in batch mode, hash-proved equivalent
+    to the windowed gap formulation. Semantics note: session_window starts
+    a new session when the inter-event gap is >= the gap duration (window
+    is [ts, ts+gap)), vs the engine's gap-based sessionizer which uses
+    strict >; the oracle encodes >= — the gate pins the native operator's
+    exact published boundary behavior. session_end = last event + gap by
+    definition (the window's expiry instant, not the last event)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            "user_id", F.session_window(F.col("ts").cast("timestamp"), "900 seconds")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
 def q_feature_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution drift of `value` between the two halves of the time
     range: per-bucket ref/cur counts + global TVD on an integer grid (no
@@ -2010,6 +2041,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resample_grid": q_resample_grid,
         "conv_rollup": q_conv_rollup,
         "feature_drift": q_feature_drift,
+        "skew_report": q_skew_report,
+        "sessionize_native": q_sessionize_native,
         "doc_quality": q_doc_quality,
         "event_props_extract": q_event_props_extract,
         "embedding_dup_pairs": q_embedding_dup_pairs,
@@ -2817,6 +2850,37 @@ SELECT c.bucket, c.cnt_ref, c.cnt_cur,
        CAST(t.n_ref AS BIGINT) AS n_ref, CAST(t.n_cur AS BIGINT) AS n_cur,
        CAST((t.num * 1000000) // (2 * t.n_ref * t.n_cur) AS BIGINT) AS tvd_e6
 FROM c, t
+""",
+        "skew_report": """
+WITH c AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_rows FROM events GROUP BY user_id),
+t AS (SELECT sum(n_rows) AS total FROM c)
+SELECT c.user_id, c.n_rows, CAST(t.total AS BIGINT) AS total,
+       CAST((c.n_rows * 1000000) // t.total AS BIGINT) AS share_e6
+FROM c, t
+ORDER BY c.n_rows DESC, c.user_id ASC
+LIMIT 10
+""",
+        # native session_window boundary: NEW session when gap >= 900s
+        # (window is [ts, ts+gap)); end = last event + gap by definition
+        "sessionize_native": """
+WITH g AS (
+  SELECT user_id, ts,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   >= 900000000 THEN 1 ELSE 0 END AS boundary
+  FROM events
+),
+s AS (
+  SELECT user_id, ts,
+         SUM(boundary) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM g
+)
+SELECT user_id,
+       min(ts) AS session_start,
+       max(ts) + INTERVAL 900 SECOND AS session_end,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM s GROUP BY user_id, sid
 """,
         "doc_quality": _doc_quality_sql(),
         "event_props_extract": (
