@@ -804,6 +804,44 @@ def q_sessionize_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-grain aggregate in ONE pass: Spark's native rollup emits
+    detail / per-type subtotal / grand total with grouping_id tagging the
+    grain — the OLAP summary table pattern (partial-aggregable, one
+    shuffle, no per-grain re-scan)."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.to_date("ts").alias("day"),
+        F.floor(F.col("value") * F.lit(1000000.0)).cast("long").alias("v_e6"),
+    )
+    return ev.rollup("event_type", "day").agg(
+        F.grouping_id().cast("int").alias("gid"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum("v_e6").cast("long").alias("sum_v_e6"),
+    )
+
+
+def q_emb_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroid in long form (label, dim, count, integer
+    component sum): posexplode + one combinable groupBy — the vector-mean
+    pattern IVF centroid refinement uses at scale (never collect vectors;
+    sums are partial-aggregable). Components on the e6 integer grid
+    (float→double is exact, one correctly-rounded multiply) so the hash is
+    cross-engine exact."""
+    emb = _t(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "label", F.posexplode("embedding").alias("pos", "x")
+    ).select(
+        "label",
+        F.col("pos").cast("int").alias("pos"),
+        F.floor(F.col("x").cast("double") * F.lit(1000000.0)).cast("long").alias("x_e6"),
+    )
+    return e.groupBy("label", "pos").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs"),
+        F.sum("x_e6").cast("long").alias("sum_e6"),
+    )
+
+
 def q_feature_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution drift of `value` between the two halves of the time
     range: per-bucket ref/cur counts + global TVD on an integer grid (no
@@ -2043,6 +2081,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "feature_drift": q_feature_drift,
         "skew_report": q_skew_report,
         "sessionize_native": q_sessionize_native,
+        "events_rollup": q_events_rollup,
+        "emb_centroids": q_emb_centroids,
         "doc_quality": q_doc_quality,
         "event_props_extract": q_event_props_extract,
         "embedding_dup_pairs": q_embedding_dup_pairs,
@@ -2881,6 +2921,32 @@ SELECT user_id,
        max(ts) + INTERVAL 900 SECOND AS session_end,
        CAST(count(*) AS BIGINT) AS n_events
 FROM s GROUP BY user_id, sid
+""",
+        # GROUPING() bitmask convention matches Spark grouping_id():
+        # detail=0, day-collapsed=1, grand total=3
+        "events_rollup": """
+WITH g AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(floor(value * 1000000.0) AS BIGINT) AS v_e6
+  FROM events
+)
+SELECT event_type, day,
+       CAST(GROUPING(event_type, day) AS INT) AS gid,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(v_e6) AS BIGINT) AS sum_v_e6
+FROM g GROUP BY ROLLUP(event_type, day)
+""",
+        # 1-indexed DuckDB list access -> pos = i-1 matches posexplode
+        "emb_centroids": """
+WITH e AS (
+  SELECT label, CAST(i - 1 AS INT) AS pos,
+         CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000.0) AS BIGINT) AS x_e6
+  FROM embeddings, LATERAL (SELECT unnest(range(1, len(embedding) + 1)) AS i) t
+)
+SELECT label, pos,
+       CAST(count(*) AS BIGINT) AS n_vecs,
+       CAST(sum(x_e6) AS BIGINT) AS sum_e6
+FROM e GROUP BY label, pos
 """,
         "doc_quality": _doc_quality_sql(),
         "event_props_extract": (
