@@ -137,12 +137,17 @@ def rolling_time_agg(
     val = F.col(value_col) if isinstance(value_col, str) else value_col
     epoch = F.floor(F.unix_micros(F.col(ts_col).cast("timestamp")) / F.lit(1000000)).cast("long")
     upper = 0 if include_current else -1
-    w = time_range_window(keys, epoch, -window_s, upper)
+    # materialize the order key as ONE attribute: inlining the epoch
+    # expression per window call would give each window a distinct order
+    # expression, defeating CollapseWindow — two WindowExec + two sorts
+    # instead of one of each (verified on the executed plan)
+    w = time_range_window(keys, "__es", -window_s, upper)
     return (
         df.withColumn("__v", val)
+        .withColumn("__es", epoch)
         .withColumn(f"{out_prefix}_cnt", F.count("__v").over(w).cast("long"))
         .withColumn(f"{out_prefix}_sum", F.coalesce(F.sum("__v").over(w), F.lit(0)).cast("long"))
-        .drop("__v")
+        .drop("__v", "__es")
     )
 
 
