@@ -55,17 +55,19 @@ def resample_to_grid(
     base = df.withColumn("__es", es)
 
     step = int(step_s)
-    bounds = base.groupBy(*keys).agg(
+    latest = base.groupBy(*keys, "__es").agg(
+        F.expr(f"max_by(`{value_col}`, `{tie_col}`)").alias("__v")
+    )
+    # bounds derive from the reduced per-second frame, not the base table:
+    # one scan of the input instead of two, and the bounds shuffle reads
+    # |distinct (keys, second)| rows instead of |rows|
+    bounds = latest.groupBy(*keys).agg(
         F.floor(F.min("__es") / step).cast("long").alias("__g0"),
         F.floor(F.max("__es") / step).cast("long").alias("__g1"),
     )
     grid = bounds.select(
         *keys, F.explode(F.sequence("__g0", "__g1")).alias("__gi")
     ).select(*keys, (F.col("__gi") * F.lit(step)).cast("long").alias("tick_es"))
-
-    latest = base.groupBy(*keys, "__es").agg(
-        F.expr(f"max_by(`{value_col}`, `{tie_col}`)").alias("__v")
-    )
     return asof_join(
         grid,
         latest,
