@@ -681,6 +681,42 @@ def q_rolling_time_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct event types per user over the trailing 24h, strictly prior
+    (set-valued RANGE frame — the 'breadth of recent activity' feature)."""
+    from funcify_feature_eng_spark.operators.windows import rolling_distinct_count
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts", "event_type")
+    return rolling_distinct_count(
+        ev, keys=["user_id"], ts_col="ts", col="event_type", window_s=86400,
+        out_col="n_types_24h",
+    ).select("event_id", "user_id", "n_types_24h")
+
+
+def q_parity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The north-star allclose check as a DISTRIBUTED operator: audit a
+    feature frame against a deliberately-perturbed twin (user 3 dropped →
+    presence violations; +1.0 planted on event_id % 997 == 0 → value
+    violations) and return exactly the planted violations. An engine
+    migration would run this with the reference's export as `right`."""
+    from funcify_feature_eng_spark.operators.parity import allclose_audit
+
+    a = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.floor(F.col("value") * F.lit(1000000.0)).cast("long").alias("v_e6"),
+    )
+    b = a.filter(F.col("user_id") != 3).withColumn(
+        "v_e6",
+        F.col("v_e6")
+        + F.when(F.col("event_id") % 997 == 0, F.lit(1000000)).otherwise(F.lit(0)),
+    )
+    return allclose_audit(
+        a.drop("user_id"), b.drop("user_id"), keys=["event_id"],
+        value_cols=["v_e6"], atol=0.5,
+    )
+
+
 def q_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Leakage-free cumulative target encoding of event_type by value.
 
@@ -2075,6 +2111,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_sequences": q_event_sequences,
         "user_running_stats": q_user_running_stats,
         "rolling_time_stats": q_rolling_time_stats,
+        "rolling_distinct": q_rolling_distinct,
+        "parity_audit": q_parity_audit,
         "target_encoding": q_target_encoding,
         "resample_grid": q_resample_grid,
         "conv_rollup": q_conv_rollup,
@@ -2801,6 +2839,35 @@ SELECT event_id, user_id,
 FROM g
 WINDOW w AS (PARTITION BY user_id ORDER BY es
              RANGE BETWEEN 3600 PRECEDING AND 1 PRECEDING)
+""",
+        "rolling_distinct": """
+WITH g AS (
+  SELECT event_id, user_id, event_type, epoch_us(ts) // 1000000 AS es FROM events
+)
+SELECT event_id, user_id,
+       CAST(count(DISTINCT event_type) OVER
+            (PARTITION BY user_id ORDER BY es
+             RANGE BETWEEN 86400 PRECEDING AND 1 PRECEDING) AS BIGINT) AS n_types_24h
+FROM g
+""",
+        # the audit must return EXACTLY the planted violations: dropped user
+        # -> left_only presence rows, +1.0 perturbation -> value rows
+        "parity_audit": """
+WITH a AS (
+  SELECT event_id, user_id, CAST(floor(value * 1000000.0) AS BIGINT) AS v FROM events
+),
+b AS (
+  SELECT event_id,
+         v + CASE WHEN event_id % 997 = 0 THEN 1000000 ELSE 0 END AS v
+  FROM a WHERE user_id <> 3
+)
+SELECT a.event_id, CAST(NULL AS VARCHAR) AS col, CAST(NULL AS DOUBLE) AS left_val,
+       CAST(NULL AS DOUBLE) AS right_val, 'left_only' AS kind
+FROM a LEFT JOIN b ON a.event_id = b.event_id WHERE b.event_id IS NULL
+UNION ALL
+SELECT a.event_id, 'v_e6' AS col, CAST(a.v AS DOUBLE) AS left_val,
+       CAST(b.v AS DOUBLE) AS right_val, 'value' AS kind
+FROM a JOIN b ON a.event_id = b.event_id WHERE abs(a.v - b.v) > 0.5
 """,
         # integer-grid smoothed cumulative mean: Spark `div` and DuckDB `//`
         # agree on non-negative BIGINT operands

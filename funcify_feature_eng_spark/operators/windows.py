@@ -151,6 +151,36 @@ def rolling_time_agg(
     )
 
 
+def rolling_distinct_count(
+    df: DataFrame,
+    *,
+    keys: Sequence[str],
+    ts_col: str,
+    col: str,
+    window_s: int,
+    out_col: str = "n_distinct_prev",
+    include_current: bool = False,
+) -> DataFrame:
+    """Distinct values of ``col`` per entity over the trailing event-time
+    window ("how many different tools did this user touch in the last
+    24 h") — ``size(collect_set(...))`` over a RANGE frame, JVM-side.
+
+    Strictly-prior by default (same leakage rule as
+    :func:`rolling_time_agg`). Per-row cost is O(frame distinct values):
+    fine for bounded-cardinality columns (roles, tools, event types);
+    for high-cardinality columns prefer a bucketed groupBy + as-of
+    alignment instead of a per-row set.
+    """
+    epoch = F.floor(F.unix_micros(F.col(ts_col).cast("timestamp")) / F.lit(1000000)).cast("long")
+    upper = 0 if include_current else -1
+    w = time_range_window(keys, "__es", -window_s, upper)
+    return (
+        df.withColumn("__es", epoch)
+        .withColumn(out_col, F.size(F.collect_set(col).over(w)).cast("long"))
+        .drop("__es")
+    )
+
+
 def turn_features(
     df: DataFrame,
     *,

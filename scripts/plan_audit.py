@@ -35,7 +35,9 @@ def audit(plan: str) -> dict[str, int]:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    args = [a for a in sys.argv[1:] if a != "--json"]
+    write_json = "--json" in sys.argv[1:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
     spark = get_spark("plan-audit", master="local[8]")
     rows = []
     for name, fn in entrymod.queries().items():
@@ -55,6 +57,16 @@ def main() -> int:
               f"{a['window']:>4} {a['scans']:>4} {a['pushed']:>4} "
               f"{a['py_udf']:>5} {a['arrow']:>5}{flag}")
     spark.stop()
+    if write_json:
+        import json
+
+        out_path = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "PLAN_AUDIT_local.json",
+        )
+        with open(out_path, "w") as fh:
+            json.dump({n: a for n, a in rows}, fh, indent=1)
+        print(f"wrote {out_path}")
     print("FLAGGED:", flagged)
     return 1 if flagged else 0
 
