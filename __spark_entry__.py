@@ -693,6 +693,22 @@ def q_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("event_id", "user_id", "n_types_24h")
 
 
+def q_context_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prompt-window assembly: the previous 3 turn types per user joined in
+    turn order, strictly prior (the row's own value never leaks into its
+    context). First rows get the empty string (no prior context)."""
+    from funcify_feature_eng_spark.operators.windows import prior_context_col
+
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        "user_id",
+        prior_context_col(
+            "event_type", ["user_id"], ["ts", "event_id"], k=3, sep="|"
+        ).alias("ctx3"),
+    )
+
+
 def q_parity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The north-star allclose check as a DISTRIBUTED operator: audit a
     feature frame against a deliberately-perturbed twin (user 3 dropped →
@@ -2112,6 +2128,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_running_stats": q_user_running_stats,
         "rolling_time_stats": q_rolling_time_stats,
         "rolling_distinct": q_rolling_distinct,
+        "context_concat": q_context_concat,
         "parity_audit": q_parity_audit,
         "target_encoding": q_target_encoding,
         "resample_grid": q_resample_grid,
@@ -2868,6 +2885,15 @@ UNION ALL
 SELECT a.event_id, 'v_e6' AS col, CAST(a.v AS DOUBLE) AS left_val,
        CAST(b.v AS DOUBLE) AS right_val, 'value' AS kind
 FROM a JOIN b ON a.event_id = b.event_id WHERE abs(a.v - b.v) > 0.5
+""",
+        # empty frame: Spark concat_ws(collect_list)='' vs DuckDB
+        # string_agg=NULL -> coalesce aligns them
+        "context_concat": """
+SELECT event_id, user_id,
+       coalesce(string_agg(event_type, '|') OVER
+                (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING), '') AS ctx3
+FROM events
 """,
         # integer-grid smoothed cumulative mean: Spark `div` and DuckDB `//`
         # agree on non-negative BIGINT operands

@@ -151,6 +151,24 @@ def rolling_time_agg(
     )
 
 
+def prior_context_col(
+    col: str,
+    keys: Sequence[str],
+    order: Sequence[str],
+    k: int,
+    sep: str = "\n",
+) -> Column:
+    """The context-assembly primitive: the previous ``k`` values of ``col``
+    joined in turn order — "the last k turns before this one", the prompt
+    window an LLM feature pipeline attaches to every turn. Strictly prior
+    (ROWS ``[-k, -1]``), so the row's own text never leaks into its
+    context. collect_list over a ROWS frame preserves the window's ORDER
+    BY order, making the concatenation deterministic given a total order.
+    """
+    w = ordered_window(keys, order).rowsBetween(-int(k), -1)
+    return F.concat_ws(sep, F.collect_list(F.col(col)).over(w))
+
+
 def rolling_distinct_count(
     df: DataFrame,
     *,
