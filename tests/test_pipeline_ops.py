@@ -196,7 +196,8 @@ def test_resize_stub_raises(spark, docs):
 
 
 def test_unregistered_kind_raises(spark, docs):
-    media = attach_fake_media(docs.limit(1), "doc_id", kind="video")
+    # "video" gained a default decoder; pointcloud stays unregistered
+    media = attach_fake_media(docs.limit(1), "doc_id", kind="pointcloud")
     with pytest.raises(Exception, match="no decoder registered"):
         extract_media_features(media, batch_cols=("doc_id",)).collect()
 
