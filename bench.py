@@ -37,6 +37,20 @@ def _force(df) -> int:
     return 0
 
 
+def _canary(spark) -> float:
+    """Fixed pure-JVM workload (range-sum of 2e9): a machine-quality probe.
+    The sandbox VM suffers MINUTE-SCALE noisy-neighbor windows that inflate
+    every timing uniformly (observed: the same executed plan at 2.4 s and
+    60 s in one session). The canary is timed at suite start and end so a
+    reading taken inside such a window is visible in the artifact instead
+    of masquerading as a code regression."""
+    from pyspark.sql import functions as F
+
+    t0 = time.time()
+    spark.range(2_000_000_000).agg(F.sum("id")).collect()
+    return round(time.time() - t0, 3)
+
+
 def flagship(spark, data_dir: str):
     """Turn features + strictly-prior as-of store join over transcripts —
     the BASELINE.json north-star job."""
@@ -72,6 +86,7 @@ def run_default() -> None:
     ensure_dataset(BENCH_DATA, n_convs=N_CONVS, seed=42, hot=HOT, n_files=64)
 
     times: dict[str, float] = {}
+    canary_start = _canary(spark)
     # flagship transcript workload (throughput metric): warm-up then
     # min-of-3 — the sandbox VM's available CPU drifts minute-to-minute,
     # and the driver artifact should carry the defensible (min) number
@@ -110,6 +125,18 @@ def run_default() -> None:
                     break
         times[name] = round(min(samples), 3)
 
+    # tail re-measure: if the head flagship runs fell in a steal window,
+    # two more runs after the suite recover the honest min (the min over
+    # all placements is the defensible number; every sample is published)
+    head_plain_tps = turns_per_sec  # same-window partner of bucketed_tps
+    for _ in range(2):
+        t0 = time.time()
+        _force(flagship(spark, BENCH_DATA))
+        flagship_runs.append(round(time.time() - t0, 3))
+    times["flagship_transcripts"] = min(flagship_runs)
+    turns_per_sec = round(n_turns / times["flagship_transcripts"], 1)
+    canary_end = _canary(spark)
+
     total = round(sum(times.values()), 3)
     print(json.dumps({
         "metric": "headline query wall time (flagship transcripts + operator suite)",
@@ -121,7 +148,11 @@ def run_default() -> None:
         "flagship_turns_per_sec": turns_per_sec,
         "flagship_runs_sec": flagship_runs,
         "flagship_bucketed_turns_per_sec": bucketed_tps,
-        "bucketed_over_plain": round(bucketed_tps / turns_per_sec, 3),
+        # ratio vs the HEAD plain runs: bucketed was measured adjacent to
+        # them, so this pair shares one machine window; the headline
+        # turns_per_sec may come from the (cleaner) tail placement
+        "bucketed_over_plain": round(bucketed_tps / head_plain_tps, 3),
+        "canary_range_sum_sec": {"start": canary_start, "end": canary_end},
         # no silent caps: the two intrinsically-quadratic EXACT all-pairs
         # baselines run corpus-bounded in timing mode (their at-scale paths
         # are minhash_lsh_pairs / ann_lsh|ivf, benched uncapped)
@@ -133,8 +164,10 @@ def run_default() -> None:
             "one Spark session local[{}] sf{}; every query forced end-to-end "
             "via noop write, timed adaptive min-of-2..4 (re-run until best "
             "two samples agree within 50%); flagship = warm-up then "
-            "min-of-3; bucketed flagship = pre-ingested bucketed+sorted "
-            "table, warm-up then min-of-2".format(cpus, sf)
+            "min-of-3 head + min-of-2 tail (min over all placements); "
+            "bucketed flagship = pre-ingested bucketed+sorted table, "
+            "warm-up then min-of-2; canary = fixed range-sum probe at "
+            "suite start/end exposing VM steal windows".format(cpus, sf)
         ),
     }))
     spark.stop()
