@@ -93,19 +93,29 @@ def run_default() -> None:
     # alongside the individual runs
     n_turns = spark.read.parquet(os.path.join(BENCH_DATA, "transcripts.parquet")).count()
     _ensure_bucketed_table(spark)  # ingest BEFORE any timing (disk traffic)
-    _force(flagship(spark, BENCH_DATA))
-    flagship_runs = []
-    for _ in range(3):
-        t0 = time.time()
-        _force(flagship(spark, BENCH_DATA))
-        flagship_runs.append(round(time.time() - t0, 3))
+    _force(flagship(spark, BENCH_DATA))  # warm plain
+    # plain and bucketed flagships STRICTLY ALTERNATE so each ratio pair
+    # shares one machine window — the VM's minute-scale steal bursts broke
+    # both orderings tried in earlier rounds ("after the suite" r3,
+    # "adjacent blocks" r4: the burst ended BETWEEN the blocks)
+    bjob, bn, brestore = _bucketed_job(spark)
+    flagship_runs, bucketed_runs, pair_ratios = [], [], []
+    try:
+        for _ in range(3):
+            t0 = time.time()
+            _force(flagship(spark, BENCH_DATA))
+            p = time.time() - t0
+            t0 = time.time()
+            _force(bjob())
+            b = time.time() - t0
+            flagship_runs.append(round(p, 3))
+            bucketed_runs.append(round(b, 3))
+            pair_ratios.append(round(p / b, 3))
+    finally:
+        brestore()
     times["flagship_transcripts"] = min(flagship_runs)
     turns_per_sec = round(n_turns / times["flagship_transcripts"], 1)
-    # bucketed flagship measured IMMEDIATELY after plain — same calm/steal
-    # window, so the bucketed-vs-plain ratio is defensible (round-3 lesson:
-    # measuring it after the whole suite conflated layout with session
-    # pressure)
-    bucketed_tps = _bucketed_flagship(spark)
+    bucketed_tps = round(bn / min(bucketed_runs), 1)
 
     for name, fn in entrymod.queries().items():
         # adaptive min-of-2..4: the sandbox VM suffers minute-scale
@@ -128,7 +138,6 @@ def run_default() -> None:
     # tail re-measure: if the head flagship runs fell in a steal window,
     # two more runs after the suite recover the honest min (the min over
     # all placements is the defensible number; every sample is published)
-    head_plain_tps = turns_per_sec  # same-window partner of bucketed_tps
     for _ in range(2):
         t0 = time.time()
         _force(flagship(spark, BENCH_DATA))
@@ -148,10 +157,12 @@ def run_default() -> None:
         "flagship_turns_per_sec": turns_per_sec,
         "flagship_runs_sec": flagship_runs,
         "flagship_bucketed_turns_per_sec": bucketed_tps,
-        # ratio vs the HEAD plain runs: bucketed was measured adjacent to
-        # them, so this pair shares one machine window; the headline
-        # turns_per_sec may come from the (cleaner) tail placement
-        "bucketed_over_plain": round(bucketed_tps / head_plain_tps, 3),
+        # median of per-pair ratios: each pair ran back-to-back in one
+        # machine window, so the ratio is steal-robust even when absolute
+        # times are not; all samples published
+        "bucketed_over_plain": sorted(pair_ratios)[len(pair_ratios) // 2],
+        "bucketed_runs_sec": bucketed_runs,
+        "bucketed_pair_ratios": pair_ratios,
         "canary_range_sum_sec": {"start": canary_start, "end": canary_end},
         # no silent caps: the two intrinsically-quadratic EXACT all-pairs
         # baselines run corpus-bounded in timing mode (their at-scale paths
@@ -164,10 +175,11 @@ def run_default() -> None:
             "one Spark session local[{}] sf{}; every query forced end-to-end "
             "via noop write, timed adaptive min-of-2..4 (re-run until best "
             "two samples agree within 50%); flagship = warm-up then "
-            "min-of-3 head + min-of-2 tail (min over all placements); "
-            "bucketed flagship = pre-ingested bucketed+sorted table, "
-            "warm-up then min-of-2; canary = fixed range-sum probe at "
-            "suite start/end exposing VM steal windows".format(cpus, sf)
+            "min over 3 head + 2 tail placements; bucketed flagship = "
+            "pre-ingested bucketed+sorted table, timed strictly "
+            "alternating with plain (per-pair ratios, median reported); "
+            "canary = fixed range-sum probe at suite start/end exposing "
+            "VM steal windows".format(cpus, sf)
         ),
     }))
     spark.stop()
@@ -189,14 +201,16 @@ def _ensure_bucketed_table(spark) -> None:
     ingest_bucketed(tr, table, bucket_col="conv_id", n_buckets=32)
 
 
-def _bucketed_flagship(spark) -> float:
-    """Time the feature pass over a bucketed+sorted table (ingest untimed).
+def _bucketed_job(spark):
+    """(job, n_rows, restore) for the feature pass over the bucketed+sorted
+    table (ingest untimed).
 
     ingest_bucketed writes ONE file per bucket, which makes it safe to let
     the scan report its sort order (spark.sql.legacy.bucketedTableScan.
     outputOrdering — off by default because multi-file buckets interleave
     their sorted runs): the window then needs neither the exchange NOR the
-    sort. The conf is scoped to this measurement and restored."""
+    sort. The conf stays set until ``restore()`` (the caller interleaves
+    timed runs with the plain flagship)."""
     from funcify_feature_eng_spark.operators.asof import asof_join
     from funcify_feature_eng_spark.operators.windows import turn_features
 
@@ -216,21 +230,17 @@ def _bucketed_flagship(spark) -> float:
     conf_key = "spark.sql.legacy.bucketedTableScan.outputOrdering"
     prior = spark.conf.get(conf_key, "false")
     spark.conf.set(conf_key, "true")
-    try:
-        # assert the layout property the timing claims: zero hash exchange
-        # AND zero sort on the transcript side (only the tiny store-side
-        # agg exchange + broadcast remain)
-        plan = job()._jdf.queryExecution().executedPlan().toString()
-        assert "Sort [conv_id" not in plan, "bucketed scan failed to elide sort"
-        _force(job())  # warm
-        best = float("inf")
-        for _ in range(2):
-            t0 = time.time()
-            _force(job())
-            best = min(best, time.time() - t0)
-    finally:
+    # assert the layout property the timing claims: zero hash exchange
+    # AND zero sort on the transcript side (only the tiny store-side
+    # agg exchange + broadcast remain)
+    plan = job()._jdf.queryExecution().executedPlan().toString()
+    assert "Sort [conv_id" not in plan, "bucketed scan failed to elide sort"
+    _force(job())  # warm
+
+    def restore():
         spark.conf.set(conf_key, prior)
-    return round(n / best, 1)
+
+    return job, n, restore
 
 
 def run_single(cores: str) -> None:
