@@ -157,10 +157,14 @@ def run_default() -> None:
         "flagship_turns_per_sec": turns_per_sec,
         "flagship_runs_sec": flagship_runs,
         "flagship_bucketed_turns_per_sec": bucketed_tps,
-        # median of per-pair ratios: each pair ran back-to-back in one
-        # machine window, so the ratio is steal-robust even when absolute
-        # times are not; all samples published
-        "bucketed_over_plain": sorted(pair_ratios)[len(pair_ratios) // 2],
+        # ratio of minima: steal only ever INFLATES a sample, so each
+        # side's min is its cleanest observed window and the ratio of mins
+        # is the defensible layout claim (a burst inside one alternating
+        # pair was observed to distort even per-pair ratios to 18x);
+        # per-pair ratios stay published as same-window evidence
+        "bucketed_over_plain": round(
+            times["flagship_transcripts"] / min(bucketed_runs), 3
+        ),
         "bucketed_runs_sec": bucketed_runs,
         "bucketed_pair_ratios": pair_ratios,
         "canary_range_sum_sec": {"start": canary_start, "end": canary_end},
@@ -177,7 +181,9 @@ def run_default() -> None:
             "two samples agree within 50%); flagship = warm-up then "
             "min over 3 head + 2 tail placements; bucketed flagship = "
             "pre-ingested bucketed+sorted table, timed strictly "
-            "alternating with plain (per-pair ratios, median reported); "
+            "alternating with plain; bucketed_over_plain = ratio of "
+            "per-side minima (steal only inflates, so each min is that "
+            "side's cleanest window), per-pair ratios published; "
             "canary = fixed range-sum probe at suite start/end exposing "
             "VM steal windows".format(cpus, sf)
         ),
