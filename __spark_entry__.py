@@ -733,6 +733,60 @@ def q_parity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sft_examples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supervised-example capstone: one job assembling, per turn,
+    strictly-prior FEATURES (context window, trailing-hour activity,
+    cumulative type encoding, session id) and a strictly-FUTURE label
+    (the next event type). The leakage contract is structural: every
+    feature frame ends at -1 row/second, the label starts at +1 — the
+    north rule's zero-temporal-leakage requirement as a composed
+    pipeline. Rows without a next event (each user's last) are dropped,
+    as a trainer would."""
+    from funcify_feature_eng_spark.operators.encoding import cumulative_target_encode
+    from funcify_feature_eng_spark.operators.windows import (
+        prior_context_col,
+        rolling_time_agg,
+        session_id,
+    )
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "ts",
+        F.floor(F.col("value") * F.lit(1000000.0)).cast("long").alias("v_e6"),
+    )
+    keys, order = ["user_id"], ["ts", "event_id"]
+    # stage order matters for shuffles: the type-partitioned encoding runs
+    # FIRST so the user-partitioned windows (rolling + context + session +
+    # label) sit adjacent and share ONE user_id exchange — type-between-user
+    # ordering costs a third exchange (verified with the plan audit)
+    base = cumulative_target_encode(
+        ev,
+        category_col="event_type",
+        target_col="v_e6",
+        order=order,
+        smoothing_m=10,
+        prior=245000000,
+        out_col="type_enc_e6",
+    )
+    base = rolling_time_agg(
+        base, keys=keys, ts_col="ts", value_col="v_e6", window_s=3600, out_prefix="h1"
+    )
+    w = Window.partitionBy(*keys).orderBy(*[F.col(c).asc() for c in order])
+    out = base.select(
+        "event_id",
+        "user_id",
+        prior_context_col("event_type", keys, order, k=3, sep="|").alias("ctx3"),
+        F.col("h1_cnt").alias("n_prev_1h"),
+        F.col("h1_sum").alias("sum_prev_1h_e6"),
+        "type_enc_e6",
+        session_id("ts", keys, order, gap_threshold_s=900.0).alias("session_id"),
+        F.lead("event_type").over(w).alias("label_next_type"),
+    )
+    return out.filter(F.col("label_next_type").isNotNull())
+
+
 def q_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Leakage-free cumulative target encoding of event_type by value.
 
@@ -2131,6 +2185,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "context_concat": q_context_concat,
         "parity_audit": q_parity_audit,
         "target_encoding": q_target_encoding,
+        "sft_examples": q_sft_examples,
         "resample_grid": q_resample_grid,
         "conv_rollup": q_conv_rollup,
         "feature_drift": q_feature_drift,
@@ -2894,6 +2949,43 @@ SELECT event_id, user_id,
                 (PARTITION BY user_id ORDER BY ts, event_id
                  ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING), '') AS ctx3
 FROM events
+""",
+        # the capstone composes the gated pieces; structural leakage rule:
+        # feature frames end at -1, the label starts at +1
+        "sft_examples": """
+WITH o AS (
+  SELECT event_id, user_id, event_type, ts, epoch_us(ts) AS us,
+         epoch_us(ts) // 1000000 AS es,
+         CAST(floor(value * 1000000.0) AS BIGINT) AS v_e6
+  FROM events
+),
+g AS (
+  SELECT event_id, user_id, ts, event_type,
+    coalesce(string_agg(event_type, '|') OVER
+             (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING), '') AS ctx3,
+    CAST(count(v_e6) OVER wr AS BIGINT) AS n_prev_1h,
+    CAST(coalesce(sum(v_e6) OVER wr, 0) AS BIGINT) AS sum_prev_1h_e6,
+    count(v_e6) OVER we AS enc_cnt,
+    coalesce(sum(v_e6) OVER we, 0) AS enc_sum,
+    CASE WHEN us - lag(us) OVER wo > 900000000 THEN 1 ELSE 0 END AS boundary,
+    lead(event_type) OVER wo AS label_next_type
+  FROM o
+  WINDOW wr AS (PARTITION BY user_id ORDER BY es
+                RANGE BETWEEN 3600 PRECEDING AND 1 PRECEDING),
+         we AS (PARTITION BY event_type ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         wo AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT event_id, user_id, ctx3, n_prev_1h, sum_prev_1h_e6,
+       CAST((enc_sum + 10::BIGINT * 245000000::BIGINT) // (enc_cnt + 10) AS BIGINT)
+         AS type_enc_e6,
+       CAST(SUM(boundary) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS INT)
+         AS session_id,
+       label_next_type
+FROM g
+WHERE label_next_type IS NOT NULL
 """,
         # integer-grid smoothed cumulative mean: Spark `div` and DuckDB `//`
         # agree on non-negative BIGINT operands
