@@ -52,6 +52,11 @@ def drift_report(
 
     if split_us is None:
         lo, hi = base.agg(F.min("__us"), F.max("__us")).first()
+        if lo is None:
+            raise ValueError(
+                "drift_report: no rows with a non-NULL timestamp — pass an "
+                "explicit split_us or fix the event-time column"
+            )
         split_us = (int(lo) + int(hi)) // 2
 
     bucket = F.least(

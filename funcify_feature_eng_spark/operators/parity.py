@@ -40,6 +40,10 @@ def allclose_audit(
     ``|l - r| > atol + rtol*|r|`` (numpy.isclose's asymmetric rule).
     NULL vs non-NULL is a value violation; NULL vs NULL is close.
     Empty result = the frames are allclose.
+
+    ``keys`` must uniquely identify a row ON EACH SIDE (the audit grain is
+    entity×timestamp); duplicate keys would cross-multiply in the
+    full-outer join and report phantom comparisons.
     """
     lt = left.select(
         *keys, F.lit(1).alias("__lp"), *[F.col(c).alias(f"__l_{c}") for c in value_cols]

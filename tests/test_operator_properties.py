@@ -211,3 +211,79 @@ def test_minhash_lsh_vs_exact_jaccard_random(spark, docs, mutate_at):
         for b in range(a + 1, len(texts)):
             if jac(texts[a], texts[b]) >= 0.75:
                 assert (a, b) in got, f"missed pair ({a},{b})"
+
+
+rolling_rows = st.lists(
+    st.tuples(
+        st.sampled_from(["u1", "u2"]),      # entity
+        st.integers(min_value=0, max_value=50),  # offset seconds
+        st.integers(min_value=0, max_value=100),  # integer value
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+
+@SETTLE
+@given(rows=rolling_rows, window_s=st.sampled_from([1, 5, 20]))
+def test_rolling_time_agg_matches_brute_force(spark, rows, window_s):
+    """Randomized clocks with heavy ties: the RANGE frame must equal the
+    brute-force 'all rows of my entity in [es-w, es-1]' definition."""
+    import datetime as dt
+
+    from funcify_feature_eng_spark.operators.windows import rolling_time_agg
+
+    t0 = dt.datetime(2024, 1, 1)
+    data = [
+        (i, u, t0 + dt.timedelta(seconds=off), v)
+        for i, (u, off, v) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(data, "event_id long, u string, ts timestamp, v long")
+    got = {
+        r["event_id"]: (r["prev_cnt"], r["prev_sum"])
+        for r in rolling_time_agg(
+            df, keys=["u"], ts_col="ts", value_col="v", window_s=window_s
+        ).collect()
+    }
+    for i, u, ts, _v in data:
+        es = int(ts.timestamp())
+        prior = [
+            v2 for (_j, u2, ts2, v2) in data
+            if u2 == u and es - window_s <= int(ts2.timestamp()) <= es - 1
+        ]
+        assert got[i] == (len(prior), sum(prior)), (i, window_s)
+
+
+@SETTLE
+@given(rows=rolling_rows)
+def test_cumulative_target_encode_matches_brute_force(spark, rows):
+    """Strictly-prior per-category smoothed mean over a random total order
+    (category reused as the entity column; ties broken by event_id)."""
+    import datetime as dt
+
+    from funcify_feature_eng_spark.operators.encoding import cumulative_target_encode
+
+    M, PRIOR = 3, 7
+    t0 = dt.datetime(2024, 1, 1)
+    data = [
+        (i, u, t0 + dt.timedelta(seconds=off), v)
+        for i, (u, off, v) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(data, "event_id long, cat string, ts timestamp, v long")
+    got = {
+        r["event_id"]: (r["enc_cnt"], r["enc_sum"], r["enc"])
+        for r in cumulative_target_encode(
+            df, category_col="cat", target_col="v", order=("ts", "event_id"),
+            smoothing_m=M, prior=PRIOR, out_col="enc",
+        ).collect()
+    }
+    for cat in {u for _i, u, _t, _v in data}:
+        sub = sorted(
+            [(ts, i, v) for (i, u, ts, v) in data if u == cat],
+            key=lambda t: (t[0], t[1]),
+        )
+        cnt = ssum = 0
+        for ts, i, v in sub:
+            assert got[i] == (cnt, ssum, (ssum + M * PRIOR) // (cnt + M)), i
+            cnt += 1
+            ssum += v
