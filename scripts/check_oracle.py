@@ -137,6 +137,8 @@ def main() -> int:
         import json
 
         rn = os.environ.get("SPARK_GRAFT_ROUND", "")
+        if rn.isdigit():
+            rn = rn.zfill(2)  # r4 and r04 must not fork into two artifacts
         out_path = os.path.join(
             os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
             f"CORRECTNESS_local{('_r' + rn) if rn else ''}.json",
