@@ -38,7 +38,11 @@ from funcify_feature_eng_spark.functions.scalars import to_snake_case
 from funcify_feature_eng_spark.operators import windows as W
 from funcify_feature_eng_spark.operators.asof import asof_join
 
-_WINDOW_OPS = {"lag", "lead", "ffill", "ffill_strict", "bfill", "gap", "session", "row_number"}
+_WINDOW_OPS = {
+    "lag", "lead", "ffill", "ffill_strict", "bfill", "gap", "session", "row_number",
+    # event-time RANGE frames + context assembly (all strictly prior)
+    "rolling_count", "rolling_sum", "rolling_distinct", "context",
+}
 
 
 @dataclass
@@ -439,4 +443,24 @@ class FeatureModel:
             )
         if op == "row_number":
             return W.row_number_col(keys, order)
+        if op in ("rolling_count", "rolling_sum", "rolling_distinct"):
+            # strictly-prior event-time RANGE frame over the model's
+            # event_time. The epoch order key is inlined per feature, so
+            # two rolling features build two WindowExec nodes over the SAME
+            # exchange — declarative-layer convenience; the fused one-pass
+            # form is operators/windows.py::rolling_time_agg
+            w_s = int(spec.params.get("window_s", 3600))
+            epoch = F.floor(
+                F.unix_micros(F.col(self.event_time).cast("timestamp")) / F.lit(1000000)
+            ).cast("long")
+            wspec = W.time_range_window(keys, epoch, -w_s, -1)
+            if op == "rolling_count":
+                return F.count(F.col(c)).over(wspec).cast("long")
+            if op == "rolling_sum":
+                return F.coalesce(F.sum(F.col(c)).over(wspec), F.lit(0)).cast("long")
+            return F.size(F.collect_set(F.col(c)).over(wspec)).cast("long")
+        if op == "context":
+            return W.prior_context_col(
+                c, keys, order, int(spec.params.get("k", 3)), spec.params.get("sep", "|")
+            )
         raise PlanError(f"unhandled window op {op!r}")

@@ -274,3 +274,47 @@ def test_convention_equivalent_column_as_feature_arg(spark):
     m.declare_transformer_feature("clean_idx", "negative_to_null", ["turnIdx"])
     out = m.materialize(spine, ["user_id", "clean_idx"]).collect()
     assert out[0]["clean_idx"] == 3
+
+
+def test_rolling_and_context_window_ops_in_model(spark):
+    """The declarative layer's rolling/context ops must equal the direct
+    operator formulations on a tie-heavy frame."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from funcify_feature_eng_spark.operators.windows import (
+        prior_context_col,
+        rolling_time_agg,
+    )
+    from funcify_feature_eng_spark.plans.model import FeatureModel
+
+    rows = [
+        (1, "a", 0, 10, "x"), (2, "a", 0, 20, "y"), (3, "a", 5, 30, "x"),
+        (4, "a", 4000, 40, "z"), (5, "b", 2, 50, "x"),
+    ]
+    pdf = pd.DataFrame(rows, columns=["event_id", "u", "off", "v", "t"])
+    pdf["ts"] = pdf["off"].map(lambda s: dt.datetime(2024, 1, 1) + dt.timedelta(seconds=int(s)))
+    df = spark.createDataFrame(pdf.drop(columns=["off"]))
+
+    m = FeatureModel(entity_key="u", order=("ts", "event_id"), event_time="ts")
+    m.declare_window_feature("n_1h", op="rolling_count", col="v", window_s=3600)
+    m.declare_window_feature("sum_1h", op="rolling_sum", col="v", window_s=3600)
+    m.declare_window_feature("kinds_1h", op="rolling_distinct", col="t", window_s=3600)
+    m.declare_window_feature("ctx", op="context", col="t", k=2, sep="|")
+    got = (
+        m.materialize(df, columns=["event_id", "n_1h", "sum_1h", "kinds_1h", "ctx"])
+        .orderBy("event_id")
+        .toPandas()
+    )
+
+    direct = rolling_time_agg(df, keys=["u"], ts_col="ts", value_col="v", window_s=3600)
+    direct = direct.withColumn(
+        "ctx", prior_context_col("t", ["u"], ["ts", "event_id"], k=2, sep="|")
+    ).orderBy("event_id").toPandas()
+    assert got["n_1h"].tolist() == direct["prev_cnt"].tolist()
+    assert got["sum_1h"].tolist() == direct["prev_sum"].tolist()
+    assert got["ctx"].tolist() == direct["ctx"].tolist()
+    # distinct: hand-check — rows 1,2 (t=0s) see nothing; row 3 sees {x,y};
+    # row 4 (4000s) sees nothing within 3600; row 5 first of its entity
+    assert got["kinds_1h"].tolist() == [0, 0, 2, 0, 0]
