@@ -96,7 +96,7 @@ _TOKEN_RE = re.compile(
   | (?P<num>\d+(?:\.\d+)?(?:[eE][+-]?\d+)?)
   | (?P<str>"(?:[^"\\]|\\.)*")
   | (?P<field>\.[A-Za-z_][A-Za-z0-9_]*)
-  | (?P<op>//|==|!=|<=|>=|\||<|>|\+|-|\*|/|%|\(|\)|\[|\]|\.)
+  | (?P<op>//|==|!=|<=|>=|\||<|>|\+|-|\*|/|%|\(|\)|\[|\]|\.|;)
   | (?P<ident>[A-Za-z_][A-Za-z0-9_]*)
     """,
     re.VERBOSE,
@@ -137,7 +137,9 @@ _BUILTINS = {"length", "floor", "ceil", "fabs", "abs", "tostring", "tonumber",
 # one-argument builtins, called as name(arg) — jq separates args with ';'
 # but every supported builtin is unary so no separator handling is needed
 _ARG_BUILTINS = {"join", "split", "ltrimstr", "rtrimstr", "startswith",
-                 "endswith", "test"}
+                 "endswith", "test", "select"}
+# two-argument builtins, name(a; b) — jq separates arguments with ';'
+_ARG2_BUILTINS = {"sub", "gsub"}
 
 
 class _Parser:
@@ -289,6 +291,19 @@ class _Parser:
                 if t != ("op", ")"):
                     raise ValueError(f"jq parse: expected ')' after {v} arg, got {t}")
                 return ("call", v, arg)
+            if v in _ARG2_BUILTINS:
+                if self.peek() != ("op", "("):
+                    raise ValueError(f"jq: {v} requires (regex; replacement)")
+                self.next()
+                a1 = self.pipe()
+                t = self.next()
+                if t != ("op", ";"):
+                    raise ValueError(f"jq parse: expected ';' in {v}(..; ..), got {t}")
+                a2 = self.pipe()
+                t = self.next()
+                if t != ("op", ")"):
+                    raise ValueError(f"jq parse: expected ')' after {v} args, got {t}")
+                return ("call2", v, a1, a2)
             if v in _BUILTINS:
                 return ("builtin", v)
             raise ValueError(f"jq: unsupported function {v!r}")
@@ -404,6 +419,8 @@ def _compile(node, cur: Column, t: str) -> tuple[Column, str]:
         return _builtin(node[1], cur, t)
     if kind == "call":
         return _call(node[1], node[2], cur, t)
+    if kind == "call2":
+        return _call2(node[1], node[2], node[3], cur, t)
     if kind == "not":
         return ~F.coalesce(_truthy(cur, t), F.lit(False)), "boolean"
     if kind == "neg":
@@ -568,6 +585,42 @@ def _call(name: str, arg_node, cur: Column, t: str) -> tuple[Column, str]:
         # Java regex flavor, not jq's Oniguruma — identical for the common
         # character-class/anchor/quantifier core
         return cur.rlike(lit), "boolean"
+    if name == "select":
+        # jq select: the input when the predicate holds, EMPTY otherwise;
+        # in the columnar mapping empty collapses to NULL (module doc) —
+        # the same scalar-unwrap rule the reference applies to empty jq
+        # streams (DefaultJacksonJqTransformer.kt:134-207)
+        return F.when(F.coalesce(_truthy(arg, at), F.lit(False)), cur), t
+    raise ValueError(f"jq: unsupported function {name!r}")
+
+
+def _java_repl(repl: str) -> str:
+    """Escape a literal replacement for Java's Matcher semantics ($ and \
+    are special). jq's own replacement-string extras (\(.x) interpolation,
+    named-capture refs) are not supported — literal replacements only."""
+    return repl.replace("\\", "\\\\").replace("$", "\\$")
+
+
+def _call2(name: str, a1, a2, cur: Column, t: str) -> tuple[Column, str]:
+    """sub/gsub(regex; replacement) with literal arguments."""
+    if a1[0] != "lit" or not isinstance(a1[1], str):
+        raise ValueError(f"jq: {name} requires a literal regex first argument")
+    if a2[0] != "lit" or not isinstance(a2[1], str):
+        raise ValueError(f"jq: {name} requires a literal replacement argument")
+    if t not in ("string", "any"):
+        raise ValueError(f"jq: {name} on static type {t}")
+    regex, repl = a1[1], _java_repl(a2[1])
+    if name == "gsub":
+        return F.regexp_replace(cur, regex, repl), "string"
+    if name == "sub":
+        # first-occurrence-only: anchor at \A with a lazy prefix group —
+        # the composed pattern can match at most once, so regexp_replace's
+        # replace-all collapses to replace-first; $1 restores the prefix
+        # (always group 1: it opens first, before any group in `regex`)
+        return (
+            F.regexp_replace(cur, r"(?s)\A(.*?)(?:" + regex + ")", "$1" + repl),
+            "string",
+        )
     raise ValueError(f"jq: unsupported function {name!r}")
 
 

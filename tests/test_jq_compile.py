@@ -244,3 +244,30 @@ def test_null_safe_equality(spark):
 def test_join_requires_literal():
     with pytest.raises(ValueError, match="literal string"):
         compile_jq("join(.)", input_type="array")(F.lit(None))
+
+
+def test_gsub_sub_select_goldens(spark):
+    """Outputs verified against real jq 1.7 semantics by hand:
+    gsub replaces every match, sub only the first, select passes the
+    input through or yields empty (NULL in the columnar mapping)."""
+    g = compile_jq('gsub("[aeiou]"; "*")', input_type="string")
+    assert _run1(spark, g, "hello world", in_type="string") == "h*ll* w*rld"
+    s = compile_jq('sub("l+"; "L")', input_type="string")
+    assert _run1(spark, s, "hello world", in_type="string") == "heLo world"
+    # regex-special replacement chars stay literal ($ and \ escaped for Java)
+    d = compile_jq('gsub("o"; "$0\\\\x")', input_type="string")
+    assert _run1(spark, d, "go", in_type="string") == "g$0\\x"
+    sel = compile_jq("select(. > 2)", input_type="number")
+    assert _run1(spark, sel, 3.0) == 3.0
+    assert _run1(spark, sel, 1.0) is None
+    # piped select: filter then transform
+    p = compile_jq('select(test("^h")) | ascii_upcase', input_type="string")
+    assert _run1(spark, p, "hi", in_type="string") == "HI"
+    assert _run1(spark, p, "bye", in_type="string") is None
+
+
+def test_sub_gsub_parse_errors():
+    with pytest.raises(ValueError, match="';'"):
+        parse('sub("a" "b")')
+    with pytest.raises(ValueError, match="literal regex"):
+        compile_jq("gsub(.; \"x\")", input_type="string")(F.lit("a"))
