@@ -733,6 +733,42 @@ def q_parity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_temporal_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-entity temporal train/eval split (last 20% of each user's rows by
+    time = eval). A hash split here would train on events LATER than the
+    same user's eval rows — the temporal rule is the leakage-safe protocol
+    for temporal features."""
+    from funcify_feature_eng_spark.operators.sampling import temporal_split
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    return temporal_split(
+        ev, keys=["user_id"], order=["ts", "event_id"], eval_fraction_pct=20
+    ).select("event_id", "user_id", "split")
+
+
+def q_future_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prediction-target builder: did the user purchase within the NEXT 7
+    days (strictly after this row)? The same RANGE primitive as the
+    trailing features, bounds flipped to (1, +604800) — leakage here would
+    be using the row's own second, so the lower bound is +1."""
+    from funcify_feature_eng_spark.operators.windows import time_range_window
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(F.col("event_type") == "purchase", F.lit(1)).alias("is_p"),
+    )
+    es = F.floor(F.unix_micros(F.col("ts").cast("timestamp")) / F.lit(1000000)).cast("long")
+    base = ev.withColumn("__es", es)
+    w = time_range_window(["user_id"], "__es", 1, 604800)
+    return base.select(
+        "event_id",
+        "user_id",
+        (F.count("is_p").over(w) > 0).cast("int").alias("label_buys_7d"),
+    )
+
+
 def q_sft_examples(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Supervised-example capstone: one job assembling, per turn,
     strictly-prior FEATURES (context window, trailing-hour activity,
@@ -2186,6 +2222,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "parity_audit": q_parity_audit,
         "target_encoding": q_target_encoding,
         "sft_examples": q_sft_examples,
+        "temporal_split": q_temporal_split,
+        "future_label": q_future_label,
         "resample_grid": q_resample_grid,
         "conv_rollup": q_conv_rollup,
         "feature_drift": q_feature_drift,
@@ -2949,6 +2987,32 @@ SELECT event_id, user_id,
                 (PARTITION BY user_id ORDER BY ts, event_id
                  ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING), '') AS ctx3
 FROM events
+""",
+        "temporal_split": """
+WITH g AS (
+  SELECT event_id, user_id,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+         count(*) OVER (PARTITION BY user_id) AS n
+  FROM events
+)
+SELECT event_id, user_id,
+       CASE WHEN rn * 100 > n * 80 THEN 'eval' ELSE 'train' END AS split
+FROM g
+""",
+        # future RANGE frame [+1s, +7d]: the label window starts strictly
+        # after the row's own second (mirror of the trailing features)
+        "future_label": """
+WITH g AS (
+  SELECT event_id, user_id, epoch_us(ts) // 1000000 AS es,
+         CASE WHEN event_type = 'purchase' THEN 1 END AS is_p
+  FROM events
+)
+SELECT event_id, user_id,
+       CAST(CASE WHEN count(is_p) OVER
+                 (PARTITION BY user_id ORDER BY es
+                  RANGE BETWEEN 1 FOLLOWING AND 604800 FOLLOWING) > 0
+            THEN 1 ELSE 0 END AS INT) AS label_buys_7d
+FROM g
 """,
         # the capstone composes the gated pieces; structural leakage rule:
         # feature frames end at -1, the label starts at +1

@@ -13,6 +13,8 @@ what production uses and is covered by tests/fixtures).
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -201,3 +203,38 @@ def interleave_by_ratio(
     rank = F.row_number().over(w).cast("double")
     weight = cases  # NULL for unlisted sources → NULL mix_pos
     return df.withColumn(out_col, (rank - F.lit(1.0) + F.lit(0.5)) / weight)
+
+
+def temporal_split(
+    df: DataFrame,
+    *,
+    keys: Sequence[str],
+    order: Sequence[str],
+    eval_fraction_pct: int = 20,
+    out_col: str = "split",
+) -> DataFrame:
+    """Per-entity TEMPORAL train/eval split: each entity's last
+    ``eval_fraction_pct`` percent of rows (in time order) become ``eval``,
+    the rest ``train`` — the leakage-safe evaluation protocol for temporal
+    features (a hash split would let the model train on events LATER than
+    its eval rows for the same entity; see [[assign_split]] for the
+    i.i.d.-document case where hashing is correct).
+
+    Pure integer rule, deterministic under any layout:
+    row is eval iff ``rn * 100 > n * (100 - pct)`` with ``rn`` the 1-based
+    time rank and ``n`` the entity's row count. One window pass (rank and
+    count share the entity partitioning).
+    """
+    from pyspark.sql import Window
+
+    pct = int(eval_fraction_pct)
+    if not 0 < pct < 100:
+        raise ValueError(f"eval_fraction_pct must be in (0, 100), got {pct}")
+    wo = Window.partitionBy(*keys).orderBy(*[F.col(c).asc() for c in order])
+    wa = Window.partitionBy(*keys)
+    rn = F.row_number().over(wo)
+    n = F.count(F.lit(1)).over(wa)
+    return df.withColumn(
+        out_col,
+        F.when(rn * 100 > n * (100 - pct), F.lit("eval")).otherwise(F.lit("train")),
+    )

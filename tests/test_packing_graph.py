@@ -222,3 +222,33 @@ def test_length_bucketed_batches(spark):
     key = ["doc_id"]
     assert out.sort_values(key).reset_index(drop=True).equals(
         again.sort_values(key).reset_index(drop=True))
+
+
+def test_temporal_split_is_a_time_suffix(spark):
+    """eval rows are exactly each entity's LAST ceil(n*pct/100) rows in time
+    order — never interleaved with train rows."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from funcify_feature_eng_spark.operators.sampling import temporal_split
+
+    rows = []
+    for u, n in (("a", 10), ("b", 4), ("c", 1)):
+        for i in range(n):
+            rows.append((u, i, dt.datetime(2024, 1, 1) + dt.timedelta(minutes=i)))
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["u", "i", "ts"]))
+    out = (
+        temporal_split(df, keys=["u"], order=["ts", "i"], eval_fraction_pct=20)
+        .orderBy("u", "i")
+        .toPandas()
+    )
+    for u, n in (("a", 10), ("b", 4), ("c", 1)):
+        sub = out[out["u"] == u]
+        n_eval = sum(1 for rn in range(1, n + 1) if rn * 100 > n * 80)
+        labels = sub["split"].tolist()
+        assert labels == ["train"] * (n - n_eval) + ["eval"] * n_eval, (u, labels)
+    # a=10 -> last 2 eval; b=4 -> last 1; c=1 -> its only row is eval (rn*100 > n*80)
+    assert out[out["u"] == "a"]["split"].tolist().count("eval") == 2
+    assert out[out["u"] == "b"]["split"].tolist().count("eval") == 1
+    assert out[out["u"] == "c"]["split"].tolist() == ["eval"]
