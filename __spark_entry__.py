@@ -733,6 +733,77 @@ def q_parity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_session_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-grain window composition: derive session_id (cumsum window),
+    then attach SESSION-grain context to every turn via a second window
+    partitioned on the derived (user, session) key — turn position within
+    session, session length, session span. No join: the session key is a
+    window product, so the whole thing is two window passes over one
+    exchange each."""
+    from funcify_feature_eng_spark.operators.windows import session_id
+
+    ev = _t(spark, sf_dir, "events")
+    keys, order = ["user_id"], ["ts", "event_id"]
+    g = ev.withColumn("session_id", session_id("ts", keys, order, 900.0))
+    ws = Window.partitionBy("user_id", "session_id")
+    wso = ws.orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    return g.select(
+        "event_id",
+        "user_id",
+        "session_id",
+        F.row_number().over(wso).cast("int").alias("turn_in_session"),
+        F.count(F.lit(1)).over(ws).cast("long").alias("session_len"),
+        (F.max(us).over(ws) - F.min(us).over(ws)).cast("long").alias("session_span_us"),
+    )
+
+
+def q_calendar_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar bundle under the session's pinned UTC zone: dow (ISO
+    1=Mon..7=Sun), hour, day-of-month, weekend flag."""
+    ev = _t(spark, sf_dir, "events")
+    ts = F.col("ts").cast("timestamp")
+    dow = F.dayofweek(ts)  # Spark: 1=Sunday..7=Saturday
+    iso_dow = F.when(dow == 1, F.lit(7)).otherwise(dow - 1)
+    return ev.select(
+        "event_id",
+        iso_dow.cast("int").alias("dow_iso"),
+        F.hour(ts).cast("int").alias("hour_utc"),
+        F.dayofmonth(ts).cast("int").alias("dom"),
+        (iso_dow >= 6).cast("int").alias("is_weekend"),
+    )
+
+
+def q_feature_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-based feature crossing: event_type gets a dense index
+    from a sorted vocabulary (broadcast dictionary join — the categorical
+    encoder's index table), crossed with ISO day-of-week into one integer
+    id ready for embedding lookup / one-hot. The vocab join is the
+    pattern; at 100 TB the vocabulary table is the only state and it
+    broadcasts. The single-partition ranking window is O(|vocab|) (the
+    DISTINCT runs first), never O(rows)."""
+    ev = _t(spark, sf_dir, "events")
+    vocab = (
+        ev.select("event_type").distinct()
+        .withColumn(
+            "type_idx",
+            (F.row_number().over(Window.partitionBy().orderBy("event_type")) - 1).cast("int"),
+        )
+    )
+    ts = F.col("ts").cast("timestamp")
+    dow = F.dayofweek(ts)
+    iso_dow = F.when(dow == 1, F.lit(7)).otherwise(dow - 1).cast("int")
+    return (
+        ev.join(F.broadcast(vocab), "event_type")
+        .select(
+            "event_id",
+            "type_idx",
+            iso_dow.alias("dow_iso"),
+            (F.col("type_idx") * 7 + iso_dow - 1).cast("int").alias("cross_id"),
+        )
+    )
+
+
 def q_temporal_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-entity temporal train/eval split (last 20% of each user's rows by
     time = eval). A hash split here would train on events LATER than the
@@ -2224,6 +2295,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sft_examples": q_sft_examples,
         "temporal_split": q_temporal_split,
         "future_label": q_future_label,
+        "session_features": q_session_features,
+        "calendar_features": q_calendar_features,
+        "feature_cross": q_feature_cross,
         "resample_grid": q_resample_grid,
         "conv_rollup": q_conv_rollup,
         "feature_drift": q_feature_drift,
@@ -2987,6 +3061,50 @@ SELECT event_id, user_id,
                 (PARTITION BY user_id ORDER BY ts, event_id
                  ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING), '') AS ctx3
 FROM events
+""",
+        "session_features": """
+WITH o AS (
+  SELECT event_id, user_id, ts, epoch_us(ts) AS us,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id)
+              > 900000000 THEN 1 ELSE 0 END AS boundary
+  FROM events
+),
+g AS (
+  SELECT event_id, user_id, ts, us,
+         CAST(SUM(boundary) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS INT)
+           AS session_id
+  FROM o
+)
+SELECT event_id, user_id, session_id,
+       CAST(row_number() OVER (PARTITION BY user_id, session_id
+                               ORDER BY ts, event_id) AS INT) AS turn_in_session,
+       CAST(count(*) OVER (PARTITION BY user_id, session_id) AS BIGINT) AS session_len,
+       CAST(max(us) OVER (PARTITION BY user_id, session_id)
+            - min(us) OVER (PARTITION BY user_id, session_id) AS BIGINT)
+         AS session_span_us
+FROM g
+""",
+        # isodow: DuckDB has it native; Spark derives it from dayofweek
+        "calendar_features": """
+SELECT event_id,
+       CAST(isodow(ts) AS INT) AS dow_iso,
+       CAST(hour(ts) AS INT) AS hour_utc,
+       CAST(day(ts) AS INT) AS dom,
+       CAST(CASE WHEN isodow(ts) >= 6 THEN 1 ELSE 0 END AS INT) AS is_weekend
+FROM events
+""",
+        "feature_cross": """
+WITH vocab AS (
+  SELECT event_type,
+         CAST(row_number() OVER (ORDER BY event_type) - 1 AS INT) AS type_idx
+  FROM (SELECT DISTINCT event_type FROM events)
+)
+SELECT e.event_id, v.type_idx,
+       CAST(isodow(e.ts) AS INT) AS dow_iso,
+       CAST(v.type_idx * 7 + isodow(e.ts) - 1 AS INT) AS cross_id
+FROM events e JOIN vocab v USING (event_type)
 """,
         "temporal_split": """
 WITH g AS (
