@@ -206,11 +206,28 @@ def all_pairs_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_to: int = 6,
+    max_rows: int | None = 20_000,
 ) -> DataFrame:
     """Per-row top-k neighbors (small/broadcastable datasets): broadcast the
-    right side, window-rank the cosine. For large N use LSH bucketing first."""
+    right side, window-rank the cosine. For large N use LSH bucketing first.
+
+    The quadratic cost is enforced, not just documented: the input is probed
+    with a ``limit(max_rows + 1)`` count (cost bounded by max_rows rows, not
+    the full input) and a larger frame raises with a routing hint to
+    ``ann_lsh_topk`` / ``ivf_topk`` instead of silently broadcasting n² pairs.
+    Pass ``max_rows=None`` to opt out when the caller has already bounded n.
+    """
     from pyspark.sql import Window
 
+    if max_rows is not None:
+        probed = df.limit(max_rows + 1).count()
+        if probed > max_rows:
+            raise ValueError(
+                f"all_pairs_topk: input exceeds max_rows={max_rows} (the pair "
+                "loop is O(n²) with a broadcast right side). Route large "
+                "inputs through ann_lsh_topk/ivf_topk, or pass max_rows=None "
+                "if n is known-bounded."
+            )
     a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
     b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
     scored = (

@@ -177,6 +177,17 @@ def test_all_pairs_topk_shape(spark):
     assert (out.groupby("id_a").size() == 2).all()
 
 
+def test_all_pairs_topk_rejects_large_input(spark):
+    import pytest as _pytest
+
+    rows = [(i, [float(i), 1.0]) for i in range(8)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    with _pytest.raises(ValueError, match="ann_lsh_topk"):
+        all_pairs_topk(df, k=2, max_rows=5)
+    # opt-out still works on the same frame
+    assert all_pairs_topk(df, k=1, max_rows=None).count() == 8
+
+
 def test_multimodal_plumbing(spark, docs):
     media = attach_fake_media(docs.filter("doc_id <= 3"), "doc_id")
     feats = extract_media_features(media, batch_cols=("doc_id",)).orderBy("doc_id").toPandas()
