@@ -418,6 +418,22 @@ transformers:
     args: [input]
     jq: 'strings | ascii_upcase + "_T"'
     input_schema: {type: string}
+  - name: band_mask
+    args: [input]
+    jq: 'map(select(. >= 100.0) | . * 0.5) | add // -1.0'
+    input_schema: {type: array}
+  - name: top_tag
+    args: [input]
+    jq: 'sort | reverse | first // "none"'
+    input_schema: {type: array}
+  - name: any_big
+    args: [input]
+    jq: 'any(. > 300.0)'
+    input_schema: {type: array}
+  - name: sqrt_round
+    args: [input]
+    jq: 'sqrt | round'
+    input_schema: {type: number}
 """)
     ev = _t(spark, sf_dir, "events")
     return ev.select(
@@ -427,6 +443,14 @@ transformers:
         reg.get("value_band")(F.col("value")).alias("band"),
         reg.get("half_floor_or_neg1")(F.col("value") - F.lit(500.0)).alias("flo"),
         reg.get("type_tag")(F.col("event_type")).alias("tag"),
+        # round-4 widened surface: higher-order map/select (F.filter +
+        # F.transform), sort/reverse/first, any(f), sqrt|round — all JVM HOFs
+        reg.get("band_mask")(
+            F.array(F.col("value"), F.col("value") * 2, F.lit(50.0))
+        ).alias("bm"),
+        reg.get("top_tag")(F.array(F.col("event_type"), F.lit("m"))).alias("tt"),
+        reg.get("any_big")(F.array(F.col("value"), F.col("value") / 2)).alias("ab"),
+        reg.get("sqrt_round")(F.col("value")).alias("sr"),
     )
 
 
@@ -2920,7 +2944,13 @@ SELECT event_id,
        COALESCE(CASE WHEN (value - 500.0) < 0.0 THEN NULL
                      ELSE CAST(floor(value - 500.0) AS BIGINT) END, -1) AS flo,
        translate(event_type, 'abcdefghijklmnopqrstuvwxyz',
-                 'ABCDEFGHIJKLMNOPQRSTUVWXYZ') || '_T' AS tag
+                 'ABCDEFGHIJKLMNOPQRSTUVWXYZ') || '_T' AS tag,
+       COALESCE(list_sum(list_transform(
+                  list_filter([value, value * 2, 50.0], x -> x >= 100.0),
+                  x -> x * 0.5)), -1.0) AS bm,
+       GREATEST(event_type, 'm') AS tt,
+       COALESCE(value > 300.0 OR value / 2 > 300.0, FALSE) AS ab,
+       CAST(round(sqrt(value)) AS BIGINT) AS sr
 FROM events
 """,
         "golden_scalars": """

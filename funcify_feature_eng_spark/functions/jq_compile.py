@@ -18,10 +18,18 @@ Supported subset (everything the reference ships, plus the common core):
 - identity ``.``, field access ``.a.b``, array index ``.[0]`` / ``.[-1]``
 - pipe ``|``
 - type filters ``numbers`` ``strings`` ``arrays`` ``booleans`` ``values``
-- ``length``, ``floor``, ``ceil``, ``fabs``, ``not``, ``tostring``,
-  ``tonumber``, ``ascii_downcase``, ``ascii_upcase``, ``add``, ``min``,
-  ``max``; unary-argument ``join/split/ltrimstr/rtrimstr/startswith/
-  endswith/test`` (``test`` uses Java regex flavor), ``abs``
+- ``length``, ``floor``, ``ceil``, ``round``, ``sqrt``, ``fabs``, ``not``,
+  ``tostring``, ``tonumber``, ``ascii_downcase``, ``ascii_upcase``;
+  array builtins ``add``, ``min``, ``max``, ``sort``, ``unique``,
+  ``reverse``, ``flatten``, ``first``, ``last``, ``any``, ``all``;
+  unary-argument ``join/split/ltrimstr/rtrimstr/startswith/endswith/test``
+  (``test`` uses Java regex flavor), ``abs``
+- higher-order array forms, all compiled to JVM higher-order functions
+  (``F.transform``/``F.filter``/``F.exists``/``F.forall``/``F.array_sort``
+  — no Python per element): ``map(f)``, ``map(select(c) | f)``,
+  ``sort_by(f)``, ``any(f)``, ``all(f)``
+- array construction ``[a, b, ...]`` and object construction
+  ``{k: f, "quoted key": g, shorthand}`` (→ struct)
 - ``if COND then A elif B then C else D end`` (``else`` optional = identity)
 - arithmetic ``+ - * / %`` (``/`` is float division, ``%`` truncates to
   integer — both as jq), unary minus, string/array ``+`` concat
@@ -96,7 +104,7 @@ _TOKEN_RE = re.compile(
   | (?P<num>\d+(?:\.\d+)?(?:[eE][+-]?\d+)?)
   | (?P<str>"(?:[^"\\]|\\.)*")
   | (?P<field>\.[A-Za-z_][A-Za-z0-9_]*)
-  | (?P<op>//|==|!=|<=|>=|\||<|>|\+|-|\*|/|%|\(|\)|\[|\]|\.|;)
+  | (?P<op>//|==|!=|<=|>=|\||<|>|\+|-|\*|/|%|\(|\)|\[|\]|\{|\}|\.|;|,|:)
   | (?P<ident>[A-Za-z_][A-Za-z0-9_]*)
     """,
     re.VERBOSE,
@@ -133,11 +141,16 @@ def tokenize(src: str) -> list[tuple[str, str]]:
 
 _TYPE_FILTERS = {"numbers", "strings", "arrays", "booleans", "values", "nulls"}
 _BUILTINS = {"length", "floor", "ceil", "fabs", "abs", "tostring", "tonumber",
-             "ascii_downcase", "ascii_upcase", "add", "min", "max"}
+             "ascii_downcase", "ascii_upcase", "add", "min", "max",
+             "sort", "unique", "reverse", "first", "last", "flatten",
+             "round", "sqrt", "any", "all"}
 # one-argument builtins, called as name(arg) — jq separates args with ';'
 # but every supported builtin is unary so no separator handling is needed
 _ARG_BUILTINS = {"join", "split", "ltrimstr", "rtrimstr", "startswith",
-                 "endswith", "test", "select"}
+                 "endswith", "test", "select", "map", "sort_by"}
+# builtins with BOTH a zero-arg form (over a boolean array) and a
+# one-arg predicate form any(f)/all(f)
+_OPT_ARG_BUILTINS = {"any", "all"}
 # two-argument builtins, name(a; b) — jq separates arguments with ';'
 _ARG2_BUILTINS = {"sub", "gsub"}
 
@@ -282,6 +295,15 @@ class _Parser:
             self.next()
             if v in _TYPE_FILTERS:
                 return ("typefilter", v)
+            if v in _OPT_ARG_BUILTINS:
+                if self.peek() == ("op", "("):
+                    self.next()
+                    arg = self.pipe()
+                    t = self.next()
+                    if t != ("op", ")"):
+                        raise ValueError(f"jq parse: expected ')' after {v} arg, got {t}")
+                    return ("call", v, arg)
+                return ("builtin", v)
             if v in _ARG_BUILTINS:
                 if self.peek() != ("op", "("):
                     raise ValueError(f"jq: {v} requires an argument, e.g. {v}(\"x\")")
@@ -314,6 +336,43 @@ class _Parser:
             if t != ("op", ")"):
                 raise ValueError(f"jq parse: expected ')', got {t}")
             return node
+        if k == "op" and v == "[":
+            # array construction [a, b, ...] — jq's comma is stream concat;
+            # over scalar filters that is exactly "collect into an array"
+            self.next()
+            items = []
+            if self.peek() != ("op", "]"):
+                items.append(self.pipe())
+                while self.peek() == ("op", ","):
+                    self.next()
+                    items.append(self.pipe())
+            t = self.next()
+            if t != ("op", "]"):
+                raise ValueError(f"jq parse: expected ']' in array, got {t}")
+            return ("arr", items)
+        if k == "op" and v == "{":
+            # object construction {a: f, "b c": g, shorthand} → struct
+            self.next()
+            entries = []
+            while self.peek() != ("op", "}"):
+                kk, kv = self.next()
+                if kk == "ident" or kk in _KEYWORDS:
+                    key = kv
+                elif kk == "str":
+                    key = kv[1:-1]
+                else:
+                    raise ValueError(f"jq parse: bad object key {kk, kv}")
+                if self.peek() == ("op", ":"):
+                    self.next()
+                    entries.append((key, self.pipe()))
+                else:  # {a} shorthand ≡ {a: .a}
+                    entries.append((key, ("field", ("identity",), key)))
+                if self.peek() == ("op", ","):
+                    self.next()
+            self.next()  # consume }
+            if not entries:
+                raise ValueError("jq: empty object construction {} unsupported")
+            return ("obj", entries)
         raise ValueError(f"jq parse: unexpected token {k, v}")
 
     def ifexpr(self):
@@ -400,9 +459,17 @@ def _compile(node, cur: Column, t: str) -> tuple[Column, str]:
         if bt not in ("array", "any"):
             raise ValueError(f"jq: index [{node[2]}] on static type {bt}")
         i = node[2]
-        # jq 0-based; element_at is 1-based but supports negative-from-end
-        col = F.element_at(base, i + 1) if i >= 0 else F.element_at(base, i)
+        # jq 0-based; try_element_at is 1-based with negative-from-end, and
+        # NULL (not ANSI error) past the end — jq .[i] out of range is null
+        col = F.try_element_at(base, F.lit(i + 1 if i >= 0 else i))
         return col, "any"
+    if kind == "arr":
+        return F.array(*[_compile(n, cur, t)[0] for n in node[1]]), "array"
+    if kind == "obj":
+        return (
+            F.struct(*[_compile(n, cur, t)[0].alias(k) for k, n in node[1]]),
+            "object",
+        )
     if kind == "typefilter":
         want = node[1]
         if want == "values":  # select(. != null)
@@ -533,13 +600,118 @@ def _builtin(name: str, cur: Column, t: str) -> tuple[Column, str]:
         if t not in ("array", "any"):
             raise ValueError(f"jq: max on static type {t}")
         return F.array_max(cur), "any"
+    if name in ("sort", "unique", "reverse", "flatten", "first", "last"):
+        if t not in ("array", "any"):
+            raise ValueError(f"jq: {name} on static type {t}")
+        if name == "sort":
+            # jq sorts null < false < true < numbers < strings; within ONE
+            # Spark element type that collapses to nulls-first natural order
+            return F.sort_array(cur), "array"
+        if name == "unique":  # jq unique is sorted-distinct
+            return F.sort_array(F.array_distinct(cur)), "array"
+        if name == "reverse":
+            return F.reverse(cur), "array"
+        if name == "flatten":
+            return F.flatten(cur), "array"
+        if name == "first":  # first/last of [] is an error in jq; NULL here
+            return F.try_element_at(cur, F.lit(1)), "any"
+        return F.try_element_at(cur, F.lit(-1)), "any"
+    if name == "round":
+        # jq round = C round(): half away from zero — Spark HALF_UP on
+        # doubles is the same rule
+        return F.round(cur.cast("double"), 0).cast("long"), "integer"
+    if name == "sqrt":
+        return F.sqrt(cur.cast("double")), "number"
+    if name in ("any", "all"):
+        # zero-arg form: input is an array of booleans (e.g. map(.>0)|any);
+        # jq truthiness of non-boolean elements is the 1-arg form's job
+        if t not in ("array", "any"):
+            raise ValueError(f"jq: {name} on static type {t}")
+        elem = lambda x: F.coalesce(x.cast("boolean"), F.lit(False))  # noqa: E731
+        if name == "any":  # jq: any([]) is false, all([]) is true — as Spark
+            return F.exists(cur, elem), "boolean"
+        return F.forall(cur, elem), "boolean"
     raise ValueError(f"jq: unsupported builtin {name!r}")
+
+
+def _elem_pred(arg_node):
+    """Compile a filter into a per-element boolean lambda (jq truthiness)."""
+    def pred(x: Column) -> Column:
+        c, ct = _compile(arg_node, x, "any")
+        return F.coalesce(_truthy(c, ct), F.lit(False))
+    return pred
+
+
+def _map_impl(arg_node, base: Column) -> Column:
+    """jq ``map(f)`` → higher-order Column expression, fully JVM-side.
+
+    ``select`` drops elements in jq (empty stream), which the scalar
+    compiler cannot express (it collapses empty→NULL) — so ``select``
+    stages at the HEAD of the map body compile to ``F.filter`` and the
+    rest to ``F.transform``: ``map(select(c) | f)`` ≡ filter(c)→transform(f).
+    A ``select`` later in the body (after a transform) is rejected with a
+    rewrite hint rather than silently keeping NULL elements.
+    """
+    # the parser's pipe is left-associative — flatten to a stage list so
+    # the select-prefix scan sees `a | b | c` as [a, b, c]
+    def _stages(n):
+        if n[0] == "pipe":
+            return _stages(n[1]) + _stages(n[2])
+        return [n]
+
+    stages = _stages(arg_node)
+    conds = []
+    while stages and stages[0][0] == "call" and stages[0][1] == "select":
+        conds.append(stages[0][2])
+        stages = stages[1:]
+    node = ("identity",)
+    for st in stages:
+        node = st if node == ("identity",) else ("pipe", node, st)
+
+    def _has_select(n) -> bool:
+        return (isinstance(n, tuple)
+                and ((n[0] == "call" and n[1] == "select")
+                     or any(_has_select(c) for c in n[1:])))
+
+    if _has_select(node):
+        raise ValueError(
+            "jq: select inside map is only supported at the head of the "
+            "body — rewrite as map(select(COND) | REST)")
+    col = base
+    for c in conds:
+        col = F.filter(col, _elem_pred(c))
+    if node != ("identity",):
+        col = F.transform(col, lambda x: _compile(node, x, "any")[0])
+    return col
 
 
 def _call(name: str, arg_node, cur: Column, t: str) -> tuple[Column, str]:
     """Unary-argument builtins. The argument is evaluated against the SAME
     input as the call (jq semantics) — usually a literal."""
     import re as _re
+
+    if name in ("map", "sort_by", "any", "all"):
+        if t not in ("array", "any"):
+            raise ValueError(f"jq: {name} on static type {t}")
+        if name == "map":
+            return _map_impl(arg_node, cur), "array"
+        if name == "sort_by":
+            # jq sort_by(f): stable sort by f(elem); NULL keys first (jq
+            # orders null lowest)
+            def cmp(a: Column, b: Column) -> Column:
+                ka = _compile(arg_node, a, "any")[0]
+                kb = _compile(arg_node, b, "any")[0]
+                return (
+                    F.when(ka.eqNullSafe(kb), F.lit(0))
+                    .when(ka.isNull(), F.lit(-1))
+                    .when(kb.isNull(), F.lit(1))
+                    .when(ka < kb, F.lit(-1))
+                    .otherwise(F.lit(1))
+                )
+            return F.array_sort(cur, cmp), "array"
+        if name == "any":
+            return F.exists(cur, _elem_pred(arg_node)), "boolean"
+        return F.forall(cur, _elem_pred(arg_node)), "boolean"
 
     arg, at = _compile(arg_node, cur, t)
     lit = arg_node[1] if arg_node[0] == "lit" else None
@@ -595,7 +767,7 @@ def _call(name: str, arg_node, cur: Column, t: str) -> tuple[Column, str]:
 
 
 def _java_repl(repl: str) -> str:
-    """Escape a literal replacement for Java's Matcher semantics ($ and \
+    r"""Escape a literal replacement for Java's Matcher semantics ($ and \
     are special). jq's own replacement-string extras (\(.x) interpolation,
     named-capture refs) are not supported — literal replacements only."""
     return repl.replace("\\", "\\\\").replace("$", "\\$")

@@ -80,7 +80,14 @@ def test_parse_shapes():
     with pytest.raises(ValueError):
         parse(". as $x | $x")  # unsupported: variable binding
     with pytest.raises(ValueError):
-        parse("map(.)")  # unsupported builtin
+        parse("getpath([\"a\"])")  # unsupported builtin
+    assert parse("map(. + 1)")[0] == "call"
+    assert parse("[.a, .b]")[0] == "arr"
+    assert parse("{x: .a, y}") == (
+        "obj",
+        [("x", ("field", ("identity",), "a")),
+         ("y", ("field", ("identity",), "y"))],
+    )
 
 
 def test_truthiness_zero_and_null(spark):
@@ -271,3 +278,89 @@ def test_sub_gsub_parse_errors():
         parse('sub("a" "b")')
     with pytest.raises(ValueError, match="literal regex"):
         compile_jq("gsub(.; \"x\")", input_type="string")(F.lit("a"))
+
+
+# ------------------------------------------- higher-order / constructor jq
+
+
+def _run_arr(spark, prog, arr, elem="double"):
+    b = compile_jq(prog, input_type="array")
+    df = spark.createDataFrame([(arr,)], f"v array<{elem}>")
+    return df.select(b(F.col("v")).alias("out")).collect()[0]["out"]
+
+
+def test_map_transform_filter(spark):
+    """map/map(select) compile to F.transform/F.filter — verified against
+    real jq 1.7: `[3,-1,2] | map(.*2)` == [6,-2,4], `map(select(.>0))` ==
+    [3,2], `map(select(.>0) | .+10)` == [13,12]."""
+    assert _run_arr(spark, "map(. * 2)", [3.0, -1.0, 2.0]) == [6.0, -2.0, 4.0]
+    assert _run_arr(spark, "map(select(. > 0))", [3.0, -1.0, 2.0]) == [3.0, 2.0]
+    assert _run_arr(spark, "map(select(. > 0) | . + 10)", [3.0, -1.0, 2.0]) == [13.0, 12.0]
+    assert _run_arr(spark, "map(. * 2)", []) == []
+    assert _run_arr(spark, "map(. * 2)", None) is None
+    # chained select predicates AND a piped body after them
+    assert _run_arr(
+        spark, "map(select(. > 0) | select(. < 3) | tostring)", [3.0, -1.0, 2.0],
+    ) == ["2.0"]
+
+
+def test_map_mid_pipe_select_rejected():
+    with pytest.raises(ValueError, match="head of the body"):
+        compile_jq("map(. + 1 | select(. > 0))", input_type="array")(F.lit(None))
+
+
+def test_array_order_builtins(spark):
+    # jq: [3,1,2,2]|sort==[1,2,2,3]; unique==[1,2,3]; reverse==[2,2,1,3]
+    assert _run_arr(spark, "sort", [3.0, 1.0, 2.0, 2.0]) == [1.0, 2.0, 2.0, 3.0]
+    assert _run_arr(spark, "unique", [3.0, 1.0, 2.0, 2.0]) == [1.0, 2.0, 3.0]
+    assert _run_arr(spark, "reverse", [3.0, 1.0, 2.0, 2.0]) == [2.0, 2.0, 1.0, 3.0]
+    assert _run_arr(spark, "first", [3.0, 1.0]) == 3.0
+    assert _run_arr(spark, "last", [3.0, 1.0]) == 1.0
+    # jq errors on first/last of []; documented columnar delta: NULL
+    assert _run_arr(spark, "first", []) is None
+    assert _run_arr(spark, "sort_by(- .)", [1.0, 3.0, 2.0]) == [3.0, 2.0, 1.0]
+    nested = compile_jq("flatten", input_type="array")
+    df = spark.createDataFrame([([[1.0], [2.0, 3.0]],)], "v array<array<double>>")
+    assert df.select(nested(F.col("v")).alias("o")).collect()[0]["o"] == [1.0, 2.0, 3.0]
+
+
+def test_any_all_forms(spark):
+    # jq: any([]) is false, all([]) is true; predicate forms short-circuit
+    assert _run_arr(spark, "any(. > 2)", [1.0, 3.0]) is True
+    assert _run_arr(spark, "any(. > 5)", [1.0, 3.0]) is False
+    assert _run_arr(spark, "all(. > 0)", [1.0, 3.0]) is True
+    assert _run_arr(spark, "all(. > 2)", [1.0, 3.0]) is False
+    assert _run_arr(spark, "any(. > 0)", []) is False
+    assert _run_arr(spark, "all(. > 0)", []) is True
+    # zero-arg forms over a mapped boolean array
+    assert _run_arr(spark, "map(. > 2) | any", [1.0, 3.0]) is True
+    assert _run_arr(spark, "map(. > 5) | all", [1.0, 3.0]) is False
+
+
+def test_round_sqrt_index_oob(spark):
+    # jq round is half-away-from-zero (C round()): 2.5→3, -2.5→-3
+    assert _run1(spark, compile_jq("round", "number"), 2.5) == 3
+    assert _run1(spark, compile_jq("round", "number"), -2.5) == -3
+    assert _run1(spark, compile_jq("sqrt", "number"), 6.25) == 2.5
+    # jq: .[i] out of range is null, not an error (ANSI try_element_at)
+    assert _run_arr(spark, ".[9]", [1.0]) is None
+    assert _run_arr(spark, ".[-1]", [1.0, 7.0]) == 7.0
+
+
+def test_object_array_construction(spark):
+    b = compile_jq('{double_a: (.a * 2), tag: .b, a}', input_type="object")
+    df = spark.createDataFrame([({"a": 5, "b": "x"},)], "v struct<a: long, b: string>")
+    row = df.select(b(F.col("v")).alias("o")).collect()[0]["o"]
+    assert row.double_a == 10 and row.tag == "x" and row.a == 5
+    arr = compile_jq("[.a, .a + 1]", input_type="object")
+    assert df.select(arr(F.col("v")).alias("o")).collect()[0]["o"] == [5, 6]
+    with pytest.raises(ValueError, match="empty object"):
+        parse("{}")
+
+
+def test_map_is_jvm_side(spark):
+    """The higher-order forms must stay in codegen — no BatchEvalPython."""
+    df = spark.createDataFrame([([1.0, -2.0],)], "v array<double>")
+    b = compile_jq("map(select(. > 0) | . * 2) | add", input_type="array")
+    plan = df.select(b(F.col("v")).alias("o"))._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
