@@ -434,6 +434,14 @@ transformers:
     args: [input]
     jq: 'sqrt | round'
     input_schema: {type: number}
+  - name: label_fmt
+    args: [input]
+    jq: '"\(ascii_upcase)#\(length)"'
+    input_schema: {type: string}
+  - name: small_count
+    args: [input]
+    jq: '[.[] | select(. < 200.0)] | length'
+    input_schema: {type: array}
 """)
     ev = _t(spark, sf_dir, "events")
     return ev.select(
@@ -451,6 +459,11 @@ transformers:
         reg.get("top_tag")(F.array(F.col("event_type"), F.lit("m"))).alias("tt"),
         reg.get("any_big")(F.array(F.col("value"), F.col("value") / 2)).alias("ab"),
         reg.get("sqrt_round")(F.col("value")).alias("sr"),
+        # string interpolation + [.[]|select] stream-collect sugar
+        reg.get("label_fmt")(F.col("event_type")).alias("lf"),
+        reg.get("small_count")(
+            F.array(F.col("value"), F.col("value") * 2, F.lit(50.0))
+        ).alias("sc"),
     )
 
 
@@ -2950,7 +2963,11 @@ SELECT event_id,
                   x -> x * 0.5)), -1.0) AS bm,
        GREATEST(event_type, 'm') AS tt,
        COALESCE(value > 300.0 OR value / 2 > 300.0, FALSE) AS ab,
-       CAST(round(sqrt(value)) AS BIGINT) AS sr
+       CAST(round(sqrt(value)) AS BIGINT) AS sr,
+       translate(event_type, 'abcdefghijklmnopqrstuvwxyz',
+                 'ABCDEFGHIJKLMNOPQRSTUVWXYZ')
+         || '#' || CAST(length(event_type) AS VARCHAR) AS lf,
+       len(list_filter([value, value * 2, 50.0], x -> x < 200.0)) AS sc
 FROM events
 """,
         "golden_scalars": """

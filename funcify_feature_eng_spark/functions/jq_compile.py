@@ -1,4 +1,4 @@
-"""jq-subset → Spark Column compiler (closes F4).
+r"""jq-subset → Spark Column compiler (closes F4).
 
 The reference's entire transformer language is jq: every transformer source
 is a named jq program with JSON-Schema-typed input/output, evaluated per
@@ -30,6 +30,11 @@ Supported subset (everything the reference ships, plus the common core):
   ``sort_by(f)``, ``any(f)``, ``all(f)``
 - array construction ``[a, b, ...]`` and object construction
   ``{k: f, "quoted key": g, shorthand}`` (→ struct)
+- stream-collect iteration ``[.[] | f]`` / ``[.path[] | f]`` (≡ ``map``,
+  same select-at-head filtering) — bare ``.[]`` outside ``[...]`` is
+  rejected with a rewrite hint since a column holds one value, not a stream
+- string interpolation ``"\(expr)"`` (non-strings render via tostring,
+  null renders as ``"null"`` as in jq)
 - ``if COND then A elif B then C else D end`` (``else`` optional = identity)
 - arithmetic ``+ - * / %`` (``/`` is float division, ``%`` truncates to
   integer — both as jq), unary minus, string/array ``+`` concat
@@ -247,6 +252,10 @@ class _Parser:
                 node = ("field", node, v[1:])
             elif k == "op" and v == "[":
                 self.next()
+                if self.peek() == ("op", "]"):  # .[] — iterate
+                    self.next()
+                    node = ("iterate", node)
+                    continue
                 sign = 1
                 if self.peek() == ("op", "-"):
                     self.next()
@@ -272,11 +281,7 @@ class _Parser:
             return ("lit", float(v) if ("." in v or "e" in v or "E" in v) else int(v))
         if k == "str":
             self.next()
-            # minimal escape handling: \" \\ \n \t
-            body = v[1:-1]
-            body = (body.replace(r"\\", "\x00").replace(r"\"", '"')
-                    .replace(r"\n", "\n").replace(r"\t", "\t").replace("\x00", "\\"))
-            return ("lit", body)
+            return _parse_string(v[1:-1])
         if k == "null":
             self.next()
             return ("lit", None)
@@ -394,6 +399,50 @@ class _Parser:
         return ("if", arms, els)
 
 
+def _unescape(body: str) -> str:
+    # minimal escape handling: \" \\ \n \t
+    return (body.replace(r"\\", "\x00").replace(r"\"", '"')
+            .replace(r"\n", "\n").replace(r"\t", "\t").replace("\x00", "\\"))
+
+
+def _parse_string(body: str):
+    r"""A string literal, or ("interp", parts) when it contains jq
+    interpolation ``\(expr)`` — parts alternate raw-str / sub-ASTs."""
+    parts: list = []
+    buf = ""
+    i = 0
+    while i < len(body):
+        c = body[i]
+        if c == "\\" and i + 1 < len(body) and body[i + 1] == "(":
+            # find the matching close paren (interpolated exprs may nest)
+            depth, j = 1, i + 2
+            while j < len(body) and depth:
+                if body[j] == "(":
+                    depth += 1
+                elif body[j] == ")":
+                    depth -= 1
+                j += 1
+            if depth:
+                raise ValueError(f"jq: unterminated \\( in string {body!r}")
+            if buf:
+                parts.append(_unescape(buf))
+                buf = ""
+            parts.append(parse(body[i + 2:j - 1]))
+            i = j
+            continue
+        if c == "\\" and i + 1 < len(body):
+            buf += body[i:i + 2]
+            i += 2
+            continue
+        buf += c
+        i += 1
+    if not parts:
+        return ("lit", _unescape(buf))
+    if buf:
+        parts.append(_unescape(buf))
+    return ("interp", parts)
+
+
 def parse(src: str):
     p = _Parser(tokenize(src))
     node = p.pipe()
@@ -464,7 +513,39 @@ def _compile(node, cur: Column, t: str) -> tuple[Column, str]:
         col = F.try_element_at(base, F.lit(i + 1 if i >= 0 else i))
         return col, "any"
     if kind == "arr":
-        return F.array(*[_compile(n, cur, t)[0] for n in node[1]]), "array"
+        items = node[1]
+        # [.[] | f] / [.path[] | f] — jq's collect-the-stream idiom ≡ map:
+        # compile the iterate base, then route the rest of the pipe through
+        # the same filter/transform machinery map() uses (select at the
+        # head drops elements)
+        if len(items) == 1:
+            stages = _pipe_stages(items[0])
+            if stages[0][0] == "iterate":
+                base, bt = _compile(stages[0][1], cur, t)
+                if bt not in ("array", "any"):
+                    raise ValueError(f"jq: .[] over static type {bt}")
+                rest = None
+                for st in stages[1:]:
+                    rest = st if rest is None else ("pipe", rest, st)
+                if rest is None:
+                    return base, "array"
+                return _map_impl(rest, base), "array"
+        return F.array(*[_compile(n, cur, t)[0] for n in items]), "array"
+    if kind == "iterate":
+        raise ValueError(
+            "jq: bare .[] produces a stream; in the columnar subset wrap it "
+            "as [.[] | ...] (≡ map) so the result is a single array value")
+    if kind == "interp":
+        # string interpolation "\(f)-\(g)": non-string parts render via
+        # tostring; jq renders null as the 4-char string "null"
+        parts = []
+        for p in node[1]:
+            if isinstance(p, str):
+                parts.append(F.lit(p))
+            else:
+                c, ct = _compile(p, cur, t)
+                parts.append(F.coalesce(c.cast("string"), F.lit("null")))
+        return F.concat(*parts), "string"
     if kind == "obj":
         return (
             F.struct(*[_compile(n, cur, t)[0].alias(k) for k, n in node[1]]),
@@ -634,6 +715,13 @@ def _builtin(name: str, cur: Column, t: str) -> tuple[Column, str]:
     raise ValueError(f"jq: unsupported builtin {name!r}")
 
 
+def _pipe_stages(n):
+    """Flatten the parser's left-associative pipe tree: a|b|c → [a, b, c]."""
+    if n[0] == "pipe":
+        return _pipe_stages(n[1]) + _pipe_stages(n[2])
+    return [n]
+
+
 def _elem_pred(arg_node):
     """Compile a filter into a per-element boolean lambda (jq truthiness)."""
     def pred(x: Column) -> Column:
@@ -652,14 +740,7 @@ def _map_impl(arg_node, base: Column) -> Column:
     A ``select`` later in the body (after a transform) is rejected with a
     rewrite hint rather than silently keeping NULL elements.
     """
-    # the parser's pipe is left-associative — flatten to a stage list so
-    # the select-prefix scan sees `a | b | c` as [a, b, c]
-    def _stages(n):
-        if n[0] == "pipe":
-            return _stages(n[1]) + _stages(n[2])
-        return [n]
-
-    stages = _stages(arg_node)
+    stages = _pipe_stages(arg_node)
     conds = []
     while stages and stages[0][0] == "call" and stages[0][1] == "select":
         conds.append(stages[0][2])

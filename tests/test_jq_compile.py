@@ -364,3 +364,31 @@ def test_map_is_jvm_side(spark):
     b = compile_jq("map(select(. > 0) | . * 2) | add", input_type="array")
     plan = df.select(b(F.col("v")).alias("o"))._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_iterate_collect_sugar(spark):
+    # jq: [.[]|.*2] ≡ map(.*2); [.[]|select(.>0)] filters; [.[]] is identity
+    assert _run_arr(spark, "[.[] | . * 2]", [3.0, -1.0]) == [6.0, -2.0]
+    assert _run_arr(spark, "[.[] | select(. > 0) | . + 1]", [3.0, -1.0]) == [4.0]
+    assert _run_arr(spark, "[.[]]", [3.0, -1.0]) == [3.0, -1.0]
+    # iterate over a struct field's array: [.xs[] | . * 10]
+    df = spark.createDataFrame([({"xs": [1.0, 2.0]},)], "v struct<xs: array<double>>")
+    b = compile_jq("[.xs[] | . * 10]", input_type="object")
+    assert df.select(b(F.col("v")).alias("o")).collect()[0]["o"] == [10.0, 20.0]
+    with pytest.raises(ValueError, match="stream"):
+        compile_jq(".[] + 1", input_type="array")(F.lit(None))
+
+
+def test_string_interpolation(spark):
+    # jq: "\(.)-x" over 5 → "5.0-x" (Spark double renders with .0; jq 1.7
+    # renders 5.0 as "5" — documented tostring delta); null → "null"
+    b = compile_jq('"v=\\(.) end"', input_type="string")
+    assert _run1(spark, b, "abc", "string") == "v=abc end"
+    assert _run1(spark, b, None, "string") == "v=null end"
+    b2 = compile_jq('"\\(. * 2)!"', input_type="integer")
+    assert _run1(spark, b2, 4, "int") == "8!"
+    # nested parens inside the interpolated expression
+    b3 = compile_jq('"r\\((. + 1) * 2)"', input_type="integer")
+    assert _run1(spark, b3, 3, "int") == "r8"
+    # plain strings (no interpolation) still literal, escapes intact
+    assert parse('"a\\tb"') == ("lit", "a\tb")
