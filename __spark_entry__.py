@@ -404,7 +404,7 @@ def q_jq_transformers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     reg = TransformerRegistry()
     load_transformers_yaml(reg, REFERENCE_TRANSFORMERS_YAML)
-    load_transformers_yaml(reg, """
+    load_transformers_yaml(reg, r"""
 transformers:
   - name: value_band
     args: [input]

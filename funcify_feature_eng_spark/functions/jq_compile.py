@@ -148,11 +148,11 @@ _TYPE_FILTERS = {"numbers", "strings", "arrays", "booleans", "values", "nulls"}
 _BUILTINS = {"length", "floor", "ceil", "fabs", "abs", "tostring", "tonumber",
              "ascii_downcase", "ascii_upcase", "add", "min", "max",
              "sort", "unique", "reverse", "first", "last", "flatten",
-             "round", "sqrt", "any", "all"}
+             "round", "sqrt", "any", "all", "tojson"}
 # one-argument builtins, called as name(arg) — jq separates args with ';'
 # but every supported builtin is unary so no separator handling is needed
 _ARG_BUILTINS = {"join", "split", "ltrimstr", "rtrimstr", "startswith",
-                 "endswith", "test", "select", "map", "sort_by"}
+                 "endswith", "test", "select", "map", "sort_by", "contains"}
 # builtins with BOTH a zero-arg form (over a boolean array) and a
 # one-arg predicate form any(f)/all(f)
 _OPT_ARG_BUILTINS = {"any", "all"}
@@ -712,6 +712,13 @@ def _builtin(name: str, cur: Column, t: str) -> tuple[Column, str]:
         if name == "any":  # jq: any([]) is false, all([]) is true — as Spark
             return F.exists(cur, elem), "boolean"
         return F.forall(cur, elem), "boolean"
+    if name == "tojson":
+        # complex values only (scalar tojson needs JSON string escaping,
+        # which to_json gives for free on the nested form — wrap scalars in
+        # an object/array upstream if they need serializing)
+        if t not in ("object", "array", "any"):
+            raise ValueError(f"jq: tojson supported for object/array, not {t}")
+        return F.to_json(cur), "string"
     raise ValueError(f"jq: unsupported builtin {name!r}")
 
 
@@ -838,6 +845,14 @@ def _call(name: str, arg_node, cur: Column, t: str) -> tuple[Column, str]:
         # Java regex flavor, not jq's Oniguruma — identical for the common
         # character-class/anchor/quantifier core
         return cur.rlike(lit), "boolean"
+    if name == "contains":
+        # string form only (jq's array/object containment is structural
+        # recursion — out of the static subset)
+        if t not in ("string", "any"):
+            raise ValueError(f"jq: contains supported for strings, not {t}")
+        if lit is not None and isinstance(lit, str):
+            return cur.contains(lit), "boolean"
+        return cur.contains(arg), "boolean"
     if name == "select":
         # jq select: the input when the predicate holds, EMPTY otherwise;
         # in the columnar mapping empty collapses to NULL (module doc) —

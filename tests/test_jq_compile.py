@@ -392,3 +392,22 @@ def test_string_interpolation(spark):
     assert _run1(spark, b3, 3, "int") == "r8"
     # plain strings (no interpolation) still literal, escapes intact
     assert parse('"a\\tb"') == ("lit", "a\tb")
+
+
+def test_contains_tojson(spark):
+    # jq: "barn" | contains("arn") → true (string substring form)
+    b = compile_jq('contains("arn")', input_type="string")
+    assert _run1(spark, b, "barn", "string") is True
+    assert _run1(spark, b, "bark", "string") is False
+    assert _run1(spark, b, None, "string") is None
+    with pytest.raises(ValueError, match="strings"):
+        compile_jq('contains("x")', input_type="number")(F.lit(1.0))
+    # tojson over complex values; scalars rejected with a hint
+    bj = compile_jq("tojson", input_type="object")
+    df = spark.createDataFrame([({"a": 1, "b": "x"},)], "v struct<a: long, b: string>")
+    assert df.select(bj(F.col("v")).alias("o")).collect()[0]["o"] == '{"a":1,"b":"x"}'
+    ba = compile_jq("map(. * 2) | tojson", input_type="array")
+    assert _run_arr(spark, "tojson", [1.5, 2.0]) == "[1.5,2.0]"
+    assert ba is not None
+    with pytest.raises(ValueError, match="object/array"):
+        compile_jq("tojson", input_type="number")(F.lit(1.0))
