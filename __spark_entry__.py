@@ -1580,6 +1580,18 @@ def q_vocab_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.orderBy(F.col("term_freq").desc(), F.col("term").asc()).limit(50)
 
 
+_BM25_QUERY = ["hash", "join", "vector", "slow"]
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical retrieval: integer-exact BM25 top-10 over documents for a
+    fixed bag-of-terms query (operators/retrieval.py — query-term filter
+    pushed before the first shuffle, df/stats broadcast, TakeOrdered)."""
+    from funcify_feature_eng_spark.operators.retrieval import bm25_topk
+
+    return bm25_topk(_t(spark, sf_dir, "documents"), _BM25_QUERY, k=10)
+
+
 def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-wide line dedup (C4/RefinedWeb boilerplate pass): first
     occurrence of each line in the corpus survives, every later occurrence —
@@ -2352,6 +2364,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "store_lifecycle": q_store_lifecycle,
         "doc_pii": q_doc_pii,
         "vocab_top_terms": q_vocab_top_terms,
+        "bm25_topk": q_bm25_topk,
         "line_dedup": q_line_dedup,
         "doc_salient_terms": q_doc_salient_terms,
         "stream_turn_features": q_stream_turn_features,
@@ -2771,6 +2784,8 @@ LIMIT 10
 
 
 def oracle_sql() -> dict[str, str]:
+    from funcify_feature_eng_spark.operators.retrieval import bm25_oracle_sql
+
     return {
         "turn_features": _TURN_FEATURES_SQL,
         "sessionize": _SESSIONIZE_SQL,
@@ -3789,6 +3804,9 @@ WITH tk AS (
 SELECT doc_id, CAST(rank AS INT) AS rank, term, score_e6
 FROM ranked WHERE rank <= 3
 """,
+        # integer-exact BM25 twin generated from the same (k1=6/5, b=3/4)
+        # cleared-denominator arithmetic — see operators/retrieval.py
+        "bm25_topk": bm25_oracle_sql(_BM25_QUERY, k=10),
         "vocab_top_terms": """
 WITH tk AS (
   SELECT doc_id,
