@@ -1592,6 +1592,46 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(_t(spark, sf_dir, "documents"), _BM25_QUERY, k=10)
 
 
+def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval capstone: BM25 candidates (lexical) + cosine
+    candidates (dense, query = vec 0's embedding, doc_id ≡ vec_id in the
+    testdata) fused by integer-exact reciprocal-rank fusion
+    (operators/retrieval.py::rrf_fuse). Each ranker is top-50-bounded by
+    TakeOrdered before ranking, so the rank windows run on 50-row
+    single-partition frames — the fusion shuffle is candidate-sized, never
+    corpus-sized."""
+    from funcify_feature_eng_spark.operators.retrieval import bm25_topk, rrf_fuse
+
+    lex = bm25_topk(_t(spark, sf_dir, "documents"), _BM25_QUERY, k=50)
+    lex_ranked = lex.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.col("score").desc(), F.col("doc_id").asc()))
+        .alias("rank"),
+    )
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    dense = (
+        emb.filter(F.col("vec_id") != 0)
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.floor(
+                cosine(F.col("embedding"), F.array(*[F.lit(float(x)) for x in qvec]))
+                * F.lit(10000.0)
+            ).alias("cos_e4"),
+        )
+        .orderBy(F.col("cos_e4").desc(), F.col("doc_id").asc())
+        .limit(50)
+    )
+    dense_ranked = dense.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.col("cos_e4").desc(), F.col("doc_id").asc()))
+        .alias("rank"),
+    )
+    return rrf_fuse([lex_ranked, dense_ranked], k=10)
+
+
 def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-wide line dedup (C4/RefinedWeb boilerplate pass): first
     occurrence of each line in the corpus survives, every later occurrence —
@@ -2365,6 +2405,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_pii": q_doc_pii,
         "vocab_top_terms": q_vocab_top_terms,
         "bm25_topk": q_bm25_topk,
+        "hybrid_rrf": q_hybrid_rrf,
         "line_dedup": q_line_dedup,
         "doc_salient_terms": q_doc_salient_terms,
         "stream_turn_features": q_stream_turn_features,
@@ -3807,6 +3848,38 @@ FROM ranked WHERE rank <= 3
         # integer-exact BM25 twin generated from the same (k1=6/5, b=3/4)
         # cleared-denominator arithmetic — see operators/retrieval.py
         "bm25_topk": bm25_oracle_sql(_BM25_QUERY, k=10),
+        # RRF over the bm25 (k=50) and cosine (k=50) candidate lists; the
+        # bm25 subquery is the generated twin verbatim, ranks re-derived
+        # with the same deterministic tie-breaks, contributions integer
+        "hybrid_rrf": f"""
+WITH lex AS ({bm25_oracle_sql(_BM25_QUERY, k=50)}),
+lexr AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+  FROM lex
+),
+q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0),
+s AS (
+  SELECT e.vec_id AS doc_id,
+         CAST(floor(list_dot_product(e.embedding::DOUBLE[], q.qe) /
+           (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) *
+            sqrt(list_dot_product(q.qe, q.qe))) * 10000.0) AS BIGINT) AS cos_e4
+  FROM embeddings e, q WHERE e.vec_id <> 0
+),
+dense AS (SELECT doc_id, cos_e4 FROM s ORDER BY cos_e4 DESC, doc_id ASC LIMIT 50),
+denser AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY cos_e4 DESC, doc_id ASC) AS rank
+  FROM dense
+),
+u AS (
+  SELECT doc_id, 1000000000 // (60 + rank) AS contrib FROM lexr
+  UNION ALL
+  SELECT doc_id, 1000000000 // (60 + rank) AS contrib FROM denser
+)
+SELECT doc_id, SUM(contrib) AS rrf FROM u GROUP BY doc_id
+ORDER BY rrf DESC, doc_id ASC LIMIT 10
+""",
         "vocab_top_terms": """
 WITH tk AS (
   SELECT doc_id,

@@ -100,6 +100,40 @@ def bm25_topk(
     return per_doc.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)
 
 
+def rrf_fuse(
+    ranked: list[DataFrame],
+    id_col: str = "doc_id",
+    k: int = 10,
+    c: int = 60,
+    scale: int = 1_000_000_000,
+) -> DataFrame:
+    """Reciprocal-rank fusion over candidate lists from heterogeneous
+    rankers (the standard lexical+dense hybrid combiner): each input frame
+    carries (id_col, rank) with rank 1-based; a document's fused score is
+    Σ scale DIV (c + rank) over the lists it appears in. Integer division
+    keeps the sum associative and cross-engine exact (same device as
+    :func:`bm25_topk`).
+
+    Scale shape: each ranker's list is already top-N-bounded (TakeOrdered
+    upstream), so the union carries Σ|lists| rows — one small groupBy
+    shuffle, never corpus-sized.
+    """
+    if not ranked:
+        raise ValueError("rrf_fuse: need at least one ranked frame")
+    parts = [
+        df.select(
+            F.col(id_col),
+            F.expr(f"CAST({scale} AS BIGINT) DIV ({c} + rank)").alias("contrib"),
+        )
+        for df in ranked
+    ]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    agg = u.groupBy(id_col).agg(F.sum("contrib").alias("rrf"))
+    return agg.orderBy(F.col("rrf").desc(), F.col(id_col).asc()).limit(k)
+
+
 def bm25_oracle_sql(
     query_terms: list[str],
     k: int = 10,

@@ -75,3 +75,22 @@ def test_bm25_plan_properties(corpus):
     assert "TakeOrderedAndProject" in plan
     # no Python stages
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_rrf_fuse_values_and_errors(spark):
+    from funcify_feature_eng_spark.operators.retrieval import rrf_fuse
+
+    a = spark.createDataFrame([(1, 1), (2, 2), (3, 3)], "doc_id long, rank int")
+    b = spark.createDataFrame([(3, 1), (1, 2)], "doc_id long, rank int")
+    got = {r["doc_id"]: r["rrf"] for r in rrf_fuse([a, b], k=10).collect()}
+    s = 1_000_000_000
+    assert got == {
+        1: s // 61 + s // 62,
+        2: s // 62,
+        3: s // 63 + s // 61,
+    }
+    # doc 1 (rank 1 + rank 2) outranks doc 3 (rank 3 + rank 1)
+    order = [r["doc_id"] for r in rrf_fuse([a, b], k=2).collect()]
+    assert order == [1, 3]
+    with pytest.raises(ValueError, match="at least one"):
+        rrf_fuse([])
