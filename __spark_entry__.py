@@ -1632,6 +1632,17 @@ def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rrf_fuse([lex_ranked, dense_ranked], k=10)
 
 
+def q_knn_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-quality eval in the gate: per-vector kNN label precision@10
+    over the embeddings table (operators/retrieval.py::knn_label_precision) —
+    also the driver-gated witness for all_pairs_topk's exact ranking
+    (previously pytest-only). Rounded-cosine ranking with id tie-breaks is
+    deterministic cross-engine; precision is integer-exact."""
+    from funcify_feature_eng_spark.operators.retrieval import knn_label_precision
+
+    return knn_label_precision(_t(spark, sf_dir, "embeddings"), k=10)
+
+
 def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-wide line dedup (C4/RefinedWeb boilerplate pass): first
     occurrence of each line in the corpus survives, every later occurrence —
@@ -2406,6 +2417,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_top_terms": q_vocab_top_terms,
         "bm25_topk": q_bm25_topk,
         "hybrid_rrf": q_hybrid_rrf,
+        "knn_label_eval": q_knn_label_eval,
         "line_dedup": q_line_dedup,
         "doc_salient_terms": q_doc_salient_terms,
         "stream_turn_features": q_stream_turn_features,
@@ -3879,6 +3891,39 @@ u AS (
 )
 SELECT doc_id, SUM(contrib) AS rrf FROM u GROUP BY doc_id
 ORDER BY rrf DESC, doc_id ASC LIMIT 10
+""",
+        # exact all-pairs rounded-cosine kNN — unit-normalize per vector
+        # FIRST then a single pair dot, the exact FP op order of
+        # all_pairs_topk's unit_vector + dot_raw (sequential fold)
+        "knn_label_eval": """
+WITH v AS (
+  SELECT vec_id, label,
+         CASE WHEN sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) > 0
+              THEN list_transform(embedding::DOUBLE[],
+                     x -> x / sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])))
+              ELSE list_transform(embedding::DOUBLE[], x -> 0.0) END AS u
+  FROM embeddings
+),
+p AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         round(list_dot_product(a.u, b.u), 6) AS cos_sim
+  FROM v a, v b WHERE a.vec_id <> b.vec_id
+),
+r AS (
+  SELECT id_a, id_b,
+         row_number() OVER (PARTITION BY id_a
+                            ORDER BY cos_sim DESC, id_b ASC) AS rank
+  FROM p
+),
+top AS (SELECT id_a, id_b FROM r WHERE rank <= 10)
+SELECT t.id_a AS vec_id,
+       SUM(CASE WHEN la.label = lb.label THEN 1 ELSE 0 END) AS match_cnt,
+       SUM(CASE WHEN la.label = lb.label THEN 1 ELSE 0 END) * 1000000 // 10
+         AS prec_e6
+FROM top t
+JOIN embeddings la ON la.vec_id = t.id_a
+JOIN embeddings lb ON lb.vec_id = t.id_b
+GROUP BY t.id_a
 """,
         "vocab_top_terms": """
 WITH tk AS (

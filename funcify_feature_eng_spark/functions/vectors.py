@@ -37,6 +37,19 @@ def norm(a: Column) -> Column:
     return F.sqrt(dot(a, a))
 
 
+def unit_vector(a: Column) -> Column:
+    """L2-normalize once per ROW (``array<double>`` out; zero vectors →
+    zeros, matching :func:`cosine`'s 0.0-on-zero-denominator convention).
+    In pair loops, ``dot_raw(unit_a, unit_b)`` replaces :func:`cosine`'s
+    per-PAIR norm folds + cast allocations — same ranking, one fold per
+    pair instead of three plus two casts."""
+    v = _to_double(a)
+    n = norm(a)
+    return F.when(n > 0, F.transform(v, lambda x: x / n)).otherwise(
+        F.transform(v, lambda x: F.lit(0.0))
+    )
+
+
 def cosine(a: Column, b: Column) -> Column:
     d = norm(a) * norm(b)
     return F.when(d > 0, dot(a, b) / d).otherwise(F.lit(0.0))

@@ -134,6 +134,44 @@ def rrf_fuse(
     return agg.orderBy(F.col("rrf").desc(), F.col(id_col).asc()).limit(k)
 
 
+def knn_label_precision(
+    df: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Embedding-quality evaluation: per-vector kNN label precision@k —
+    the standard probe for "do nearest neighbors share the query's class".
+    Neighbors come from :func:`~funcify_feature_eng_spark.operators.similarity.all_pairs_topk`
+    (exact, size-guarded — route the sampled eval slice here, not the full
+    corpus); labels join back via two broadcasts; precision is reported as
+    the integer ``match_cnt·scale DIV k`` (fixed denominator k even when
+    n−1 < k, so scores are comparable across corpus sizes).
+    """
+    from funcify_feature_eng_spark.operators.similarity import all_pairs_topk
+
+    top = all_pairs_topk(df, k=k, id_col=id_col, vec_col=vec_col)
+    labels = df.select(F.col(id_col), F.col(label_col))
+    la = labels.select(F.col(id_col).alias("id_a"), F.col(label_col).alias("_la"))
+    lb = labels.select(F.col(id_col).alias("id_b"), F.col(label_col).alias("_lb"))
+    j = top.join(F.broadcast(la), "id_a").join(F.broadcast(lb), "id_b")
+    return (
+        j.groupBy("id_a")
+        .agg(
+            F.sum(F.when(F.col("_la") == F.col("_lb"), 1).otherwise(0)).alias(
+                "match_cnt"
+            )
+        )
+        .select(
+            F.col("id_a").alias(id_col),
+            "match_cnt",
+            F.expr(f"match_cnt * {scale} DIV {k}").alias("prec_e6"),
+        )
+    )
+
+
 def bm25_oracle_sql(
     query_terms: list[str],
     k: int = 10,

@@ -13,7 +13,12 @@ import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from funcify_feature_eng_spark.functions.vectors import cosine, hyperplane_signature
+from funcify_feature_eng_spark.functions.vectors import (
+    cosine,
+    dot_raw,
+    hyperplane_signature,
+    unit_vector,
+)
 
 
 def _query_lit(query_vec) -> F.Column:
@@ -228,11 +233,20 @@ def all_pairs_topk(
                 "inputs through ann_lsh_topk/ivf_topk, or pass max_rows=None "
                 "if n is known-bounded."
             )
-    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    from funcify_feature_eng_spark.operators.util import spread_small_input
+
+    # unit-normalize once per ROW: the pair loop then runs ONE zip_with
+    # fold per pair instead of cosine()'s three (dot + both norms) plus two
+    # cast allocations. The probe side is spread across cores first — a
+    # small parquet arrives as ONE split, which would run the whole n²
+    # stage single-threaded (measured 7s → 1s on the 500-vector label-eval
+    # gate)
+    left = spread_small_input(df)
+    a = left.select(F.col(id_col).alias("id_a"), unit_vector(F.col(vec_col)).alias("ua"))
+    b = df.select(F.col(id_col).alias("id_b"), unit_vector(F.col(vec_col)).alias("ub"))
     scored = (
         a.join(F.broadcast(b), F.col("id_a") != F.col("id_b"))
-        .withColumn("cos_sim", F.round(cosine(F.col("va"), F.col("vb")), round_to))
+        .withColumn("cos_sim", F.round(dot_raw(F.col("ua"), F.col("ub")), round_to))
         .select("id_a", "id_b", "cos_sim")
     )
     w = Window.partitionBy("id_a").orderBy(F.col("cos_sim").desc(), F.col("id_b").asc())
