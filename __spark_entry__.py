@@ -770,6 +770,45 @@ def q_parity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_interval_context(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Validity-interval (range) join in the gate: every event against every
+    session CONTEXT WINDOW of its user — per-(user, session) spans widened
+    by ±1h (operators/intervals.py::session_windows), so windows overlap and
+    events near a boundary genuinely multi-match. Runs the `bucket` strategy
+    (interval explode → pure equi-join on (user, hour-bucket) → exact
+    containment filter): the 100 TB path — one shuffle per side, no
+    BroadcastNestedLoopJoin anywhere (plan-audited). Broadcast-strategy
+    value-identity is pinned by tests/test_intervals.py. Output aggregates
+    the matches per event (count + first/last covering window) so the
+    result is one row per event regardless of fan-out."""
+    from funcify_feature_eng_spark.operators.intervals import (
+        interval_join,
+        session_windows,
+    )
+    from funcify_feature_eng_spark.operators.windows import session_id
+
+    ev = _t(spark, sf_dir, "events")
+    g = ev.withColumn(
+        "session_id", session_id("ts", ["user_id"], ["ts", "event_id"], 1800.0)
+    )
+    wins = session_windows(
+        g, on="user_id", ts="ts", session_col="session_id", margin_s=3600
+    ).withColumnRenamed("session_id", "ctx_session")
+    out = interval_join(
+        g.select("event_id", "user_id", "ts"),
+        wins,
+        on="user_id",
+        ts="ts",
+        strategy="bucket",
+        bucket_s=3600,
+    )
+    return out.groupBy("event_id", "user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_ctx"),
+        F.min("ctx_session").alias("first_ctx"),
+        F.max("ctx_session").alias("last_ctx"),
+    )
+
+
 def q_session_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-grain window composition: derive session_id (cumsum window),
     then attach SESSION-grain context to every turn via a second window
@@ -2396,6 +2435,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temporal_split": q_temporal_split,
         "future_label": q_future_label,
         "session_features": q_session_features,
+        "interval_context": q_interval_context,
         "calendar_features": q_calendar_features,
         "feature_cross": q_feature_cross,
         "resample_grid": q_resample_grid,
@@ -3200,6 +3240,35 @@ SELECT event_id, user_id, session_id,
             - min(us) OVER (PARTITION BY user_id, session_id) AS BIGINT)
          AS session_span_us
 FROM g
+""",
+        "interval_context": """
+WITH o AS (
+  SELECT event_id, user_id, ts, epoch_us(ts) AS us,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id)
+              > 1800000000 THEN 1 ELSE 0 END AS boundary
+  FROM events
+),
+s AS (
+  SELECT event_id, user_id, ts, us,
+         CAST(SUM(boundary) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS INT)
+           AS session_id
+  FROM o
+),
+w AS (
+  SELECT user_id, session_id AS ctx_session,
+         MIN(us) - 3600000000 AS from_us,
+         MAX(us) + 3600000000 AS to_us
+  FROM s GROUP BY user_id, session_id
+)
+SELECT s.event_id, s.user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_ctx,
+       MIN(w.ctx_session) AS first_ctx,
+       MAX(w.ctx_session) AS last_ctx
+FROM s JOIN w ON s.user_id = w.user_id
+             AND s.us >= w.from_us AND s.us < w.to_us
+GROUP BY s.event_id, s.user_id
 """,
         # isodow: DuckDB has it native; Spark derives it from dayofweek
         "calendar_features": """

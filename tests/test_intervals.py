@@ -1,0 +1,162 @@
+"""Validity-interval (range) join: strategy value-identity, half-open
+semantics, bucket-width invariance, left-join NULL survival, and a
+BroadcastNestedLoopJoin absence check on the bucket plan.
+
+Reference anchor: the reference's temporal alignment is the point-in-time
+@lastUpdated lookup (funcify-feature-eng materializer); containment joins
+are the sibling primitive it leaves to the caller — see
+operators/intervals.py module docstring.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from funcify_feature_eng_spark.operators.intervals import (
+    interval_join,
+    session_windows,
+)
+from funcify_feature_eng_spark.operators.windows import session_id
+
+UTC = dt.timezone.utc
+
+
+def _ts(s: float) -> dt.datetime:
+    return dt.datetime.fromtimestamp(1_700_000_000 + s, tz=UTC)
+
+
+@pytest.fixture(scope="module")
+def facts(spark):
+    rows = [
+        ("e1", "u1", _ts(10)),
+        ("e2", "u1", _ts(100)),
+        ("e3", "u1", _ts(3600)),   # boundary cases below
+        ("e4", "u2", _ts(50)),
+        ("e5", "u2", _ts(7200)),   # covered by nothing
+    ]
+    return spark.createDataFrame(rows, "event_id string, user_id string, ts timestamp")
+
+
+@pytest.fixture(scope="module")
+def intervals(spark):
+    rows = [
+        # u1: two overlapping windows — e2 (ts=100) is inside both
+        ("u1", "w1", _ts(0), _ts(200)),
+        ("u1", "w2", _ts(50), _ts(4000)),
+        # u1: end exactly at e3's ts=3600 — half-open, must NOT match e3
+        ("u1", "w3", _ts(3000), _ts(3600)),
+        # u2: covers e4 only
+        ("u2", "w4", _ts(0), _ts(60)),
+        # empty interval (end <= start) — dropped up front
+        ("u2", "w5", _ts(100), _ts(100)),
+    ]
+    return spark.createDataFrame(
+        rows, "user_id string, win string, valid_from timestamp, valid_to timestamp"
+    )
+
+
+def _pairs(df) -> set[tuple]:
+    return {tuple(r) for r in df.select("event_id", "win").collect()}
+
+
+EXPECTED = {
+    ("e1", "w1"),
+    ("e2", "w1"),
+    ("e2", "w2"),
+    ("e3", "w2"),  # ts=3600 < w2.end=4000
+    ("e4", "w4"),
+}
+
+
+@pytest.mark.parametrize("strategy", ["broadcast", "bucket"])
+def test_containment_and_halfopen(spark, facts, intervals, strategy):
+    out = interval_join(facts, intervals, on="user_id", strategy=strategy)
+    assert _pairs(out) == EXPECTED
+    # e3 vs w3 is the half-open pin: ts == end must not match
+    assert ("e3", "w3") not in _pairs(out)
+
+
+@pytest.mark.parametrize("bucket_s", [7, 100, 3600, 86400])
+def test_bucket_width_invariance(spark, facts, intervals, bucket_s):
+    """The bucket grid is a physical layout choice only — any width gives
+    the same matched pairs, each exactly once (no dedup step exists)."""
+    out = interval_join(
+        facts, intervals, on="user_id", strategy="bucket", bucket_s=bucket_s
+    )
+    rows = out.select("event_id", "win").collect()
+    assert len(rows) == len(EXPECTED)  # exactly-once: no duplicate pairs
+    assert {tuple(r) for r in rows} == EXPECTED
+
+
+def test_left_join_null_payload(spark, facts, intervals):
+    out = interval_join(facts, intervals, on="user_id", how="left")
+    e5 = out.filter(F.col("event_id") == "e5").collect()
+    assert len(e5) == 1 and e5[0]["win"] is None
+    # matched rows unchanged
+    assert _pairs(out.filter(F.col("win").isNotNull())) == EXPECTED
+
+
+def test_bucket_plan_is_hash_join(spark, facts, intervals):
+    out = interval_join(facts, intervals, on="user_id", strategy="bucket")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_invalid_args(spark, facts, intervals):
+    with pytest.raises(ValueError):
+        interval_join(facts, intervals, on="user_id", how="full")
+    with pytest.raises(ValueError):
+        interval_join(facts, intervals, on="user_id", strategy="sort")
+
+
+def test_session_windows_margin_overlap(spark):
+    """Two sessions 2000s apart with a 3600s margin overlap; margin=0 does
+    not. An event in the inter-session gap multi-matches only with margin."""
+    rows = [
+        ("u1", "a", _ts(0)),
+        ("u1", "b", _ts(100)),
+        # gap of 2000s > 1800 threshold -> new session
+        ("u1", "c", _ts(2100)),
+        ("u1", "d", _ts(2200)),
+    ]
+    ev = spark.createDataFrame(rows, "user_id string, event_id string, ts timestamp")
+    g = ev.withColumn(
+        "session_id", session_id("ts", ["user_id"], ["ts", "event_id"], 1800.0)
+    )
+    tight = session_windows(g, on="user_id", ts="ts", margin_s=0)
+    wide = session_windows(g, on="user_id", ts="ts", margin_s=3600)
+    assert tight.count() == 2 and wide.count() == 2
+
+    joined = interval_join(
+        g.select("event_id", "user_id", "ts"),
+        wide.withColumnRenamed("session_id", "ctx"),
+        on="user_id",
+        strategy="bucket",
+        bucket_s=600,
+    )
+    per_event = {
+        r["event_id"]: r["n"]
+        for r in joined.groupBy("event_id").agg(F.count("*").alias("n")).collect()
+    }
+    # with +-1h margin every event sits inside BOTH widened windows
+    assert per_event == {"a": 2, "b": 2, "c": 2, "d": 2}
+
+    tight_joined = interval_join(
+        g.select("event_id", "user_id", "ts"),
+        tight.withColumnRenamed("session_id", "ctx"),
+        on="user_id",
+        strategy="broadcast",
+    )
+    tight_counts = {
+        r["event_id"]: r["n"]
+        for r in tight_joined.groupBy("event_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    # margin=0: valid_to == max ts is EXCLUSIVE, so the last event of each
+    # session falls out — the documented half-open consequence
+    assert tight_counts == {"a": 1, "c": 1}
