@@ -809,6 +809,56 @@ def q_interval_context(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_scd2_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD-2 builder in the gate: events as a per-user change log of
+    event_type; same-instant changes collapse to the max-event_id one and
+    consecutive identical states merge (operators/intervals.py::
+    scd2_from_changes). ONE hash exchange end-to-end (plan-audited): the
+    explicit keys-repartition satisfies the instant groupBy, the run
+    windows, the run collapse, and the final lead. Timestamps emitted as
+    epoch micros; NULL to_us marks each user's still-open current epoch."""
+    from funcify_feature_eng_spark.operators.intervals import scd2_from_changes
+
+    ev = _t(spark, sf_dir, "events")
+    ep = scd2_from_changes(
+        ev.select("user_id", "ts", "event_type", "event_id"),
+        on="user_id",
+        ts="ts",
+        state_cols=["event_type"],
+        order=["event_id"],
+    )
+    return ep.select(
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("valid_from").cast("timestamp")).alias("from_us"),
+        F.unix_micros(F.col("valid_to").cast("timestamp")).alias("to_us"),
+    )
+
+
+def q_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """asof_prior_purchase with a 1-day staleness bound (pandas merge_asof
+    `tolerance`): a prior purchase older than 24h is as good as missing, so
+    its payload nulls out. The bound is a shuffle-free Column post pass that
+    composes with every physical strategy — strategy value-identity is
+    pinned in tests/test_asof.py."""
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    out = asof_join(
+        ev.select("event_id", "user_id", "ts", "event_type"),
+        purchases,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        value_cols={"value": "prior_purchase_value"},
+        allow_exact_matches=False,
+        right_order=["event_id"],
+        tolerance_s=86400,
+    )
+    return out.select("event_id", "user_id", "event_type", "prior_purchase_value")
+
+
 def q_session_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-grain window composition: derive session_id (cumsum window),
     then attach SESSION-grain context to every turn via a second window
@@ -2436,6 +2486,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "future_label": q_future_label,
         "session_features": q_session_features,
         "interval_context": q_interval_context,
+        "scd2_epochs": q_scd2_epochs,
+        "asof_tolerance": q_asof_tolerance,
         "calendar_features": q_calendar_features,
         "feature_cross": q_feature_cross,
         "resample_grid": q_resample_grid,
@@ -3269,6 +3321,44 @@ SELECT s.event_id, s.user_id,
 FROM s JOIN w ON s.user_id = w.user_id
              AND s.us >= w.from_us AND s.us < w.to_us
 GROUP BY s.event_id, s.user_id
+""",
+        "scd2_epochs": """
+WITH one AS (
+  SELECT user_id, ts, arg_max(event_type, event_id) AS event_type
+  FROM events GROUP BY user_id, ts
+),
+chg AS (
+  SELECT user_id, ts, event_type,
+         CASE WHEN event_type IS DISTINCT FROM
+                   lag(event_type) OVER (PARTITION BY user_id ORDER BY ts)
+              THEN 1 ELSE 0 END AS is_new
+  FROM one
+),
+r AS (
+  SELECT user_id, ts, event_type,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+  FROM chg
+),
+g AS (
+  SELECT user_id, event_type, MIN(ts) AS valid_from
+  FROM r GROUP BY user_id, run, event_type
+)
+SELECT user_id, event_type, epoch_us(valid_from) AS from_us,
+       epoch_us(lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from))
+         AS to_us
+FROM g
+""",
+        # staleness bound: the nearest prior IS the only candidate, so
+        # restricting the subquery window equals null-if-stale
+        "asof_tolerance": """
+SELECT e.event_id, e.user_id, e.event_type,
+       (SELECT p.value FROM events p
+         WHERE p.user_id = e.user_id AND p.event_type = 'purchase'
+           AND p.ts < e.ts
+           AND epoch_us(e.ts) - epoch_us(p.ts) <= 86400000000
+         ORDER BY p.ts DESC, p.event_id DESC LIMIT 1) AS prior_purchase_value
+FROM events e
 """,
         # isodow: DuckDB has it native; Spark derives it from dayofweek
         "calendar_features": """

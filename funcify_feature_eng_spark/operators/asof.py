@@ -86,6 +86,7 @@ def asof_join(
     direction: str = "backward",
     num_salts: int = 16,
     auto_config: dict | None = None,
+    tolerance_s: float | None = None,
 ) -> DataFrame:
     """For each left row, attach the latest right payload with
     ``right_ts <= left_ts`` (or ``<`` when ``allow_exact_matches=False``),
@@ -111,12 +112,61 @@ def asof_join(
     ``num_salts``-times right-side shuffle. Prefer ``segmented`` when the
     right side is large (it replicates nothing); benched head-to-head in
     BENCH.md.
+
+    ``tolerance_s`` is the pandas ``merge_asof(tolerance=...)`` staleness
+    bound: a match more than this many seconds away from the left timestamp
+    nulls its payload (the nearest match IS the only candidate — nothing
+    closer exists, so nulling equals not matching). Composes with every
+    strategy and direction as a shuffle-free post pass.
     """
     vals = _normalize_values(value_cols)
     _validate(left, on, list(vals.values()))
     if direction not in ("backward", "forward"):
         raise ValueError(f"unknown direction {direction!r}")
     forward = direction == "forward"
+    if tolerance_s is not None:
+        # Staleness bound (pandas merge_asof `tolerance`): a match farther
+        # than tolerance from the left timestamp is as good as no match —
+        # its payload nulls out. Implemented as a strategy-agnostic post
+        # pass: the matched right_ts is carried through as a value column
+        # (injected if the caller didn't ask for it), then every payload
+        # column is nulled where the gap exceeds the bound. Pure Column
+        # expressions over the already-joined frame — zero extra shuffles
+        # regardless of strategy.
+        if tolerance_s < 0:
+            raise ValueError(f"tolerance_s must be >= 0, got {tolerance_s}")
+        vals2 = dict(vals)
+        matched = vals2.get(right_ts)
+        injected = matched is None
+        if injected:
+            matched = "__asof_matched_ts"
+            vals2[right_ts] = matched
+        out = asof_join(
+            left, right, on=on, left_ts=left_ts, right_ts=right_ts,
+            value_cols=vals2, allow_exact_matches=allow_exact_matches,
+            right_order=right_order, strategy=strategy,
+            bucket_seconds=bucket_seconds, direction=direction,
+            num_salts=num_salts, auto_config=auto_config,
+        )
+        gap = F.unix_micros(F.col(left_ts).cast("timestamp")) - F.unix_micros(
+            F.col(matched).cast("timestamp")
+        )
+        if forward:
+            gap = -gap
+        # flag FIRST, then null: if the caller's payload includes right_ts
+        # itself, nulling it in-place before the other columns would flip
+        # the (lazily re-resolved) staleness test for the rest of the loop
+        out = out.withColumn(
+            "__asof_stale",
+            F.col(matched).isNotNull()
+            & (gap > F.lit(int(round(tolerance_s * 1_000_000)))),
+        )
+        for o in vals.values():
+            out = out.withColumn(
+                o, F.when(F.col("__asof_stale"), F.lit(None)).otherwise(F.col(o))
+            )
+        out = out.drop("__asof_stale")
+        return out.drop(matched) if injected else out
     if strategy == "union_window":
         return _asof_union_window(
             left, right, on, left_ts, right_ts, vals, allow_exact_matches, right_order,

@@ -42,6 +42,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
 
 
 def _us(col: str) -> Column:
@@ -61,6 +62,7 @@ def interval_join(
     how: str = "inner",
     strategy: str = "bucket",
     bucket_s: int = 3600,
+    max_buckets_per_interval: int = 100_000,
 ) -> DataFrame:
     """Attach every interval row whose ``[start, end)`` contains ``fact.ts``.
 
@@ -88,14 +90,28 @@ def interval_join(
         # end is exclusive: an interval ending exactly on a bucket boundary
         # never covers a ts in that next bucket, so floor((end-1µs)/W) is the
         # last bucket it can match in
-        right_b = right.withColumn(
-            "__ij_bucket",
-            F.explode(
-                F.sequence(
-                    F.floor(_us(start) / F.lit(w_us)),
-                    F.floor((_us(end) - F.lit(1)) / F.lit(w_us)),
-                )
+        first_b = F.floor(_us(start) / F.lit(w_us))
+        last_b = F.floor((_us(end) - F.lit(1)) / F.lit(w_us))
+        # runtime span guard: ONE unbounded interval (an SCD-2 open epoch, a
+        # sentinel end-of-time) would otherwise explode to millions of rows
+        # and silently dominate the job. assert_true returns NULL when the
+        # check passes; feeding it through the upper bound keeps Catalyst
+        # from pruning it away.
+        span_ok = (last_b - first_b) < F.lit(int(max_buckets_per_interval))
+        msg = F.concat(
+            F.lit(
+                "interval_join: an interval spans >= "
+                f"{max_buckets_per_interval} buckets of {bucket_s}s — raise "
+                "bucket_s / max_buckets_per_interval, cap open-ended "
+                "intervals, or use strategy='broadcast'; offending span: "
             ),
+            F.col(start).cast("string"), F.lit(" .. "), F.col(end).cast("string"),
+        )
+        last_checked = last_b + F.coalesce(
+            F.assert_true(span_ok, msg).cast("long"), F.lit(0)
+        )
+        right_b = right.withColumn(
+            "__ij_bucket", F.explode(F.sequence(first_b, last_checked))
         )
         fact_b = fact.withColumn(
             "__ij_bucket", F.floor(_us(ts) / F.lit(w_us))
@@ -119,6 +135,96 @@ def interval_join(
             c, F.lit(None).cast(dict(intervals.dtypes)[c])
         )
     return joined.unionByName(unmatched)
+
+
+def scd2_from_changes(
+    changes: DataFrame,
+    on: str | list[str],
+    ts: str = "ts",
+    state_cols: list[str] | None = None,
+    order: list[str] | None = None,
+    collapse_unchanged: bool = True,
+) -> DataFrame:
+    """Turn a change log into SCD-2 validity intervals — the *builder* side
+    of the containment pair (:func:`interval_join` is the reader).
+
+    Each input row says "this key's state became X at ``ts``". Output is one
+    row per epoch: keys + ``state_cols`` + half-open ``[valid_from,
+    valid_to)``; the current (still-open) epoch has ``valid_to = NULL``.
+    The half-open convention matches :func:`interval_join` exactly, so a
+    point read on the built table never double-matches a boundary instant.
+
+    Rules, all deterministic:
+
+    - several changes at the same (key, ts) instant collapse to ONE — the
+      last by ``order`` (default: the state columns themselves) wins, since
+      under half-open semantics the earlier ones would be zero-length
+      epochs anyway;
+    - ``collapse_unchanged=True`` merges consecutive epochs with identical
+      state (classic SCD-2 compaction — a "change" that changes nothing
+      does not cut a new epoch).
+
+    Scale: every window and the run-collapse groupBy partition on the key,
+    so the whole build costs ONE hash exchange (Catalyst recognizes that
+    HashPartitioning(keys) satisfies the (keys, run) clustering); no
+    self-join, no driver state. At 10^12 rows this is a single shuffle of
+    the change log.
+
+    Reference anchor: the reference tracks only the *latest* state per key
+    (@lastUpdated registry, ``materializer`` module); full epoch history is
+    the capability a warehouse user layers on top — this builder makes it a
+    one-call operator.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    if state_cols is None:
+        state_cols = [c for c in changes.columns if c not in keys and c != ts]
+    if not state_cols:
+        raise ValueError("scd2_from_changes: no state columns")
+    order = list(order or [])
+    tie_cols = order or state_cols
+
+    # 1) one change per (key, instant): max-by-tie wins (lexicographic struct
+    #    comparison == row_number over tie DESC, without a second exchange:
+    #    the explicit keys-repartition below satisfies BOTH this (keys, ts)
+    #    groupBy and every later keys-partitioned window, so the whole build
+    #    costs ONE hash exchange of the change log)
+    st = F.struct(*[F.col(c).alias(c) for c in state_cols])
+    tie = F.struct(*[F.col(c) for c in tie_cols])
+    df = (
+        changes.select(
+            *keys, ts,
+            *[c for c in dict.fromkeys(state_cols + order) if c not in keys and c != ts],
+        )
+        .repartition(*keys)
+        .groupBy(*keys, ts)
+        .agg(F.max_by(st, tie).alias("__st"))
+        .select(*keys, ts, *[F.col(f"__st.{c}").alias(c) for c in state_cols])
+    )
+
+    w_key = W.partitionBy(*keys).orderBy(ts)
+    if collapse_unchanged:
+        # 2) run-ids: a new run starts when the state struct differs from the
+        #    previous instant's (NULL-safe: eqNullSafe handles NULL states)
+        st = F.struct(*[F.col(c) for c in state_cols])
+        # eqNullSafe is false when lag is NULL (first row) and per-field
+        # null-safe otherwise, so `changed` is true exactly at run starts
+        changed = ~st.eqNullSafe(F.lag(st).over(w_key))
+        df = df.withColumn(
+            "__run",
+            F.sum(F.when(changed, 1).otherwise(0)).over(w_key),
+        )
+        # 3) collapse runs: epoch starts at the run's first change
+        df = df.groupBy(*keys, "__run").agg(
+            F.min(ts).alias("valid_from"),
+            *[F.first(c).alias(c) for c in state_cols],
+        )
+    else:
+        df = df.withColumnRenamed(ts, "valid_from")
+
+    w_from = W.partitionBy(*keys).orderBy("valid_from")
+    return df.withColumn("valid_to", F.lead("valid_from").over(w_from)).select(
+        *keys, *state_cols, "valid_from", "valid_to"
+    )
 
 
 def session_windows(

@@ -324,3 +324,76 @@ def test_auto_values_identical_to_explicit(
     e = base["store_value"].to_numpy(object)
     same = (g == e) | (pd.isna(g.astype(object)) & pd.isna(e.astype(object)))
     assert bool(same.all())
+
+
+# ---------------------------------------------------------------------------
+# tolerance_s: the pandas merge_asof staleness bound
+# ---------------------------------------------------------------------------
+
+def _tolerance_oracle(left_pd, right_pd, tol_s, direction="backward"):
+    l = left_pd.sort_values("ts", kind="stable").reset_index(drop=True)
+    r = (
+        right_pd.sort_values(["value_at_ts", "value"], kind="stable")
+        .reset_index(drop=True)[["conv_id", "value_at_ts", "value"]]
+        .rename(columns={"value": "store_value"})
+    )
+    m = pd.merge_asof(
+        l, r, left_on="ts", right_on="value_at_ts", by="conv_id",
+        direction=direction, tolerance=pd.Timedelta(seconds=tol_s),
+    )
+    return m.sort_values(["conv_id", "turn_idx"], kind="stable").reset_index(drop=True)
+
+
+@pytest.mark.parametrize("strategy", STRATEGIES)
+def test_tolerance_matches_pandas(
+    spark, transcripts, feature_store, transcripts_pd, feature_store_pd, strategy
+):
+    tol = 6 * 3600.0
+    got = _run(spark, transcripts, feature_store, strategy, tolerance_s=tol)
+    exp = _tolerance_oracle(transcripts_pd, feature_store_pd, tol)
+    g = got["store_value"].to_numpy(object)
+    e = exp["store_value"].to_numpy(object)
+    same = (g == e) | (pd.isna(g.astype(object)) & pd.isna(e.astype(object)))
+    assert same.all(), f"{strategy}: {int((~same).sum())} mismatches"
+    # the bound must BITE on this fixture, or the test proves nothing
+    unbounded = oracle_asof(transcripts_pd, feature_store_pd)
+    assert exp["store_value"].isna().sum() > unbounded["store_value"].isna().sum()
+
+
+def test_tolerance_forward_direction(
+    spark, transcripts, feature_store, transcripts_pd, feature_store_pd
+):
+    tol = 6 * 3600.0
+    got = _run(
+        spark, transcripts, feature_store, "union_window",
+        direction="forward", tolerance_s=tol,
+    )
+    exp = _tolerance_oracle(transcripts_pd, feature_store_pd, tol, direction="forward")
+    g = got["store_value"].to_numpy(object)
+    e = exp["store_value"].to_numpy(object)
+    same = (g == e) | (pd.isna(g.astype(object)) & pd.isna(e.astype(object)))
+    assert same.all()
+
+
+def test_tolerance_payload_including_right_ts(spark, transcripts, feature_store):
+    """Regression: when the caller's payload includes right_ts itself, the
+    staleness flag must be computed BEFORE any payload column is nulled —
+    a stale row nulls ALL payload columns, not just the ones that happen to
+    be rewritten before the matched-ts column."""
+    out = asof_join(
+        transcripts, feature_store, on=["conv_id"], left_ts="ts",
+        right_ts="value_at_ts",
+        value_cols={"value": "store_value", "value_at_ts": "matched_at"},
+        right_order=["value"], tolerance_s=6 * 3600.0,
+    ).toPandas()
+    stale_inconsistent = out["matched_at"].isna() != out["store_value"].isna()
+    assert not stale_inconsistent.any()
+    assert out["matched_at"].isna().any()  # the bound bites
+
+
+def test_tolerance_validation(spark, transcripts, feature_store):
+    with pytest.raises(ValueError, match="tolerance_s"):
+        asof_join(
+            transcripts, feature_store, on=["conv_id"], left_ts="ts",
+            right_ts="value_at_ts", value_cols=["value"], tolerance_s=-1,
+        )

@@ -160,3 +160,129 @@ def test_session_windows_margin_overlap(spark):
     # margin=0: valid_to == max ts is EXCLUSIVE, so the last event of each
     # session falls out — the documented half-open consequence
     assert tight_counts == {"a": 1, "c": 1}
+
+
+# ---------------------------------------------------------------------------
+# scd2_from_changes: the builder side of the containment pair
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def change_log(spark):
+    rows = [
+        ("u1", _ts(0), "A", 1),
+        ("u1", _ts(10), "A", 2),    # unchanged -> merges into the A run
+        ("u1", _ts(20), "B", 3),
+        ("u1", _ts(20), "C", 4),    # same instant: max-seq (C) wins
+        ("u1", _ts(30), "C", 5),    # unchanged after C
+        ("u1", _ts(40), "A", 6),    # state may RECUR in a new epoch
+        ("u2", _ts(5), "X", 7),
+    ]
+    return spark.createDataFrame(
+        rows, "k string, ts timestamp, state string, seq int"
+    )
+
+
+def test_scd2_epochs(spark, change_log):
+    from funcify_feature_eng_spark.operators.intervals import scd2_from_changes
+
+    base = 1_700_000_000_000_000
+    ep = (
+        scd2_from_changes(
+            change_log, on="k", ts="ts", state_cols=["state"], order=["seq"]
+        )
+        .select(
+            "k", "state",
+            ((F.unix_micros("valid_from") - base) / 1e6).alias("f"),
+            ((F.unix_micros("valid_to") - base) / 1e6).alias("t"),
+        )
+        .orderBy("k", "f")
+    )
+    got = [(r.k, r.state, r.f, r.t) for r in ep.collect()]
+    assert got == [
+        ("u1", "A", 0.0, 20.0),
+        ("u1", "C", 20.0, 40.0),
+        ("u1", "A", 40.0, None),
+        ("u2", "X", 5.0, None),
+    ]
+
+
+def test_scd2_no_collapse_keeps_every_instant(spark, change_log):
+    from funcify_feature_eng_spark.operators.intervals import scd2_from_changes
+
+    ep = scd2_from_changes(
+        change_log, on="k", ts="ts", state_cols=["state"], order=["seq"],
+        collapse_unchanged=False,
+    )
+    # 6 distinct (k, ts) instants survive (the two t=20 rows collapse to one)
+    assert ep.count() == 6
+    # adjacent epochs tile the timeline: valid_to == next valid_from
+    rows = sorted(ep.collect(), key=lambda r: (r.k, r.valid_from))
+    u1 = [r for r in rows if r.k == "u1"]
+    for a, b in zip(u1, u1[1:]):
+        assert a.valid_to == b.valid_from
+    assert u1[-1].valid_to is None
+
+
+def test_scd2_single_exchange_plan(spark, change_log):
+    from funcify_feature_eng_spark.operators.intervals import scd2_from_changes
+
+    ep = scd2_from_changes(
+        change_log, on="k", ts="ts", state_cols=["state"], order=["seq"]
+    )
+    plan = ep._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
+
+
+def test_scd2_point_read_equals_asof(spark, change_log):
+    """Cross-operator consistency: reading the built SCD-2 table at a point
+    in time via interval_join must equal the as-of join straight against the
+    change log — two independent engine paths, one answer."""
+    from funcify_feature_eng_spark.operators.asof import asof_join
+    from funcify_feature_eng_spark.operators.intervals import (
+        interval_join,
+        scd2_from_changes,
+    )
+
+    probes = spark.createDataFrame(
+        [("p%d" % i, k, _ts(s)) for i, (k, s) in enumerate(
+            [("u1", 0), ("u1", 5), ("u1", 19.999), ("u1", 20), ("u1", 39),
+             ("u1", 40), ("u1", 1000), ("u2", 4), ("u2", 5), ("u2", 99)]
+        )],
+        "probe_id string, k string, ts timestamp",
+    )
+    ep = scd2_from_changes(
+        change_log, on="k", ts="ts", state_cols=["state"], order=["seq"]
+    ).withColumn("valid_to", F.coalesce("valid_to", F.lit(_ts(2000))))
+    via_intervals = {
+        r.probe_id: r.state
+        for r in interval_join(
+            probes, ep, on="k", ts="ts", strategy="bucket", bucket_s=7,
+            how="left",
+        ).collect()
+    }
+    # asof twin: dedupe same-instant changes by max seq (the builder's rule)
+    via_asof = {
+        r.probe_id: r.state
+        for r in asof_join(
+            probes, change_log, on=["k"], left_ts="ts", right_ts="ts",
+            value_cols={"state": "state"}, allow_exact_matches=True,
+            right_order=["seq"],
+        ).collect()
+    }
+    assert via_intervals == via_asof
+    assert via_intervals["p6"] == "A" and via_intervals["p2"] == "A"
+
+
+def test_bucket_span_guard_raises(spark, facts):
+    """An effectively-unbounded interval must fail loudly, not explode to
+    millions of bucket rows."""
+    from pyspark.errors import SparkRuntimeException
+
+    wide = spark.createDataFrame(
+        [("u1", _ts(0), _ts(10**9), "open")],
+        "user_id string, valid_from timestamp, valid_to timestamp, state string",
+    )
+    with pytest.raises(SparkRuntimeException, match="interval_join"):
+        interval_join(
+            facts, wide, on="user_id", ts="ts", strategy="bucket", bucket_s=60
+        ).collect()
