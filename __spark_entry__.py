@@ -859,6 +859,39 @@ def q_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", "user_id", "event_type", "prior_purchase_value")
 
 
+def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV distinct-count sketch in the gate (operators/sketches.py): per
+    lang, the 128 smallest distinct 63-bit text hashes; groups under k
+    report exactly, the over-k group (en: 218 distinct) takes the
+    order-statistic estimator path. Oracle = fixture precomputed by an
+    INDEPENDENT pure-Python xxh64 + estimator (scripts/make_fixtures.py::
+    kmv_distinct_counts) — same pattern as the MinHash/SimHash gates.
+    Scale shape: shuffle carries distinct hashes only; the stored sketch
+    is a ≤k-element array whose merge is lossless (property-tested)."""
+    from funcify_feature_eng_spark.operators.sketches import (
+        kmv_estimate,
+        kmv_sketch,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    sk = kmv_sketch(docs, ["text"], group_by=["lang"], k=128)
+    return sk.select("lang", kmv_estimate("kmv", 128).alias("est_distinct"))
+
+
+def q_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binned-histogram quantiles (the mergeable 100 TB quantile path,
+    complementing the exact value_quantiles gate): per event_type, nearest-
+    rank p50/p90/p99 at bin width 1.0 via the pure-integer predicate
+    100·cum >= p·n over per-bin counts — the shuffle carries
+    O(groups × bins), never O(rows)."""
+    from funcify_feature_eng_spark.operators.sketches import histogram_quantiles
+
+    ev = _t(spark, sf_dir, "events")
+    return histogram_quantiles(
+        ev, "value", ["event_type"], percents=(50, 90, 99), bin_width=1.0
+    )
+
+
 def q_session_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-grain window composition: derive session_id (cumsum window),
     then attach SESSION-grain context to every turn via a second window
@@ -2488,6 +2521,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_context": q_interval_context,
         "scd2_epochs": q_scd2_epochs,
         "asof_tolerance": q_asof_tolerance,
+        "kmv_distinct": q_kmv_distinct,
+        "hist_quantiles": q_hist_quantiles,
         "calendar_features": q_calendar_features,
         "feature_cross": q_feature_cross,
         "resample_grid": q_resample_grid,
@@ -4118,6 +4153,28 @@ FROM f
 UNION ALL
 SELECT 2, user_id, TIMESTAMP '{_STORE_T2}', v, 'store', TIMESTAMP '{_STORE_CUT}'
 FROM f
+""",
+        "kmv_distinct": _fixture_values(
+            "kmv_distinct_sf0.01.parquet", ["lang", "est_distinct"]
+        ),
+        "hist_quantiles": """
+WITH h AS (
+  SELECT event_type, CAST(floor((value - 0.0) / 1.0) AS BIGINT) AS bin,
+         COUNT(*) AS cnt
+  FROM events WHERE value IS NOT NULL
+  GROUP BY event_type, bin
+),
+c AS (
+  SELECT event_type, bin, cnt,
+         SUM(cnt) OVER (PARTITION BY event_type ORDER BY bin) AS cum,
+         SUM(cnt) OVER (PARTITION BY event_type) AS n
+  FROM h
+)
+SELECT event_type, CAST(MAX(n) AS BIGINT) AS n,
+       0.0 + MIN(CASE WHEN cum * 100 >= n * 50 THEN bin END) * 1.0 AS p50,
+       0.0 + MIN(CASE WHEN cum * 100 >= n * 90 THEN bin END) * 1.0 AS p90,
+       0.0 + MIN(CASE WHEN cum * 100 >= n * 99 THEN bin END) * 1.0 AS p99
+FROM c GROUP BY event_type
 """,
         "minhash_lsh_pairs": _fixture_values(
             "minhash_pairs_sf0.01.parquet", ["doc_a", "doc_b", "jaccard"]

@@ -1,0 +1,176 @@
+"""Mergeable summary sketches: KMV distinct-count and binned quantiles.
+
+At 100 TB nobody re-scans the corpus to answer "how many distinct X" or
+"what's the p99" — pipelines keep small, MERGEABLE per-partition/per-day
+summaries and combine them. Spark's built-ins (``approx_count_distinct``
+HLL++, ``percentile_approx``) do this JVM-side but are black boxes whose
+exact outputs can't be reproduced by an independent engine, so they can't be
+oracle-gated. These two sketches are deterministic by construction — every
+output is reproducible from the input with integer arithmetic — while
+keeping the mergeability that makes sketches useful:
+
+``kmv_sketch`` / ``kmv_estimate`` / ``kmv_merge``
+    K-minimum-values cardinality sketch (Bar-Yossef et al. 2002, public
+    algorithm): hash every value to a uniform 63-bit integer, keep each
+    group's ``k`` smallest DISTINCT hashes. If fewer than ``k`` exist the
+    count is exact; otherwise the k-th smallest order statistic estimates
+    the density: ``est = (k-1) * domain // h_k``. The sketch (a sorted
+    ≤k-element array) is the stored artifact: sketches of two datasets
+    merge by union+trim and the merged estimate equals the estimate of the
+    union EXACTLY (property-tested) — the reason to store sketches instead
+    of counts.
+
+``histogram_counts`` / ``histogram_quantiles``
+    Fixed-width binned quantiles: one combinable groupBy builds per-group
+    bin counts (map-side partial aggregation — the shuffle carries
+    O(groups × bins), never O(rows)); the quantile at percent ``p`` is the
+    lowest bin whose cumulative count reaches the nearest-rank
+    ``ceil(p·n/100)``, tested as the pure-integer predicate
+    ``100·cum >= p·n``. Error is bounded by the bin width; histograms for
+    disjoint datasets merge by adding counts.
+
+Reference anchor: the reference has no sketching layer — its registry
+tracks exact per-feature metadata (``materializer`` module); summaries over
+10^12-row corpora are the capability a Spark user adds on top.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+# hashes land uniformly in [0, DOMAIN): xxhash64's sign bit is masked off
+# (one bit of entropy traded for a clean non-negative integer domain)
+DOMAIN = 1 << 63
+_MASK = DOMAIN - 1
+
+
+def kmv_sketch(
+    df: DataFrame,
+    cols: Sequence[str],
+    group_by: Sequence[str] = (),
+    k: int = 256,
+    hash_col: Column | None = None,
+) -> DataFrame:
+    """Per-group KMV sketch: the ``k`` smallest distinct 63-bit hashes of
+    ``cols``, as a sorted ``array<bigint>`` column ``kmv``.
+
+    ``hash_col`` overrides the default ``xxhash64 & (2^63-1)`` — it must be
+    uniform on ``[0, DOMAIN)``; the gate query uses a SQL-expressible
+    splitmix-style hash so DuckDB can recompute it, production uses the
+    default.
+
+    Scale shape: distinct-of-hashes (map-side partial dedup, shuffle carries
+    distinct hashes only) → per-group sort-based top-k (external sort,
+    spills; never a collect of the full distinct set) → ≤k-element arrays.
+    """
+    if k < 2:
+        raise ValueError(f"kmv_sketch: k must be >= 2, got {k}")
+    keys = list(group_by)
+    h = hash_col if hash_col is not None else F.xxhash64(*cols).bitwiseAND(F.lit(_MASK))
+    part = keys or [F.lit(1)]
+    d = df.select(*keys, h.alias("__h")).distinct()
+    w = W.partitionBy(*part).orderBy("__h")
+    topk = d.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") <= k)
+    gb = topk.groupBy(*keys) if keys else topk.groupBy()
+    return gb.agg(F.array_sort(F.collect_list("__h")).alias("kmv"))
+
+
+def kmv_estimate(sketch: Column | str, k: int, domain: int = DOMAIN) -> Column:
+    """Distinct-count estimate from a KMV sketch column: exact ``|sketch|``
+    when the group had fewer than ``k`` distinct values, else the order-
+    statistic estimator ``floor((k-1) * domain / h_k)``.
+
+    The division runs in IEEE doubles — deterministic and bit-identical
+    across Spark / DuckDB / Python for the same integer inputs, which is
+    what the oracle gate needs. ``(k-1)·domain`` is exactly representable
+    (a small mantissa times 2^63); ``h_k`` rounds to nearest identically
+    everywhere. (BIGINT can't hold (k-1)·2^63, and Spark's DECIMAL cast
+    rounds HALF_UP rather than flooring, so exact integer division would
+    cost a two-limb long-division dance for < 2^-52 relative error.)"""
+    s = F.col(sketch) if isinstance(sketch, str) else sketch
+    num = float((k - 1) * domain)
+    kth = F.element_at(s, k).cast("double")
+    return F.when(F.size(s) < k, F.size(s).cast("long")).otherwise(
+        F.floor(F.lit(num) / kth).cast("long")
+    )
+
+
+def kmv_merge(a: Column | str, b: Column | str, k: int) -> Column:
+    """Merge two KMV sketches: distinct-union, sort, keep the k smallest.
+    ``estimate(merge(sk(A), sk(B))) == estimate(sk(A ∪ B))`` exactly."""
+    ca = F.col(a) if isinstance(a, str) else a
+    cb = F.col(b) if isinstance(b, str) else b
+    return F.slice(F.array_sort(F.array_union(ca, cb)), 1, k)
+
+
+def histogram_counts(
+    df: DataFrame,
+    value_col: str,
+    group_by: Sequence[str] = (),
+    bin_width: float = 1.0,
+    origin: float = 0.0,
+) -> DataFrame:
+    """Per-(group, bin) counts — the mergeable histogram summary. ONE
+    combinable shuffle of O(groups × occupied bins). NULL values drop (they
+    have no quantile position)."""
+    if bin_width <= 0:
+        raise ValueError(f"histogram_counts: bin_width must be > 0, got {bin_width}")
+    keys = list(group_by)
+    b = F.floor((F.col(value_col) - F.lit(float(origin))) / F.lit(float(bin_width)))
+    return (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(*keys, b.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def histogram_quantiles(
+    df: DataFrame,
+    value_col: str,
+    group_by: Sequence[str] = (),
+    percents: Sequence[int] = (50, 90, 99),
+    bin_width: float = 1.0,
+    origin: float = 0.0,
+) -> DataFrame:
+    """Binned nearest-rank quantiles per group: for each percent ``p`` the
+    LOWER EDGE of the first bin whose cumulative count reaches rank
+    ``ceil(p·n/100)`` (pure-integer predicate ``100·cum >= p·n``). The true
+    quantile lies within ``bin_width`` above the reported edge.
+
+    Emits ``n`` (group row count) and one ``p<p>`` double column per
+    percent. Cost: the histogram shuffle + one window over occupied bins —
+    row count never crosses the wire.
+    """
+    for p in percents:
+        if not (0 < int(p) <= 100):
+            raise ValueError(f"histogram_quantiles: percent out of (0,100]: {p}")
+    keys = list(group_by)
+    part = keys or [F.lit(1)]
+    counts = histogram_counts(df, value_col, group_by, bin_width, origin)
+    w_cum = W.partitionBy(*part).orderBy("bin").rowsBetween(W.unboundedPreceding, 0)
+    w_all = W.partitionBy(*part)
+    cum = counts.withColumn("cum", F.sum("cnt").over(w_cum)).withColumn(
+        "n", F.sum("cnt").over(w_all)
+    )
+    gb = cum.groupBy(*keys) if keys else cum.groupBy()
+    return gb.agg(
+        F.max("n").alias("n"),
+        *[
+            F.min(
+                F.when(F.col("cum") * 100 >= F.col("n") * int(p), F.col("bin"))
+            ).alias(f"__p{p}_bin")
+            for p in percents
+        ],
+    ).select(
+        *keys,
+        "n",
+        *[
+            (F.lit(float(origin)) + F.col(f"__p{p}_bin") * F.lit(float(bin_width)))
+            .alias(f"p{int(p)}")
+            for p in percents
+        ],
+    )

@@ -181,6 +181,33 @@ def simhash_pairs(docs: list[tuple[int, str]]) -> list[tuple[int, int, int]]:
     return sorted(out)
 
 
+# MUST mirror __spark_entry__.q_kmv_distinct / operators/sketches.py
+KMV_K = 128
+KMV_DOMAIN = 1 << 63
+
+
+def kmv_distinct_counts(rows: list[tuple[str, str]]) -> list[tuple[str, int]]:
+    """Independent KMV re-computation: per group, the k smallest distinct
+    63-bit hashes (Spark xxhash64 with the sign bit masked — Python's `&`
+    on a negative int yields the same two's-complement low bits) and the
+    order-statistic estimate floor((k-1)·domain / h_k) in IEEE doubles,
+    exactly the arithmetic operators/sketches.py::kmv_estimate runs."""
+    import math
+
+    groups: defaultdict[str, set[int]] = defaultdict(set)
+    for g, v in rows:
+        groups[g].add(spark_xxhash64(v) & (KMV_DOMAIN - 1))
+    out = []
+    for g, hs in groups.items():
+        s = sorted(hs)
+        if len(s) < KMV_K:
+            est = len(s)
+        else:
+            est = math.floor(float((KMV_K - 1) * KMV_DOMAIN) / float(s[KMV_K - 1]))
+        out.append((g, est))
+    return sorted(out)
+
+
 def make_shows_csv(path: str) -> int:
     """Raw netflix-shaped CSV derived from the deterministic gen_shows
     fixture: duration back-formatted to '<n> min' / '<n> Season(s)', dates to
@@ -265,6 +292,23 @@ def main(sf_dir: str | None = None) -> None:
         os.path.join(FIXDIR, f"simhash_pairs_{sf}.parquet"),
     )
     print(f"simhash_pairs_{sf}.parquet: {len(sh)} pairs")
+
+    ltbl = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["lang", "text"]
+    )
+    km = kmv_distinct_counts(
+        list(zip(ltbl["lang"].to_pylist(), ltbl["text"].to_pylist()))
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "lang": pa.array([r[0] for r in km], pa.string()),
+                "est_distinct": pa.array([r[1] for r in km], pa.int64()),
+            }
+        ),
+        os.path.join(FIXDIR, f"kmv_distinct_{sf}.parquet"),
+    )
+    print(f"kmv_distinct_{sf}.parquet: {len(km)} groups")
 
     n = make_shows_csv(os.path.join(FIXDIR, "shows_raw.csv"))
     print(f"shows_raw.csv: {n} rows")

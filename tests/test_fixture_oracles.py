@@ -83,3 +83,13 @@ def test_python_replication_matches_spark_on_nasty_text(spark):
         want_sh = mf._shingles(r["text"], 3)
         assert list(r["sh"]) == want_sh, (r["text"], list(r["sh"]), want_sh)
         assert r["fp"] == mf._fingerprint64(r["text"]), r["text"]
+
+
+@needs_testdata
+def test_kmv_fixture_matches_spark(spark):
+    got = {
+        (r.lang, r.est_distinct)
+        for r in entrymod.q_kmv_distinct(spark, SF_DIR).collect()
+    }
+    want = _fixture_rows("kmv_distinct_sf0.01.parquet")
+    assert got == want

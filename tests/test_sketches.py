@@ -1,0 +1,150 @@
+"""Mergeable sketches: KMV distinct-count (exactness below k, estimator
+accuracy above k, LOSSLESS merge) and binned histogram quantiles (nearest-
+rank containment, merge-by-addition, integer predicate edge cases).
+
+Reference anchor: the reference has no sketching layer (exact registries
+only); see operators/sketches.py module docstring.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from funcify_feature_eng_spark.operators.sketches import (
+    DOMAIN,
+    histogram_counts,
+    histogram_quantiles,
+    kmv_estimate,
+    kmv_merge,
+    kmv_sketch,
+)
+
+
+@pytest.fixture(scope="module")
+def values(spark):
+    # 3000 distinct strings across 3 groups of very different cardinality
+    rows = [("g%d" % (i % 3), "v%06d" % (i % (50 if i % 3 == 0 else 3000)))
+            for i in range(9000)]
+    return spark.createDataFrame(rows, "g string, v string")
+
+
+def _est(df, k=256):
+    sk = kmv_sketch(df, ["v"], ["g"], k=k)
+    return {r.g: r.est for r in sk.select("g", kmv_estimate("kmv", k).alias("est")).collect()}
+
+
+def test_kmv_exact_below_k(spark, values):
+    est = _est(values, k=256)
+    # g0 has 50 distinct values < k -> exact
+    assert est["g0"] == 50
+
+
+def test_kmv_estimator_accuracy(spark, values):
+    k = 256
+    est = _est(values, k=k)
+    exact = {
+        r.g: r.n
+        for r in values.groupBy("g").agg(F.countDistinct("v").alias("n")).collect()
+    }
+    for g in ("g1", "g2"):
+        assert exact[g] > k  # the estimator path, not the exact path
+        rel = abs(est[g] - exact[g]) / exact[g]
+        # standard error of KMV is ~1/sqrt(k-2); allow 4 sigma
+        assert rel < 4 / math.sqrt(k - 2), (g, est[g], exact[g])
+
+
+def test_kmv_merge_lossless(spark, values):
+    """sketch(A ∪ B) == merge(sketch(A), sketch(B)) EXACTLY — the property
+    that makes storing sketches (not counts) correct."""
+    k = 64
+    a = values.filter(F.xxhash64("v") % 2 == 0)
+    b = values.filter(F.xxhash64("v") % 2 != 0)
+    ska = kmv_sketch(a, ["v"], ["g"], k=k).withColumnRenamed("kmv", "ka")
+    skb = kmv_sketch(b, ["v"], ["g"], k=k).withColumnRenamed("kmv", "kb")
+    merged = ska.join(skb, "g").select("g", kmv_merge("ka", "kb", k).alias("kmv"))
+    full = kmv_sketch(values, ["v"], ["g"], k=k)
+    bad = (
+        merged.alias("m")
+        .join(full.alias("f"), "g")
+        .filter(F.expr("m.kmv != f.kmv"))
+        .count()
+    )
+    assert bad == 0
+
+
+def test_kmv_domain_mask_nonnegative(spark, values):
+    sk = kmv_sketch(values, ["v"], ["g"], k=16)
+    mn = sk.select(F.min(F.element_at("kmv", 1)).alias("m")).collect()[0].m
+    assert 0 <= mn < DOMAIN
+
+
+def test_kmv_validation(spark, values):
+    with pytest.raises(ValueError, match="k must be"):
+        kmv_sketch(values, ["v"], ["g"], k=1)
+
+
+def test_histogram_quantiles_containment(spark):
+    """Reported edge e satisfies e <= true nearest-rank quantile < e + width,
+    against an independent Python computation."""
+    import random
+
+    rng = random.Random(7)
+    data = [("a", rng.uniform(0, 100) ** 1.5) for _ in range(5000)]
+    df = spark.createDataFrame(data, "g string, x double")
+    width = 5.0
+    out = histogram_quantiles(df, "x", ["g"], percents=(50, 90, 99), bin_width=width)
+    row = out.collect()[0]
+    xs = sorted(v for _, v in data)
+    for p in (50, 90, 99):
+        true_q = xs[math.ceil(p * len(xs) / 100) - 1]  # nearest-rank
+        edge = getattr(row, f"p{p}")
+        assert edge <= true_q < edge + width, (p, edge, true_q)
+    assert row.n == 5000
+
+
+def test_histogram_merge_by_addition(spark):
+    """Histograms of disjoint datasets merge by adding per-bin counts."""
+    rows = [("g", float(i % 37)) for i in range(2000)]
+    df = spark.createDataFrame(rows, "g string, x double")
+    left = df.filter((F.col("x") < 20))
+    right = df.filter(~(F.col("x") < 20))
+    hl = histogram_counts(left, "x", ["g"], 2.0)
+    hr = histogram_counts(right, "x", ["g"], 2.0)
+    merged = (
+        hl.unionByName(hr)
+        .groupBy("g", "bin")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    full = histogram_counts(df, "x", ["g"], 2.0)
+    bad = (
+        merged.alias("m")
+        .join(full.alias("f"), ["g", "bin"], "full")
+        .filter("m.cnt IS DISTINCT FROM f.cnt")
+        .count()
+    )
+    assert bad == 0
+
+
+def test_histogram_null_and_validation(spark):
+    df = spark.createDataFrame(
+        [("g", 1.0), ("g", None), ("g", 3.0)], "g string, x double"
+    )
+    out = histogram_quantiles(df, "x", ["g"], percents=(50,), bin_width=1.0)
+    assert out.collect()[0].n == 2  # NULLs dropped
+    with pytest.raises(ValueError, match="bin_width"):
+        histogram_counts(df, "x", ["g"], 0)
+    with pytest.raises(ValueError, match="percent"):
+        histogram_quantiles(df, "x", ["g"], percents=(0,))
+
+
+def test_histogram_negative_values(spark):
+    """floor-binning is correct below the origin (negative bins)."""
+    df = spark.createDataFrame(
+        [("g", -10.0), ("g", -0.5), ("g", 0.5)], "g string, x double"
+    )
+    out = histogram_quantiles(df, "x", ["g"], percents=(50,), bin_width=1.0)
+    # rank ceil(0.5*3)=2 -> the -0.5 value, bin floor(-0.5)=-1 -> edge -1.0
+    assert out.collect()[0].p50 == -1.0
