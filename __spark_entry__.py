@@ -859,6 +859,41 @@ def q_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", "user_id", "event_type", "prior_purchase_value")
 
 
+def q_scd2_point_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCD-2 round trip as ONE composed job: build per-user event_type
+    epochs from the events change log, then containment-read each user's
+    status 15 minutes AFTER every event through the bucketed interval join
+    with the open current epoch matching via NULL valid_to
+    (null_end_is_open). Disjointness of the built epochs is what makes the
+    left read exactly one row per probe."""
+    from funcify_feature_eng_spark.operators.intervals import (
+        interval_join,
+        scd2_from_changes,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    epochs = scd2_from_changes(
+        ev.select("user_id", "ts", "event_type", "event_id"),
+        on="user_id", ts="ts", state_cols=["event_type"], order=["event_id"],
+    )
+    probes = ev.select(
+        "event_id", "user_id",
+        F.timestamp_micros(
+            F.unix_micros(F.col("ts").cast("timestamp")) + 900 * 1_000_000
+        ).alias("ts"),
+    )
+    out = interval_join(
+        probes,
+        epochs.select(
+            "user_id", F.col("event_type").alias("status"),
+            "valid_from", "valid_to",
+        ),
+        on="user_id", ts="ts", strategy="bucket", bucket_s=86400,
+        how="left", null_end_is_open=True,
+    )
+    return out.select("event_id", "user_id", "status")
+
+
 def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMV distinct-count sketch in the gate (operators/sketches.py): per
     lang, the 128 smallest distinct 63-bit text hashes; groups under k
@@ -2523,6 +2558,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_tolerance": q_asof_tolerance,
         "kmv_distinct": q_kmv_distinct,
         "hist_quantiles": q_hist_quantiles,
+        "scd2_point_read": q_scd2_point_read,
         "calendar_features": q_calendar_features,
         "feature_cross": q_feature_cross,
         "resample_grid": q_resample_grid,
@@ -3383,6 +3419,41 @@ SELECT user_id, event_type, epoch_us(valid_from) AS from_us,
        epoch_us(lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from))
          AS to_us
 FROM g
+""",
+        "scd2_point_read": """
+WITH one AS (
+  SELECT user_id, ts, arg_max(event_type, event_id) AS event_type
+  FROM events GROUP BY user_id, ts
+),
+chg AS (
+  SELECT user_id, ts, event_type,
+         CASE WHEN event_type IS DISTINCT FROM
+                   lag(event_type) OVER (PARTITION BY user_id ORDER BY ts)
+              THEN 1 ELSE 0 END AS is_new
+  FROM one
+),
+r AS (
+  SELECT user_id, ts, event_type,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+  FROM chg
+),
+g AS (
+  SELECT user_id, event_type AS status, epoch_us(MIN(ts)) AS from_us
+  FROM r GROUP BY user_id, run, event_type
+),
+ep AS (
+  SELECT user_id, status, from_us,
+         lead(from_us) OVER (PARTITION BY user_id ORDER BY from_us) AS to_us
+  FROM g
+),
+probes AS (
+  SELECT event_id, user_id, epoch_us(ts) + 900000000 AS us FROM events
+)
+SELECT p.event_id, p.user_id, e.status
+FROM probes p LEFT JOIN ep e
+  ON p.user_id = e.user_id AND p.us >= e.from_us
+     AND (e.to_us IS NULL OR p.us < e.to_us)
 """,
         # staleness bound: the nearest prior IS the only candidate, so
         # restricting the subquery window equals null-if-stale

@@ -63,6 +63,7 @@ def interval_join(
     strategy: str = "bucket",
     bucket_s: int = 3600,
     max_buckets_per_interval: int = 100_000,
+    null_end_is_open: bool = False,
 ) -> DataFrame:
     """Attach every interval row whose ``[start, end)`` contains ``fact.ts``.
 
@@ -70,6 +71,13 @@ def interval_join(
     select/rename payload before the call as usual). ``how`` is ``inner``
     (facts covered by no interval drop) or ``left`` (they survive with NULL
     payload). Multi-match fans out — one output row per covering interval.
+
+    ``null_end_is_open=True`` reads a NULL ``end`` as +infinity — the SCD-2
+    current-epoch convention (:func:`scd2_from_changes` emits it). Open
+    intervals can't bucket-explode; under the ``bucket`` strategy they take
+    a separate pure equi-join on the keys (per key there is at most one
+    open epoch in a well-formed SCD-2 table, so that branch never fans
+    out), unioned with the closed-interval path.
     """
     keys = [on] if isinstance(on, str) else list(on)
     if how not in ("inner", "left"):
@@ -78,10 +86,17 @@ def interval_join(
         raise ValueError(
             f"interval_join: strategy must be broadcast|bucket, got {strategy!r}"
         )
-    right = intervals.filter(F.col(end) > F.col(start))
-    # compare in epoch-micros so NTZ facts join TZ intervals (or vice versa)
-    # without relying on Spark's implicit coercion
-    contains = (_us(ts) >= _us(start)) & (_us(ts) < _us(end))
+    nonempty = F.col(end) > F.col(start)
+    if null_end_is_open:
+        right = intervals.filter(F.col(end).isNull() | nonempty)
+        contains = (_us(ts) >= _us(start)) & (
+            F.col(end).isNull() | (_us(ts) < _us(end))
+        )
+    else:
+        right = intervals.filter(nonempty)
+        # compare in epoch-micros so NTZ facts join TZ intervals (or vice
+        # versa) without relying on Spark's implicit coercion
+        contains = (_us(ts) >= _us(start)) & (_us(ts) < _us(end))
 
     if strategy == "broadcast":
         joined = fact.join(F.broadcast(right), on=keys, how="inner").filter(contains)
@@ -110,7 +125,8 @@ def interval_join(
         last_checked = last_b + F.coalesce(
             F.assert_true(span_ok, msg).cast("long"), F.lit(0)
         )
-        right_b = right.withColumn(
+        closed = right.filter(F.col(end).isNotNull()) if null_end_is_open else right
+        right_b = closed.withColumn(
             "__ij_bucket", F.explode(F.sequence(first_b, last_checked))
         )
         fact_b = fact.withColumn(
@@ -121,6 +137,16 @@ def interval_join(
             .filter(contains)
             .drop("__ij_bucket")
         )
+        if null_end_is_open:
+            # open epochs: plain equi-join on the keys + start filter — at
+            # most one open epoch per key in a well-formed SCD-2 table, so
+            # no fan-out and no bucket grid needed
+            open_ep = right.filter(F.col(end).isNull())
+            joined = joined.unionByName(
+                fact.join(open_ep, on=keys, how="inner").filter(
+                    _us(ts) >= _us(start)
+                )
+            )
 
     if how == "inner":
         return joined
@@ -135,6 +161,42 @@ def interval_join(
             c, F.lit(None).cast(dict(intervals.dtypes)[c])
         )
     return joined.unionByName(unmatched)
+
+
+def guarded_disjoint(
+    intervals: DataFrame,
+    on: str | list[str],
+    start: str = "valid_from",
+    end: str = "valid_to",
+) -> DataFrame:
+    """Return ``intervals`` with a runtime guarantee that per-key intervals
+    do not overlap (``[start, end)``, NULL end = open): any row starting
+    before its predecessor's end raises at execution. A NULL-end epoch that
+    is not the key's last interval also raises (everything after it would
+    overlap +infinity).
+
+    Used by the plan layer before a point-in-time interval read — a feature
+    is one value per (entity, ts), so an overlapping interval table is a
+    declaration error, not a fan-out. The check is one key-partitioned
+    window (sorted lag), folded into ``start`` via assert_true so Catalyst
+    can't prune it."""
+    keys = [on] if isinstance(on, str) else list(on)
+    w = W.partitionBy(*keys).orderBy(F.col(start).asc())
+    prev_end = F.lag(F.col(end)).over(w)
+    prev_start = F.lag(F.col(start)).over(w)
+    ok = prev_start.isNull() | (
+        prev_end.isNotNull() & (_us(start) >= F.unix_micros(prev_end.cast("timestamp")))
+    )
+    msg = F.concat(
+        F.lit("guarded_disjoint: overlapping intervals for key "),
+        F.concat_ws("/", *[F.col(k).cast("string") for k in keys]),
+        F.lit(" at start="), F.col(start).cast("string"),
+        F.lit(" (previous interval ends "), prev_end.cast("string"), F.lit(")"),
+    )
+    checked = F.timestamp_micros(
+        _us(start) + F.coalesce(F.assert_true(ok, msg).cast("long"), F.lit(0))
+    )
+    return intervals.withColumn(start, checked.cast(dict(intervals.dtypes)[start]))
 
 
 def scd2_from_changes(

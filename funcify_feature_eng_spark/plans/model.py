@@ -60,6 +60,11 @@ class FeatureSpec:
     value_col: str | None = None
     allow_exact_matches: bool = True
     right_order: tuple[str, ...] = ()
+    strategy: str = "union_window"
+    tolerance_s: float | None = None
+    # interval (SCD-2 containment) fields
+    start_col: str = "valid_from"
+    end_col: str = "valid_to"
 
     def deps(self) -> tuple[str, ...]:
         if self.kind == "transformer":
@@ -165,19 +170,48 @@ class FeatureModel:
         allow_exact_matches: bool = True,
         right_order: Sequence[str] = (),
         params: dict[str, Any] | None = None,
+        strategy: str = "union_window",
+        tolerance_s: float | None = None,
     ) -> None:
         """A point-in-time feature against a registered store.
 
         When the registered store is a FeatureStore, materialization routes
         through ``FeatureStore.read_through`` with ``params`` as the
         contextual-parameter identity (two parameterizations of one feature
-        path never collide — DispatchService.kt:960-1127 semantics)."""
+        path never collide — DispatchService.kt:960-1127 semantics).
+        ``strategy`` / ``tolerance_s`` forward to :func:`asof_join` on the
+        DataFrame-store path (pick ``"auto"`` to let skew stats decide; a
+        tolerance nulls matches staler than the bound)."""
         if store not in self._stores:
             raise PlanError(f"feature {name!r}: store {store!r} not registered")
         self._add(FeatureSpec(name, "asof", store_name=store, right_ts=right_ts,
                               value_col=value_col, allow_exact_matches=allow_exact_matches,
                               right_order=tuple(right_order),
-                              params=dict(params or {})))
+                              params=dict(params or {}),
+                              strategy=strategy, tolerance_s=tolerance_s))
+
+    def declare_interval_feature(
+        self,
+        name: str,
+        store: str,
+        value_col: str = "value",
+        start: str = "valid_from",
+        end: str = "valid_to",
+        strategy: str = "bucket",
+        params: dict[str, Any] | None = None,
+    ) -> None:
+        """A containment (SCD-2 validity-interval) feature: the payload of
+        the registered store's interval covering ``[start, end)`` ∋ the
+        spine row's event time; NULL ``end`` is the open current epoch. A
+        feature is one value per (entity, ts), so the store is wrapped in
+        :func:`operators.intervals.guarded_disjoint` — overlapping
+        intervals raise at materialization instead of silently fanning the
+        spine out. ``params['bucket_s']`` tunes the bucket grid."""
+        if store not in self._stores:
+            raise PlanError(f"feature {name!r}: store {store!r} not registered")
+        self._add(FeatureSpec(name, "interval", store_name=store,
+                              value_col=value_col, start_col=start, end_col=end,
+                              strategy=strategy, params=dict(params or {})))
 
     def _add(self, spec: FeatureSpec) -> None:
         if spec.name in self._features:
@@ -355,6 +389,33 @@ class FeatureModel:
                         self._validate_transformer_input(s, df)
                     exprs[s.name] = self._lower_one(s, keys, order)
                     df = df.withColumn(s.name, exprs[s.name])
+            elif spec.kind == "interval":
+                from funcify_feature_eng_spark.operators.intervals import (
+                    guarded_disjoint,
+                    interval_join,
+                )
+
+                store = self._stores[spec.store_name]
+                payload = store.select(
+                    self.entity_key, spec.start_col, spec.end_col,
+                    F.col(spec.value_col).alias(spec.name),
+                )
+                df = interval_join(
+                    df,
+                    guarded_disjoint(
+                        payload, self.entity_key, spec.start_col, spec.end_col
+                    ),
+                    on=self.entity_key,
+                    ts=self.event_time,
+                    start=spec.start_col,
+                    end=spec.end_col,
+                    how="left",
+                    strategy=spec.strategy,
+                    bucket_s=int(spec.params.get("bucket_s", 3600)),
+                    null_end_is_open=True,
+                ).drop(spec.start_col, spec.end_col)
+                i += 1
+                continue
             else:  # asof
                 target = self._stores[spec.store_name]
                 # lazy import: store.py imports asof_join from operators
@@ -391,6 +452,8 @@ class FeatureModel:
                         value_cols={spec.value_col: spec.name},
                         allow_exact_matches=spec.allow_exact_matches,
                         right_order=spec.right_order,
+                        strategy=spec.strategy,
+                        tolerance_s=spec.tolerance_s,
                     )
                 i += 1
 

@@ -286,3 +286,120 @@ def test_bucket_span_guard_raises(spark, facts):
         interval_join(
             facts, wide, on="user_id", ts="ts", strategy="bucket", bucket_s=60
         ).collect()
+
+
+# ---------------------------------------------------------------------------
+# open epochs (NULL valid_to), disjointness guard, plan-layer exposure
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def scd2_store(spark):
+    """Disjoint SCD-2 epochs with an OPEN current epoch per key."""
+    rows = [
+        ("u1", _ts(0), _ts(20), "A"),
+        ("u1", _ts(20), _ts(40), "C"),
+        ("u1", _ts(40), None, "A"),
+        ("u2", _ts(5), None, "X"),
+    ]
+    return spark.createDataFrame(
+        rows, "user_id string, valid_from timestamp, valid_to timestamp, state string"
+    )
+
+
+@pytest.mark.parametrize("strategy", ["broadcast", "bucket"])
+def test_open_epoch_matches(spark, scd2_store, strategy):
+    probes = spark.createDataFrame(
+        [("p1", "u1", _ts(10)), ("p2", "u1", _ts(39)), ("p3", "u1", _ts(10**7)),
+         ("p4", "u2", _ts(4)), ("p5", "u2", _ts(10**7))],
+        "probe_id string, user_id string, ts timestamp",
+    )
+    out = interval_join(
+        probes, scd2_store, on="user_id", strategy=strategy, bucket_s=10,
+        how="left", null_end_is_open=True,
+    )
+    got = {r.probe_id: r.state for r in out.collect()}
+    assert got == {"p1": "A", "p2": "C", "p3": "A", "p4": None, "p5": "X"}
+    assert out.count() == 5  # one open epoch per key -> no fan-out
+
+
+def test_guarded_disjoint_passes_and_raises(spark, scd2_store):
+    from pyspark.errors import SparkRuntimeException
+
+    from funcify_feature_eng_spark.operators.intervals import guarded_disjoint
+
+    # disjoint (incl. trailing open epoch): passes untouched
+    ok = guarded_disjoint(scd2_store, on="user_id")
+    assert ok.count() == 4
+
+    bad = scd2_store.unionByName(
+        spark.createDataFrame(
+            [("u1", _ts(30), _ts(50), "Z")],
+            "user_id string, valid_from timestamp, valid_to timestamp, state string",
+        )
+    )
+    with pytest.raises(SparkRuntimeException, match="guarded_disjoint"):
+        guarded_disjoint(bad, on="user_id").collect()
+
+
+def test_plan_layer_interval_feature(spark, change_log):
+    """declare_interval_feature over a built SCD-2 store must equal
+    declare_asof_feature straight against the change log (both through the
+    declarative layer), and an overlapping store must raise."""
+    from pyspark.errors import SparkRuntimeException
+
+    from funcify_feature_eng_spark.operators.intervals import scd2_from_changes
+    from funcify_feature_eng_spark.plans.model import FeatureModel
+
+    spine = spark.createDataFrame(
+        [("u1", i, _ts(t)) for i, t in enumerate([0, 15, 20, 35, 41, 500])]
+        + [("u2", 0, _ts(4)), ("u2", 1, _ts(6))],
+        "k string, turn_idx int, ts timestamp",
+    )
+    epochs = scd2_from_changes(
+        change_log, on="k", ts="ts", state_cols=["state"], order=["seq"]
+    )
+
+    m = FeatureModel(entity_key="k", order=("turn_idx", "ts"), event_time="ts")
+    m.register_store("epochs", epochs)
+    m.declare_interval_feature("status", "epochs", value_col="state",
+                               params={"bucket_s": 10})
+    got = m.materialize(spine, ["k", "turn_idx", "status"])
+
+    m2 = FeatureModel(entity_key="k", order=("turn_idx", "ts"), event_time="ts")
+    m2.register_store("log", change_log, last_updated="ts")
+    m2.declare_asof_feature("status", "log", value_col="state",
+                            right_order=["seq"])
+    want = m2.materialize(spine, ["k", "turn_idx", "status"])
+    assert {tuple(r) for r in got.collect()} == {tuple(r) for r in want.collect()}
+
+    overlapping = epochs.unionByName(
+        spark.createDataFrame(
+            [("u1", _ts(25), _ts(26), "Q")],
+            "k string, valid_from timestamp, valid_to timestamp, state string",
+        ).select("k", "state", "valid_from", "valid_to")
+    )
+    m3 = FeatureModel(entity_key="k", order=("turn_idx", "ts"), event_time="ts")
+    m3.register_store("epochs", overlapping)
+    m3.declare_interval_feature("status", "epochs", value_col="state")
+    with pytest.raises(SparkRuntimeException, match="guarded_disjoint"):
+        m3.materialize(spine, ["k", "status"]).collect()
+
+
+def test_plan_layer_asof_tolerance_and_strategy(spark, change_log):
+    """tolerance_s + strategy pass through declare_asof_feature."""
+    from funcify_feature_eng_spark.plans.model import FeatureModel
+
+    spine = spark.createDataFrame(
+        [("u1", 0, _ts(21)), ("u1", 1, _ts(500))],
+        "k string, turn_idx int, ts timestamp",
+    )
+    m = FeatureModel(entity_key="k", order=("turn_idx", "ts"), event_time="ts")
+    m.register_store("log", change_log, last_updated="ts")
+    m.declare_asof_feature("status", "log", value_col="state",
+                           right_order=["seq"], strategy="broadcast",
+                           tolerance_s=60.0)
+    got = {r.turn_idx: r.status
+           for r in m.materialize(spine, ["turn_idx", "status"]).collect()}
+    # ts=21: last change at 20 (gap 1s <= 60) -> C; ts=500: last at 40,
+    # gap 460s > 60 -> stale, NULL
+    assert got == {0: "C", 1: None}
