@@ -913,6 +913,39 @@ def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sk.select("lang", kmv_estimate("kmv", 128).alias("est_distinct"))
 
 
+def q_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV distinct-INTERSECTION estimate in the gate (operators/sketches.py
+    ::kmv_overlap_estimate): documents split by doc_id parity into two
+    corpora, per-lang KMV sketches (k=64) of each half's texts, then the
+    Beyer et al. 2007 sketch algebra estimates |A ∩ B| distinct texts per
+    lang from the two ≤k arrays alone — the sketch-level pre-flight for
+    decontamination (estimate cross-corpus overlap BEFORE paying the exact
+    n-gram semi-join in operators/contamination.py). k=64 keeps the large
+    'en' group on the estimator path while small langs stay exact.
+    Oracle = fixture precomputed by an INDEPENDENT pure-Python xxh64 +
+    estimator (scripts/make_fixtures.py::kmv_overlap_counts).
+    Scale shape: each half's shuffle carries distinct hashes only; the
+    overlap estimate itself is array arithmetic on two ≤k-element columns —
+    no row-level join between the corpora ever happens."""
+    from funcify_feature_eng_spark.operators.sketches import (
+        kmv_overlap_estimate,
+        kmv_sketch,
+    )
+
+    k = 64
+    docs = _t(spark, sf_dir, "documents")
+    ska = kmv_sketch(
+        docs.filter(F.col("doc_id") % 2 == 0), ["text"], group_by=["lang"], k=k
+    ).withColumnRenamed("kmv", "ka")
+    skb = kmv_sketch(
+        docs.filter(F.col("doc_id") % 2 == 1), ["text"], group_by=["lang"], k=k
+    ).withColumnRenamed("kmv", "kb")
+    return (
+        ska.join(skb, "lang")
+        .select("lang", kmv_overlap_estimate("ka", "kb", k).alias("est_overlap"))
+    )
+
+
 def q_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binned-histogram quantiles (the mergeable 100 TB quantile path,
     complementing the exact value_quantiles gate): per event_type, nearest-
@@ -2557,6 +2590,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_epochs": q_scd2_epochs,
         "asof_tolerance": q_asof_tolerance,
         "kmv_distinct": q_kmv_distinct,
+        "kmv_overlap": q_kmv_overlap,
         "hist_quantiles": q_hist_quantiles,
         "scd2_point_read": q_scd2_point_read,
         "calendar_features": q_calendar_features,
@@ -4227,6 +4261,9 @@ FROM f
 """,
         "kmv_distinct": _fixture_values(
             "kmv_distinct_sf0.01.parquet", ["lang", "est_distinct"]
+        ),
+        "kmv_overlap": _fixture_values(
+            "kmv_overlap_sf0.01.parquet", ["lang", "est_overlap"]
         ),
         "hist_quantiles": """
 WITH h AS (

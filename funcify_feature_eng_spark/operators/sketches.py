@@ -107,6 +107,35 @@ def kmv_merge(a: Column | str, b: Column | str, k: int) -> Column:
     return F.slice(F.array_sort(F.array_union(ca, cb)), 1, k)
 
 
+def kmv_overlap_estimate(
+    a: Column | str, b: Column | str, k: int, domain: int = DOMAIN
+) -> Column:
+    """Distinct-INTERSECTION estimate from two KMV sketches — the sketch-
+    level pre-flight for decontamination: estimate |train ∩ eval| distinct
+    items from two ≤k arrays before paying for the exact n-gram semi-join
+    (operators/contamination.py), or track cross-corpus overlap drift from
+    stored sketches alone.
+
+    Standard KMV set algebra (Beyer et al. 2007, public): let M be the
+    merged sketch of A ∪ B (the k smallest union hashes). The fraction of
+    M's members present in BOTH input sketches is an unbiased Jaccard
+    estimate, so ``est_intersection = floor(|M ∩ A ∩ B| / |M| · est_union)``.
+    Computed in IEEE doubles (deterministic and engine-identical for the
+    same sketches, same argument as :func:`kmv_estimate`; a pure-BIGINT
+    route would overflow at matches × est_union). Exact when both groups
+    had fewer than k distinct values (the sketches ARE the sets and the
+    union estimate is the exact union size)."""
+    ca = F.col(a) if isinstance(a, str) else a
+    cb = F.col(b) if isinstance(b, str) else b
+    merged = kmv_merge(ca, cb, k)
+    matches = F.size(F.array_intersect(F.array_intersect(merged, ca), cb))
+    est_union = kmv_estimate(merged, k, domain)
+    return F.floor(
+        matches.cast("double") * est_union.cast("double")
+        / F.size(merged).cast("double")
+    ).cast("long")
+
+
 def histogram_counts(
     df: DataFrame,
     value_col: str,

@@ -208,6 +208,45 @@ def kmv_distinct_counts(rows: list[tuple[str, str]]) -> list[tuple[str, int]]:
     return sorted(out)
 
 
+# MUST mirror __spark_entry__.q_kmv_overlap / operators/sketches.py
+KMV_OVERLAP_K = 64
+
+
+def kmv_overlap_counts(
+    rows: list[tuple[str, int, str]],
+) -> list[tuple[str, int]]:
+    """Independent KMV-intersection re-computation for the kmv_overlap gate:
+    per lang, docs split by doc_id parity into halves A/B; each half's
+    sketch is its k smallest distinct 63-bit text hashes; the overlap
+    estimate is the Beyer et al. 2007 algebra — merged = k smallest of
+    A∪B, est = floor(|merged ∩ A ∩ B| / |merged| * est_union) with the
+    same IEEE-double arithmetic operators/sketches.py::kmv_overlap_estimate
+    runs. Langs present in only one half drop (the gate inner-joins)."""
+    import math
+
+    k = KMV_OVERLAP_K
+    halves: defaultdict[tuple[str, int], set[int]] = defaultdict(set)
+    for lang, doc_id, text in rows:
+        halves[(lang, doc_id % 2)].add(spark_xxhash64(text) & (KMV_DOMAIN - 1))
+    out = []
+    for lang in sorted({g for g, _ in halves}):
+        if (lang, 0) not in halves or (lang, 1) not in halves:
+            continue
+        ska = sorted(halves[(lang, 0)])[:k]
+        skb = sorted(halves[(lang, 1)])[:k]
+        merged = sorted(set(ska) | set(skb))[:k]
+        matches = len(set(merged) & set(ska) & set(skb))
+        if len(merged) < k:
+            est_union = len(merged)
+        else:
+            est_union = math.floor(
+                float((k - 1) * KMV_DOMAIN) / float(merged[k - 1])
+            )
+        est = math.floor(float(matches) * float(est_union) / float(len(merged)))
+        out.append((lang, est))
+    return out
+
+
 def make_shows_csv(path: str) -> int:
     """Raw netflix-shaped CSV derived from the deterministic gen_shows
     fixture: duration back-formatted to '<n> min' / '<n> Season(s)', dates to
@@ -309,6 +348,30 @@ def main(sf_dir: str | None = None) -> None:
         os.path.join(FIXDIR, f"kmv_distinct_{sf}.parquet"),
     )
     print(f"kmv_distinct_{sf}.parquet: {len(km)} groups")
+
+    otbl = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["lang", "doc_id", "text"],
+    )
+    ov = kmv_overlap_counts(
+        list(
+            zip(
+                otbl["lang"].to_pylist(),
+                otbl["doc_id"].to_pylist(),
+                otbl["text"].to_pylist(),
+            )
+        )
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "lang": pa.array([r[0] for r in ov], pa.string()),
+                "est_overlap": pa.array([r[1] for r in ov], pa.int64()),
+            }
+        ),
+        os.path.join(FIXDIR, f"kmv_overlap_{sf}.parquet"),
+    )
+    print(f"kmv_overlap_{sf}.parquet: {len(ov)} groups")
 
     n = make_shows_csv(os.path.join(FIXDIR, "shows_raw.csv"))
     print(f"shows_raw.csv: {n} rows")

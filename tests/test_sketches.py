@@ -148,3 +148,41 @@ def test_histogram_negative_values(spark):
     out = histogram_quantiles(df, "x", ["g"], percents=(50,), bin_width=1.0)
     # rank ceil(0.5*3)=2 -> the -0.5 value, bin floor(-0.5)=-1 -> edge -1.0
     assert out.collect()[0].p50 == -1.0
+
+
+def test_kmv_overlap_exact_below_k(spark):
+    """Below k both sketches are the sets themselves — overlap is exact."""
+    from funcify_feature_eng_spark.operators.sketches import kmv_overlap_estimate
+
+    a = spark.createDataFrame([("g", "v%03d" % i) for i in range(40)], "g string, v string")
+    b = spark.createDataFrame([("g", "v%03d" % i) for i in range(25, 60)], "g string, v string")
+    ska = kmv_sketch(a, ["v"], ["g"], k=256).withColumnRenamed("kmv", "ka")
+    skb = kmv_sketch(b, ["v"], ["g"], k=256).withColumnRenamed("kmv", "kb")
+    got = (
+        ska.join(skb, "g")
+        .select(kmv_overlap_estimate("ka", "kb", 256).alias("ov"))
+        .collect()[0].ov
+    )
+    assert got == 15  # v025..v039
+
+
+def test_kmv_overlap_estimator_accuracy(spark, values):
+    """Above k: the overlap estimate lands within 4 sigma of truth."""
+    from funcify_feature_eng_spark.operators.sketches import kmv_overlap_estimate
+
+    k = 256
+    # g1/g2 rows share the SAME value universe (v000000..v002999), so the
+    # true distinct overlap is the smaller universe; build two frames with
+    # controlled overlap instead: [0, 2000) vs [1000, 3000) -> 1000 shared
+    a = spark.createDataFrame([("g", "w%05d" % i) for i in range(2000)], "g string, v string")
+    b = spark.createDataFrame([("g", "w%05d" % i) for i in range(1000, 3000)], "g string, v string")
+    ska = kmv_sketch(a, ["v"], ["g"], k=k).withColumnRenamed("kmv", "ka")
+    skb = kmv_sketch(b, ["v"], ["g"], k=k).withColumnRenamed("kmv", "kb")
+    got = (
+        ska.join(skb, "g")
+        .select(kmv_overlap_estimate("ka", "kb", k).alias("ov"))
+        .collect()[0].ov
+    )
+    # true overlap 1000 of union 3000; Jaccard estimator sigma ~ sqrt(J(1-J)/k)
+    # on the union estimate -> loose 4-sigma band
+    assert 600 <= got <= 1400, got
