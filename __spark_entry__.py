@@ -1564,6 +1564,29 @@ def q_doc_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "split")
 
 
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted Bernoulli sampling (operators/sampling.py::weighted_sample):
+    keep each document with probability byte_length/4000 — the importance-
+    sampling primitive for corpus mixing (up-weight long/high-quality docs
+    while downsampling). The gate runs the hash=False integer-exact rule
+    (Knuth key * denom < weight * num * 2^32, pure BIGINT both engines —
+    zero float arithmetic); production uses xxhash64 (hash=True), pinned by
+    tests/test_sampling_weighted.py. Scale shape: a pure map — no shuffle,
+    no state, decision is a function of (id, weight) alone, so retries and
+    layout changes keep the same rows. Companion weighted_topk (Efraimidis-
+    Spirakis without-replacement) is pytest-pinned, not value-gated: its
+    sort key is a float ln whose last-ulp cross-engine differences could
+    flip a boundary rank."""
+    from funcify_feature_eng_spark.operators.sampling import weighted_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    out = weighted_sample(
+        docs.withColumn("w_bytes", F.octet_length("text").cast("long")),
+        "doc_id", "w_bytes", 1, 4000, hash=False,
+    )
+    return out.select("doc_id", "lang", "w_bytes")
+
+
 def q_doc_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic training-order shuffle: dense global positions in a
     pseudorandom permutation keyed only on doc_id — stable across reruns /
@@ -2562,6 +2585,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_curation": q_corpus_curation,
         "shows_reshaped": q_shows_reshaped,
         "doc_split": q_doc_split,
+        "weighted_sample": q_weighted_sample,
         "doc_shuffle": q_doc_shuffle,
         "length_buckets": q_length_buckets,
         "split_leakage": q_split_leakage,
@@ -3852,6 +3876,13 @@ SELECT doc_id,
             WHEN doc_id % 100 < 90 THEN 'val'
             ELSE 'test' END AS split
 FROM documents
+""",
+        "weighted_sample": """
+SELECT doc_id, lang, strlen(text) AS w_bytes
+FROM documents
+WHERE (((doc_id % 2147483648) + 2147483648) % 2147483648) * 2654435761
+      % 4294967296 * 4000
+      < strlen(text) * 4294967296
 """,
         "value_quantiles": """
 SELECT event_type,

@@ -205,6 +205,102 @@ def interleave_by_ratio(
     return df.withColumn(out_col, (rank - F.lit(1.0) + F.lit(0.5)) / weight)
 
 
+def weighted_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str | Column,
+    rate_num: int,
+    rate_denom: int,
+    hash: bool = True,
+) -> DataFrame:
+    """Weighted Bernoulli sampling — the importance-sampling primitive for
+    corpus mixing: keep each row with probability
+    ``min(1, weight * rate_num / rate_denom)``, decided deterministically
+    from the id (same ids every rerun, any layout, any retry — never
+    ``rand()``). Up-weighting high-quality or long documents when
+    downsampling a 100 TB corpus is exactly this op with
+    weight = quality score or token count.
+
+    A pure map — no shuffle, no state. ``hash=True`` (production) draws
+    u from ``xxhash64(id)``; ``hash=False`` draws the Knuth multiplicative
+    key ``((id mod 2^31) * 2654435761) mod 2^32`` (the quota_per_group
+    convention) and decides by the INTEGER comparison
+    ``key * rate_denom < weight * rate_num * 2^32`` — exact in any
+    engine's BIGINT (key < 2^32; keep ``weight * rate_num`` below ~2^20 so
+    the product stays under 2^63), which is what makes the gate oracle
+    engine-portable with zero float arithmetic.
+    """
+    if rate_num <= 0 or rate_denom <= 0:
+        raise ValueError(f"rate must be positive, got {rate_num}/{rate_denom}")
+    c = F.col(id_col)
+    w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    if hash:
+        u = F.xxhash64(c).bitwiseAND(F.lit((1 << 63) - 1)).cast("double") / F.lit(
+            float(1 << 63)
+        )
+        return df.filter(
+            u * F.lit(float(rate_denom)) < w.cast("double") * F.lit(float(rate_num))
+        )
+    key = F.pmod(F.pmod(c, F.lit(2**31)) * F.lit(2654435761), F.lit(2**32))
+    return df.filter(
+        key * F.lit(int(rate_denom)) < w.cast("long") * F.lit(int(rate_num) * 2**32)
+    )
+
+
+def weighted_topk(
+    df: DataFrame,
+    group_col: str | None,
+    id_col: str,
+    weight_col: str | Column,
+    k: int,
+    hash: bool = True,
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement: per group, keep exactly
+    ``min(k, group size)`` rows where each row's inclusion odds are
+    proportional to its weight — Efraimidis & Spirakis (2006, public): draw
+    u ~ U(0,1] per row, keep the k largest ``u^(1/w)``, implemented in log
+    space (order by ``ln(u)/w`` descending; monotone-equivalent, no pow
+    underflow at large weights). u derives deterministically from
+    ``xxhash64(id)`` (or the Knuth key under ``hash=False``), so the chosen
+    set is stable across reruns and layouts.
+
+    One shuffle on the group key, per-group top-k sort. NOT oracle-gated by
+    value: the sort key is a float ``ln``, and last-ulp ``ln`` differences
+    across engines could flip a boundary rank — the determinism and
+    proportional-odds properties are pytest-pinned instead
+    (tests/test_sampling_weighted.py).
+
+    NULL or non-positive weights drop (zero odds).
+    """
+    from pyspark.sql import Window
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    c = F.col(id_col)
+    w = (F.col(weight_col) if isinstance(weight_col, str) else weight_col).cast(
+        "double"
+    )
+    if hash:
+        # u in (0, 1]: (h + 1) / 2^63 with h in [0, 2^63) — never ln(0)
+        u = (F.xxhash64(c).bitwiseAND(F.lit((1 << 63) - 1)) + F.lit(1)).cast(
+            "double"
+        ) / F.lit(float(1 << 63))
+    else:
+        u = (
+            F.pmod(F.pmod(c, F.lit(2**31)) * F.lit(2654435761), F.lit(2**32))
+            + F.lit(1)
+        ).cast("double") / F.lit(float(2**32))
+    key = F.log(u) / w
+    part = [group_col] if group_col else [F.lit(1)]
+    win = Window.partitionBy(*part).orderBy(key.desc(), c.asc())
+    return (
+        df.filter(w.isNotNull() & (w > 0))
+        .withColumn("__rn", F.row_number().over(win))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
 def temporal_split(
     df: DataFrame,
     *,

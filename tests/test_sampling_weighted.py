@@ -1,0 +1,97 @@
+"""Weighted sampling: integer-exact Bernoulli + Efraimidis-Spirakis top-k.
+
+Pins (a) exactness of the hash=False Bernoulli rule against a pure-Python
+recomputation, (b) layout independence, (c) E-S selection size and
+proportional-odds behavior, (d) E-S determinism across repartition.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from funcify_feature_eng_spark.operators.sampling import (
+    weighted_sample,
+    weighted_topk,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    # weights 1..40 cycle so inclusion odds vary 40x
+    rows = [(i, "g%d" % (i % 3), (i % 40) + 1) for i in range(2000)]
+    return spark.createDataFrame(rows, "id long, g string, w int")
+
+
+def test_weighted_sample_exact_integer_rule(spark, docs):
+    got = sorted(
+        r.id for r in weighted_sample(docs, "id", "w", 1, 80, hash=False).collect()
+    )
+    expect = [
+        i
+        for i in range(2000)
+        if ((i % 2**31) * 2654435761 % 2**32) * 80 < ((i % 40) + 1) * 2**32
+    ]
+    assert got == expect
+    # sanity: selection is weight-biased — heavy rows kept far more often
+    heavy = sum(1 for i in expect if (i % 40) + 1 > 30) / 500
+    light = sum(1 for i in expect if (i % 40) + 1 <= 10) / 500
+    assert heavy > 3 * light
+
+
+def test_weighted_sample_layout_independent(spark, docs):
+    a = sorted(r.id for r in weighted_sample(docs, "id", "w", 1, 80, hash=True).collect())
+    b = sorted(
+        r.id
+        for r in weighted_sample(
+            docs.repartition(13, "g"), "id", "w", 1, 80, hash=True
+        ).collect()
+    )
+    assert a == b and 0 < len(a) < 2000
+
+
+def test_weighted_sample_rate_caps_at_one(spark, docs):
+    # rate 1000/1 -> every probability >= 1 -> all rows kept, both modes
+    assert weighted_sample(docs, "id", "w", 1000, 1, hash=False).count() == 2000
+    assert weighted_sample(docs, "id", "w", 1000, 1, hash=True).count() == 2000
+
+
+def test_weighted_topk_size_and_determinism(spark, docs):
+    out = weighted_topk(docs, "g", "id", "w", 100)
+    per = {r.g: r.n for r in out.groupBy("g").agg(F.count("*").alias("n")).collect()}
+    assert per == {"g0": 100, "g1": 100, "g2": 100}
+    a = sorted((r.g, r.id) for r in out.collect())
+    b = sorted(
+        (r.g, r.id)
+        for r in weighted_topk(docs.repartition(17), "g", "id", "w", 100).collect()
+    )
+    assert a == b
+
+
+def test_weighted_topk_small_group_keeps_all(spark):
+    df = spark.createDataFrame([(i, 1) for i in range(5)], "id long, w int")
+    assert weighted_topk(df, None, "id", "w", 100).count() == 5
+
+
+def test_weighted_topk_proportional_odds(spark):
+    # two weight classes 1 vs 9: among k=500 of 2000 rows (half each class),
+    # the heavy class must dominate roughly 9:1 per E-S odds
+    rows = [(i, 9 if i % 2 else 1) for i in range(2000)]
+    df = spark.createDataFrame(rows, "id long, w int")
+    kept = weighted_topk(df, None, "id", "w", 500).collect()
+    heavy = sum(1 for r in kept if r.w == 9)
+    assert heavy > 350  # E[heavy] ~ 450; far above the 250 unweighted mean
+
+
+def test_weighted_topk_drops_nonpositive(spark):
+    df = spark.createDataFrame(
+        [(1, 5), (2, 0), (3, -1), (4, None)], "id long, w int"
+    )
+    assert [r.id for r in weighted_topk(df, None, "id", "w", 10).collect()] == [1]
+
+
+def test_weighted_sample_bad_rate(spark, docs):
+    with pytest.raises(ValueError):
+        weighted_sample(docs, "id", "w", 0, 5)
+    with pytest.raises(ValueError):
+        weighted_topk(docs, "g", "id", "w", 0)
