@@ -2243,6 +2243,87 @@ def _doc_stream_files(spark: SparkSession, sf_dir: str) -> str:
     return tmp
 
 
+def _doc_kmv_stream_files(spark: SparkSession, sf_dir: str) -> str:
+    """2-file micro-batch split of documents by doc_id parity for the
+    streaming-KMV gate — each batch carries roughly half of every lang's
+    texts, so the final per-lang sketch provably merges state across the
+    batch boundary. Content-stamped scaffolding like _doc_stream_files."""
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tmp = os.path.join(
+        "/tmp", f"spark_graft_kmv_stream_{os.path.basename(os.path.normpath(sf_dir))}"
+    )
+    src = os.path.join(sf_dir, "documents.parquet")
+    stamp_val = _content_stamp(src, "1")
+    stamp_fp = os.path.join(tmp, "_stamp")
+    fresh = os.path.exists(stamp_fp) and open(stamp_fp).read() == stamp_val
+    if not fresh:
+        pdf = (
+            _t(spark, sf_dir, "documents")
+            .select("lang", "doc_id", "text")
+            .orderBy("doc_id")
+            .toPandas()
+        )
+        if os.path.exists(tmp):
+            shutil.rmtree(tmp)
+        os.makedirs(tmp)
+        for i, part in enumerate(
+            (pdf[pdf["doc_id"] % 2 == 0], pdf[pdf["doc_id"] % 2 == 1])
+        ):
+            fp = os.path.join(tmp, f"b{i}.parquet")
+            pq.write_table(pa.Table.from_pandas(part, preserve_index=False), fp)
+            os.utime(fp, (1_700_000_000 + i, 1_700_000_000 + i))  # batch order
+        with open(stamp_fp, "w") as f:
+            f.write(stamp_val)
+    return tmp
+
+
+def q_stream_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming KMV distinct-count in the DRIVER gate (streaming/runner.py
+    ::stateful_kmv_stream): per-lang sketches maintained across 2 micro-
+    batches (documents split by doc_id parity), final estimate taken from
+    each lang's max-rows_cum emission. The oracle is the SAME independent
+    pure-Python fixture as the batch kmv_distinct gate — i.e. the hashed
+    property is stream ≡ batch: a sketch merged incrementally across
+    batches equals the sketch of the whole corpus exactly (KMV union+trim
+    algebra). Hashes are JVM Columns; Python only merges ≤k long arrays."""
+    from funcify_feature_eng_spark.operators.sketches import kmv_estimate
+    from funcify_feature_eng_spark.streaming.runner import stateful_kmv_stream
+
+    k = 128
+    tmp = _doc_kmv_stream_files(spark, sf_dir)
+    sch = spark.read.parquet(tmp).schema
+    stream = (
+        spark.readStream.schema(sch).option("maxFilesPerTrigger", "1").parquet(tmp)
+    )
+    stream = stream.withColumn(
+        "__h", F.xxhash64("text").bitwiseAND(F.lit((1 << 63) - 1))
+    )
+    out = stateful_kmv_stream(stream, group_col="lang", hash_col="__h", k=k)
+    _STREAM_GATE_SEQ[0] += 1
+    qname = f"stream_kmv_sink_{_STREAM_GATE_SEQ[0]}"
+    shuffle_conf = "spark.sql.shuffle.partitions"
+    session_parts = spark.conf.get(shuffle_conf)
+    spark.conf.set(shuffle_conf, "4")
+    try:
+        q = (
+            out.writeStream.format("memory").queryName(qname)
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set(shuffle_conf, session_parts)
+    final = (
+        spark.table(qname)
+        .groupBy("lang")
+        .agg(F.max_by("kmv", "rows_cum").alias("kmv"))
+    )
+    return final.select("lang", kmv_estimate("kmv", k).alias("est_distinct"))
+
+
 def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming exact dedup in the DRIVER gate: stateful_dedup_stream over
     2 micro-batches with planted duplicates (see _doc_stream_files). The
@@ -2644,6 +2725,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_turn_features": q_stream_turn_features,
         "stream_disorder_features": q_stream_disorder_features,
         "stream_dedup": q_stream_dedup,
+        "stream_kmv": q_stream_kmv,
         "stream_model_features": q_stream_model_features,
         "store_compaction": q_store_compaction,
         "incremental_refresh": q_incremental_refresh,
@@ -4295,6 +4377,11 @@ FROM f
         ),
         "kmv_overlap": _fixture_values(
             "kmv_overlap_sf0.01.parquet", ["lang", "est_overlap"]
+        ),
+        # stream ≡ batch: the streaming sketch's final state must equal the
+        # batch sketch of the whole corpus — same fixture as kmv_distinct
+        "stream_kmv": _fixture_values(
+            "kmv_distinct_sf0.01.parquet", ["lang", "est_distinct"]
         ),
         "hist_quantiles": """
 WITH h AS (

@@ -446,6 +446,61 @@ def session_windows_stream(
     )
 
 
+def stateful_kmv_stream(
+    stream_df: DataFrame,
+    *,
+    group_col: str,
+    hash_col: str,
+    k: int = 128,
+) -> DataFrame:
+    """Streaming KMV distinct-count sketch with cross-batch state: per
+    group, maintain the ``k`` smallest DISTINCT hashes seen across ALL
+    micro-batches (operators/sketches.py algebra — the merge is a
+    union+trim, so the final state equals the batch sketch of the whole
+    stream EXACTLY; that stream ≡ batch identity is what the driver gate
+    hashes against the kmv_distinct fixture oracle).
+
+    Emits one row per (group, batch-with-arrivals): the CUMULATIVE sketch
+    and a monotone ``rows_cum`` counter — downstream takes the max-counter
+    row per group for the final estimate, or reads intermediate rows as a
+    live cardinality curve. Hashes are computed JVM-side BEFORE the
+    stateful stage (pass an ``xxhash64 & (2^63-1)`` column as ``hash_col``);
+    the Python state update only merges ≤k-element long arrays — O(k log k)
+    per group-batch, no text crosses into Python. State is a bounded
+    ≤k-element array per group with NO timeout (a distinct-count over the
+    full stream needs its sketch by definition; for sliding horizons attach
+    a watermark TTL as in :func:`stateful_turn_features_stream`).
+
+    Reference anchor: the reference's stream module recomputes per-message
+    features only (StreamFunctions.kt) — cross-batch mergeable summaries
+    are the capability a Spark user adds for 10^12-turn monitoring.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    in_types = {f.name: f.dataType.simpleString() for f in stream_df.schema.fields}
+    out_schema = f"{group_col} {in_types[group_col]}, rows_cum bigint, kmv array<bigint>"
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        old_kmv, old_rows = state.get if state.exists else ((), 0)
+        merged = sorted(set(old_kmv) | set(int(h) for h in rows[hash_col]))[:k]
+        rows_cum = old_rows + len(rows)
+        state.update((merged, rows_cum))
+        yield pd.DataFrame(
+            {group_col: [key[0]], "rows_cum": [rows_cum], "kmv": [merged]}
+        )
+
+    return stream_df.groupBy(group_col).applyInPandasWithState(
+        update,
+        out_schema,
+        "kmv array<bigint>, rows bigint",
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
 def stateful_dedup_stream(
     stream_df: DataFrame,
     *,

@@ -517,3 +517,65 @@ def test_stateful_dedup_stream_suppresses_cross_batch_dups(spark, tmp_path):
     # first-arrival-batch semantics: 'aa' -> 3 (NOT 1 from the later batch),
     # 'bb' -> 12, 'cc' -> 9, 'dd' -> 20
     assert got == [3, 9, 12, 20]
+
+
+def test_stateful_kmv_stream_merges_across_batches(spark, tmp_path):
+    """Streaming KMV ≡ batch KMV: two micro-batches whose per-group distinct
+    hash sets overlap; the final (max-rows_cum) sketch must equal the batch
+    sketch of the union — exact below k, and the estimator path must match
+    the batch estimator above k."""
+    import os as _os
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from funcify_feature_eng_spark.operators.sketches import (
+        kmv_estimate,
+        kmv_sketch,
+    )
+    from funcify_feature_eng_spark.streaming.runner import stateful_kmv_stream
+
+    k = 8
+    src = str(tmp_path / "ksrc")
+    _os.makedirs(src)
+    # group 'a': 30 distinct values split 0..19 / 10..29 (overlap) -> over k
+    # group 'b': 3 distinct values, batch 0 only -> exact path, state idle in b1
+    b0 = pd.DataFrame(
+        {"g": ["a"] * 20 + ["b"] * 3, "v": [f"x{i}" for i in range(20)] + ["p", "q", "r"]}
+    )
+    b1 = pd.DataFrame({"g": ["a"] * 20, "v": [f"x{i}" for i in range(10, 30)]})
+    for i, part in enumerate((b0, b1)):
+        fp = _os.path.join(src, f"b{i}.parquet")
+        part.to_parquet(fp)
+        _os.utime(fp, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    sch = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(sch).option("maxFilesPerTrigger", "1").parquet(src)
+        .withColumn("__h", F.xxhash64("v").bitwiseAND(F.lit((1 << 63) - 1)))
+    )
+    out = stateful_kmv_stream(stream, group_col="g", hash_col="__h", k=k)
+    q = (
+        out.writeStream.format("memory").queryName("kmv_test_sink")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(180)
+    final = (
+        spark.table("kmv_test_sink")
+        .groupBy("g")
+        .agg(F.max_by("kmv", "rows_cum").alias("kmv"))
+        .select("g", kmv_estimate("kmv", k).alias("est"))
+    )
+    got = {r.g: r.est for r in final.collect()}
+
+    batch = spark.createDataFrame(
+        pd.concat([b0, b1], ignore_index=True)
+    )
+    expect_df = kmv_sketch(batch, ["v"], group_by=["g"], k=k).select(
+        "g", kmv_estimate("kmv", k).alias("est")
+    )
+    expect = {r.g: r.est for r in expect_df.collect()}
+    assert got == expect
+    assert got["b"] == 3  # below-k exact
+    # group 'a' is over k -> estimator path engaged (est from 8-element sketch)
+    assert got["a"] > k
