@@ -946,6 +946,36 @@ def q_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cms_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min frequency sketch in the gate (operators/sketches.py::
+    cms_sketch/cms_estimate): single-space document tokens counted into a
+    4×512 counter table (one combinable shuffle of ≤ depth×width counters),
+    then every token with exact count ≥ 30 (threshold-set membership —
+    tie-free, unlike top-k) gets its CMS estimate = min over depth rows of
+    its bucket counts. Oracle = fixture precomputed by an INDEPENDENT
+    pure-Python xxh64 + counter table (scripts/make_fixtures.py::
+    cms_token_estimates) — the hash proves the never-underestimate property
+    AND the exact collision arithmetic. Completes the mergeable sketch
+    family: KMV = cardinality, binned histogram = quantiles, CMS = point
+    frequency; at 100 TB per-day counter tables merge by summing."""
+    from funcify_feature_eng_spark.operators.sketches import (
+        cms_estimate,
+        cms_sketch,
+    )
+
+    width, depth = 512, 4
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(F.split("text", " ")).alias("tok")).filter(
+        F.col("tok") != ""
+    )
+    exact = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("exact_cnt")).filter(
+        F.col("exact_cnt") >= 30
+    )
+    sk = cms_sketch(tok, "tok", width=width, depth=depth)
+    est = cms_estimate(sk, exact, "tok", width=width, depth=depth)
+    return est.join(exact, "tok").select("tok", "exact_cnt", "est_count")
+
+
 def q_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binned-histogram quantiles (the mergeable 100 TB quantile path,
     complementing the exact value_quantiles gate): per event_type, nearest-
@@ -2696,6 +2726,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_tolerance": q_asof_tolerance,
         "kmv_distinct": q_kmv_distinct,
         "kmv_overlap": q_kmv_overlap,
+        "cms_tokens": q_cms_tokens,
         "hist_quantiles": q_hist_quantiles,
         "scd2_point_read": q_scd2_point_read,
         "calendar_features": q_calendar_features,
@@ -4382,6 +4413,9 @@ FROM f
         # batch sketch of the whole corpus — same fixture as kmv_distinct
         "stream_kmv": _fixture_values(
             "kmv_distinct_sf0.01.parquet", ["lang", "est_distinct"]
+        ),
+        "cms_tokens": _fixture_values(
+            "cms_tokens_sf0.01.parquet", ["tok", "exact_cnt", "est_count"]
         ),
         "hist_quantiles": """
 WITH h AS (

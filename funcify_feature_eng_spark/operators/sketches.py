@@ -136,6 +136,85 @@ def kmv_overlap_estimate(
     ).cast("long")
 
 
+def _cms_buckets(value: Column | str, width: int, depth: int) -> Column:
+    """The depth hash positions of a value: row d uses ``xxhash64(d, value)``
+    (Spark's chained multi-arg hash — d as IntegerType seed stage), bucketed
+    by pmod into [0, width)."""
+    v = F.col(value) if isinstance(value, str) else value
+    return F.array(
+        *[
+            F.pmod(F.xxhash64(F.lit(d).cast("int"), v), F.lit(width)).cast("int")
+            for d in range(depth)
+        ]
+    )
+
+
+def cms_sketch(
+    df: DataFrame,
+    value_col: str,
+    group_by: Sequence[str] = (),
+    width: int = 1024,
+    depth: int = 4,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Count-min sketch (Cormode & Muthukrishnan 2005, public) as a
+    per-group counter table ``(group..., d, bucket, cnt)`` — the mergeable
+    frequency summary completing the sketch family (KMV = cardinality,
+    binned histogram = quantiles, CMS = point frequency).
+
+    Each value increments one bucket per depth row (``xxhash64(d, value)``
+    mod width — deterministic, reproducible by the pure-Python twin in
+    scripts/make_fixtures.py). Point-frequency estimates (``cms_estimate``)
+    take the MIN over rows: never an underestimate, overestimate bounded by
+    collisions (ε ≈ e/width of the total count, with prob 1 − e^−depth).
+    Sketches of disjoint data MERGE by unioning and summing cnt per
+    (group, d, bucket) — the reason to store the counter table, not exact
+    counts. ``weight_col`` makes it a weighted-count sketch (sums weights
+    instead of counting rows).
+
+    Scale shape: ONE combinable shuffle of O(groups × depth × width)
+    counters max (map-side partial aggregation); rows never cross the wire
+    individually. NULL values drop (they have no frequency).
+    """
+    if width < 2 or depth < 1:
+        raise ValueError(f"cms_sketch: need width >= 2, depth >= 1; got {width}, {depth}")
+    keys = list(group_by)
+    w = F.count(F.lit(1)) if weight_col is None else F.sum(weight_col)
+    ex = df.filter(F.col(value_col).isNotNull()).select(
+        *keys,
+        F.posexplode(_cms_buckets(value_col, width, depth)).alias("d", "bucket"),
+        *( [weight_col] if weight_col else [] ),
+    )
+    return ex.groupBy(*keys, "d", "bucket").agg(w.cast("long").alias("cnt"))
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    queries: DataFrame,
+    value_col: str,
+    group_by: Sequence[str] = (),
+    width: int = 1024,
+    depth: int = 4,
+) -> DataFrame:
+    """Point-frequency estimates from a CMS counter table: for each query
+    row (group..., value), the min over depth rows of its bucket counts
+    (missing bucket = 0). ``width``/``depth`` MUST match the sketch's.
+
+    The join is (group, d, bucket)-equi against the ≤ groups×depth×width
+    counter table — broadcast-sized for any practical width, so at scale
+    this is a map-side lookup, never a shuffle of the corpus."""
+    keys = list(group_by)
+    ex = queries.select(
+        *keys,
+        value_col,
+        F.posexplode(_cms_buckets(value_col, width, depth)).alias("d", "bucket"),
+    )
+    j = ex.join(F.broadcast(sketch), [*keys, "d", "bucket"], "left")
+    return j.groupBy(*keys, value_col).agg(
+        F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est_count")
+    )
+
+
 def histogram_counts(
     df: DataFrame,
     value_col: str,

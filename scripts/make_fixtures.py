@@ -208,6 +208,43 @@ def kmv_distinct_counts(rows: list[tuple[str, str]]) -> list[tuple[str, int]]:
     return sorted(out)
 
 
+# MUST mirror __spark_entry__.q_cms_tokens / operators/sketches.py
+CMS_WIDTH = 512
+CMS_DEPTH = 4
+CMS_MIN_COUNT = 30
+
+
+def cms_token_estimates(texts: list[str]) -> list[tuple[str, int, int]]:
+    """Independent count-min re-computation for the cms_tokens gate:
+    single-space tokenization, per-token exact counts, a depth×width counter
+    table incremented at ``spark_xxhash64(('int', d), token) pmod width``
+    (Python's %% on a positive modulus IS pmod), and for every token with
+    exact count >= CMS_MIN_COUNT the estimate min over depth rows —
+    exactly the arithmetic operators/sketches.py::cms_sketch/cms_estimate
+    runs. Threshold-set membership (not top-k) keeps the query set
+    tie-free."""
+    from collections import Counter
+
+    cnt: Counter[str] = Counter(
+        tok for t in texts for tok in t.split(" ") if tok
+    )
+    table = [[0] * CMS_WIDTH for _ in range(CMS_DEPTH)]
+    buckets: dict[str, list[int]] = {}
+    for tok, c in cnt.items():
+        bs = [
+            spark_xxhash64(("int", d), tok) % CMS_WIDTH for d in range(CMS_DEPTH)
+        ]
+        buckets[tok] = bs
+        for d, b in enumerate(bs):
+            table[d][b] += c
+    out = []
+    for tok, c in cnt.items():
+        if c >= CMS_MIN_COUNT:
+            est = min(table[d][b] for d, b in enumerate(buckets[tok]))
+            out.append((tok, c, est))
+    return sorted(out)
+
+
 # MUST mirror __spark_entry__.q_kmv_overlap / operators/sketches.py
 KMV_OVERLAP_K = 64
 
@@ -372,6 +409,19 @@ def main(sf_dir: str | None = None) -> None:
         os.path.join(FIXDIR, f"kmv_overlap_{sf}.parquet"),
     )
     print(f"kmv_overlap_{sf}.parquet: {len(ov)} groups")
+
+    cm = cms_token_estimates([t for _, t in docs])
+    pq.write_table(
+        pa.table(
+            {
+                "tok": pa.array([r[0] for r in cm], pa.string()),
+                "exact_cnt": pa.array([r[1] for r in cm], pa.int64()),
+                "est_count": pa.array([r[2] for r in cm], pa.int64()),
+            }
+        ),
+        os.path.join(FIXDIR, f"cms_tokens_{sf}.parquet"),
+    )
+    print(f"cms_tokens_{sf}.parquet: {len(cm)} tokens")
 
     n = make_shows_csv(os.path.join(FIXDIR, "shows_raw.csv"))
     print(f"shows_raw.csv: {n} rows")

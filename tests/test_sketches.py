@@ -186,3 +186,68 @@ def test_kmv_overlap_estimator_accuracy(spark, values):
     # true overlap 1000 of union 3000; Jaccard estimator sigma ~ sqrt(J(1-J)/k)
     # on the union estimate -> loose 4-sigma band
     assert 600 <= got <= 1400, got
+
+
+def test_cms_never_underestimates_and_collides_bounded(spark):
+    from funcify_feature_eng_spark.operators.sketches import cms_estimate, cms_sketch
+
+    # 5000 token occurrences over 200 distinct values, zipf-ish
+    rows = [("v%03d" % (i % (j + 1)),) for j in range(200) for i in range(j // 4 + 1)]
+    df = spark.createDataFrame(rows, "v string")
+    exact = {r.v: r.c for r in df.groupBy("v").agg(F.count("*").alias("c")).collect()}
+    sk = cms_sketch(df, "v", width=64, depth=4)  # narrow -> real collisions
+    qs = spark.createDataFrame([(v,) for v in exact], "v string")
+    est = {r.v: r.est_count for r in cms_estimate(sk, qs, "v", width=64, depth=4).collect()}
+    assert set(est) == set(exact)
+    for v, c in exact.items():
+        assert est[v] >= c  # CMS never underestimates
+    total = sum(exact.values())
+    # min-over-depth keeps the worst overestimate well under the total
+    assert max(est[v] - exact[v] for v in exact) < total
+
+
+def test_cms_merge_equals_whole(spark):
+    """Sketch(A) + Sketch(B) summed per (d, bucket) == Sketch(A ∪ B)."""
+    from funcify_feature_eng_spark.operators.sketches import cms_sketch
+
+    a = spark.createDataFrame([("t%02d" % (i % 17),) for i in range(300)], "v string")
+    b = spark.createDataFrame([("t%02d" % (i % 23),) for i in range(200)], "v string")
+    merged = (
+        cms_sketch(a, "v", width=128, depth=3)
+        .unionByName(cms_sketch(b, "v", width=128, depth=3))
+        .groupBy("d", "bucket").agg(F.sum("cnt").alias("cnt"))
+    )
+    whole = cms_sketch(a.unionByName(b), "v", width=128, depth=3)
+    got = {(r.d, r.bucket): r.cnt for r in merged.collect()}
+    exp = {(r.d, r.bucket): r.cnt for r in whole.collect()}
+    assert got == exp
+
+
+def test_cms_grouped_and_weighted(spark):
+    from funcify_feature_eng_spark.operators.sketches import cms_estimate, cms_sketch
+
+    df = spark.createDataFrame(
+        [("g1", "a", 2), ("g1", "a", 3), ("g1", "b", 1), ("g2", "a", 7)],
+        "g string, v string, w int",
+    )
+    sk = cms_sketch(df, "v", group_by=["g"], width=32, depth=2, weight_col="w")
+    qs = spark.createDataFrame(
+        [("g1", "a"), ("g1", "b"), ("g2", "a"), ("g2", "zz")], "g string, v string"
+    )
+    est = {
+        (r.g, r.v): r.est_count
+        for r in cms_estimate(sk, qs, "v", group_by=["g"], width=32, depth=2).collect()
+    }
+    assert est[("g1", "a")] >= 5 and est[("g1", "b")] >= 1 and est[("g2", "a")] >= 7
+    # weighted totals per group bound the overestimate
+    assert est[("g1", "a")] <= 6 and est[("g2", "zz")] <= 7
+
+
+def test_cms_validates_params(spark):
+    from funcify_feature_eng_spark.operators.sketches import cms_sketch
+
+    df = spark.createDataFrame([("a",)], "v string")
+    with pytest.raises(ValueError):
+        cms_sketch(df, "v", width=1)
+    with pytest.raises(ValueError):
+        cms_sketch(df, "v", depth=0)
