@@ -928,6 +928,7 @@ def q_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     overlap estimate itself is array arithmetic on two ≤k-element columns —
     no row-level join between the corpora ever happens."""
     from funcify_feature_eng_spark.operators.sketches import (
+        kmv_difference_estimate,
         kmv_overlap_estimate,
         kmv_sketch,
     )
@@ -940,9 +941,10 @@ def q_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     skb = kmv_sketch(
         docs.filter(F.col("doc_id") % 2 == 1), ["text"], group_by=["lang"], k=k
     ).withColumnRenamed("kmv", "kb")
-    return (
-        ska.join(skb, "lang")
-        .select("lang", kmv_overlap_estimate("ka", "kb", k).alias("est_overlap"))
+    return ska.join(skb, "lang").select(
+        "lang",
+        kmv_overlap_estimate("ka", "kb", k).alias("est_overlap"),
+        kmv_difference_estimate("ka", "kb", k).alias("est_only_a"),
     )
 
 
@@ -4407,7 +4409,7 @@ FROM f
             "kmv_distinct_sf0.01.parquet", ["lang", "est_distinct"]
         ),
         "kmv_overlap": _fixture_values(
-            "kmv_overlap_sf0.01.parquet", ["lang", "est_overlap"]
+            "kmv_overlap_sf0.01.parquet", ["lang", "est_overlap", "est_only_a"]
         ),
         # stream ≡ batch: the streaming sketch's final state must equal the
         # batch sketch of the whole corpus — same fixture as kmv_distinct

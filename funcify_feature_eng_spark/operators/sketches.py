@@ -136,6 +136,28 @@ def kmv_overlap_estimate(
     ).cast("long")
 
 
+def kmv_difference_estimate(
+    a: Column | str, b: Column | str, k: int, domain: int = DOMAIN
+) -> Column:
+    """Distinct SET-DIFFERENCE estimate |A \\ B| from two KMV sketches —
+    completes the sketch set algebra (union = :func:`kmv_merge` +
+    :func:`kmv_estimate`, intersection = :func:`kmv_overlap_estimate`):
+    the fraction of the merged sketch's members present in A but NOT in B
+    scales the union estimate, same Beyer et al. 2007 argument and the
+    same IEEE-double arithmetic. Exact when both groups had fewer than k
+    distinct values. Use case: "how many training documents are NOT in
+    yesterday's corpus" from stored per-day sketches alone."""
+    ca = F.col(a) if isinstance(a, str) else a
+    cb = F.col(b) if isinstance(b, str) else b
+    merged = kmv_merge(ca, cb, k)
+    only_a = F.size(F.array_except(F.array_intersect(merged, ca), cb))
+    est_union = kmv_estimate(merged, k, domain)
+    return F.floor(
+        only_a.cast("double") * est_union.cast("double")
+        / F.size(merged).cast("double")
+    ).cast("long")
+
+
 def _cms_buckets(value: Column | str, width: int, depth: int) -> Column:
     """The depth hash positions of a value: row d uses ``xxhash64(d, value)``
     (Spark's chained multi-arg hash — d as IntegerType seed stage), bucketed

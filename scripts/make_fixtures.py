@@ -251,7 +251,7 @@ KMV_OVERLAP_K = 64
 
 def kmv_overlap_counts(
     rows: list[tuple[str, int, str]],
-) -> list[tuple[str, int]]:
+) -> list[tuple[str, int, int]]:
     """Independent KMV-intersection re-computation for the kmv_overlap gate:
     per lang, docs split by doc_id parity into halves A/B; each half's
     sketch is its k smallest distinct 63-bit text hashes; the overlap
@@ -273,6 +273,7 @@ def kmv_overlap_counts(
         skb = sorted(halves[(lang, 1)])[:k]
         merged = sorted(set(ska) | set(skb))[:k]
         matches = len(set(merged) & set(ska) & set(skb))
+        only_a = len((set(merged) & set(ska)) - set(skb))
         if len(merged) < k:
             est_union = len(merged)
         else:
@@ -280,7 +281,8 @@ def kmv_overlap_counts(
                 float((k - 1) * KMV_DOMAIN) / float(merged[k - 1])
             )
         est = math.floor(float(matches) * float(est_union) / float(len(merged)))
-        out.append((lang, est))
+        est_d = math.floor(float(only_a) * float(est_union) / float(len(merged)))
+        out.append((lang, est, est_d))
     return out
 
 
@@ -404,6 +406,7 @@ def main(sf_dir: str | None = None) -> None:
             {
                 "lang": pa.array([r[0] for r in ov], pa.string()),
                 "est_overlap": pa.array([r[1] for r in ov], pa.int64()),
+                "est_only_a": pa.array([r[2] for r in ov], pa.int64()),
             }
         ),
         os.path.join(FIXDIR, f"kmv_overlap_{sf}.parquet"),

@@ -251,3 +251,33 @@ def test_cms_validates_params(spark):
         cms_sketch(df, "v", width=1)
     with pytest.raises(ValueError):
         cms_sketch(df, "v", depth=0)
+
+
+def test_kmv_difference_exact_below_k(spark):
+    """Below k the difference estimate is exact, and the three algebra
+    pieces partition the exact union: |A\\B| + |A∩B| + |B\\A| == |A∪B|."""
+    from funcify_feature_eng_spark.operators.sketches import (
+        kmv_difference_estimate,
+        kmv_estimate,
+        kmv_merge,
+        kmv_overlap_estimate,
+    )
+
+    a = spark.createDataFrame([("g", "v%03d" % i) for i in range(40)], "g string, v string")
+    b = spark.createDataFrame([("g", "v%03d" % i) for i in range(25, 60)], "g string, v string")
+    ska = kmv_sketch(a, ["v"], ["g"], k=256).withColumnRenamed("kmv", "ka")
+    skb = kmv_sketch(b, ["v"], ["g"], k=256).withColumnRenamed("kmv", "kb")
+    r = (
+        ska.join(skb, "g")
+        .select(
+            kmv_difference_estimate("ka", "kb", 256).alias("a_only"),
+            kmv_difference_estimate("kb", "ka", 256).alias("b_only"),
+            kmv_overlap_estimate("ka", "kb", 256).alias("both"),
+            kmv_estimate(kmv_merge("ka", "kb", 256), 256).alias("union_"),
+        )
+        .collect()[0]
+    )
+    assert r.a_only == 25  # v000..v024
+    assert r.b_only == 20  # v040..v059
+    assert r.both == 15
+    assert r.a_only + r.b_only + r.both == r.union_ == 60
