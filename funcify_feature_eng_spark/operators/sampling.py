@@ -232,6 +232,13 @@ def weighted_sample(
     """
     if rate_num <= 0 or rate_denom <= 0:
         raise ValueError(f"rate must be positive, got {rate_num}/{rate_denom}")
+    if rate_num >= 2**31 or rate_denom >= 2**31:
+        # key < 2^32 and weight*num multiply by 2^32 — a rate component
+        # >= 2^31 could wrap the BIGINT comparison silently under Spark's
+        # default non-ANSI arithmetic
+        raise ValueError(
+            f"rate components must be < 2^31, got {rate_num}/{rate_denom}"
+        )
     c = F.col(id_col)
     w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
     if hash:

@@ -217,21 +217,27 @@ def cms_estimate(
     group_by: Sequence[str] = (),
     width: int = 1024,
     depth: int = 4,
+    broadcast: bool = True,
 ) -> DataFrame:
     """Point-frequency estimates from a CMS counter table: for each query
     row (group..., value), the min over depth rows of its bucket counts
     (missing bucket = 0). ``width``/``depth`` MUST match the sketch's.
 
-    The join is (group, d, bucket)-equi against the ≤ groups×depth×width
-    counter table — broadcast-sized for any practical width, so at scale
-    this is a map-side lookup, never a shuffle of the corpus."""
+    The join is (group, d, bucket)-equi against the counter table — at most
+    groups×depth×width rows. With FEW groups (langs, days, sources — the
+    sketch's design point) that is broadcast-sized, so the lookup is
+    map-side, never a shuffle of the corpus. With a HIGH-cardinality
+    ``group_by`` (per-user, per-conversation) the counter table itself is
+    big: pass ``broadcast=False`` to let the equi-join shuffle both sides
+    on (group, d, bucket) instead of forcing an oversized broadcast."""
     keys = list(group_by)
     ex = queries.select(
         *keys,
         value_col,
         F.posexplode(_cms_buckets(value_col, width, depth)).alias("d", "bucket"),
     )
-    j = ex.join(F.broadcast(sketch), [*keys, "d", "bucket"], "left")
+    rhs = F.broadcast(sketch) if broadcast else sketch
+    j = ex.join(rhs, [*keys, "d", "bucket"], "left")
     return j.groupBy(*keys, value_col).agg(
         F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est_count")
     )
