@@ -974,8 +974,12 @@ def q_cms_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("exact_cnt") >= 30
     )
     sk = cms_sketch(tok, "tok", width=width, depth=depth)
-    est = cms_estimate(sk, exact, "tok", width=width, depth=depth)
-    return est.join(exact, "tok").select("tok", "exact_cnt", "est_count")
+    # exact_cnt rides through the estimate's groupBy (carry_cols) so the
+    # token aggregation subtree is computed ONCE, not re-joined
+    est = cms_estimate(
+        sk, exact, "tok", width=width, depth=depth, carry_cols=["exact_cnt"]
+    )
+    return est.select("tok", "exact_cnt", "est_count")
 
 
 def q_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2178,43 +2182,59 @@ def _content_stamp(path: str, version: str) -> str:
     return f"{sz}:{h.hexdigest()[:16]}:{version}"
 
 
-def _stream_batch_files(spark: SparkSession, sf_dir: str) -> str:
-    """Build (or reuse) the 2-file ts-ordered micro-batch split of the
-    events table used by the streaming gates. Pure scaffolding derived from
-    the source parquet — rebuilt only when a content stamp changes so bench
-    re-runs time the stream, not file prep."""
+def _write_micro_batches(
+    tmp: str, src: str, version: str, parts_builder, write_opts: dict | None = None
+) -> str:
+    """Shared micro-batch gate scaffolding: a content-stamped parquet dir
+    whose file mtimes pin the batch ingestion order. ``parts_builder()``
+    (-> ordered pandas frames, one per micro-batch) runs ONLY when the
+    stamp is stale, so bench re-runs time the stream, not file prep."""
     import shutil
 
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    ev = _t(spark, sf_dir, "events").select(
-        "user_id", "event_id", F.col("event_type").alias("role"), "ts"
-    )
+    stamp_val = _content_stamp(src, version)
+    stamp_fp = os.path.join(tmp, "_stamp")
+    if os.path.exists(stamp_fp) and open(stamp_fp).read() == stamp_val:
+        return tmp
+    parts = parts_builder()
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)
+    os.makedirs(tmp)
+    for i, part in enumerate(parts):
+        fp = os.path.join(tmp, f"b{i}.parquet")
+        pq.write_table(
+            pa.Table.from_pandas(part, preserve_index=False), fp,
+            **(write_opts or {}),
+        )
+        os.utime(fp, (1_700_000_000 + i, 1_700_000_000 + i))  # batch order
+    with open(stamp_fp, "w") as f:
+        f.write(stamp_val)
+    return tmp
+
+
+def _stream_batch_files(spark: SparkSession, sf_dir: str) -> str:
+    """Build (or reuse) the 2-file ts-ordered micro-batch split of the
+    events table used by the streaming gates."""
+
+    def parts():
+        pdf = (
+            _t(spark, sf_dir, "events")
+            .select("user_id", "event_id", F.col("event_type").alias("role"), "ts")
+            .orderBy("ts", "event_id")
+            .toPandas()
+        )
+        n = len(pdf)
+        return [pdf.iloc[i * n // 2 : (i + 1) * n // 2] for i in range(2)]
+
     tmp = os.path.join(
         "/tmp", f"spark_graft_stream_gate_{os.path.basename(os.path.normpath(sf_dir))}"
     )
-    src = os.path.join(sf_dir, "events.parquet")
-    stamp_val = _content_stamp(src, "3")
-    stamp_fp = os.path.join(tmp, "_stamp")
-    fresh = os.path.exists(stamp_fp) and open(stamp_fp).read() == stamp_val
-    if not fresh:
-        pdf = ev.orderBy("ts", "event_id").toPandas()
-        if os.path.exists(tmp):
-            shutil.rmtree(tmp)
-        os.makedirs(tmp)
-        n = len(pdf)
-        for i in range(2):
-            part = pdf.iloc[i * n // 2 : (i + 1) * n // 2]
-            fp = os.path.join(tmp, f"b{i}.parquet")
-            pq.write_table(
-                pa.Table.from_pandas(part, preserve_index=False), fp,
-                coerce_timestamps="us", allow_truncated_timestamps=True,
-            )
-            os.utime(fp, (1_700_000_000 + i, 1_700_000_000 + i))  # batch order
-        with open(stamp_fp, "w") as f:
-            f.write(stamp_val)
-    return tmp
+    return _write_micro_batches(
+        tmp, os.path.join(sf_dir, "events.parquet"), "3", parts,
+        {"coerce_timestamps": "us", "allow_truncated_timestamps": True},
+    )
 
 
 def _stream_source(spark: SparkSession, sf_dir: str):
@@ -2235,44 +2255,28 @@ def _doc_stream_files(spark: SparkSession, sf_dir: str) -> str:
     min-id winner), batch 1 = a full duplicate copy (ids +10000) whose
     suppression requires the seen-state to CROSS the batch boundary.
     Content-stamped scaffolding, rebuilt only when the source changes."""
-    import shutil
-
     import pandas as pd
-    import pyarrow as pa
-    import pyarrow.parquet as pq
 
-    tmp = os.path.join(
-        "/tmp", f"spark_graft_dedup_stream_{os.path.basename(os.path.normpath(sf_dir))}"
-    )
-    src = os.path.join(sf_dir, "documents.parquet")
-    stamp_val = _content_stamp(src, "1")
-    stamp_fp = os.path.join(tmp, "_stamp")
-    fresh = os.path.exists(stamp_fp) and open(stamp_fp).read() == stamp_val
-    if not fresh:
+    def parts():
         pdf = (
             _t(spark, sf_dir, "documents")
             .select("doc_id", "text")
             .orderBy("doc_id")
             .toPandas()
         )
-        if os.path.exists(tmp):
-            shutil.rmtree(tmp)
-        os.makedirs(tmp)
         lo = pdf["doc_id"].min()
         same_batch_dups = pdf[pdf["doc_id"] < lo + 50].assign(
             doc_id=lambda d: d["doc_id"] + 20000
         )
         cross_batch_dups = pdf.assign(doc_id=lambda d: d["doc_id"] + 10000)
-        for i, part in enumerate((
-            pd.concat([pdf, same_batch_dups], ignore_index=True),
-            cross_batch_dups,
-        )):
-            fp = os.path.join(tmp, f"b{i}.parquet")
-            pq.write_table(pa.Table.from_pandas(part, preserve_index=False), fp)
-            os.utime(fp, (1_700_000_000 + i, 1_700_000_000 + i))  # batch order
-        with open(stamp_fp, "w") as f:
-            f.write(stamp_val)
-    return tmp
+        return [pd.concat([pdf, same_batch_dups], ignore_index=True), cross_batch_dups]
+
+    tmp = os.path.join(
+        "/tmp", f"spark_graft_dedup_stream_{os.path.basename(os.path.normpath(sf_dir))}"
+    )
+    return _write_micro_batches(
+        tmp, os.path.join(sf_dir, "documents.parquet"), "1", parts
+    )
 
 
 def _doc_kmv_stream_files(spark: SparkSession, sf_dir: str) -> str:
@@ -2280,37 +2284,22 @@ def _doc_kmv_stream_files(spark: SparkSession, sf_dir: str) -> str:
     streaming-KMV gate — each batch carries roughly half of every lang's
     texts, so the final per-lang sketch provably merges state across the
     batch boundary. Content-stamped scaffolding like _doc_stream_files."""
-    import shutil
 
-    import pyarrow as pa
-    import pyarrow.parquet as pq
-
-    tmp = os.path.join(
-        "/tmp", f"spark_graft_kmv_stream_{os.path.basename(os.path.normpath(sf_dir))}"
-    )
-    src = os.path.join(sf_dir, "documents.parquet")
-    stamp_val = _content_stamp(src, "1")
-    stamp_fp = os.path.join(tmp, "_stamp")
-    fresh = os.path.exists(stamp_fp) and open(stamp_fp).read() == stamp_val
-    if not fresh:
+    def parts():
         pdf = (
             _t(spark, sf_dir, "documents")
             .select("lang", "doc_id", "text")
             .orderBy("doc_id")
             .toPandas()
         )
-        if os.path.exists(tmp):
-            shutil.rmtree(tmp)
-        os.makedirs(tmp)
-        for i, part in enumerate(
-            (pdf[pdf["doc_id"] % 2 == 0], pdf[pdf["doc_id"] % 2 == 1])
-        ):
-            fp = os.path.join(tmp, f"b{i}.parquet")
-            pq.write_table(pa.Table.from_pandas(part, preserve_index=False), fp)
-            os.utime(fp, (1_700_000_000 + i, 1_700_000_000 + i))  # batch order
-        with open(stamp_fp, "w") as f:
-            f.write(stamp_val)
-    return tmp
+        return [pdf[pdf["doc_id"] % 2 == 0], pdf[pdf["doc_id"] % 2 == 1]]
+
+    tmp = os.path.join(
+        "/tmp", f"spark_graft_kmv_stream_{os.path.basename(os.path.normpath(sf_dir))}"
+    )
+    return _write_micro_batches(
+        tmp, os.path.join(sf_dir, "documents.parquet"), "1", parts
+    )
 
 
 def q_stream_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2478,30 +2467,17 @@ def _stream_disorder_files(spark: SparkSession, sf_dir: str) -> str:
     watermark delay); two far-future sentinel batches advance the watermark
     so every buffered tail flushes through the event-time timeout. Pure
     gate scaffolding, content-stamped like _stream_batch_files."""
-    import shutil
-
-    import pyarrow as pa
-    import pyarrow.parquet as pq
+    import pandas as pd
 
     D_s = 2 * GAP_S
-    ev = _t(spark, sf_dir, "events").select(
-        "user_id", "event_id", F.col("event_type").alias("role"), "ts"
-    )
-    tmp = os.path.join(
-        "/tmp",
-        f"spark_graft_stream_disorder_{os.path.basename(os.path.normpath(sf_dir))}",
-    )
-    src = os.path.join(sf_dir, "events.parquet")
-    stamp_val = _content_stamp(src, "2")
-    stamp_fp = os.path.join(tmp, "_stamp")
-    fresh = os.path.exists(stamp_fp) and open(stamp_fp).read() == stamp_val
-    if not fresh:
-        import pandas as pd
 
-        pdf = ev.orderBy("ts", "event_id").toPandas()
-        if os.path.exists(tmp):
-            shutil.rmtree(tmp)
-        os.makedirs(tmp)
+    def parts():
+        pdf = (
+            _t(spark, sf_dir, "events")
+            .select("user_id", "event_id", F.col("event_type").alias("role"), "ts")
+            .orderBy("ts", "event_id")
+            .toPandas()
+        )
         n = len(pdf)
         t_cut = pdf["ts"].iloc[n // 2]
         first_half = pdf["ts"] <= t_cut
@@ -2520,22 +2496,21 @@ def _stream_disorder_files(spark: SparkSession, sf_dir: str) -> str:
         # 3 batches: sentinel 1 rides WITH batch 2 (the watermark only
         # advances at batch end, so one trailing sentinel batch remains to
         # let the event-time timeouts fire with the advanced watermark)
-        batches = [
+        return [
             pdf[first_half & ~delayed],
             pd.concat([pdf[~first_half | delayed], sentinel(0, 2.5 * D_s)],
                       ignore_index=True),
             sentinel(1, 3.0 * D_s),
         ]
-        for i, part in enumerate(batches):
-            fp = os.path.join(tmp, f"b{i}.parquet")
-            pq.write_table(
-                pa.Table.from_pandas(part, preserve_index=False), fp,
-                coerce_timestamps="us", allow_truncated_timestamps=True,
-            )
-            os.utime(fp, (1_700_000_000 + i, 1_700_000_000 + i))  # batch order
-        with open(stamp_fp, "w") as f:
-            f.write(stamp_val)
-    return tmp
+
+    tmp = os.path.join(
+        "/tmp",
+        f"spark_graft_stream_disorder_{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    return _write_micro_batches(
+        tmp, os.path.join(sf_dir, "events.parquet"), "2", parts,
+        {"coerce_timestamps": "us", "allow_truncated_timestamps": True},
+    )
 
 
 def q_stream_disorder_features(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -25,6 +25,15 @@ def bucket_expr(id_col: str | Column, resolution: int = 10_000, hash: bool = Tru
     return F.pmod(key, F.lit(resolution))
 
 
+def knuth_key(id_col: str | Column, modulus: int = 2**32) -> Column:
+    """The SQL-universal pseudo-random key shared by every ``hash=False``
+    oracle mode in this module: ``((id mod 2^31) * 2654435761) mod modulus``.
+    The inner mod keeps the product below 2^63 so the arithmetic is exact
+    (and ANSI-safe) in any engine's BIGINT for ALL 64-bit ids."""
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    return F.pmod(F.pmod(c, F.lit(2**31)) * F.lit(2654435761), F.lit(modulus))
+
+
 def assign_split(
     df: DataFrame,
     id_col: str,
@@ -89,11 +98,7 @@ def quota_per_group(
     from pyspark.sql import Window
 
     c = F.col(id_col)
-    key = (
-        F.xxhash64(c)
-        if hash
-        else F.pmod(F.pmod(c, F.lit(2147483648)) * F.lit(2654435761), F.lit(4294967296))
-    )
+    key = F.xxhash64(c) if hash else knuth_key(c)
     w = Window.partitionBy(group_col).orderBy(key.asc(), c.asc())
     return (
         df.withColumn("__rn", F.row_number().over(w))
@@ -197,8 +202,7 @@ def interleave_by_ratio(
         cond = F.col(source_col) == s
         cases = F.when(cond, F.lit(float(w_))) if cases is None else cases.when(cond, F.lit(float(w_)))
     w = Window.partitionBy(source_col).orderBy(
-        F.pmod(F.pmod(F.col(id_col), F.lit(2**31)) * F.lit(2654435761), F.lit(2**31)),
-        F.col(id_col),
+        knuth_key(id_col, 2**31), F.col(id_col)
     )
     rank = F.row_number().over(w).cast("double")
     weight = cases  # NULL for unlisted sources → NULL mix_pos
@@ -222,20 +226,20 @@ def weighted_sample(
     weight = quality score or token count.
 
     A pure map — no shuffle, no state. ``hash=True`` (production) draws
-    u from ``xxhash64(id)``; ``hash=False`` draws the Knuth multiplicative
-    key ``((id mod 2^31) * 2654435761) mod 2^32`` (the quota_per_group
-    convention) and decides by the INTEGER comparison
+    u from ``xxhash64(id)``; ``hash=False`` draws :func:`knuth_key` (the
+    quota_per_group convention) and decides by the INTEGER comparison
     ``key * rate_denom < weight * rate_num * 2^32`` — exact in any
-    engine's BIGINT (key < 2^32; keep ``weight * rate_num`` below ~2^20 so
-    the product stays under 2^63), which is what makes the gate oracle
-    engine-portable with zero float arithmetic.
+    engine's BIGINT, which is what makes the gate oracle engine-portable
+    with zero float arithmetic. Rows whose probability caps at 1
+    (``weight * rate_num >= rate_denom``) short-circuit to kept BEFORE the
+    multiply, so the operands provably stay under 2^63 for ANY weight
+    (in the multiply branch ``w * num < denom < 2^31``).
     """
     if rate_num <= 0 or rate_denom <= 0:
         raise ValueError(f"rate must be positive, got {rate_num}/{rate_denom}")
     if rate_num >= 2**31 or rate_denom >= 2**31:
-        # key < 2^32 and weight*num multiply by 2^32 — a rate component
-        # >= 2^31 could wrap the BIGINT comparison silently under Spark's
-        # default non-ANSI arithmetic
+        # key < 2^32 multiplied by denom — a rate component >= 2^31 could
+        # wrap the BIGINT comparison silently under non-ANSI arithmetic
         raise ValueError(
             f"rate components must be < 2^31, got {rate_num}/{rate_denom}"
         )
@@ -248,9 +252,16 @@ def weighted_sample(
         return df.filter(
             u * F.lit(float(rate_denom)) < w.cast("double") * F.lit(float(rate_num))
         )
-    key = F.pmod(F.pmod(c, F.lit(2**31)) * F.lit(2654435761), F.lit(2**32))
+    # p >= 1 short-circuit: w >= ceil(denom/num) keeps the row without the
+    # multiply (whose RHS would wrap 2^63 for w*num >= 2^31 and silently
+    # DROP always-keep rows under Spark's default non-ANSI long arithmetic)
+    always = w.cast("long") >= F.lit((rate_denom + rate_num - 1) // rate_num)
     return df.filter(
-        key * F.lit(int(rate_denom)) < w.cast("long") * F.lit(int(rate_num) * 2**32)
+        always
+        | (
+            knuth_key(c) * F.lit(int(rate_denom))
+            < w.cast("long") * F.lit(int(rate_num) * 2**32)
+        )
     )
 
 
@@ -293,10 +304,7 @@ def weighted_topk(
             "double"
         ) / F.lit(float(1 << 63))
     else:
-        u = (
-            F.pmod(F.pmod(c, F.lit(2**31)) * F.lit(2654435761), F.lit(2**32))
-            + F.lit(1)
-        ).cast("double") / F.lit(float(2**32))
+        u = (knuth_key(c) + F.lit(1)).cast("double") / F.lit(float(2**32))
     key = F.log(u) / w
     part = [group_col] if group_col else [F.lit(1)]
     win = Window.partitionBy(*part).orderBy(key.desc(), c.asc())

@@ -107,6 +107,13 @@ def kmv_merge(a: Column | str, b: Column | str, k: int) -> Column:
     return F.slice(F.array_sort(F.array_union(ca, cb)), 1, k)
 
 
+def _kmv_or_empty(sketch: Column | str) -> Column:
+    """NULL sketch arrays (e.g. from outer joins aligning per-day sketches)
+    mean the empty set for the set-algebra estimators."""
+    c = F.col(sketch) if isinstance(sketch, str) else sketch
+    return F.coalesce(c, F.array().cast("array<bigint>"))
+
+
 def kmv_overlap_estimate(
     a: Column | str, b: Column | str, k: int, domain: int = DOMAIN
 ) -> Column:
@@ -122,18 +129,22 @@ def kmv_overlap_estimate(
     estimate, so ``est_intersection = floor(|M ∩ A ∩ B| / |M| · est_union)``.
     Computed in IEEE doubles (deterministic and engine-identical for the
     same sketches, same argument as :func:`kmv_estimate`; a pure-BIGINT
-    route would overflow at matches × est_union). Exact when both groups
-    had fewer than k distinct values (the sketches ARE the sets and the
-    union estimate is the exact union size)."""
-    ca = F.col(a) if isinstance(a, str) else a
-    cb = F.col(b) if isinstance(b, str) else b
+    route would overflow at matches × est_union). EXACT when the UNION has
+    fewer than k distinct values (then the merged sketch IS the union set;
+    two individually-below-k sketches whose union reaches k still take the
+    estimator path). NULL or empty sketch arrays mean the empty set —
+    overlap 0, never NULL."""
+    ca = _kmv_or_empty(a)
+    cb = _kmv_or_empty(b)
     merged = kmv_merge(ca, cb, k)
     matches = F.size(F.array_intersect(F.array_intersect(merged, ca), cb))
     est_union = kmv_estimate(merged, k, domain)
-    return F.floor(
-        matches.cast("double") * est_union.cast("double")
-        / F.size(merged).cast("double")
-    ).cast("long")
+    return F.when(F.size(merged) == 0, F.lit(0).cast("long")).otherwise(
+        F.floor(
+            matches.cast("double") * est_union.cast("double")
+            / F.size(merged).cast("double")
+        ).cast("long")
+    )
 
 
 def kmv_difference_estimate(
@@ -144,18 +155,22 @@ def kmv_difference_estimate(
     :func:`kmv_estimate`, intersection = :func:`kmv_overlap_estimate`):
     the fraction of the merged sketch's members present in A but NOT in B
     scales the union estimate, same Beyer et al. 2007 argument and the
-    same IEEE-double arithmetic. Exact when both groups had fewer than k
-    distinct values. Use case: "how many training documents are NOT in
-    yesterday's corpus" from stored per-day sketches alone."""
-    ca = F.col(a) if isinstance(a, str) else a
-    cb = F.col(b) if isinstance(b, str) else b
+    same IEEE-double arithmetic. EXACT when the UNION has fewer than k
+    distinct values (see :func:`kmv_overlap_estimate` for the precise
+    regime); NULL/empty sketches mean the empty set (difference 0, never
+    NULL). Use case: "how many training documents are NOT in yesterday's
+    corpus" from stored per-day sketches alone."""
+    ca = _kmv_or_empty(a)
+    cb = _kmv_or_empty(b)
     merged = kmv_merge(ca, cb, k)
     only_a = F.size(F.array_except(F.array_intersect(merged, ca), cb))
     est_union = kmv_estimate(merged, k, domain)
-    return F.floor(
-        only_a.cast("double") * est_union.cast("double")
-        / F.size(merged).cast("double")
-    ).cast("long")
+    return F.when(F.size(merged) == 0, F.lit(0).cast("long")).otherwise(
+        F.floor(
+            only_a.cast("double") * est_union.cast("double")
+            / F.size(merged).cast("double")
+        ).cast("long")
+    )
 
 
 def _cms_buckets(value: Column | str, width: int, depth: int) -> Column:
@@ -218,10 +233,16 @@ def cms_estimate(
     width: int = 1024,
     depth: int = 4,
     broadcast: bool = True,
+    carry_cols: Sequence[str] = (),
 ) -> DataFrame:
     """Point-frequency estimates from a CMS counter table: for each query
     row (group..., value), the min over depth rows of its bucket counts
     (missing bucket = 0). ``width``/``depth`` MUST match the sketch's.
+    NULL query values drop — the sketch never counted them
+    (:func:`cms_sketch` filters NULLs), so an estimate would be a lie built
+    from the fixed hash-of-depth-index buckets. ``carry_cols`` are extra
+    query columns passed through to the output (grouped alongside the
+    value — avoids re-joining, and thus re-computing, the queries frame).
 
     The join is (group, d, bucket)-equi against the counter table — at most
     groups×depth×width rows. With FEW groups (langs, days, sources — the
@@ -231,14 +252,16 @@ def cms_estimate(
     big: pass ``broadcast=False`` to let the equi-join shuffle both sides
     on (group, d, bucket) instead of forcing an oversized broadcast."""
     keys = list(group_by)
-    ex = queries.select(
+    carry = list(carry_cols)
+    ex = queries.filter(F.col(value_col).isNotNull()).select(
         *keys,
         value_col,
+        *carry,
         F.posexplode(_cms_buckets(value_col, width, depth)).alias("d", "bucket"),
     )
     rhs = F.broadcast(sketch) if broadcast else sketch
     j = ex.join(rhs, [*keys, "d", "bucket"], "left")
-    return j.groupBy(*keys, value_col).agg(
+    return j.groupBy(*keys, value_col, *carry).agg(
         F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est_count")
     )
 

@@ -93,3 +93,23 @@ def test_kmv_fixture_matches_spark(spark):
     }
     want = _fixture_rows("kmv_distinct_sf0.01.parquet")
     assert got == want
+
+
+@needs_testdata
+def test_kmv_overlap_fixture_matches_spark(spark):
+    got = {
+        (r.lang, r.est_overlap, r.est_only_a)
+        for r in entrymod.q_kmv_overlap(spark, SF_DIR).collect()
+    }
+    want = _fixture_rows("kmv_overlap_sf0.01.parquet")
+    assert got == want
+
+
+@needs_testdata
+def test_cms_tokens_fixture_matches_spark(spark):
+    got = {
+        (r.tok, r.exact_cnt, r.est_count)
+        for r in entrymod.q_cms_tokens(spark, SF_DIR).collect()
+    }
+    want = _fixture_rows("cms_tokens_sf0.01.parquet")
+    assert got == want

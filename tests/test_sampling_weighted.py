@@ -95,3 +95,14 @@ def test_weighted_sample_bad_rate(spark, docs):
         weighted_sample(docs, "id", "w", 0, 5)
     with pytest.raises(ValueError):
         weighted_topk(docs, "g", "id", "w", 0)
+
+
+def test_weighted_sample_huge_weight_no_wraparound(spark):
+    """hash=False: weight*num >= 2^31 must keep ALL rows (p >= 1), not
+    silently drop them via 64-bit wrap of w*num*2^32."""
+    df = spark.createDataFrame(
+        [(i, 3000) for i in range(50)], "id long, w long"
+    )
+    from funcify_feature_eng_spark.operators.sampling import weighted_sample
+
+    assert weighted_sample(df, "id", "w", 1_000_000, 1, hash=False).count() == 50

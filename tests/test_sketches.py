@@ -166,14 +166,13 @@ def test_kmv_overlap_exact_below_k(spark):
     assert got == 15  # v025..v039
 
 
-def test_kmv_overlap_estimator_accuracy(spark, values):
-    """Above k: the overlap estimate lands within 4 sigma of truth."""
+def test_kmv_overlap_estimator_accuracy(spark):
+    """Above k: the overlap estimate lands within 4 sigma of truth.
+    Two frames with controlled overlap: [0, 2000) vs [1000, 3000) ->
+    1000 shared of a 3000-distinct union."""
     from funcify_feature_eng_spark.operators.sketches import kmv_overlap_estimate
 
     k = 256
-    # g1/g2 rows share the SAME value universe (v000000..v002999), so the
-    # true distinct overlap is the smaller universe; build two frames with
-    # controlled overlap instead: [0, 2000) vs [1000, 3000) -> 1000 shared
     a = spark.createDataFrame([("g", "w%05d" % i) for i in range(2000)], "g string, v string")
     b = spark.createDataFrame([("g", "w%05d" % i) for i in range(1000, 3000)], "g string, v string")
     ska = kmv_sketch(a, ["v"], ["g"], k=k).withColumnRenamed("kmv", "ka")
@@ -281,3 +280,27 @@ def test_kmv_difference_exact_below_k(spark):
     assert r.b_only == 20  # v040..v059
     assert r.both == 15
     assert r.a_only + r.b_only + r.both == r.union_ == 60
+
+
+def test_kmv_algebra_null_and_empty_sketches(spark):
+    """NULL or empty sketch arrays mean the empty set: overlap/difference
+    are 0 (or est of the non-empty side), never NULL."""
+    from funcify_feature_eng_spark.operators.sketches import (
+        kmv_difference_estimate,
+        kmv_overlap_estimate,
+    )
+
+    df = spark.createDataFrame(
+        [([1, 5, 9], None), ([], []), (None, None)],
+        "ka array<bigint>, kb array<bigint>",
+    )
+    rows = df.select(
+        kmv_overlap_estimate("ka", "kb", 8).alias("ov"),
+        kmv_difference_estimate("ka", "kb", 8).alias("a_only"),
+        kmv_difference_estimate("kb", "ka", 8).alias("b_only"),
+    ).collect()
+    assert [(r.ov, r.a_only, r.b_only) for r in rows] == [
+        (0, 3, 0),  # B empty: no overlap, A\B = |A| exactly, B\A = 0
+        (0, 0, 0),  # both empty
+        (0, 0, 0),  # both NULL
+    ]
