@@ -1623,6 +1623,28 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "lang", "w_bytes")
 
 
+def q_budget_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Budgeted corpus mixing (operators/sampling.py::budget_mixture_sample):
+    target shares {en:5, es:2, de:1, fr:1, zh:1} under a 60 kB total budget —
+    ONE per-source aggregate broadcast back, then a pure-map keep decision
+    p_s = min(1, budget·w_s/(W·T_s)), so expected kept bytes per lang land
+    on budget·w_s/W without hand-tuned rates (the mixture PLANNER + sampler
+    in one op). Gate runs hash=False: the decision is the pure-BIGINT
+    comparison key·W·T_s < budget·w_s·2^32 — the DuckDB twin recomputes
+    T_s in a CTE and applies identical integer arithmetic. Production
+    hash=True (xxhash64) is pytest-pinned."""
+    from funcify_feature_eng_spark.operators.sampling import budget_mixture_sample
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "w_bytes", F.octet_length("text").cast("long")
+    )
+    out = budget_mixture_sample(
+        docs, "lang", "doc_id", "w_bytes", budget=60_000,
+        weights={"en": 5, "es": 2, "de": 1, "fr": 1, "zh": 1}, hash=False,
+    )
+    return out.select("doc_id", "lang", "w_bytes")
+
+
 def q_doc_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic training-order shuffle: dense global positions in a
     pseudorandom permutation keyed only on doc_id — stable across reruns /
@@ -2674,6 +2696,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shows_reshaped": q_shows_reshaped,
         "doc_split": q_doc_split,
         "weighted_sample": q_weighted_sample,
+        "budget_mixture": q_budget_mixture,
         "doc_shuffle": q_doc_shuffle,
         "length_buckets": q_length_buckets,
         "split_leakage": q_split_leakage,
@@ -3973,6 +3996,21 @@ FROM documents
 WHERE (((doc_id % 2147483648) + 2147483648) % 2147483648) * 2654435761
       % 4294967296 * 4000
       < strlen(text) * 4294967296
+""",
+        # budget_mixture: per-source totals in a CTE, then the identical
+        # pure-BIGINT keep rule key*W*T_s < budget*w_s*2^32 (p>=1 keeps all)
+        "budget_mixture": """
+WITH t AS (
+  SELECT lang, SUM(strlen(text)) AS t_s FROM documents
+  WHERE lang IN ('en','es','de','fr','zh') GROUP BY lang
+),
+w(lang, w_s) AS (VALUES ('en',5),('es',2),('de',1),('fr',1),('zh',1))
+SELECT d.doc_id, d.lang, strlen(d.text) AS w_bytes
+FROM documents d JOIN t USING (lang) JOIN w USING (lang)
+WHERE 60000 * w_s >= 10 * t_s
+   OR (((d.doc_id % 2147483648) + 2147483648) % 2147483648) * 2654435761
+      % 4294967296 * 10 * t_s
+      < 60000 * w_s * 4294967296
 """,
         "value_quantiles": """
 SELECT event_type,

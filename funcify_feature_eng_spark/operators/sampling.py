@@ -316,6 +316,99 @@ def weighted_topk(
     )
 
 
+def budget_mixture_sample(
+    df: DataFrame,
+    source_col: str,
+    id_col: str,
+    size_col: str | Column,
+    budget: int,
+    weights: dict[str, int],
+    hash: bool = True,
+) -> DataFrame:
+    """Budgeted corpus mixing — the training-data mixture PLANNER + sampler
+    in one op: given relative source shares ``weights`` (integers, e.g.
+    ``{"web": 5, "code": 2, "books": 1}``) and a global ``budget`` (total
+    tokens/bytes, in ``size_col`` units), keep each row of source s with
+    probability ``p_s = min(1, budget·w_s / (W·T_s))`` where ``W = Σw`` and
+    ``T_s`` is the source's total size — so the EXPECTED kept size per
+    source is ``budget·w_s/W``: the mixture lands on target without anyone
+    hand-tuning per-source rates. Sources absent from ``weights`` drop.
+    A source too small to fill its share keeps everything (p caps at 1 —
+    the standard under-budget carve-out; re-run with re-normalized weights
+    over the remaining sources to redistribute its unused share).
+
+    Scale shape: ONE combinable aggregate (per-source totals, ≤ |sources|
+    rows) broadcast back, then a pure map — the decision is a deterministic
+    function of (id, size, source totals), stable across reruns/layouts/
+    retries. ``hash=False`` decides by the pure-BIGINT comparison
+    ``key·W·T_s < budget·w_s·2^32`` (engine-portable zero-float oracle
+    mode; raises if the operands could reach 2^63 — at that scale use
+    ``hash=True``, whose double arithmetic is exact to 2^53 and never
+    wraps). Deterministic u from ``xxhash64(id)`` / :func:`knuth_key`,
+    same convention as :func:`weighted_sample`.
+    """
+    if budget <= 0:
+        raise ValueError(f"budget must be > 0, got {budget}")
+    if not weights or any(w <= 0 for w in weights.values()):
+        raise ValueError("weights must be a non-empty dict of positive ints")
+    total_w = int(sum(weights.values()))
+    c = F.col(id_col)
+    size = F.col(size_col) if isinstance(size_col, str) else size_col
+
+    totals = (
+        df.filter(F.col(source_col).isin(list(weights)))
+        .groupBy(source_col)
+        .agg(F.sum(size.cast("long")).alias("__t_s"))
+    )
+    if not hash:
+        # LHS guard: key < 2^32 times W*T_s must stay under 2^63. Asserted
+        # on the |sources|-row totals frame (zero per-row cost) because T_s
+        # is data-dependent — unlike the static budget*max_weight RHS check
+        totals = totals.withColumn(
+            "__t_s",
+            F.when(
+                F.assert_true(
+                    F.lit(total_w) * F.col("__t_s") < F.lit(2**31),
+                    F.lit(
+                        "budget_mixture_sample hash=False needs "
+                        "sum(weights)*source_total < 2^31 — use hash=True"
+                    ),
+                ).isNull(),
+                F.col("__t_s"),
+            ),
+        )
+    wmap = F.create_map(
+        *[x for s, w in weights.items() for x in (F.lit(s), F.lit(int(w)))]
+    )
+    j = (
+        df.join(F.broadcast(totals), source_col, "inner")
+        .withColumn("__w_s", wmap[F.col(source_col)].cast("long"))
+    )
+    # p_s >= 1 short-circuit keeps the multiply operands bounded (same
+    # non-ANSI-wrap defense as weighted_sample)
+    always = F.lit(int(budget)) * F.col("__w_s") >= F.lit(total_w) * F.col("__t_s")
+    if hash:
+        u = F.xxhash64(c).bitwiseAND(F.lit((1 << 63) - 1)).cast("double") / F.lit(
+            float(1 << 63)
+        )
+        keep = always | (
+            u * F.lit(float(total_w)) * F.col("__t_s").cast("double")
+            < F.lit(float(budget)) * F.col("__w_s").cast("double")
+        )
+    else:
+        max_w = max(weights.values())
+        if budget * max_w * 2**32 >= 2**63:
+            raise ValueError(
+                "hash=False integer mode needs budget*max_weight < 2^31; "
+                f"got {budget}*{max_w} — use hash=True at this scale"
+            )
+        keep = always | (
+            knuth_key(c) * F.lit(total_w) * F.col("__t_s")
+            < F.lit(int(budget)) * F.col("__w_s") * F.lit(2**32)
+        )
+    return j.filter(keep).drop("__t_s", "__w_s")
+
+
 def temporal_split(
     df: DataFrame,
     *,

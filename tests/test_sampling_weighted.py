@@ -106,3 +106,76 @@ def test_weighted_sample_huge_weight_no_wraparound(spark):
     from funcify_feature_eng_spark.operators.sampling import weighted_sample
 
     assert weighted_sample(df, "id", "w", 1_000_000, 1, hash=False).count() == 50
+
+
+def test_budget_mixture_exact_integer_rule(spark):
+    """hash=False decisions equal a pure-Python recomputation of
+    key*W*T_s < budget*w_s*2^32, with the p>=1 carve-out."""
+    from funcify_feature_eng_spark.operators.sampling import budget_mixture_sample
+
+    rows = [(i, "s%d" % (i % 3), 50 + i % 7) for i in range(900)]
+    df = spark.createDataFrame(rows, "id long, src string, sz int")
+    weights = {"s0": 3, "s1": 1}  # s2 unlisted -> dropped
+    budget, W = 8000, 4
+    got = sorted(
+        r.id
+        for r in budget_mixture_sample(
+            df, "src", "id", "sz", budget, weights, hash=False
+        ).collect()
+    )
+    totals = {}
+    for i, s, z in rows:
+        totals[s] = totals.get(s, 0) + z
+    expect = []
+    for i, s, z in rows:
+        if s not in weights:
+            continue
+        key = (i % 2**31) * 2654435761 % 2**32
+        if budget * weights[s] >= W * totals[s] or (
+            key * W * totals[s] < budget * weights[s] * 2**32
+        ):
+            expect.append(i)
+    assert got == sorted(expect) and 0 < len(got) < 600
+
+
+def test_budget_mixture_hits_target_shares(spark):
+    """Expected kept size per source ~ budget*w_s/W (law of large numbers)."""
+    from funcify_feature_eng_spark.operators.sampling import budget_mixture_sample
+    from pyspark.sql import functions as F
+
+    rows = [(i, "a" if i % 2 else "b", 100) for i in range(20000)]
+    df = spark.createDataFrame(rows, "id long, src string, sz int")
+    out = budget_mixture_sample(df, "src", "id", "sz", 300_000, {"a": 2, "b": 1})
+    kept = {
+        r.src: r.total
+        for r in out.groupBy("src").agg(F.sum("sz").alias("total")).collect()
+    }
+    # targets: a -> 200k, b -> 100k of 1M per side; 4-sigma-ish bands
+    assert 170_000 < kept["a"] < 230_000, kept
+    assert 80_000 < kept["b"] < 120_000, kept
+
+
+def test_budget_mixture_small_source_keeps_all(spark):
+    from funcify_feature_eng_spark.operators.sampling import budget_mixture_sample
+
+    rows = [(i, "big", 100) for i in range(1000)] + [(10_000 + i, "tiny", 10) for i in range(5)]
+    df = spark.createDataFrame(rows, "id long, src string, sz int")
+    out = budget_mixture_sample(df, "src", "id", "sz", 5000, {"big": 1, "tiny": 1}, hash=False)
+    assert out.filter("src = 'tiny'").count() == 5  # p caps at 1
+
+
+def test_budget_mixture_validation_and_overflow_guard(spark):
+    from funcify_feature_eng_spark.operators.sampling import budget_mixture_sample
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    df = spark.createDataFrame([(1, "a", 10)], "id long, src string, sz int")
+    with pytest.raises(ValueError):
+        budget_mixture_sample(df, "src", "id", "sz", 0, {"a": 1})
+    with pytest.raises(ValueError):
+        budget_mixture_sample(df, "src", "id", "sz", 10, {})
+    with pytest.raises(ValueError, match="use hash=True"):
+        budget_mixture_sample(df, "src", "id", "sz", 2**40, {"a": 1}, hash=False)
+    # data-dependent LHS guard: W*T_s >= 2^31 raises at execution
+    big = spark.createDataFrame([(1, "a", 2**31)], "id long, src string, sz long")
+    with pytest.raises(SparkRuntimeException):
+        budget_mixture_sample(big, "src", "id", "sz", 10, {"a": 1}, hash=False).count()
