@@ -982,6 +982,37 @@ def q_cms_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return est.select("tok", "exact_cnt", "est_count")
 
 
+def q_bloom_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter membership in the gate (operators/sketches.py::
+    bloom_sketch/bloom_contains): per-lang 512-bit filters over even-doc
+    texts (ONE combinable shuffle of sparse 64-bit words), probed with the
+    distinct odd-doc texts via a broadcast map + pure forall Column check
+    (no explode, no probe-side shuffle). Output = (lang, probed, hits);
+    at this m/n ratio the filter is intentionally tight enough that hits
+    include deterministic FALSE POSITIVES beyond the true cross-half
+    overlap — the fixture (scripts/make_fixtures.py::bloom_probe_counts,
+    independent pure-Python xxh64 + bit sets) reproduces both exactly.
+    Completes the mergeable sketch family: membership, after cardinality
+    (KMV), quantiles (histogram), frequency (CMS). At 100 TB: ship
+    yesterday's membership (m_bits/8 bytes per group) to the ingest job
+    and drop seen documents map-side BEFORE any shuffle."""
+    from funcify_feature_eng_spark.operators.sketches import (
+        bloom_contains,
+        bloom_sketch,
+    )
+
+    m_bits, depth = 512, 3
+    docs = _t(spark, sf_dir, "documents")
+    a = docs.filter(F.col("doc_id") % 2 == 0)
+    b = docs.filter(F.col("doc_id") % 2 == 1).select("lang", "text").distinct()
+    sk = bloom_sketch(a, "text", ["lang"], m_bits=m_bits, depth=depth)
+    pr = bloom_contains(sk, b, "text", ["lang"], m_bits=m_bits, depth=depth)
+    return pr.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("probed"),
+        F.sum(F.when(F.col("maybe_present"), 1).otherwise(0)).alias("hits"),
+    )
+
+
 def q_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binned-histogram quantiles (the mergeable 100 TB quantile path,
     complementing the exact value_quantiles gate): per event_type, nearest-
@@ -2727,6 +2758,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_distinct": q_kmv_distinct,
         "kmv_overlap": q_kmv_overlap,
         "cms_tokens": q_cms_tokens,
+        "bloom_probe": q_bloom_probe,
         "hist_quantiles": q_hist_quantiles,
         "scd2_point_read": q_scd2_point_read,
         "calendar_features": q_calendar_features,
@@ -4431,6 +4463,9 @@ FROM f
         ),
         "cms_tokens": _fixture_values(
             "cms_tokens_sf0.01.parquet", ["tok", "exact_cnt", "est_count"]
+        ),
+        "bloom_probe": _fixture_values(
+            "bloom_probe_sf0.01.parquet", ["lang", "probed", "hits"]
         ),
         "hist_quantiles": """
 WITH h AS (

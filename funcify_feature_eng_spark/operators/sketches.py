@@ -266,6 +266,123 @@ def cms_estimate(
     )
 
 
+# one-bit masks indexed by (bit position + 1) via element_at — PySpark's
+# shiftleft takes a Python-int shift amount, so a Column-valued shift must
+# go through this 64-entry literal array. Bit 63 is the sign bit: its
+# Java-long value is -(2^63), same bit pattern for bitwiseAND/bit_or
+def _bit_mask(pos_mod_64: Column) -> Column:
+    masks = F.array(
+        *[
+            F.lit((1 << i) if i < 63 else -(1 << 63)).cast("long")
+            for i in range(64)
+        ]
+    )
+    return F.element_at(masks, (pos_mod_64 + F.lit(1)).cast("int"))
+
+
+def _bloom_positions(value: Column | str, m_bits: int, depth: int) -> Column:
+    """The depth bit positions of a value: row d uses ``xxhash64(d, value)``
+    pmod m_bits — same chained-hash convention as :func:`_cms_buckets`, so
+    the pure-Python fixture twin reproduces it exactly."""
+    v = F.col(value) if isinstance(value, str) else value
+    return F.array(
+        *[
+            F.pmod(F.xxhash64(F.lit(d).cast("int"), v), F.lit(m_bits)).cast("int")
+            for d in range(depth)
+        ]
+    )
+
+
+def bloom_sketch(
+    df: DataFrame,
+    value_col: str,
+    group_by: Sequence[str] = (),
+    m_bits: int = 4096,
+    depth: int = 3,
+) -> DataFrame:
+    """Bloom filter (Bloom 1970, public) as a per-group sparse bitmap table
+    ``(group..., word, bits)`` — the mergeable MEMBERSHIP summary completing
+    the sketch family (KMV = cardinality, histogram = quantiles, CMS =
+    frequency, Bloom = membership). Deterministic by construction (bit d of
+    a value is ``xxhash64(d, value) pmod m_bits``), so probes are
+    oracle-reproducible — unlike Spark's builtin bloom_filter_agg whose
+    serialized form can't be recomputed by an independent engine.
+
+    ``word = position div 64``, ``bits`` = OR of ``1 << (position mod 64)``
+    — ONE combinable shuffle of at most groups × m_bits/64 words (sparse:
+    empty words never materialize). Sketches of disjoint data MERGE by
+    unioning and OR-ing bits per (group, word). No false negatives;
+    false-positive rate ≈ (1 − e^(−depth·n/m_bits))^depth.
+
+    Use case at 100 TB: ship yesterday's corpus membership (m_bits/8 bytes
+    per group) to the ingest job and drop already-seen documents map-side
+    BEFORE any shuffle — the streaming/pre-pass complement of the exact
+    dedup and contamination semi-joins. NULL values drop.
+    """
+    if m_bits < 64 or m_bits % 64:
+        raise ValueError(f"m_bits must be a positive multiple of 64, got {m_bits}")
+    if depth < 1:
+        raise ValueError(f"depth must be >= 1, got {depth}")
+    keys = list(group_by)
+    ex = df.filter(F.col(value_col).isNotNull()).select(
+        *keys,
+        F.explode(_bloom_positions(value_col, m_bits, depth)).alias("__pos"),
+    )
+    word = (F.col("__pos") / 64).cast("int")
+    mask = _bit_mask(F.pmod(F.col("__pos"), F.lit(64)))
+    return (
+        ex.select(*keys, word.alias("word"), mask.alias("__m"))
+        .groupBy(*keys, "word")
+        .agg(F.bit_or("__m").alias("bits"))
+    )
+
+
+def bloom_contains(
+    sketch: DataFrame,
+    probes: DataFrame,
+    value_col: str,
+    group_by: Sequence[str] = (),
+    m_bits: int = 4096,
+    depth: int = 3,
+    broadcast: bool = True,
+    out_col: str = "maybe_present",
+) -> DataFrame:
+    """Membership probe against a :func:`bloom_sketch` table: adds
+    ``out_col`` (boolean) — True iff ALL depth bit positions of the value
+    are set (no false negatives; False is definitive absence).
+    ``m_bits``/``depth`` MUST match the sketch's. NULL probe values and
+    probes for groups with no sketch get False (nothing was inserted).
+
+    Shape: the sparse word table packs into ONE map<word, bits> row per
+    group (≤ m_bits/64 entries), broadcast to the probes; the per-row check
+    is a pure ``forall`` over the depth positions — no explode, no shuffle
+    of the probe side. Pass ``broadcast=False`` for high-cardinality
+    groups (same contract as :func:`cms_estimate`)."""
+    keys = list(group_by)
+    packed = sketch.groupBy(*keys).agg(
+        F.map_from_entries(F.collect_list(F.struct("word", "bits"))).alias("__bloom")
+    )
+    rhs = F.broadcast(packed) if broadcast else packed
+    j = probes.join(rhs, keys, "left") if keys else probes.crossJoin(rhs)
+    pos = _bloom_positions(value_col, m_bits, depth)
+    hit_all = F.forall(
+        pos,
+        lambda p: (
+            F.coalesce(
+                F.element_at(F.col("__bloom"), (p / 64).cast("int")),
+                F.lit(0).cast("long"),
+            ).bitwiseAND(_bit_mask(F.pmod(p, F.lit(64))))
+        )
+        == _bit_mask(F.pmod(p, F.lit(64))),
+    )
+    return j.withColumn(
+        out_col,
+        F.when(F.col(value_col).isNull(), F.lit(False)).otherwise(
+            F.coalesce(hit_all, F.lit(False))
+        ),
+    ).drop("__bloom")
+
+
 def histogram_counts(
     df: DataFrame,
     value_col: str,

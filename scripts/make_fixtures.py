@@ -245,6 +245,44 @@ def cms_token_estimates(texts: list[str]) -> list[tuple[str, int, int]]:
     return sorted(out)
 
 
+# MUST mirror __spark_entry__.q_bloom_probe / operators/sketches.py
+BLOOM_M = 512
+BLOOM_DEPTH = 3
+
+
+def bloom_probe_counts(
+    rows: list[tuple[str, int, str]],
+) -> list[tuple[str, int, int]]:
+    """Independent Bloom-filter re-computation for the bloom_probe gate:
+    per lang, insert even-doc texts (bit d of a text =
+    ``spark_xxhash64(('int', d), text) pmod BLOOM_M``), probe the DISTINCT
+    odd-doc texts, and report (probed, hits) — hits counts probes whose
+    every bit is set (true members + deterministic false positives at this
+    m/n ratio), exactly the arithmetic operators/sketches.py::bloom_sketch/
+    bloom_contains runs."""
+    inserted: defaultdict[str, set[int]] = defaultdict(set)
+    probes: defaultdict[str, set[str]] = defaultdict(set)
+    for lang, doc_id, text in rows:
+        if doc_id % 2 == 0:
+            for d in range(BLOOM_DEPTH):
+                inserted[lang].add(spark_xxhash64(("int", d), text) % BLOOM_M)
+        else:
+            probes[lang].add(text)
+    out = []
+    for lang in sorted(probes):
+        bits = inserted.get(lang, set())
+        hits = sum(
+            1
+            for t in probes[lang]
+            if all(
+                spark_xxhash64(("int", d), t) % BLOOM_M in bits
+                for d in range(BLOOM_DEPTH)
+            )
+        )
+        out.append((lang, len(probes[lang]), hits))
+    return out
+
+
 # MUST mirror __spark_entry__.q_kmv_overlap / operators/sketches.py
 KMV_OVERLAP_K = 64
 
@@ -425,6 +463,27 @@ def main(sf_dir: str | None = None) -> None:
         os.path.join(FIXDIR, f"cms_tokens_{sf}.parquet"),
     )
     print(f"cms_tokens_{sf}.parquet: {len(cm)} tokens")
+
+    bp = bloom_probe_counts(
+        list(
+            zip(
+                otbl["lang"].to_pylist(),
+                otbl["doc_id"].to_pylist(),
+                otbl["text"].to_pylist(),
+            )
+        )
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "lang": pa.array([r[0] for r in bp], pa.string()),
+                "probed": pa.array([r[1] for r in bp], pa.int64()),
+                "hits": pa.array([r[2] for r in bp], pa.int64()),
+            }
+        ),
+        os.path.join(FIXDIR, f"bloom_probe_{sf}.parquet"),
+    )
+    print(f"bloom_probe_{sf}.parquet: {len(bp)} groups")
 
     n = make_shows_csv(os.path.join(FIXDIR, "shows_raw.csv"))
     print(f"shows_raw.csv: {n} rows")

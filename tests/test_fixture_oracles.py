@@ -113,3 +113,13 @@ def test_cms_tokens_fixture_matches_spark(spark):
     }
     want = _fixture_rows("cms_tokens_sf0.01.parquet")
     assert got == want
+
+
+@needs_testdata
+def test_bloom_probe_fixture_matches_spark(spark):
+    got = {
+        (r.lang, r.probed, r.hits)
+        for r in entrymod.q_bloom_probe(spark, SF_DIR).collect()
+    }
+    want = _fixture_rows("bloom_probe_sf0.01.parquet")
+    assert got == want

@@ -304,3 +304,60 @@ def test_kmv_algebra_null_and_empty_sketches(spark):
         (0, 0, 0),  # both empty
         (0, 0, 0),  # both NULL
     ]
+
+
+def test_bloom_no_false_negatives_and_merge(spark):
+    from funcify_feature_eng_spark.operators.sketches import (
+        bloom_contains,
+        bloom_sketch,
+    )
+
+    a = spark.createDataFrame([("g", "t%03d" % i) for i in range(150)], "g string, v string")
+    b = spark.createDataFrame([("g", "t%03d" % i) for i in range(150, 300)], "g string, v string")
+    whole = a.unionByName(b)
+    # every inserted value must probe True (no false negatives)
+    sk = bloom_sketch(whole, "v", ["g"], m_bits=4096, depth=3)
+    probed = bloom_contains(sk, whole, "v", ["g"], m_bits=4096, depth=3)
+    assert probed.filter("NOT maybe_present").count() == 0
+    # merge by OR per (group, word) == sketch of the union
+    merged = (
+        bloom_sketch(a, "v", ["g"], m_bits=4096, depth=3)
+        .unionByName(bloom_sketch(b, "v", ["g"], m_bits=4096, depth=3))
+        .groupBy("g", "word").agg(F.bit_or("bits").alias("bits"))
+    )
+    got = {(r.g, r.word): r.bits for r in merged.collect()}
+    exp = {(r.g, r.word): r.bits for r in sk.collect()}
+    assert got == exp
+
+
+def test_bloom_definitive_absence_and_nulls(spark):
+    from funcify_feature_eng_spark.operators.sketches import (
+        bloom_contains,
+        bloom_sketch,
+    )
+
+    ins = spark.createDataFrame([("g", "in%d" % i) for i in range(5)], "g string, v string")
+    sk = bloom_sketch(ins, "v", ["g"], m_bits=8192, depth=4)
+    probes = spark.createDataFrame(
+        [("g", "in2"), ("g", "absent-x"), ("g", None), ("h", "in2")],
+        "g string, v string",
+    )
+    got = {
+        (r.g, r.v): r.maybe_present
+        for r in bloom_contains(sk, probes, "v", ["g"], m_bits=8192, depth=4).collect()
+    }
+    assert got[("g", "in2")] is True
+    # 5*4 bits in 8192 -> false-positive odds ~ (20/8192)^4: absent is False
+    assert got[("g", "absent-x")] is False
+    assert got[("g", None)] is False       # never inserted
+    assert got[("h", "in2")] is False      # group without a sketch
+
+
+def test_bloom_validation(spark):
+    from funcify_feature_eng_spark.operators.sketches import bloom_sketch
+
+    df = spark.createDataFrame([("a",)], "v string")
+    with pytest.raises(ValueError, match="multiple of 64"):
+        bloom_sketch(df, "v", m_bits=100)
+    with pytest.raises(ValueError, match="depth"):
+        bloom_sketch(df, "v", depth=0)
