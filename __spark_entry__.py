@@ -442,6 +442,14 @@ transformers:
     args: [input]
     jq: '[.[] | select(. < 200.0)] | length'
     input_schema: {type: array}
+  - name: sum_sq
+    args: [input]
+    jq: 'reduce .[] as $x (0; . + ($x * $x))'
+    input_schema: {type: array}
+  - name: mean_v
+    args: [input]
+    jq: 'reduce .[] as $x (0; . + $x) as $s | $s / length'
+    input_schema: {type: array}
 """)
     ev = _t(spark, sf_dir, "events")
     return ev.select(
@@ -464,6 +472,10 @@ transformers:
         reg.get("small_count")(
             F.array(F.col("value"), F.col("value") * 2, F.lit(50.0))
         ).alias("sc"),
+        # reduce: aggregate-HOF fold with $var binding, plus a top-level
+        # `as` binding feeding a second pass over the input
+        reg.get("sum_sq")(F.array(F.col("value"), F.col("value") / 2)).alias("ssq"),
+        reg.get("mean_v")(F.array(F.col("value"), F.col("value") / 2)).alias("mv"),
     )
 
 
@@ -3401,7 +3413,9 @@ SELECT event_id,
        translate(event_type, 'abcdefghijklmnopqrstuvwxyz',
                  'ABCDEFGHIJKLMNOPQRSTUVWXYZ')
          || '#' || CAST(length(event_type) AS VARCHAR) AS lf,
-       len(list_filter([value, value * 2, 50.0], x -> x < 200.0)) AS sc
+       len(list_filter([value, value * 2, 50.0], x -> x < 200.0)) AS sc,
+       0.0 + value * value + (value / 2) * (value / 2) AS ssq,
+       (0.0 + value + value / 2) / 2 AS mv
 FROM events
 """,
         "golden_scalars": """

@@ -109,6 +109,7 @@ _TOKEN_RE = re.compile(
   | (?P<num>\d+(?:\.\d+)?(?:[eE][+-]?\d+)?)
   | (?P<str>"(?:[^"\\]|\\.)*")
   | (?P<field>\.[A-Za-z_][A-Za-z0-9_]*)
+  | (?P<var>\$[A-Za-z_][A-Za-z0-9_]*)
   | (?P<op>//|==|!=|<=|>=|\||<|>|\+|-|\*|/|%|\(|\)|\[|\]|\{|\}|\.|;|,|:)
   | (?P<ident>[A-Za-z_][A-Za-z0-9_]*)
     """,
@@ -116,7 +117,7 @@ _TOKEN_RE = re.compile(
 )
 
 _KEYWORDS = {"if", "then", "elif", "else", "end", "and", "or", "not",
-             "null", "true", "false"}
+             "null", "true", "false", "reduce", "as"}
 
 
 def tokenize(src: str) -> list[tuple[str, str]]:
@@ -179,9 +180,16 @@ class _Parser:
             raise ValueError(f"jq parse: expected {kind}, got {t}")
         return t
 
-    # pipe := alt ('|' alt)*
+    # pipe := alt ('as' var '|' pipe | ('|' alt)*)
     def pipe(self):
         node = self.alt()
+        if self.peek()[0] == "as":  # EXPR as $x | body — variable binding
+            self.next()
+            var = self.expect("var")[1][1:]
+            t = self.next()
+            if t != ("op", "|"):
+                raise ValueError(f"jq parse: expected '|' after as ${var}, got {t}")
+            return ("bind", node, var, self.pipe())
         while self.peek() == ("op", "|"):
             self.next()
             node = ("pipe", node, self.alt())
@@ -296,6 +304,30 @@ class _Parser:
             return ("not",)
         if k == "if":
             return self.ifexpr()
+        if k == "var":
+            self.next()
+            return ("var", v[1:])
+        if k == "reduce":
+            # reduce SRC as $x (INIT; UPDATE) — SRC is a postfix path
+            # stream (.[] / .path[] / (pipe)[]); INIT/UPDATE are full pipes
+            self.next()
+            src = self.postfix()
+            if self.peek()[0] != "as":
+                raise ValueError(f"jq parse: expected 'as' in reduce, got {self.peek()}")
+            self.next()
+            var = self.expect("var")[1][1:]
+            t = self.next()
+            if t != ("op", "("):
+                raise ValueError(f"jq parse: expected '(' in reduce, got {t}")
+            init = self.pipe()
+            t = self.next()
+            if t != ("op", ";"):
+                raise ValueError(f"jq parse: expected ';' in reduce, got {t}")
+            update = self.pipe()
+            t = self.next()
+            if t != ("op", ")"):
+                raise ValueError(f"jq parse: expected ')' closing reduce, got {t}")
+            return ("reduce", src, var, init, update)
         if k == "ident":
             self.next()
             if v in _TYPE_FILTERS:
@@ -480,6 +512,13 @@ def _join_types(a: str, b: str) -> str:
     return "any"
 
 
+# compile-time variable environment for $x bindings (reduce / as). A
+# module-level stack is safe because compilation is synchronous and
+# single-threaded; compile_jq clears it defensively so a failed compile
+# can't leak bindings into the next one.
+_VARS: list[tuple[str, Column, str]] = []
+
+
 def _compile(node, cur: Column, t: str) -> tuple[Column, str]:
     kind = node[0]
     if kind == "identity":
@@ -487,6 +526,51 @@ def _compile(node, cur: Column, t: str) -> tuple[Column, str]:
     if kind == "pipe":
         mid, mt = _compile(node[1], cur, t)
         return _compile(node[2], mid, mt)
+    if kind == "var":
+        for name, col, vt in reversed(_VARS):
+            if name == node[1]:
+                return col, vt
+        raise ValueError(f"jq: unbound variable ${node[1]}")
+    if kind == "bind":  # EXPR as $x | body — '.' stays the input in body
+        val, vt = _compile(node[1], cur, t)
+        _VARS.append((node[2], val, vt))
+        try:
+            return _compile(node[3], cur, t)
+        finally:
+            _VARS.pop()
+    if kind == "reduce":
+        # reduce SRC as $x (INIT; UPDATE): fold the stream with Spark's
+        # aggregate HOF — INIT sees '.' = the reduce input, UPDATE sees
+        # '.' = the accumulator and $x = the element (jq semantics).
+        # Spark's HOF requires a type-stable accumulator: integer INITs
+        # widen to double when the source array is double-typed at runtime
+        # is NOT inferred here — keep INIT and UPDATE the same type.
+        src, var, init_n, upd_n = node[1], node[2], node[3], node[4]
+        stages = _pipe_stages(src)
+        if stages[0][0] != "iterate":
+            raise ValueError(
+                "jq reduce: source must be a stream (.[] / .path[] / (pipe)[])"
+            )
+        arr_col, _at = _compile(("arr", [src]), cur, t)
+        init_col, it = _compile(init_n, cur, t)
+        if it in ("integer", "number"):
+            # jq numbers are IEEE doubles; widening the accumulator also
+            # keeps Spark's aggregate HOF type-stable over double arrays
+            init_col, it = init_col.cast("double"), "number"
+
+        def merge(acc: Column, x: Column) -> Column:
+            _VARS.append((var, x, "any"))
+            try:
+                out, _ = _compile(upd_n, acc, it)
+            finally:
+                _VARS.pop()
+            # the HOF accumulator must keep one type across steps: pin
+            # numeric updates (e.g. `. + $x | floor` -> long) back to double
+            return out.cast("double") if it == "number" else out
+
+        agg = F.aggregate(arr_col, init_col, merge)
+        # jq: a null/absent stream is EMPTY — reduce returns the init value
+        return F.when(arr_col.isNull(), init_col).otherwise(agg), it
     if kind == "lit":
         v = node[1]
         if v is None:
@@ -922,6 +1006,7 @@ def compile_jq(expression: str, input_type: str = "any",
     in_t = _SCHEMA_TYPE_TO_STATIC.get(input_type, "any")
 
     def build(col: Column, **_ignored: Any) -> Column:
+        _VARS.clear()  # defensive: a prior failed compile must not leak $vars
         out, out_t = _compile(ast, col, in_t)
         return _coerce_output(out, out_t, output_type)
 

@@ -77,8 +77,8 @@ def test_parse_shapes():
     assert parse(".a.b") == ("field", ("field", ("identity",), "a"), "b")
     assert parse(". | length")[0] == "pipe"
     assert parse("if . then 1 else 2 end")[0] == "if"
-    with pytest.raises(ValueError):
-        parse(". as $x | $x")  # unsupported: variable binding
+    assert parse(". as $x | $x")[0] == "bind"  # variable binding supported
+    assert parse("reduce .[] as $x (0; . + $x)")[0] == "reduce"
     with pytest.raises(ValueError):
         parse("getpath([\"a\"])")  # unsupported builtin
     assert parse("map(. + 1)")[0] == "call"
@@ -411,3 +411,42 @@ def test_contains_tojson(spark):
     assert ba is not None
     with pytest.raises(ValueError, match="object/array"):
         compile_jq("tojson", input_type="number")(F.lit(1.0))
+
+
+def test_reduce_and_bindings(spark):
+    """`reduce SRC as $x (init; update)` folds with Spark's aggregate HOF;
+    `EXPR as $x | body` binds a variable with '.' unchanged in body — all
+    verified against jq 1.7 semantics by hand:
+      [1,2,3,4] | reduce .[] as $x (0; . + $x)            -> 10
+      [1,2,3]   | reduce .[] as $x (0; . + ($x * $x))     -> 14
+      []        | reduce .[] as $x (5; . + $x)            -> 5
+      null      | reduce .[] as $x (5; . + $x)            -> 5  (empty stream)
+      [2,9,4]   | reduce .[] as $x (0; if $x > . then $x else . end) -> 9
+      [1,2,3]   | . as $a | reduce .[] as $x (0; . + $x)  -> 6
+    """
+    assert _run_arr(spark, "reduce .[] as $x (0; . + $x)", [1.0, 2.0, 3.0, 4.0]) == 10.0
+    assert _run_arr(spark, "reduce .[] as $x (0; . + ($x * $x))", [1.0, 2.0, 3.0]) == 14.0
+    assert _run_arr(spark, "reduce .[] as $x (5; . + $x)", []) == 5.0
+    assert _run_arr(spark, "reduce .[] as $x (5; . + $x)", None) == 5.0
+    assert _run_arr(
+        spark, "reduce .[] as $x (0; if $x > . then $x else . end)", [2.0, 9.0, 4.0]
+    ) == 9.0
+    assert _run_arr(spark, ". as $a | reduce .[] as $x (0; . + $x)", [1.0, 2.0, 3.0]) == 6.0
+    # stream with elementwise stages before the fold: select inside the source
+    assert _run_arr(
+        spark, "reduce (map(select(. > 0)))[] as $x (0; . + $x)", [3.0, -1.0, 2.0]
+    ) == 5.0
+    # string accumulator stays a string (no double widening)
+    b = compile_jq('reduce .[] as $x (""; . + "*")', input_type="array")
+    df = spark.createDataFrame([(["a", "b", "c"],)], "v array<string>")
+    assert df.select(b(F.col("v")).alias("o")).collect()[0]["o"] == "***"
+
+
+def test_reduce_variable_errors(spark):
+    with pytest.raises(ValueError, match="unbound variable"):
+        compile_jq("$nope", input_type="number")(F.lit(1.0))
+    with pytest.raises(ValueError, match="must be a stream"):
+        compile_jq("reduce . as $x (0; . + $x)", input_type="array")(F.lit(None))
+    # binding is scoped: $x unavailable outside its body
+    with pytest.raises(ValueError, match="unbound variable"):
+        compile_jq("(. as $x | $x) + $x", input_type="number")(F.lit(1.0))

@@ -37,6 +37,9 @@ def _num(v):
     return None if v is None else float(v)
 
 
+_ENV: list[tuple[str, object]] = []
+
+
 def _ev(node, cur):
     """Evaluate the parsed AST over a plain Python value."""
     k = node[0]
@@ -44,6 +47,28 @@ def _ev(node, cur):
         return cur
     if k == "pipe":
         return _ev(node[2], _ev(node[1], cur))
+    if k == "var":
+        for name, v in reversed(_ENV):
+            if name == node[1]:
+                return v
+        raise AssertionError(f"unbound ${node[1]}")
+    if k == "bind":
+        _ENV.append((node[2], _ev(node[1], cur)))
+        try:
+            return _ev(node[3], cur)
+        finally:
+            _ENV.pop()
+    if k == "reduce":
+        src, var, init_n, upd_n = node[1], node[2], node[3], node[4]
+        stream = _ev(("arr", [src]), cur)
+        acc = _ev(init_n, cur)
+        for x in stream or []:
+            _ENV.append((var, x))
+            try:
+                acc = _ev(upd_n, acc)
+            finally:
+                _ENV.pop()
+        return acc
     if k == "lit":
         return node[1]
     if k == "field":
@@ -286,6 +311,12 @@ ARR_PROGRAMS = [
     ".[0] // -7",
     ".[2] // -7",
     ".[-1] // -7",
+    "reduce .[] as $x (0; . + $x)",
+    "reduce .[] as $x (0; . + ($x * $x))",
+    "reduce .[] as $x (0; . + 1)",
+    "reduce .[] as $x (0; if $x > . then $x else . end)",
+    ". as $a | reduce .[] as $x (0; . + $x)",
+    "reduce .[] as $x (0; . + $x) as $s | [.[] | . - $s] | length",
 ]
 
 STR_PROGRAMS = [
