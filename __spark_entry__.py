@@ -1609,6 +1609,43 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang_pred", "quality_e6")
 
 
+def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declare-then-materialize for corpus work (pipeline.py::CorpusPipeline
+    — the reference's registry/materializer philosophy applied to the
+    training-data ops): the SAME curation steps as the hand-composed
+    capstone, declared as pipeline stages and run as one composed job.
+    Oracle = the corpus_curation DuckDB twin — the hashed property is that
+    the declarative layer adds sequencing and validation, never new
+    semantics (value identity with q_corpus_curation)."""
+    from funcify_feature_eng_spark.functions.text import (
+        lang_id_from_tokens,
+        stopword_ratio,
+        tokens,
+    )
+    from funcify_feature_eng_spark.pipeline import CorpusPipeline
+
+    docs = _t(spark, sf_dir, "documents")
+    n = F.length("text")
+    len_score = (
+        F.when((n >= 50) & (n <= 5000), F.lit(1.0)).when(n > 0, F.lit(0.5)).otherwise(F.lit(0.0))
+    )
+    quality = F.floor(
+        (len_score + alpha_ratio(F.col("text")) + stopword_ratio(F.col("text")))
+        / F.lit(3.0) * F.lit(1000000.0)
+    )
+    pipe = (
+        CorpusPipeline()
+        .derive("quality_e6", quality)
+        .derive("lang_pred", lang_id_from_tokens(tokens(F.lower(F.col("text")))))
+        .exact_dedup()
+        .near_dedup(quality_col="quality_e6", num_hashes=64, bands=16,
+                    shingle_k=3, verify_threshold=0.5)
+        .filter((F.col("lang_pred") == "en") & (F.col("quality_e6") >= 600000))
+        .select("doc_id", "lang_pred", "quality_e6")
+    )
+    return pipe.run(docs)
+
+
 def q_shows_reshaped(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S5 CSV scan + reshaping (StreamFunctions.kt:289-375 semantics): parse
     duration/seasons regexes, month-name dates, comma-joined lists. Input is
@@ -2736,6 +2773,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_chunks": q_doc_chunks,
         "decontamination": q_decontamination,
         "corpus_curation": q_corpus_curation,
+        "corpus_pipeline": q_corpus_pipeline,
         "shows_reshaped": q_shows_reshaped,
         "doc_split": q_doc_split,
         "weighted_sample": q_weighted_sample,
@@ -4017,6 +4055,8 @@ SELECT t.doc_id, t.n_grams,
 FROM tot t LEFT JOIN sh ON sh.doc_id = t.doc_id
 """,
         "corpus_curation": _corpus_curation_sql(),
+        # declarative twin: same steps via CorpusPipeline — identical values
+        "corpus_pipeline": _corpus_curation_sql(),
         "shows_reshaped": rf"""
 SELECT show_id, type,
        CAST(release_year AS INT) AS release_year,

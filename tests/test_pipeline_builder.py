@@ -1,0 +1,95 @@
+"""CorpusPipeline: declarative corpus stages == hand-composed operators.
+
+The declarative layer must add sequencing/validation only — every stage's
+output is pinned against calling the underlying operator directly.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from funcify_feature_eng_spark.pipeline import CorpusPipeline
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = []
+    for i in range(60):
+        base = "alpha beta gamma delta epsilon zeta eta theta " * 3
+        if i % 10 == 0:
+            text = base  # exact-dup family (6 copies)
+        elif i % 10 == 1:
+            text = base + "extra tail words here"  # near-dup of the family
+        else:
+            text = f"doc {i} " + " ".join("w%d%d" % (i, j) for j in range(30))
+        rows.append((i, text))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_pipeline_matches_hand_composition(spark, corpus):
+    from funcify_feature_eng_spark.operators.dedup import (
+        exact_dedup,
+        minhash_lsh_pairs,
+    )
+    from funcify_feature_eng_spark.operators.graph import (
+        connected_components,
+        keep_best_per_cluster,
+    )
+
+    quality = F.length("text").cast("long")
+    pipe = (
+        CorpusPipeline()
+        .derive("q", quality)
+        .exact_dedup()
+        .near_dedup(quality_col="q", num_hashes=32, bands=8, shingle_k=3,
+                    verify_threshold=0.5)
+        .filter(F.col("doc_id") >= 0)
+        .select("doc_id", "q")
+    )
+    got = sorted((r.doc_id, r.q) for r in pipe.run(corpus).collect())
+
+    scored = corpus.withColumn("q", quality)
+    surv = exact_dedup(scored, "doc_id", "text")
+    pairs = minhash_lsh_pairs(corpus, "doc_id", "text", num_hashes=32, bands=8,
+                              shingle_k=3, verify_threshold=0.5)
+    comp = connected_components(pairs)
+    kept = keep_best_per_cluster(surv, comp, "doc_id", "q")
+    want = sorted((r.doc_id, r.q) for r in kept.select("doc_id", "q").collect())
+    assert got == want
+    assert 0 < len(got) < 60  # dedup actually removed rows
+
+
+def test_pipeline_decontaminate_and_split(spark, corpus):
+    ev = corpus.filter(F.col("doc_id") % 10 == 0).select(
+        F.col("doc_id").alias("eid"), "text"
+    )
+    pipe = (
+        CorpusPipeline()
+        .decontaminate(ev, eval_id_col="eid", k=5, min_shared=1)
+        .assign_split({"train": 0.8, "val": 0.2}, resolution=10, hash=False)
+    )
+    out = pipe.run(corpus)
+    ids = {r.doc_id for r in out.select("doc_id").collect()}
+    # every doc sharing 5-grams with the eval family is gone: the exact
+    # copies AND the near-dups (i%10 in {0,1}); unique docs survive
+    assert all(i % 10 not in (0, 1) for i in ids) and len(ids) == 48
+    splits = {r.split for r in out.select("split").distinct().collect()}
+    assert splits <= {"train", "val"}
+
+
+def test_pipeline_validation_and_describe(spark, corpus):
+    with pytest.raises(ValueError, match="no stages"):
+        CorpusPipeline().run(corpus)
+    with pytest.raises(ValueError, match="lacks column"):
+        CorpusPipeline(id_col="nope").exact_dedup().run(corpus)
+    with pytest.raises(ValueError, match="quality_col"):
+        CorpusPipeline().near_dedup(quality_col="")
+    with pytest.raises(ValueError, match="at least one column"):
+        CorpusPipeline().select()
+    p = CorpusPipeline().derive("q", F.lit(1)).exact_dedup().sample(0.5)
+    assert p.describe() == [
+        "derive q",
+        "exact dedup (min-id per text)",
+        "deterministic sample 0.5",
+    ]
