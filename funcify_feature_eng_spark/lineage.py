@@ -20,6 +20,7 @@ from __future__ import annotations
 import hashlib
 import json
 import os
+import re
 import time
 
 from pyspark.sql import DataFrame, SparkSession
@@ -33,7 +34,13 @@ def fingerprint_df(df: DataFrame, extra: str = "") -> str:
     mtime_ns) capture the data version — size alone would miss an in-place
     rewrite of identical byte length and serve stale checkpoints.
     """
-    plan = df._jdf.queryExecution().analyzed().toString()
+    # expression IDs (#123) are globally incrementing — two reads of the
+    # SAME files in one session get different ids, which would make every
+    # resume fingerprint miss. Normalize them out; plan STRUCTURE and
+    # column names still distinguish computations.
+    plan = re.sub(
+        r"#\d+", "#", df._jdf.queryExecution().analyzed().toString()
+    )
     files = sorted(df.inputFiles())
     h = hashlib.sha256()
     h.update(plan.encode())
@@ -79,13 +86,19 @@ class LineageTracker:
     def _out_path(self, stage: str) -> str:
         return os.path.join(self.base_dir, stage)
 
-    def run_stage(self, stage: str, df: DataFrame, extra_fingerprint: str = "") -> DataFrame:
+    def run_stage(self, stage: str, df: DataFrame, extra_fingerprint: str = "",
+                  fingerprint: str | None = None) -> DataFrame:
         """Checkpoint ``df`` as ``stage``; skip recompute when the recorded
         fingerprint matches and the output exists. Returns the checkpointed
         DataFrame (always backed by the stage output files — downstream
         stages re-read the checkpoint, which truncates lineage for resume).
+
+        ``fingerprint`` overrides the default output-plan fingerprint —
+        callers whose stage plans embed run-specific artifacts (e.g. a
+        localCheckpoint RDD id inside the near-dup pair builder) supply a
+        stable input-based key instead (see ``CorpusPipeline.run``).
         """
-        fp = fingerprint_df(df, extra_fingerprint)
+        fp = fingerprint or fingerprint_df(df, extra_fingerprint)
         out = self._out_path(stage)
         rec = self._records().get(stage)
         if rec and rec.get("fingerprint") == fp and os.path.exists(out):

@@ -186,8 +186,20 @@ class CorpusPipeline:
         """Human-readable stage lineage, in execution order."""
         return [d for _, d, _ in self._stages]
 
-    def run(self, df: DataFrame) -> DataFrame:
-        """Apply the declared stages to ``df`` as one composed plan.
+    def run(self, df: DataFrame, tracker=None, stage_prefix: str = "corpus") -> DataFrame:
+        """Apply the declared stages to ``df``.
+
+        Without ``tracker``: one composed lazy plan (Catalyst sees the whole
+        DAG, nothing materializes until the caller acts).
+
+        With a :class:`~funcify_feature_eng_spark.lineage.LineageTracker`:
+        every stage output CHECKPOINTS with lineage + per-partition metrics,
+        and a killed job resumes without recompute (north rule) — each
+        stage's fingerprint is its INPUT frame's content identity plus the
+        stage declaration (output plans can embed run-specific artifacts
+        like localCheckpoint RDD ids, which would defeat resume), so a
+        changed source or edited stage invalidates itself and, through the
+        rewritten checkpoint files, everything downstream.
 
         ``df`` must carry ``id_col`` and ``text_col``; validation runs
         BEFORE any stage so misdeclared pipelines fail without submitting
@@ -199,6 +211,23 @@ class CorpusPipeline:
             if c not in df.columns:
                 raise ValueError(f"CorpusPipeline: input lacks column {c!r}")
         out = df
-        for _, _, fn in self._stages:
-            out = fn(out, df)
+        for i, (kind, desc, fn) in enumerate(self._stages):
+            if tracker is None:
+                out = fn(out, df)
+            else:
+                from .lineage import fingerprint_df
+
+                in_fp = fingerprint_df(out, f"{stage_prefix}|{i}|{desc}")
+                stage_name = f"{stage_prefix}_{i:02d}_{kind}"
+                rec = tracker._records().get(stage_name)
+                import os as _os
+
+                if rec and rec.get("fingerprint") == in_fp and _os.path.exists(
+                    tracker._out_path(stage_name)
+                ):
+                    # stage hit: skip even BUILDING the stage (near-dedup's
+                    # pair builder executes eagerly at build time)
+                    out = tracker.spark.read.parquet(tracker._out_path(stage_name))
+                else:
+                    out = tracker.run_stage(stage_name, fn(out, df), fingerprint=in_fp)
         return out

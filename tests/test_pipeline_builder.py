@@ -93,3 +93,52 @@ def test_pipeline_validation_and_describe(spark, corpus):
         "exact dedup (min-id per text)",
         "deterministic sample 0.5",
     ]
+
+
+def test_pipeline_lineage_resume(spark, corpus, tmp_path):
+    """With a LineageTracker every stage checkpoints; a rerun with an
+    unchanged source skips ALL stages (no new lineage records); a changed
+    source invalidates stage 0 and cascades."""
+    import json
+    import os
+
+    from funcify_feature_eng_spark.lineage import LineageTracker
+
+    src = str(tmp_path / "src")
+    corpus.write.parquet(src)
+    inp = spark.read.parquet(src)
+
+    def pipe():
+        return (
+            CorpusPipeline()
+            .derive("q", F.length("text").cast("long"))
+            .exact_dedup()
+            .near_dedup(quality_col="q", num_hashes=32, bands=8, shingle_k=3,
+                        verify_threshold=0.5)
+            .select("doc_id", "q")
+        )
+
+    base = str(tmp_path / "ck")
+    tr = LineageTracker(spark, base)
+    got1 = sorted((r.doc_id, r.q) for r in pipe().run(inp, tracker=tr).collect())
+    lineage_file = os.path.join(base, "_lineage.jsonl")
+    n1 = sum(1 for _ in open(lineage_file))
+    assert n1 == 4  # one record per stage
+
+    # identical rerun: every stage skipped -> no new records, same values
+    tr2 = LineageTracker(spark, base)
+    got2 = sorted((r.doc_id, r.q) for r in pipe().run(inp, tracker=tr2).collect())
+    assert got2 == got1
+    assert sum(1 for _ in open(lineage_file)) == n1
+
+    # untracked run agrees with the tracked one
+    got3 = sorted((r.doc_id, r.q) for r in pipe().run(inp).collect())
+    assert got3 == got1
+
+    # source change -> stage 0 fingerprint differs -> recompute cascades
+    corpus.filter(F.col("doc_id") != 0).write.mode("overwrite").parquet(src)
+    inp2 = spark.read.parquet(src)
+    tr3 = LineageTracker(spark, base)
+    got4 = sorted((r.doc_id, r.q) for r in pipe().run(inp2, tracker=tr3).collect())
+    assert sum(1 for _ in open(lineage_file)) == n1 + 4
+    assert got4 != got1 or 0 not in {i for i, _ in got4}
