@@ -925,6 +925,21 @@ def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sk.select("lang", kmv_estimate("kmv", 128).alias("est_distinct"))
 
 
+def q_group_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-entity ROC-AUC (operators/metrics.py::group_auc): does `value`
+    rank purchase/signup events above the rest for each user? Mann-Whitney
+    rank-sum with average-rank ties — ONE window exchange + a combinable
+    aggregation, never the O(n²) pair enumeration. Engine-portable
+    arithmetic (integer ranks, exact-half tie adjustments, one final
+    division) lets the DuckDB twin reproduce the doubles bit-exactly.
+    Eval family capstone alongside knn_label_eval and parity_audit."""
+    from funcify_feature_eng_spark.operators.metrics import group_auc
+
+    ev = _t(spark, sf_dir, "events")
+    label = F.col("event_type").isin("purchase", "signup")
+    return group_auc(ev, label, F.col("value"), ["user_id"])
+
+
 def q_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMV distinct-INTERSECTION estimate in the gate (operators/sketches.py
     ::kmv_overlap_estimate): documents split by doc_id parity into two
@@ -2807,6 +2822,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_tolerance": q_asof_tolerance,
         "kmv_distinct": q_kmv_distinct,
         "kmv_overlap": q_kmv_overlap,
+        "group_auc": q_group_auc,
         "cms_tokens": q_cms_tokens,
         "bloom_probe": q_bloom_probe,
         "hist_quantiles": q_hist_quantiles,
@@ -4521,6 +4537,31 @@ FROM f
         "bloom_probe": _fixture_values(
             "bloom_probe_sf0.01.parquet", ["lang", "probed", "hits"]
         ),
+        # Mann-Whitney rank-sum AUC, identical rank/tie/division arithmetic
+        "group_auc": """
+WITH base AS (
+  SELECT user_id, event_type IN ('purchase','signup') AS y, value AS s
+  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+),
+r AS (
+  SELECT user_id, y,
+         rank() OVER (PARTITION BY user_id ORDER BY s)
+           + (count(*) OVER (PARTITION BY user_id, s) - 1) / 2.0 AS rr
+  FROM base
+),
+a AS (
+  SELECT user_id,
+         SUM(CASE WHEN y THEN rr END) AS rpos,
+         CAST(SUM(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+         CAST(SUM(CASE WHEN y THEN 0 ELSE 1 END) AS BIGINT) AS n_neg
+  FROM r GROUP BY user_id
+)
+SELECT user_id, n_pos, n_neg,
+       CASE WHEN n_pos > 0 AND n_neg > 0
+            THEN (rpos - n_pos * (n_pos + 1.0) / 2) / (n_pos * 1.0 * n_neg)
+       END AS auc
+FROM a
+""",
         "hist_quantiles": """
 WITH h AS (
   SELECT event_type, CAST(floor((value - 0.0) / 1.0) AS BIGINT) AS bin,
