@@ -180,7 +180,7 @@ class _Parser:
             raise ValueError(f"jq parse: expected {kind}, got {t}")
         return t
 
-    # pipe := alt ('as' var '|' pipe | ('|' alt)*)
+    # pipe := alt ('as' var '|' pipe | ('|' alt ['as' var '|' pipe])*)
     def pipe(self):
         node = self.alt()
         if self.peek()[0] == "as":  # EXPR as $x | body — variable binding
@@ -192,7 +192,20 @@ class _Parser:
             return ("bind", node, var, self.pipe())
         while self.peek() == ("op", "|"):
             self.next()
-            node = ("pipe", node, self.alt())
+            rhs = self.alt()
+            if self.peek()[0] == "as":
+                # mid-pipe binding: `a | b as $x | c` ≡ a | (b as $x | c) —
+                # jq binds `as` tighter than the preceding pipe; within c,
+                # '.' is a's output (the value at the binding point)
+                self.next()
+                var = self.expect("var")[1][1:]
+                t = self.next()
+                if t != ("op", "|"):
+                    raise ValueError(
+                        f"jq parse: expected '|' after as ${var}, got {t}"
+                    )
+                return ("pipe", node, ("bind", rhs, var, self.pipe()))
+            node = ("pipe", node, rhs)
         return node
 
     # alt := or ('//' or)*
@@ -512,11 +525,21 @@ def _join_types(a: str, b: str) -> str:
     return "any"
 
 
-# compile-time variable environment for $x bindings (reduce / as). A
-# module-level stack is safe because compilation is synchronous and
-# single-threaded; compile_jq clears it defensively so a failed compile
-# can't leak bindings into the next one.
-_VARS: list[tuple[str, Column, str]] = []
+# compile-time variable environment for $x bindings (reduce / as) — a
+# PER-THREAD stack: plan construction may run from multiple driver threads
+# (e.g. a ThreadPoolExecutor submitting independent actions), and a shared
+# list would let one thread's clear()/push corrupt another's bindings.
+# build() clears its own thread's stack so a failed compile can't leak
+# bindings into the next one.
+import threading as _threading
+
+_VARS_TLS = _threading.local()
+
+
+def _vars() -> list[tuple[str, Column, str]]:
+    if not hasattr(_VARS_TLS, "stack"):
+        _VARS_TLS.stack = []
+    return _VARS_TLS.stack
 
 
 def _compile(node, cur: Column, t: str) -> tuple[Column, str]:
@@ -527,17 +550,17 @@ def _compile(node, cur: Column, t: str) -> tuple[Column, str]:
         mid, mt = _compile(node[1], cur, t)
         return _compile(node[2], mid, mt)
     if kind == "var":
-        for name, col, vt in reversed(_VARS):
+        for name, col, vt in reversed(_vars()):
             if name == node[1]:
                 return col, vt
         raise ValueError(f"jq: unbound variable ${node[1]}")
     if kind == "bind":  # EXPR as $x | body — '.' stays the input in body
         val, vt = _compile(node[1], cur, t)
-        _VARS.append((node[2], val, vt))
+        _vars().append((node[2], val, vt))
         try:
             return _compile(node[3], cur, t)
         finally:
-            _VARS.pop()
+            _vars().pop()
     if kind == "reduce":
         # reduce SRC as $x (INIT; UPDATE): fold the stream with Spark's
         # aggregate HOF — INIT sees '.' = the reduce input, UPDATE sees
@@ -559,11 +582,11 @@ def _compile(node, cur: Column, t: str) -> tuple[Column, str]:
             init_col, it = init_col.cast("double"), "number"
 
         def merge(acc: Column, x: Column) -> Column:
-            _VARS.append((var, x, "any"))
+            _vars().append((var, x, "any"))
             try:
                 out, _ = _compile(upd_n, acc, it)
             finally:
-                _VARS.pop()
+                _vars().pop()
             # the HOF accumulator must keep one type across steps: pin
             # numeric updates (e.g. `. + $x | floor` -> long) back to double
             return out.cast("double") if it == "number" else out
@@ -1006,7 +1029,7 @@ def compile_jq(expression: str, input_type: str = "any",
     in_t = _SCHEMA_TYPE_TO_STATIC.get(input_type, "any")
 
     def build(col: Column, **_ignored: Any) -> Column:
-        _VARS.clear()  # defensive: a prior failed compile must not leak $vars
+        _vars().clear()  # defensive: a failed compile on THIS thread must not leak $vars
         out, out_t = _compile(ast, col, in_t)
         return _coerce_output(out, out_t, output_type)
 

@@ -36,11 +36,21 @@ def fingerprint_df(df: DataFrame, extra: str = "") -> str:
     """
     # expression IDs (#123) are globally incrementing — two reads of the
     # SAME files in one session get different ids, which would make every
-    # resume fingerprint miss. Normalize them out; plan STRUCTURE and
-    # column names still distinguish computations.
-    plan = re.sub(
-        r"#\d+", "#", df._jdf.queryExecution().analyzed().toString()
-    )
+    # resume fingerprint miss. Renumber them ORDER-PRESERVINGLY (first
+    # distinct id → #0, next → #1, …): run-stable, yet plans distinguished
+    # by WHICH id a reference points at (v#12 − v#12 vs v#12 − v#45 in a
+    # self-join) keep distinct fingerprints. Residual caveat: a '#<digits>'
+    # inside a string LITERAL is textually indistinguishable from an
+    # expression id and gets renumbered too — two plans differing only in
+    # such literals can collide; avoid '#<number>' literals in tracked
+    # stage predicates.
+    raw = df._jdf.queryExecution().analyzed().toString()
+    seen: dict[str, str] = {}
+
+    def _renumber(m: "re.Match[str]") -> str:
+        return seen.setdefault(m.group(0), f"#{len(seen)}")
+
+    plan = re.sub(r"#\d+", _renumber, raw)
     files = sorted(df.inputFiles())
     h = hashlib.sha256()
     h.update(plan.encode())
@@ -86,8 +96,10 @@ class LineageTracker:
     def _out_path(self, stage: str) -> str:
         return os.path.join(self.base_dir, stage)
 
-    def run_stage(self, stage: str, df: DataFrame, extra_fingerprint: str = "",
-                  fingerprint: str | None = None) -> DataFrame:
+    def run_stage(self, stage: str, df: DataFrame | None = None,
+                  extra_fingerprint: str = "",
+                  fingerprint: str | None = None,
+                  build=None) -> DataFrame:
         """Checkpoint ``df`` as ``stage``; skip recompute when the recorded
         fingerprint matches and the output exists. Returns the checkpointed
         DataFrame (always backed by the stage output files — downstream
@@ -97,13 +109,25 @@ class LineageTracker:
         callers whose stage plans embed run-specific artifacts (e.g. a
         localCheckpoint RDD id inside the near-dup pair builder) supply a
         stable input-based key instead (see ``CorpusPipeline.run``).
+
+        ``build`` (a zero-arg callable returning the stage DataFrame) defers
+        stage CONSTRUCTION past the cache-hit check — required when merely
+        building the frame executes work (eager pair builders); it requires
+        an explicit ``fingerprint`` since there is no frame to fingerprint
+        before the hit decision.
         """
+        if build is not None and fingerprint is None:
+            raise ValueError("run_stage: build= requires an explicit fingerprint")
+        if build is None and df is None:
+            raise ValueError("run_stage: pass df or build=")
         fp = fingerprint or fingerprint_df(df, extra_fingerprint)
         out = self._out_path(stage)
         rec = self._records().get(stage)
         if rec and rec.get("fingerprint") == fp and os.path.exists(out):
             return self.spark.read.parquet(out)
 
+        if df is None:
+            df = build()
         t0 = time.time()
         df.write.mode("overwrite").parquet(out)
         result = self.spark.read.parquet(out)

@@ -59,23 +59,31 @@ class CorpusPipeline:
     def __init__(self, id_col: str = "doc_id", text_col: str = "text"):
         self.id_col = id_col
         self.text_col = text_col
-        self._stages: list[tuple[str, str, Callable[[DataFrame, DataFrame], DataFrame]]] = []
+        # (kind, human desc, fn(df, df0), resume key, side-input fp fn)
+        self._stages: list[tuple] = []
 
     # ------------------------------------------------------------- stages
-    def _add(self, kind: str, desc: str, fn) -> "CorpusPipeline":
-        self._stages.append((kind, desc, fn))
+    def _add(self, kind: str, desc: str, fn, key: str,
+             side_fp: Callable[[], str] | None = None) -> "CorpusPipeline":
+        # `key` must capture EVERY parameter and expression that changes
+        # the stage's semantics — it is what invalidates resume checkpoints
+        # when a stage is edited (`desc` stays short for humans); `side_fp`
+        # contributes side-input data identity (e.g. the eval corpus)
+        self._stages.append((kind, desc, fn, key, side_fp))
         return self
 
     def derive(self, name: str, col: Column) -> "CorpusPipeline":
         if not name:
             raise ValueError("derive: empty column name")
         return self._add(
-            "derive", f"derive {name}", lambda df, df0: df.withColumn(name, col)
+            "derive", f"derive {name}", lambda df, df0: df.withColumn(name, col),
+            f"derive|{name}|{col}",
         )
 
     def filter(self, predicate: Column | str) -> "CorpusPipeline":
         pred = F.expr(predicate) if isinstance(predicate, str) else predicate
-        return self._add("filter", "filter", lambda df, df0: df.filter(pred))
+        return self._add("filter", "filter", lambda df, df0: df.filter(pred),
+                         f"filter|{pred}")
 
     def exact_dedup(self) -> "CorpusPipeline":
         from .operators.dedup import exact_dedup
@@ -84,6 +92,7 @@ class CorpusPipeline:
             "exact_dedup",
             "exact dedup (min-id per text)",
             lambda df, df0: exact_dedup(df, self.id_col, self.text_col),
+            f"exact_dedup|{self.id_col}|{self.text_col}",
         )
 
     def near_dedup(
@@ -115,6 +124,8 @@ class CorpusPipeline:
             f"near-dup clusters (LSH {num_hashes}/{bands}, verify>={verify_threshold})"
             f" keep best {quality_col}",
             stage,
+            f"near_dedup|{self.id_col}|{self.text_col}|{quality_col}|"
+            f"{num_hashes}|{bands}|{shingle_k}|{verify_threshold}",
         )
 
     def decontaminate(
@@ -146,8 +157,19 @@ class CorpusPipeline:
             )
             return df.join(contaminated, self.id_col, "left_anti")
 
+        def side_fp() -> str:
+            # the eval corpus is a DATA dependency: a changed eval set must
+            # invalidate this stage's checkpoint or eval docs leak into the
+            # curated corpus
+            from .lineage import fingerprint_df
+
+            return fingerprint_df(eval_df)
+
         return self._add(
-            "decontaminate", f"decontaminate ({k}-gram semi-join)", stage
+            "decontaminate", f"decontaminate ({k}-gram semi-join)", stage,
+            f"decontaminate|{self.id_col}|{self.text_col}|{eval_id_col}|"
+            f"{eval_text_col}|{k}|{min_shared}",
+            side_fp,
         )
 
     def assign_split(self, weights: dict[str, float], resolution: int = 10_000,
@@ -161,6 +183,8 @@ class CorpusPipeline:
                 df, self.id_col, weights, out_col=out_col,
                 resolution=resolution, hash=hash,
             ),
+            f"assign_split|{self.id_col}|{sorted(weights.items())}|"
+            f"{resolution}|{hash}|{out_col}",
         )
 
     def sample(self, fraction: float, resolution: int = 10_000,
@@ -173,18 +197,20 @@ class CorpusPipeline:
             lambda df, df0: deterministic_sample(
                 df, self.id_col, fraction, resolution=resolution, hash=hash
             ),
+            f"sample|{self.id_col}|{fraction}|{resolution}|{hash}",
         )
 
     def select(self, *cols: str) -> "CorpusPipeline":
         if not cols:
             raise ValueError("select: need at least one column")
         return self._add("select", f"select {list(cols)}",
-                         lambda df, df0: df.select(*cols))
+                         lambda df, df0: df.select(*cols),
+                         f"select|{list(cols)}")
 
     # ---------------------------------------------------------------- run
     def describe(self) -> list[str]:
         """Human-readable stage lineage, in execution order."""
-        return [d for _, d, _ in self._stages]
+        return [st[1] for st in self._stages]
 
     def run(self, df: DataFrame, tracker=None, stage_prefix: str = "corpus") -> DataFrame:
         """Apply the declared stages to ``df``.
@@ -194,12 +220,16 @@ class CorpusPipeline:
 
         With a :class:`~funcify_feature_eng_spark.lineage.LineageTracker`:
         every stage output CHECKPOINTS with lineage + per-partition metrics,
-        and a killed job resumes without recompute (north rule) — each
-        stage's fingerprint is its INPUT frame's content identity plus the
-        stage declaration (output plans can embed run-specific artifacts
-        like localCheckpoint RDD ids, which would defeat resume), so a
-        changed source or edited stage invalidates itself and, through the
-        rewritten checkpoint files, everything downstream.
+        and a killed job resumes without recompute (north rule). Each
+        stage's fingerprint combines (a) its INPUT frame's content identity
+        — output plans can embed run-specific artifacts like localCheckpoint
+        RDD ids, which would defeat resume — (b) the stage's full resume
+        KEY (every parameter and expression string the stage was declared
+        with), and (c) side-input data identity (decontaminate's eval
+        corpus). So a changed source, an edited stage (new threshold,
+        different predicate), or a changed side input each invalidate the
+        stage and, through the rewritten checkpoint files, everything
+        downstream.
 
         ``df`` must carry ``id_col`` and ``text_col``; validation runs
         BEFORE any stage so misdeclared pipelines fail without submitting
@@ -211,23 +241,21 @@ class CorpusPipeline:
             if c not in df.columns:
                 raise ValueError(f"CorpusPipeline: input lacks column {c!r}")
         out = df
-        for i, (kind, desc, fn) in enumerate(self._stages):
+        for i, (kind, desc, fn, key, side_fp) in enumerate(self._stages):
             if tracker is None:
                 out = fn(out, df)
             else:
                 from .lineage import fingerprint_df
 
-                in_fp = fingerprint_df(out, f"{stage_prefix}|{i}|{desc}")
+                side = side_fp() if side_fp is not None else ""
+                in_fp = fingerprint_df(out, f"{stage_prefix}|{i}|{key}|{side}")
                 stage_name = f"{stage_prefix}_{i:02d}_{kind}"
-                rec = tracker._records().get(stage_name)
-                import os as _os
-
-                if rec and rec.get("fingerprint") == in_fp and _os.path.exists(
-                    tracker._out_path(stage_name)
-                ):
-                    # stage hit: skip even BUILDING the stage (near-dedup's
-                    # pair builder executes eagerly at build time)
-                    out = tracker.spark.read.parquet(tracker._out_path(stage_name))
-                else:
-                    out = tracker.run_stage(stage_name, fn(out, df), fingerprint=in_fp)
+                src = out
+                # build= defers stage construction to run_stage so a cache
+                # hit skips even BUILDING the stage (near-dedup's pair
+                # builder executes eagerly at build time)
+                out = tracker.run_stage(
+                    stage_name, build=lambda f=fn, s=src: f(s, df),
+                    fingerprint=in_fp,
+                )
         return out

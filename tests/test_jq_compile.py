@@ -450,3 +450,33 @@ def test_reduce_variable_errors(spark):
     # binding is scoped: $x unavailable outside its body
     with pytest.raises(ValueError, match="unbound variable"):
         compile_jq("(. as $x | $x) + $x", input_type="number")(F.lit(1.0))
+
+
+def test_mid_pipe_as_binding(spark):
+    """`a | b as $x | c` — jq binds `as` after a pipe stage; within c,
+    '.' is a's output. jq 1.7: [1,2,3] | length as $n | . -> [1,2,3] with
+    $n=3, so `map(. * $n)` -> [3,6,9] ... our arrays are double-typed."""
+    assert _run_arr(spark, "length as $n | map(. * $n)", [1.0, 2.0, 3.0]) == [
+        3.0, 6.0, 9.0,
+    ]
+    # parenthesized form still works and scopes correctly
+    assert _run_arr(
+        spark, "(add // 0) as $s | map(. - $s) | length", [5.0, 7.0]
+    ) == 2
+
+
+def test_jq_compile_thread_safety(spark):
+    """Concurrent compilation from multiple threads must not corrupt the
+    per-thread $var stacks (the stack is threading.local)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    def build_and_eval(i):
+        prog = "reduce .[] as $x (0; . + $x + %d)" % (i % 3)
+        b = compile_jq(prog, input_type="array")
+        df = spark.createDataFrame([([1.0, 2.0],)], "v array<double>")
+        return df.select(b(F.col("v")).alias("o")).collect()[0]["o"]
+
+    with ThreadPoolExecutor(max_workers=8) as ex:
+        results = list(ex.map(build_and_eval, range(24)))
+    for i, r in enumerate(results):
+        assert r == 3.0 + 2 * (i % 3), (i, r)

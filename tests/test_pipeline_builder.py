@@ -142,3 +142,48 @@ def test_pipeline_lineage_resume(spark, corpus, tmp_path):
     got4 = sorted((r.doc_id, r.q) for r in pipe().run(inp2, tracker=tr3).collect())
     assert sum(1 for _ in open(lineage_file)) == n1 + 4
     assert got4 != got1 or 0 not in {i for i, _ in got4}
+
+
+def test_pipeline_edited_stage_invalidates_checkpoint(spark, corpus, tmp_path):
+    """Changing a stage parameter (filter threshold) or a side input (the
+    decontamination eval set) must invalidate resume checkpoints — serving
+    the old output would silently apply stale semantics."""
+    import os
+
+    from funcify_feature_eng_spark.lineage import LineageTracker
+
+    src = str(tmp_path / "src2")
+    corpus.write.parquet(src)
+    inp = spark.read.parquet(src)
+    base = str(tmp_path / "ck2")
+
+    def run_with_threshold(th):
+        tr = LineageTracker(spark, base)
+        p = CorpusPipeline().derive("q", F.length("text").cast("long")).filter(
+            F.col("q") >= th
+        )
+        return {r.doc_id for r in p.run(inp, tracker=tr).select("doc_id").collect()}
+
+    a = run_with_threshold(100)
+    b = run_with_threshold(10**6)  # same desc 'filter', different predicate
+    assert b == set() and a != b  # stale checkpoint would have returned `a`
+
+    # side-input change: a grown eval set must re-run decontaminate.
+    # doc 2 has a UNIQUE text (only contaminates itself); doc 0 shares its
+    # base 5-grams with the whole i%10∈{0,1} family — so coverage differs
+    ev_small = corpus.filter(F.col("doc_id") == 2).select(
+        F.col("doc_id").alias("eid"), "text"
+    )
+    ev_big = corpus.filter(F.col("doc_id").isin(0, 2)).select(
+        F.col("doc_id").alias("eid"), "text"
+    )
+    base2 = str(tmp_path / "ck3")
+
+    def run_decon(ev):
+        tr = LineageTracker(spark, base2)
+        p = CorpusPipeline().decontaminate(ev, eval_id_col="eid", k=5)
+        return {r.doc_id for r in p.run(inp, tracker=tr).select("doc_id").collect()}
+
+    n_small = len(run_decon(ev_small))
+    n_big = len(run_decon(ev_big))
+    assert n_big < n_small  # stale checkpoint would have kept n_small
