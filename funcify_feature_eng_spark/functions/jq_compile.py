@@ -450,6 +450,24 @@ def _unescape(body: str) -> str:
             .replace(r"\n", "\n").replace(r"\t", "\t").replace("\x00", "\\"))
 
 
+def _unescape_level(s: str) -> str:
+    r"""Peel ONE level of string-escaping: an interpolated expression lives
+    inside a string token, so its nested string literals arrive as ``\"``
+    and literal backslashes as ``\\`` — unwrap exactly those two so the
+    inner tokenizer sees real quotes; other escapes (``\n``, ``\t``) stay
+    intact for the inner string literal's own unescape pass."""
+    out: list[str] = []
+    i = 0
+    while i < len(s):
+        if s[i] == "\\" and i + 1 < len(s) and s[i + 1] in ('"', "\\"):
+            out.append(s[i + 1])
+            i += 2
+        else:
+            out.append(s[i])
+            i += 1
+    return "".join(out)
+
+
 def _parse_string(body: str):
     r"""A string literal, or ("interp", parts) when it contains jq
     interpolation ``\(expr)`` — parts alternate raw-str / sub-ASTs."""
@@ -459,20 +477,30 @@ def _parse_string(body: str):
     while i < len(body):
         c = body[i]
         if c == "\\" and i + 1 < len(body) and body[i + 1] == "(":
-            # find the matching close paren (interpolated exprs may nest)
-            depth, j = 1, i + 2
+            # find the matching close paren (interpolated exprs may nest).
+            # Nested string literals arrive as \"...\" regions (the outer
+            # string token escapes their quotes) — parens inside them are
+            # literal text and must NOT count toward the balance.
+            depth, j, in_str = 1, i + 2, False
             while j < len(body) and depth:
-                if body[j] == "(":
-                    depth += 1
-                elif body[j] == ")":
-                    depth -= 1
+                ch = body[j]
+                if ch == "\\" and j + 1 < len(body):
+                    if body[j + 1] == '"':
+                        in_str = not in_str
+                    j += 2
+                    continue
+                if not in_str:
+                    if ch == "(":
+                        depth += 1
+                    elif ch == ")":
+                        depth -= 1
                 j += 1
             if depth:
                 raise ValueError(f"jq: unterminated \\( in string {body!r}")
             if buf:
                 parts.append(_unescape(buf))
                 buf = ""
-            parts.append(parse(body[i + 2:j - 1]))
+            parts.append(parse(_unescape_level(body[i + 2:j - 1])))
             i = j
             continue
         if c == "\\" and i + 1 < len(body):

@@ -63,8 +63,12 @@ def drift_report(
         F.lit(int(n_bins) - 1), F.floor(F.col("__v") / F.lit(float(bin_width)))
     ).cast("int")
     is_ref = (F.col("__us") <= F.lit(int(split_us))).cast("long")
+    # NULL values are excluded (matching histogram_counts): F.least skips
+    # NULL operands, so without this filter a NULL __v would silently land
+    # in the tail bucket and inflate it on both sides
     counts = (
-        base.select(bucket.alias("bucket"), is_ref.alias("__r"))
+        base.filter(F.col("__v").isNotNull())
+        .select(bucket.alias("bucket"), is_ref.alias("__r"))
         .groupBy("bucket")
         .agg(
             F.sum("__r").cast("long").alias("cnt_ref"),

@@ -155,7 +155,21 @@ def interval_join(
     # never a second interval join
     payload = [c for c in intervals.columns if c not in keys]
     matched_ids = joined.select(*fact.columns).distinct()
-    unmatched = fact.join(matched_ids, on=fact.columns, how="left_anti")
+    # NULL-safe anti-join: the fact spine routinely carries NULL-able feature
+    # columns, and a null-unsafe `on=fact.columns` would fail to match a row
+    # against itself whenever any column is NULL — emitting it twice (once
+    # joined, once with NULL payload). eqNullSafe per column keeps this a
+    # hash-joinable equi-condition (Catalyst rewrites EqualNullSafe into
+    # coalesce'd join keys), so the plan stays a single hash/SMJ anti-join.
+    f_side = fact.alias("__ij_f")
+    m_side = matched_ids.alias("__ij_m")
+    anti_cond = None
+    for c in fact.columns:
+        eq = F.col(f"__ij_f.{c}").eqNullSafe(F.col(f"__ij_m.{c}"))
+        anti_cond = eq if anti_cond is None else (anti_cond & eq)
+    unmatched = f_side.join(m_side, on=anti_cond, how="left_anti").select(
+        *fact.columns
+    )
     for c in payload:
         unmatched = unmatched.withColumn(
             c, F.lit(None).cast(dict(intervals.dtypes)[c])

@@ -252,6 +252,19 @@ def weighted_sample(
         return df.filter(
             u * F.lit(float(rate_denom)) < w.cast("double") * F.lit(float(rate_num))
         )
+    # hash=False is the integer-exact gate path: it casts the weight to
+    # long, so a fractional weight in (0,1) would truncate to 0 and NEVER
+    # be kept — silently diverging from hash=True. Require an integral
+    # weight dtype up front (pre-scale fractional scores onto a fixed-point
+    # grid, the cumulative_target_encode convention).
+    wtype = df.select(w.alias("__w")).schema["__w"].dataType.simpleString()
+    if wtype not in ("tinyint", "smallint", "int", "bigint"):
+        raise ValueError(
+            "weighted_sample(hash=False) requires an integral weight column "
+            f"(got {wtype}): fractional weights truncate to 0 under the "
+            "integer-exact comparison — pre-scale onto a fixed-point grid "
+            "(e.g. round(score * 1000) with rate_denom scaled by 1000)"
+        )
     # p >= 1 short-circuit: w >= ceil(denom/num) keeps the row without the
     # multiply (whose RHS would wrap 2^63 for w*num >= 2^31 and silently
     # DROP always-keep rows under Spark's default non-ANSI long arithmetic)

@@ -362,8 +362,19 @@ def bloom_contains(
     packed = sketch.groupBy(*keys).agg(
         F.map_from_entries(F.collect_list(F.struct("word", "bits"))).alias("__bloom")
     )
+    if not keys:
+        # keyless probes join on a constant key with how='left' so every
+        # probe survives an EMPTY sketch table (a crossJoin against zero
+        # packed rows would silently drop all probes instead of answering
+        # maybe_present=False); the NULL map coalesces to a definitive miss
+        packed = packed.withColumn("__one", F.lit(1))
     rhs = F.broadcast(packed) if broadcast else packed
-    j = probes.join(rhs, keys, "left") if keys else probes.crossJoin(rhs)
+    if keys:
+        j = probes.join(rhs, keys, "left")
+    else:
+        j = probes.withColumn("__one", F.lit(1)).join(rhs, "__one", "left").drop(
+            "__one"
+        )
     pos = _bloom_positions(value_col, m_bits, depth)
     hit_all = F.forall(
         pos,

@@ -47,3 +47,27 @@ def test_partial_drift_exact_value_and_tail_clamp(spark):
     assert (out["tvd_e6"] == 500_000).all()
     assert 3 in set(out["bucket"])  # right tail absorbed by the last bucket
     assert (out["n_ref"] == 4).all() and (out["n_cur"] == 4).all()
+
+
+def test_null_values_excluded_from_buckets(spark):
+    """NULL value rows are dropped (matching histogram_counts), never
+    counted into the tail bucket (regression: F.least skips NULL operands,
+    so NULLs used to land in bucket n_bins-1 and skew TVD)."""
+    base = 1_700_000_000
+    rows = (
+        [(float(v), dt.datetime.fromtimestamp(base + 10)) for v in range(4)]
+        + [(float(v), dt.datetime.fromtimestamp(base + 90)) for v in range(4)]
+        + [(None, dt.datetime.fromtimestamp(base + 10))] * 5
+        + [(None, dt.datetime.fromtimestamp(base + 90))] * 5
+    )
+    df = spark.createDataFrame(rows, "v double, ts timestamp")
+    out = drift_report(
+        df, value_col="v", ts_col="ts", n_bins=4, bin_width=1.0,
+        split_us=(base + 50) * 1_000_000,
+    ).collect()
+    # identical non-NULL halves: zero drift, and counts exclude the NULLs
+    assert all(r["tvd_e6"] == 0 for r in out)
+    assert sum(r["cnt_ref"] for r in out) == 4
+    assert sum(r["cnt_cur"] for r in out) == 4
+    tail = [r for r in out if r["bucket"] == 3]
+    assert tail and tail[0]["cnt_ref"] == 1 and tail[0]["cnt_cur"] == 1

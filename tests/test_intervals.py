@@ -99,6 +99,28 @@ def test_left_join_null_payload(spark, facts, intervals):
     assert _pairs(out.filter(F.col("win").isNotNull())) == EXPECTED
 
 
+def test_left_join_null_bearing_fact_columns(spark, facts, intervals):
+    """Regression: the FeatureModel spine accumulates NULL-able feature
+    columns before the interval feature — a matched fact row carrying a
+    NULL column must appear ONCE per covering interval, never again with
+    NULL payload (the old null-unsafe anti-join emitted it twice)."""
+    facts_n = facts.withColumn(
+        "feat",
+        F.when(F.col("event_id").isin("e1", "e5"), F.lit(None).cast("string"))
+        .otherwise(F.lit("x")),
+    )
+    out = interval_join(facts_n, intervals, on="user_id", how="left")
+    rows = out.collect()
+    # e1 (NULL feat, matched by w1): exactly one row, payload attached
+    e1 = [r for r in rows if r["event_id"] == "e1"]
+    assert len(e1) == 1 and e1[0]["win"] == "w1"
+    # e5 (NULL feat, unmatched): exactly one row, NULL payload
+    e5 = [r for r in rows if r["event_id"] == "e5"]
+    assert len(e5) == 1 and e5[0]["win"] is None
+    # total row count: matched pairs + the single unmatched fact
+    assert len(rows) == len(EXPECTED) + 1
+
+
 def test_bucket_plan_is_hash_join(spark, facts, intervals):
     out = interval_join(facts, intervals, on="user_id", strategy="bucket")
     plan = out._jdf.queryExecution().executedPlan().toString()

@@ -394,6 +394,20 @@ def test_string_interpolation(spark):
     assert parse('"a\\tb"') == ("lit", "a\tb")
 
 
+def test_string_interpolation_nested_string_with_paren(spark):
+    r"""A nested string literal INSIDE \(...) may contain parens — they are
+    literal text, not balance (regression: the matcher used to count raw
+    parens and mis-slice). Nested quotes arrive escaped (\") per the
+    tokenizer's string grammar and are peeled one level before re-parse."""
+    # "\(. + "):")" — the ")" inside the nested literal must not close \(
+    b = compile_jq('"x\\(tostring + \\"):\\")"', input_type="integer")
+    assert _run1(spark, b, 7, "int") == "x7):"
+    # a test() call whose regex contains a close paren
+    b2 = compile_jq('"m=\\(test(\\"a[)]b\\"))"', input_type="string")
+    assert _run1(spark, b2, "a)b", "string") == "m=true"
+    assert _run1(spark, b2, "ab", "string") == "m=false"
+
+
 def test_contains_tojson(spark):
     # jq: "barn" | contains("arn") → true (string substring form)
     b = compile_jq('contains("arn")', input_type="string")

@@ -179,3 +179,16 @@ def test_budget_mixture_validation_and_overflow_guard(spark):
     big = spark.createDataFrame([(1, "a", 2**31)], "id long, src string, sz long")
     with pytest.raises(SparkRuntimeException):
         budget_mixture_sample(big, "src", "id", "sz", 10, {"a": 1}, hash=False).count()
+
+
+def test_weighted_sample_fractional_weight_hash_false_raises(spark):
+    """hash=False is the integer-exact path — a fractional weight column
+    would truncate to 0 and never be kept, so it must raise with the
+    fixed-point-grid guidance instead of silently dropping everything."""
+    import pytest
+
+    df = spark.createDataFrame([(f"d{i}", 0.5) for i in range(10)], "id string, w double")
+    with pytest.raises(ValueError, match="integral weight"):
+        weighted_sample(df, "id", "w", 1, 2, hash=False)
+    # hash=True still accepts fractional weights (double semantics)
+    assert weighted_sample(df, "id", "w", 2, 1, hash=True).count() == 10

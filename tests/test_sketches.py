@@ -361,3 +361,34 @@ def test_bloom_validation(spark):
         bloom_sketch(df, "v", m_bits=100)
     with pytest.raises(ValueError, match="depth"):
         bloom_sketch(df, "v", depth=0)
+
+
+def test_bloom_keyless_empty_sketch_probes_survive(spark):
+    """An EMPTY keyless sketch must answer maybe_present=False for every
+    probe — not silently drop them (regression: crossJoin against a packed
+    frame with zero rows returned zero probe rows)."""
+    from funcify_feature_eng_spark.operators.sketches import (
+        bloom_contains,
+        bloom_sketch,
+    )
+
+    empty = spark.createDataFrame([], "v string")
+    sk = bloom_sketch(empty, "v", m_bits=256, depth=2)
+    probes = spark.createDataFrame([("a",), ("b",), (None,)], "v string")
+    out = bloom_contains(sk, probes, "v", m_bits=256, depth=2).collect()
+    assert len(out) == 3
+    assert all(r["maybe_present"] is False for r in out)
+
+
+def test_bloom_keyless_roundtrip(spark):
+    """Keyless (global) sketch still has no false negatives and keeps the
+    left-join probe shape."""
+    from funcify_feature_eng_spark.operators.sketches import (
+        bloom_contains,
+        bloom_sketch,
+    )
+
+    data = spark.createDataFrame([(f"v{i}",) for i in range(50)], "v string")
+    sk = bloom_sketch(data, "v", m_bits=4096, depth=3)
+    out = bloom_contains(sk, data, "v", m_bits=4096, depth=3)
+    assert out.filter(~F.col("maybe_present")).count() == 0
