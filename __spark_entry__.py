@@ -450,6 +450,42 @@ transformers:
     args: [input]
     jq: 'reduce .[] as $x (0; . + $x) as $s | $s / length'
     input_schema: {type: array}
+  - name: ent_sum
+    args: [input]
+    jq: 'to_entries | map(.value) | add'
+    input_schema: {type: object, properties: {a: {type: number}, b: {type: number}}}
+  - name: double_a
+    args: [input]
+    jq: 'with_entries({key: .key, value: (.value * 2.0)}) | .a'
+    input_schema: {type: object, properties: {a: {type: number}, b: {type: number}}}
+  - name: path_b
+    args: [input]
+    jq: 'getpath(["b"])'
+    input_schema: {type: object, properties: {a: {type: number}, b: {type: number}}}
+  - name: gb_max_run
+    args: [input]
+    jq: 'group_by(floor) | map(length) | max'
+    input_schema: {type: array}
+  - name: uniq_floors
+    args: [input]
+    jq: 'unique_by(floor) | length'
+    input_schema: {type: array}
+  - name: mid_sum
+    args: [input]
+    jq: 'sort | .[1:3] | add // -1.0'
+    input_schema: {type: array}
+  - name: re_parts
+    args: [input]
+    jq: '[splits("[ae]")] | length'
+    input_schema: {type: string}
+  - name: cap_name
+    args: [input]
+    jq: 'capture("(?<n>^[a-z]+)") | .n'
+    input_schema: {type: string}
+  - name: str_mid
+    args: [input]
+    jq: '.[1:3]'
+    input_schema: {type: string}
 """)
     ev = _t(spark, sf_dir, "events")
     return ev.select(
@@ -476,6 +512,30 @@ transformers:
         # `as` binding feeding a second pass over the input
         reg.get("sum_sq")(F.array(F.col("value"), F.col("value") / 2)).alias("ssq"),
         reg.get("mean_v")(F.array(F.col("value"), F.col("value") / 2)).alias("mv"),
+        # round-5 builtin tail: object introspection (to_entries /
+        # with_entries / getpath over a struct object), group_by/unique_by
+        # runs, array+string slices, regex splits stream, capture groups
+        reg.get("ent_sum")(
+            F.struct(F.col("value").alias("a"), (F.col("value") * 2).alias("b"))
+        ).alias("es"),
+        reg.get("double_a")(
+            F.struct(F.col("value").alias("a"), (F.col("value") * 2).alias("b"))
+        ).alias("da"),
+        reg.get("path_b")(
+            F.struct(F.col("value").alias("a"), (F.col("value") * 2).alias("b"))
+        ).alias("pb"),
+        reg.get("gb_max_run")(
+            F.array(F.col("value"), F.col("value"), F.col("value") * 2)
+        ).alias("gbr"),
+        reg.get("uniq_floors")(
+            F.array(F.col("value"), F.col("value") + 0.25, F.col("value") * 2)
+        ).alias("uf"),
+        reg.get("mid_sum")(
+            F.array(F.col("value"), F.col("value") * 2, F.lit(50.0), F.lit(5.0))
+        ).alias("ms"),
+        reg.get("re_parts")(F.col("event_type")).alias("rp"),
+        reg.get("cap_name")(F.col("event_type")).alias("cn"),
+        reg.get("str_mid")(F.col("event_type")).alias("sm"),
     )
 
 
@@ -3469,7 +3529,20 @@ SELECT event_id,
          || '#' || CAST(length(event_type) AS VARCHAR) AS lf,
        len(list_filter([value, value * 2, 50.0], x -> x < 200.0)) AS sc,
        0.0 + value * value + (value / 2) * (value / 2) AS ssq,
-       (0.0 + value + value / 2) / 2 AS mv
+       (0.0 + value + value / 2) / 2 AS mv,
+       value + value * 2 AS es,
+       value * 2.0 AS da,
+       value * 2 AS pb,
+       CAST(CASE WHEN floor(value) = floor(value * 2) THEN 3 ELSE 2 END
+            AS INT) AS gbr,
+       CAST(len(list_distinct([floor(value), floor(value + 0.25),
+                               floor(value * 2)])) AS INT) AS uf,
+       list_sum(list_transform(
+         list_sort([value, value * 2, 50.0, 5.0])[2:3], x -> 0.0 + x)) AS ms,
+       CAST(len(regexp_split_to_array(event_type, '[ae]')) AS INT) AS rp,
+       CASE WHEN regexp_matches(event_type, '^[a-z]+')
+            THEN regexp_extract(event_type, '^([a-z]+)', 1) END AS cn,
+       event_type[2:3] AS sm
 FROM events
 """,
         "golden_scalars": """

@@ -27,7 +27,21 @@ Supported subset (everything the reference ships, plus the common core):
 - higher-order array forms, all compiled to JVM higher-order functions
   (``F.transform``/``F.filter``/``F.exists``/``F.forall``/``F.array_sort``
   — no Python per element): ``map(f)``, ``map(select(c) | f)``,
-  ``sort_by(f)``, ``any(f)``, ``all(f)``
+  ``sort_by(f)``, ``any(f)``, ``all(f)``, ``group_by(f)``, ``unique_by(f)``
+- slices ``.[a:b]`` / ``.[a:]`` / ``.[:b]`` with negative and
+  out-of-range bounds clamped as jq does (arrays and strings)
+- object introspection, struct- and map-backed: ``keys``,
+  ``keys_unsorted``, ``to_entries``, ``from_entries`` (→ MapType: keys
+  are data), ``with_entries(f)``, ``has("k")``, ``in(obj)``,
+  ``getpath(["a","b"])`` — struct-backed objects need the declared field
+  list (``compile_jq(input_fields=...)`` from the schema's ``properties``,
+  map-backed need ``map_input=True``); struct ``to_entries`` requires
+  same-typed values (Spark arrays are homogeneous — a mixed-type object
+  fails analysis with Spark's coercion error)
+- regex streams: ``capture("(?<name>re)")`` (→ struct of named groups),
+  ``[splits(re)]`` / ``[splits(re) | f]`` (collected split stream; bare
+  ``splits`` outside ``[...]`` is rejected with the rewrite hint), and the
+  two-arg ``split(re; flags)`` regex form
 - array construction ``[a, b, ...]`` and object construction
   ``{k: f, "quoted key": g, shorthand}`` (→ struct)
 - stream-collect iteration ``[.[] | f]`` / ``[.path[] | f]`` (≡ ``map``,
@@ -149,16 +163,20 @@ _TYPE_FILTERS = {"numbers", "strings", "arrays", "booleans", "values", "nulls"}
 _BUILTINS = {"length", "floor", "ceil", "fabs", "abs", "tostring", "tonumber",
              "ascii_downcase", "ascii_upcase", "add", "min", "max",
              "sort", "unique", "reverse", "first", "last", "flatten",
-             "round", "sqrt", "any", "all", "tojson"}
-# one-argument builtins, called as name(arg) — jq separates args with ';'
-# but every supported builtin is unary so no separator handling is needed
+             "round", "sqrt", "any", "all", "tojson",
+             "to_entries", "from_entries", "keys", "keys_unsorted"}
+# one-argument builtins, called as name(arg)
 _ARG_BUILTINS = {"join", "split", "ltrimstr", "rtrimstr", "startswith",
-                 "endswith", "test", "select", "map", "sort_by", "contains"}
+                 "endswith", "test", "select", "map", "sort_by", "contains",
+                 "with_entries", "group_by", "unique_by", "has", "in",
+                 "capture", "splits", "getpath"}
 # builtins with BOTH a zero-arg form (over a boolean array) and a
 # one-arg predicate form any(f)/all(f)
 _OPT_ARG_BUILTINS = {"any", "all"}
 # two-argument builtins, name(a; b) — jq separates arguments with ';'
 _ARG2_BUILTINS = {"sub", "gsub"}
+# builtins accepting one OR two arguments: split(s) literal / split(re; flags)
+_ARG12_BUILTINS = {"split"}
 
 
 class _Parser:
@@ -277,15 +295,27 @@ class _Parser:
                     self.next()
                     node = ("iterate", node)
                     continue
-                sign = 1
-                if self.peek() == ("op", "-"):
+
+                def _signed_int() -> int:
+                    sign = 1
+                    if self.peek() == ("op", "-"):
+                        self.next()
+                        sign = -1
+                    return sign * int(self.expect("num")[1])
+
+                lo = None if self.peek() == ("op", ":") else _signed_int()
+                if self.peek() == ("op", ":"):  # .[a:b] / .[a:] / .[:b]
                     self.next()
-                    sign = -1
-                idx = int(self.expect("num")[1])
+                    hi = None if self.peek() == ("op", "]") else _signed_int()
+                    closing = self.next()
+                    if closing != ("op", "]"):
+                        raise ValueError(f"jq parse: expected ']', got {closing}")
+                    node = ("slice", node, lo, hi)
+                    continue
                 closing = self.next()
                 if closing != ("op", "]"):
                     raise ValueError(f"jq parse: expected ']', got {closing}")
-                node = ("index", node, sign * idx)
+                node = ("index", node, lo)
             else:
                 return node
 
@@ -345,39 +375,30 @@ class _Parser:
             self.next()
             if v in _TYPE_FILTERS:
                 return ("typefilter", v)
-            if v in _OPT_ARG_BUILTINS:
-                if self.peek() == ("op", "("):
+            callable_ = (v in _ARG_BUILTINS or v in _ARG2_BUILTINS
+                         or v in _OPT_ARG_BUILTINS or v in _ARG12_BUILTINS)
+            if self.peek() == ("op", "(") and callable_:
+                # name(a) / name(a; b) — jq separates arguments with ';'
+                self.next()
+                args = [self.pipe()]
+                while self.peek() == ("op", ";"):
                     self.next()
-                    arg = self.pipe()
-                    t = self.next()
-                    if t != ("op", ")"):
-                        raise ValueError(f"jq parse: expected ')' after {v} arg, got {t}")
-                    return ("call", v, arg)
-                return ("builtin", v)
-            if v in _ARG_BUILTINS:
-                if self.peek() != ("op", "("):
-                    raise ValueError(f"jq: {v} requires an argument, e.g. {v}(\"x\")")
-                self.next()
-                arg = self.pipe()
-                t = self.next()
-                if t != ("op", ")"):
-                    raise ValueError(f"jq parse: expected ')' after {v} arg, got {t}")
-                return ("call", v, arg)
-            if v in _ARG2_BUILTINS:
-                if self.peek() != ("op", "("):
-                    raise ValueError(f"jq: {v} requires (regex; replacement)")
-                self.next()
-                a1 = self.pipe()
-                t = self.next()
-                if t != ("op", ";"):
-                    raise ValueError(f"jq parse: expected ';' in {v}(..; ..), got {t}")
-                a2 = self.pipe()
+                    args.append(self.pipe())
                 t = self.next()
                 if t != ("op", ")"):
                     raise ValueError(f"jq parse: expected ')' after {v} args, got {t}")
-                return ("call2", v, a1, a2)
-            if v in _BUILTINS:
+                one_ok = (v in _ARG_BUILTINS or v in _OPT_ARG_BUILTINS
+                          or v in _ARG12_BUILTINS)
+                two_ok = v in _ARG2_BUILTINS or v in _ARG12_BUILTINS
+                if len(args) == 1 and one_ok:
+                    return ("call", v, args[0])
+                if len(args) == 2 and two_ok:
+                    return ("call2", v, args[0], args[1])
+                raise ValueError(f"jq: {v} does not take {len(args)} argument(s)")
+            if v in _BUILTINS or v in _OPT_ARG_BUILTINS:
                 return ("builtin", v)
+            if callable_:
+                raise ValueError(f"jq: {v} requires an argument, e.g. {v}(\"x\")")
             raise ValueError(f"jq: unsupported function {v!r}")
         if k == "op" and v == "(":
             self.next()
@@ -557,6 +578,34 @@ def _join_types(a: str, b: str) -> str:
 # PER-THREAD stack: plan construction may run from multiple driver threads
 # (e.g. a ThreadPoolExecutor submitting independent actions), and a shared
 # list would let one thread's clear()/push corrupt another's bindings.
+class _ObjT(str):
+    """Static type ``"object"`` enriched with compile-time knowledge.
+
+    ``keys``: the declared field names (from JSON-Schema ``properties``
+    passed to :func:`compile_jq`, an object construction ``{...}``, or
+    ``capture``'s named groups) — what lets ``to_entries``/``keys``/``has``
+    resolve statically over a StructType column.
+    ``map_backed``: the value is a Spark MapType (the ``from_entries``
+    output shape, whose keys are data, not schema).
+
+    A plain ``str`` subclass so every existing ``t == "object"`` /
+    ``t in (...)`` check keeps working unchanged."""
+
+    def __new__(cls, keys=None, map_backed: bool = False):
+        o = super().__new__(cls, "object")
+        o.keys = tuple(keys) if keys is not None else None
+        o.map_backed = bool(map_backed)
+        return o
+
+
+def _obj_keys(t) -> tuple | None:
+    return getattr(t, "keys", None)
+
+
+def _map_backed(t) -> bool:
+    return bool(getattr(t, "map_backed", False))
+
+
 # build() clears its own thread's stack so a failed compile can't leak
 # bindings into the next one.
 import threading as _threading
@@ -655,16 +704,30 @@ def _compile(node, cur: Column, t: str) -> tuple[Column, str]:
         # head drops elements)
         if len(items) == 1:
             stages = _pipe_stages(items[0])
-            if stages[0][0] == "iterate":
-                base, bt = _compile(stages[0][1], cur, t)
-                if bt not in ("array", "any"):
-                    raise ValueError(f"jq: .[] over static type {bt}")
+            head_is_splits = (
+                stages[0][0] == "call" and stages[0][1] == "splits"
+            )
+            if stages[0][0] == "iterate" or head_is_splits:
+                if head_is_splits:
+                    # [splits(re) | f] — regex-split stream collected
+                    if t not in ("string", "any"):
+                        raise ValueError(f"jq: splits over static type {t}")
+                    sa = stages[0][2]
+                    if sa[0] != "lit" or not isinstance(sa[1], str):
+                        raise ValueError("jq: splits requires a literal regex")
+                    base = F.split(cur, sa[1], -1)
+                else:
+                    base, bt = _compile(stages[0][1], cur, t)
+                    if bt not in ("array", "any"):
+                        raise ValueError(f"jq: .[] over static type {bt}")
                 rest = None
                 for st in stages[1:]:
                     rest = st if rest is None else ("pipe", rest, st)
                 if rest is None:
                     return base, "array"
-                return _map_impl(rest, base), "array"
+                # splits elements are statically strings; .[] elements any
+                elem_t = "string" if head_is_splits else "any"
+                return _map_impl(rest, base, elem_t), "array"
         return F.array(*[_compile(n, cur, t)[0] for n in items]), "array"
     if kind == "iterate":
         raise ValueError(
@@ -684,8 +747,34 @@ def _compile(node, cur: Column, t: str) -> tuple[Column, str]:
     if kind == "obj":
         return (
             F.struct(*[_compile(n, cur, t)[0].alias(k) for k, n in node[1]]),
-            "object",
+            _ObjT(keys=[k for k, _ in node[1]]),
         )
+    if kind == "slice":
+        base, bt = _compile(node[1], cur, t)
+        lo_i, hi_i = node[2], node[3]
+        if bt == "string":
+            n = F.length(base)
+        elif bt == "array":
+            n = F.size(base)
+        else:
+            raise ValueError(
+                "jq: slice .[a:b] needs a statically-typed array or string "
+                f"input (got {bt}) — pipe through `arrays`/`strings` first"
+            )
+
+        def _norm(i, default):
+            # jq slice bounds: negative = from end; out-of-range clamps
+            if i is None:
+                return default
+            c = F.lit(int(i)) if i >= 0 else (n + F.lit(int(i))).cast("int")
+            return F.greatest(F.least(c, n.cast("int")), F.lit(0))
+
+        lo = _norm(lo_i, F.lit(0))
+        hi = _norm(hi_i, n.cast("int"))
+        ln = F.greatest(hi - lo, F.lit(0))
+        if bt == "string":
+            return F.when(base.isNotNull(), base.substr(lo + F.lit(1), ln)), "string"
+        return F.when(base.isNotNull(), F.slice(base, lo + F.lit(1), ln)), "array"
     if kind == "typefilter":
         want = node[1]
         if want == "values":  # select(. != null)
@@ -694,8 +783,16 @@ def _compile(node, cur: Column, t: str) -> tuple[Column, str]:
             "numbers": _NUMERIC, "strings": {"string"}, "arrays": {"array"},
             "booleans": {"boolean"}, "nulls": {"null"},
         }[want]
-        if t in match or t == "any":
+        if t in match:
             return cur, t
+        if t == "any":
+            # NARROW: the filter is a static type assertion over an
+            # untyped path — downstream stages get the asserted type (a
+            # wrong assertion fails at Spark analysis, same as jq's error)
+            return cur, {
+                "numbers": "number", "strings": "string", "arrays": "array",
+                "booleans": "boolean", "nulls": "null",
+            }[want]
         # static mismatch: empty stream → NULL (scalar collapse, see module doc)
         return F.lit(None), "null"
     if kind == "builtin":
@@ -854,6 +951,50 @@ def _builtin(name: str, cur: Column, t: str) -> tuple[Column, str]:
         if t not in ("object", "array", "any"):
             raise ValueError(f"jq: tojson supported for object/array, not {t}")
         return F.to_json(cur), "string"
+    if name in ("keys", "keys_unsorted", "to_entries"):
+        if t != "object":
+            raise ValueError(f"jq: {name} needs an object input (static type {t})")
+        if _map_backed(t):
+            if name == "to_entries":
+                # map_entries already yields array<struct<key, value>>
+                return F.map_entries(cur), "array"
+            ks = F.map_keys(cur)
+            return (F.array_sort(ks) if name == "keys" else ks), "array"
+        keys = _obj_keys(t)
+        if keys is None:
+            raise ValueError(
+                f"jq: {name} needs the object's declared keys — declare the "
+                "input schema's `properties` (compile_jq input_fields) or "
+                "construct the object with {...} first"
+            )
+        if name == "to_entries":
+            # struct fields are schema, so the entry list is compile-time;
+            # values must share a coercible Spark type (array element rule)
+            ents = F.array(
+                *[
+                    F.struct(F.lit(k).alias("key"), cur.getField(k).alias("value"))
+                    for k in keys
+                ]
+            )
+            return F.when(cur.isNotNull(), ents), "array"
+        ks = sorted(keys) if name == "keys" else list(keys)
+        return (
+            F.when(cur.isNotNull(), F.array(*[F.lit(k) for k in ks])),
+            "array",
+        )
+    if name == "from_entries":
+        # array<struct{key, value}> → object; keys are DATA, so the result
+        # is a MapType object (field access and has/keys still work on it)
+        if t not in ("array", "any"):
+            raise ValueError(f"jq: from_entries on static type {t}")
+        ents = F.transform(
+            cur,
+            lambda e: F.struct(
+                e.getField("key").cast("string").alias("key"),
+                e.getField("value").alias("value"),
+            ),
+        )
+        return F.map_from_entries(ents), _ObjT(map_backed=True)
     raise ValueError(f"jq: unsupported builtin {name!r}")
 
 
@@ -872,7 +1013,7 @@ def _elem_pred(arg_node):
     return pred
 
 
-def _map_impl(arg_node, base: Column) -> Column:
+def _map_impl(arg_node, base: Column, elem_t: str = "any") -> Column:
     """jq ``map(f)`` → higher-order Column expression, fully JVM-side.
 
     ``select`` drops elements in jq (empty stream), which the scalar
@@ -904,7 +1045,7 @@ def _map_impl(arg_node, base: Column) -> Column:
     for c in conds:
         col = F.filter(col, _elem_pred(c))
     if node != ("identity",):
-        col = F.transform(col, lambda x: _compile(node, x, "any")[0])
+        col = F.transform(col, lambda x: _compile(node, x, elem_t)[0])
     return col
 
 
@@ -913,6 +1054,56 @@ def _call(name: str, arg_node, cur: Column, t: str) -> tuple[Column, str]:
     input as the call (jq semantics) — usually a literal."""
     import re as _re
 
+    if name in ("group_by", "unique_by"):
+        # jq group_by(f): sort by f(elem), split into runs of equal keys.
+        # Columnar shape: distinct keys (sorted, nulls lowest as jq) →
+        # per-key F.filter keeps original relative order within each group
+        # (jq's stable-sort semantics). Fully JVM-side; O(k·n) per row over
+        # per-row element counts, which is the [...]-literal scale.
+        if t not in ("array", "any"):
+            raise ValueError(f"jq: {name} on static type {t}")
+
+        def _key_of(x: Column) -> Column:
+            return _compile(arg_node, x, "any")[0]
+
+        dkeys = F.sort_array(F.array_distinct(F.transform(cur, _key_of)))
+        grouped = F.transform(
+            dkeys, lambda k: F.filter(cur, lambda x: _key_of(x).eqNullSafe(k))
+        )
+        if name == "group_by":
+            return grouped, "array"
+        # unique_by: first element of each group = first occurrence in
+        # original order (what jq's stable sort-then-group yields)
+        return F.transform(grouped, lambda g: F.element_at(g, 1)), "array"
+    if name == "with_entries":
+        # with_entries(f) ≡ to_entries | map(f) | from_entries
+        ents, _et = _builtin("to_entries", cur, t)  # validates object input
+        mapped = _map_impl(arg_node, ents)
+        packed = F.transform(
+            mapped,
+            lambda e: F.struct(
+                e.getField("key").cast("string").alias("key"),
+                e.getField("value").alias("value"),
+            ),
+        )
+        return F.map_from_entries(packed), _ObjT(map_backed=True)
+    if name == "getpath":
+        if arg_node[0] != "arr" or not arg_node[1] or any(
+            n[0] != "lit" or not isinstance(n[1], str) for n in arg_node[1]
+        ):
+            raise ValueError(
+                'jq: getpath requires a literal string path, e.g. '
+                'getpath(["a", "b"])'
+            )
+        col = cur
+        for n in arg_node[1]:
+            col = col.getField(n[1])
+        return col, "any"
+    if name == "splits":
+        raise ValueError(
+            "jq: splits(re) produces a stream; in the columnar subset wrap "
+            'it as [splits(re)] (≡ split(re; "")) or [splits(re) | f]'
+        )
     if name in ("map", "sort_by", "any", "all"):
         if t not in ("array", "any"):
             raise ValueError(f"jq: {name} on static type {t}")
@@ -994,7 +1185,108 @@ def _call(name: str, arg_node, cur: Column, t: str) -> tuple[Column, str]:
         # the same scalar-unwrap rule the reference applies to empty jq
         # streams (DefaultJacksonJqTransformer.kt:134-207)
         return F.when(F.coalesce(_truthy(arg, at), F.lit(False)), cur), t
+    if name == "has":
+        if t == "object":
+            if _map_backed(t):
+                return (
+                    F.when(cur.isNotNull(), F.map_contains_key(cur, arg)),
+                    "boolean",
+                )
+            if lit is None or not isinstance(lit, str):
+                raise ValueError(
+                    "jq: has(k) on a struct object requires a literal string key"
+                )
+            keys = _obj_keys(t)
+            if keys is not None:
+                # struct fields are schema: key presence is compile-time
+                # (matches jq — a declared key holding null still HAS it)
+                return F.when(cur.isNotNull(), F.lit(lit in keys)), "boolean"
+            # unknown field set: closest columnar analog — the field is
+            # non-NULL (absent JSON keys materialize as NULL in structs;
+            # delta from jq's has() on an explicit null value, documented)
+            return (
+                F.when(cur.isNotNull(), cur.getField(lit).isNotNull()),
+                "boolean",
+            )
+        if t in ("array", "any"):
+            # has(n) over an array: the index exists
+            return (
+                F.when(cur.isNotNull(), (arg >= 0) & (arg < F.size(cur))),
+                "boolean",
+            )
+        raise ValueError(f"jq: has on static type {t}")
+    if name == "in":
+        # input | in(CONTAINER) — the has() inverse
+        if at == "array":
+            return (
+                F.when(arg.isNotNull(), (cur >= 0) & (cur < F.size(arg))),
+                "boolean",
+            )
+        if at == "object":
+            if _map_backed(at):
+                return F.when(arg.isNotNull(), F.map_contains_key(arg, cur)), "boolean"
+            keys = _obj_keys(at)
+            if keys is not None:
+                return F.when(arg.isNotNull(), cur.isin(*keys)), "boolean"
+        raise ValueError(
+            "jq: in(CONTAINER) requires an array or a constructed/"
+            "from_entries object argument"
+        )
+    if name == "capture":
+        if lit is None or not isinstance(lit, str):
+            raise ValueError("jq: capture requires a literal regex argument")
+        if t not in ("string", "any"):
+            raise ValueError(f"jq: capture on static type {t}")
+        groups = _named_groups(lit)
+        if not groups:
+            raise ValueError(
+                "jq: capture requires at least one named group (?<name>...)"
+            )
+        st = F.struct(
+            *[F.regexp_extract(cur, lit, gi).alias(nm) for nm, gi in groups]
+        )
+        # no match → NULL object (jq: empty stream → scalar collapse);
+        # a non-participating optional group yields "" (Java regex), a
+        # documented delta from jq's null
+        return F.when(cur.rlike(lit), st), _ObjT(keys=[nm for nm, _ in groups])
     raise ValueError(f"jq: unsupported function {name!r}")
+
+
+def _named_groups(regex: str) -> list[tuple[str, int]]:
+    """(name, capture-group index) pairs of a Java-flavor regex, in order —
+    skipping escapes, character classes, and non-capturing groups so the
+    indexes line up with what regexp_extract sees."""
+    out: list[tuple[str, int]] = []
+    idx = 0
+    i = 0
+    in_class = False
+    while i < len(regex):
+        c = regex[i]
+        if c == "\\":
+            i += 2
+            continue
+        if in_class:
+            if c == "]":
+                in_class = False
+            i += 1
+            continue
+        if c == "[":
+            in_class = True
+            i += 1
+            continue
+        if c == "(":
+            m = re.match(r"\(\?<([A-Za-z][A-Za-z0-9_]*)>", regex[i:])
+            if m:
+                idx += 1
+                out.append((m.group(1), idx))
+                i += m.end()
+                continue
+            if i + 1 < len(regex) and regex[i + 1] == "?":
+                i += 2  # non-capturing / lookaround / flags group
+                continue
+            idx += 1
+        i += 1
+    return out
 
 
 def _java_repl(repl: str) -> str:
@@ -1005,13 +1297,22 @@ def _java_repl(repl: str) -> str:
 
 
 def _call2(name: str, a1, a2, cur: Column, t: str) -> tuple[Column, str]:
-    """sub/gsub(regex; replacement) with literal arguments."""
+    """sub/gsub(regex; replacement) and split(regex; flags), literal args."""
     if a1[0] != "lit" or not isinstance(a1[1], str):
         raise ValueError(f"jq: {name} requires a literal regex first argument")
     if a2[0] != "lit" or not isinstance(a2[1], str):
-        raise ValueError(f"jq: {name} requires a literal replacement argument")
+        raise ValueError(f"jq: {name} requires a literal second argument")
     if t not in ("string", "any"):
         raise ValueError(f"jq: {name} on static type {t}")
+    if name == "split":
+        # jq split/2 is the REGEX form (split/1 is literal); flags: only
+        # "" and "i" map onto Java regex — others (x, s, g) are rejected
+        regex, flags = a1[1], a2[1]
+        if flags not in ("", "i"):
+            raise ValueError(f"jq: split flags {flags!r} unsupported (only '', 'i')")
+        if "i" in flags:
+            regex = "(?i)" + regex
+        return F.split(cur, regex, -1), "array"
     regex, repl = a1[1], _java_repl(a2[1])
     if name == "gsub":
         return F.regexp_replace(cur, regex, repl), "string"
@@ -1045,16 +1346,28 @@ _SCHEMA_TYPE_TO_STATIC = {
 
 
 def compile_jq(expression: str, input_type: str = "any",
-               output_type: str | None = None):
+               output_type: str | None = None,
+               input_fields: list[str] | None = None,
+               map_input: bool = False):
     """Compile a jq program to a Column builder ``(Column) -> Column``.
 
     ``input_type``/``output_type`` are JSON-Schema ``type`` names from the
     transformer's declared schemas (``JqTransformerYamlReader.kt`` fields
     ``input_schema``/``output_schema``); they drive static type-filter
-    resolution and the final output coercion.
+    resolution and the final output coercion. ``input_fields`` — the
+    declared ``properties`` keys of an object input — unlocks the
+    schema-introspecting builtins (``to_entries``/``keys``/``has``/
+    ``with_entries``) over StructType columns, whose field set is
+    compile-time in Spark. ``map_input=True`` declares the input object as
+    a Spark MapType (keys are data, not schema) — the same builtins then
+    compile to ``map_entries``/``map_keys``/``map_contains_key``.
     """
     ast = parse(expression)
     in_t = _SCHEMA_TYPE_TO_STATIC.get(input_type, "any")
+    if map_input:
+        in_t = _ObjT(map_backed=True)
+    elif in_t == "object" and input_fields:
+        in_t = _ObjT(keys=list(input_fields))
 
     def build(col: Column, **_ignored: Any) -> Column:
         _vars().clear()  # defensive: a failed compile on THIS thread must not leak $vars

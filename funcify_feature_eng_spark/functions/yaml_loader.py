@@ -129,10 +129,12 @@ def load_transformers_yaml(registry: TransformerRegistry, yaml_text: str) -> lis
         if "jq" in t:
             in_schema = t.get("input_schema") or {}
             out_schema = t.get("output_schema") or {}
+            props = list((in_schema.get("properties") or {}).keys())
             builder = compile_jq(
                 t["jq"],
                 input_type=str(in_schema.get("type", "any")),
                 output_type=out_schema.get("type"),
+                input_fields=props or None,
             )
             if len(args) != 1:
                 raise ValueError(

@@ -79,8 +79,9 @@ def test_parse_shapes():
     assert parse("if . then 1 else 2 end")[0] == "if"
     assert parse(". as $x | $x")[0] == "bind"  # variable binding supported
     assert parse("reduce .[] as $x (0; . + $x)")[0] == "reduce"
+    assert parse("getpath([\"a\"])")[0] == "call"  # supported since round 5
     with pytest.raises(ValueError):
-        parse("getpath([\"a\"])")  # unsupported builtin
+        parse("leaf_paths")  # unsupported builtin
     assert parse("map(. + 1)")[0] == "call"
     assert parse("[.a, .b]")[0] == "arr"
     assert parse("{x: .a, y}") == (
@@ -274,7 +275,7 @@ def test_gsub_sub_select_goldens(spark):
 
 
 def test_sub_gsub_parse_errors():
-    with pytest.raises(ValueError, match="';'"):
+    with pytest.raises(ValueError, match=r"expected '\)'"):
         parse('sub("a" "b")')
     with pytest.raises(ValueError, match="literal regex"):
         compile_jq("gsub(.; \"x\")", input_type="string")(F.lit("a"))
@@ -494,3 +495,118 @@ def test_jq_compile_thread_safety(spark):
         results = list(ex.map(build_and_eval, range(24)))
     for i, r in enumerate(results):
         assert r == 3.0 + 2 * (i % 3), (i, r)
+
+
+# --------------------------------------- object/regex builtin tail (round 5)
+# jq reference behavior for each golden checked against jq 1.7 semantics
+# (jackson-jq evaluates full jq in the reference,
+# DefaultJacksonJqTransformer.kt:43-62).
+
+
+def _run_map(spark, prog, value, **kw):
+    b = compile_jq(prog, input_type="object", map_input=True, **kw)
+    df = spark.createDataFrame([(value,)], "v map<string,double>")
+    return df.select(b(F.col("v")).alias("out")).collect()[0]["out"]
+
+
+def test_map_object_introspection(spark):
+    m = {"y": 2.0, "x": 1.0}
+    assert _run_map(spark, "keys", m) == ["x", "y"]
+    assert sorted(_run_map(spark, "keys_unsorted", m)) == ["x", "y"]
+    assert _run_map(spark, "to_entries | map(.key) | sort", m) == ["x", "y"]
+    assert _run_map(spark, "to_entries | map(.value) | add", m) == 3.0
+    assert _run_map(spark, 'has("x")', m) is True
+    assert _run_map(spark, 'has("z")', m) is False
+    assert _run_map(spark, "to_entries | from_entries | .y", m) == 2.0
+    assert _run_map(
+        spark, 'with_entries({key: .key, value: (.value * 10)}) | .x', m
+    ) == 10.0
+    assert _run_map(spark, 'getpath(["y"])', m) == 2.0
+    # null input propagates as NULL, never errors
+    assert _run_map(spark, "keys", None) is None
+    assert _run_map(spark, 'has("x")', None) is None
+
+
+def test_struct_object_introspection(spark):
+    b = compile_jq("to_entries", input_type="object", input_fields=["a", "b"])
+    df = spark.createDataFrame([((1, 5),), (None,)], "v struct<a:int,b:int>")
+    rows = df.select(b(F.col("v")).alias("out")).collect()
+    assert [e.asDict() for e in rows[0]["out"]] == [
+        {"key": "a", "value": 1},
+        {"key": "b", "value": 5},
+    ]
+    assert rows[1]["out"] is None  # null object → null entries
+
+    bk = compile_jq("keys", input_type="object", input_fields=["b", "a"])
+    assert df.select(bk(F.col("v")).alias("o")).collect()[0]["o"] == ["a", "b"]
+
+    # struct key presence is compile-time schema (jq: declared null HAS key)
+    bh = compile_jq('has("a")', input_type="object", input_fields=["a", "b"])
+    assert df.select(bh(F.col("v")).alias("o")).collect()[0]["o"] is True
+    bh2 = compile_jq('has("z")', input_type="object", input_fields=["a", "b"])
+    assert df.select(bh2(F.col("v")).alias("o")).collect()[0]["o"] is False
+
+    bw = compile_jq(
+        'with_entries({key: .key, value: (.value * 2)}) | .b',
+        input_type="object", input_fields=["a", "b"],
+    )
+    assert df.select(bw(F.col("v")).alias("o")).collect()[0]["o"] == 10
+
+
+def test_in_builtin(spark):
+    # string | in(constructed object)
+    b = compile_jq('in({"a": 1, "b": 2})', input_type="string")
+    df = spark.createDataFrame([("a",), ("z",)], "v string")
+    vals = [r["o"] for r in df.select(b(F.col("v")).alias("o")).collect()]
+    assert vals == [True, False]
+    # number | in(array): index exists
+    bi = compile_jq("in([10, 20, 30])", input_type="integer")
+    dfi = spark.createDataFrame([(1,), (5,)], "v bigint")
+    vals = [r["o"] for r in dfi.select(bi(F.col("v")).alias("o")).collect()]
+    assert vals == [True, False]
+
+
+def test_capture_named_groups(spark):
+    b = compile_jq(
+        'capture("(?<user>[a-z]+)@(?<host>[a-z.]+)") | .host',
+        input_type="string",
+    )
+    df = spark.createDataFrame([("bob@example.com",), ("nope",)], "v string")
+    vals = [r["o"] for r in df.select(b(F.col("v")).alias("o")).collect()]
+    assert vals == ["example.com", None]  # no match → NULL (empty stream)
+    with pytest.raises(ValueError, match="named group"):
+        compile_jq('capture("[a-z]+")', input_type="string")(F.lit("a"))
+
+
+def test_split_regex_two_arg(spark):
+    b = compile_jq('split("[-,]"; "") | length', input_type="string")
+    df = spark.createDataFrame([("a-b,c",)], "v string")
+    assert df.select(b(F.col("v")).alias("o")).collect()[0]["o"] == 3
+    # one-arg split stays LITERAL: '.' splits on dots, not on every char
+    bl = compile_jq('split(".") | length', input_type="string")
+    dfl = spark.createDataFrame([("a.b.c",)], "v string")
+    assert dfl.select(bl(F.col("v")).alias("o")).collect()[0]["o"] == 3
+
+
+def test_splits_requires_collect():
+    with pytest.raises(ValueError, match=r"wrap"):
+        compile_jq('splits("-")', input_type="string")(F.lit("a"))
+
+
+def test_getpath_nested(spark):
+    b = compile_jq('getpath(["a", "b"])', input_type="object")
+    df = spark.createDataFrame([(((7,),),)], "v struct<a:struct<b:int>>")
+    assert df.select(b(F.col("v")).alias("o")).collect()[0]["o"] == 7
+    with pytest.raises(ValueError, match="literal string path"):
+        compile_jq("getpath([1])", input_type="object")(F.lit("a"))
+
+
+def test_slice_goldens(spark):
+    b = compile_jq("sort | .[1:3]", input_type="array")
+    df = spark.createDataFrame([([3.0, 1.0, 2.0, 1.0],)], "v array<double>")
+    assert df.select(b(F.col("v")).alias("o")).collect()[0]["o"] == [1.0, 2.0]
+    bs = compile_jq(".[1:-1]", input_type="string")
+    dfs = spark.createDataFrame([("hello",)], "v string")
+    assert dfs.select(bs(F.col("v")).alias("o")).collect()[0]["o"] == "ell"
+    with pytest.raises(ValueError, match="statically-typed"):
+        compile_jq(".foo | .[1:2]", input_type="object")(F.lit("a"))

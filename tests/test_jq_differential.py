@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import math
 import random
+import re
 
 import pytest
 from pyspark.sql import functions as F
@@ -82,16 +83,27 @@ def _ev(node, cur):
         if -len(base) <= i < len(base):
             return base[i]
         return None
+    if k == "slice":
+        base = _ev(node[1], cur)
+        if base is None:
+            return None
+        return base[node[2]:node[3]]  # jq slice ≡ Python slice clamping
     if k == "arr":
         items = node[1]
         if len(items) == 1:
             st = items[0]
             stages = _flatten_pipe(st)
-            if stages[0][0] == "iterate":
-                base = _ev(stages[0][1], cur)
-                if base is None:
-                    return None
-                out = list(base)
+            head_splits = (stages[0][0] == "call" and stages[0][1] == "splits")
+            if stages[0][0] == "iterate" or head_splits:
+                if head_splits:
+                    if cur is None:
+                        return None
+                    out = re.split(stages[0][2][1], cur)
+                else:
+                    base = _ev(stages[0][1], cur)
+                    if base is None:
+                        return None
+                    out = list(base)
                 for s in stages[1:]:
                     if s[0] == "call" and s[1] == "select":
                         out = [x for x in out if _truthy(_ev(s[2], x))]
@@ -262,6 +274,24 @@ def _call(name, arg, cur):
         return cur.startswith(arg[1])
     if name == "endswith":
         return cur.endswith(arg[1])
+    if name == "has":
+        # array form: index exists
+        i = _ev(arg, cur)
+        return 0 <= i < len(cur)
+    if name in ("group_by", "unique_by"):
+        # jq: stable sort by key, split into runs of null-safe-equal keys
+        def _eq(a, b):
+            return (a is None and b is None) or a == b
+        keys = []
+        for x in cur:
+            kx = _ev(arg, x)
+            if not any(_eq(kx, k) for k in keys):
+                keys.append(kx)
+        keys.sort(key=lambda k: (k is not None, k))
+        groups = [[x for x in cur if _eq(_ev(arg, x), k)] for k in keys]
+        if name == "group_by":
+            return groups
+        return [g[0] for g in groups]
     raise AssertionError(f"unhandled call {name}")
 
 
@@ -317,6 +347,20 @@ ARR_PROGRAMS = [
     "reduce .[] as $x (0; if $x > . then $x else . end)",
     ". as $a | reduce .[] as $x (0; . + $x)",
     "reduce .[] as $x (0; . + $x) as $s | [.[] | . - $s] | length",
+    ".[1:3]",
+    ".[1:]",
+    ".[:2] | length",
+    ".[-2:]",
+    ".[2:1] | length",
+    ".[-10:2]",
+    "sort | .[1:-1]",
+    "has(0)",
+    "has(2)",
+    "group_by(floor) | length",
+    "group_by(floor) | map(length)",
+    "group_by(. > 0) | map(add)",
+    "unique_by(floor) | length",
+    "unique_by(floor) | map(floor)",
 ]
 
 STR_PROGRAMS = [
@@ -332,6 +376,13 @@ STR_PROGRAMS = [
     'split("a") | join("-")',
     '"pre.\\(ascii_upcase).post"',
     'if startswith("a") then ascii_upcase else . end',
+    ".[1:4]",
+    ".[:3]",
+    ".[-2:]",
+    ".[1:-1]",
+    '[splits("b")] | length',
+    '[splits("[ab]")] | join("/")',
+    '[splits(" ") | length] | add // 0',
 ]
 
 
