@@ -1764,16 +1764,39 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     zero float arithmetic); production uses xxhash64 (hash=True), pinned by
     tests/test_sampling_weighted.py. Scale shape: a pure map — no shuffle,
     no state, decision is a function of (id, weight) alone, so retries and
-    layout changes keep the same rows. Companion weighted_topk (Efraimidis-
-    Spirakis without-replacement) is pytest-pinned, not value-gated: its
-    sort key is a float ln whose last-ulp cross-engine differences could
-    flip a boundary rank."""
+    layout changes keep the same rows. Companion weighted_topk is value-
+    gated at q_weighted_topk (round 5)."""
     from funcify_feature_eng_spark.operators.sampling import weighted_sample
 
     docs = _t(spark, sf_dir, "documents")
     out = weighted_sample(
         docs.withColumn("w_bytes", F.octet_length("text").cast("long")),
         "doc_id", "w_bytes", 1, 4000, hash=False,
+    )
+    return out.select("doc_id", "lang", "w_bytes")
+
+
+def q_weighted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted top-k WITHOUT replacement (operators/sampling.py::
+    weighted_topk): per-language keep the 5 documents with the largest
+    Efraimidis-Spirakis keys ln(u)/w (u from the hash=False Knuth key,
+    w = byte length) — the per-source quota draw for corpus mixing where
+    long docs get proportionally better odds but a source can't flood.
+
+    Value-gated since round 5: the only float step is ln over an input u
+    that is bit-identical in both engines (a dyadic rational (knuth+1)/2^32,
+    exactly representable). A cross-engine ln can differ by <= 1 ulp
+    (~1e-16 relative); the fixture's measured min adjacent-key gap within
+    any language is 8e-05 relative (~1e11 ulps, asserted by
+    tests/test_sampling_weighted.py::test_topk_oracle_gap_margin), so no
+    boundary rank can flip. Closes the last non-value-gated operator
+    (round-4 verdict task 4)."""
+    from funcify_feature_eng_spark.operators.sampling import weighted_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    out = weighted_topk(
+        docs.withColumn("w_bytes", F.octet_length("text").cast("long")),
+        "lang", "doc_id", "w_bytes", k=5, hash=False,
     )
     return out.select("doc_id", "lang", "w_bytes")
 
@@ -2852,6 +2875,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shows_reshaped": q_shows_reshaped,
         "doc_split": q_doc_split,
         "weighted_sample": q_weighted_sample,
+        "weighted_topk": q_weighted_topk,
         "budget_mixture": q_budget_mixture,
         "doc_shuffle": q_doc_shuffle,
         "length_buckets": q_length_buckets,
@@ -4171,6 +4195,26 @@ FROM documents
 WHERE (((doc_id % 2147483648) + 2147483648) % 2147483648) * 2654435761
       % 4294967296 * 4000
       < strlen(text) * 4294967296
+""",
+        # weighted_topk: same Knuth u; ln's cross-engine <=1-ulp drift
+        # cannot flip a rank (fixture min adjacent gap ~1e11 ulps, see
+        # q_weighted_topk docstring)
+        "weighted_topk": """
+WITH s AS (
+  SELECT doc_id, lang, strlen(text) AS w_bytes,
+         ln(((((doc_id % 2147483648) + 2147483648) % 2147483648)
+             * 2654435761 % 4294967296 + 1) / 4294967296.0)
+           / strlen(text) AS es_key
+  FROM documents
+  WHERE strlen(text) > 0
+),
+r AS (
+  SELECT doc_id, lang, w_bytes,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY es_key DESC, doc_id ASC) AS rn
+  FROM s
+)
+SELECT doc_id, lang, w_bytes FROM r WHERE rn <= 5
 """,
         # budget_mixture: per-source totals in a CTE, then the identical
         # pure-BIGINT keep rule key*W*T_s < budget*w_s*2^32 (p>=1 keeps all)

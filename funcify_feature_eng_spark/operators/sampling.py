@@ -295,11 +295,14 @@ def weighted_topk(
     ``xxhash64(id)`` (or the Knuth key under ``hash=False``), so the chosen
     set is stable across reruns and layouts.
 
-    One shuffle on the group key, per-group top-k sort. NOT oracle-gated by
-    value: the sort key is a float ``ln``, and last-ulp ``ln`` differences
-    across engines could flip a boundary rank — the determinism and
-    proportional-odds properties are pytest-pinned instead
-    (tests/test_sampling_weighted.py).
+    One shuffle on the group key, per-group top-k sort. Value-gated
+    (q_weighted_topk, round 5): the only float step is ``ln`` over an input
+    u that is bit-identical across engines (a dyadic rational
+    ``(knuth+1)/2^32``), so a cross-engine ``ln`` drifts <= 1 ulp — and the
+    gate fixture's min adjacent-key gap is ~1e11 ulps
+    (tests/test_sampling_weighted.py::test_topk_oracle_gap_margin), so no
+    boundary rank can flip. Determinism and proportional-odds properties
+    stay pytest-pinned for the production hash=True path.
 
     NULL or non-positive weights drop (zero odds).
     """

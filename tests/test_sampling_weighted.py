@@ -192,3 +192,37 @@ def test_weighted_sample_fractional_weight_hash_false_raises(spark):
         weighted_sample(df, "id", "w", 1, 2, hash=False)
     # hash=True still accepts fractional weights (double semantics)
     assert weighted_sample(df, "id", "w", 2, 1, hash=True).count() == 10
+
+
+def test_topk_oracle_gap_margin():
+    """Proof obligation for the q_weighted_topk value gate: the only float
+    step in the hash=False Efraimidis-Spirakis key ln(u)/w is ln over a
+    bit-identical dyadic input, so engines can disagree by at most ~1 ulp
+    (~2.2e-16 relative). Assert the gate fixture's minimum adjacent-key gap
+    within any language group clears that by >= 6 orders of magnitude —
+    then no boundary rank can flip between Spark and the DuckDB oracle."""
+    import collections
+    import math
+    import os
+
+    import duckdb
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    path = os.path.join(sf_dir, "documents.parquet")
+    if not os.path.exists(path):
+        pytest.skip(f"no fixture at {path}")
+    rows = duckdb.connect().execute(
+        f"SELECT doc_id, lang, strlen(text) FROM '{path}' WHERE strlen(text) > 0"
+    ).fetchall()
+    groups = collections.defaultdict(list)
+    for doc_id, lang, w in rows:
+        k = ((doc_id % 2147483648) + 2147483648) % 2147483648 * 2654435761 % 4294967296
+        groups[lang].append(math.log((k + 1) / 4294967296.0) / w)
+    min_rel = 1.0
+    for keys in groups.values():
+        keys.sort()
+        for a, b in zip(keys, keys[1:]):
+            rel = abs(b - a) / max(abs(a), abs(b))
+            min_rel = min(min_rel, rel)
+    # 1 ulp ~ 2.2e-16 relative; require >= 1e-10 (a million-fold margin)
+    assert min_rel >= 1e-10, f"adjacent-key relative gap {min_rel} too tight"
