@@ -58,6 +58,7 @@ def stateful_turn_features_stream(
     state_ttl_s: float | None = None,
     watermark_delay_s: float | None = None,
     max_disorder_s: float | None = None,
+    max_pending: int | None = None,
 ):
     """Custom stateful streaming operator: per-entity session ids and prior
     roles that are CONTINUOUS across micro-batches (and across restarts via
@@ -82,6 +83,16 @@ def stateful_turn_features_stream(
     ``state_ttl_s``!) or at stream end via the final watermark advance;
     the global watermark delay defaults to ``max(gap, D)`` so Spark's own
     late filter never discards rows the buffer was promised.
+
+    ``max_pending`` caps the per-entity disorder buffer: without it, a
+    pathological key bursting out-of-order rows inside the TTL grows
+    executor state unboundedly. When the buffer would exceed the cap after
+    a batch, the OLDEST pending rows (the (order, ts)-sorted prefix) are
+    force-flushed — emitted early rather than dropped, so emission order
+    and feature values are preserved for every emitted row; the frontier
+    advances, and any straggler older than a force-flushed row then drops
+    via the existing beyond-bound-late path (the deterministic, bounded
+    degradation mode). Pending size is <= max_pending after every batch.
 
     ``state_ttl_s`` bounds state growth — MANDATORY at web scale: with no
     timeout, every conversation ever seen keeps a state row forever, and at
@@ -190,11 +201,15 @@ def stateful_turn_features_stream(
                 "flush on the event-time timeout — without one they would "
                 "sit in state forever"
             )
+        if max_pending is not None and max_pending < 1:
+            raise ValueError(f"max_pending must be >= 1, got {max_pending}")
         return _disorder_turn_features_stream(
             stream_df, entity_col, order_col, ts_col, gap_seconds,
             state_ttl_s, watermark_delay_s, max_disorder_s,
-            out_schema, in_types,
+            out_schema, in_types, max_pending,
         )
+    if max_pending is not None:
+        raise ValueError("max_pending requires max_disorder_s (no buffer otherwise)")
 
     src = stream_df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
     if use_ttl:
@@ -223,6 +238,7 @@ def _disorder_turn_features_stream(
     max_disorder_s: float,
     out_schema: str,
     in_types: dict[str, str],
+    max_pending: int | None = None,
 ):
     """Bounded-disorder variant: per-entity buffering + ordered emission.
 
@@ -255,10 +271,14 @@ def _disorder_turn_features_stream(
         "pend_order array<long>, pend_ts_us array<long>, pend_role array<string>"
     )
 
-    def _emit(key, pend, st, upto_us):
+    def _emit(key, pend, st, upto_us, force_n: int = 0):
         """Emit pending rows with ts_us <= upto_us in (order, ts) order.
         ``pend``: pd.DataFrame[o, t, r]; ``st``: state tuple. Returns
-        (out_pdf | None, new_pend, new_st)."""
+        (out_pdf | None, new_pend, new_st). ``force_n`` additionally seals
+        the first N rows of the (order, ts) sort regardless of their ts —
+        the max_pending overflow flush; OR-ing a prefix mask into the
+        cummax mask keeps the sealed set a prefix, so emission stays
+        prefix-closed and ordered."""
         import numpy as np
         import pandas as pd
 
@@ -270,6 +290,8 @@ def _disorder_turn_features_stream(
         # the features equal the batch twin's for the same rows
         pend = pend.sort_values(["o", "t"], kind="stable")
         sealed = pend["t"].cummax() <= upto_us
+        if force_n > 0:
+            sealed = sealed | (np.arange(len(pend)) < force_n)
         take = pend[sealed]
         rest = pend[~sealed]
         if take.empty:
@@ -359,8 +381,13 @@ def _disorder_turn_features_stream(
         pend = pd.concat([pend, new], ignore_index=True)
         mx = max(st[5], int(new["t"].max()) if len(new) else -1)
         st = (*st[:5], mx)
-        # per-entity watermark: emit rows sealed by max seen - disorder
-        out, pend, st = _emit(key, pend, st, mx - dis_us)
+        # per-entity watermark: emit rows sealed by max seen - disorder;
+        # max_pending overflow force-flushes the oldest prefix so the
+        # buffer is <= max_pending after every batch (state bound)
+        force_n = 0
+        if max_pending is not None and len(pend) > max_pending:
+            force_n = len(pend) - max_pending
+        out, pend, st = _emit(key, pend, st, mx - dis_us, force_n=force_n)
         state.update((*st, pend["o"].tolist(), pend["t"].tolist(), pend["r"].tolist()))
         _rearm(state, st, pend, wm_ms)
         if out is not None:

@@ -579,3 +579,102 @@ def test_stateful_kmv_stream_merges_across_batches(spark, tmp_path):
     assert got["b"] == 3  # below-k exact
     # group 'a' is over k -> estimator path engaged (est from 8-element sketch)
     assert got["a"] > k
+
+
+def test_disorder_mode_max_pending_bounds_buffer(spark, tmp_path):
+    """max_pending caps the per-entity disorder buffer: a burst of
+    out-of-order rows inside the disorder bound force-flushes the OLDEST
+    (order, ts) prefix instead of growing state unboundedly. Emitted rows
+    keep exact (order, ts) order and batch-twin feature values; a straggler
+    older than a force-flushed row then drops via the beyond-bound-late
+    path. Pinned: with max_pending=2 a 5-row burst (nothing sealed by the
+    disorder bound) emits exactly the 3 oldest rows immediately."""
+    import os as _os
+
+    import pandas as pd
+
+    from funcify_feature_eng_spark.streaming.runner import stateful_turn_features_stream
+
+    def _df(rs):
+        return spark.createDataFrame(
+            [(c, i, r, pd.Timestamp(t).to_pydatetime()) for c, i, r, t in rs],
+            "conv_id string, turn_idx int, role string, ts timestamp",
+        )
+
+    src = str(tmp_path / "cap_src")
+    _os.makedirs(src, exist_ok=True)
+    # batch 1: burst of 5 rows for A, all within 600s disorder of max seen
+    # (max 400s - 600 < 0 → NOTHING sealed by the disorder rule). With
+    # max_pending=2, the 3 oldest (turns 0,1,2) force-flush; 3,4 stay.
+    _df([
+        ("A", 4, "user", "2024-01-01 00:06:40"),
+        ("A", 2, "tool", "2024-01-01 00:03:20"),
+        ("A", 0, "user", "2024-01-01 00:00:00"),
+        ("A", 3, "assistant", "2024-01-01 00:05:00"),
+        ("A", 1, "assistant", "2024-01-01 00:01:40"),
+    ]).coalesce(1).write.parquet(src + "/p1")
+    schema = _df([("A", 0, "user", "2024-01-01 00:00:00")]).schema
+    out_dir = str(tmp_path / "cap_out")
+    ckpt = str(tmp_path / "cap_ckpt")
+
+    def drain():
+        stream = spark.readStream.schema(schema).option("latestFirst", "false").parquet(src + "/p*")
+        q = (
+            stateful_turn_features_stream(
+                stream, gap_seconds=1800.0, state_ttl_s=3600.0,
+                max_disorder_s=600.0, max_pending=2,
+            )
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    drain()
+    after_b1 = spark.read.parquet(out_dir).filter("conv_id = 'A'")
+    got1 = after_b1.orderBy("turn_idx").toPandas()
+    # exactly the 3 oldest force-flushed, in order, with in-order features
+    assert got1["turn_idx"].tolist() == [0, 1, 2]
+    assert got1["prior_role"].tolist()[1:] == ["user", "assistant"]
+    assert got1["session_id"].tolist() == [0, 0, 0]
+
+    # batch 2: a straggler at/behind the force-flushed frontier drops
+    # (turn 1 duplicate-era row), while B advances the watermark so A's
+    # remaining pending tail (3, 4) flushes via the event-time timeout
+    _df([
+        ("A", 1, "tool", "2024-01-01 00:02:00"),
+        ("B", 0, "user", "2024-01-01 06:00:00"),
+    ]).coalesce(1).write.parquet(src + "/p2")
+    drain()
+    _df([("B", 1, "user", "2024-01-01 09:00:00")]).coalesce(1).write.parquet(src + "/p3")
+    drain()
+
+    got = (
+        spark.read.parquet(out_dir)
+        .filter("conv_id = 'A'")
+        .orderBy("turn_idx")
+        .toPandas()
+    )
+    assert got["turn_idx"].tolist() == [0, 1, 2, 3, 4]
+    # the straggler's role never appears: turn 1 is the original assistant
+    assert got["role"].tolist() == ["user", "assistant", "tool", "assistant", "user"]
+    # all one session (gaps < 1800s), features match the batch twin
+    assert got["session_id"].tolist() == [0, 0, 0, 0, 0]
+    assert got["prior_role"].tolist()[1:] == ["user", "assistant", "tool", "assistant"]
+
+
+def test_max_pending_requires_disorder_mode(spark):
+    from funcify_feature_eng_spark.streaming.runner import stateful_turn_features_stream
+
+    import pandas as pd
+
+    df = spark.readStream.format("rate").load()
+    with pytest.raises(ValueError, match="max_pending requires max_disorder_s"):
+        stateful_turn_features_stream(df, max_pending=10)
+    with pytest.raises(ValueError, match="max_pending must be >= 1"):
+        stateful_turn_features_stream(
+            df, max_disorder_s=10.0, state_ttl_s=100.0, max_pending=0
+        )
