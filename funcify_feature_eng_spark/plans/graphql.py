@@ -60,6 +60,7 @@ consistent, at the cost of that one corner of GraphQL literal semantics.
 from __future__ import annotations
 
 import re
+from collections.abc import Sequence
 from dataclasses import dataclass, field as dc_field
 from typing import Any
 
@@ -367,6 +368,10 @@ class LoweredRequest:
     filters: dict[str, Any]  # spine column (as written) -> literal/variable value
     transformer_calls: list[tuple[str, str, dict[str, Any]]]  # (out, name, args)
     operation: Operation
+    # out_name -> original document path ("dataElement.show.title") for
+    # precise validation errors; collection fields key as "coll.field",
+    # filters as "<grouping path>(arg)"
+    paths: dict[str, str] = None  # type: ignore[assignment]
 
 
 def lower_graphql(src: str, operation_name: str | None = None) -> LoweredRequest:
@@ -392,8 +397,9 @@ def lower_graphql(src: str, operation_name: str | None = None) -> LoweredRequest
     collections: dict[str, dict] = {}
     filters: dict[str, Any] = {}
     transformer_calls: list[tuple[str, str, dict[str, Any]]] = []
+    paths: dict[str, str] = {}
 
-    def add_leaf(f: Field) -> None:
+    def add_leaf(f: Field, prefix: str) -> None:
         # every leaf goes through 'features' (spec {} = plain passthrough):
         # dict insertion order IS the GraphQL selection order, so outputs
         # come back in document order regardless of alias/args
@@ -404,13 +410,15 @@ def lower_graphql(src: str, operation_name: str | None = None) -> LoweredRequest
             spec["feature"] = f.name
             spec["args"] = {k: _resolve_value(v, {}) for k, v in f.args.items()}
         features[f.out_name] = spec
+        paths[f.out_name] = f"{prefix}.{f.name}" if prefix else f.name
 
-    def add_collection(f: Field) -> None:
+    def add_collection(f: Field, prefix: str) -> None:
         if f.args:
             raise PlanError(
                 f"GraphQL: collection field {f.name!r} takes no arguments "
                 "(filters belong on the entity grouping field)"
             )
+        cpath = f"{prefix}.{f.name}" if prefix else f.name
         fields: dict[str, dict] = {}
         for leaf in f.selections or []:
             if leaf.selections is not None:
@@ -422,42 +430,48 @@ def lower_graphql(src: str, operation_name: str | None = None) -> LoweredRequest
                 "feature": leaf.name,
                 "args": {k: _resolve_value(v, {}) for k, v in leaf.args.items()},
             }
+            paths[f"{f.out_name}.{leaf.out_name}"] = f"{cpath}.{leaf.name}"
         collections[f.out_name] = {
             "fields": fields,
             "unnest": "unnest" in f.directives,
         }
+        paths[f.out_name] = cpath
 
-    def walk_data_element(sels: list[Field]) -> None:
+    def walk_data_element(sels: list[Field], prefix: str) -> None:
         for f in sels:
             if f.selections is None:
-                add_leaf(f)
+                add_leaf(f, prefix)
                 continue
             # grouping field (show/user/...): args are entity lookups,
             # children are the payload; a child WITH a selection set is a
             # collection (to-many relation)
+            gpath = f"{prefix}.{f.name}" if prefix else f.name
             for k, v in f.args.items():
                 filters[k] = _resolve_value(v, {})
+                paths[f"__filter__.{k}"] = f"{gpath}({k}:)"
             for child in f.selections:
                 if child.selections is None:
-                    add_leaf(child)
+                    add_leaf(child, gpath)
                 else:
-                    add_collection(child)
+                    add_collection(child, gpath)
 
-    def walk_transformer(sels: list[Field]) -> None:
+    def walk_transformer(sels: list[Field], prefix: str) -> None:
         for f in sels:
             if f.selections is not None and not f.args:
-                walk_transformer(f.selections)  # source-name grouping (jq)
+                # source-name grouping (jq)
+                walk_transformer(f.selections, f"{prefix}.{f.name}")
             else:
                 transformer_calls.append(
                     (f.out_name,
                      f.name,
                      {k: _resolve_value(v, {}) for k, v in f.args.items()})
                 )
+                paths[f.out_name] = f"{prefix}.{f.name}"
 
-    def walk_features(sels: list[Field]) -> None:
+    def walk_features(sels: list[Field], prefix: str) -> None:
         for f in sels:
             if f.selections is not None and not f.args:
-                walk_features(f.selections)  # feature-group wrapper
+                walk_features(f.selections, f"{prefix}.{f.name}")
             elif f.selections is not None:
                 raise PlanError(
                     f"GraphQL: feature {f.name!r} cannot both take arguments "
@@ -468,22 +482,23 @@ def lower_graphql(src: str, operation_name: str | None = None) -> LoweredRequest
                     "feature": f.name,
                     "args": {k: _resolve_value(v, {}) for k, v in f.args.items()},
                 }
+                paths[f.out_name] = f"{prefix}.{f.name}"
 
     top = _expand_fragments(op.selections, frags)
     wrapper_seen = any(f.name in _WRAPPERS for f in top)
     for f in top:
         if f.name in ("dataElement", "data_element") and f.selections:
-            walk_data_element(_expand_fragments(f.selections, frags))
+            walk_data_element(_expand_fragments(f.selections, frags), f.name)
         elif f.name == "transformer" and f.selections:
-            walk_transformer(f.selections)
+            walk_transformer(f.selections, f.name)
         elif f.name == "features" and f.selections:
-            walk_features(f.selections)
+            walk_features(f.selections, f.name)
         elif not wrapper_seen:
             # no domain wrappers: the whole selection set IS the data element
             if f.selections is None:
-                add_leaf(f)
+                add_leaf(f, "")
             else:
-                walk_data_element([f])
+                walk_data_element([f], "")
         else:
             raise PlanError(
                 f"GraphQL: unexpected top-level field {f.name!r} beside "
@@ -497,8 +512,109 @@ def lower_graphql(src: str, operation_name: str | None = None) -> LoweredRequest
         select["collections"] = collections
     return LoweredRequest(
         doc={"select": select}, filters=filters,
-        transformer_calls=transformer_calls, operation=op,
+        transformer_calls=transformer_calls, operation=op, paths=paths,
     )
+
+
+# ------------------------------------------------------------ validation
+
+
+def validate_request(
+    model: FeatureModel,
+    lowered: LoweredRequest,
+    spine_cols: Sequence[str],
+    variables: Sequence[str] = (),
+) -> None:
+    """Schema-aware document validation — the ParseAndValidate analog
+    (reference: documents are validated against the composed SDL schema
+    before planning,
+    ``DefaultMaterializationPreparsedDocumentProvider.kt:250-327``).
+
+    Every lowered selection must resolve against the DECLARED schema
+    (spine columns, features, aliases, registered sources, transformer
+    registry, declared variables) BEFORE J1 name resolution runs, so an
+    unknown field, transformer, or argument fails with ONE precise
+    PlanError naming the original document path — not a mid-compile
+    resolution error naming only the output column."""
+    paths = lowered.paths or {}
+
+    def _p(key: str, fallback: str) -> str:
+        return paths.get(key, fallback)
+
+    reg = model.registry
+    tx_outs = set()
+    for out, tname, targs in lowered.transformer_calls:
+        tx_outs.add(out)
+        where = _p(out, f"transformer.{tname}")
+        if tname not in reg:
+            raise PlanError(
+                f"GraphQL validation: unknown transformer at '{where}': "
+                f"{tname!r} is not registered (known: {reg.names()})"
+            )
+        t = reg.get(tname)
+        unknown = sorted(k for k in targs if k not in t.args)
+        if unknown:
+            raise PlanError(
+                f"GraphQL validation: unknown argument(s) {unknown} at "
+                f"'{where}' — transformer {t.name!r} declares "
+                f"{list(t.args)}"
+            )
+        missing = sorted(
+            a for a in t.args if a not in t.defaults and a not in targs
+        )
+        if missing:
+            raise PlanError(
+                f"GraphQL validation: missing required argument(s) "
+                f"{missing} at '{where}' — transformer {t.name!r} declares "
+                f"{list(t.args)} with defaults {sorted(t.defaults)}"
+            )
+        for k, v in targs.items():
+            if isinstance(v, str) and v.startswith("$") and v[1:] not in variables:
+                raise PlanError(
+                    f"GraphQL validation: argument {k!r} at '{where}' "
+                    f"references undeclared variable ${v[1:]} "
+                    f"(declared: {sorted(variables)})"
+                )
+
+    def _check_field(out: str, spec: dict, path_key: str) -> None:
+        name = spec.get("feature", out)
+        where = _p(path_key, name)
+        try:
+            model.resolve_name(name, spine_cols, variables)
+        except PlanError as e:
+            raise PlanError(
+                f"GraphQL validation: cannot resolve field '{where}': {e}"
+            ) from None
+        for k, v in (spec.get("args") or {}).items():
+            if isinstance(v, str) and v.startswith("$") and v[1:] not in variables:
+                raise PlanError(
+                    f"GraphQL validation: argument {k!r} at '{where}' "
+                    f"references undeclared variable ${v[1:]} "
+                    f"(declared: {sorted(variables)})"
+                )
+
+    select = lowered.doc.get("select", {})
+    for out, spec in select.get("features", {}).items():
+        if out in tx_outs:
+            continue
+        _check_field(out, spec, out)
+    for cname, cspec in select.get("collections", {}).items():
+        for fout, fspec in cspec.get("fields", {}).items():
+            _check_field(fout, fspec, f"{cname}.{fout}")
+    for col_name in lowered.filters:
+        where = _p(f"__filter__.{col_name}", col_name)
+        try:
+            kind, _ = model.resolve_name(col_name, spine_cols, variables)
+        except PlanError as e:
+            raise PlanError(
+                f"GraphQL validation: entity-lookup argument at '{where}' "
+                f"does not resolve: {e}"
+            ) from None
+        if kind not in ("column",):
+            raise PlanError(
+                f"GraphQL validation: entity-lookup argument at '{where}' "
+                f"resolved to a {kind}, expected a spine column"
+            )
 
 
 # ------------------------------------------------------------ execution
@@ -542,6 +658,10 @@ def materialize_graphql(
             f"GraphQL: variables {sorted(unknown)} are not declared by the "
             f"operation (declared: {sorted(op.variable_defs)})"
         )
+
+    # ParseAndValidate analog: every selection checked against the declared
+    # schema before any J1 resolution — precise errors name document paths
+    validate_request(model, lowered, spine.columns, tuple(merged_vars))
 
     # request-scoped model clone: ad-hoc transformer invocations register as
     # transformer features wired to synthesized literal variables (tier 6)

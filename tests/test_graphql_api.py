@@ -223,3 +223,113 @@ def test_graphql_plain_flat_query(spark):
     )
     assert out.columns == ["eventId", "userId", "priorEventType", "sess"]
     assert out.count() == 18
+
+
+# ------------------------------------------- schema-aware validation (r5)
+# The ParseAndValidate analog: selections validated against the DECLARED
+# model/source schema before J1 resolution, errors naming document paths
+# (DefaultMaterializationPreparsedDocumentProvider.kt:250-327).
+
+
+def test_validation_unknown_field_names_document_path(spark):
+    src = """
+    query Q {
+        dataElement {
+            user {
+                userId
+                bogusField
+            }
+        }
+    }
+    """
+    with pytest.raises(PlanError, match=r"dataElement\.user\.bogusField"):
+        materialize_graphql(_model(), _events(spark), src)
+
+
+def test_validation_unknown_collection_field_path(spark):
+    src = """
+    query Q {
+        dataElement {
+            user {
+                userId
+                turns { eventType nonsenseCol }
+            }
+        }
+    }
+    """
+    with pytest.raises(
+        PlanError, match=r"dataElement\.user\.turns\.nonsenseCol"
+    ):
+        materialize_graphql(_model(), _events(spark), src)
+
+
+def test_validation_unknown_transformer_path(spark):
+    src = """
+    query Q {
+        transformer { jq { x: not_a_transformer(input: 1) } }
+        features { userFeatures { userId } }
+    }
+    """
+    with pytest.raises(
+        PlanError,
+        match=r"unknown transformer at 'transformer\.jq\.not_a_transformer'",
+    ):
+        materialize_graphql(_model(), _events(spark), src)
+
+
+def test_validation_unknown_transformer_argument(spark):
+    src = """
+    query Q {
+        transformer { jq { x: negative_to_null(wrong_arg: 1) } }
+        features { userFeatures { userId } }
+    }
+    """
+    with pytest.raises(PlanError, match=r"unknown argument.*wrong_arg"):
+        materialize_graphql(_model(), _events(spark), src)
+
+
+def test_validation_missing_required_transformer_argument(spark):
+    src = """
+    query Q {
+        transformer { jq { x: negative_to_null } }
+        features { userFeatures { userId } }
+    }
+    """
+    with pytest.raises(PlanError, match=r"missing required argument.*input"):
+        materialize_graphql(_model(), _events(spark), src)
+
+
+def test_validation_undeclared_variable_in_arg(spark):
+    src = """
+    query Q {
+        features {
+            userFeatures {
+                s: session_id(gap_threshold_s: $nope)
+            }
+        }
+    }
+    """
+    with pytest.raises(
+        PlanError, match=r"undeclared variable \$nope"
+    ):
+        materialize_graphql(_model(), _events(spark), src)
+
+
+def test_validation_bad_entity_lookup_path(spark):
+    src = """
+    query Q {
+        dataElement {
+            user(no_such_col: 3) { userId }
+        }
+    }
+    """
+    with pytest.raises(
+        PlanError, match=r"dataElement\.user\(no_such_col:\)"
+    ):
+        materialize_graphql(_model(), _events(spark), src)
+
+
+def test_validation_passes_clean_document(spark):
+    # the full reference-shape query still validates and materializes
+    out = materialize_graphql(_model(), _events(spark), QUERY)
+    assert out.count() == 3
