@@ -2841,41 +2841,79 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+    # ORDERING CONTRACT (round 5): the driver snapshots the FIRST 50
+    # entries into CORRECTNESS_r{N}.json — its hard value gate. The first
+    # 50 therefore span EVERY operator family: windows/sessions/skew, the
+    # full as-of strategy matrix, request documents + GraphQL + validation,
+    # sources + the scalar/jq function library, aggregations and joins,
+    # feature store + validity intervals, stateful structured streaming,
+    # the dedup family (exact/minhash/simhash/ngram/line/CC/embedding),
+    # similarity + retrieval, mergeable sketches, and one representative
+    # each for sampling, the curation pipeline, text analysis, eval
+    # metrics, and multimodal. Entries 51+ are the family tails, verified
+    # by scripts/check_oracle.py into CORRECTNESS_local.json (same
+    # harness). Keep new entries AFTER position 50 unless they open a new
+    # family; never push a family's only representative past 50.
         "turn_features": q_turn_features,
         "sessionize": q_sessionize,
+        "window_fills": q_window_fills,
+        "turn_features_segmented": q_turn_features_segmented,
+        "top_events_per_user": q_top_events_per_user,
         "asof_prior_purchase": q_asof_prior_purchase,
         "asof_prior_purchase_merge": q_asof_prior_purchase_merge,
         "asof_prior_purchase_segmented": q_asof_prior_purchase_segmented,
+        "asof_tolerance": q_asof_tolerance,
         "next_purchase": q_next_purchase,
-        "next_purchase_shuffle": q_next_purchase_shuffle,
         "request_doc_features": q_request_doc_features,
         "request_doc_nested": q_request_doc_nested,
         "request_graphql_doc": q_request_graphql_doc,
-        "top_events_per_user": q_top_events_per_user,
-        "turn_features_segmented": q_turn_features_segmented,
-        "window_fills": q_window_fills,
+        "value_validation": q_value_validation,
+        "event_props_extract": q_event_props_extract,
+        "shows_reshaped": q_shows_reshaped,
         "golden_scalars": q_golden_scalars,
         "jq_transformers": q_jq_transformers,
         "doc_list_ops": q_doc_list_ops,
         "pricing_summary": q_pricing_summary,
+        "top_nations_revenue": q_top_nations_revenue,
+        "event_sequences": q_event_sequences,
+        "store_lifecycle": q_store_lifecycle,
+        "incremental_refresh": q_incremental_refresh,
+        "scd2_point_read": q_scd2_point_read,
+        "interval_context": q_interval_context,
+        "stream_turn_features": q_stream_turn_features,
+        "stream_disorder_features": q_stream_disorder_features,
+        "stream_dedup": q_stream_dedup,
+        "stream_kmv": q_stream_kmv,
         "dedup_exact": q_dedup_exact,
-        "doc_stats": q_doc_stats,
-        "lang_id": q_lang_id,
+        "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "simhash_near_pairs": q_simhash_near_pairs,
+        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "line_dedup": q_line_dedup,
+        "dup_clusters": q_dup_clusters,
+        "embedding_dup_pairs": q_embedding_dup_pairs,
         "ann_cosine_topk": q_ann_cosine_topk,
-        "ann_int8_topk": q_ann_int8_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
-        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "bm25_topk": q_bm25_topk,
+        "kmv_distinct": q_kmv_distinct,
+        "cms_tokens": q_cms_tokens,
+        "bloom_probe": q_bloom_probe,
+        "doc_split": q_doc_split,
+        "weighted_topk": q_weighted_topk,
+        "corpus_pipeline": q_corpus_pipeline,
+        "lang_id": q_lang_id,
+        "group_auc": q_group_auc,
+        "media_features": q_media_features,
+        # ---- entries 51+: family tails (locally gated) ----
+        "next_purchase_shuffle": q_next_purchase_shuffle,
+        "doc_stats": q_doc_stats,
+        "ann_int8_topk": q_ann_int8_topk,
         "doc_nfc": q_doc_nfc,
         "doc_repetition": q_doc_repetition,
         "doc_chunks": q_doc_chunks,
         "decontamination": q_decontamination,
         "corpus_curation": q_corpus_curation,
-        "corpus_pipeline": q_corpus_pipeline,
-        "shows_reshaped": q_shows_reshaped,
-        "doc_split": q_doc_split,
         "weighted_sample": q_weighted_sample,
-        "weighted_topk": q_weighted_topk,
         "budget_mixture": q_budget_mixture,
         "doc_shuffle": q_doc_shuffle,
         "length_buckets": q_length_buckets,
@@ -2886,11 +2924,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_histogram": q_value_histogram,
         "events_pivot": q_events_pivot,
         "doc_packing": q_doc_packing,
-        "dup_clusters": q_dup_clusters,
-        "minhash_lsh_pairs": q_minhash_lsh_pairs,
-        "simhash_near_pairs": q_simhash_near_pairs,
-        "top_nations_revenue": q_top_nations_revenue,
-        "event_sequences": q_event_sequences,
         "user_running_stats": q_user_running_stats,
         "rolling_time_stats": q_rolling_time_stats,
         "rolling_distinct": q_rolling_distinct,
@@ -2901,16 +2934,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temporal_split": q_temporal_split,
         "future_label": q_future_label,
         "session_features": q_session_features,
-        "interval_context": q_interval_context,
         "scd2_epochs": q_scd2_epochs,
-        "asof_tolerance": q_asof_tolerance,
-        "kmv_distinct": q_kmv_distinct,
         "kmv_overlap": q_kmv_overlap,
-        "group_auc": q_group_auc,
-        "cms_tokens": q_cms_tokens,
-        "bloom_probe": q_bloom_probe,
         "hist_quantiles": q_hist_quantiles,
-        "scd2_point_read": q_scd2_point_read,
         "calendar_features": q_calendar_features,
         "feature_cross": q_feature_cross,
         "resample_grid": q_resample_grid,
@@ -2921,28 +2947,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_rollup": q_events_rollup,
         "emb_centroids": q_emb_centroids,
         "doc_quality": q_doc_quality,
-        "event_props_extract": q_event_props_extract,
-        "embedding_dup_pairs": q_embedding_dup_pairs,
         "doc_bpe_tokens": q_doc_bpe_tokens,
         "doc_tokens_pandas": q_doc_tokens_pandas,
-        "media_features": q_media_features,
         "video_frame_features": q_video_frame_features,
-        "store_lifecycle": q_store_lifecycle,
         "doc_pii": q_doc_pii,
         "vocab_top_terms": q_vocab_top_terms,
-        "bm25_topk": q_bm25_topk,
         "hybrid_rrf": q_hybrid_rrf,
         "knn_label_eval": q_knn_label_eval,
-        "line_dedup": q_line_dedup,
         "doc_salient_terms": q_doc_salient_terms,
-        "stream_turn_features": q_stream_turn_features,
-        "stream_disorder_features": q_stream_disorder_features,
-        "stream_dedup": q_stream_dedup,
-        "stream_kmv": q_stream_kmv,
         "stream_model_features": q_stream_model_features,
         "store_compaction": q_store_compaction,
-        "incremental_refresh": q_incremental_refresh,
-        "value_validation": q_value_validation,
         "quota_sample": q_quota_sample,
         "chunk_ann_topk": q_chunk_ann_topk,
         "doc_oov_rate": q_doc_oov_rate,

@@ -86,6 +86,8 @@ def run_default() -> None:
     ensure_dataset(BENCH_DATA, n_convs=N_CONVS, seed=42, hot=HOT, n_files=64)
 
     times: dict[str, float] = {}
+    _canary(spark)  # untimed: first probe pays JIT/codegen warm-up (~10x),
+    # which would read as a steal window in the start/end comparison
     canary_start = _canary(spark)
     # flagship transcript workload (throughput metric): warm-up then
     # min-of-3 — the sandbox VM's available CPU drifts minute-to-minute,
@@ -100,17 +102,30 @@ def run_default() -> None:
     # "adjacent blocks" r4: the burst ended BETWEEN the blocks)
     bjob, bn, brestore = _bucketed_job(spark)
     flagship_runs, bucketed_runs, pair_ratios = [], [], []
+    # CANARY-GATED flagship block (round-4 verdict task 1): each alternating
+    # block is BRACKETED by canary probes; a block whose brackets disagree
+    # >1.5x ran inside a hypervisor-steal window and is retried (bounded).
+    # The artifact is self-qualifying: canaries + clean flag are published,
+    # and "degraded": true marks a suite where no clean window was found.
+    canaries = [canary_start]
+    flagship_block_clean = False
     try:
-        for _ in range(3):
-            t0 = time.time()
-            _force(flagship(spark, BENCH_DATA))
-            p = time.time() - t0
-            t0 = time.time()
-            _force(bjob())
-            b = time.time() - t0
-            flagship_runs.append(round(p, 3))
-            bucketed_runs.append(round(b, 3))
-            pair_ratios.append(round(p / b, 3))
+        for attempt in range(3):
+            for _ in range(3):
+                t0 = time.time()
+                _force(flagship(spark, BENCH_DATA))
+                p = time.time() - t0
+                t0 = time.time()
+                _force(bjob())
+                b = time.time() - t0
+                flagship_runs.append(round(p, 3))
+                bucketed_runs.append(round(b, 3))
+                pair_ratios.append(round(p / b, 3))
+            canaries.append(_canary(spark))
+            lo, hi = min(canaries[-2:]), max(canaries[-2:])
+            if hi <= 1.5 * lo:
+                flagship_block_clean = True
+                break
     finally:
         brestore()
     times["flagship_transcripts"] = min(flagship_runs)
@@ -145,6 +160,32 @@ def run_default() -> None:
     times["flagship_transcripts"] = min(flagship_runs)
     turns_per_sec = round(n_turns / times["flagship_transcripts"], 1)
     canary_end = _canary(spark)
+    canaries.append(canary_end)
+    suite_canary_clean = max(canary_start, canary_end) <= 1.5 * min(
+        canary_start, canary_end
+    )
+    degraded = not (flagship_block_clean and suite_canary_clean)
+
+    # streaming gates: harness cost (2 real micro-batches + state store +
+    # memory sink) vs the OPERATOR-ONLY cost, read off the already-timed
+    # batch twin running the same DAG shape (round-4 verdict task 9) — so
+    # an operator regression is visible even when harness noise dominates
+    stream_twins = {
+        "stream_turn_features": "turn_features",
+        "stream_disorder_features": "turn_features",
+        "stream_model_features": "turn_features",
+        "stream_dedup": "dedup_exact",
+        "stream_kmv": "kmv_distinct",
+    }
+    streaming_gates = {
+        s: {
+            "harness_sec": times[s],
+            "operator_only_sec": times.get(tw),
+            "operator_twin": tw,
+        }
+        for s, tw in stream_twins.items()
+        if s in times
+    }
 
     total = round(sum(times.values()), 3)
     print(json.dumps({
@@ -168,6 +209,15 @@ def run_default() -> None:
         "bucketed_runs_sec": bucketed_runs,
         "bucketed_pair_ratios": pair_ratios,
         "canary_range_sum_sec": {"start": canary_start, "end": canary_end},
+        # self-qualifying artifact: all canary probes in order (suite start,
+        # after each flagship block attempt, suite end); degraded=true means
+        # NO flagship block got agreeing brackets and/or the suite-level
+        # start/end probes disagree >1.5x — numbers then reflect VM steal,
+        # not code
+        "canaries_sec": canaries,
+        "flagship_block_clean": flagship_block_clean,
+        "degraded": degraded,
+        "streaming_gates": streaming_gates,
         # no silent caps: the two intrinsically-quadratic EXACT all-pairs
         # baselines run corpus-bounded in timing mode (their at-scale paths
         # are minhash_lsh_pairs / ann_lsh|ivf, benched uncapped)
@@ -179,13 +229,17 @@ def run_default() -> None:
             "one Spark session local[{}] sf{}; every query forced end-to-end "
             "via noop write, timed adaptive min-of-2..4 (re-run until best "
             "two samples agree within 50%); flagship = warm-up then "
-            "min over 3 head + 2 tail placements; bucketed flagship = "
+            "min over canary-BRACKETED alternating blocks (a block whose "
+            "bracketing range-sum probes disagree >1.5x is retried, max 3 "
+            "attempts) + 2 tail placements; bucketed flagship = "
             "pre-ingested bucketed+sorted table, timed strictly "
             "alternating with plain; bucketed_over_plain = ratio of "
             "per-side minima (steal only inflates, so each min is that "
             "side's cleanest window), per-pair ratios published; "
-            "canary = fixed range-sum probe at suite start/end exposing "
-            "VM steal windows".format(cpus, sf)
+            "degraded=true self-disqualifies the artifact (no clean "
+            "flagship bracket and/or suite start/end canaries disagree "
+            ">1.5x); streaming_gates pairs each harness cost with its "
+            "batch-twin operator-only cost".format(cpus, sf)
         ),
     }))
     spark.stop()
