@@ -25,8 +25,14 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-BENCH_DATA = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".data", "bench")
 N_CONVS = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "20000"))
+# fixture dir is conv-count-suffixed: ensure_dataset is idempotent per
+# ARGS but writes to fixed filenames, so two sizes sharing one dir would
+# leave the marker of one and the files of the other (a tiny smoke run
+# must never corrupt the driver's 20k-conv artifact)
+BENCH_DATA = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), ".data", f"bench_{N_CONVS}"
+)
 # scaling runs need a bigger fixture so JVM/scan fixed costs amortize
 N_CONVS_SCALING = int(os.environ.get("SPARK_GRAFT_SCALING_CONVS", "80000"))
 HOT = 20000
