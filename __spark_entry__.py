@@ -486,6 +486,18 @@ transformers:
     args: [input]
     jq: '.[1:3]'
     input_schema: {type: string}
+  - name: mb_floor
+    args: [input]
+    jq: 'min_by(floor)'
+    input_schema: {type: array}
+  - name: mv_obj
+    args: [input]
+    jq: 'map_values(. * 2.0) | .b'
+    input_schema: {type: object, properties: {a: {type: number}, b: {type: number}}}
+  - name: tf_i
+    args: [input]
+    jq: 'test("ER"; "i")'
+    input_schema: {type: string}
 """)
     ev = _t(spark, sf_dir, "events")
     return ev.select(
@@ -536,6 +548,14 @@ transformers:
         reg.get("re_parts")(F.col("event_type")).alias("rp"),
         reg.get("cap_name")(F.col("event_type")).alias("cn"),
         reg.get("str_mid")(F.col("event_type")).alias("sm"),
+        # wave-2: min_by fold, map_values over an object, test(re; flags)
+        reg.get("mb_floor")(
+            F.array(F.col("value"), F.col("value") * 2, F.lit(50.0))
+        ).alias("mbf"),
+        reg.get("mv_obj")(
+            F.struct(F.col("value").alias("a"), (F.col("value") * 2).alias("b"))
+        ).alias("mvo"),
+        reg.get("tf_i")(F.col("event_type")).alias("tfi"),
     )
 
 
@@ -3580,7 +3600,14 @@ SELECT event_id,
        CAST(len(regexp_split_to_array(event_type, '[ae]')) AS INT) AS rp,
        CASE WHEN regexp_matches(event_type, '^[a-z]+')
             THEN regexp_extract(event_type, '^([a-z]+)', 1) END AS cn,
-       event_type[2:3] AS sm
+       event_type[2:3] AS sm,
+       CASE WHEN floor(value) = least(floor(value), floor(value * 2), 50)
+                 THEN value
+            WHEN floor(value * 2) = least(floor(value), floor(value * 2), 50)
+                 THEN value * 2
+            ELSE 50.0 END AS mbf,
+       value * 2 * 2.0 AS mvo,
+       regexp_matches(event_type, '(?i)ER') AS tfi
 FROM events
 """,
         "golden_scalars": """

@@ -40,8 +40,12 @@ Supported subset (everything the reference ships, plus the common core):
   fails analysis with Spark's coercion error)
 - regex streams: ``capture("(?<name>re)")`` (→ struct of named groups),
   ``[splits(re)]`` / ``[splits(re) | f]`` (collected split stream; bare
-  ``splits`` outside ``[...]`` is rejected with the rewrite hint), and the
-  two-arg ``split(re; flags)`` regex form
+  ``splits`` outside ``[...]`` is rejected with the rewrite hint), the
+  two-arg ``split(re; flags)`` regex form and ``test(re; flags)``
+  (flags i/x/s)
+- ``min_by(f)``/``max_by(f)`` (aggregate fold: first-minimal /
+  last-maximal as jq's stable sort yields), ``map_values(f)`` and
+  ``del(.k)`` over both object backings, object ``length`` (key count)
 - array construction ``[a, b, ...]`` and object construction
   ``{k: f, "quoted key": g, shorthand}`` (→ struct)
 - stream-collect iteration ``[.[] | f]`` / ``[.path[] | f]`` (≡ ``map``,
@@ -169,14 +173,16 @@ _BUILTINS = {"length", "floor", "ceil", "fabs", "abs", "tostring", "tonumber",
 _ARG_BUILTINS = {"join", "split", "ltrimstr", "rtrimstr", "startswith",
                  "endswith", "test", "select", "map", "sort_by", "contains",
                  "with_entries", "group_by", "unique_by", "has", "in",
-                 "capture", "splits", "getpath"}
+                 "capture", "splits", "getpath",
+                 "min_by", "max_by", "map_values", "del"}
 # builtins with BOTH a zero-arg form (over a boolean array) and a
 # one-arg predicate form any(f)/all(f)
 _OPT_ARG_BUILTINS = {"any", "all"}
 # two-argument builtins, name(a; b) — jq separates arguments with ';'
 _ARG2_BUILTINS = {"sub", "gsub"}
-# builtins accepting one OR two arguments: split(s) literal / split(re; flags)
-_ARG12_BUILTINS = {"split"}
+# builtins accepting one OR two arguments: split(s) literal / split(re; flags),
+# test(re) / test(re; flags)
+_ARG12_BUILTINS = {"split", "test"}
 
 
 class _Parser:
@@ -876,6 +882,16 @@ def _builtin(name: str, cur: Column, t: str) -> tuple[Column, str]:
             return F.length(cur), "integer"
         if t in _NUMERIC:  # jq: length of a number is its absolute value
             return F.abs(cur), t
+        if t == "object":  # number of keys
+            if _map_backed(t):
+                return F.when(cur.isNotNull(), F.size(cur)), "integer"
+            keys = _obj_keys(t)
+            if keys is not None:
+                return F.when(cur.isNotNull(), F.lit(len(keys))), "integer"
+            raise ValueError(
+                "jq: length over an object needs declared keys or a MapType "
+                "(input_fields / map_input)"
+            )
         if t == "null":
             return F.lit(0), "integer"
         raise ValueError(f"jq: length on static type {t}")
@@ -1075,6 +1091,80 @@ def _call(name: str, arg_node, cur: Column, t: str) -> tuple[Column, str]:
         # unique_by: first element of each group = first occurrence in
         # original order (what jq's stable sort-then-group yields)
         return F.transform(grouped, lambda g: F.element_at(g, 1)), "array"
+    if name in ("min_by", "max_by"):
+        # jq: min_by returns the FIRST minimal element (stable sort + take
+        # first), max_by the LAST maximal — an aggregate fold keeps exactly
+        # that: min replaces the accumulator only on STRICTLY smaller keys,
+        # max replaces on greater-or-equal. Empty/null input → null (jq).
+        # Key order is jq's: null lowest.
+        if t not in ("array", "any"):
+            raise ValueError(f"jq: {name} on static type {t}")
+
+        def _key(x: Column) -> Column:
+            return _compile(arg_node, x, "any")[0]
+
+        def _klt(a: Column, b: Column) -> Column:
+            ka, kb = _key(a), _key(b)
+            return (ka.isNull() & kb.isNotNull()) | F.coalesce(ka < kb, F.lit(False))
+
+        if name == "min_by":
+            def upd(acc: Column, x: Column) -> Column:
+                return F.when(_klt(x, acc), x).otherwise(acc)
+        else:
+            def upd(acc: Column, x: Column) -> Column:
+                return F.when(_klt(x, acc), acc).otherwise(x)
+        head = F.try_element_at(cur, F.lit(1))
+        rest = F.slice(cur, 2, F.greatest(F.size(cur) - 1, F.lit(0)))
+        out = F.aggregate(rest, head, upd)
+        return F.when(cur.isNotNull() & (F.size(cur) > 0), out), "any"
+    if name == "map_values":
+        # jq map_values(f) over an object: apply f to each value
+        if t != "object":
+            raise ValueError(f"jq: map_values needs an object input (got {t})")
+        if _map_backed(t):
+            return (
+                F.transform_values(cur, lambda _k, v: _compile(arg_node, v, "any")[0]),
+                _ObjT(map_backed=True),
+            )
+        keys = _obj_keys(t)
+        if keys is None:
+            raise ValueError(
+                "jq: map_values needs the object's declared keys — declare "
+                "input_fields or construct the object with {...} first"
+            )
+        st = F.struct(
+            *[
+                _compile(arg_node, cur.getField(k), "any")[0].alias(k)
+                for k in keys
+            ]
+        )
+        return F.when(cur.isNotNull(), st), _ObjT(keys=list(keys))
+    if name == "del":
+        # del(.k): remove one field from an object (the common jq form;
+        # array-index del is out of the columnar subset)
+        if not (
+            arg_node[0] == "field" and arg_node[1] == ("identity",)
+        ):
+            raise ValueError("jq: del supports a single field path, del(.k)")
+        k = arg_node[2]
+        if t != "object":
+            raise ValueError(f"jq: del(.{k}) needs an object input (got {t})")
+        if _map_backed(t):
+            return (
+                F.map_filter(cur, lambda mk, _v: mk != F.lit(k)),
+                _ObjT(map_backed=True),
+            )
+        keys = _obj_keys(t)
+        if keys is None:
+            raise ValueError(
+                "jq: del needs the object's declared keys — declare "
+                "input_fields or construct the object with {...} first"
+            )
+        kept = [x for x in keys if x != k]
+        if not kept:
+            raise ValueError(f"jq: del(.{k}) would leave an empty object")
+        st = F.struct(*[cur.getField(x).alias(x) for x in kept])
+        return F.when(cur.isNotNull(), st), _ObjT(keys=kept)
     if name == "with_entries":
         # with_entries(f) ≡ to_entries | map(f) | from_entries
         ents, _et = _builtin("to_entries", cur, t)  # validates object input
@@ -1313,6 +1403,20 @@ def _call2(name: str, a1, a2, cur: Column, t: str) -> tuple[Column, str]:
         if "i" in flags:
             regex = "(?i)" + regex
         return F.split(cur, regex, -1), "array"
+    if name == "test":
+        # test(re; flags): i/x/s map onto Java inline flags; g is a no-op
+        # for a boolean test and jq's n (ignore-empty) has no analog here
+        regex, flags = a1[1], a2[1]
+        bad = set(flags) - set("ixsg")
+        if bad:
+            raise ValueError(
+                f"jq: test flags {''.join(sorted(bad))!r} unsupported "
+                "(supported: i, x, s; g is a no-op)"
+            )
+        inline = "".join(c for c in flags if c in "ixs")
+        if inline:
+            regex = f"(?{inline})" + regex
+        return cur.rlike(regex), "boolean"
     regex, repl = a1[1], _java_repl(a2[1])
     if name == "gsub":
         return F.regexp_replace(cur, regex, repl), "string"

@@ -610,3 +610,60 @@ def test_slice_goldens(spark):
     assert dfs.select(bs(F.col("v")).alias("o")).collect()[0]["o"] == "ell"
     with pytest.raises(ValueError, match="statically-typed"):
         compile_jq(".foo | .[1:2]", input_type="object")(F.lit("a"))
+
+
+# -------------------------------------------------- wave-2 builtins (r5)
+
+
+def test_min_by_max_by_goldens(spark):
+    # jq 1.7: [{k:1,v:"a"},{k:1,v:"b"},{k:2,v:"c"}] | min_by(.k) -> first
+    # minimal; max_by -> LAST maximal
+    df = spark.createDataFrame([([3.7, 1.2, 2.9, 1.4],)], "v array<double>")
+    b = compile_jq("min_by(floor)", input_type="array")
+    assert df.select(b(F.col("v")).alias("o")).collect()[0]["o"] == 1.2
+    b = compile_jq("max_by(floor)", input_type="array")
+    assert df.select(b(F.col("v")).alias("o")).collect()[0]["o"] == 3.7
+    # empty -> null (jq), null input -> null
+    de = spark.createDataFrame([([],), (None,)], "v array<double>")
+    b = compile_jq("min_by(.)", input_type="array")
+    got = [r["o"] for r in de.select(b(F.col("v")).alias("o")).collect()]
+    assert got == [None, None]
+
+
+def test_map_values_del_length_objects(spark):
+    df = spark.createDataFrame(
+        [({"x": 1, "y": 2}, (4, 9))],
+        "m map<string,int>, st struct<a:int,b:int>",
+    )
+    bm = compile_jq("map_values(. * 10) | .y", input_type="object", map_input=True)
+    assert df.select(bm(F.col("m")).alias("o")).collect()[0]["o"] == 20
+    bd = compile_jq("del(.x) | keys", input_type="object", map_input=True)
+    assert df.select(bd(F.col("m")).alias("o")).collect()[0]["o"] == ["y"]
+    bl = compile_jq("length", input_type="object", map_input=True)
+    assert df.select(bl(F.col("m")).alias("o")).collect()[0]["o"] == 2
+    bs = compile_jq(
+        "map_values(. + 1) | .b", input_type="object", input_fields=["a", "b"]
+    )
+    assert df.select(bs(F.col("st")).alias("o")).collect()[0]["o"] == 10
+    bsd = compile_jq("del(.a) | keys", input_type="object", input_fields=["a", "b"])
+    assert df.select(bsd(F.col("st")).alias("o")).collect()[0]["o"] == ["b"]
+    bsl = compile_jq("length", input_type="object", input_fields=["a", "b"])
+    assert df.select(bsl(F.col("st")).alias("o")).collect()[0]["o"] == 2
+    with pytest.raises(ValueError, match="single field path"):
+        compile_jq("del(.a.b)", input_type="object", input_fields=["a"])(F.lit(1))
+    with pytest.raises(ValueError, match="empty object"):
+        compile_jq("del(.a)", input_type="object", input_fields=["a"])(F.lit(1))
+
+
+def test_test_with_flags(spark):
+    df = spark.createDataFrame([("Hello-World",)], "v string")
+    for prog, want in [
+        ('test("hello"; "i")', True),
+        ('test("hello")', False),
+        ('test("h e l l o"; "ix")', True),
+        ('test("hello.world"; "is")', True),
+    ]:
+        b = compile_jq(prog, input_type="string")
+        assert df.select(b(F.col("v")).alias("o")).collect()[0]["o"] is want, prog
+    with pytest.raises(ValueError, match="unsupported"):
+        compile_jq('test("a"; "m")', input_type="string")(F.lit("a"))

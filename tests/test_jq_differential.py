@@ -278,6 +278,25 @@ def _call(name, arg, cur):
         # array form: index exists
         i = _ev(arg, cur)
         return 0 <= i < len(cur)
+    if name in ("min_by", "max_by"):
+        if not cur:
+            return None
+        best = cur[0]
+        for x in cur[1:]:
+            kx, kb = _ev(arg, x), _ev(arg, best)
+            def lt(a, b):
+                if a is None:
+                    return b is not None
+                if b is None:
+                    return False
+                return a < b
+            if name == "min_by":
+                if lt(kx, kb):
+                    best = x
+            else:
+                if not lt(kx, kb):
+                    best = x
+        return best
     if name in ("group_by", "unique_by"):
         # jq: stable sort by key, split into runs of null-safe-equal keys
         def _eq(a, b):
@@ -361,6 +380,10 @@ ARR_PROGRAMS = [
     "group_by(. > 0) | map(add)",
     "unique_by(floor) | length",
     "unique_by(floor) | map(floor)",
+    "min_by(floor) // -999",
+    "max_by(floor) // -999",
+    "min_by(- .) // -999",
+    "max_by(. * .) // -999",
 ]
 
 STR_PROGRAMS = [
