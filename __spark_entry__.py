@@ -456,7 +456,7 @@ transformers:
     input_schema: {type: object, properties: {a: {type: number}, b: {type: number}}}
   - name: double_a
     args: [input]
-    jq: 'with_entries({key: .key, value: (.value * 2.0)}) | .a'
+    jq: 'with_entries(.value |= (. * 2.0)) | .a'
     input_schema: {type: object, properties: {a: {type: number}, b: {type: number}}}
   - name: path_b
     args: [input]

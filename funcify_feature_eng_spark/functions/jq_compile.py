@@ -46,6 +46,9 @@ Supported subset (everything the reference ships, plus the common core):
 - ``min_by(f)``/``max_by(f)`` (aggregate fold: first-minimal /
   last-maximal as jq's stable sort yields), ``map_values(f)`` and
   ``del(.k)`` over both object backings, object ``length`` (key count)
+- update-assignment ``.k |= f`` on objects (one field; new value =
+  f(old value)) — including the canonical ``with_entries(.value |= f)``
+  / ``(.key |= f)`` forms (entry structs are typed ``{key, value}``)
 - array construction ``[a, b, ...]`` and object construction
   ``{k: f, "quoted key": g, shorthand}`` (→ struct)
 - stream-collect iteration ``[.[] | f]`` / ``[.path[] | f]`` (≡ ``map``,
@@ -128,7 +131,7 @@ _TOKEN_RE = re.compile(
   | (?P<str>"(?:[^"\\]|\\.)*")
   | (?P<field>\.[A-Za-z_][A-Za-z0-9_]*)
   | (?P<var>\$[A-Za-z_][A-Za-z0-9_]*)
-  | (?P<op>//|==|!=|<=|>=|\||<|>|\+|-|\*|/|%|\(|\)|\[|\]|\{|\}|\.|;|,|:)
+  | (?P<op>//|==|!=|<=|>=|\|=|\||<|>|\+|-|\*|/|%|\(|\)|\[|\]|\{|\}|\.|;|,|:)
   | (?P<ident>[A-Za-z_][A-Za-z0-9_]*)
     """,
     re.VERBOSE,
@@ -205,8 +208,17 @@ class _Parser:
         return t
 
     # pipe := alt ('as' var '|' pipe | ('|' alt ['as' var '|' pipe])*)
-    def pipe(self):
+    def _alt_update(self):
+        # assignment `PATH |= F` sits between pipe and alternative in jq's
+        # precedence: `a | .k |= f` parses as `a | (.k |= f)`
         node = self.alt()
+        if self.peek() == ("op", "|="):
+            self.next()
+            return ("update", node, self.alt())
+        return node
+
+    def pipe(self):
+        node = self._alt_update()
         if self.peek()[0] == "as":  # EXPR as $x | body — variable binding
             self.next()
             var = self.expect("var")[1][1:]
@@ -216,7 +228,7 @@ class _Parser:
             return ("bind", node, var, self.pipe())
         while self.peek() == ("op", "|"):
             self.next()
-            rhs = self.alt()
+            rhs = self._alt_update()
             if self.peek()[0] == "as":
                 # mid-pipe binding: `a | b as $x | c` ≡ a | (b as $x | c) —
                 # jq binds `as` tighter than the preceding pipe; within c,
@@ -755,6 +767,45 @@ def _compile(node, cur: Column, t: str) -> tuple[Column, str]:
             F.struct(*[_compile(n, cur, t)[0].alias(k) for k, n in node[1]]),
             _ObjT(keys=[k for k, _ in node[1]]),
         )
+    if kind == "update":
+        # PATH |= F: value at PATH replaced by F(old value) — the
+        # with_entries idiom (.value |= f). Columnar subset: one field on
+        # an object input.
+        tgt, rhs = node[1], node[2]
+        if not (tgt[0] == "field" and tgt[1] == ("identity",)):
+            raise ValueError("jq: |= supports a single field path, .k |= f")
+        k = tgt[2]
+        if t != "object":
+            raise ValueError(f"jq: .{k} |= needs an object input (got {t})")
+        if _map_backed(t):
+            return (
+                F.transform_values(
+                    cur,
+                    lambda mk, v: F.when(
+                        mk == F.lit(k), _compile(rhs, v, "any")[0]
+                    ).otherwise(v),
+                ),
+                _ObjT(map_backed=True),
+            )
+        keys = _obj_keys(t)
+        if keys is None:
+            raise ValueError(
+                "jq: |= needs the object's declared keys — declare "
+                "input_fields or construct the object with {...} first"
+            )
+        if k not in keys:
+            raise ValueError(f"jq: .{k} |= — unknown field (declared: {list(keys)})")
+        st = F.struct(
+            *[
+                (
+                    _compile(rhs, cur.getField(x), "any")[0]
+                    if x == k
+                    else cur.getField(x)
+                ).alias(x)
+                for x in keys
+            ]
+        )
+        return F.when(cur.isNotNull(), st), _ObjT(keys=list(keys))
     if kind == "slice":
         base, bt = _compile(node[1], cur, t)
         lo_i, hi_i = node[2], node[3]
@@ -1166,9 +1217,11 @@ def _call(name: str, arg_node, cur: Column, t: str) -> tuple[Column, str]:
         st = F.struct(*[cur.getField(x).alias(x) for x in kept])
         return F.when(cur.isNotNull(), st), _ObjT(keys=kept)
     if name == "with_entries":
-        # with_entries(f) ≡ to_entries | map(f) | from_entries
+        # with_entries(f) ≡ to_entries | map(f) | from_entries; entry
+        # elements are {key, value} structs — typing them unlocks the
+        # canonical `.value |= f` / `.key |= f` update forms inside f
         ents, _et = _builtin("to_entries", cur, t)  # validates object input
-        mapped = _map_impl(arg_node, ents)
+        mapped = _map_impl(arg_node, ents, _ObjT(keys=["key", "value"]))
         packed = F.transform(
             mapped,
             lambda e: F.struct(

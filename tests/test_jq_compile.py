@@ -667,3 +667,32 @@ def test_test_with_flags(spark):
         assert df.select(b(F.col("v")).alias("o")).collect()[0]["o"] is want, prog
     with pytest.raises(ValueError, match="unsupported"):
         compile_jq('test("a"; "m")', input_type="string")(F.lit("a"))
+
+
+def test_update_assignment(spark):
+    """`.k |= f` — jq update-assignment over both object backings, plus
+    the canonical with_entries(.value |= f) idiom (jq 1.7 goldens)."""
+    df = spark.createDataFrame(
+        [({"x": 1, "y": 2}, (4, 9))],
+        "m map<string,int>, st struct<a:int,b:int>",
+    )
+    b = compile_jq(".x |= (. + 100) | .x", input_type="object", map_input=True)
+    assert df.select(b(F.col("m")).alias("o")).collect()[0]["o"] == 101
+    b = compile_jq(
+        "with_entries(.value |= (. * 10)) | .y", input_type="object",
+        map_input=True,
+    )
+    assert df.select(b(F.col("m")).alias("o")).collect()[0]["o"] == 20
+    b = compile_jq(
+        ".b |= (. * 3) | .a + .b", input_type="object", input_fields=["a", "b"]
+    )
+    assert df.select(b(F.col("st")).alias("o")).collect()[0]["o"] == 31
+    b = compile_jq(
+        "with_entries(.key |= ascii_upcase) | keys",
+        input_type="object", input_fields=["a", "b"],
+    )
+    assert df.select(b(F.col("st")).alias("o")).collect()[0]["o"] == ["A", "B"]
+    with pytest.raises(ValueError, match="unknown field"):
+        compile_jq(".z |= 1", input_type="object", input_fields=["a"])(F.lit(1))
+    with pytest.raises(ValueError, match="single field path"):
+        compile_jq(".a.b |= 1", input_type="object", input_fields=["a"])(F.lit(1))
