@@ -167,6 +167,12 @@ def run_default() -> None:
     turns_per_sec = round(n_turns / times["flagship_transcripts"], 1)
     canary_end = _canary(spark)
     canaries.append(canary_end)
+    if max(canary_start, canary_end) > 1.5 * min(canary_start, canary_end):
+        # one disagreeing probe is as likely probe noise as suite steal —
+        # re-probe once to tell them apart (every probe is published); two
+        # disagreeing end probes = the suite really ended in a dirty window
+        canary_end = _canary(spark)
+        canaries.append(canary_end)
     suite_canary_clean = max(canary_start, canary_end) <= 1.5 * min(
         canary_start, canary_end
     )
