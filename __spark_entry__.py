@@ -1520,6 +1520,26 @@ def q_embedding_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs
 
 
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, public) in the gate: coarse-cluster the
+    embeddings on the same deterministic centroids as the IVF gate
+    (vec_id 1..16), drop every vector that has a smaller-id in-cluster
+    neighbor at floor-grid cosine >= 0.45, return the kept rows + cluster
+    (operators/similarity.py::semantic_dedup). Pair work is per-cluster
+    (sum |c|^2), never corpus-quadratic — the published semantic-dedup
+    recipe in its at-scale shape."""
+    from funcify_feature_eng_spark.operators.similarity import semantic_dedup
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cent_rows = (
+        emb.filter((F.col("vec_id") >= 1) & (F.col("vec_id") <= 16))
+        .orderBy("vec_id").select("embedding").collect()
+    )
+    centroids = [[float(x) for x in r[0]] for r in cent_rows]
+    kept = semantic_dedup(emb, centroids, threshold_grid=4500)
+    return kept.select("vec_id", "sem_cluster")
+
+
 def q_doc_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE-ish subword-proxy token count (regex class runs)."""
     from funcify_feature_eng_spark.functions.text import bpe_ish_token_count
@@ -2980,6 +3000,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quota_sample": q_quota_sample,
         "chunk_ann_topk": q_chunk_ann_topk,
         "doc_oov_rate": q_doc_oov_rate,
+        "semantic_dedup": q_semantic_dedup,
     }
 
 
@@ -4392,6 +4413,37 @@ FROM s
 """,
         "doc_pii": _doc_pii_sql(),
         "chunk_ann_topk": _chunk_ann_sql(),
+        # SemDeDup: identical coarse assignment as ann_ivf (cos DESC, cid
+        # DESC tie = Spark's greatest-struct larger-index-wins, minus 1 to
+        # the 0-based index), then the smaller-id in-cluster witness rule
+        # on the shared floor-1e4 grid
+        "semantic_dedup": """
+WITH cents AS (
+  SELECT vec_id AS cid, embedding::DOUBLE[] AS ce
+  FROM embeddings WHERE vec_id BETWEEN 1 AND 16
+),
+assigned AS (
+  SELECT e.vec_id, e.embedding::DOUBLE[] AS v,
+         (SELECT cid FROM cents
+           ORDER BY list_dot_product(e.embedding::DOUBLE[], ce) /
+                    (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) *
+                     sqrt(list_dot_product(ce, ce))) DESC,
+                    cid DESC
+           LIMIT 1) - 1 AS cl
+  FROM embeddings e
+),
+dropped AS (
+  SELECT DISTINCT b.vec_id
+  FROM assigned a JOIN assigned b ON a.cl = b.cl AND a.vec_id < b.vec_id
+  WHERE sqrt(list_dot_product(a.v, a.v)) > 0
+    AND sqrt(list_dot_product(b.v, b.v)) > 0
+    AND floor(list_dot_product(a.v, b.v) /
+              (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+              * 10000.0) >= 4500
+)
+SELECT vec_id, CAST(cl AS INT) AS sem_cluster
+FROM assigned WHERE vec_id NOT IN (SELECT vec_id FROM dropped)
+""",
         "doc_oov_rate": """
 WITH tk AS (
   SELECT doc_id,

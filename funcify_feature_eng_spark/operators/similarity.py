@@ -322,3 +322,68 @@ def cosine_topk_int8(
         score = F.round(score, round_to)
     scored = df.select(F.col(id_col), score.alias("qcos_sim"))
     return scored.orderBy(F.col("qcos_sim").desc(), F.col(id_col).asc()).limit(k)
+
+
+def semantic_dedup(
+    df: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold_grid: int = 9500,
+    grid: float = 10000.0,
+    cluster_col: str = "sem_cluster",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023, public:
+    "SemDeDup: Data-efficient learning at web-scale through semantic
+    deduplication"): coarse-cluster the embeddings, compute pairwise cosine
+    WITHIN each cluster only, and drop every row that has a higher-priority
+    semantic duplicate — an in-cluster row with a smaller id whose
+    floor-grid cosine reaches ``threshold_grid`` (on the ``grid`` scale,
+    e.g. 9500/1e4 = 0.95). Returns the kept rows with their cluster id.
+
+    The reference engine has no semantic-dedup operator; this extends the
+    dedup family (exact/minhash/simhash/ngram/embedding-grid) with the
+    published embedding-clustered method.
+
+    100 TB shape: the assignment is a pure map over plan-time centroid
+    literals (``ivf_assign`` — at ingest the table would be PARTITIONED by
+    cluster so this join prunes); the quadratic pair work is per-cluster
+    (sum of |c|^2, bounded by the quantizer's balance), never
+    corpus-quadratic; one shuffle on the cluster id for the self-join. The
+    keep rule is a deterministic pure function of (id, cluster, grid
+    cosine), so retries and layout changes keep identical rows — and the
+    floor-grid score is reproducible across engines (same convention as
+    the ann_*/embedding_dup_pairs gates).
+    """
+    from funcify_feature_eng_spark.functions.vectors import dot_raw, norm
+
+    assigned = ivf_assign(df, centroids, vec_col=vec_col, out_col=cluster_col)
+    ed = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    slim = assigned.select(
+        F.col(id_col), F.col(cluster_col),
+        ed.alias("__e"), norm(F.col(vec_col)).alias("__n"),
+    )
+    a = slim.select(
+        F.col(id_col).alias("__ida"), F.col(cluster_col).alias("__ca"),
+        F.col("__e").alias("__ea"), F.col("__n").alias("__na"),
+    )
+    b = slim.select(
+        F.col(id_col).alias("__idb"), F.col(cluster_col).alias("__cb"),
+        F.col("__e").alias("__eb"), F.col("__n").alias("__nb"),
+    )
+    cos_grid = F.floor(
+        dot_raw(F.col("__ea"), F.col("__eb"))
+        / (F.col("__na") * F.col("__nb"))
+        * F.lit(float(grid))
+    )
+    dropped = (
+        a.join(
+            b,
+            (F.col("__ca") == F.col("__cb")) & (F.col("__ida") < F.col("__idb")),
+        )
+        .filter((F.col("__na") > 0) & (F.col("__nb") > 0))
+        .filter(cos_grid >= F.lit(int(threshold_grid)))
+        .select(F.col("__idb").alias(id_col))
+        .distinct()
+    )
+    return assigned.join(dropped, on=id_col, how="left_anti")

@@ -384,3 +384,42 @@ def test_video_frame_sampling(spark):
 
     with _pytest.raises(Exception, match="frames, h, w"):
         sample_video_frames(img, every_k=2).collect()
+
+
+def test_semantic_dedup_planted_duplicates(spark):
+    """SemDeDup (similarity.semantic_dedup): planted near-identical vectors
+    in the same coarse cluster collapse to the smallest id; cross-cluster
+    near-identical vectors are NOT compared (the published recipe's scoping
+    rule — pair work is per-cluster only)."""
+    from funcify_feature_eng_spark.operators.similarity import semantic_dedup
+
+    centroids = [[1.0, 0.0], [0.0, 1.0]]
+    rows = [
+        (1, [10.0, 0.1]),    # cluster 0
+        (2, [10.0, 0.1001]), # cluster 0, near-dup of 1 -> dropped
+        (3, [9.0, 0.5]),     # cluster 0, distinct enough at 0.9999 grid? keep threshold high
+        (4, [0.1, 10.0]),    # cluster 1
+        (5, [0.1001, 10.0]), # cluster 1, near-dup of 4 -> dropped
+    ]
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id int, embedding array<float>",
+    )
+    kept = semantic_dedup(
+        df, centroids, threshold_grid=9999, grid=10000.0
+    )
+    got = {r["vec_id"]: r["sem_cluster"] for r in kept.collect()}
+    assert sorted(got) == [1, 3, 4]
+    assert got[1] == 0 and got[3] == 0 and got[4] == 1
+
+    # determinism: same input twice -> same kept set
+    again = {r["vec_id"] for r in semantic_dedup(
+        df, centroids, threshold_grid=9999).collect()}
+    assert again == {1, 3, 4}
+
+    # scoping: move 5 next to cluster-0's members in ANGLE but keep it in
+    # cluster 1 by construction impossible — instead verify the pair join
+    # never crosses clusters: with a threshold of 0 (everything in-cluster
+    # is a dup witness), survivors are exactly the min id per cluster
+    allpairs = semantic_dedup(df, centroids, threshold_grid=-10000)
+    assert {r["vec_id"] for r in allpairs.collect()} == {1, 4}
