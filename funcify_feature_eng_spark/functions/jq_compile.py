@@ -49,6 +49,9 @@ Supported subset (everything the reference ships, plus the common core):
 - update-assignment ``.k |= f`` on objects (one field; new value =
   f(old value)) — including the canonical ``with_entries(.value |= f)``
   / ``(.key |= f)`` forms (entry structs are typed ``{key, value}``)
+- arithmetic streams ``[range(n)]`` / ``[range(a;b)]`` /
+  ``[range(a;b;step)]`` / ``[range(...) | f]`` (end-exclusive, positive
+  integer step; → F.sequence, empty when a >= b)
 - array construction ``[a, b, ...]`` and object construction
   ``{k: f, "quoted key": g, shorthand}`` (→ struct)
 - stream-collect iteration ``[.[] | f]`` / ``[.path[] | f]`` (≡ ``map``,
@@ -177,7 +180,7 @@ _ARG_BUILTINS = {"join", "split", "ltrimstr", "rtrimstr", "startswith",
                  "endswith", "test", "select", "map", "sort_by", "contains",
                  "with_entries", "group_by", "unique_by", "has", "in",
                  "capture", "splits", "getpath",
-                 "min_by", "max_by", "map_values", "del"}
+                 "min_by", "max_by", "map_values", "del", "range"}
 # builtins with BOTH a zero-arg form (over a boolean array) and a
 # one-arg predicate form any(f)/all(f)
 _OPT_ARG_BUILTINS = {"any", "all"}
@@ -405,6 +408,14 @@ class _Parser:
                 t = self.next()
                 if t != ("op", ")"):
                     raise ValueError(f"jq parse: expected ')' after {v} args, got {t}")
+                if v == "range":  # range(n) / range(a;b) / range(a;b;step)
+                    if len(args) == 1:
+                        return ("range", ("lit", 0), args[0], ("lit", 1))
+                    if len(args) == 2:
+                        return ("range", args[0], args[1], ("lit", 1))
+                    if len(args) == 3:
+                        return ("range", args[0], args[1], args[2])
+                    raise ValueError("jq: range takes 1-3 arguments")
                 one_ok = (v in _ARG_BUILTINS or v in _OPT_ARG_BUILTINS
                           or v in _ARG12_BUILTINS)
                 two_ok = v in _ARG2_BUILTINS or v in _ARG12_BUILTINS
@@ -725,7 +736,8 @@ def _compile(node, cur: Column, t: str) -> tuple[Column, str]:
             head_is_splits = (
                 stages[0][0] == "call" and stages[0][1] == "splits"
             )
-            if stages[0][0] == "iterate" or head_is_splits:
+            head_is_range = stages[0][0] == "range"
+            if stages[0][0] == "iterate" or head_is_splits or head_is_range:
                 if head_is_splits:
                     # [splits(re) | f] — regex-split stream collected
                     if t not in ("string", "any"):
@@ -734,6 +746,35 @@ def _compile(node, cur: Column, t: str) -> tuple[Column, str]:
                     if sa[0] != "lit" or not isinstance(sa[1], str):
                         raise ValueError("jq: splits requires a literal regex")
                     base = F.split(cur, sa[1], -1)
+                elif head_is_range:
+                    # [range(a;b;step)] — arithmetic stream collected.
+                    # jq range yields a, a+step, ... < b (end-exclusive);
+                    # integer-valued args, positive step (the columnar
+                    # subset; F.sequence with start>stop would silently
+                    # DESCEND, so empty ranges guard explicitly)
+                    lo = _compile(stages[0][1], cur, t)[0].cast("long")
+                    hi = _compile(stages[0][2], cur, t)[0].cast("long")
+                    step_n = stages[0][3]
+                    neg_lit = (
+                        step_n[0] == "neg"
+                        and step_n[1][0] == "lit"
+                        and isinstance(step_n[1][1], (int, float))
+                    )
+                    zero_or_neg = (
+                        step_n[0] == "lit"
+                        and isinstance(step_n[1], (int, float))
+                        and step_n[1] <= 0
+                    )
+                    if neg_lit or zero_or_neg:
+                        raise ValueError(
+                            "jq: range step must be positive in the "
+                            "columnar subset"
+                        )
+                    st = _compile(step_n, cur, t)[0].cast("long")
+                    last = lo + F.floor((hi - lo - 1) / st).cast("long") * st
+                    base = F.when(hi > lo, F.sequence(lo, last, st)).otherwise(
+                        F.array().cast("array<bigint>")
+                    )
                 else:
                     base, bt = _compile(stages[0][1], cur, t)
                     if bt not in ("array", "any"):
@@ -751,6 +792,10 @@ def _compile(node, cur: Column, t: str) -> tuple[Column, str]:
         raise ValueError(
             "jq: bare .[] produces a stream; in the columnar subset wrap it "
             "as [.[] | ...] (≡ map) so the result is a single array value")
+    if kind == "range":
+        raise ValueError(
+            "jq: range(...) produces a stream; in the columnar subset wrap "
+            "it as [range(a;b)] (→ array) or [range(n) | f]")
     if kind == "interp":
         # string interpolation "\(f)-\(g)": non-string parts render via
         # tostring; jq renders null as the 4-char string "null"

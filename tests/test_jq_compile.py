@@ -696,3 +696,24 @@ def test_update_assignment(spark):
         compile_jq(".z |= 1", input_type="object", input_fields=["a"])(F.lit(1))
     with pytest.raises(ValueError, match="single field path"):
         compile_jq(".a.b |= 1", input_type="object", input_fields=["a"])(F.lit(1))
+
+
+def test_range_collect_forms(spark):
+    """[range(...)] — jq's arithmetic stream collected to an array
+    (end-exclusive; jq 1.7: [range(4)] == [0,1,2,3])."""
+    df = spark.createDataFrame([(5.0,)], "n double")
+
+    def run(prog):
+        b = compile_jq(prog, input_type="number")
+        return df.select(b(F.col("n")).alias("o")).collect()[0]["o"]
+
+    assert run("[range(4)]") == [0, 1, 2, 3]
+    assert run("[range(1; 4)]") == [1, 2, 3]
+    assert run("[range(0; 10; 3)]") == [0, 3, 6, 9]
+    assert run("[range(.)] | length") == 5
+    assert run("[range(4) | . * 2] | add") == 12.0
+    assert run("[range(3; 1)]") == []  # empty, not descending
+    with pytest.raises(ValueError, match="wrap"):
+        compile_jq("range(3)", input_type="number")(F.lit(1.0))
+    with pytest.raises(ValueError, match="positive"):
+        compile_jq("[range(3; 0; -1)]", input_type="number")(F.lit(1.0))
