@@ -1540,6 +1540,28 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.select("vec_id", "sem_cluster")
 
 
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-incremental exact dedup (operators/dedup.py::
+    incremental_exact_dedup): the documents table ingested as two
+    id-ordered batches; batch 2 dedups against itself AND batch 1's
+    fingerprint table (8 bytes/doc — the only state carried between
+    ingests). The oracle is the WHOLE-CORPUS min-id rule over the same
+    normalization, i.e. the gate hashes the incremental ≡ one-pass
+    equivalence itself. At 100 TB each ingest shuffles only the new
+    batch's fingerprints and anti-joins a bucketed fingerprint store,
+    instead of re-shuffling everything ever seen."""
+    from funcify_feature_eng_spark.operators.dedup import incremental_exact_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    lo, hi = docs.agg(F.min("doc_id"), F.max("doc_id")).head()
+    split = (int(lo) + int(hi)) // 2
+    b1 = docs.filter(F.col("doc_id") <= split)
+    b2 = docs.filter(F.col("doc_id") > split)
+    kept1, fps1 = incremental_exact_dedup(b1, None, "doc_id", "text")
+    kept2, _fps2 = incremental_exact_dedup(b2, fps1, "doc_id", "text")
+    return kept1.select("doc_id", "lang").union(kept2.select("doc_id", "lang"))
+
+
 def q_doc_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE-ish subword-proxy token count (regex class runs)."""
     from funcify_feature_eng_spark.functions.text import bpe_ish_token_count
@@ -3001,6 +3023,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_ann_topk": q_chunk_ann_topk,
         "doc_oov_rate": q_doc_oov_rate,
         "semantic_dedup": q_semantic_dedup,
+        "incremental_dedup": q_incremental_dedup,
     }
 
 
@@ -4413,6 +4436,18 @@ FROM s
 """,
         "doc_pii": _doc_pii_sql(),
         "chunk_ann_topk": _chunk_ann_sql(),
+        # incremental ≡ one-pass: min doc_id per fingerprint64-normalized
+        # text (lower / trim / whitespace collapse), engine-agnostic on the
+        # normalized string rather than the hash
+        "incremental_dedup": r"""
+WITH norm AS (
+  SELECT doc_id, lang,
+         lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS k
+  FROM documents
+)
+SELECT doc_id, lang FROM norm
+WHERE doc_id IN (SELECT MIN(doc_id) FROM norm GROUP BY k)
+""",
         # SemDeDup: identical coarse assignment as ann_ivf (cos DESC, cid
         # DESC tie = Spark's greatest-struct larger-index-wins, minus 1 to
         # the 0-based index), then the smaller-id in-cluster witness rule

@@ -524,3 +524,49 @@ def simhash_near_pairs(
     pairs = pairs.localCheckpoint()
     sh.unpersist()
     return pairs
+
+
+def incremental_exact_dedup(
+    new_df: DataFrame,
+    seen_fingerprints: DataFrame | None,
+    id_col: str,
+    text_col: str,
+    fp_col: str = "fingerprint",
+) -> tuple[DataFrame, DataFrame]:
+    """Snapshot-incremental exact dedup: dedup a NEW batch against itself
+    and against the historical fingerprint table, without touching the
+    historical corpus rows.
+
+    Returns ``(kept, new_fingerprints)``: the surviving new rows, and the
+    fingerprints to append to the store (so the next batch sees them).
+    ``seen_fingerprints`` is a one-column frame of prior ``fp_col`` values
+    (or None for the first batch).
+
+    At 100 TB this is THE dedup shape for a growing corpus: each ingest
+    shuffles only the new batch's 8-byte fingerprints; the historical side
+    is a semi-join against a fingerprint table that is itself a tiny
+    fraction of corpus bytes (8 bytes/doc), bucketed by fingerprint so the
+    anti-join is co-located. Re-running the whole-corpus dedup per ingest
+    would re-shuffle everything ever seen; this touches O(batch) + a
+    pruned probe of the store. The within-batch rule is the same
+    deterministic min-id winner as ``exact_dedup``, so
+    incremental-over-batches ≡ one whole-corpus pass whenever ids are
+    globally ordered by batch (oracle-gated equivalence).
+    """
+    fp = fingerprint64(F.col(text_col))
+    batch = new_df.withColumn(fp_col, fp)
+    w = Window.partitionBy(fp_col).orderBy(F.col(id_col).asc())
+    batch_winners = (
+        batch.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    if seen_fingerprints is not None:
+        kept = batch_winners.join(
+            seen_fingerprints.select(F.col(fp_col)).distinct(),
+            on=fp_col,
+            how="left_anti",
+        )
+    else:
+        kept = batch_winners
+    return kept.drop(fp_col), batch.select(fp_col).distinct()

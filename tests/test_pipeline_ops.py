@@ -423,3 +423,35 @@ def test_semantic_dedup_planted_duplicates(spark):
     # is a dup witness), survivors are exactly the min id per cluster
     allpairs = semantic_dedup(df, centroids, threshold_grid=-10000)
     assert {r["vec_id"] for r in allpairs.collect()} == {1, 4}
+
+
+def test_incremental_exact_dedup_matches_one_pass(spark):
+    """incremental_exact_dedup: batch-2 rows duplicating batch-1 texts drop
+    via the fingerprint store; within-batch dups keep the min id; the
+    chained result equals one whole-corpus exact_dedup pass when ids are
+    ordered by batch."""
+    from funcify_feature_eng_spark.operators.dedup import (
+        exact_dedup,
+        incremental_exact_dedup,
+    )
+
+    rows = [
+        (1, "alpha text"),
+        (2, "beta text"),
+        (3, "alpha text"),      # in-batch dup of 1 -> dropped
+        (10, "beta  text"),     # cross-batch dup of 2 (ws-normalized) -> dropped
+        (11, "gamma text"),
+        (12, "GAMMA TEXT"),     # in-batch dup of 11 (case-normalized) -> dropped
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    b1 = df.filter("doc_id <= 3")
+    b2 = df.filter("doc_id > 3")
+    kept1, fps1 = incremental_exact_dedup(b1, None, "doc_id", "text")
+    kept2, fps2 = incremental_exact_dedup(b2, fps1, "doc_id", "text")
+    got = sorted(r["doc_id"] for r in kept1.union(kept2).collect())
+    assert got == [1, 2, 11]
+    # equivalence with the one-pass operator
+    one_pass = sorted(r["doc_id"] for r in exact_dedup(df, "doc_id", "text").collect())
+    assert got == one_pass
+    # the appended fingerprint set covers batch 2's distinct texts
+    assert fps2.count() == 2  # beta-normalized, gamma-normalized
