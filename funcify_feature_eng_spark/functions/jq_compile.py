@@ -46,9 +46,11 @@ Supported subset (everything the reference ships, plus the common core):
 - ``min_by(f)``/``max_by(f)`` (aggregate fold: first-minimal /
   last-maximal as jq's stable sort yields), ``map_values(f)`` and
   ``del(.k)`` over both object backings, object ``length`` (key count)
-- update-assignment ``.k |= f`` on objects (one field; new value =
-  f(old value)) — including the canonical ``with_entries(.value |= f)``
-  / ``(.key |= f)`` forms (entry structs are typed ``{key, value}``)
+- assignments on objects (one field): update ``.k |= f`` (f sees the OLD
+  field value) and plain ``.k = f`` (f evaluates against the root; new
+  keys extend the object) — including the canonical
+  ``with_entries(.value |= f)`` / ``(.key |= f)`` forms (entry structs
+  are typed ``{key, value}``)
 - arithmetic streams ``[range(n)]`` / ``[range(a;b)]`` /
   ``[range(a;b;step)]`` / ``[range(...) | f]`` (end-exclusive, positive
   integer step; → F.sequence, empty when a >= b)
@@ -134,7 +136,7 @@ _TOKEN_RE = re.compile(
   | (?P<str>"(?:[^"\\]|\\.)*")
   | (?P<field>\.[A-Za-z_][A-Za-z0-9_]*)
   | (?P<var>\$[A-Za-z_][A-Za-z0-9_]*)
-  | (?P<op>//|==|!=|<=|>=|\|=|\||<|>|\+|-|\*|/|%|\(|\)|\[|\]|\{|\}|\.|;|,|:)
+  | (?P<op>//|==|!=|<=|>=|\|=|=|\||<|>|\+|-|\*|/|%|\(|\)|\[|\]|\{|\}|\.|;|,|:)
   | (?P<ident>[A-Za-z_][A-Za-z0-9_]*)
     """,
     re.VERBOSE,
@@ -212,12 +214,15 @@ class _Parser:
 
     # pipe := alt ('as' var '|' pipe | ('|' alt ['as' var '|' pipe])*)
     def _alt_update(self):
-        # assignment `PATH |= F` sits between pipe and alternative in jq's
-        # precedence: `a | .k |= f` parses as `a | (.k |= f)`
+        # assignments `PATH |= F` / `PATH = F` sit between pipe and
+        # alternative in jq's precedence: `a | .k |= f` ≡ `a | (.k |= f)`
         node = self.alt()
         if self.peek() == ("op", "|="):
             self.next()
             return ("update", node, self.alt())
+        if self.peek() == ("op", "="):
+            self.next()
+            return ("assign", node, self.alt())
         return node
 
     def pipe(self):
@@ -851,6 +856,41 @@ def _compile(node, cur: Column, t: str) -> tuple[Column, str]:
             ]
         )
         return F.when(cur.isNotNull(), st), _ObjT(keys=list(keys))
+    if kind == "assign":
+        # PATH = F: value at PATH set to F evaluated against the INPUT (jq:
+        # `.a = .b` reads .b from the root) — unlike |=, whose F sees the
+        # old field value. New keys are allowed (jq object extension).
+        tgt, rhs = node[1], node[2]
+        if not (tgt[0] == "field" and tgt[1] == ("identity",)):
+            raise ValueError("jq: = supports a single field path, .k = f")
+        k = tgt[2]
+        if t != "object":
+            raise ValueError(f"jq: .{k} = needs an object input (got {t})")
+        val = _compile(rhs, cur, t)[0]
+        if _map_backed(t):
+            # drop any existing k, then concat the new entry (map_concat
+            # raises on duplicate keys under the default dedup policy)
+            return (
+                F.map_concat(
+                    F.map_filter(cur, lambda mk, _v: mk != F.lit(k)),
+                    F.create_map(F.lit(k), val),
+                ),
+                _ObjT(map_backed=True),
+            )
+        keys = _obj_keys(t)
+        if keys is None:
+            raise ValueError(
+                "jq: = needs the object's declared keys — declare "
+                "input_fields or construct the object with {...} first"
+            )
+        out_keys = list(keys) if k in keys else list(keys) + [k]
+        st = F.struct(
+            *[
+                (val if x == k else cur.getField(x)).alias(x)
+                for x in out_keys
+            ]
+        )
+        return F.when(cur.isNotNull(), st), _ObjT(keys=out_keys)
     if kind == "slice":
         base, bt = _compile(node[1], cur, t)
         lo_i, hi_i = node[2], node[3]

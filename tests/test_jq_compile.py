@@ -717,3 +717,26 @@ def test_range_collect_forms(spark):
         compile_jq("range(3)", input_type="number")(F.lit(1.0))
     with pytest.raises(ValueError, match="positive"):
         compile_jq("[range(3; 0; -1)]", input_type="number")(F.lit(1.0))
+
+
+def test_plain_assignment(spark):
+    """`.k = f` — jq plain assignment: f evaluates against the ROOT (unlike
+    |=, which sees the old field value); new keys extend the object."""
+    df = spark.createDataFrame(
+        [({"x": 1, "y": 2}, (4, 9))],
+        "m map<string,int>, st struct<a:int,b:int>",
+    )
+    b = compile_jq(".a = .b | .a", input_type="object", input_fields=["a", "b"])
+    assert df.select(b(F.col("st")).alias("o")).collect()[0]["o"] == 9
+    b = compile_jq(
+        ".c = (.a + .b) | keys", input_type="object", input_fields=["a", "b"]
+    )
+    assert df.select(b(F.col("st")).alias("o")).collect()[0]["o"] == ["a", "b", "c"]
+    b = compile_jq(".z = 7 | keys", input_type="object", map_input=True)
+    assert df.select(b(F.col("m")).alias("o")).collect()[0]["o"] == ["x", "y", "z"]
+    # comparison `==` still tokenizes as one operator next to `=`
+    b = compile_jq(".a = .b | .a == .b", input_type="object",
+                   input_fields=["a", "b"])
+    assert df.select(b(F.col("st")).alias("o")).collect()[0]["o"] is True
+    with pytest.raises(ValueError, match="single field path"):
+        compile_jq(".a[0] = 1", input_type="object", input_fields=["a"])(F.lit(1))
