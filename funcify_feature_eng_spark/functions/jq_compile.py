@@ -536,20 +536,34 @@ def _parse_string(body: str):
             # Nested string literals arrive as \"...\" regions (the outer
             # string token escapes their quotes) — parens inside them are
             # literal text and must NOT count toward the balance.
-            depth, j, in_str = 1, i + 2, False
+            # scan in outer-token UNITS (\x is one unit). Inside a nested
+            # string, the unit \\ is the INNER escape introducer: the unit
+            # after it is literal, so an inner escaped quote (\\ then \")
+            # must not toggle the delimiter state.
+            depth, j, in_str, inner_esc = 1, i + 2, False, False
             while j < len(body) and depth:
                 ch = body[j]
                 if ch == "\\" and j + 1 < len(body):
-                    if body[j + 1] == '"':
-                        in_str = not in_str
+                    unit = body[j + 1]
                     j += 2
+                    if in_str:
+                        if inner_esc:
+                            inner_esc = False
+                        elif unit == "\\":
+                            inner_esc = True
+                        elif unit == '"':
+                            in_str = False
+                    elif unit == '"':
+                        in_str = True
                     continue
-                if not in_str:
-                    if ch == "(":
-                        depth += 1
-                    elif ch == ")":
-                        depth -= 1
                 j += 1
+                if in_str:
+                    inner_esc = False
+                    continue
+                if ch == "(":
+                    depth += 1
+                elif ch == ")":
+                    depth -= 1
             if depth:
                 raise ValueError(f"jq: unterminated \\( in string {body!r}")
             if buf:
@@ -820,7 +834,9 @@ def _compile(node, cur: Column, t: str) -> tuple[Column, str]:
     if kind == "update":
         # PATH |= F: value at PATH replaced by F(old value) — the
         # with_entries idiom (.value |= f). Columnar subset: one field on
-        # an object input.
+        # an object input. As in jq, an ABSENT key is added with F(null)
+        # (jq: `.z |= f` ≡ `.z = (.z | f)`; null routes through our
+        # documented SQL null propagation).
         tgt, rhs = node[1], node[2]
         if not (tgt[0] == "field" and tgt[1] == ("identity",)):
             raise ValueError("jq: |= supports a single field path, .k |= f")
@@ -828,12 +844,14 @@ def _compile(node, cur: Column, t: str) -> tuple[Column, str]:
         if t != "object":
             raise ValueError(f"jq: .{k} |= needs an object input (got {t})")
         if _map_backed(t):
+            # old value (NULL when absent) → f → re-insert: handles both
+            # existing and new keys (transform_values alone would silently
+            # no-op absent keys)
+            val = _compile(rhs, cur.getItem(k), "any")[0]
             return (
-                F.transform_values(
-                    cur,
-                    lambda mk, v: F.when(
-                        mk == F.lit(k), _compile(rhs, v, "any")[0]
-                    ).otherwise(v),
+                F.map_concat(
+                    F.map_filter(cur, lambda mk, _v: mk != F.lit(k)),
+                    F.create_map(F.lit(k), val),
                 ),
                 _ObjT(map_backed=True),
             )
@@ -843,19 +861,16 @@ def _compile(node, cur: Column, t: str) -> tuple[Column, str]:
                 "jq: |= needs the object's declared keys — declare "
                 "input_fields or construct the object with {...} first"
             )
-        if k not in keys:
-            raise ValueError(f"jq: .{k} |= — unknown field (declared: {list(keys)})")
+        out_keys = list(keys) if k in keys else list(keys) + [k]
+        old = cur.getField(k) if k in keys else F.lit(None)
+        new_val = _compile(rhs, old, "any" if k in keys else "null")[0]
         st = F.struct(
             *[
-                (
-                    _compile(rhs, cur.getField(x), "any")[0]
-                    if x == k
-                    else cur.getField(x)
-                ).alias(x)
-                for x in keys
+                (new_val if x == k else cur.getField(x)).alias(x)
+                for x in out_keys
             ]
         )
-        return F.when(cur.isNotNull(), st), _ObjT(keys=list(keys))
+        return F.when(cur.isNotNull(), st), _ObjT(keys=out_keys)
     if kind == "assign":
         # PATH = F: value at PATH set to F evaluated against the INPUT (jq:
         # `.a = .b` reads .b from the root) — unlike |=, whose F sees the
@@ -928,12 +943,23 @@ def _compile(node, cur: Column, t: str) -> tuple[Column, str]:
         if t in match:
             return cur, t
         if t == "any":
+            if want == "nulls":
+                # null-ness is per-ROW data, not a static property of the
+                # column — narrowing to "null" here would constant-fold
+                # downstream builtins (null|length == 0) onto NON-null rows.
+                # Unlike the other filters there is no Spark-analysis
+                # backstop, so reject with the rewrite.
+                raise ValueError(
+                    "jq: `nulls` over an untyped path is per-row, not "
+                    "static — write the value test explicitly "
+                    "(e.g. `if . == null then ... end` or `select(. == null)`)"
+                )
             # NARROW: the filter is a static type assertion over an
             # untyped path — downstream stages get the asserted type (a
             # wrong assertion fails at Spark analysis, same as jq's error)
             return cur, {
                 "numbers": "number", "strings": "string", "arrays": "array",
-                "booleans": "boolean", "nulls": "null",
+                "booleans": "boolean",
             }[want]
         # static mismatch: empty stream → NULL (scalar collapse, see module doc)
         return F.lit(None), "null"

@@ -561,12 +561,15 @@ def incremental_exact_dedup(
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
+    new_fps = batch.select(fp_col).distinct()
     if seen_fingerprints is not None:
-        kept = batch_winners.join(
-            seen_fingerprints.select(F.col(fp_col)).distinct(),
-            on=fp_col,
-            how="left_anti",
-        )
+        seen = seen_fingerprints.select(F.col(fp_col)).distinct()
+        kept = batch_winners.join(seen, on=fp_col, how="left_anti")
+        # append ONLY novel fingerprints: returning the full batch set
+        # would write duplicate store rows every ingest, growing the
+        # "8 bytes/doc" store as O(sum of per-batch distinct) instead of
+        # O(global distinct) and inflating every later anti-join
+        new_fps = new_fps.join(seen, on=fp_col, how="left_anti")
     else:
         kept = batch_winners
-    return kept.drop(fp_col), batch.select(fp_col).distinct()
+    return kept.drop(fp_col), new_fps

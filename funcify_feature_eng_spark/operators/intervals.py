@@ -154,7 +154,12 @@ def interval_join(
     # a second pass over `joined` (cheap: it is the already-joined frame),
     # never a second interval join
     payload = [c for c in intervals.columns if c not in keys]
-    matched_ids = joined.select(*fact.columns).distinct()
+    # backtick-quote every name-based reference below: a fact column whose
+    # NAME contains a dot (legal in Spark) must not parse as a nested ref
+    def _bq(c: str):
+        return F.col("`" + c.replace("`", "``") + "`")
+
+    matched_ids = joined.select(*[_bq(c) for c in fact.columns]).distinct()
     # NULL-safe anti-join: the fact spine routinely carries NULL-able feature
     # columns, and a null-unsafe `on=fact.columns` would fail to match a row
     # against itself whenever any column is NULL — emitting it twice (once
@@ -165,10 +170,11 @@ def interval_join(
     m_side = matched_ids.alias("__ij_m")
     anti_cond = None
     for c in fact.columns:
-        eq = F.col(f"__ij_f.{c}").eqNullSafe(F.col(f"__ij_m.{c}"))
+        esc = c.replace("`", "``")
+        eq = F.col(f"__ij_f.`{esc}`").eqNullSafe(F.col(f"__ij_m.`{esc}`"))
         anti_cond = eq if anti_cond is None else (anti_cond & eq)
     unmatched = f_side.join(m_side, on=anti_cond, how="left_anti").select(
-        *fact.columns
+        *[_bq(c) for c in fact.columns]
     )
     for c in payload:
         unmatched = unmatched.withColumn(

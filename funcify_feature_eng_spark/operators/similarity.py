@@ -359,10 +359,17 @@ def semantic_dedup(
 
     assigned = ivf_assign(df, centroids, vec_col=vec_col, out_col=cluster_col)
     ed = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    # persist the thin (id, cluster, vec, norm) projection: without it the
+    # centroid-assignment expression (greatest over all centroids)
+    # recomputes on BOTH self-join sides and again in the final join —
+    # three full scans of the largest table. The persist is released
+    # before returning (minhash convention): the survivor list is
+    # checkpointed below, so no executor storage outlives the call beyond
+    # the tiny (id, cluster) frame.
     slim = assigned.select(
         F.col(id_col), F.col(cluster_col),
         ed.alias("__e"), norm(F.col(vec_col)).alias("__n"),
-    )
+    ).persist()
     a = slim.select(
         F.col(id_col).alias("__ida"), F.col(cluster_col).alias("__ca"),
         F.col("__e").alias("__ea"), F.col("__n").alias("__na"),
@@ -386,4 +393,11 @@ def semantic_dedup(
         .select(F.col("__idb").alias(id_col))
         .distinct()
     )
-    return assigned.join(dropped, on=id_col, how="left_anti")
+    # survivors + their cluster come from the persisted slim frame; the
+    # checkpoint materializes them eagerly (assignment evaluated once),
+    # then the heavyweight persist is released before returning
+    kept = slim.select(F.col(id_col), F.col(cluster_col)).join(
+        dropped, on=id_col, how="left_anti"
+    ).localCheckpoint()
+    slim.unpersist()
+    return df.join(kept, on=id_col, how="inner")

@@ -697,17 +697,12 @@ def materialize_graphql(
 
     filtered = spine
     for col_name, v in lowered.filters.items():
-        kind, resolved = req.resolve_name(col_name, spine.columns, tuple(merged_vars))
-        if kind == "variable":
-            raise PlanError(
-                f"GraphQL: entity-lookup argument {col_name!r} must name a "
-                "spine column"
-            )
-        if kind != "column":
-            raise PlanError(
-                f"GraphQL: entity-lookup argument {col_name!r} resolved to a "
-                f"{kind}, expected a spine column"
-            )
+        # kind == "column" is guaranteed by validate_request above (the
+        # single owner of the entity-lookup contract); this resolution only
+        # fetches the resolved spine column name
+        _kind, resolved = req.resolve_name(
+            col_name, spine.columns, tuple(merged_vars)
+        )
         value = v
         if isinstance(v, str) and v.startswith("$"):
             vname = v[1:]

@@ -425,3 +425,14 @@ def test_plan_layer_asof_tolerance_and_strategy(spark, change_log):
     # ts=21: last change at 20 (gap 1s <= 60) -> C; ts=500: last at 40,
     # gap 460s > 60 -> stale, NULL
     assert got == {0: "C", 1: None}
+
+
+def test_left_join_dotted_fact_column_name(spark, facts, intervals):
+    """Regression: a fact column whose NAME contains a dot (legal in Spark)
+    must survive the null-safe anti-join — string-path F.col would parse it
+    as a nested reference."""
+    facts_d = facts.withColumn("a.b", F.lit("v"))
+    out = interval_join(facts_d, intervals, on="user_id", how="left")
+    rows = out.collect()
+    assert len(rows) == len(EXPECTED) + 1  # e5 unmatched, once
+    assert all(r["`a.b`" if False else "a.b"] == "v" for r in rows)

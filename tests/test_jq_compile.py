@@ -692,8 +692,16 @@ def test_update_assignment(spark):
         input_type="object", input_fields=["a", "b"],
     )
     assert df.select(b(F.col("st")).alias("o")).collect()[0]["o"] == ["A", "B"]
-    with pytest.raises(ValueError, match="unknown field"):
-        compile_jq(".z |= 1", input_type="object", input_fields=["a"])(F.lit(1))
+    # jq: updating an ABSENT key adds it with f(null) (null propagates
+    # through our documented SQL semantics)
+    dfa = spark.createDataFrame([((4,),)], "st struct<a:int>")
+    b = compile_jq(".z |= 1 | .z", input_type="object", input_fields=["a"])
+    assert dfa.select(b(F.col("st")).alias("o")).collect()[0]["o"] == 1
+    b = compile_jq(".z |= (. // 5) | .z", input_type="object", input_fields=["a"])
+    assert dfa.select(b(F.col("st")).alias("o")).collect()[0]["o"] == 5
+    bm = compile_jq(".z |= 7 | .z", input_type="object", map_input=True)
+    dfm = spark.createDataFrame([({"x": 1},)], "m map<string,int>")
+    assert dfm.select(bm(F.col("m")).alias("o")).collect()[0]["o"] == 7
     with pytest.raises(ValueError, match="single field path"):
         compile_jq(".a.b |= 1", input_type="object", input_fields=["a"])(F.lit(1))
 
@@ -740,3 +748,21 @@ def test_plain_assignment(spark):
     assert df.select(b(F.col("st")).alias("o")).collect()[0]["o"] is True
     with pytest.raises(ValueError, match="single field path"):
         compile_jq(".a[0] = 1", input_type="object", input_fields=["a"])(F.lit(1))
+
+
+def test_interpolation_nested_escaped_quote(spark):
+    r"""An interpolated expression containing an ESCAPED quote inside a
+    nested string literal — jq source "x\(sub("\"";"q"))" — must balance
+    correctly (the inner \\ + \" pair is one escaped character at the
+    nested level, not a delimiter)."""
+    # outer-escaped form (the tokenizer delivers nested strings as \"..\"
+    # regions): jq source "x\(sub(\"\\\"\"; \"q\"))" — sub replaces the
+    # first quote character with q inside the interpolation
+    prog = r'"x\(sub(\"\\\"\"; \"q\"))"'
+    b = compile_jq(prog, input_type="string")
+    df = spark.createDataFrame([('a"b',)], "v string")
+    assert df.select(b(F.col("v")).alias("o")).collect()[0]["o"] == "xaqb"
+    # the round-4 case stays fixed: a paren inside a nested string
+    b2 = compile_jq(r'"y\(ltrimstr(\"(\"))"', input_type="string")
+    df2 = spark.createDataFrame([("(z",)], "v string")
+    assert df2.select(b2(F.col("v")).alias("o")).collect()[0]["o"] == "yz"

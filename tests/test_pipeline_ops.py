@@ -453,5 +453,7 @@ def test_incremental_exact_dedup_matches_one_pass(spark):
     # equivalence with the one-pass operator
     one_pass = sorted(r["doc_id"] for r in exact_dedup(df, "doc_id", "text").collect())
     assert got == one_pass
-    # the appended fingerprint set covers batch 2's distinct texts
-    assert fps2.count() == 2  # beta-normalized, gamma-normalized
+    # the appended fingerprint set carries ONLY batch 2's NOVEL texts
+    # (beta is already in the store; re-appending it would grow the store
+    # per-batch instead of per-global-distinct)
+    assert fps2.count() == 1  # gamma-normalized only
