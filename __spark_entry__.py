@@ -1562,6 +1562,40 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept1.select("doc_id", "lang").union(kept2.select("doc_id", "lang"))
 
 
+def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance selection (operators/selection.py::dsir_select;
+    Xie et al. 2023, arXiv:2302.03169): the 200 documents whose hashed
+    unigram+bigram distribution is most English-target-like (target =
+    lang='en', raw = whole corpus). Integer micro-nat bucket scores are
+    computed once driver-side from exact collected counts (bounded to
+    n_buckets=4096 rows), so engine arithmetic stays integer-exact.
+    Oracle = fixture precomputed by an INDEPENDENT pure-Python xxh64 +
+    counting pipeline (scripts/make_fixtures.py::dsir_topk). Params must
+    mirror make_fixtures.DSIR."""
+    from funcify_feature_eng_spark.operators.selection import dsir_select
+
+    docs = _t(spark, sf_dir, "documents")
+    return dsir_select(
+        docs, "doc_id", "text", F.col("lang") == "en", k=200, n_buckets=4096
+    )
+
+
+def q_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source frequency cap (operators/selection.py::frequency_cap,
+    RefinedWeb/C4-style domain capping): at most 10 documents per source,
+    chosen by the knuth multiplicative key (hash=False — the SQL twin) with
+    doc_id tie-break, via the TWO-PHASE hot-group path (salted local prune
+    to cap, then the per-group window over <= cap x n_salts survivors);
+    pytest pins two_phase == single-window. Oracle recomputes the same
+    rank in pure SQL."""
+    from funcify_feature_eng_spark.operators.selection import frequency_cap
+
+    docs = _t(spark, sf_dir, "documents")
+    return frequency_cap(
+        docs, "source", "doc_id", 10, hash=False, two_phase=True
+    ).select("doc_id", "source")
+
+
 def q_doc_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE-ish subword-proxy token count (regex class runs)."""
     from funcify_feature_eng_spark.functions.text import bpe_ish_token_count
@@ -3024,6 +3058,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_oov_rate": q_doc_oov_rate,
         "semantic_dedup": q_semantic_dedup,
         "incremental_dedup": q_incremental_dedup,
+        "dsir_select": q_dsir_select,
+        "source_cap": q_source_cap,
     }
 
 
@@ -4834,4 +4870,23 @@ FROM c GROUP BY event_type
             + _fixture_values("simhash_pairs_sf0.01.parquet", ["doc_a", "doc_b", "hamming"])
             + ")"
         ),
+        # DSIR top-k: independent pure-Python xxh64 + integer micro-nat
+        # scoring pipeline (scripts/make_fixtures.py::dsir_topk)
+        "dsir_select": _fixture_values(
+            "dsir_topk_sf0.01.parquet", ["doc_id", "dsir_score"]
+        ),
+        # frequency_cap hash=False: same knuth multiplicative rank in SQL.
+        # (doc_id % 2^31) * 2654435761 < 2^63, no BIGINT wrap.
+        "source_cap": """
+WITH ranked AS (
+  SELECT doc_id, source,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY ((doc_id % 2147483648) * 2654435761) % 4294967296 ASC,
+                    doc_id ASC
+         ) AS rn
+  FROM documents
+)
+SELECT doc_id, source FROM ranked WHERE rn <= 10
+""",
     }

@@ -1,0 +1,226 @@
+"""Data-selection operators for LLM training-corpus curation.
+
+Two first-class curation ops a 100 TB pipeline needs beyond dedup/sampling:
+
+* :func:`dsir_scores` / :func:`dsir_select` — Data Selection via Importance
+  Resampling (DSIR; Xie et al. 2023, arXiv:2302.03169, public): score every
+  raw document by how target-like its hashed n-gram distribution is, then
+  keep the top-k. The published method fits two bag-of-hashed-ngrams
+  unigram models (target vs raw) and weights each doc by the log-likelihood
+  ratio; the sampling step here is the deterministic top-k variant so the
+  result is reproducible and oracle-checkable (documented divergence from
+  the paper's Gumbel resampling).
+* :func:`frequency_cap` — per-group document cap (RefinedWeb/C4-style
+  domain capping): keep at most ``cap`` documents per group, chosen by a
+  deterministic pseudo-random order so no content bias sneaks in.
+
+Scale design (100 TB posture):
+
+* DSIR shuffles only O(n_buckets) count rows (map-side combined), never
+  text; the bucket→score table (default 4096 rows of two ints) is computed
+  once driver-side from the collected counts — a bounded collect in the
+  same class as IVF's centroid collect — and broadcast back, so the scoring
+  pass is explode → broadcast hash join → one map-side-combined sum per
+  doc. Integer micro-nat scores make the result independent of engine float
+  `ln` (the same hazard BM25 rationalized away).
+* frequency_cap's default path is a single window; ``two_phase=True``
+  pre-prunes each salted partition to ``cap`` rows before the per-group
+  window, so a pathologically hot group shuffles at most cap × n_salts
+  rows into the final sort instead of its full population.
+
+This extends the reference's transformer surface (no counterpart there —
+the reference's selection story stops at GraphQL argument filtering,
+`materializer/.../DefaultSingleRequestMaterializationGraphService.kt`);
+it is part of the beyond-reference LLM-pipeline tier alongside
+``operators/dedup.py`` and ``operators/sampling.py``.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import shingles
+from .sampling import knuth_key
+
+__all__ = ["dsir_scores", "dsir_select", "frequency_cap"]
+
+
+def _grams(c: Column) -> Column:
+    """Word unigrams + bigrams (the DSIR paper's hashed n-gram features).
+
+    Reuses :func:`~funcify_feature_eng_spark.functions.text.shingles`
+    (k=1 and k=2) so the tokenization is byte-identical to the dedup
+    family and its locked pure-Python twin (`scripts/make_fixtures.py::
+    _shingles`). Empty/NULL text contributes the single empty-string gram
+    each (shingles' short-input convention), identically on both sides.
+    """
+    return F.concat(shingles(c, 1), shingles(c, 2))
+
+
+def _bucket_scores(
+    pair_counts: list[tuple[int, int, int]],
+    n_buckets: int,
+    smoothing: int,
+    scale: int,
+) -> list[tuple[int, int]]:
+    """Integer micro-nat log-likelihood-ratio score per bucket.
+
+    score_b = round(scale * ln( p_target(b) / p_raw(b) )) with add-
+    ``smoothing`` Laplace estimates. Computed in driver Python from exact
+    integer counts, so the only float op (`math.log`) runs once per bucket
+    in one interpreter — engine-side arithmetic stays integer-exact.
+    """
+    total_raw = sum(r for _, r, _ in pair_counts)
+    total_tgt = sum(t for _, _, t in pair_counts)
+    denom_raw = total_raw + smoothing * n_buckets
+    denom_tgt = total_tgt + smoothing * n_buckets
+    out: list[tuple[int, int]] = []
+    for b, r, t in pair_counts:
+        llr = (
+            math.log(t + smoothing)
+            - math.log(denom_tgt)
+            - math.log(r + smoothing)
+            + math.log(denom_raw)
+        )
+        out.append((b, int(math.floor(llr * scale + 0.5))))
+    return out
+
+
+def dsir_scores(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    target: Column,
+    *,
+    n_buckets: int = 4096,
+    smoothing: int = 1,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Score every row by target-likeness (DSIR importance weight).
+
+    ``target`` is a boolean Column marking the in-``df`` rows that define
+    the target distribution (e.g. ``F.col("lang") == "en"``); the raw
+    distribution is all of ``df``. Returns ``(id_col, dsir_score)`` with
+    ``dsir_score: bigint`` = sum over the doc's gram occurrences of the
+    bucket's integer micro-nat log-likelihood ratio. Higher = more
+    target-like. Deterministic given the corpus.
+
+    Plan shape: one explode+count pass (shuffle = O(n_buckets) rows), a
+    bounded driver collect of the count table, then one explode + broadcast
+    join + map-side-combined sum keyed by ``id_col``.
+    """
+    if n_buckets <= 0:
+        raise ValueError("n_buckets must be positive")
+    spark = df.sparkSession
+    exploded = df.select(
+        F.col(id_col),
+        target.cast("boolean").alias("__is_tgt"),
+        F.explode(_grams(F.col(text_col))).alias("__g"),
+    ).withColumn("__b", F.pmod(F.xxhash64(F.col("__g")), F.lit(n_buckets)))
+
+    counts = (
+        exploded.groupBy("__b")
+        .agg(
+            F.count(F.lit(1)).alias("__raw"),
+            F.sum(F.when(F.col("__is_tgt"), 1).otherwise(0)).alias("__tgt"),
+        )
+        .collect()  # bounded: at most n_buckets rows (default 4096)
+    )
+    pair_counts = [(int(r["__b"]), int(r["__raw"]), int(r["__tgt"])) for r in counts]
+    if not any(t for _, _, t in pair_counts):
+        raise ValueError("dsir_scores: target predicate selected no rows")
+    score_rows = _bucket_scores(pair_counts, n_buckets, smoothing, scale)
+    # Buckets absent from the corpus never appear in any doc, so they need
+    # no score row; the broadcast table is <= n_buckets rows of two longs.
+    score_df = spark.createDataFrame(score_rows, "__b: long, __s: long")
+
+    return (
+        exploded.join(F.broadcast(score_df), on="__b", how="inner")
+        .groupBy(id_col)
+        .agg(F.sum("__s").alias("dsir_score"))
+    )
+
+
+def dsir_select(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    target: Column,
+    k: int,
+    *,
+    n_buckets: int = 4096,
+    smoothing: int = 1,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Keep the ``k`` most target-like documents (deterministic DSIR).
+
+    Top-k by ``(dsir_score desc, id asc)`` — the id tie-break makes the
+    boundary reproducible (integer scores tie exactly, never by float
+    noise). Spark plans the orderBy+limit as TakeOrderedAndProject (per-
+    partition heap + driver merge of k rows), so no global sort happens.
+    """
+    scored = dsir_scores(
+        df, id_col, text_col, target,
+        n_buckets=n_buckets, smoothing=smoothing, scale=scale,
+    )
+    return (
+        scored.orderBy(F.col("dsir_score").desc(), F.col(id_col).asc())
+        .limit(k)
+        .select(id_col, "dsir_score")
+    )
+
+
+def frequency_cap(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    cap: int,
+    *,
+    hash: bool = True,
+    two_phase: bool = False,
+    n_salts: int = 16,
+) -> DataFrame:
+    """Keep at most ``cap`` rows per ``group_col`` (domain capping).
+
+    The kept rows are the ``cap`` smallest under a deterministic
+    pseudo-random order key — ``xxhash64(id)`` (``hash=True``, the scale
+    path) or the module's knuth multiplicative key (``hash=False``, the
+    SQL-oracle-expressible twin used across ``operators/sampling.py``) —
+    with ``id_col`` as the tie-break, so the selection is content-unbiased
+    and reproducible.
+
+    ``two_phase=True`` is the hot-group path: rows are first ranked within
+    (group, salt) partitions — salt = pmod(key, n_salts), so the phase-1
+    window's partition count is n_salts× the group count and no single
+    sort sees a whole hot group — and pruned to ``cap`` each; only
+    cap × n_salts survivors per group reach the final per-group window.
+    Identical output to the single-window path (both rank by the same
+    (key, id) order; phase 1 only discards rows that provably cannot be in
+    the group's true top-``cap``).
+    """
+    if cap <= 0:
+        raise ValueError("cap must be positive")
+    key = (F.xxhash64(F.col(id_col)) if hash else knuth_key(id_col)).alias("__fc_key")
+    from pyspark.sql import Window
+
+    ranked = df.withColumn("__fc_key", key)
+    if two_phase:
+        salted = Window.partitionBy(
+            group_col, F.pmod(F.col("__fc_key"), F.lit(n_salts))
+        ).orderBy(F.col("__fc_key").asc(), F.col(id_col).asc())
+        ranked = (
+            ranked.withColumn("__fc_local", F.row_number().over(salted))
+            .where(F.col("__fc_local") <= cap)
+            .drop("__fc_local")
+        )
+    w = Window.partitionBy(group_col).orderBy(
+        F.col("__fc_key").asc(), F.col(id_col).asc()
+    )
+    return (
+        ranked.withColumn("__fc_rank", F.row_number().over(w))
+        .where(F.col("__fc_rank") <= cap)
+        .drop("__fc_rank", "__fc_key")
+    )

@@ -15,6 +15,7 @@ stale fixture fails fast.
 
 from __future__ import annotations
 
+import math
 import os
 import re
 import sys
@@ -35,6 +36,9 @@ FIXDIR = os.path.join(REPO, "fixtures")
 MINHASH = dict(num_hashes=64, bands=16, shingle_k=3, verify_threshold=0.5,
                bucket_cap=64, prefilter_margin=0.25)
 SIMHASH = dict(max_hamming=3, bucket_cap=256)
+# parameters MUST mirror __spark_entry__.q_dsir_select
+DSIR = dict(n_buckets=4096, smoothing=1, scale=1_000_000, k=200,
+            target_lang="en")
 
 
 # Java/Spark semantics, NOT Python's: Spark trim() strips only the SPACE
@@ -324,6 +328,51 @@ def kmv_overlap_counts(
     return out
 
 
+def dsir_topk(rows: list[tuple[int, str, str]]) -> list[tuple[int, int]]:
+    """Independent pure-Python DSIR top-k (mirror of operators/selection.py).
+
+    rows = (doc_id, text, lang); target distribution = lang == DSIR
+    ['target_lang'], raw = all rows. Grams are word unigrams + bigrams via
+    the same ``_shingles`` twin the dedup fixtures use; buckets are
+    ``spark_xxhash64(gram) % n_buckets`` (Python ``%`` on a positive
+    modulus == Spark pmod); bucket scores are integer micro-nat
+    log-likelihood ratios ``floor(scale*llr + 0.5)``.
+    """
+    p = DSIR
+    nb, a, scale = p["n_buckets"], p["smoothing"], p["scale"]
+    raw: Counter = Counter()
+    tgt: Counter = Counter()
+    per_doc: list[tuple[int, list[int]]] = []
+    for doc_id, text, lang in rows:
+        text = text or ""
+        grams = _shingles(text, 1) + _shingles(text, 2)
+        bs = [spark_xxhash64(g) % nb for g in grams]
+        per_doc.append((doc_id, bs))
+        raw.update(bs)
+        if lang == p["target_lang"]:
+            tgt.update(bs)
+    denom_raw = sum(raw.values()) + a * nb
+    denom_tgt = sum(tgt.values()) + a * nb
+    score = {
+        b: int(
+            math.floor(
+                (
+                    math.log(tgt[b] + a)
+                    - math.log(denom_tgt)
+                    - math.log(raw[b] + a)
+                    + math.log(denom_raw)
+                )
+                * scale
+                + 0.5
+            )
+        )
+        for b in raw
+    }
+    scored = [(doc_id, sum(score[b] for b in bs)) for doc_id, bs in per_doc]
+    scored.sort(key=lambda r: (-r[1], r[0]))
+    return scored[: p["k"]]
+
+
 def make_shows_csv(path: str) -> int:
     """Raw netflix-shaped CSV derived from the deterministic gen_shows
     fixture: duration back-formatted to '<n> min' / '<n> Season(s)', dates to
@@ -484,6 +533,30 @@ def main(sf_dir: str | None = None) -> None:
         os.path.join(FIXDIR, f"bloom_probe_{sf}.parquet"),
     )
     print(f"bloom_probe_{sf}.parquet: {len(bp)} groups")
+
+    dtbl = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text", "lang"],
+    )
+    ds = dsir_topk(
+        list(
+            zip(
+                dtbl["doc_id"].to_pylist(),
+                dtbl["text"].to_pylist(),
+                dtbl["lang"].to_pylist(),
+            )
+        )
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in ds], pa.int64()),
+                "dsir_score": pa.array([r[1] for r in ds], pa.int64()),
+            }
+        ),
+        os.path.join(FIXDIR, f"dsir_topk_{sf}.parquet"),
+    )
+    print(f"dsir_topk_{sf}.parquet: {len(ds)} rows")
 
     n = make_shows_csv(os.path.join(FIXDIR, "shows_raw.csv"))
     print(f"shows_raw.csv: {n} rows")

@@ -1,0 +1,146 @@
+"""Tests for operators/selection.py (DSIR importance selection +
+per-group frequency cap)."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from funcify_feature_eng_spark.operators.selection import (
+    dsir_scores,
+    dsir_select,
+    frequency_cap,
+)
+
+
+def _corpus(spark):
+    # 6 "sciency" target-flavored docs, 6 "casual" raw-only docs, one empty,
+    # one NULL text; marker tokens make the target distribution separable.
+    rows = [
+        (1, "quantum field theory lattice gauge simulation", "sci"),
+        (2, "quantum entanglement lattice qubit decoherence", "sci"),
+        (3, "gauge theory quantum lattice spectra", "sci"),
+        (4, "lattice quantum simulation spectra gauge", "sci"),
+        (5, "qubit decoherence entanglement field theory", "sci"),
+        (6, "simulation spectra qubit gauge lattice", "sci"),
+        (7, "lol that party was great see you tomorrow", "chat"),
+        (8, "great party tomorrow see you there lol", "chat"),
+        (9, "what time is the party tomorrow lol", "chat"),
+        (10, "see you at the party it was great", "chat"),
+        (11, "tomorrow lol what a great time", "chat"),
+        (12, "party time see you lol", "chat"),
+        (13, "", "chat"),
+        (14, None, "chat"),
+        # mixed doc: some target grams, some not
+        (15, "quantum party lattice lol", "chat"),
+    ]
+    return spark.createDataFrame(rows, "doc_id: long, text: string, kind: string")
+
+
+def test_dsir_separates_planted_target(spark):
+    df = _corpus(spark)
+    top = dsir_select(df, "doc_id", "text", F.col("kind") == "sci", k=6)
+    got = {r["doc_id"] for r in top.collect()}
+    assert got == {1, 2, 3, 4, 5, 6}
+
+
+def test_dsir_mixed_doc_ranks_between(spark):
+    df = _corpus(spark)
+    scored = {r["doc_id"]: r["dsir_score"] for r in
+              dsir_scores(df, "doc_id", "text", F.col("kind") == "sci").collect()}
+    sci_min = min(scored[i] for i in range(1, 7))
+    chat_max = max(scored[i] for i in range(7, 13))
+    assert chat_max < scored[15] < sci_min
+    # empty/NULL text must still be scored (single empty-string gram each),
+    # not dropped
+    assert 13 in scored and 14 in scored
+    assert scored[13] == scored[14]
+
+
+def test_dsir_matches_pure_python_twin(spark):
+    """Spark output == an inline pure-Python recomputation (independent of
+    the fixtures pipeline) on the same corpus."""
+    from collections import Counter
+
+    from funcify_feature_eng_spark.functions.xxh64 import spark_xxhash64
+
+    nb, a, scale = 64, 1, 1_000_000
+    rows = [(r["doc_id"], r["text"], r["kind"]) for r in _corpus(spark).collect()]
+
+    def toks(t):
+        t = (t or "").strip(" ")
+        import re
+        return re.split(r"[ \t\n\x0b\f\r]+", t) if t else []
+
+    def grams(t):
+        tk = toks((t or "").lower())
+        uni = tk if len(tk) >= 1 else [""]
+        bi = ([" ".join(tk[i:i + 2]) for i in range(len(tk) - 1)]
+              if len(tk) >= 2 else [" ".join(tk)])
+        return uni + bi
+
+    raw, tgt, per_doc = Counter(), Counter(), []
+    for did, text, kind in rows:
+        bs = [spark_xxhash64(g) % nb for g in grams(text)]
+        per_doc.append((did, bs))
+        raw.update(bs)
+        if kind == "sci":
+            tgt.update(bs)
+    dr, dt = sum(raw.values()) + a * nb, sum(tgt.values()) + a * nb
+    sc = {b: int(math.floor((math.log(tgt[b] + a) - math.log(dt)
+                             - math.log(raw[b] + a) + math.log(dr))
+                            * scale + 0.5)) for b in raw}
+    expected = {did: sum(sc[b] for b in bs) for did, bs in per_doc}
+
+    got = {r["doc_id"]: r["dsir_score"] for r in
+           dsir_scores(_corpus(spark), "doc_id", "text",
+                       F.col("kind") == "sci", n_buckets=nb).collect()}
+    assert got == expected
+
+
+def test_dsir_deterministic(spark):
+    df = _corpus(spark)
+    a = sorted(map(tuple, dsir_select(df, "doc_id", "text",
+                                      F.col("kind") == "sci", k=8).collect()))
+    b = sorted(map(tuple, dsir_select(df, "doc_id", "text",
+                                      F.col("kind") == "sci", k=8).collect()))
+    assert a == b
+
+
+def test_dsir_empty_target_raises(spark):
+    df = _corpus(spark)
+    with pytest.raises(ValueError, match="no rows"):
+        dsir_scores(df, "doc_id", "text", F.col("kind") == "nope").collect()
+
+
+def test_frequency_cap_bounds_and_determinism(spark):
+    df = _corpus(spark)
+    out = frequency_cap(df, "kind", "doc_id", 3)
+    counts = {r["kind"]: r["n"] for r in
+              out.groupBy("kind").agg(F.count("*").alias("n")).collect()}
+    assert all(n <= 3 for n in counts.values())
+    assert counts["sci"] == 3 and counts["chat"] == 3
+    again = frequency_cap(df, "kind", "doc_id", 3)
+    assert sorted(r["doc_id"] for r in out.collect()) == \
+        sorted(r["doc_id"] for r in again.collect())
+
+
+def test_frequency_cap_two_phase_equivalent(spark):
+    df = _corpus(spark)
+    for hash_mode in (True, False):
+        single = frequency_cap(df, "kind", "doc_id", 2, hash=hash_mode)
+        two = frequency_cap(df, "kind", "doc_id", 2, hash=hash_mode,
+                            two_phase=True, n_salts=4)
+        assert sorted(r["doc_id"] for r in single.collect()) == \
+            sorted(r["doc_id"] for r in two.collect())
+
+
+def test_frequency_cap_under_cap_group_keeps_all(spark):
+    df = _corpus(spark)
+    out = frequency_cap(df, "kind", "doc_id", 100)
+    assert out.count() == df.count()
+
+
+def test_frequency_cap_rejects_bad_cap(spark):
+    with pytest.raises(ValueError):
+        frequency_cap(_corpus(spark), "kind", "doc_id", 0)
