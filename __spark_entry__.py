@@ -1562,6 +1562,19 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept1.select("doc_id", "lang").union(kept2.select("doc_id", "lang"))
 
 
+def q_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DPO/RLHF preference-pair mining (operators/selection.py::
+    preference_pairs): per user, the (chosen, rejected) = (argmax,
+    argmin) of `value` with struct-order tie rules (chosen tie -> larger
+    event_id, rejected tie -> smaller), strict margin > 0. One
+    map-side-combined groupBy — a single shuffle of one row per group, no
+    window/self-join. Oracle recomputes both argselects as rank-1 windows."""
+    from funcify_feature_eng_spark.operators.selection import preference_pairs
+
+    ev = _t(spark, sf_dir, "events")
+    return preference_pairs(ev, "user_id", "event_id", "value")
+
+
 def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance selection (operators/selection.py::dsir_select;
     Xie et al. 2023, arXiv:2302.03169): the 200 documents whose hashed
@@ -3060,6 +3073,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_dedup": q_incremental_dedup,
         "dsir_select": q_dsir_select,
         "source_cap": q_source_cap,
+        "preference_pairs": q_preference_pairs,
     }
 
 
@@ -4888,5 +4902,27 @@ WITH ranked AS (
   FROM documents
 )
 SELECT doc_id, source FROM ranked WHERE rn <= 10
+""",
+        # preference_pairs: argmax/argmin as rank-1 windows with the same
+        # struct-order tie rules (chosen tie -> larger id, rejected ->
+        # smaller). margin = the same two doubles subtracted, IEEE-exact.
+        "preference_pairs": """
+WITH s AS (
+  SELECT user_id, event_id, value FROM events WHERE value IS NOT NULL
+), hi AS (
+  SELECT user_id, event_id AS chosen_id, value AS chosen_score,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY value DESC, event_id DESC) AS rn
+  FROM s
+), lo AS (
+  SELECT user_id, event_id AS rejected_id, value AS rejected_score,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY value ASC, event_id ASC) AS rn
+  FROM s
+)
+SELECT h.user_id, h.chosen_id, l.rejected_id, h.chosen_score,
+       l.rejected_score, h.chosen_score - l.rejected_score AS margin
+FROM hi h JOIN lo l USING (user_id)
+WHERE h.rn = 1 AND l.rn = 1 AND h.chosen_score - l.rejected_score > 0
 """,
     }

@@ -45,7 +45,7 @@ from pyspark.sql import functions as F
 from ..functions.text import shingles
 from .sampling import knuth_key
 
-__all__ = ["dsir_scores", "dsir_select", "frequency_cap"]
+__all__ = ["dsir_scores", "dsir_select", "frequency_cap", "preference_pairs"]
 
 
 def _grams(c: Column) -> Column:
@@ -224,3 +224,43 @@ def frequency_cap(
         .where(F.col("__fc_rank") <= cap)
         .drop("__fc_rank", "__fc_key")
     )
+
+
+def preference_pairs(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    score_col: str,
+    *,
+    strict: bool = True,
+) -> DataFrame:
+    """Mine one (chosen, rejected) preference pair per group (DPO/RLHF
+    pair construction): within each ``group_col`` (e.g. prompt id), chosen
+    is the candidate with the highest ``score_col``, rejected the lowest.
+
+    Tie rule is the struct-ordering convention used across the repo:
+    chosen ties resolve to the LARGER ``id_col``, rejected ties to the
+    SMALLER — both deterministic and SQL-reproducible. NULL-scored
+    candidates are excluded up front. ``strict=True`` (default) keeps only
+    groups with ``margin > 0`` (a group whose candidates all tie yields no
+    training signal; it would also make chosen == rejected possible).
+
+    Returns ``(group_col, chosen_id, rejected_id, chosen_score,
+    rejected_score, margin)``. Plan: a single map-side-combined groupBy
+    with two struct min/max aggregates — one shuffle of one row per group,
+    no window, no self-join; at 100 TB this is the cheapest possible shape
+    for per-group argmax/argmin.
+    """
+    scored = df.where(F.col(score_col).isNotNull())
+    top = F.max(F.struct(F.col(score_col), F.col(id_col)))
+    bot = F.min(F.struct(F.col(score_col), F.col(id_col)))
+    agg = scored.groupBy(group_col).agg(top.alias("__hi"), bot.alias("__lo"))
+    out = agg.select(
+        group_col,
+        F.col(f"__hi.{id_col}").alias("chosen_id"),
+        F.col(f"__lo.{id_col}").alias("rejected_id"),
+        F.col(f"__hi.{score_col}").alias("chosen_score"),
+        F.col(f"__lo.{score_col}").alias("rejected_score"),
+        (F.col(f"__hi.{score_col}") - F.col(f"__lo.{score_col}")).alias("margin"),
+    )
+    return out.where(F.col("margin") > 0) if strict else out

@@ -10,6 +10,7 @@ from funcify_feature_eng_spark.operators.selection import (
     dsir_scores,
     dsir_select,
     frequency_cap,
+    preference_pairs,
 )
 
 
@@ -144,3 +145,50 @@ def test_frequency_cap_under_cap_group_keeps_all(spark):
 def test_frequency_cap_rejects_bad_cap(spark):
     with pytest.raises(ValueError):
         frequency_cap(_corpus(spark), "kind", "doc_id", 0)
+
+
+def _candidates(spark):
+    rows = [
+        # prompt p1: clear winner/loser
+        ("p1", 1, 0.9), ("p1", 2, 0.1), ("p1", 3, 0.5),
+        # p2: chosen tie on 0.8 -> larger id (12); rejected tie on
+        # 0.2 -> smaller id (13)
+        ("p2", 11, 0.8), ("p2", 12, 0.8), ("p2", 13, 0.2), ("p2", 14, 0.2),
+        # p3: all tie -> margin 0, dropped when strict
+        ("p3", 21, 0.4), ("p3", 22, 0.4),
+        # p4: single candidate -> margin 0, dropped when strict
+        ("p4", 31, 0.7),
+        # p5: NULL scores excluded; only one real candidate left
+        ("p5", 41, None), ("p5", 42, 0.3),
+    ]
+    return spark.createDataFrame(rows, "prompt: string, cand_id: long, score: double")
+
+
+def test_preference_pairs_basic_and_ties(spark):
+    out = {r["prompt"]: r for r in
+           preference_pairs(_candidates(spark), "prompt", "cand_id", "score").collect()}
+    assert set(out) == {"p1", "p2"}
+    assert (out["p1"]["chosen_id"], out["p1"]["rejected_id"]) == (1, 2)
+    assert out["p1"]["margin"] == pytest.approx(0.8)
+    assert (out["p2"]["chosen_id"], out["p2"]["rejected_id"]) == (12, 13)
+
+
+def test_preference_pairs_non_strict_keeps_degenerate(spark):
+    out = {r["prompt"]: r for r in
+           preference_pairs(_candidates(spark), "prompt", "cand_id", "score",
+                            strict=False).collect()}
+    assert set(out) == {"p1", "p2", "p3", "p4", "p5"}
+    assert out["p3"]["margin"] == 0.0
+    # all-tie group: chosen tie -> larger id, rejected tie -> smaller id
+    assert (out["p3"]["chosen_id"], out["p3"]["rejected_id"]) == (22, 21)
+    assert out["p4"]["chosen_id"] == out["p4"]["rejected_id"] == 31
+    # NULL-scored candidate never becomes chosen or rejected
+    assert out["p5"]["chosen_id"] == out["p5"]["rejected_id"] == 42
+
+
+def test_preference_pairs_single_shuffle_no_window(spark):
+    plan = preference_pairs(
+        _candidates(spark), "prompt", "cand_id", "score"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert plan.count("Exchange") <= 1
