@@ -118,24 +118,54 @@ def lang_id(c: Column) -> Column:
 
 
 def shingles(c: Column, k: int = 3) -> Column:
-    """Word k-shingles as strings (for MinHash/Jaccard dedup)."""
+    """Word k-shingles as strings (for MinHash/Jaccard dedup).
+
+    Built with ``zip_with`` over the token array and its shifted slices —
+    NOT ``transform(idx, i -> slice(tk, i+1, k))`` — because expressions
+    referenced inside a higher-order-function lambda are re-evaluated per
+    element (the tokenizing ``split`` would run once per shingle, making
+    the whole thing O(n_tokens²) string splits per row). ``zip_with``'s
+    children are ordinary expressions evaluated once per row, so this is
+    k token-array evaluations + O(n_tokens·k) concats. Output is
+    byte-identical to the old form (locked by the minhash/simhash
+    fixtures and tests/test_functions.py)."""
     tk = tokens(F.lower(c))
     n = F.size(tk)
-    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
-    return F.when(
-        n >= k,
-        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(tk, i + 1, k))),
-    ).otherwise(F.array(F.concat_ws(" ", tk)))
+    acc = tk
+    for j in range(1, k):
+        # zip the running (j)-gram array with tokens shifted left by j;
+        # zip_with pads the shorter side with NULL, and concat(NULL) -> NULL,
+        # so trailing partial shingles become NULL and are sliced off below
+        acc = F.zip_with(
+            acc,
+            F.slice(tk, j + 1, F.greatest(n - j, F.lit(1))),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
+    full = F.slice(acc, 1, F.greatest(n - k + 1, F.lit(1)))
+    return F.when(n >= k, full).otherwise(F.array(F.concat_ws(" ", tk)))
 
 
 def char_ngrams(c: Column, n: int = 5) -> Column:
-    """Character n-grams (for n-gram Jaccard)."""
+    """Character n-grams (for n-gram Jaccard).
+
+    Same HOF-lambda hazard as :func:`shingles`: ``transform(idx, i ->
+    substring(s, i, n))`` re-evaluates ``s = lower(c)`` once per n-gram
+    (O(len²) lowering per row). Instead split once into a char array and
+    chain ``zip_with`` concats — children evaluated once per row,
+    O(len·n) total. Output byte-identical (both substring and split('')
+    are character-based, so multibyte text agrees)."""
     s = F.lower(c)
     ln = F.length(s)
-    idx = F.sequence(F.lit(1), F.greatest(ln - n + 1, F.lit(1)))
-    return F.when(ln >= n, F.transform(idx, lambda i: F.substring(s, i, n))).otherwise(
-        F.array(s)
-    )
+    ch = F.split(s, "")
+    acc = ch
+    for j in range(1, n):
+        acc = F.zip_with(
+            acc,
+            F.slice(ch, j + 1, F.greatest(ln - j, F.lit(1))),
+            lambda a, b: F.concat(a, b),
+        )
+    full = F.slice(acc, 1, F.greatest(ln - n + 1, F.lit(1)))
+    return F.when(ln >= n, full).otherwise(F.array(s))
 
 
 def nfc_normalize(c: Column) -> Column:

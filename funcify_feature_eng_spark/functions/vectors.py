@@ -45,7 +45,11 @@ def unit_vector(a: Column) -> Column:
     pair instead of three plus two casts."""
     v = _to_double(a)
     n = norm(a)
-    return F.when(n > 0, F.transform(v, lambda x: x / n)).otherwise(
+    # array_repeat evaluates the O(dim) norm ONCE per row; n inside the
+    # transform lambda would re-run the whole dot-fold per element
+    # (O(dim²)/row — the HOF-capture hazard documented at text.py shingles)
+    rep = F.array_repeat(n, F.size(v))
+    return F.when(n > 0, F.zip_with(v, rep, lambda x, m: x / m)).otherwise(
         F.transform(v, lambda x: F.lit(0.0))
     )
 

@@ -267,9 +267,13 @@ def quantize_vec(v, levels: int = 127):
     """
     v = F.transform(v, lambda x: x.cast("double"))
     amax = F.array_max(F.transform(v, F.abs))
+    # array_repeat evaluates amax ONCE per row; referencing amax inside the
+    # transform lambda would re-evaluate the O(dim) array_max per element
+    # (O(dim²)/row — the HOF-capture hazard documented at text.py shingles)
+    rep = F.array_repeat(amax, F.size(v))
     return F.when(
         amax > 0,
-        F.transform(v, lambda x: F.floor(x * levels / amax + F.lit(0.5)).cast("int")),
+        F.zip_with(v, rep, lambda x, m: F.floor(x * levels / m + F.lit(0.5)).cast("int")),
     ).otherwise(F.transform(v, lambda x: F.lit(0)))
 
 

@@ -100,6 +100,75 @@ def test_shingles(spark):
     assert list(got[1]["s"]) == ["a b"]
 
 
+def test_shingles_and_char_ngrams_match_reference_form(spark):
+    """The zip_with-based shingles/char_ngrams (HOF-capture perf rewrite)
+    must be byte-identical to the original transform-over-index form on
+    edge cases: empty, NULL, short-of-k, multi-whitespace, lead/trail
+    space, multibyte, long runs."""
+    def old_shingles(c, k):
+        tk = T.tokens(F.lower(c))
+        n = F.size(tk)
+        idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+        return F.when(
+            n >= k,
+            F.transform(idx, lambda i: F.concat_ws(" ", F.slice(tk, i + 1, k))),
+        ).otherwise(F.array(F.concat_ws(" ", tk)))
+
+    def old_char_ngrams(c, n):
+        s = F.lower(c)
+        ln = F.length(s)
+        idx = F.sequence(F.lit(1), F.greatest(ln - n + 1, F.lit(1)))
+        return F.when(
+            ln >= n, F.transform(idx, lambda i: F.substring(s, i, n))
+        ).otherwise(F.array(s))
+
+    rows = [("",), (None,), ("one",), ("one two",), ("one two three",),
+            ("a  b\tc\nd",), ("  lead trail  ",), ("x " * 200,),
+            ("Mixed CASE tokens here",), ("héllo wörld ünïcode",),
+            ("日本語テキストの例です",)]
+    df = spark.createDataFrame(rows, "t: string")
+    for k in (1, 2, 3, 5):
+        got = [r["s"] for r in df.select(T.shingles(F.col("t"), k).alias("s")).collect()]
+        exp = [r["s"] for r in df.select(old_shingles(F.col("t"), k).alias("s")).collect()]
+        assert got == exp, f"shingles k={k}"
+    for n in (2, 5, 7):
+        got = [r["s"] for r in df.select(T.char_ngrams(F.col("t"), n).alias("s")).collect()]
+        exp = [r["s"] for r in df.select(old_char_ngrams(F.col("t"), n).alias("s")).collect()]
+        assert got == exp, f"char_ngrams n={n}"
+
+
+def test_unit_vector_and_quantize_match_reference_form(spark):
+    """zip_with/array_repeat forms of unit_vector and quantize_vec equal
+    the original scalar-captured-lambda forms bit-for-bit."""
+    from funcify_feature_eng_spark.functions import vectors as V
+    from funcify_feature_eng_spark.operators.similarity import quantize_vec
+
+    def old_unit(a):
+        v = F.transform(a, lambda x: x.cast("double"))
+        n = F.sqrt(F.aggregate(F.zip_with(v, v, lambda x, y: x * y),
+                               F.lit(0.0), lambda acc, x: acc + x))
+        return F.when(n > 0, F.transform(v, lambda x: x / n)).otherwise(
+            F.transform(v, lambda x: F.lit(0.0)))
+
+    def old_quant(a, levels=127):
+        v = F.transform(a, lambda x: x.cast("double"))
+        amax = F.array_max(F.transform(v, F.abs))
+        return F.when(
+            amax > 0,
+            F.transform(v, lambda x: F.floor(x * levels / amax + F.lit(0.5)).cast("int")),
+        ).otherwise(F.transform(v, lambda x: F.lit(0)))
+
+    rows = [([0.1, -0.7, 0.33, 0.0],), ([0.0, 0.0, 0.0, 0.0],),
+            ([1e-9, -1e9, 3.7, -0.0001],), ([5.0],)]
+    df = spark.createDataFrame(rows, "v: array<float>")
+    got = df.select(V.unit_vector(F.col("v")).alias("u"),
+                    quantize_vec(F.col("v")).alias("q")).collect()
+    exp = df.select(old_unit(F.col("v")).alias("u"),
+                    old_quant(F.col("v")).alias("q")).collect()
+    assert [list(r["u"]) for r in got] == [list(r["u"]) for r in exp]
+    assert [list(r["q"]) for r in got] == [list(r["q"]) for r in exp]
+
+
 def test_vector_functions(spark, reg):
     df = spark.createDataFrame(
         [([1.0, 0.0], [1.0, 0.0]), ([1.0, 0.0], [0.0, 1.0])],
