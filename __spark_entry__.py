@@ -1575,6 +1575,40 @@ def q_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return preference_pairs(ev, "user_id", "event_id", "value")
 
 
+def q_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE vocabulary training (operators/bpe.py::bpe_train; Sennrich et
+    al. 2016, arXiv:1508.07909): one distributed word-count aggregate
+    truncated to the top vocab_words (count desc, word asc), bounded
+    driver merge loop with incremental pair recounting — training cost is
+    independent of corpus size. Returns the ordered merge table. Oracle =
+    fixture from an INDEPENDENT pure-Python pipeline
+    (scripts/make_fixtures.py::bpe_merges). Params must mirror
+    make_fixtures.BPE."""
+    from funcify_feature_eng_spark.operators.bpe import bpe_merge_table, bpe_train
+
+    docs = _t(spark, sf_dir, "documents")
+    merges = bpe_train(docs, "text", n_merges=60, vocab_words=4096, min_count=2)
+    return bpe_merge_table(spark, merges)
+
+
+def q_bpe_pieces(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenization with the trained merges (operators/bpe.py::
+    bpe_tokenize): GPT-2-style lowest-rank-pair apply in ONE Arrow-batched
+    pandas-UDF map pass (per-batch word memoization, no shuffle). Oracle =
+    fixture from the independent pure-Python twin
+    (scripts/make_fixtures.py::bpe_pieces)."""
+    from funcify_feature_eng_spark.operators.bpe import bpe_tokenize, bpe_train
+
+    docs = _t(spark, sf_dir, "documents")
+    merges = bpe_train(docs, "text", n_merges=60, vocab_words=4096, min_count=2)
+    out = bpe_tokenize(docs, "text", merges)
+    return out.select(
+        "doc_id",
+        F.size("pieces").cast("int").alias("n_pieces"),
+        F.concat_ws(" ", "pieces").alias("pieces_str"),
+    )
+
+
 def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance selection (operators/selection.py::dsir_select;
     Xie et al. 2023, arXiv:2302.03169): the 200 documents whose hashed
@@ -3074,6 +3108,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_select": q_dsir_select,
         "source_cap": q_source_cap,
         "preference_pairs": q_preference_pairs,
+        "bpe_vocab": q_bpe_vocab,
+        "bpe_pieces": q_bpe_pieces,
     }
 
 
@@ -3320,12 +3356,16 @@ def _fixture_values(filename: str, cols: list[str]) -> str:
         return repr(v)  # ints / floats: repr round-trips exactly
 
     data = list(zip(*[tbl[c].to_pylist() for c in cols]))
-    typed = ", ".join(f"CAST({c} AS {sql_type[c]}) AS {c}" for c in cols)
+    # double-quote identifiers: fixture columns like rank/left/right are
+    # DuckDB reserved words
+    q = {c: f'"{c}"' for c in cols}
+    typed = ", ".join(f"CAST({q[c]} AS {sql_type[c]}) AS {q[c]}" for c in cols)
     if not data:
-        nulls = ", ".join(f"CAST(NULL AS {sql_type[c]}) AS {c}" for c in cols)
+        nulls = ", ".join(f"CAST(NULL AS {sql_type[c]}) AS {q[c]}" for c in cols)
         return f"SELECT {nulls} WHERE FALSE"
     rows = ", ".join("(" + ", ".join(lit(v) for v in r) + ")" for r in data)
-    return f"SELECT {typed} FROM (VALUES {rows}) AS t({', '.join(cols)})"
+    cols_q = ", ".join(q[c] for c in cols)
+    return f"SELECT {typed} FROM (VALUES {rows}) AS t({cols_q})"
 
 
 def _ann_lsh_sql() -> str:
@@ -4888,6 +4928,14 @@ FROM c GROUP BY event_type
         # scoring pipeline (scripts/make_fixtures.py::dsir_topk)
         "dsir_select": _fixture_values(
             "dsir_topk_sf0.01.parquet", ["doc_id", "dsir_score"]
+        ),
+        # BPE: independent pure-Python train/apply twins
+        # (scripts/make_fixtures.py::bpe_merges / bpe_pieces)
+        "bpe_vocab": _fixture_values(
+            "bpe_merges_sf0.01.parquet", ["rank", "left", "right"]
+        ),
+        "bpe_pieces": _fixture_values(
+            "bpe_pieces_sf0.01.parquet", ["doc_id", "n_pieces", "pieces_str"]
         ),
         # frequency_cap hash=False: same knuth multiplicative rank in SQL.
         # (doc_id % 2^31) * 2654435761 < 2^63, no BIGINT wrap.

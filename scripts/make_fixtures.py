@@ -39,6 +39,8 @@ SIMHASH = dict(max_hamming=3, bucket_cap=256)
 # parameters MUST mirror __spark_entry__.q_dsir_select
 DSIR = dict(n_buckets=4096, smoothing=1, scale=1_000_000, k=200,
             target_lang="en")
+# parameters MUST mirror __spark_entry__.q_bpe_vocab / q_bpe_pieces
+BPE = dict(n_merges=60, vocab_words=4096, min_count=2)
 
 
 # Java/Spark semantics, NOT Python's: Spark trim() strips only the SPACE
@@ -373,6 +375,93 @@ def dsir_topk(rows: list[tuple[int, str, str]]) -> list[tuple[int, int]]:
     return scored[: p["k"]]
 
 
+def bpe_merges(texts: list[str]) -> list[tuple[int, str, str]]:
+    """Independent pure-Python BPE training (mirror of operators/bpe.py::
+    bpe_train): word counts over the Java-semantics tokens of lowered
+    text, top vocab_words by (count desc, word asc), then the classic
+    Sennrich merge loop — overlapping pair counts, left-to-right
+    non-overlapping apply, ties to the lexicographically smallest pair,
+    stop below min_count."""
+    p = BPE
+    wc: Counter = Counter()
+    for t in texts:
+        for w in _tokens((t or "").lower()):
+            if w:
+                wc[w] += 1
+    top = sorted(wc.items(), key=lambda kv: (-kv[1], kv[0]))[: p["vocab_words"]]
+
+    def apply(sym: tuple, pair: tuple) -> tuple:
+        out, i = [], 0
+        while i < len(sym):
+            if i < len(sym) - 1 and (sym[i], sym[i + 1]) == pair:
+                out.append(sym[i] + sym[i + 1])
+                i += 2
+            else:
+                out.append(sym[i])
+                i += 1
+        return tuple(out)
+
+    words = [(tuple(w), c) for w, c in top]
+    merges: list[tuple[str, str]] = []
+    for _ in range(p["n_merges"]):
+        pc: Counter = Counter()
+        for sym, c in words:
+            for i in range(len(sym) - 1):
+                pc[(sym[i], sym[i + 1])] += c
+        if not pc:
+            break
+        bc = max(pc.values())
+        if bc < p["min_count"]:
+            break
+        best = min(q for q, c in pc.items() if c == bc)
+        merges.append(best)
+        words = [(apply(sym, best), c) for sym, c in words]
+    return [(i, a, b) for i, (a, b) in enumerate(merges)]
+
+
+def bpe_pieces(rows: list[tuple[int, str]]) -> list[tuple[int, int, str]]:
+    """Independent pure-Python BPE apply (mirror of operators/bpe.py::
+    bpe_tokenize): per word, repeatedly merge ALL non-overlapping
+    occurrences of the lowest-rank adjacent pair. Returns
+    (doc_id, n_pieces, pieces joined by space)."""
+    ranks = {(a, b): r for r, a, b in bpe_merges([t for _, t in rows])}
+
+    def apply(sym: tuple, pair: tuple) -> tuple:
+        out, i = [], 0
+        while i < len(sym):
+            if i < len(sym) - 1 and (sym[i], sym[i + 1]) == pair:
+                out.append(sym[i] + sym[i + 1])
+                i += 2
+            else:
+                out.append(sym[i])
+                i += 1
+        return tuple(out)
+
+    cache: dict = {}
+
+    def encode_word(w: str) -> list[str]:
+        if w in cache:
+            return cache[w]
+        sym = tuple(w)
+        while len(sym) > 1:
+            cand = [(ranks[(sym[i], sym[i + 1])], (sym[i], sym[i + 1]))
+                    for i in range(len(sym) - 1)
+                    if (sym[i], sym[i + 1]) in ranks]
+            if not cand:
+                break
+            sym = apply(sym, min(cand)[1])
+        cache[w] = list(sym)
+        return cache[w]
+
+    out = []
+    for doc_id, t in rows:
+        pieces: list[str] = []
+        for w in _tokens((t or "").lower()):
+            pieces.extend(encode_word(w))
+        out.append((doc_id, len(pieces), " ".join(pieces)))
+    return out
+
+
 def make_shows_csv(path: str) -> int:
     """Raw netflix-shaped CSV derived from the deterministic gen_shows
     fixture: duration back-formatted to '<n> min' / '<n> Season(s)', dates to
@@ -557,6 +646,32 @@ def main(sf_dir: str | None = None) -> None:
         os.path.join(FIXDIR, f"dsir_topk_{sf}.parquet"),
     )
     print(f"dsir_topk_{sf}.parquet: {len(ds)} rows")
+
+    bm = bpe_merges([t for _, t in docs])
+    pq.write_table(
+        pa.table(
+            {
+                "rank": pa.array([r[0] for r in bm], pa.int32()),
+                "left": pa.array([r[1] for r in bm], pa.string()),
+                "right": pa.array([r[2] for r in bm], pa.string()),
+            }
+        ),
+        os.path.join(FIXDIR, f"bpe_merges_{sf}.parquet"),
+    )
+    print(f"bpe_merges_{sf}.parquet: {len(bm)} merges")
+
+    bp2 = bpe_pieces(docs)
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in bp2], pa.int64()),
+                "n_pieces": pa.array([r[1] for r in bp2], pa.int32()),
+                "pieces_str": pa.array([r[2] for r in bp2], pa.string()),
+            }
+        ),
+        os.path.join(FIXDIR, f"bpe_pieces_{sf}.parquet"),
+    )
+    print(f"bpe_pieces_{sf}.parquet: {len(bp2)} rows")
 
     n = make_shows_csv(os.path.join(FIXDIR, "shows_raw.csv"))
     print(f"shows_raw.csv: {n} rows")
