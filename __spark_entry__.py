@@ -1609,6 +1609,37 @@ def q_bpe_pieces(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ngram_lm_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-1..3 n-gram counts over documents (operators/ngram_lm.py::
+    ngram_counts): all orders built JVM-side per row (transform + slice +
+    array_join), exploded once, one map-side-combined groupBy — a
+    word-count at any scale. Top 400 by (ord, cnt desc, gram) with
+    cnt >= 5; the oracle recomputes the same grams in pure DuckDB SQL."""
+    from funcify_feature_eng_spark.operators.ngram_lm import ngram_counts
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        ngram_counts(docs, "text", n=3, min_count=5)
+        .orderBy("ord", F.col("cnt").desc(), "gram")
+        .limit(400)
+    )
+
+
+def q_doc_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality scoring (operators/ngram_lm.py; Wenzek et
+    al. 2020, arXiv:1911.00359; stupid backoff per Brants et al. 2007):
+    train a pruned order-3 model in one corpus pass + bounded collect,
+    broadcast it into one Arrow-batched scoring pass, emit per-doc
+    log10-prob and perplexity as fixed-point micros. Oracle = fixture
+    from an INDEPENDENT pure-Python twin (scripts/make_fixtures.py::
+    doc_perplexity). Params must mirror make_fixtures.NGRAM_LM."""
+    from funcify_feature_eng_spark.operators.ngram_lm import lm_score, train_ngram_lm
+
+    docs = _t(spark, sf_dir, "documents")
+    model = train_ngram_lm(docs, "text", n=3, min_count=2, max_grams=20000)
+    return lm_score(docs, "text", model)
+
+
 def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance selection (operators/selection.py::dsir_select;
     Xie et al. 2023, arXiv:2302.03169): the 200 documents whose hashed
@@ -3110,6 +3141,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "preference_pairs": q_preference_pairs,
         "bpe_vocab": q_bpe_vocab,
         "bpe_pieces": q_bpe_pieces,
+        "ngram_lm_counts": q_ngram_lm_counts,
+        "doc_perplexity": q_doc_perplexity,
     }
 
 
@@ -4936,6 +4969,34 @@ FROM c GROUP BY event_type
         ),
         "bpe_pieces": _fixture_values(
             "bpe_pieces_sf0.01.parquet", ["doc_id", "n_pieces", "pieces_str"]
+        ),
+        # n-gram counts: a REAL cross-engine SQL twin — DuckDB rebuilds the
+        # same order-1..3 grams from the same Java-semantics tokenization
+        # (trim spaces, regexp-split on \s+, keep leading empties; NULL or
+        # all-space text yields no tokens — matching functions/text.py
+        # tokens()).
+        "ngram_lm_counts": r"""
+WITH toks AS (
+  SELECT CASE WHEN text IS NULL OR trim(lower(text)) = '' THEN []::VARCHAR[]
+              ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS t
+  FROM documents
+),
+expanded AS (
+  SELECT t, unnest([1,2,3]) AS ord FROM toks
+),
+grams AS (
+  SELECT ord, array_to_string(t[i : i + ord - 1], ' ') AS gram
+  FROM expanded,
+       LATERAL (SELECT unnest(generate_series(1, len(t) - ord + 1)) AS i) AS pos(i)
+)
+SELECT ord, gram, COUNT(*) AS cnt FROM grams GROUP BY 1, 2 HAVING COUNT(*) >= 5
+ORDER BY ord, cnt DESC, gram LIMIT 400
+""",
+        # perplexity: independent pure-Python LM twin
+        # (scripts/make_fixtures.py::doc_perplexity)
+        "doc_perplexity": _fixture_values(
+            "doc_perplexity_sf0.01.parquet",
+            ["doc_id", "n_tokens", "lp_micro", "ppl_micro"],
         ),
         # frequency_cap hash=False: same knuth multiplicative rank in SQL.
         # (doc_id % 2^31) * 2654435761 < 2^63, no BIGINT wrap.

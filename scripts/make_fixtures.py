@@ -41,6 +41,7 @@ DSIR = dict(n_buckets=4096, smoothing=1, scale=1_000_000, k=200,
             target_lang="en")
 # parameters MUST mirror __spark_entry__.q_bpe_vocab / q_bpe_pieces
 BPE = dict(n_merges=60, vocab_words=4096, min_count=2)
+NGRAM_LM = dict(n=3, min_count=2, max_grams=20000, alpha=0.4)
 
 
 # Java/Spark semantics, NOT Python's: Spark trim() strips only the SPACE
@@ -462,6 +463,65 @@ def bpe_pieces(rows: list[tuple[int, str]]) -> list[tuple[int, int, str]]:
     return out
 
 
+def doc_perplexity(rows: list[tuple[int, str]]) -> list[tuple[int, int, int, int]]:
+    """Independent pure-Python n-gram LM train + stupid-backoff scoring
+    (mirror of operators/ngram_lm.py): count all order-1..n grams of the
+    Java-semantics tokens of lowered text, prune per order to the top
+    max_grams by (count desc, gram asc) keeping count >= min_count,
+    normalize unigrams by the UN-pruned total, then score each doc
+    left-to-right with S(w|ctx) = count(ctx·w)/count(ctx), backoff
+    alpha·S(w|shorter ctx), unigram base count(w)/total, OOV alpha/total.
+    Returns (doc_id, n_tokens, lp_micro, ppl_micro) in round-half-up
+    micros."""
+    import math
+
+    p = NGRAM_LM
+    n, alpha = p["n"], p["alpha"]
+    counts: list[Counter] = [Counter() for _ in range(n)]
+    for _, t in rows:
+        ws = _tokens((t or "").lower())
+        for k in range(1, n + 1):
+            for i in range(len(ws) - k + 1):
+                counts[k - 1][" ".join(ws[i : i + k])] += 1
+    total = sum(counts[0].values())
+    pruned: list[dict] = []
+    for k in range(n):
+        top = sorted(
+            ((g, c) for g, c in counts[k].items() if c >= p["min_count"]),
+            key=lambda kv: (-kv[1], kv[0]),
+        )[: p["max_grams"]]
+        pruned.append(dict(top))
+
+    out = []
+    for doc_id, t in rows:
+        ws = _tokens((t or "").lower())
+        nt = len(ws)
+        if nt == 0:
+            out.append((doc_id, 0, 0, 0))
+            continue
+        lp = 0.0
+        for i in range(nt):
+            s = None
+            mult = 1.0
+            for k in range(min(n - 1, i), 0, -1):
+                c = pruned[k].get(" ".join(ws[i - k : i + 1]))
+                if c:
+                    ctx = pruned[k - 1].get(" ".join(ws[i - k : i]))
+                    if ctx:
+                        s = mult * c / ctx
+                        break
+                mult *= alpha
+            if s is None:
+                c1 = pruned[0].get(ws[i])
+                s = mult * (c1 if c1 else alpha) / total
+            lp += math.log10(s)
+        ppl = 10.0 ** (-lp / nt)
+        out.append(
+            (doc_id, nt, int(math.floor(lp * 1e6 + 0.5)), int(math.floor(ppl * 1e6 + 0.5)))
+        )
+    return out
+
+
 def make_shows_csv(path: str) -> int:
     """Raw netflix-shaped CSV derived from the deterministic gen_shows
     fixture: duration back-formatted to '<n> min' / '<n> Season(s)', dates to
@@ -672,6 +732,20 @@ def main(sf_dir: str | None = None) -> None:
         os.path.join(FIXDIR, f"bpe_pieces_{sf}.parquet"),
     )
     print(f"bpe_pieces_{sf}.parquet: {len(bp2)} rows")
+
+    pp = doc_perplexity(docs)
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in pp], pa.int64()),
+                "n_tokens": pa.array([r[1] for r in pp], pa.int64()),
+                "lp_micro": pa.array([r[2] for r in pp], pa.int64()),
+                "ppl_micro": pa.array([r[3] for r in pp], pa.int64()),
+            }
+        ),
+        os.path.join(FIXDIR, f"doc_perplexity_{sf}.parquet"),
+    )
+    print(f"doc_perplexity_{sf}.parquet: {len(pp)} rows")
 
     n = make_shows_csv(os.path.join(FIXDIR, "shows_raw.csv"))
     print(f"shows_raw.csv: {n} rows")
