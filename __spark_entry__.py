@@ -1640,6 +1640,20 @@ def q_doc_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lm_score(docs, "text", model)
 
 
+def q_dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplication coverage (operators/substrings.py; the
+    shuffle-friendly k-gram form of Lee et al. 2022, arXiv:2107.06499
+    suffix-array dedup): per doc, positions whose 8-gram repeats
+    corpus-wide and the UNION length of their spans (gaps-and-islands,
+    overlaps counted once), as exact integer ppm. hashed=False keeps gram
+    strings so DuckDB can rebuild the identical pipeline (production
+    hashes grams to 8 bytes pre-shuffle; equality is pytest-pinned)."""
+    from funcify_feature_eng_spark.operators.substrings import dup_span_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    return dup_span_stats(docs, "doc_id", "text", k=8, min_dup=2, hashed=False)
+
+
 def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance selection (operators/selection.py::dsir_select;
     Xie et al. 2023, arXiv:2302.03169): the 200 documents whose hashed
@@ -3143,6 +3157,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_pieces": q_bpe_pieces,
         "ngram_lm_counts": q_ngram_lm_counts,
         "doc_perplexity": q_doc_perplexity,
+        "dup_span_stats": q_dup_span_stats,
     }
 
 
@@ -4998,6 +5013,44 @@ ORDER BY ord, cnt DESC, gram LIMIT 400
             "doc_perplexity_sf0.01.parquet",
             ["doc_id", "n_tokens", "lp_micro", "ppl_micro"],
         ),
+        # substring dup coverage: full cross-engine SQL twin — same grams,
+        # same >=2 count, same gaps-and-islands span union, integer ppm
+        "dup_span_stats": r"""
+WITH toks AS (
+  SELECT doc_id,
+         CASE WHEN text IS NULL OR trim(lower(text)) = '' THEN []::VARCHAR[]
+              ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS t
+  FROM documents
+),
+base AS (SELECT doc_id, len(t) AS n_tokens FROM toks),
+pg AS (
+  SELECT doc_id, i AS pos, array_to_string(t[i : i + 7], ' ') AS gram
+  FROM toks,
+       LATERAL (SELECT unnest(generate_series(1, len(t) - 7)) AS i) AS pos(i)
+),
+dup AS (SELECT gram FROM pg GROUP BY gram HAVING COUNT(*) >= 2),
+marked AS (SELECT doc_id, pos FROM pg WHERE gram IN (SELECT gram FROM dup)),
+isl AS (
+  SELECT doc_id,
+         GREATEST(0, pos + 7 - GREATEST(COALESCE(
+           MAX(pos + 7) OVER (PARTITION BY doc_id ORDER BY pos
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+           pos - 1), pos - 1)) AS cov
+  FROM marked
+),
+per_doc AS (
+  SELECT doc_id, COUNT(*) AS n_dup_grams, SUM(cov) AS dup_tokens
+  FROM isl GROUP BY doc_id
+)
+SELECT b.doc_id,
+       CAST(b.n_tokens AS BIGINT) AS n_tokens,
+       CAST(COALESCE(p.n_dup_grams, 0) AS BIGINT) AS n_dup_grams,
+       CAST(COALESCE(p.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+       CAST(CASE WHEN b.n_tokens > 0
+                 THEN (COALESCE(p.dup_tokens, 0) * 1000000) // b.n_tokens
+                 ELSE 0 END AS BIGINT) AS dup_ppm
+FROM base b LEFT JOIN per_doc p USING (doc_id)
+""",
         # frequency_cap hash=False: same knuth multiplicative rank in SQL.
         # (doc_id % 2^31) * 2654435761 < 2^63, no BIGINT wrap.
         "source_cap": """
