@@ -3035,8 +3035,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # full as-of strategy matrix, request documents + GraphQL + validation,
     # sources + the scalar/jq function library, aggregations and joins,
     # feature store + validity intervals, stateful structured streaming,
-    # the dedup family (exact/minhash/simhash/ngram/line/CC/embedding),
-    # similarity + retrieval, mergeable sketches, and one representative
+    # the dedup family (exact/minhash/simhash/ngram/line/CC/embedding/
+    # substring-span), similarity + retrieval, mergeable sketches, LM
+    # perplexity scoring, trained BPE tokenization, and one representative
     # each for sampling, the curation pipeline, text analysis, eval
     # metrics, and multimodal. Entries 51+ are the family tails, verified
     # by scripts/check_oracle.py into CORRECTNESS_local.json (same
@@ -3048,8 +3049,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "turn_features_segmented": q_turn_features_segmented,
         "top_events_per_user": q_top_events_per_user,
         "asof_prior_purchase": q_asof_prior_purchase,
-        "asof_prior_purchase_merge": q_asof_prior_purchase_merge,
-        "asof_prior_purchase_segmented": q_asof_prior_purchase_segmented,
         "asof_tolerance": q_asof_tolerance,
         "next_purchase": q_next_purchase,
         "request_doc_features": q_request_doc_features,
@@ -3071,7 +3070,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_turn_features": q_stream_turn_features,
         "stream_disorder_features": q_stream_disorder_features,
         "stream_dedup": q_stream_dedup,
-        "stream_kmv": q_stream_kmv,
         "dedup_exact": q_dedup_exact,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash_near_pairs": q_simhash_near_pairs,
@@ -3092,7 +3090,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "group_auc": q_group_auc,
         "media_features": q_media_features,
+        "doc_perplexity": q_doc_perplexity,
+        "dup_span_stats": q_dup_span_stats,
+        "bpe_pieces": q_bpe_pieces,
         # ---- entries 51+: family tails (locally gated) ----
+        "asof_prior_purchase_merge": q_asof_prior_purchase_merge,
+        "asof_prior_purchase_segmented": q_asof_prior_purchase_segmented,
+        "stream_kmv": q_stream_kmv,
         "next_purchase_shuffle": q_next_purchase_shuffle,
         "doc_stats": q_doc_stats,
         "ann_int8_topk": q_ann_int8_topk,
@@ -3154,10 +3158,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_cap": q_source_cap,
         "preference_pairs": q_preference_pairs,
         "bpe_vocab": q_bpe_vocab,
-        "bpe_pieces": q_bpe_pieces,
         "ngram_lm_counts": q_ngram_lm_counts,
-        "doc_perplexity": q_doc_perplexity,
-        "dup_span_stats": q_dup_span_stats,
     }
 
 

@@ -22,6 +22,17 @@ def _docs(spark):
     return spark.createDataFrame(rows, "doc_id: long, text: string")
 
 
+def _edge_docs(spark):
+    rows = [
+        (6, "a  b\tc"),            # runs of mixed whitespace collapse
+        (7, "\ta (b) [c]"),        # leading tab -> leading '' token (Java
+                                   # split semantics); regex-special tokens
+        (8, " "),                  # all-space -> no tokens
+        (9, "a b c a b c a b"),
+    ]
+    return spark.createDataFrame(rows, "doc_id: long, text: string")
+
+
 def test_ngram_counts_exact(spark):
     df = _docs(spark)
     got = {
@@ -89,7 +100,7 @@ def test_lm_score_matches_pure_python_twin(spark):
     """Spark train+score == the independent make_fixtures twin."""
     import scripts.make_fixtures as mf
 
-    df = _docs(spark)
+    df = _docs(spark).unionAll(_edge_docs(spark))
     rows = [(r["doc_id"], r["text"]) for r in df.orderBy("doc_id").collect()]
     p = mf.NGRAM_LM
     model = train_ngram_lm(
