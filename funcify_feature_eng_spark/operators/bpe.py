@@ -149,12 +149,18 @@ def bpe_tokenize(
     GPT-2-style apply: per word, repeatedly merge the LOWEST-RANK adjacent
     pair (all its non-overlapping occurrences) until none remains. One
     Arrow-batched pandas-UDF map pass with per-batch word memoization; no
-    shuffle. Empty/NULL text yields an empty piece array.
+    shuffle. Empty/NULL text yields an empty piece array. The rank table
+    ships as an explicit SparkContext broadcast (fetched once per
+    executor), not inside the pickled UDF — a production-size merge list
+    (tens of thousands) would otherwise re-ship with every task.
     """
-    ranks = {p: i for i, p in enumerate(merges)}
+    bc_ranks = df.sparkSession.sparkContext.broadcast(
+        {p: i for i, p in enumerate(merges)}
+    )
 
     @F.pandas_udf(ArrayType(StringType()))
     def _encode(texts: pd.Series) -> pd.Series:
+        ranks = bc_ranks.value
         cache: dict[str, list[str]] = {}
 
         def encode_word(w: str) -> list[str]:

@@ -174,11 +174,14 @@ def lm_score(
     Adds ``n_tokens`` (int64), ``lp_micro`` (total log10-prob in
     round-half-up micros) and ``ppl_micro`` (perplexity
     ``10^(-lp/n_tokens)`` in micros; 0-token docs get ppl_micro = 0).
-    One Arrow-batched map pass — the model rides the closure (Spark
-    broadcasts the serialized UDF once per executor), no shuffle.
+    One Arrow-batched map pass, no shuffle; the model ships as an explicit
+    SparkContext broadcast (fetched once per executor), NOT inside the
+    pickled UDF — at max_grams=200k the closure would otherwise re-ship
+    tens of MB with every task.
     """
     if model["total"] <= 0:
         raise ValueError("lm_score: model trained on an empty corpus")
+    bc_model = df.sparkSession.sparkContext.broadcast(model)
     fields = StructType(
         [
             StructField("n_tokens", LongType()),
@@ -189,6 +192,7 @@ def lm_score(
 
     @F.pandas_udf(fields)
     def _score(texts: pd.Series) -> pd.DataFrame:
+        model = bc_model.value
         out = {"n_tokens": [], "lp_micro": [], "ppl_micro": []}
         for t in texts:
             if t is None:
