@@ -3019,6 +3019,87 @@ def q_store_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shape(p1, 1).unionByName(shape(p2, 2))
 
 
+_ROLE_MACHINE = [
+    ("signup", "view"), ("view", "view"), ("view", "click"),
+    ("click", "view"), ("click", "purchase"), ("click", "error"),
+    ("purchase", "view"), ("error", "view"),
+]
+
+
+def q_role_sequence_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversation-structure validation (operators/transcript_qa.py::
+    role_sequence_audit): each user's event-type sequence checked against
+    a declared role machine — one window pass (lag + row_number share the
+    sort) and one map-side-combined aggregate per entity. The transcript
+    analog: a `tool` turn must follow an assistant tool call; here the
+    machine is an 8-edge event grammar with signup/view openers."""
+    from funcify_feature_eng_spark.operators.transcript_qa import (
+        role_sequence_audit,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    return role_sequence_audit(
+        ev, entity_col="user_id", order=("ts", "event_id"),
+        role_col="event_type", allowed=_ROLE_MACHINE,
+        allowed_start=("signup", "view"),
+    )
+
+
+def q_conv_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-conversation exact dedup (operators/transcript_qa.py::
+    conversation_dedup): the unit of duplication is the ORDERED payload
+    sequence. Gate input = each user's first 3 events (5^3 possible
+    journeys over 150 users guarantees real dup groups); hashed=False so
+    the DuckDB twin reproduces the grouping with string_agg ORDER BY.
+    Production hashed=True shuffles 8-byte turn hashes (hashed==plain is
+    pytest-pinned, tests/test_transcript_qa.py)."""
+    from funcify_feature_eng_spark.operators.transcript_qa import (
+        conversation_dedup,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    head3 = ev.withColumn("__rn", F.row_number().over(w)).where(F.col("__rn") <= 3)
+    return conversation_dedup(
+        head3, entity_col="user_id", order=("__rn",),
+        payload_cols=("event_type",), hashed=False,
+    )
+
+
+def q_conv_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window truncation (operators/transcript_qa.py::
+    truncate_to_budget): keep the longest SUFFIX of each user's events
+    whose cumulative cost (props byte length) fits budget 25 — the SFT
+    keep-the-most-recent-turns rule. One ROWS-framed window exchange, no
+    join; pin_first (system-prompt reservation) is pytest-pinned."""
+    from funcify_feature_eng_spark.operators.transcript_qa import (
+        truncate_to_budget,
+    )
+
+    ev = _t(spark, sf_dir, "events").withColumn("cost", F.length("props"))
+    out = truncate_to_budget(
+        ev, entity_col="user_id", order=("ts", "event_id"),
+        cost="cost", budget=25,
+    )
+    return out.where(F.col("kept")).select("user_id", "event_id", "cost")
+
+
+def q_boilerplate_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Template-turn detection (operators/transcript_qa.py::
+    boilerplate_stats): payloads appearing in >= 75 DISTINCT entities
+    (whitespace-normalized) — the distinct-entity threshold separates
+    cross-conversation boilerplate from one conversation's retry loop.
+    Exact two-level aggregate with map-side combine."""
+    from funcify_feature_eng_spark.operators.transcript_qa import (
+        boilerplate_stats,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    return boilerplate_stats(
+        ev, entity_col="user_id", text_col="props", min_entities=75,
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: windowed turn features + strictly-prior as-of join at sf0.001."""
     sf_dir = "/root/testdata/sf0.001"
@@ -3037,9 +3118,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # feature store + validity intervals, stateful structured streaming,
     # the dedup family (exact/minhash/simhash/ngram/line/CC/embedding/
     # substring-span), similarity + retrieval, mergeable sketches, LM
-    # perplexity scoring, trained BPE tokenization, and one representative
-    # each for sampling, the curation pipeline, text analysis, eval
-    # metrics, and multimodal. Entries 51+ are the family tails, verified
+    # perplexity scoring, trained BPE tokenization, conversation-structure
+    # QA (role_sequence_audit for the transcript_qa family), and one
+    # representative each for sampling, the curation pipeline, text
+    # analysis, eval metrics, and multimodal. Entries 51+ are the family tails, verified
     # by scripts/check_oracle.py into CORRECTNESS_local.json (same
     # harness). Keep new entries AFTER position 50 unless they open a new
     # family; never push a family's only representative past 50.
@@ -3049,7 +3131,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "turn_features_segmented": q_turn_features_segmented,
         "top_events_per_user": q_top_events_per_user,
         "asof_prior_purchase": q_asof_prior_purchase,
-        "asof_tolerance": q_asof_tolerance,
+        "role_sequence_audit": q_role_sequence_audit,
         "next_purchase": q_next_purchase,
         "request_doc_features": q_request_doc_features,
         "request_doc_nested": q_request_doc_nested,
@@ -3094,6 +3176,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_span_stats": q_dup_span_stats,
         "bpe_pieces": q_bpe_pieces,
         # ---- entries 51+: family tails (locally gated) ----
+        "asof_tolerance": q_asof_tolerance,
         "asof_prior_purchase_merge": q_asof_prior_purchase_merge,
         "asof_prior_purchase_segmented": q_asof_prior_purchase_segmented,
         "stream_kmv": q_stream_kmv,
@@ -3159,6 +3242,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "preference_pairs": q_preference_pairs,
         "bpe_vocab": q_bpe_vocab,
         "ngram_lm_counts": q_ngram_lm_counts,
+        "conv_dedup": q_conv_dedup,
+        "conv_truncate": q_conv_truncate,
+        "boilerplate_turns": q_boilerplate_turns,
     }
 
 
@@ -5087,5 +5173,78 @@ SELECT h.user_id, h.chosen_id, l.rejected_id, h.chosen_score,
        l.rejected_score, h.chosen_score - l.rejected_score AS margin
 FROM hi h JOIN lo l USING (user_id)
 WHERE h.rn = 1 AND l.rn = 1 AND h.chosen_score - l.rejected_score > 0
+""",
+        # role-machine audit: lag over (ts, event_id); first row checks
+        # the opener set, later rows the 8-edge transition list ('|' is
+        # outside the role alphabet, mirroring the chr(31) Spark key)
+        "role_sequence_audit": """
+WITH t AS (
+  SELECT user_id,
+         row_number() OVER w AS pos,
+         event_type AS role,
+         lag(event_type) OVER w AS prev
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), v AS (
+  SELECT user_id, pos,
+         CASE WHEN (prev IS NULL AND role IN ('signup', 'view'))
+                OR (prev IS NOT NULL AND concat(prev, '|', role) IN (
+                  'signup|view', 'view|view', 'view|click', 'click|view',
+                  'click|purchase', 'click|error', 'purchase|view',
+                  'error|view'))
+              THEN 0 ELSE 1 END AS viol
+  FROM t
+)
+SELECT user_id,
+       COUNT(*) AS n_turns,
+       CAST(SUM(viol) AS BIGINT) AS n_violations,
+       CAST(coalesce(MIN(CASE WHEN viol = 1 THEN pos END), 0) AS INT)
+         AS first_violation_ord,
+       SUM(viol) = 0 AS is_valid
+FROM v GROUP BY user_id
+""",
+        # whole-conversation dedup on each user's first-3 event journey:
+        # the ordered-payload group is reproduced with string_agg(...
+        # ORDER BY), winner = MIN(user_id) in the group
+        "conv_dedup": """
+WITH h AS (
+  SELECT user_id, event_type,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+), j AS (
+  SELECT user_id,
+         string_agg(event_type, chr(31) ORDER BY rn) AS journey
+  FROM h WHERE rn <= 3 GROUP BY user_id
+), w AS (
+  SELECT journey, MIN(user_id) AS winner_id FROM j GROUP BY journey
+)
+SELECT j.user_id, w.winner_id, j.user_id <> w.winner_id AS is_dup
+FROM j JOIN w USING (journey)
+""",
+        # suffix truncation: ROWS-framed descending cumulative cost
+        "conv_truncate": """
+WITH c AS (
+  SELECT user_id, event_id, length(props) AS cost,
+         SUM(length(props)) OVER (
+           PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sfx
+  FROM events
+)
+SELECT user_id, event_id, cost FROM c WHERE sfx <= 25
+""",
+        # boilerplate: whitespace-normalized payloads in >= 75 DISTINCT
+        # entities; two-level aggregate mirrors the Spark plan
+        "boilerplate_turns": """
+WITH n AS (
+  SELECT trim(regexp_replace(props, '\\s+', ' ', 'g')) AS turn_text, user_id
+  FROM events
+  WHERE props IS NOT NULL AND trim(regexp_replace(props, '\\s+', ' ', 'g')) <> ''
+), p AS (
+  SELECT turn_text, user_id, COUNT(*) AS c FROM n GROUP BY 1, 2
+)
+SELECT turn_text,
+       CAST(COUNT(*) AS BIGINT) AS n_entities,
+       CAST(SUM(c) AS BIGINT) AS n_rows
+FROM p GROUP BY turn_text HAVING COUNT(*) >= 75
 """,
     }

@@ -1,0 +1,340 @@
+"""Conversation-grain QA and curation for transcript corpora.
+
+The north rule's payload is multi-turn conversation / agent transcripts
+(conv_id, turn_idx, role, text, tool, ts). Before any of those turns feed
+feature engineering or SFT assembly, a production pipeline runs
+conversation-STRUCTURE checks and conversation-grain curation that the
+document-grain operators (:mod:`.dedup`, :mod:`.selection`) don't cover:
+
+- :func:`role_sequence_audit` — validate each conversation's role
+  transition sequence against a declared role machine (e.g. a ``tool``
+  turn must follow an ``assistant`` tool call; a conversation must open
+  with ``system`` or ``user``). One window pass (lag over the turn
+  order) + one map-side-combined aggregate per conversation.
+- :func:`conversation_fingerprints` / :func:`conversation_dedup` —
+  exact whole-conversation dedup: the unit of duplication is the ORDERED
+  (payload...) turn sequence, not any single turn. Production
+  (``hashed=True``) hashes every turn to 8 bytes JVM-side before the
+  grouping shuffle, so a 10^12-turn corpus shuffles ~16 B/turn instead
+  of text; ``hashed=False`` keeps the joined payload string so a
+  cross-engine oracle (``string_agg(... ORDER BY ...)``) reproduces the
+  grouping exactly (the ``knuth_key`` hash=False convention).
+- :func:`truncate_to_budget` — the SFT preprocessing step that keeps the
+  longest SUFFIX of turns whose cumulative cost (tokens, bytes) fits a
+  budget, optionally pinning the opening turn (the system prompt) with
+  its cost reserved. One window exchange; no join, no collect.
+- :func:`boilerplate_stats` / :func:`drop_boilerplate` — template-turn
+  detection: exact turn payloads that appear in at least ``min_entities``
+  DISTINCT conversations (navigation chrome, canned tool banners,
+  disclaimer turns). Distinct-entity threshold, not global dup count —
+  that distinction is what separates boilerplate from an in-conversation
+  retry loop. Two-level exact distinct aggregate with map-side combine.
+
+The reference has no conversation-structure surface (its grain is the
+GraphQL data-element graph, `materializer/.../DefaultSingleRequestMaterializationGraphService.kt`);
+this family is part of the beyond-reference transcript-pipeline tier
+alongside :mod:`.windows` (turn features) and :mod:`.substrings`.
+
+All outputs are deterministic (explicit tie-breaks, no floats) so an
+independent engine reproduces them bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable, Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = [
+    "role_sequence_audit",
+    "conversation_fingerprints",
+    "conversation_dedup",
+    "truncate_to_budget",
+    "boilerplate_stats",
+    "drop_boilerplate",
+]
+
+# Unit separators for payload joins: chosen outside any plausible payload
+# alphabet; chr(31)/chr(30) are reproducible in ANSI SQL via chr().
+_TURN_SEP = "\x1f"
+_FIELD_SEP = "\x1e"
+_NULL_SENTINEL = "\x00null"
+
+
+def _order_cols(order: Sequence[str]) -> list[Column]:
+    return [F.col(c) for c in order]
+
+
+def role_sequence_audit(
+    df: DataFrame,
+    *,
+    entity_col: str,
+    order: Sequence[str],
+    role_col: str,
+    allowed: Iterable[tuple[str, str]],
+    allowed_start: Iterable[str] | None = None,
+) -> DataFrame:
+    """Per-conversation audit of the role transition sequence.
+
+    ``allowed`` lists the legal ``(prior_role, role)`` transitions;
+    ``allowed_start`` (optional) restricts which role may open a
+    conversation. A NULL role is always a violation. Returns one row per
+    entity: ``n_turns``, ``n_violations``, ``first_violation_ord``
+    (1-based turn position of the first violating turn; 0 when valid)
+    and ``is_valid``.
+
+    Scale: one window exchange on ``entity_col`` (lag + row_number share
+    the sort) and one map-side-combined aggregate on the same key — AQE
+    coalesces the two into a single shuffle's worth of movement. The
+    transition check is a literal IN over ``len(allowed)`` strings
+    (role alphabets are tiny), entirely JVM-side.
+    """
+    allowed = sorted(set(allowed))
+    if not allowed:
+        raise ValueError("role_sequence_audit: allowed transitions must be non-empty")
+    for a, b in allowed:
+        if _TURN_SEP in (a or "") or _TURN_SEP in (b or ""):
+            raise ValueError("role_sequence_audit: role names may not contain chr(31)")
+    w = Window.partitionBy(entity_col).orderBy(*_order_cols(order))
+    role = F.col(role_col)
+    prev = F.lag(role).over(w)
+    pos = F.row_number().over(w)
+    trans_key = F.concat_ws(_TURN_SEP, prev, role)
+    ok_trans = trans_key.isin([f"{a}{_TURN_SEP}{b}" for a, b in allowed])
+    if allowed_start is None:
+        ok_start = role.isNotNull()
+    else:
+        ok_start = role.isin(sorted(set(allowed_start)))
+    # NULL role: trans_key/isin stays false-ish only via isNotNull guard
+    ok = F.when(prev.isNull(), ok_start).otherwise(
+        role.isNotNull() & prev.isNotNull() & ok_trans
+    )
+    viol = (~F.coalesce(ok, F.lit(False))).cast("int")
+    per_turn = df.select(
+        F.col(entity_col),
+        pos.alias("__pos"),
+        viol.alias("__viol"),
+    )
+    return per_turn.groupBy(entity_col).agg(
+        F.count(F.lit(1)).alias("n_turns"),
+        F.sum("__viol").cast("bigint").alias("n_violations"),
+        F.coalesce(
+            F.min(F.when(F.col("__viol") == 1, F.col("__pos"))), F.lit(0)
+        ).cast("int").alias("first_violation_ord"),
+    ).withColumn("is_valid", F.col("n_violations") == 0)
+
+
+def conversation_fingerprints(
+    df: DataFrame,
+    *,
+    entity_col: str,
+    order: Sequence[str],
+    payload_cols: Sequence[str],
+    hashed: bool = True,
+) -> DataFrame:
+    """One row per entity with its order-sensitive payload fingerprint.
+
+    ``hashed=True`` (production): each turn's payload tuple is hashed to
+    8 bytes JVM-side (``xxhash64``) BEFORE the grouping shuffle — the
+    aggregate moves (order, 8-byte hash) per turn, never text — then the
+    sorted per-turn hashes are joined and hashed again into one
+    ``fingerprint: bigint``. ``hashed=False``: the fingerprint is the
+    joined payload string itself (``fingerprint: string``), which an
+    independent SQL engine reproduces with
+    ``string_agg(payload, chr(31) ORDER BY ...)``. NULL payload fields
+    map to a reserved sentinel so ``NULL`` and ``'null'`` never collide.
+
+    The per-entity sorted collect is bounded by conversation length —
+    the same bound the window operators already rely on.
+    """
+    if not payload_cols:
+        raise ValueError("conversation_fingerprints: payload_cols must be non-empty")
+    payload = F.concat_ws(
+        _FIELD_SEP, *[F.coalesce(F.col(c).cast("string"), F.lit(_NULL_SENTINEL))
+                      for c in payload_cols]
+    )
+    turn_val = F.xxhash64(payload).cast("string") if hashed else payload
+    sortable = F.struct(
+        *[F.col(c).alias(f"__o{i}") for i, c in enumerate(order)],
+        turn_val.alias("__v"),
+    )
+    agg = df.groupBy(entity_col).agg(
+        F.sort_array(F.collect_list(sortable)).alias("__turns")
+    )
+    joined = F.array_join(
+        F.transform(F.col("__turns"), lambda s: s["__v"]), _TURN_SEP
+    )
+    fp = F.xxhash64(joined) if hashed else joined
+    return agg.select(F.col(entity_col), fp.alias("fingerprint"))
+
+
+def conversation_dedup(
+    df: DataFrame,
+    *,
+    entity_col: str,
+    order: Sequence[str],
+    payload_cols: Sequence[str],
+    hashed: bool = True,
+) -> DataFrame:
+    """Exact whole-conversation dedup: per entity, the winning entity id
+    among all entities with an identical ordered payload sequence.
+
+    Returns one row per entity: ``winner_id`` (the MIN entity id in its
+    fingerprint group — deterministic) and ``is_dup`` (true for every
+    non-winner). Joining losers out of the turn table is a broadcast-able
+    semi-join for the caller (dup groups are tiny relative to corpora).
+
+    Scale: :func:`conversation_fingerprints` (8-byte turn shuffle in
+    production mode) + one aggregate of ONE ROW PER ENTITY on the
+    fingerprint + a self-join of the entity-grain frame — never a
+    turn-grain shuffle beyond the first.
+    """
+    fps = conversation_fingerprints(
+        df, entity_col=entity_col, order=order,
+        payload_cols=payload_cols, hashed=hashed,
+    )
+    winners = fps.groupBy("fingerprint").agg(
+        F.min(entity_col).alias("winner_id")
+    )
+    return (
+        fps.join(winners, "fingerprint")
+        .select(
+            F.col(entity_col),
+            F.col("winner_id"),
+            (F.col(entity_col) != F.col("winner_id")).alias("is_dup"),
+        )
+    )
+
+
+def truncate_to_budget(
+    df: DataFrame,
+    *,
+    entity_col: str,
+    order: Sequence[str],
+    cost: str | Column,
+    budget: int,
+    pin_first: bool = False,
+    kept_col: str = "kept",
+) -> DataFrame:
+    """Mark the longest SUFFIX of turns whose cumulative cost fits
+    ``budget`` (the standard context-window truncation for SFT: keep the
+    most recent turns, drop the oldest).
+
+    A turn is kept iff the total cost of it plus every LATER turn in its
+    conversation is <= ``budget``. With ``pin_first=True`` the opening
+    turn (the system prompt) is always kept, its cost is deducted from
+    the budget first (floored at 0), and the suffix rule applies to the
+    remaining turns — so a pinned opener plus a recency suffix, the
+    chat-template convention. NULL costs count as 0 (documented; pass a
+    coalesced column for other semantics). ``budget < 0`` raises.
+
+    Adds ``kept_col`` (boolean); no rows are dropped — filter on it.
+    Scale: one window exchange on ``entity_col`` shared by the
+    descending cumulative sum, the (pin_first-only) opener lookup, and
+    nothing else; zero joins.
+    """
+    if budget < 0:
+        raise ValueError(f"truncate_to_budget: budget must be >= 0, got {budget}")
+    c = F.coalesce(
+        (F.col(cost) if isinstance(cost, str) else cost).cast("bigint"), F.lit(0)
+    )
+    w_desc = Window.partitionBy(entity_col).orderBy(
+        *[F.col(o).desc() for o in order]
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    # suffix sum: this turn + every later turn (desc order => rows from
+    # the conversation end up to and including the current row); ROWS
+    # frame — the default RANGE frame would merge order-key peers
+    sfx = F.sum(c).over(w_desc)
+    if not pin_first:
+        return df.withColumn(kept_col, sfx <= F.lit(int(budget)))
+    w_asc = Window.partitionBy(entity_col).orderBy(*_order_cols(order))
+    pos = F.row_number().over(w_asc)
+    w_all = Window.partitionBy(entity_col).orderBy(
+        *_order_cols(order)
+    ).rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    first_cost = F.max(F.when(pos == 1, c)).over(w_all)
+    rem = F.greatest(F.lit(int(budget)) - first_cost, F.lit(0))
+    # pos > 1 rows: their suffix sum never includes the opener (the
+    # opener is the LAST row in desc order), so sfx is the correct
+    # rest-of-conversation suffix cost as-is
+    return df.withColumn(
+        kept_col, F.when(pos == 1, F.lit(True)).otherwise(sfx <= rem)
+    )
+
+
+def boilerplate_stats(
+    df: DataFrame,
+    *,
+    entity_col: str,
+    text_col: str,
+    min_entities: int = 2,
+    normalize: bool = True,
+) -> DataFrame:
+    """Turn payloads appearing in at least ``min_entities`` DISTINCT
+    conversations: one row per boilerplate text with ``turn_text``,
+    ``n_entities`` (exact distinct) and ``n_rows``.
+
+    ``normalize=True`` compares on whitespace-collapsed trimmed text
+    (the :mod:`.dedup` normalization); the emitted ``turn_text`` is the
+    normalized form. NULL/empty texts are excluded. The distinct-ENTITY
+    threshold (not global occurrence count) is what separates template
+    chrome from a single conversation's retry loop.
+
+    Scale: exact two-level aggregate — groupBy(text, entity) with
+    map-side combine collapses each conversation's repeats locally, then
+    groupBy(text) counts survivors. Shuffle volume is bounded by
+    distinct (text, entity) pairs; at 100 TB run it over
+    ``F.xxhash64(text)`` keys by pre-hashing upstream if texts are
+    large — the gate path keeps text for the cross-engine oracle.
+    """
+    if min_entities < 1:
+        raise ValueError(
+            f"boilerplate_stats: min_entities must be >= 1, got {min_entities}"
+        )
+    t = F.col(text_col)
+    if normalize:
+        t = F.trim(F.regexp_replace(t, r"\s+", " "))
+    base = (
+        df.select(t.alias("turn_text"), F.col(entity_col).alias("__e"))
+        .where(F.col("turn_text").isNotNull() & (F.col("turn_text") != ""))
+    )
+    pairs = base.groupBy("turn_text", "__e").agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    return (
+        pairs.groupBy("turn_text")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_entities"),
+            F.sum("__c").cast("bigint").alias("n_rows"),
+        )
+        .where(F.col("n_entities") >= min_entities)
+    )
+
+
+def drop_boilerplate(
+    df: DataFrame,
+    *,
+    entity_col: str,
+    text_col: str,
+    min_entities: int = 2,
+    normalize: bool = True,
+) -> DataFrame:
+    """Remove boilerplate turns (per :func:`boilerplate_stats`) from the
+    turn table via a left-anti join on the (normalized) text. Non-text
+    rows (NULL/empty) always survive. The boilerplate side is tiny by
+    construction — Spark broadcasts it under AQE."""
+    bp = boilerplate_stats(
+        df, entity_col=entity_col, text_col=text_col,
+        min_entities=min_entities, normalize=normalize,
+    ).select("turn_text")
+    t = F.col(text_col)
+    if normalize:
+        t = F.trim(F.regexp_replace(t, r"\s+", " "))
+    return (
+        df.withColumn("__bp_key", t)
+        .join(
+            F.broadcast(bp), F.col("__bp_key") == F.col("turn_text"), "left_anti"
+        )
+        .drop("__bp_key")
+    )

@@ -1,0 +1,193 @@
+"""Tests for operators/transcript_qa.py (conversation-grain QA)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from funcify_feature_eng_spark.operators.transcript_qa import (
+    boilerplate_stats,
+    conversation_dedup,
+    conversation_fingerprints,
+    drop_boilerplate,
+    role_sequence_audit,
+    truncate_to_budget,
+)
+
+ALLOWED = [
+    ("system", "user"),
+    ("user", "assistant"),
+    ("assistant", "user"),
+    ("assistant", "tool"),
+    ("tool", "assistant"),
+]
+
+
+def _turns(spark, rows):
+    return spark.createDataFrame(
+        rows, "conv_id: long, turn_idx: int, role: string, text: string"
+    )
+
+
+def test_role_sequence_audit_hand_computed(spark):
+    df = _turns(spark, [
+        # conv 1: fully valid
+        (1, 0, "system", "s"), (1, 1, "user", "u"), (1, 2, "assistant", "a"),
+        (1, 3, "tool", "t"), (1, 4, "assistant", "a2"),
+        # conv 2: opens wrong (tool), then user->user violation at pos 3
+        (2, 0, "tool", "t"), (2, 1, "assistant", "a"),
+        (2, 2, "user", "u"), (2, 3, "user", "u2"),
+        # conv 3: NULL role mid-conversation (two violations: into + out of)
+        (3, 0, "user", "u"), (3, 1, None, "x"), (3, 2, "assistant", "a"),
+    ])
+    got = {
+        r["conv_id"]: (r["n_turns"], r["n_violations"],
+                       r["first_violation_ord"], r["is_valid"])
+        for r in role_sequence_audit(
+            df, entity_col="conv_id", order=("turn_idx",), role_col="role",
+            allowed=ALLOWED, allowed_start=("system", "user"),
+        ).collect()
+    }
+    assert got[1] == (5, 0, 0, True)
+    # conv 2: pos 1 bad start; tool->assistant ok; assistant->user ok;
+    # user->user bad -> 2 violations, first at 1
+    assert got[2] == (4, 2, 1, False)
+    # conv 3: user->NULL and NULL->assistant both violate
+    assert got[3] == (3, 2, 2, False)
+
+
+def test_role_audit_default_start_accepts_any_role(spark):
+    df = _turns(spark, [(1, 0, "tool", "t"), (1, 1, "assistant", "a")])
+    row = role_sequence_audit(
+        df, entity_col="conv_id", order=("turn_idx",), role_col="role",
+        allowed=ALLOWED,
+    ).collect()[0]
+    assert row["is_valid"] and row["n_violations"] == 0
+
+
+def _dup_convs(spark):
+    # convs 1 and 3 are identical journeys; 2 differs in order; 4 differs
+    # in payload; 5 is a single-turn conv whose text equals a turn of 1
+    return _turns(spark, [
+        (1, 0, "user", "hi"), (1, 1, "assistant", "hello"),
+        (2, 0, "assistant", "hello"), (2, 1, "user", "hi"),
+        (3, 0, "user", "hi"), (3, 1, "assistant", "hello"),
+        (4, 0, "user", "hi"), (4, 1, "assistant", "hey"),
+        (5, 0, "user", "hi"),
+    ])
+
+
+def test_conversation_dedup_hand_computed(spark):
+    got = {
+        r["conv_id"]: (r["winner_id"], r["is_dup"])
+        for r in conversation_dedup(
+            _dup_convs(spark), entity_col="conv_id", order=("turn_idx",),
+            payload_cols=("role", "text"), hashed=False,
+        ).collect()
+    }
+    assert got == {1: (1, False), 2: (2, False), 3: (1, True),
+                   4: (4, False), 5: (5, False)}
+
+
+def test_conversation_dedup_hashed_equals_plain(spark):
+    df = _dup_convs(spark)
+    kw = dict(entity_col="conv_id", order=("turn_idx",),
+              payload_cols=("role", "text"))
+    plain = {(r["conv_id"], r["winner_id"], r["is_dup"])
+             for r in conversation_dedup(df, hashed=False, **kw).collect()}
+    hashed = {(r["conv_id"], r["winner_id"], r["is_dup"])
+              for r in conversation_dedup(df, hashed=True, **kw).collect()}
+    assert plain == hashed
+
+
+def test_fingerprint_null_vs_literal_null_text(spark):
+    df = _turns(spark, [(1, 0, "user", None), (2, 0, "user", "null")])
+    fps = conversation_fingerprints(
+        df, entity_col="conv_id", order=("turn_idx",),
+        payload_cols=("role", "text"), hashed=False,
+    ).collect()
+    vals = {r["conv_id"]: r["fingerprint"] for r in fps}
+    assert vals[1] != vals[2]
+
+
+def _costed(spark):
+    # conv 1 costs oldest->newest: 50, 40, 30, 20, 10
+    rows = [(1, i, "user", "x", c) for i, c in enumerate([50, 40, 30, 20, 10])]
+    rows += [(2, 0, "system", "s", 100), (2, 1, "user", "u", 60),
+             (2, 2, "assistant", "a", 30)]
+    return spark.createDataFrame(
+        rows, "conv_id: long, turn_idx: int, role: string, text: string, cost: int"
+    )
+
+
+def test_truncate_suffix_hand_computed(spark):
+    out = truncate_to_budget(
+        _costed(spark), entity_col="conv_id", order=("turn_idx",),
+        cost="cost", budget=60,
+    )
+    kept = {(r["conv_id"], r["turn_idx"]): r["kept"] for r in out.collect()}
+    # conv1 suffix sums (from end): 10, 30, 60, 100, 150 -> keep idx 2,3,4
+    assert [kept[(1, i)] for i in range(5)] == [False, False, True, True, True]
+    # conv2 suffix sums: 30, 90, 190 -> keep only idx 2
+    assert [kept[(2, i)] for i in range(3)] == [False, False, True]
+
+
+def test_truncate_pin_first_reserves_opener_cost(spark):
+    out = truncate_to_budget(
+        _costed(spark), entity_col="conv_id", order=("turn_idx",),
+        cost="cost", budget=120, pin_first=True,
+    )
+    kept = {(r["conv_id"], r["turn_idx"]): r["kept"] for r in out.collect()}
+    # conv2: opener cost 100 always kept; remaining budget 20 -> neither
+    # the 60 nor the 30+60 suffix fits, but the 30-cost tail... 30 > 20
+    assert [kept[(2, i)] for i in range(3)] == [True, False, False]
+    # conv1: opener 50 kept, remaining 70 -> suffix sums 10,30,60 fit
+    assert [kept[(1, i)] for i in range(5)] == [True, False, True, True, True]
+
+
+def test_truncate_opener_larger_than_budget_still_pinned(spark):
+    out = truncate_to_budget(
+        _costed(spark), entity_col="conv_id", order=("turn_idx",),
+        cost="cost", budget=50, pin_first=True,
+    )
+    kept = {(r["conv_id"], r["turn_idx"]): r["kept"] for r in out.collect()}
+    assert kept[(2, 0)] is True and kept[(2, 1)] is False and kept[(2, 2)] is False
+
+
+def test_truncate_rejects_negative_budget(spark):
+    with pytest.raises(ValueError, match="budget"):
+        truncate_to_budget(
+            _costed(spark), entity_col="conv_id", order=("turn_idx",),
+            cost="cost", budget=-1,
+        )
+
+
+def _bp(spark):
+    return _turns(spark, [
+        (1, 0, "assistant", "I  am an AI assistant."),
+        (1, 1, "assistant", "unique one"),
+        (2, 0, "assistant", "I am an AI  assistant."),
+        (2, 1, "assistant", "I am an AI assistant."),   # repeat in same conv
+        (3, 0, "assistant", "unique two"),
+        (3, 1, "assistant", None),
+        (3, 2, "assistant", ""),
+    ])
+
+
+def test_boilerplate_distinct_entity_threshold(spark):
+    got = {
+        r["turn_text"]: (r["n_entities"], r["n_rows"])
+        for r in boilerplate_stats(
+            _bp(spark), entity_col="conv_id", text_col="text", min_entities=2,
+        ).collect()
+    }
+    # whitespace-normalized banner: convs {1, 2} distinct, 3 rows total;
+    # conv 2's in-conversation repeat does NOT create a second entity
+    assert got == {"I am an AI assistant.": (2, 3)}
+
+
+def test_drop_boilerplate_keeps_non_text_rows(spark):
+    out = drop_boilerplate(
+        _bp(spark), entity_col="conv_id", text_col="text", min_entities=2,
+    )
+    texts = sorted((r["conv_id"], r["turn_idx"]) for r in out.collect())
+    assert texts == [(1, 1), (3, 0), (3, 1), (3, 2)]
+    assert out.columns == ["conv_id", "turn_idx", "role", "text"]
