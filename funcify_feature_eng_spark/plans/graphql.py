@@ -25,7 +25,12 @@ Supported GraphQL surface:
   NULL (P4, same as ``shows_reshaped``).
 - directives; ``@unnest`` on a collection field maps to the document
   compiler's ``unnest: true`` (result-path fan-out,
-  ``schema/path/result/ListSegment.kt:9-29``)
+  ``schema/path/result/ListSegment.kt:9-29``); the spec-mandated
+  ``@skip(if:)`` / ``@include(if:)`` are EVALUATED at lowering time
+  (boolean literal or ``$variable``, with declared defaults applied) on
+  fields, fragment spreads, and inline fragments — both present means
+  include iff ``include && !skip``, per the GraphQL June-2018 spec
+  §5.7.3; other directives are recorded and ignored
 
 Lowering conventions (the schema-to-model mapping the reference gets from
 its SDL metamodel, ``netflix_movies_and_tv_shows.graphqls``):
@@ -107,12 +112,18 @@ class Field:
     name: str
     alias: str | None = None
     args: dict[str, Any] = dc_field(default_factory=dict)
-    directives: list[str] = dc_field(default_factory=list)
+    # (name, args) per directive, in document order; args values may be
+    # _Var markers resolved at lowering time (@skip/@include)
+    directives: list[tuple[str, dict[str, Any]]] = dc_field(default_factory=list)
     selections: list["Field"] | None = None  # None = leaf
 
     @property
     def out_name(self) -> str:
         return self.alias or self.name
+
+    @property
+    def directive_names(self) -> list[str]:
+        return [d[0] for d in self.directives]
 
 
 @dataclass
@@ -225,13 +236,14 @@ class _GqlParser:
                 if self.peek() == ("name", "on"):  # inline fragment
                     self.next()
                     tcond = self.expect("name")[1]
-                    self._skip_directives()
+                    dirs = self._skip_directives()
                     inner = self.selection_set()
-                    out.append(Field(name=f"...on {tcond}", selections=inner))
+                    out.append(Field(name=f"...on {tcond}", directives=dirs,
+                                     selections=inner))
                 else:
                     fname = self.expect("name")[1]
-                    self._skip_directives()
-                    out.append(Field(name=f"...{fname}"))
+                    dirs = self._skip_directives()
+                    out.append(Field(name=f"...{fname}", directives=dirs))
             elif k == "name":
                 out.append(self.field())
             else:
@@ -262,21 +274,20 @@ class _GqlParser:
         return Field(name=name, alias=alias, args=args,
                      directives=directives, selections=selections)
 
-    def _skip_directives(self) -> list[str]:
-        out = []
+    def _skip_directives(self) -> list[tuple[str, dict[str, Any]]]:
+        out: list[tuple[str, dict[str, Any]]] = []
         while self.peek() == ("punct", "@"):
             self.next()
-            out.append(self.expect("name")[1])
-            if self.peek() == ("punct", "("):  # directive args: consume
-                depth = 0
-                while True:
-                    t = self.next()
-                    if t == ("punct", "("):
-                        depth += 1
-                    elif t == ("punct", ")"):
-                        depth -= 1
-                        if depth == 0:
-                            break
+            dname = self.expect("name")[1]
+            dargs: dict[str, Any] = {}
+            if self.peek() == ("punct", "("):
+                self.next()
+                while self.peek() != ("punct", ")"):
+                    an = self.expect("name")[1]
+                    self.expect("punct", ":")
+                    dargs[an] = self.value()
+                self.next()
+            out.append((dname, dargs))
         return out
 
     def value(self) -> Any:
@@ -350,6 +361,61 @@ def _expand_fragments(
     return out
 
 
+def _directive_included(f: Field, variables: dict[str, Any]) -> bool:
+    """Evaluate @skip/@include on a field / spread / inline fragment.
+
+    Spec §5.7.3: when both are present the selection is included iff
+    ``include.if && !skip.if``. ``if:`` takes a boolean literal or a
+    ``$variable`` (declared defaults already merged by the caller).
+    Unknown directives are ignored (recorded only)."""
+    included = True
+    for dname, dargs in f.directives:
+        if dname not in ("skip", "include"):
+            continue
+        if set(dargs) != {"if"}:
+            raise PlanError(
+                f"GraphQL: @{dname} takes exactly the 'if' argument "
+                f"(got {sorted(dargs) or 'none'})"
+            )
+        v = dargs["if"]
+        if isinstance(v, _Var):
+            if v.name not in variables:
+                raise PlanError(
+                    f"GraphQL: @{dname}(if: ${v.name}) — variable "
+                    f"${v.name} has no value (pass it in `variables` or "
+                    "declare a default)"
+                )
+            v = variables[v.name]
+        if not isinstance(v, bool):
+            raise PlanError(
+                f"GraphQL: @{dname}(if:) must be Boolean, got {v!r}"
+            )
+        if dname == "skip" and v:
+            included = False
+        if dname == "include" and not v:
+            included = False
+    return included
+
+
+def _prune_directives(
+    sels: list[Field], variables: dict[str, Any]
+) -> list[Field]:
+    """Drop selections excluded by @skip/@include, recursively. A grouping
+    field whose entire selection set is skipped is dropped with it (there
+    is nothing left to select under it)."""
+    out: list[Field] = []
+    for f in sels:
+        if not _directive_included(f, variables):
+            continue
+        if f.selections is not None:
+            inner = _prune_directives(f.selections, variables)
+            if not inner:
+                continue
+            f = Field(f.name, f.alias, f.args, f.directives, inner)
+        out.append(f)
+    return out
+
+
 def _resolve_value(v: Any, variables: dict[str, Any]) -> Any:
     if isinstance(v, _Var):
         # leave as "$name" string: document._resolve_args owns variable
@@ -374,8 +440,17 @@ class LoweredRequest:
     paths: dict[str, str] = None  # type: ignore[assignment]
 
 
-def lower_graphql(src: str, operation_name: str | None = None) -> LoweredRequest:
-    """Parse + lower a GraphQL document to the dict-document shape."""
+def lower_graphql(
+    src: str,
+    operation_name: str | None = None,
+    variables: dict[str, Any] | None = None,
+) -> LoweredRequest:
+    """Parse + lower a GraphQL document to the dict-document shape.
+
+    ``variables`` feeds @skip/@include evaluation only (merged over the
+    operation's declared defaults); full variable coercion/binding stays
+    with the document compiler. Omitting it is fine for documents whose
+    conditional directives use literals or defaulted variables."""
     ops, frags = parse_graphql(src)
     if operation_name is not None:
         matches = [o for o in ops if o.name == operation_name]
@@ -391,6 +466,23 @@ def lower_graphql(src: str, operation_name: str | None = None) -> LoweredRequest
         raise PlanError(
             "GraphQL: multiple operations require operation_name "
             f"(defined: {[o.name for o in ops]})"
+        )
+
+    # @skip/@include evaluation: provided variables merged over declared
+    # defaults (required-but-missing stays the document compiler's error —
+    # a variable is only needed HERE if a conditional directive reads it)
+    cond_vars = dict(variables or {})
+    for vname, vdef in op.variable_defs.items():
+        if vname not in cond_vars and "default" in vdef:
+            cond_vars[vname] = vdef["default"]
+    op = Operation(op.name, op.variable_defs,
+                   _prune_directives(op.selections, cond_vars))
+    frags = {k: (t, _prune_directives(b, cond_vars))
+             for k, (t, b) in frags.items()}
+    if not op.selections:
+        raise PlanError(
+            "GraphQL: every top-level selection was removed by "
+            "@skip/@include — nothing to materialize"
         )
 
     features: dict[str, dict] = {}
@@ -433,7 +525,7 @@ def lower_graphql(src: str, operation_name: str | None = None) -> LoweredRequest
             paths[f"{f.out_name}.{leaf.out_name}"] = f"{cpath}.{leaf.name}"
         collections[f.out_name] = {
             "fields": fields,
-            "unnest": "unnest" in f.directives,
+            "unnest": "unnest" in f.directive_names,
         }
         paths[f.out_name] = cpath
 
@@ -639,7 +731,7 @@ def materialize_graphql(
 
     from funcify_feature_eng_spark.plans.document import materialize_document
 
-    lowered = lower_graphql(src, operation_name)
+    lowered = lower_graphql(src, operation_name, variables)
     op = lowered.operation
 
     merged_vars = dict(variables or {})

@@ -333,3 +333,133 @@ def test_validation_passes_clean_document(spark):
     # the full reference-shape query still validates and materializes
     out = materialize_graphql(_model(), _events(spark), QUERY)
     assert out.count() == 3
+
+
+# ------------------------------------------------- @skip / @include
+
+
+def test_skip_include_literals():
+    src = """
+    query Q {
+        features {
+            userFeatures {
+                a: event_seq @include(if: true)
+                b: event_seq @include(if: false)
+                c: event_seq @skip(if: true)
+                d: event_seq @skip(if: false)
+            }
+        }
+    }
+    """
+    sel = lower_graphql(src).doc["select"]
+    assert list(sel["features"]) == ["a", "d"]
+
+
+def test_skip_and_include_both_present_spec_rule():
+    # spec §5.7.3: included iff include.if && !skip.if
+    src = """
+    query Q {
+        features {
+            userFeatures {
+                a: event_seq @include(if: true) @skip(if: true)
+                b: event_seq @include(if: true) @skip(if: false)
+                c: event_seq @include(if: false) @skip(if: false)
+            }
+        }
+    }
+    """
+    sel = lower_graphql(src).doc["select"]
+    assert list(sel["features"]) == ["b"]
+
+
+def test_skip_variable_with_default_and_override():
+    src = """
+    query Q($verbose: Boolean = false) {
+        features {
+            userFeatures {
+                always: event_seq
+                extra: session_id(gap_threshold_s: 60.0) @include(if: $verbose)
+            }
+        }
+    }
+    """
+    assert list(lower_graphql(src).doc["select"]["features"]) == ["always"]
+    got = lower_graphql(src, variables={"verbose": True})
+    assert list(got.doc["select"]["features"]) == ["always", "extra"]
+
+
+def test_skip_on_fragment_spread_and_inline_fragment():
+    src = """
+    query Q($x: Boolean = true) {
+        features {
+            userFeatures {
+                a: event_seq
+                ...F @skip(if: $x)
+                ... on User @include(if: false) {
+                    c: event_seq
+                }
+            }
+        }
+    }
+    fragment F on User { b: event_seq }
+    """
+    assert list(lower_graphql(src).doc["select"]["features"]) == ["a"]
+    got = lower_graphql(src, variables={"x": False})
+    assert list(got.doc["select"]["features"]) == ["a", "b"]
+
+
+def test_skip_grouping_field_prunes_whole_subtree():
+    src = """
+    query Q {
+        features {
+            userFeatures @skip(if: true) { a: event_seq }
+            other { b: event_seq }
+        }
+    }
+    """
+    assert list(lower_graphql(src).doc["select"]["features"]) == ["b"]
+
+
+def test_skip_errors_unbound_variable_and_non_boolean():
+    src = """
+    query Q($v: Boolean) {
+        features { userFeatures { a: event_seq @skip(if: $v) } }
+    }
+    """
+    with pytest.raises(PlanError, match=r"@skip\(if: \$v\)"):
+        lower_graphql(src)
+    src2 = """
+    query Q { features { userFeatures { a: event_seq @skip(if: 3) } } }
+    """
+    with pytest.raises(PlanError, match="must be Boolean"):
+        lower_graphql(src2)
+    src3 = """
+    query Q { features { userFeatures { a: event_seq @skip(unless: true) } } }
+    """
+    with pytest.raises(PlanError, match="exactly the 'if' argument"):
+        lower_graphql(src3)
+
+
+def test_skip_everything_errors():
+    src = "query Q { features @skip(if: true) { u { a: event_seq } } }"
+    with pytest.raises(PlanError, match="every top-level selection"):
+        lower_graphql(src)
+
+
+def test_skip_include_materializes_identically_to_plain_doc(spark):
+    src = """
+    query Q($verbose: Boolean = false) {
+        features {
+            userFeatures {
+                nTurns: event_seq
+                debug: prior_event_type @include(if: $verbose)
+            }
+        }
+    }
+    """
+    slim = materialize_graphql(_model(), _events(spark), src)
+    assert slim.columns == ["nTurns"]
+    full = materialize_graphql(_model(), _events(spark), src,
+                               variables={"verbose": True})
+    assert full.columns == ["nTurns", "debug"]
+    assert full.count() == slim.count() == 18
