@@ -3019,6 +3019,35 @@ def q_store_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shape(p1, 1).unionByName(shape(p2, 2))
 
 
+def q_request_graphql_cond(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional GraphQL document: spec 5.7.3 @skip/@include evaluated
+    at lowering (plans/graphql.py::_prune_directives) — a defaulted
+    $debug variable drops the gapSecs branch and keeps priorEventType,
+    a literal @include keeps the fragment spread, and the session
+    threshold arrives through a required variable. The oracle computes
+    exactly the INCLUDED columns."""
+    from funcify_feature_eng_spark.plans.graphql import materialize_graphql
+
+    src = """
+    query Cond($debug: Boolean = false, $gap: Float!) {
+        features {
+            userFeatures {
+                eventId
+                seq: eventSeq
+                prior: priorEventType @skip(if: $debug)
+                dbg: gapSecs @include(if: $debug)
+                ...S @include(if: true)
+            }
+        }
+    }
+    fragment S on User {
+        sess: sessionId(gap_threshold_s: $gap)
+    }
+    """
+    ev = _t(spark, sf_dir, "events")
+    return materialize_graphql(_events_model(), ev, src, variables={"gap": 900.0})
+
+
 _ROLE_MACHINE = [
     ("signup", "view"), ("view", "view"), ("view", "click"),
     ("click", "view"), ("click", "purchase"), ("click", "error"),
@@ -3245,6 +3274,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conv_dedup": q_conv_dedup,
         "conv_truncate": q_conv_truncate,
         "boilerplate_turns": q_boilerplate_turns,
+        "request_graphql_cond": q_request_graphql_cond,
     }
 
 
@@ -5246,5 +5276,23 @@ SELECT turn_text,
        CAST(COUNT(*) AS BIGINT) AS n_entities,
        CAST(SUM(c) AS BIGINT) AS n_rows
 FROM p GROUP BY turn_text HAVING COUNT(*) >= 75
+""",
+        # conditional GraphQL document: only the @skip/@include-INCLUDED
+        # branches exist in the twin (prior kept, dbg dropped)
+        "request_graphql_cond": """
+WITH g AS (
+  SELECT event_id, user_id, event_type, ts,
+         lag(event_type) OVER w AS prior,
+         CAST(row_number() OVER w AS INT) AS seq,
+         (epoch_us(ts) - epoch_us(lag(ts) OVER w)) / 1000000.0 AS gap_secs
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT event_id AS "eventId", seq, prior,
+       CAST(SUM(CASE WHEN gap_secs > 900.0 THEN 1 ELSE 0 END)
+            OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS INT)
+         AS sess
+FROM g
 """,
     }
