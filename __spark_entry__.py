@@ -3019,6 +3019,24 @@ def q_store_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shape(p1, 1).unionByName(shape(p2, 2))
 
 
+def q_doc_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """zlib compressibility quality signal (functions/text.py::
+    compression_stats): one Arrow-batched map pass, exact integer ppm.
+    Oracle = fixture from the INDEPENDENT pure-Python zlib twin
+    (scripts/make_fixtures.py::doc_compression)."""
+    from funcify_feature_eng_spark.functions.text import compression_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", compression_stats(F.col("text")).alias("__c")
+    ).select(
+        "doc_id",
+        F.col("__c.n_bytes").alias("n_bytes"),
+        F.col("__c.zlib_bytes").alias("zlib_bytes"),
+        F.col("__c.compression_ppm").alias("compression_ppm"),
+    )
+
+
 def q_request_graphql_cond(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Conditional GraphQL document: spec 5.7.3 @skip/@include evaluated
     at lowering (plans/graphql.py::_prune_directives) — a defaulted
@@ -3275,6 +3293,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conv_truncate": q_conv_truncate,
         "boilerplate_turns": q_boilerplate_turns,
         "request_graphql_cond": q_request_graphql_cond,
+        "doc_compression": q_doc_compression,
     }
 
 
@@ -5277,6 +5296,12 @@ SELECT turn_text,
        CAST(SUM(c) AS BIGINT) AS n_rows
 FROM p GROUP BY turn_text HAVING COUNT(*) >= 75
 """,
+        # zlib compressibility: fixture from the independent pure-Python
+        # twin (scripts/make_fixtures.py::doc_compression)
+        "doc_compression": _fixture_values(
+            "doc_compression_sf0.01.parquet",
+            ["doc_id", "n_bytes", "zlib_bytes", "compression_ppm"],
+        ),
         # conditional GraphQL document: only the @skip/@include-INCLUDED
         # branches exist in the twin (prior kept, dbg dropped)
         "request_graphql_cond": """

@@ -220,3 +220,46 @@ def pii_counts(c: Column) -> tuple[Column, Column, Column]:
     )
     n_phone = F.size(F.regexp_extract_all(wo_prior, F.lit(PII_PHONE_RE), 0))
     return n_email, n_ssn, n_phone
+
+
+def compression_stats(c: Column, *, level: int = 6) -> Column:
+    """zlib compressibility of the UTF-8 text — the classic repetition /
+    boilerplate quality signal (highly compressible text is templated or
+    degenerate; near-incompressible text is noise/binary-ish). Returns a
+    struct ``(n_bytes, zlib_bytes, compression_ppm)`` where
+    ``compression_ppm = zlib_bytes * 1_000_000 DIV n_bytes`` — exact
+    integer parts-per-million, no float in the gate. NULL or empty text
+    yields ``(0, 0, 0)``.
+
+    This is the intended-Arrow tier (alongside :func:`nfc_normalize`):
+    one vectorized pandas-UDF map pass, no shuffle. zlib output is
+    deterministic for a fixed library + level, and the oracle fixture is
+    produced by the same CPython zlib (scripts/make_fixtures.py), so the
+    gate hash-compares exact integers.
+    """
+    import pandas as pd
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    fields = StructType([
+        StructField("n_bytes", LongType()),
+        StructField("zlib_bytes", LongType()),
+        StructField("compression_ppm", LongType()),
+    ])
+
+    def _comp(texts):
+        import zlib
+
+        nb, zb, ppm = [], [], []
+        for t in texts:
+            if t is None or t == "":
+                nb.append(0); zb.append(0); ppm.append(0)
+                continue
+            raw = t.encode("utf-8")
+            z = len(zlib.compress(raw, level))
+            nb.append(len(raw)); zb.append(z)
+            ppm.append(z * 1_000_000 // len(raw))
+        return pd.DataFrame({"n_bytes": nb, "zlib_bytes": zb,
+                             "compression_ppm": ppm})
+
+    return F.pandas_udf(_comp, fields)(c)

@@ -522,6 +522,24 @@ def doc_perplexity(rows: list[tuple[int, str]]) -> list[tuple[int, int, int, int
     return out
 
 
+def doc_compression(rows: list[tuple[int, str]]) -> list[tuple[int, int, int, int]]:
+    """Independent zlib twin of functions/text.py::compression_stats:
+    (doc_id, n_bytes, zlib_bytes, compression_ppm) with ppm as exact
+    integer division; NULL/empty text -> zeros. Deterministic for a fixed
+    CPython zlib at level 6 (the same library the Spark UDF calls)."""
+    import zlib
+
+    out = []
+    for doc_id, t in rows:
+        if not t:
+            out.append((doc_id, 0, 0, 0))
+            continue
+        raw = t.encode("utf-8")
+        z = len(zlib.compress(raw, 6))
+        out.append((doc_id, len(raw), z, z * 1_000_000 // len(raw)))
+    return out
+
+
 def make_shows_csv(path: str) -> int:
     """Raw netflix-shaped CSV derived from the deterministic gen_shows
     fixture: duration back-formatted to '<n> min' / '<n> Season(s)', dates to
@@ -746,6 +764,20 @@ def main(sf_dir: str | None = None) -> None:
         os.path.join(FIXDIR, f"doc_perplexity_{sf}.parquet"),
     )
     print(f"doc_perplexity_{sf}.parquet: {len(pp)} rows")
+
+    cz = doc_compression(docs)
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in cz], pa.int64()),
+                "n_bytes": pa.array([r[1] for r in cz], pa.int64()),
+                "zlib_bytes": pa.array([r[2] for r in cz], pa.int64()),
+                "compression_ppm": pa.array([r[3] for r in cz], pa.int64()),
+            }
+        ),
+        os.path.join(FIXDIR, f"doc_compression_{sf}.parquet"),
+    )
+    print(f"doc_compression_{sf}.parquet: {len(cz)} rows")
 
     n = make_shows_csv(os.path.join(FIXDIR, "shows_raw.csv"))
     print(f"shows_raw.csv: {n} rows")
