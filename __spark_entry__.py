@@ -3019,6 +3019,31 @@ def q_store_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shape(p1, 1).unionByName(shape(p2, 2))
 
 
+def q_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-incremental NEAR-dup dedup (operators/dedup.py::
+    incremental_minhash_dedup): two-batch chain (even doc_ids, then odd
+    against the signature store) — each ingest shuffles O(batch) band
+    keys; the store holds 8·64 bytes/doc, never text. Params must mirror
+    scripts/make_fixtures.py::INC_MINHASH; oracle = the INDEPENDENT
+    pure-Python twin fixture (incremental_minhash_kept)."""
+    from funcify_feature_eng_spark.operators.dedup import (
+        incremental_minhash_dedup,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    b1 = docs.where(F.col("doc_id") % 2 == 0)
+    b2 = docs.where(F.col("doc_id") % 2 == 1)
+    k1, s1 = incremental_minhash_dedup(b1, None, "doc_id", "text")
+    k2, _ = incremental_minhash_dedup(b2, s1, "doc_id", "text")
+    kept = (
+        k1.select("doc_id").unionByName(k2.select("doc_id"))
+        .withColumn("kept", F.lit(True))
+    )
+    return docs.select("doc_id").join(kept, "doc_id", "left").select(
+        "doc_id", F.coalesce("kept", F.lit(False)).alias("kept")
+    )
+
+
 def q_doc_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
     """zlib compressibility quality signal (functions/text.py::
     compression_stats): one Arrow-batched map pass, exact integer ppm.
@@ -3294,6 +3319,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boilerplate_turns": q_boilerplate_turns,
         "request_graphql_cond": q_request_graphql_cond,
         "doc_compression": q_doc_compression,
+        "incremental_minhash": q_incremental_minhash,
     }
 
 
@@ -3531,10 +3557,12 @@ def _fixture_values(filename: str, cols: list[str]) -> str:
     for c in cols:
         t = str(tbl.schema.field(c).type)
         sql_type[c] = {"double": "DOUBLE", "float": "DOUBLE", "int64": "BIGINT",
-                       "int32": "INTEGER"}.get(t, "VARCHAR")
+                       "int32": "INTEGER", "bool": "BOOLEAN"}.get(t, "VARCHAR")
     def lit(v) -> str:
         if v is None:
             return "NULL"
+        if isinstance(v, bool):  # before int: bool is an int subclass
+            return "TRUE" if v else "FALSE"
         if isinstance(v, str):  # SQL string literal, not Python repr
             return "'" + v.replace("'", "''") + "'"
         return repr(v)  # ints / floats: repr round-trips exactly
@@ -5296,6 +5324,11 @@ SELECT turn_text,
        CAST(SUM(c) AS BIGINT) AS n_rows
 FROM p GROUP BY turn_text HAVING COUNT(*) >= 75
 """,
+        # incremental near-dup chain: fixture from the independent
+        # pure-Python twin (scripts/make_fixtures.py::incremental_minhash_kept)
+        "incremental_minhash": _fixture_values(
+            "incremental_minhash_sf0.01.parquet", ["doc_id", "kept"]
+        ),
         # zlib compressibility: fixture from the independent pure-Python
         # twin (scripts/make_fixtures.py::doc_compression)
         "doc_compression": _fixture_values(

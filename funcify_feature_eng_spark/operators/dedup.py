@@ -573,3 +573,155 @@ def incremental_exact_dedup(
     else:
         kept = batch_winners
     return kept.drop(fp_col), new_fps
+
+
+def _minhash_band_keys(
+    sigs: DataFrame, num_hashes: int, bands: int
+) -> DataFrame:
+    """(doc, band, bsig) LSH keys derived from stored signatures — a pure
+    map over the (doc, sig) frame, so a signature STORE never needs to
+    persist band keys: 8·num_hashes bytes/doc is the whole store row."""
+    rows_per_band = num_hashes // bands
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.xxhash64(
+                *[F.element_at("sig", b * rows_per_band + i + 1)
+                  for i in range(rows_per_band)]
+            ).alias("bsig"),
+        )
+        for b in range(bands)
+    ]
+    return sigs.select(
+        "doc", F.explode(F.array(*band_cols)).alias("bk")
+    ).select("doc", F.col("bk.band").alias("band"), F.col("bk.bsig").alias("bsig"))
+
+
+def incremental_minhash_dedup(
+    new_df: DataFrame,
+    seen_signatures: DataFrame | None,
+    id_col: str,
+    text_col: str,
+    *,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    est_threshold: float = 0.7,
+    bucket_cap: int = 64,
+) -> tuple[DataFrame, DataFrame]:
+    """Snapshot-incremental NEAR-dup dedup: dedup a new ingest batch
+    against itself and a historical MinHash SIGNATURE store, without ever
+    re-reading historical text (the near-dup analog of
+    :func:`incremental_exact_dedup`).
+
+    Returns ``(kept, new_signatures)``: surviving new rows, and the
+    ``(doc, sig)`` rows to append to the store. The store holds ONE
+    array<long> per historically-distinct text (8·num_hashes bytes/doc —
+    at 64 hashes, half a KB per doc regardless of document size), and
+    band keys are re-derived from it at probe time, so each ingest
+    shuffles O(batch) band keys plus a pruned probe of the store.
+
+    Decision rule (deterministic, store-precedence): a new doc is dropped
+    when its signature agreement with ANY smaller-id batch rep or ANY
+    stored signature reaches ``int(est_threshold * num_hashes)`` matching
+    slots. Agreement is the unbiased MinHash Jaccard estimate (sigma =
+    sqrt(J(1-J)/num_hashes), ~0.06 at 64 hashes) — the honest trade for
+    not storing gram sets: exact verify would need the historical
+    shingles, which is corpus-scale storage. Exact duplicates within the
+    batch collapse by text fingerprint first (min-id winner, as
+    :func:`exact_dedup`) so identical texts can't blow out LSH buckets.
+
+    ``new_signatures`` carries ALL batch reps (kept AND near-dropped):
+    witnesses include dropped docs, which is exactly what makes
+    incremental-over-batches ≡ one whole-corpus pass when ids are
+    batch-ordered (pytest-pinned; the equivalence assumes no bucket
+    crosses ``bucket_cap`` only in the combined view). NULL/empty texts
+    fingerprint AND sign to a constant (the ``exact_dedup`` convention),
+    so they exact-collapse within a batch and dedup across batches
+    against each other — never against real text.
+    """
+    if num_hashes % bands:
+        raise ValueError("incremental_minhash_dedup: bands must divide num_hashes")
+    min_agree = int(est_threshold * num_hashes)
+
+    # 1) exact collapse within the batch (min-id winner per fingerprint)
+    fp = fingerprint64(F.col(text_col))
+    batch = new_df.withColumn("__fp", fp)
+    w = Window.partitionBy("__fp").orderBy(F.col(id_col).asc())
+    winners = (
+        batch.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+    # 2) zero-shuffle signatures for the batch reps
+    sh = F.array_distinct(shingles(F.col(text_col), shingle_k))
+    sigs = winners.select(
+        F.col(id_col).alias("doc"),
+        _minhash_sig_expr(sh, num_hashes).alias("sig"),
+    ).where(F.col("sig").isNotNull()).persist()
+
+    bk_new = _minhash_band_keys(sigs, num_hashes, bands)
+    store = None
+    if seen_signatures is not None:
+        store = seen_signatures.select("doc", "sig").where(
+            F.col("sig").isNotNull()
+        )
+        bk_old = _minhash_band_keys(store, num_hashes, bands)
+
+    # 3) bucket cap on COMBINED occupancy (batch + store): an oversized
+    # bucket is collision noise / boilerplate; both sides skip it
+    if bucket_cap:
+        occ = bk_new.select("band", "bsig")
+        if store is not None:
+            occ = occ.unionByName(bk_old.select("band", "bsig"))
+        ok = (
+            occ.groupBy("band", "bsig")
+            .agg(F.count(F.lit(1)).alias("__bn"))
+            .filter(F.col("__bn") <= bucket_cap)
+            .select("band", "bsig")
+        )
+        bk_new = bk_new.join(ok, on=["band", "bsig"])
+        if store is not None:
+            bk_old = bk_old.join(ok, on=["band", "bsig"])
+
+    # 4) candidates: batch-batch (smaller-id witness) + batch-store
+    cand = (
+        bk_new.alias("a")
+        .join(bk_new.alias("b"), on=["band", "bsig"])
+        .filter(F.col("a.doc") > F.col("b.doc"))
+        .select(F.col("a.doc").alias("doc"), F.col("b.doc").alias("wit"))
+        .distinct()
+    )
+    if store is not None:
+        cand = cand.unionByName(
+            bk_new.alias("a")
+            .join(bk_old.alias("o"), on=["band", "bsig"])
+            .select(F.col("a.doc").alias("doc"), F.col("o.doc").alias("wit"))
+            .distinct()
+        )
+
+    # 5) signature-agreement decision
+    all_sigs = sigs if store is None else sigs.unionByName(store)
+    agree = F.size(
+        F.filter(F.zip_with("sig", "wit_sig", lambda x, y: x == y), lambda m: m)
+    )
+    dropped = (
+        cand.join(sigs.select("doc", "sig"), "doc")
+        .join(
+            all_sigs.select(F.col("doc").alias("wit"), F.col("sig").alias("wit_sig")),
+            "wit",
+        )
+        .filter(agree >= F.lit(min_agree))
+        .select("doc")
+        .distinct()
+    )
+
+    kept = winners.join(
+        dropped.withColumnRenamed("doc", id_col), on=id_col, how="left_anti"
+    ).drop("__fp")
+    # eager pair of small results so the persisted signature base releases
+    kept = kept.localCheckpoint()
+    new_sigs = sigs.localCheckpoint()
+    sigs.unpersist()
+    return kept, new_sigs

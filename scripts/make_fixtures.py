@@ -540,6 +540,93 @@ def doc_compression(rows: list[tuple[int, str]]) -> list[tuple[int, int, int, in
     return out
 
 
+# parameters MUST mirror __spark_entry__.q_incremental_minhash
+INC_MINHASH = dict(num_hashes=64, bands=16, shingle_k=3, est_threshold=0.7,
+                   bucket_cap=64)
+
+
+def incremental_minhash_kept(
+    docs: list[tuple[int, str]]
+) -> list[tuple[int, bool]]:
+    """Independent pure-Python twin of operators/dedup.py::
+    incremental_minhash_dedup run as a two-batch chain (batch 1 = even
+    doc_ids, batch 2 = odd): per batch, fingerprint-collapse (min-id
+    winner), MinHash signatures for reps, band keys, combined-occupancy
+    bucket cap, then drop a doc when signature agreement with any
+    smaller-id batch rep or any stored signature reaches
+    int(est_threshold * num_hashes) slots. The store carries ALL reps.
+    Returns (doc_id, kept) for every doc."""
+    p = INC_MINHASH
+    rpb = p["num_hashes"] // p["bands"]
+    min_agree = int(p["est_threshold"] * p["num_hashes"])
+
+    def sig_of(text: str) -> list[int]:
+        sh = list(dict.fromkeys(_shingles(text, p["shingle_k"])))
+        hs = [spark_xxhash64(s) for s in sh]
+        return [
+            min(spark_xxhash64(("long", a), ("int", i)) for a in hs)
+            for i in range(p["num_hashes"])
+        ]
+
+    def band_keys(s: list[int]) -> list[tuple[int, int]]:
+        return [
+            (b, spark_xxhash64(*[("long", v) for v in s[b * rpb : (b + 1) * rpb]]))
+            for b in range(p["bands"])
+        ]
+
+    kept: dict[int, bool] = {}
+    store_sigs: dict[int, list[int]] = {}
+    for parity in (0, 1):
+        batch = sorted((d, t) for d, t in docs if d % 2 == parity)
+        # fingerprint collapse: min-id winner per identical text
+        reps: dict[int, str] = {}
+        seen_fp: dict[int, int] = {}
+        for d, t in batch:
+            fp = _fingerprint64(t)
+            if fp in seen_fp:
+                kept[d] = False
+            else:
+                seen_fp[fp] = d
+                reps[d] = t
+        sigs = {d: sig_of(t) for d, t in reps.items()}
+        keys = {d: band_keys(s) for d, s in sigs.items()}
+        old_keys = {d: band_keys(s) for d, s in store_sigs.items()}
+        occ: dict[tuple[int, int], int] = defaultdict(int)
+        for ks in list(keys.values()) + list(old_keys.values()):
+            for k in ks:
+                occ[k] += 1
+        ok = {k for k, n in occ.items() if not p["bucket_cap"] or n <= p["bucket_cap"]}
+        buckets: dict[tuple[int, int], list[int]] = defaultdict(list)
+        old_buckets: dict[tuple[int, int], list[int]] = defaultdict(list)
+        for d, ks in keys.items():
+            for k in ks:
+                if k in ok:
+                    buckets[k].append(d)
+        for d, ks in old_keys.items():
+            for k in ks:
+                if k in ok:
+                    old_buckets[k].append(d)
+        cand: set[tuple[int, int]] = set()
+        for k, members in buckets.items():
+            ms = sorted(members)
+            for i in range(len(ms)):
+                for j in range(i):
+                    cand.add((ms[i], ms[j]))  # (doc, smaller-id witness)
+            for d in members:
+                for o in old_buckets.get(k, ()):
+                    cand.add((d, o))
+        dropped = set()
+        for d, w in cand:
+            ws = sigs[w] if w in sigs else store_sigs[w]
+            agree = sum(1 for x, y in zip(sigs[d], ws) if x == y)
+            if agree >= min_agree:
+                dropped.add(d)
+        for d in reps:
+            kept[d] = d not in dropped
+        store_sigs.update(sigs)
+    return sorted(kept.items())
+
+
 def make_shows_csv(path: str) -> int:
     """Raw netflix-shaped CSV derived from the deterministic gen_shows
     fixture: duration back-formatted to '<n> min' / '<n> Season(s)', dates to
@@ -778,6 +865,19 @@ def main(sf_dir: str | None = None) -> None:
         os.path.join(FIXDIR, f"doc_compression_{sf}.parquet"),
     )
     print(f"doc_compression_{sf}.parquet: {len(cz)} rows")
+
+    ik = incremental_minhash_kept(docs)
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in ik], pa.int64()),
+                "kept": pa.array([r[1] for r in ik], pa.bool_()),
+            }
+        ),
+        os.path.join(FIXDIR, f"incremental_minhash_{sf}.parquet"),
+    )
+    print(f"incremental_minhash_{sf}.parquet: {len(ik)} rows "
+          f"({sum(1 for _, k in ik if not k)} dropped)")
 
     n = make_shows_csv(os.path.join(FIXDIR, "shows_raw.csv"))
     print(f"shows_raw.csv: {n} rows")
