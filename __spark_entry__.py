@@ -3044,6 +3044,81 @@ def q_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _events_roleaudit_stream_files(spark: SparkSession, sf_dir: str) -> str:
+    """2-file micro-batch split of events: each user's FIRST half of turns
+    (by ts, event_id) in batch 1, the rest in batch 2 — every multi-turn
+    user has a role transition STRADDLING the batch boundary, so the
+    stream gate provably exercises cross-batch state."""
+
+    def parts():
+        pdf = (
+            _t(spark, sf_dir, "events")
+            .select("user_id", "event_id", "ts", "event_type")
+            .orderBy("ts", "event_id")
+            .toPandas()
+        )
+        rn = pdf.groupby("user_id").cumcount()
+        half = pdf.groupby("user_id")["event_id"].transform("size") // 2
+        return [pdf[rn < half], pdf[rn >= half]]
+
+    tmp = os.path.join(
+        "/tmp",
+        f"spark_graft_roleaudit_stream_{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    return _write_micro_batches(
+        tmp, os.path.join(sf_dir, "events.parquet"), "1", parts,
+        {"coerce_timestamps": "us", "allow_truncated_timestamps": True},
+    )
+
+
+def q_stream_role_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming role-machine audit in the DRIVER gate (streaming/
+    runner.py::stateful_role_audit_stream): per-user audit state crosses
+    2 micro-batches split mid-conversation, final audit = each user's
+    max-n_turns emission. The oracle is the SAME SQL twin as the batch
+    role_sequence_audit gate — the hashed property is stream ≡ batch."""
+    from funcify_feature_eng_spark.streaming.runner import (
+        stateful_role_audit_stream,
+    )
+
+    tmp = _events_roleaudit_stream_files(spark, sf_dir)
+    sch = spark.read.parquet(tmp).schema
+    stream = (
+        spark.readStream.schema(sch).option("maxFilesPerTrigger", "1").parquet(tmp)
+    )
+    out = stateful_role_audit_stream(
+        stream, entity_col="user_id", order=("ts", "event_id"),
+        role_col="event_type", allowed=_ROLE_MACHINE,
+        allowed_start=("signup", "view"),
+    )
+    _STREAM_GATE_SEQ[0] += 1
+    qname = f"stream_roleaudit_sink_{_STREAM_GATE_SEQ[0]}"
+    shuffle_conf = "spark.sql.shuffle.partitions"
+    session_parts = spark.conf.get(shuffle_conf)
+    spark.conf.set(shuffle_conf, "4")
+    try:
+        q = (
+            out.writeStream.format("memory").queryName(qname)
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set(shuffle_conf, session_parts)
+    return (
+        spark.table(qname)
+        .groupBy("user_id")
+        .agg(
+            F.max_by(
+                F.struct("n_turns", "n_violations", "first_violation_ord",
+                         "is_valid"),
+                "n_turns",
+            ).alias("__s")
+        )
+        .select("user_id", "__s.n_turns", "__s.n_violations",
+                "__s.first_violation_ord", "__s.is_valid")
+    )
+
+
 def q_doc_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
     """zlib compressibility quality signal (functions/text.py::
     compression_stats): one Arrow-batched map pass, exact integer ppm.
@@ -3320,7 +3395,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "request_graphql_cond": q_request_graphql_cond,
         "doc_compression": q_doc_compression,
         "incremental_minhash": q_incremental_minhash,
+        "stream_role_audit": q_stream_role_audit,
     }
+
+
+_ROLE_AUDIT_SQL = """
+WITH t AS (
+  SELECT user_id,
+         row_number() OVER w AS pos,
+         event_type AS role,
+         lag(event_type) OVER w AS prev
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), v AS (
+  SELECT user_id, pos,
+         CASE WHEN (prev IS NULL AND role IN ('signup', 'view'))
+                OR (prev IS NOT NULL AND concat(prev, '|', role) IN (
+                  'signup|view', 'view|view', 'view|click', 'click|view',
+                  'click|purchase', 'click|error', 'purchase|view',
+                  'error|view'))
+              THEN 0 ELSE 1 END AS viol
+  FROM t
+)
+SELECT user_id,
+       COUNT(*) AS n_turns,
+       CAST(SUM(viol) AS BIGINT) AS n_violations,
+       CAST(coalesce(MIN(CASE WHEN viol = 1 THEN pos END), 0) AS INT)
+         AS first_violation_ord,
+       SUM(viol) = 0 AS is_valid
+FROM v GROUP BY user_id
+"""
 
 
 _TURN_FEATURES_SQL = f"""
@@ -5254,32 +5358,10 @@ WHERE h.rn = 1 AND l.rn = 1 AND h.chosen_score - l.rejected_score > 0
         # role-machine audit: lag over (ts, event_id); first row checks
         # the opener set, later rows the 8-edge transition list ('|' is
         # outside the role alphabet, mirroring the chr(31) Spark key)
-        "role_sequence_audit": """
-WITH t AS (
-  SELECT user_id,
-         row_number() OVER w AS pos,
-         event_type AS role,
-         lag(event_type) OVER w AS prev
-  FROM events
-  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-), v AS (
-  SELECT user_id, pos,
-         CASE WHEN (prev IS NULL AND role IN ('signup', 'view'))
-                OR (prev IS NOT NULL AND concat(prev, '|', role) IN (
-                  'signup|view', 'view|view', 'view|click', 'click|view',
-                  'click|purchase', 'click|error', 'purchase|view',
-                  'error|view'))
-              THEN 0 ELSE 1 END AS viol
-  FROM t
-)
-SELECT user_id,
-       COUNT(*) AS n_turns,
-       CAST(SUM(viol) AS BIGINT) AS n_violations,
-       CAST(coalesce(MIN(CASE WHEN viol = 1 THEN pos END), 0) AS INT)
-         AS first_violation_ord,
-       SUM(viol) = 0 AS is_valid
-FROM v GROUP BY user_id
-""",
+        "role_sequence_audit": _ROLE_AUDIT_SQL,
+        # the streaming twin hashes the SAME batch oracle: the pinned
+        # property is stream (2 mid-conversation micro-batches) ≡ batch
+        "stream_role_audit": _ROLE_AUDIT_SQL,
         # whole-conversation dedup on each user's first-3 event journey:
         # the ordered-payload group is reproduced with string_agg(...
         # ORDER BY), winner = MIN(user_id) in the group

@@ -576,3 +576,84 @@ def stateful_dedup_stream(
     return src.groupBy("__fp").applyInPandasWithState(
         update, out_schema, "seen int", "append", GroupStateTimeout.NoTimeout
     )
+
+
+def stateful_role_audit_stream(
+    stream_df: DataFrame,
+    *,
+    entity_col: str,
+    order: Sequence[str],
+    role_col: str,
+    allowed: Sequence[tuple[str, str]],
+    allowed_start: Sequence[str] | None = None,
+) -> DataFrame:
+    """Streaming role-machine audit with cross-batch state — the stream
+    twin of :mod:`..operators.transcript_qa`'s ``role_sequence_audit``.
+
+    Per entity the state carries (n_turns, n_violations,
+    first_violation_ord, last_role) across micro-batches, so a transition
+    that STRADDLES a batch boundary is judged exactly like the batch
+    operator judges it (the stream ≡ batch identity the gate hashes).
+    Emits one CUMULATIVE audit row per (entity, batch-with-arrivals);
+    downstream takes each entity's max-``n_turns`` row for the final
+    audit. Rows are sorted by ``order`` within each batch and batches
+    must arrive entity-monotone in that order (the
+    ``stateful_turn_features_stream`` in-order contract; use the
+    disorder-buffered variant's pattern otherwise).
+
+    Batch-parity rule (mirrors the window formulation): a turn whose
+    PREVIOUS role is NULL — first turn, or right after a NULL-role turn —
+    is judged by ``allowed_start`` (or just non-NULL when no start set is
+    declared); other turns by membership of (prev, role) in ``allowed``;
+    a NULL role is always a violation. State is O(1) per entity with no
+    timeout; attach a watermark TTL for sliding-horizon audits.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    allowed_set = set(allowed)
+    start_set = set(allowed_start) if allowed_start is not None else None
+    in_types = {f.name: f.dataType.simpleString() for f in stream_df.schema.fields}
+    out_schema = (
+        f"{entity_col} {in_types[entity_col]}, n_turns bigint, "
+        "n_violations bigint, first_violation_ord int, is_valid boolean"
+    )
+    order = list(order)
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        rows = pd.concat(list(pdfs), ignore_index=True).sort_values(order)
+        if state.exists:
+            n, v, ford, last, has_last = state.get
+        else:
+            n, v, ford, last, has_last = 0, 0, 0, None, False
+        for role in rows[role_col]:
+            role = None if pd.isna(role) else role
+            n += 1
+            if not has_last or last is None:
+                ok = (role in start_set) if start_set is not None else role is not None
+            else:
+                ok = role is not None and (last, role) in allowed_set
+            if not ok:
+                v += 1
+                if ford == 0:
+                    ford = n
+            last, has_last = role, True
+        state.update((n, v, ford, last, has_last))
+        yield pd.DataFrame(
+            {
+                entity_col: [key[0]],
+                "n_turns": [n],
+                "n_violations": [v],
+                "first_violation_ord": [ford],
+                "is_valid": [v == 0],
+            }
+        )
+
+    return stream_df.groupBy(entity_col).applyInPandasWithState(
+        update,
+        out_schema,
+        "n bigint, v bigint, ford int, last string, has_last boolean",
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )

@@ -678,3 +678,71 @@ def test_max_pending_requires_disorder_mode(spark):
         stateful_turn_features_stream(
             df, max_disorder_s=10.0, state_ttl_s=100.0, max_pending=0
         )
+
+
+def test_stateful_role_audit_stream_crosses_batch_boundary(spark, tmp_path):
+    """A violating transition that STRADDLES the micro-batch boundary must
+    be caught by state carried across batches; final (max-n_turns) rows
+    equal the batch audit."""
+    import os as _os
+
+    import pandas as pd
+
+    from funcify_feature_eng_spark.streaming.runner import (
+        stateful_role_audit_stream,
+    )
+
+    allowed = [("user", "assistant"), ("assistant", "user")]
+    # conv 1: u a | a u  -> the a->a violation straddles the boundary (pos 3)
+    # conv 2: u a | u a  -> fully valid alternation
+    b0 = pd.DataFrame({
+        "conv_id": [1, 1, 2, 2], "turn_idx": [0, 1, 0, 1],
+        "role": ["user", "assistant", "user", "assistant"],
+    })
+    b1 = pd.DataFrame({
+        "conv_id": [1, 1, 2, 2], "turn_idx": [2, 3, 2, 3],
+        "role": ["assistant", "user", "user", "assistant"],
+    })
+    src = str(tmp_path / "rasrc")
+    _os.makedirs(src)
+    for i, part in enumerate((b0, b1)):
+        fp = _os.path.join(src, f"b{i}.parquet")
+        part.to_parquet(fp)
+        _os.utime(fp, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    sch = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(sch).option("maxFilesPerTrigger", "1").parquet(src)
+    out = stateful_role_audit_stream(
+        stream, entity_col="conv_id", order=("turn_idx",), role_col="role",
+        allowed=allowed, allowed_start=("user",),
+    )
+    q = (
+        out.writeStream.format("memory").queryName("roleaudit_test_sink")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(180)
+    rows = spark.table("roleaudit_test_sink").collect()
+    final = {}
+    for r in rows:
+        if r["conv_id"] not in final or r["n_turns"] > final[r["conv_id"]]["n_turns"]:
+            final[r["conv_id"]] = r
+    f1, f2 = final[1], final[2]
+    assert (f1["n_turns"], f1["n_violations"], f1["first_violation_ord"],
+            f1["is_valid"]) == (4, 1, 3, False)
+    # conv 2: a->u at pos 3 is allowed... u a u a: a->u allowed, u->a allowed
+    assert (f2["n_turns"], f2["n_violations"], f2["is_valid"]) == (4, 0, True)
+    # batch twin agreement on the same data
+    from funcify_feature_eng_spark.operators.transcript_qa import (
+        role_sequence_audit,
+    )
+
+    batch = spark.read.parquet(src)
+    bt = {r["conv_id"]: r for r in role_sequence_audit(
+        batch, entity_col="conv_id", order=("turn_idx",), role_col="role",
+        allowed=allowed, allowed_start=("user",),
+    ).collect()}
+    for cid in (1, 2):
+        assert (bt[cid]["n_turns"], bt[cid]["n_violations"],
+                bt[cid]["first_violation_ord"], bt[cid]["is_valid"]) == (
+            final[cid]["n_turns"], final[cid]["n_violations"],
+            final[cid]["first_violation_ord"], final[cid]["is_valid"])
