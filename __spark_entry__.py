@@ -3119,6 +3119,28 @@ def q_stream_role_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sft_render(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SFT chat-template geometry (operators/transcript_qa.py::
+    render_offsets/render_text): per-turn content offsets inside the
+    rendered ``<|role|>content\\n`` conversation + the conversation's
+    rendered length — the loss-mask arithmetic, one window exchange.
+    Offset-into-text consistency is pytest-pinned; the oracle recomputes
+    the offsets with pure SQL window sums."""
+    from funcify_feature_eng_spark.operators.transcript_qa import (
+        render_offsets,
+        render_text,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    kw = dict(entity_col="user_id", order=("ts", "event_id"),
+              role_col="event_type", text_col="props")
+    offs = render_offsets(ev, trainable_roles=("purchase", "signup"), **kw)
+    txt = render_text(ev, **kw).select("user_id", "conv_chars")
+    return offs.select(
+        "user_id", "event_id", "start_off", "end_off", "trainable"
+    ).join(txt, "user_id")
+
+
 def q_doc_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
     """zlib compressibility quality signal (functions/text.py::
     compression_stats): one Arrow-batched map pass, exact integer ppm.
@@ -3396,6 +3418,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_compression": q_doc_compression,
         "incremental_minhash": q_incremental_minhash,
         "stream_role_audit": q_stream_role_audit,
+        "sft_render": q_sft_render,
     }
 
 
@@ -5405,6 +5428,29 @@ SELECT turn_text,
        CAST(COUNT(*) AS BIGINT) AS n_entities,
        CAST(SUM(c) AS BIGINT) AS n_rows
 FROM p GROUP BY turn_text HAVING COUNT(*) >= 75
+""",
+        # SFT render geometry: <|role|>content\n per turn; start = prior
+        # rendered length + tag length; conv_chars = total rendered length
+        "sft_render": """
+WITH r AS (
+  SELECT user_id, event_id, ts, event_type,
+         length(coalesce(props, '')) AS clen,
+         length(event_type) + 5 + length(coalesce(props, '')) AS rlen
+  FROM events
+), o AS (
+  SELECT user_id, event_id, clen, event_type,
+         coalesce(SUM(rlen) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           + length(event_type) + 4 AS s,
+         SUM(rlen) OVER (PARTITION BY user_id) AS total
+  FROM r
+)
+SELECT user_id, event_id,
+       CAST(s AS BIGINT) AS start_off,
+       CAST(s + clen AS BIGINT) AS end_off,
+       event_type IN ('purchase', 'signup') AS trainable,
+       CAST(total AS BIGINT) AS conv_chars
+FROM o
 """,
         # incremental near-dup chain: fixture from the independent
         # pure-Python twin (scripts/make_fixtures.py::incremental_minhash_kept)

@@ -53,6 +53,8 @@ __all__ = [
     "truncate_to_budget",
     "boilerplate_stats",
     "drop_boilerplate",
+    "render_offsets",
+    "render_text",
 ]
 
 # Unit separators for payload joins: chosen outside any plausible payload
@@ -337,4 +339,86 @@ def drop_boilerplate(
             F.broadcast(bp), F.col("__bp_key") == F.col("turn_text"), "left_anti"
         )
         .drop("__bp_key")
+    )
+
+
+def render_offsets(
+    df: DataFrame,
+    *,
+    entity_col: str,
+    order: Sequence[str],
+    role_col: str,
+    text_col: str,
+    trainable_roles: Sequence[str] = ("assistant",),
+    sep: str = "\n",
+) -> DataFrame:
+    """Per-turn character offsets of each turn's CONTENT inside the
+    rendered conversation — the loss-mask geometry for SFT training.
+
+    Every turn renders as ``<|role|>content<sep>`` (NULL content renders
+    empty); ``start_off``/``end_off`` are 0-based character offsets of
+    the content span inside the concatenation of the conversation's
+    rendered turns in ``order``, and ``trainable`` marks roles the loss
+    applies to (assistant turns, classically). Offsets are exact integer
+    arithmetic over ``length()`` (codepoints), so an independent engine
+    reproduces them with window sums.
+
+    Adds ``start_off``, ``end_off`` (bigint), ``trainable`` (boolean).
+    Scale: ONE window exchange (the prior-length cumulative sum); no
+    join, no collect — composes with :func:`truncate_to_budget` (mask
+    after truncation) and :func:`render_text` (which materializes the
+    text the offsets index into).
+    """
+    role = F.col(role_col)
+    content = F.coalesce(F.col(text_col), F.lit(""))
+    rendered_len = (
+        F.length(role) + F.lit(4 + len(sep)) + F.length(content)
+    )  # <| + role + |> + content + sep
+    w = Window.partitionBy(entity_col).orderBy(*_order_cols(order)).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    prior = F.coalesce(F.sum(rendered_len).over(w), F.lit(0))
+    start = (prior + F.length(role) + F.lit(4)).cast("bigint")
+    return (
+        df.withColumn("start_off", start)
+        .withColumn("end_off", (start + F.length(content)).cast("bigint"))
+        .withColumn("trainable", role.isin(list(trainable_roles)))
+    )
+
+
+def render_text(
+    df: DataFrame,
+    *,
+    entity_col: str,
+    order: Sequence[str],
+    role_col: str,
+    text_col: str,
+    sep: str = "\n",
+) -> DataFrame:
+    """One row per conversation with the rendered training text
+    (``<|role|>content<sep>`` per turn, in ``order``) and its character
+    length — the string :func:`render_offsets` indexes into
+    (``offset-consistency`` is pytest-pinned: every content slice equals
+    the turn's content).
+
+    Scale: one grouping aggregate; the per-entity sorted collect is
+    bounded by conversation length (the window operators' standing
+    bound)."""
+    role = F.col(role_col)
+    content = F.coalesce(F.col(text_col), F.lit(""))
+    rendered = F.concat(F.lit("<|"), role, F.lit("|>"), content, F.lit(sep))
+    sortable = F.struct(
+        *[F.col(c).alias(f"__o{i}") for i, c in enumerate(order)],
+        rendered.alias("__r"),
+    )
+    return (
+        df.groupBy(entity_col)
+        .agg(F.sort_array(F.collect_list(sortable)).alias("__t"))
+        .select(
+            F.col(entity_col),
+            F.array_join(
+                F.transform(F.col("__t"), lambda s: s["__r"]), ""
+            ).alias("conv_text"),
+        )
+        .withColumn("conv_chars", F.length("conv_text").cast("bigint"))
     )

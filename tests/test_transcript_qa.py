@@ -191,3 +191,42 @@ def test_drop_boilerplate_keeps_non_text_rows(spark):
     texts = sorted((r["conv_id"], r["turn_idx"]) for r in out.collect())
     assert texts == [(1, 1), (3, 0), (3, 1), (3, 2)]
     assert out.columns == ["conv_id", "turn_idx", "role", "text"]
+
+
+# ----------------------------------------------- SFT rendering / loss mask
+
+
+def test_render_offsets_index_into_render_text(spark):
+    from funcify_feature_eng_spark.operators.transcript_qa import (
+        render_offsets,
+        render_text,
+    )
+
+    df = _turns(spark, [
+        (1, 0, "system", "be good"),
+        (1, 1, "user", "hi"),
+        (1, 2, "assistant", "héllo"),   # multibyte: offsets are codepoints
+        (1, 3, "tool", None),           # NULL content renders empty
+        (2, 0, "user", "solo"),
+    ])
+    kw = dict(entity_col="conv_id", order=("turn_idx",),
+              role_col="role", text_col="text")
+    offs = render_offsets(df, **kw).collect()
+    texts = {r["conv_id"]: r["conv_text"]
+             for r in render_text(df, **kw).collect()}
+    for r in offs:
+        t = texts[r["conv_id"]]
+        assert t[r["start_off"]:r["end_off"]] == (r["text"] or "")
+    tr = {(r["conv_id"], r["turn_idx"]): r["trainable"] for r in offs}
+    assert tr[(1, 2)] is True and tr[(1, 1)] is False and tr[(1, 3)] is False
+    assert texts[1] == "<|system|>be good\n<|user|>hi\n<|assistant|>héllo\n<|tool|>\n"
+    assert texts[2] == "<|user|>solo\n"
+
+
+def test_render_text_conv_chars(spark):
+    from funcify_feature_eng_spark.operators.transcript_qa import render_text
+
+    df = _turns(spark, [(1, 0, "user", "ab")])
+    row = render_text(df, entity_col="conv_id", order=("turn_idx",),
+                      role_col="role", text_col="text").collect()[0]
+    assert row["conv_chars"] == len("<|user|>ab\n")
