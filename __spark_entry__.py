@@ -3119,6 +3119,33 @@ def q_stream_role_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sdl_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-first front door (plans/sdl.py — the reference's SDL
+    composition direction, schema/FeatureEngineeringModel.kt:24-52): the
+    events model declared as GraphQL SDL TEXT, double round-tripped
+    (from_sdl ∘ to_sdl ∘ from_sdl) before materializing, so the gate
+    pins that the SDL rendering loses nothing. Oracle = the SAME SQL
+    twin as turn_features."""
+    from funcify_feature_eng_spark.plans.sdl import from_sdl, to_sdl
+
+    sdl = f'''
+type Events @entity(key: "user_id", order: ["ts", "event_id"], eventTime: "ts") {{
+    prior_event_type: String @window(op: "lag", col: "event_type")
+    gap_secs: Float @window(op: "gap")
+    session_id: Int @window(op: "session", gap_threshold_s: {float(GAP_S)!r})
+    event_seq: Int @window(op: "row_number")
+    gap_nonneg: Float @transformer(name: "negative_to_null", args: ["gap_secs"])
+}}
+'''
+    model = from_sdl(to_sdl(from_sdl(sdl)))
+    ev = _t(spark, sf_dir, "events")
+    return model.materialize(
+        ev,
+        ["event_id", "user_id", "event_type", "prior_event_type",
+         "gap_secs", "session_id", "event_seq", "gap_nonneg"],
+    )
+
+
 def q_sft_render(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SFT chat-template geometry (operators/transcript_qa.py::
     render_offsets/render_text): per-turn content offsets inside the
@@ -3419,6 +3446,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_minhash": q_incremental_minhash,
         "stream_role_audit": q_stream_role_audit,
         "sft_render": q_sft_render,
+        "sdl_model": q_sdl_model,
     }
 
 
@@ -5429,6 +5457,9 @@ SELECT turn_text,
        CAST(SUM(c) AS BIGINT) AS n_rows
 FROM p GROUP BY turn_text HAVING COUNT(*) >= 75
 """,
+        # SDL front door: double round-trip then materialize — same twin
+        # as turn_features
+        "sdl_model": _TURN_FEATURES_SQL,
         # SFT render geometry: <|role|>content\n per turn; start = prior
         # rendered length + tag length; conv_chars = total rendered length
         "sft_render": """

@@ -1,0 +1,93 @@
+"""FeatureModel ⇄ SDL round-trip (plans/sdl.py)."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from funcify_feature_eng_spark.plans.model import FeatureModel, PlanError
+from funcify_feature_eng_spark.plans.sdl import from_sdl, to_sdl
+
+
+def _events(spark):
+    rows = []
+    base = dt.datetime(2024, 3, 1, 12, 0, 0)
+    for uid in (1, 2):
+        for i in range(5):
+            rows.append((uid * 100 + i, base + dt.timedelta(seconds=i * 700),
+                         uid, ["view", "click", "purchase"][i % 3],
+                         float(uid * 10 + i)))
+    return spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double"
+    )
+
+
+def _store(spark):
+    rows = [(1, dt.datetime(2024, 3, 1, 11, 0, 0), 5.0),
+            (2, dt.datetime(2024, 3, 1, 12, 20, 0), 7.0)]
+    return spark.createDataFrame(rows, "user_id long, value_at_ts timestamp, value double")
+
+
+def _model(spark):
+    m = FeatureModel(entity_key="user_id", order=("ts", "event_id"),
+                     event_time="ts")
+    m.declare_window_feature("prior_event_type", op="lag", col="event_type")
+    m.declare_window_feature("session_id", op="session", gap_threshold_s=1800.0)
+    m.declare_window_feature("gap_secs", op="gap")
+    m.declare_transformer_feature("gap_nonneg", "negative_to_null",
+                                  args=["gap_secs"])
+    m.register_store("fs", _store(spark))
+    m.declare_asof_feature("store_val", "fs", right_ts="value_at_ts",
+                           value_col="value")
+    m.alias("lastType", "prior_event_type")
+    return m
+
+
+COLS = ["event_id", "user_id", "prior_event_type", "session_id",
+        "gap_nonneg", "store_val", "last_type"]
+
+
+def test_round_trip_materializes_identically(spark):
+    ev = _events(spark)
+    m = _model(spark)
+    sdl = to_sdl(m)
+    m2 = from_sdl(sdl, stores={"fs": _store(spark)})
+    a = sorted(map(tuple, m.materialize(ev, COLS).collect()))
+    b = sorted(map(tuple, m2.materialize(ev, COLS).collect()))
+    assert a == b and len(a) == 10
+
+
+def test_to_sdl_idempotent_on_parsed_model(spark):
+    sdl = to_sdl(_model(spark))
+    again = to_sdl(from_sdl(sdl, stores={"fs": _store(spark)}))
+    assert again == sdl
+
+
+def test_sdl_carries_entity_config(spark):
+    sdl = to_sdl(_model(spark))
+    assert '@entity(key: "user_id", order: ["ts", "event_id"]' in sdl
+    m2 = from_sdl(sdl, stores={"fs": _store(spark)})
+    assert m2.entity_key == "user_id" and m2.order == ("ts", "event_id")
+    assert m2.event_time == "ts"
+
+
+def test_sdl_errors(spark):
+    with pytest.raises(PlanError, match="unknown directive"):
+        from_sdl('type T @entity(key: "u") { a: Float @windw(op: "lag") }')
+    with pytest.raises(PlanError, match="exactly one of"):
+        from_sdl('type T @entity(key: "u") { a: Float }')
+    with pytest.raises(PlanError, match="store 'nope' not registered"):
+        from_sdl('type T @entity(key: "u") '
+                 '{ a: Float @asof(store: "nope", valueCol: "v") }')
+    with pytest.raises(PlanError, match="missing argument"):
+        from_sdl('type T @entity(key: "u") { a: Float @transformer(args: []) }')
+
+
+def test_sdl_ignores_descriptive_types(spark):
+    # the declared scalar type is documentation; planning uses Spark schemas
+    m = from_sdl('type T @entity(key: "user_id", order: ["ts", "event_id"], '
+                 'eventTime: "ts") '
+                 '{ seq: [Int!]! @window(op: "row_number") }')
+    out = m.materialize(_events(spark), ["event_id", "seq"])
+    assert out.count() == 10
