@@ -71,7 +71,7 @@ def _args(pairs: list[tuple[str, Any]]) -> str:
 def to_sdl(model: FeatureModel, type_name: str = "Features") -> str:
     """Render the declared model as one SDL type block (deterministic:
     declaration order for features, sorted for aliases)."""
-    head = "type %s @entity%s {" % (
+    head = "type %s @entity%s" % (
         type_name,
         _args([
             ("key", model.entity_key),
@@ -80,7 +80,13 @@ def to_sdl(model: FeatureModel, type_name: str = "Features") -> str:
             ("maxDepth", model.max_depth),
         ]),
     )
-    lines = [head]
+    # store REQUIREMENTS (the @lastUpdated directive rides here): SDL
+    # carries names + temporal attributes, the runtime binds the tables
+    for sname in sorted(model._stores):
+        head += " @store" + _args(
+            [("name", sname), ("lastUpdated", model._last_updated.get(sname))]
+        )
+    lines = [head + " {"]
     for name, s in model._features.items():
         ftype = _KIND_TYPE[s.kind]
         if s.kind == "window":
@@ -193,7 +199,19 @@ def from_sdl(
         registry=registry,
         max_depth=int(ent.get("maxDepth", 7)),
     )
-    for sname, store in (stores or {}).items():
+    declared = [(dict(a)) for n, a in tdirs if n == "store"]
+    bound = dict(stores or {})
+    for d in declared:
+        sname = d.get("name")
+        if sname not in bound:
+            raise PlanError(
+                f"SDL: type {tname!r} declares store {sname!r} "
+                f"(@store) but no binding was provided — pass "
+                f"stores={{{sname!r}: <DataFrame|FeatureStore>}}"
+            )
+        model.register_store(sname, bound.pop(sname),
+                             last_updated=d.get("lastUpdated"))
+    for sname, store in bound.items():  # bindings beyond the declared set
         model.register_store(sname, store)
     for sname, (df, key) in (sources or {}).items():
         model.register_source(sname, df, key)

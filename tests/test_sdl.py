@@ -91,3 +91,25 @@ def test_sdl_ignores_descriptive_types(spark):
                  '{ seq: [Int!]! @window(op: "row_number") }')
     out = m.materialize(_events(spark), ["event_id", "seq"])
     assert out.count() == 10
+
+
+def test_sdl_store_directive_carries_last_updated(spark):
+    m = FeatureModel(entity_key="user_id", order=("ts", "event_id"),
+                     event_time="ts")
+    m.register_store("fs", _store(spark), last_updated="value_at_ts")
+    # no per-feature right_ts: the store's @lastUpdated supplies it
+    m.declare_asof_feature("store_val", "fs", value_col="value")
+    sdl = to_sdl(m)
+    assert '@store(name: "fs", lastUpdated: "value_at_ts")' in sdl
+    m2 = from_sdl(sdl, stores={"fs": _store(spark)})
+    ev = _events(spark)
+    a = sorted(map(tuple, m.materialize(ev, ["event_id", "store_val"]).collect()))
+    b = sorted(map(tuple, m2.materialize(ev, ["event_id", "store_val"]).collect()))
+    assert a == b
+
+
+def test_sdl_declared_store_requires_binding(spark):
+    sdl = ('type T @entity(key: "user_id") @store(name: "fs") '
+           '{ a: Float @asof(store: "fs", valueCol: "value") }')
+    with pytest.raises(PlanError, match="no binding was provided"):
+        from_sdl(sdl)
