@@ -638,7 +638,9 @@ def incremental_minhash_dedup(
     crosses ``bucket_cap`` only in the combined view). NULL/empty texts
     fingerprint AND sign to a constant (the ``exact_dedup`` convention),
     so they exact-collapse within a batch and dedup across batches
-    against each other — never against real text.
+    against each other — never against real text. Doc ids must be unique
+    ACROSS batches (store rows join back by id): reuse of an id between
+    the store and a later batch would conflate two documents' witnesses.
     """
     if num_hashes % bands:
         raise ValueError("incremental_minhash_dedup: bands must divide num_hashes")

@@ -147,6 +147,13 @@ def conversation_fingerprints(
     ``string_agg(payload, chr(31) ORDER BY ...)``. NULL payload fields
     map to a reserved sentinel so ``NULL`` and ``'null'`` never collide.
 
+    Separator caveat: in ``hashed=False`` mode a payload VALUE containing
+    chr(31) can make two differently-segmented conversations join to the
+    same string (turn-boundary injection) — it exists so a SQL oracle can
+    reproduce the grouping, and inherits string_agg's own limitation.
+    Production ``hashed=True`` is injection-safe: the joined units are
+    per-turn decimal hash strings, which never contain the separator.
+
     The per-entity sorted collect is bounded by conversation length —
     the same bound the window operators already rely on.
     """
@@ -321,23 +328,26 @@ def drop_boilerplate(
     text_col: str,
     min_entities: int = 2,
     normalize: bool = True,
+    broadcast: bool = True,
 ) -> DataFrame:
     """Remove boilerplate turns (per :func:`boilerplate_stats`) from the
     turn table via a left-anti join on the (normalized) text. Non-text
-    rows (NULL/empty) always survive. The boilerplate side is tiny by
-    construction — Spark broadcasts it under AQE."""
+    rows (NULL/empty) always survive. The boilerplate side is tiny at any
+    sane threshold — broadcast by default; pass ``broadcast=False`` when
+    a permissive ``min_entities`` makes it large (AQE then picks the
+    join)."""
     bp = boilerplate_stats(
         df, entity_col=entity_col, text_col=text_col,
         min_entities=min_entities, normalize=normalize,
     ).select("turn_text")
+    if broadcast:
+        bp = F.broadcast(bp)
     t = F.col(text_col)
     if normalize:
         t = F.trim(F.regexp_replace(t, r"\s+", " "))
     return (
         df.withColumn("__bp_key", t)
-        .join(
-            F.broadcast(bp), F.col("__bp_key") == F.col("turn_text"), "left_anti"
-        )
+        .join(bp, F.col("__bp_key") == F.col("turn_text"), "left_anti")
         .drop("__bp_key")
     )
 
@@ -364,12 +374,14 @@ def render_offsets(
     reproduces them with window sums.
 
     Adds ``start_off``, ``end_off`` (bigint), ``trainable`` (boolean).
-    Scale: ONE window exchange (the prior-length cumulative sum); no
-    join, no collect — composes with :func:`truncate_to_budget` (mask
-    after truncation) and :func:`render_text` (which materializes the
-    text the offsets index into).
+    NULL roles render as an empty role tag ``<||>`` (both here and in
+    :func:`render_text`, so offsets stay consistent) and are never
+    trainable. Scale: ONE window exchange (the prior-length cumulative
+    sum); no join, no collect — composes with :func:`truncate_to_budget`
+    (mask after truncation) and :func:`render_text` (which materializes
+    the text the offsets index into).
     """
-    role = F.col(role_col)
+    role = F.coalesce(F.col(role_col), F.lit(""))
     content = F.coalesce(F.col(text_col), F.lit(""))
     rendered_len = (
         F.length(role) + F.lit(4 + len(sep)) + F.length(content)
@@ -404,7 +416,7 @@ def render_text(
     Scale: one grouping aggregate; the per-entity sorted collect is
     bounded by conversation length (the window operators' standing
     bound)."""
-    role = F.col(role_col)
+    role = F.coalesce(F.col(role_col), F.lit(""))
     content = F.coalesce(F.col(text_col), F.lit(""))
     rendered = F.concat(F.lit("<|"), role, F.lit("|>"), content, F.lit(sep))
     sortable = F.struct(

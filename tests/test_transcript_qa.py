@@ -230,3 +230,20 @@ def test_render_text_conv_chars(spark):
     row = render_text(df, entity_col="conv_id", order=("turn_idx",),
                       role_col="role", text_col="text").collect()[0]
     assert row["conv_chars"] == len("<|user|>ab\n")
+
+
+def test_render_null_role_consistent_between_offsets_and_text(spark):
+    from funcify_feature_eng_spark.operators.transcript_qa import (
+        render_offsets,
+        render_text,
+    )
+
+    df = _turns(spark, [(1, 0, None, "x"), (1, 1, "assistant", "y")])
+    kw = dict(entity_col="conv_id", order=("turn_idx",),
+              role_col="role", text_col="text")
+    text = render_text(df, **kw).collect()[0]["conv_text"]
+    assert text == "<||>x\n<|assistant|>y\n"
+    for r in render_offsets(df, **kw).collect():
+        assert text[r["start_off"]:r["end_off"]] == (r["text"] or "")
+        if r["turn_idx"] == 0:
+            assert r["trainable"] is False
