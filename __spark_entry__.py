@@ -3119,6 +3119,52 @@ def q_stream_role_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines source (sources/tables.py::read_jsonl): events
+    serialized to content-stamped JSONL, re-read with a DECLARED schema
+    (never inferSchema — no second corpus pass, no type drift), predicate
+    + projection pushed like read_table. The oracle reads the SAME rows
+    from the parquet twin."""
+    import pandas as pd  # noqa: F401 (toPandas)
+
+    from pyspark.sql.types import (
+        DoubleType, LongType, StringType, StructField, StructType,
+    )
+
+    from funcify_feature_eng_spark.sources.tables import read_jsonl
+
+    src = os.path.join(sf_dir, "events.parquet")
+    tmp = os.path.join(
+        "/tmp", f"spark_graft_jsonl_{os.path.basename(os.path.normpath(sf_dir))}"
+    )
+    stamp_val = _content_stamp(src, "1")
+    stamp_fp = os.path.join(tmp, "_stamp")
+    if not (os.path.exists(stamp_fp) and open(stamp_fp).read() == stamp_val):
+        os.makedirs(tmp, exist_ok=True)
+        pdf = (
+            _t(spark, sf_dir, "events")
+            .select("event_id", "user_id", "event_type", "value", "props")
+            .orderBy("event_id")
+            .toPandas()
+        )
+        pdf.to_json(os.path.join(tmp, "events.jsonl"), orient="records",
+                    lines=True, double_precision=10)
+        with open(stamp_fp, "w") as f:
+            f.write(stamp_val)
+    schema = StructType([
+        StructField("event_id", LongType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ])
+    return read_jsonl(
+        spark, os.path.join(tmp, "events.jsonl"), schema,
+        columns=["event_id", "user_id", "value", "props"],
+        predicate=F.col("event_type") == "purchase",
+    )
+
+
 def q_sdl_model(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Schema-first front door (plans/sdl.py — the reference's SDL
     composition direction, schema/FeatureEngineeringModel.kt:24-52): the
@@ -3447,6 +3493,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_role_audit": q_stream_role_audit,
         "sft_render": q_sft_render,
         "sdl_model": q_sdl_model,
+        "events_jsonl": q_events_jsonl,
     }
 
 
@@ -5460,6 +5507,11 @@ FROM p GROUP BY turn_text HAVING COUNT(*) >= 75
         # SDL front door: double round-trip then materialize — same twin
         # as turn_features
         "sdl_model": _TURN_FEATURES_SQL,
+        # JSONL source: the parquet twin of the serialized rows
+        "events_jsonl": """
+SELECT event_id, user_id, value, props
+FROM events WHERE event_type = 'purchase'
+""",
         # SFT render geometry: <|role|>content\n per turn; start = prior
         # rendered length + tag length; conv_chars = total rendered length
         "sft_render": """

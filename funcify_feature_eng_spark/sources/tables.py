@@ -151,3 +151,49 @@ def read_netflix_csv(spark: SparkSession, path: str) -> DataFrame:
         split_list(F.col("listed_in")).alias("listed_in"),
         F.col("description"),
     )
+
+
+def read_jsonl(
+    spark: SparkSession,
+    path: str,
+    schema,
+    *,
+    columns: Sequence[str] | None = None,
+    predicate: Column | str | None = None,
+    permissive: bool = False,
+    corrupt_col: str = "_corrupt_record",
+) -> DataFrame:
+    """JSON-lines scan with a DECLARED schema (S5's other classic shape
+    beside the CSV path; the reference's serialized-document sources are
+    jackson-typed the same way).
+
+    The schema is required, never inferred: ``inferSchema`` costs an
+    extra full pass over the corpus and lets types drift between ingest
+    batches — at 100 TB both are disqualifying. ``columns``/``predicate``
+    express P1 projection + pushdown exactly like :func:`read_table`
+    (JSON scans prune parsed fields via Catalyst's schema pruning).
+
+    ``permissive=False`` (default) is FAILFAST: a malformed line fails
+    the job loudly. ``permissive=True`` appends ``corrupt_col`` holding
+    each malformed raw line (NULL elsewhere) — the quarantine flow, same
+    convention as ``plans/validation``'s value-level quarantine.
+    """
+    if permissive:
+        from pyspark.sql.types import StringType, StructType
+
+        if not isinstance(schema, StructType):
+            raise ValueError("read_jsonl: permissive mode needs a StructType schema")
+        schema = StructType(list(schema.fields)).add(corrupt_col, StringType())
+        reader = (
+            spark.read.schema(schema)
+            .option("mode", "PERMISSIVE")
+            .option("columnNameOfCorruptRecord", corrupt_col)
+        )
+    else:
+        reader = spark.read.schema(schema).option("mode", "FAILFAST")
+    df = reader.json(path)
+    if predicate is not None:
+        df = df.filter(predicate)
+    if columns:
+        df = df.select(*columns)
+    return df
