@@ -3328,17 +3328,21 @@ def q_conv_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_boilerplate_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Template-turn detection (operators/transcript_qa.py::
-    boilerplate_stats): payloads appearing in >= 75 DISTINCT entities
-    (whitespace-normalized) — the distinct-entity threshold separates
-    cross-conversation boilerplate from one conversation's retry loop.
-    Exact two-level aggregate with map-side combine."""
+    boilerplate_stats): payloads appearing in >= half the DISTINCT
+    entities (whitespace-normalized; 75 at the sf0.01 gate scale) — the
+    distinct-entity threshold separates cross-conversation boilerplate
+    from one conversation's retry loop. Exact two-level aggregate with
+    map-side combine; the threshold derives from one bounded count so
+    the gate stays non-degenerate at every sf."""
     from funcify_feature_eng_spark.operators.transcript_qa import (
         boilerplate_stats,
     )
 
     ev = _t(spark, sf_dir, "events")
+    n_users = ev.select("user_id").distinct().count()
     return boilerplate_stats(
-        ev, entity_col="user_id", text_col="props", min_entities=75,
+        ev, entity_col="user_id", text_col="props",
+        min_entities=max(2, n_users // 2),
     )
 
 
@@ -5502,7 +5506,9 @@ WITH n AS (
 SELECT turn_text,
        CAST(COUNT(*) AS BIGINT) AS n_entities,
        CAST(SUM(c) AS BIGINT) AS n_rows
-FROM p GROUP BY turn_text HAVING COUNT(*) >= 75
+FROM p GROUP BY turn_text
+HAVING COUNT(*) >= (SELECT GREATEST(2, COUNT(DISTINCT user_id) // 2)
+                    FROM events)
 """,
         # SDL front door: double round-trip then materialize — same twin
         # as turn_features

@@ -309,6 +309,127 @@ def scd2_from_changes(
     )
 
 
+def scd2_apply_changes(
+    current: DataFrame,
+    changes: DataFrame,
+    on: str | list[str],
+    ts: str = "ts",
+    state_cols: list[str] | None = None,
+    collapse_unchanged: bool = True,
+    on_late: str = "error",
+) -> DataFrame:
+    """Apply an incremental change batch to an EXISTING SCD-2 table — the
+    CDC merge that keeps epoch history current without rebuilding from
+    the full change log (the incremental counterpart of
+    :func:`scd2_from_changes`, same half-open conventions).
+
+    Only AFFECTED keys (those present in ``changes``) are touched: their
+    CLOSED epochs pass through untouched, and the open epoch is re-built
+    through :func:`scd2_from_changes` over (open-epoch row ∪ new
+    changes) — so an unchanged-state change still collapses into the open
+    epoch instead of cutting a zero-value epoch. Keys absent from the
+    batch are moved verbatim (one anti-join, no shuffle of their epochs
+    beyond it); brand-new keys appear with their first epoch.
+
+    Contract: every change must be AT-OR-AFTER its key's open epoch start
+    (CDC streams are append-ordered per key). ``on_late="error"`` (default)
+    fails the job at execution time naming the contract; ``"ignore"``
+    drops late rows. For genuinely out-of-order history, rebuild with
+    :func:`scd2_from_changes` over the full log. Same-instant ties use
+    the state columns (the builder's default ``order``).
+
+    Pinned law (pytest): applying batches incrementally ≡ one
+    whole-log :func:`scd2_from_changes` build whenever the contract
+    holds.
+
+    Scale: each batch shuffles O(changes + open epochs of affected keys);
+    the closed-epoch history — the table's bulk — crosses no exchange.
+    """
+    if on_late not in ("error", "ignore"):
+        raise ValueError(f"scd2_apply_changes: on_late must be error|ignore, got {on_late!r}")
+    keys = [on] if isinstance(on, str) else list(on)
+    if state_cols is None:
+        state_cols = [c for c in current.columns
+                      if c not in keys and c not in ("valid_from", "valid_to")]
+    if not state_cols:
+        raise ValueError("scd2_apply_changes: no state columns")
+
+    # the semi/anti/left joins below all re-reference `current` and
+    # `changes` inside ONE combined plan; right-side key columns are
+    # RENAMED (no USING-style dedup) so repeated-lineage resolution can
+    # never conflate the legs (observed: the union plan otherwise
+    # mis-resolved the anti join and duplicated the open epoch)
+    kk = {c: f"__ck_{c}" for c in keys}
+    ch_keys = changes.select(
+        *[F.col(c).alias(n) for c, n in kk.items()]
+    ).distinct()
+    cond = None
+    for c, n in kk.items():
+        e = F.col(c).eqNullSafe(F.col(n))
+        cond = e if cond is None else (cond & e)
+    untouched = current.join(ch_keys, cond, "left_anti")
+    affected = current.join(ch_keys, cond, "left_semi")
+    closed = affected.where(F.col("valid_to").isNotNull())
+    open_e = affected.where(F.col("valid_to").isNull())
+
+    # late-change guard / drop: compare each change against the key's open
+    # epoch start (keys new to the table pass — no open epoch to precede)
+    bk = {c: f"__bk_{c}" for c in keys}
+    bound = open_e.select(
+        *[F.col(c).alias(n) for c, n in bk.items()],
+        F.col("valid_from").alias("__open_vf"),
+    )
+    bcond = None
+    for c, n in bk.items():
+        e = F.col(c).eqNullSafe(F.col(n))
+        bcond = e if bcond is None else (bcond & e)
+    ch = (
+        changes.select(*keys, ts, *state_cols)
+        .join(bound, bcond, "left")
+        .drop(*bk.values())
+    )
+    in_order = F.col("__open_vf").isNull() | (F.col(ts) >= F.col("__open_vf"))
+    if on_late == "error":
+        # assert rides the ts column actually used downstream, so column
+        # pruning cannot drop it (the budget_mixture guard convention)
+        ch = ch.withColumn(
+            ts,
+            F.when(
+                F.assert_true(
+                    in_order,
+                    F.lit(
+                        "scd2_apply_changes: change earlier than its key's "
+                        "open epoch — CDC batches must be per-key ordered; "
+                        "rebuild from the full log for out-of-order history"
+                    ),
+                ).isNull(),
+                F.col(ts),
+            ),
+        )
+    else:
+        ch = ch.where(in_order)
+    ch = ch.drop("__open_vf")
+
+    # re-open the open epoch as a change row at its own start instant and
+    # rebuild just that slice; closed history never enters the build
+    open_as_change = open_e.select(
+        *keys, F.col("valid_from").alias(ts), *state_cols
+    )
+    rebuilt = scd2_from_changes(
+        open_as_change.unionByName(ch),
+        on=keys,
+        ts=ts,
+        state_cols=state_cols,
+        collapse_unchanged=collapse_unchanged,
+    )
+    cols = [*keys, *state_cols, "valid_from", "valid_to"]
+    return (
+        untouched.select(*cols)
+        .unionByName(closed.select(*cols))
+        .unionByName(rebuilt.select(*cols))
+    )
+
+
 def session_windows(
     events: DataFrame,
     on: str | list[str],

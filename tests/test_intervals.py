@@ -436,3 +436,84 @@ def test_left_join_dotted_fact_column_name(spark, facts, intervals):
     rows = out.collect()
     assert len(rows) == len(EXPECTED) + 1  # e5 unmatched, once
     assert all(r["`a.b`" if False else "a.b"] == "v" for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# scd2_apply_changes: incremental CDC merge onto an existing table
+# ---------------------------------------------------------------------------
+
+
+def _epochs(df):
+    return sorted(map(tuple, df.select("k", "state", "valid_from", "valid_to").collect()))
+
+
+def test_scd2_apply_equals_whole_log(spark, change_log):
+    from funcify_feature_eng_spark.operators.intervals import (
+        scd2_apply_changes,
+        scd2_from_changes,
+    )
+
+    log = change_log.select("k", "ts", "state")
+    b1 = log.where(F.col("ts") < _ts(20))
+    b2 = log.where(F.col("ts") >= _ts(20))
+    whole = scd2_from_changes(log, on="k", state_cols=["state"])
+    cur = scd2_from_changes(b1, on="k", state_cols=["state"])
+    inc = scd2_apply_changes(cur, b2, on="k", state_cols=["state"])
+    assert _epochs(inc) == _epochs(whole)
+
+
+def test_scd2_apply_unchanged_state_does_not_cut_epoch(spark):
+    from funcify_feature_eng_spark.operators.intervals import (
+        scd2_apply_changes,
+        scd2_from_changes,
+    )
+
+    cur = scd2_from_changes(
+        spark.createDataFrame([("u1", _ts(0), "A")], "k string, ts timestamp, state string"),
+        on="k", state_cols=["state"],
+    )
+    ch = spark.createDataFrame([("u1", _ts(50), "A")], "k string, ts timestamp, state string")
+    out = scd2_apply_changes(cur, ch, on="k", state_cols=["state"])
+    rows = _epochs(out)
+    assert len(rows) == 1 and rows[0][1] == "A" and rows[0][3] is None
+
+
+def test_scd2_apply_untouched_keys_pass_through_and_new_keys_appear(spark, change_log):
+    from funcify_feature_eng_spark.operators.intervals import (
+        scd2_apply_changes,
+        scd2_from_changes,
+    )
+
+    cur = scd2_from_changes(change_log.select("k", "ts", "state"),
+                            on="k", state_cols=["state"])
+    ch = spark.createDataFrame(
+        [("u3", _ts(100), "Z"), ("u1", _ts(100), "Q")],
+        "k string, ts timestamp, state string",
+    )
+    out = scd2_apply_changes(cur, ch, on="k", state_cols=["state"])
+    by_key = {}
+    for k, st, vf, vt in _epochs(out):
+        by_key.setdefault(k, []).append((st, vt))
+    # u2 untouched, u3 new with one open epoch, u1 gains a Q epoch
+    assert by_key["u2"] == [("X", None)]
+    assert by_key["u3"] == [("Z", None)]
+    assert by_key["u1"][-1] == ("Q", None)
+
+
+def test_scd2_apply_late_change_errors_or_drops(spark):
+    from funcify_feature_eng_spark.operators.intervals import (
+        scd2_apply_changes,
+        scd2_from_changes,
+    )
+
+    cur = scd2_from_changes(
+        spark.createDataFrame([("u1", _ts(100), "A")], "k string, ts timestamp, state string"),
+        on="k", state_cols=["state"],
+    )
+    late = spark.createDataFrame([("u1", _ts(50), "B")], "k string, ts timestamp, state string")
+    with pytest.raises(Exception, match="open epoch"):
+        scd2_apply_changes(cur, late, on="k", state_cols=["state"]).collect()
+    out = scd2_apply_changes(cur, late, on="k", state_cols=["state"],
+                             on_late="ignore")
+    rows = _epochs(out)
+    assert len(rows) == 1 and rows[0][:2] == ("u1", "A") and rows[0][3] is None
