@@ -3119,6 +3119,37 @@ def q_stream_role_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_scd2_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental SCD-2 CDC merge (operators/intervals.py::
+    scd2_apply_changes): build the epoch table from the first half of the
+    change log (ts midpoint split), then APPLY the second half as a CDC
+    batch — closed history untouched, only affected open epochs rebuild.
+    The oracle is the WHOLE-log build in pure SQL: the hashed property is
+    incremental ≡ rebuild-from-scratch."""
+    from funcify_feature_eng_spark.operators.intervals import (
+        scd2_apply_changes,
+        scd2_from_changes,
+    )
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    b = ev.agg(F.min("ts").alias("lo"), F.max("ts").alias("hi")).collect()[0]
+    mid = b["lo"] + (b["hi"] - b["lo"]) / 2
+    cur = scd2_from_changes(
+        ev.where(F.col("ts") < F.lit(mid)),
+        on="user_id", ts="ts", state_cols=["event_type"],
+    )
+    out = scd2_apply_changes(
+        cur, ev.where(F.col("ts") >= F.lit(mid)),
+        on="user_id", ts="ts", state_cols=["event_type"],
+    )
+    return out.select(
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("valid_from").cast("timestamp")).alias("from_us"),
+        F.unix_micros(F.col("valid_to").cast("timestamp")).alias("to_us"),
+    )
+
+
 def q_events_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON-lines source (sources/tables.py::read_jsonl): events
     serialized to content-stamped JSONL, re-read with a DECLARED schema
@@ -3498,6 +3529,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sft_render": q_sft_render,
         "sdl_model": q_sdl_model,
         "events_jsonl": q_events_jsonl,
+        "scd2_incremental": q_scd2_incremental,
     }
 
 
@@ -5513,6 +5545,35 @@ HAVING COUNT(*) >= (SELECT GREATEST(2, COUNT(DISTINCT user_id) // 2)
         # SDL front door: double round-trip then materialize — same twin
         # as turn_features
         "sdl_model": _TURN_FEATURES_SQL,
+        # incremental CDC merge: the oracle is the WHOLE-log SCD-2 build
+        # (same-instant tie = max state, the builder's default order)
+        "scd2_incremental": """
+WITH one AS (
+  SELECT user_id, ts, max(event_type) AS event_type
+  FROM events GROUP BY user_id, ts
+),
+chg AS (
+  SELECT user_id, ts, event_type,
+         CASE WHEN event_type IS DISTINCT FROM
+                   lag(event_type) OVER (PARTITION BY user_id ORDER BY ts)
+              THEN 1 ELSE 0 END AS is_new
+  FROM one
+),
+r AS (
+  SELECT user_id, ts, event_type,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+  FROM chg
+),
+g AS (
+  SELECT user_id, event_type, MIN(ts) AS valid_from
+  FROM r GROUP BY user_id, run, event_type
+)
+SELECT user_id, event_type, epoch_us(valid_from) AS from_us,
+       epoch_us(lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from))
+         AS to_us
+FROM g
+""",
         # JSONL source: the parquet twin of the serialized rows
         "events_jsonl": """
 SELECT event_id, user_id, value, props
