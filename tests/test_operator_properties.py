@@ -287,3 +287,103 @@ def test_cumulative_target_encode_matches_brute_force(spark, rows):
             assert got[i] == (cnt, ssum, (ssum + M * PRIOR) // (cnt + M)), i
             cnt += 1
             ssum += v
+
+
+# ------------------------------------------------ transcript_qa invariants
+
+conv_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=3),            # conv_id
+        st.sampled_from(["user", "assistant", "tool"]),   # role
+        st.integers(min_value=0, max_value=9),            # cost
+    ),
+    min_size=1, max_size=12,
+)
+
+
+@SETTLE
+@given(rows=conv_rows, budget=st.integers(min_value=0, max_value=30))
+def test_truncate_to_budget_matches_reference(spark, rows, budget):
+    """Suffix rule vs a pure-Python reference: kept = longest suffix whose
+    cumulative cost <= budget, per conversation."""
+    from funcify_feature_eng_spark.operators.transcript_qa import (
+        truncate_to_budget,
+    )
+
+    data = [(cid, i, role, cost) for i, (cid, role, cost) in enumerate(rows)]
+    df = spark.createDataFrame(
+        data, "conv_id int, turn_idx int, role string, cost int")
+    got = {(r["conv_id"], r["turn_idx"]): r["kept"]
+           for r in truncate_to_budget(
+               df, entity_col="conv_id", order=("turn_idx",),
+               cost="cost", budget=budget).collect()}
+    by_conv = {}
+    for cid, i, _role, cost in data:
+        by_conv.setdefault(cid, []).append((i, cost))
+    for cid, turns in by_conv.items():
+        turns.sort()
+        acc = 0
+        expect = {}
+        for i, cost in reversed(turns):
+            acc += cost
+            expect[i] = acc <= budget
+        for i, _ in turns:
+            assert got[(cid, i)] == expect[i]
+
+
+@SETTLE
+@given(rows=conv_rows)
+def test_role_audit_matches_reference(spark, rows):
+    """Window formulation vs a pure-Python replay of the same machine."""
+    from funcify_feature_eng_spark.operators.transcript_qa import (
+        role_sequence_audit,
+    )
+
+    allowed = {("user", "assistant"), ("assistant", "user"),
+               ("assistant", "tool"), ("tool", "assistant")}
+    data = [(cid, i, role) for i, (cid, role, _c) in enumerate(rows)]
+    df = spark.createDataFrame(data, "conv_id int, turn_idx int, role string")
+    got = {r["conv_id"]: (r["n_turns"], r["n_violations"],
+                          r["first_violation_ord"], r["is_valid"])
+           for r in role_sequence_audit(
+               df, entity_col="conv_id", order=("turn_idx",),
+               role_col="role", allowed=sorted(allowed),
+               allowed_start=("user",)).collect()}
+    by_conv = {}
+    for cid, i, role in data:
+        by_conv.setdefault(cid, []).append((i, role))
+    for cid, turns in by_conv.items():
+        turns.sort()
+        n = v = ford = 0
+        last = None
+        for pos, (_i, role) in enumerate(turns, start=1):
+            n += 1
+            ok = (role == "user") if pos == 1 else (last, role) in allowed
+            if not ok:
+                v += 1
+                if ford == 0:
+                    ford = pos
+            last = role
+        assert got[cid] == (n, v, ford, v == 0)
+
+
+@SETTLE
+@given(rows=conv_rows)
+def test_render_offsets_always_slice_render_text(spark, rows):
+    """Offset/text consistency on arbitrary conversations: every content
+    span slices back to the turn's own content."""
+    from funcify_feature_eng_spark.operators.transcript_qa import (
+        render_offsets,
+        render_text,
+    )
+
+    data = [(cid, i, role, f"t{cost}" * cost)
+            for i, (cid, role, cost) in enumerate(rows)]
+    df = spark.createDataFrame(
+        data, "conv_id int, turn_idx int, role string, text string")
+    kw = dict(entity_col="conv_id", order=("turn_idx",),
+              role_col="role", text_col="text")
+    texts = {r["conv_id"]: r["conv_text"]
+             for r in render_text(df, **kw).collect()}
+    for r in render_offsets(df, **kw).collect():
+        assert texts[r["conv_id"]][r["start_off"]:r["end_off"]] == r["text"]
