@@ -3119,6 +3119,30 @@ def q_stream_role_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pandas merge_asof direction='nearest' parity (operators/asof.py):
+    the closer of the prior/next purchase per event, ties to the PRIOR —
+    composed from the two directional passes with a pure Column combine
+    (zero extra shuffles). Right side deduped per (user, instant) first
+    so both engines face one candidate per instant."""
+    ev = _t(spark, sf_dir, "events")
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max_by("value", "event_id").alias("value"))
+    )
+    out = asof_join(
+        ev.select("event_id", "user_id", "ts"),
+        purchases,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        value_cols={"value": "nearest_purchase_value"},
+        direction="nearest",
+    )
+    return out.select("event_id", "user_id", "nearest_purchase_value")
+
+
 def q_scd2_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental SCD-2 CDC merge (operators/intervals.py::
     scd2_apply_changes): build the epoch table from the first half of the
@@ -3530,6 +3554,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sdl_model": q_sdl_model,
         "events_jsonl": q_events_jsonl,
         "scd2_incremental": q_scd2_incremental,
+        "asof_nearest": q_asof_nearest,
     }
 
 
@@ -5545,6 +5570,34 @@ HAVING COUNT(*) >= (SELECT GREATEST(2, COUNT(DISTINCT user_id) // 2)
         # SDL front door: double round-trip then materialize — same twin
         # as turn_features
         "sdl_model": _TURN_FEATURES_SQL,
+        # nearest as-of: closer of prior/next purchase, tie to prior;
+        # right deduped per (user, instant) in both engines
+        "asof_nearest": """
+WITH r AS (
+  SELECT user_id, ts, arg_max(value, event_id) AS value
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+),
+l AS (SELECT event_id, user_id, ts FROM events),
+b AS (
+  SELECT l.event_id, max(r.ts) AS mts
+  FROM l LEFT JOIN r ON r.user_id = l.user_id AND r.ts <= l.ts
+  GROUP BY l.event_id
+),
+f AS (
+  SELECT l.event_id, min(r.ts) AS mts
+  FROM l LEFT JOIN r ON r.user_id = l.user_id AND r.ts >= l.ts
+  GROUP BY l.event_id
+),
+pick AS (
+  SELECT l.event_id, l.user_id,
+         CASE WHEN b.mts IS NOT NULL
+                   AND (f.mts IS NULL OR (l.ts - b.mts) <= (f.mts - l.ts))
+              THEN b.mts ELSE f.mts END AS mts
+  FROM l JOIN b USING (event_id) JOIN f USING (event_id)
+)
+SELECT p.event_id, p.user_id, r.value AS nearest_purchase_value
+FROM pick p LEFT JOIN r ON r.user_id = p.user_id AND r.ts = p.mts
+""",
         # incremental CDC merge: the oracle is the WHOLE-log SCD-2 build
         # (same-instant tie = max state, the builder's default order)
         "scd2_incremental": """

@@ -121,8 +121,48 @@ def asof_join(
     """
     vals = _normalize_values(value_cols)
     _validate(left, on, list(vals.values()))
-    if direction not in ("backward", "forward"):
+    if direction not in ("backward", "forward", "nearest"):
         raise ValueError(f"unknown direction {direction!r}")
+    if direction == "nearest":
+        # pandas merge_asof direction='nearest': the closer of the backward
+        # and forward matches, ties to the PRIOR one (pandas' convention).
+        # Composed from the two directional passes — each inherits the
+        # chosen strategy/tolerance untouched — then a pure Column
+        # combine: zero extra shuffles beyond the two passes themselves.
+        bs, fs = {}, {}
+        b_ts, f_ts = "__asof_b_ts", "__asof_f_ts"
+        for rc, out_name in vals.items():
+            bs[rc] = f"__asof_b_{out_name}"
+            fs[rc] = f"__asof_f_{out_name}"
+        bvals = {**bs, right_ts: b_ts} if right_ts not in bs else dict(bs)
+        fvals = {**fs, right_ts: f_ts} if right_ts not in fs else dict(fs)
+        if right_ts in bs:  # right_ts itself is a requested payload column
+            b_ts, f_ts = bs[right_ts], fs[right_ts]
+        common = dict(
+            on=on, left_ts=left_ts, right_ts=right_ts,
+            allow_exact_matches=allow_exact_matches, right_order=right_order,
+            strategy=strategy, bucket_seconds=bucket_seconds,
+            num_salts=num_salts, auto_config=auto_config,
+            tolerance_s=tolerance_s,
+        )
+        out = asof_join(left, right, value_cols=bvals,
+                        direction="backward", **common)
+        out = asof_join(out, right, value_cols=fvals,
+                        direction="forward", **common)
+        lus = F.unix_micros(F.col(left_ts).cast("timestamp"))
+        bgap = lus - F.unix_micros(F.col(b_ts).cast("timestamp"))
+        fgap = F.unix_micros(F.col(f_ts).cast("timestamp")) - lus
+        pick_b = F.col(b_ts).isNotNull() & (
+            F.col(f_ts).isNull() | (bgap <= fgap)
+        )
+        for rc, out_name in vals.items():
+            out = out.withColumn(
+                out_name,
+                F.when(pick_b, F.col(bs[rc])).otherwise(F.col(fs[rc])),
+            )
+        drop = [c for c in {b_ts, f_ts, *bs.values(), *fs.values()}
+                if c not in vals.values()]
+        return out.drop(*drop)
     forward = direction == "forward"
     if tolerance_s is not None:
         # Staleness bound (pandas merge_asof `tolerance`): a match farther

@@ -397,3 +397,64 @@ def test_tolerance_validation(spark, transcripts, feature_store):
             transcripts, feature_store, on=["conv_id"], left_ts="ts",
             right_ts="value_at_ts", value_cols=["value"], tolerance_s=-1,
         )
+
+
+@pytest.mark.parametrize("strategy", ["broadcast", "merge_asof", "union_window", "segmented"])
+def test_nearest_asof_matches_pandas(
+    spark, transcripts, feature_store, transcripts_pd, feature_store_pd, strategy
+):
+    from funcify_feature_eng_spark.operators.asof import asof_join
+
+    got = (
+        asof_join(
+            transcripts, feature_store, on=["conv_id"], left_ts="ts",
+            right_ts="value_at_ts", value_cols={"value": "near_value"},
+            right_order=["value"], strategy=strategy, direction="nearest",
+        )
+        .orderBy("conv_id", "turn_idx")
+        .toPandas()
+    )
+    l = transcripts_pd.sort_values("ts", kind="stable").reset_index(drop=True)
+    r = (
+        feature_store_pd.sort_values(["value_at_ts", "value"], kind="stable")
+        .reset_index(drop=True)[["conv_id", "value_at_ts", "value"]]
+        .rename(columns={"value": "near_value"})
+    )
+    exp = (
+        pd.merge_asof(l, r, left_on="ts", right_on="value_at_ts", by="conv_id",
+                      direction="nearest")
+        .sort_values(["conv_id", "turn_idx"], kind="stable")
+        .reset_index(drop=True)
+    )
+    g, e = got["near_value"].to_numpy(object), exp["near_value"].to_numpy(object)
+    same = (g == e) | (pd.isna(g.astype(object)) & pd.isna(e.astype(object)))
+    assert same.all(), f"{strategy}: {int((~same).sum())} mismatches"
+
+
+def test_nearest_tie_goes_backward_and_tolerance_applies(spark):
+    import datetime as dt
+
+    from funcify_feature_eng_spark.operators.asof import asof_join
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def s(x):
+        return t0 + dt.timedelta(seconds=x)
+
+    left = spark.createDataFrame(
+        [(1, s(100), "c"), (2, s(500), "c")],
+        "id long, ts timestamp, conv_id string")
+    right = spark.createDataFrame(
+        [("c", s(90), 1.0), ("c", s(110), 2.0), ("c", s(2000), 9.0)],
+        "conv_id string, value_at_ts timestamp, value double")
+    out = asof_join(
+        left, right, on=["conv_id"], left_ts="ts", right_ts="value_at_ts",
+        value_cols={"value": "v"}, direction="nearest", tolerance_s=300.0,
+    )
+    got = {r["id"]: r["v"] for r in out.collect()}
+    # id 1: backward gap 10 == forward gap 10 -> tie goes BACKWARD (1.0)
+    assert got[1] == 1.0
+    # id 2: nearest candidates are 390s back / 1500s forward; backward wins
+    # but 390 > 300 tolerance... backward candidate at s(110) gap=390 > tol
+    # -> nulled in the backward pass; forward 1500 > tol -> NULL overall
+    assert got[2] is None
