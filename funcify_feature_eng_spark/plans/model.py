@@ -316,6 +316,44 @@ class FeatureModel:
         self._plan_cache[key] = plan
         return plan
 
+    def describe(
+        self,
+        columns: Sequence[str],
+        spine_cols: Sequence[str] = (),
+        var_keys: Sequence[str] = (),
+    ) -> dict[str, list[dict]]:
+        """Human/tool-readable plan description — the reference's
+        materialization-graph rendering analog (it serializes the request
+        graph for inspection; here the same information is two lists).
+
+        ``columns`` resolve exactly as :meth:`materialize` would resolve
+        them (same 6-tier precedence, same errors). Returns
+        ``{"columns": [...], "stages": [...]}`` where each column entry
+        records its resolution tier and target, and each stage entry is
+        one topo-ordered feature computation with its kind, operator /
+        transformer / store, and dependency names. Pure metadata — no
+        Spark job runs.
+        """
+        cols_out: list[dict] = []
+        for col in columns:
+            kind, resolved = self.resolve_name(col, list(spine_cols), var_keys)
+            cols_out.append({"column": col, "resolves": kind, "target": resolved})
+        stages_out: list[dict] = []
+        for i, spec in enumerate(
+            self.compile(columns, list(spine_cols), var_keys)
+        ):
+            entry: dict = {"stage": i, "feature": spec.name, "kind": spec.kind,
+                           "depends_on": list(spec.deps())}
+            if spec.kind == "window":
+                entry["op"] = spec.op
+            elif spec.kind == "transformer":
+                entry["transformer"] = spec.transformer
+            else:
+                entry["store"] = spec.store_name
+                entry["strategy"] = spec.strategy
+            stages_out.append(entry)
+        return {"columns": cols_out, "stages": stages_out}
+
     # ------------------------------------------------------------- lower/run
     def materialize(
         self,

@@ -318,3 +318,22 @@ def test_rolling_and_context_window_ops_in_model(spark):
     # distinct: hand-check — rows 1,2 (t=0s) see nothing; row 3 sees {x,y};
     # row 4 (4000s) sees nothing within 3600; row 5 first of its entity
     assert got["kinds_1h"].tolist() == [0, 0, 2, 0, 0]
+
+
+def test_describe_reports_resolution_and_topo_stages():
+    m = FeatureModel(entity_key="user_id", order=("ts", "event_id"),
+                     event_time="ts")
+    m.declare_window_feature("gap_secs", op="gap")
+    m.declare_transformer_feature("gap_nonneg", "negative_to_null",
+                                  args=["gap_secs"])
+    m.alias("cleanGap", "gap_nonneg")
+    d = m.describe(["user_id", "clean_gap"], spine_cols=["user_id", "ts", "event_id"])
+    cols = {c["column"]: (c["resolves"], c["target"]) for c in d["columns"]}
+    assert cols["user_id"] == ("column", "user_id")
+    assert cols["clean_gap"][0] == "feature" and cols["clean_gap"][1] == "gap_nonneg"
+    # topo order: the dependency computes before its consumer
+    names = [s["feature"] for s in d["stages"]]
+    assert names == ["gap_secs", "gap_nonneg"]
+    assert d["stages"][0]["op"] == "gap"
+    assert d["stages"][1]["transformer"] == "negative_to_null"
+    assert d["stages"][1]["depends_on"] == ["gap_secs"]
