@@ -62,6 +62,7 @@ class FeatureSpec:
     right_order: tuple[str, ...] = ()
     strategy: str = "union_window"
     tolerance_s: float | None = None
+    direction: str = "backward"
     # interval (SCD-2 containment) fields
     start_col: str = "valid_from"
     end_col: str = "valid_to"
@@ -172,6 +173,7 @@ class FeatureModel:
         params: dict[str, Any] | None = None,
         strategy: str = "union_window",
         tolerance_s: float | None = None,
+        direction: str = "backward",
     ) -> None:
         """A point-in-time feature against a registered store.
 
@@ -188,7 +190,8 @@ class FeatureModel:
                               value_col=value_col, allow_exact_matches=allow_exact_matches,
                               right_order=tuple(right_order),
                               params=dict(params or {}),
-                              strategy=strategy, tolerance_s=tolerance_s))
+                              strategy=strategy, tolerance_s=tolerance_s,
+                              direction=direction))
 
     def declare_interval_feature(
         self,
@@ -492,6 +495,7 @@ class FeatureModel:
                         right_order=spec.right_order,
                         strategy=spec.strategy,
                         tolerance_s=spec.tolerance_s,
+                        direction=spec.direction,
                     )
                 i += 1
 

@@ -104,7 +104,8 @@ def to_sdl(model: FeatureModel, type_name: str = "Features") -> str:
                  ("valueCol", s.value_col),
                  ("allowExact", s.allow_exact_matches),
                  ("rightOrder", list(s.right_order) or None),
-                 ("strategy", s.strategy), ("toleranceS", s.tolerance_s)]
+                 ("strategy", s.strategy), ("toleranceS", s.tolerance_s),
+                 ("direction", s.direction)]
                 + sorted(s.params.items())
             )
         else:  # interval
@@ -246,7 +247,8 @@ def from_sdl(
                 )
             elif n == "asof":
                 kw = _take(a, "store", "rightTs", "valueCol", "allowExact",
-                           "rightOrder", "strategy", "toleranceS")
+                           "rightOrder", "strategy", "toleranceS",
+                           "direction")
                 model.declare_asof_feature(
                     fname, kw.pop("store"), params=a or None, **kw
                 )

@@ -113,3 +113,25 @@ def test_sdl_declared_store_requires_binding(spark):
            '{ a: Float @asof(store: "fs", valueCol: "value") }')
     with pytest.raises(PlanError, match="no binding was provided"):
         from_sdl(sdl)
+
+
+def test_sdl_asof_direction_round_trips(spark):
+    m = FeatureModel(entity_key="user_id", order=("ts", "event_id"),
+                     event_time="ts")
+    m.register_store("fs", _store(spark), last_updated="value_at_ts")
+    m.declare_asof_feature("near_val", "fs", value_col="value",
+                           direction="nearest")
+    sdl = to_sdl(m)
+    assert 'direction: "nearest"' in sdl
+    m2 = from_sdl(sdl, stores={"fs": _store(spark)})
+    ev = _events(spark)
+    a = sorted(map(tuple, m.materialize(ev, ["event_id", "near_val"]).collect()))
+    b = sorted(map(tuple, m2.materialize(ev, ["event_id", "near_val"]).collect()))
+    assert a == b
+    # nearest genuinely differs from the backward default on this data
+    m3 = FeatureModel(entity_key="user_id", order=("ts", "event_id"),
+                      event_time="ts")
+    m3.register_store("fs", _store(spark), last_updated="value_at_ts")
+    m3.declare_asof_feature("near_val", "fs", value_col="value")
+    c = sorted(map(tuple, m3.materialize(ev, ["event_id", "near_val"]).collect()))
+    assert a != c
