@@ -3119,6 +3119,30 @@ def q_stream_role_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality gate (operators/checks.py; the Deequ
+    shape, Schelter et al. VLDB 2018): 8 constraints over events
+    evaluated in ONE aggregate pass, one integer-exact verdict row each.
+    The oracle recomputes every metric in a single SQL scan."""
+    from funcify_feature_eng_spark.operators.checks import (
+        check_constraints, complete, isin, matches, max_at_most,
+        min_at_least, row_count_between, unique,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    return check_constraints(ev, [
+        complete("event_type", 1.0),
+        complete("props", 0.99),
+        unique("event_id"),
+        min_at_least("value", 0.0),
+        max_at_most("value", 1000.0),
+        matches("props", r'^\{"k": [0-9]+\}$', 0.95),
+        isin("event_type",
+             ["view", "click", "purchase", "signup", "error"], 1.0),
+        row_count_between(1, 100_000_000),
+    ])
+
+
 def q_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """pandas merge_asof direction='nearest' parity (operators/asof.py):
     the closer of the prior/next purchase per event, ties to the PRIOR —
@@ -3555,6 +3579,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_jsonl": q_events_jsonl,
         "scd2_incremental": q_scd2_incremental,
         "asof_nearest": q_asof_nearest,
+        "quality_checks": q_quality_checks,
     }
 
 
@@ -5570,6 +5595,48 @@ HAVING COUNT(*) >= (SELECT GREATEST(2, COUNT(DISTINCT user_id) // 2)
         # SDL front door: double round-trip then materialize — same twin
         # as turn_features
         "sdl_model": _TURN_FEATURES_SQL,
+        # data-quality verdicts: every metric from ONE scan, integer ppm
+        # (// floors like Spark's cast-of-positive-double)
+        "quality_checks": r"""
+WITH m AS (
+  SELECT COUNT(*) AS n,
+         COUNT(event_type) AS c_et,
+         COUNT(props) AS c_props,
+         COUNT(event_id) AS nn_id,
+         COUNT(DISTINCT event_id) AS d_id,
+         COALESCE(SUM(CASE WHEN value < 0.0 THEN 1 END), 0) AS v_lo,
+         COALESCE(SUM(CASE WHEN value > 1000.0 THEN 1 END), 0) AS v_hi,
+         COALESCE(SUM(CASE WHEN regexp_matches(props, '^\{"k": [0-9]+\}$')
+                           THEN 1 END), 0) AS m_props,
+         COALESCE(SUM(CASE WHEN event_type IN
+                   ('view', 'click', 'purchase', 'signup', 'error')
+                           THEN 1 END), 0) AS m_in
+  FROM events
+)
+SELECT 0 AS check_id, 'complete' AS kind, 'event_type' AS "column",
+       CAST(c_et * 1000000 // n AS BIGINT) AS metric,
+       CAST(1000000 AS BIGINT) AS threshold,
+       c_et * 1000000 // n >= 1000000 AS passed FROM m
+UNION ALL
+SELECT 1, 'complete', 'props', CAST(c_props * 1000000 // n AS BIGINT),
+       990000, c_props * 1000000 // n >= 990000 FROM m
+UNION ALL
+SELECT 2, 'unique', 'event_id', CAST(nn_id - d_id AS BIGINT), 0,
+       nn_id - d_id = 0 FROM m
+UNION ALL
+SELECT 3, 'min_at_least', 'value', CAST(v_lo AS BIGINT), 0, v_lo = 0 FROM m
+UNION ALL
+SELECT 4, 'max_at_most', 'value', CAST(v_hi AS BIGINT), 0, v_hi = 0 FROM m
+UNION ALL
+SELECT 5, 'matches', 'props', CAST(m_props * 1000000 // c_props AS BIGINT),
+       950000, m_props * 1000000 // c_props >= 950000 FROM m
+UNION ALL
+SELECT 6, 'isin', 'event_type', CAST(m_in * 1000000 // c_et AS BIGINT),
+       1000000, m_in * 1000000 // c_et >= 1000000 FROM m
+UNION ALL
+SELECT 7, 'row_count_between', '*', CAST(n AS BIGINT), 1,
+       n >= 1 AND n <= 100000000 FROM m
+""",
         # nearest as-of: closer of prior/next purchase, tie to prior;
         # right deduped per (user, instant) in both engines
         "asof_nearest": """
