@@ -3444,7 +3444,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the dedup family (exact/minhash/simhash/ngram/line/CC/embedding/
     # substring-span), similarity + retrieval, mergeable sketches, LM
     # perplexity scoring, trained BPE tokenization, conversation-structure
-    # QA (role_sequence_audit for the transcript_qa family), and one
+    # QA (role_sequence_audit for the transcript_qa family), declarative
+    # data-quality verdicts (quality_checks for operators/checks.py), and one
     # representative each for sampling, the curation pipeline, text
     # analysis, eval metrics, and multimodal. Entries 51+ are the family tails, verified
     # by scripts/check_oracle.py into CORRECTNESS_local.json (same
@@ -3483,7 +3484,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "line_dedup": q_line_dedup,
         "dup_clusters": q_dup_clusters,
-        "embedding_dup_pairs": q_embedding_dup_pairs,
+        "quality_checks": q_quality_checks,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
@@ -3505,6 +3506,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_prior_purchase_merge": q_asof_prior_purchase_merge,
         "asof_prior_purchase_segmented": q_asof_prior_purchase_segmented,
         "stream_kmv": q_stream_kmv,
+        "embedding_dup_pairs": q_embedding_dup_pairs,
         "next_purchase_shuffle": q_next_purchase_shuffle,
         "doc_stats": q_doc_stats,
         "ann_int8_topk": q_ann_int8_topk,
@@ -3579,7 +3581,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_jsonl": q_events_jsonl,
         "scd2_incremental": q_scd2_incremental,
         "asof_nearest": q_asof_nearest,
-        "quality_checks": q_quality_checks,
     }
 
 
