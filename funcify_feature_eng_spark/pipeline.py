@@ -200,6 +200,41 @@ class CorpusPipeline:
             f"sample|{self.id_col}|{fraction}|{resolution}|{hash}",
         )
 
+    def require(self, constraints) -> "CorpusPipeline":
+        """Data-quality contract stage (:mod:`.operators.checks`): the
+        constraint list evaluates in one aggregate job and the pipeline
+        HALTS — a ``ValueError`` naming every failing constraint with its
+        measured metric — before any downstream stage consumes a bad
+        batch. Rows flow through unchanged (a gate, not a transform).
+        Under a tracker the verdict re-evaluates only when the input's
+        content fingerprint changes, like any other stage."""
+        from .operators.checks import check_constraints
+
+        constraints = list(constraints)
+
+        def stage(df: DataFrame, df0: DataFrame) -> DataFrame:
+            failed = [
+                v for v in check_constraints(df, constraints).collect()
+                if not v["passed"]
+            ]
+            if failed:
+                detail = "; ".join(
+                    f"{v['kind']}({v['column']}) metric={v['metric']} "
+                    f"threshold={v['threshold']}" for v in failed
+                )
+                raise ValueError(
+                    f"CorpusPipeline.require: {len(failed)} constraint(s) "
+                    f"failed: {detail}"
+                )
+            return df
+
+        key = "require|" + "|".join(
+            f"{c.kind}:{c.column}:{c.threshold}:{c.extra}" for c in constraints
+        )
+        return self._add(
+            "require", f"require {len(constraints)} constraints", stage, key
+        )
+
     def select(self, *cols: str) -> "CorpusPipeline":
         if not cols:
             raise ValueError("select: need at least one column")

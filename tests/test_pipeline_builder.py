@@ -187,3 +187,20 @@ def test_pipeline_edited_stage_invalidates_checkpoint(spark, corpus, tmp_path):
     n_small = len(run_decon(ev_small))
     n_big = len(run_decon(ev_big))
     assert n_big < n_small  # stale checkpoint would have kept n_small
+
+
+def test_require_stage_passes_and_halts(spark):
+    from funcify_feature_eng_spark.operators.checks import complete, unique
+    from funcify_feature_eng_spark.pipeline import CorpusPipeline
+
+    df = spark.createDataFrame(
+        [(1, "aa"), (2, "bb"), (2, "bb")], "doc_id long, text string")
+    ok = (
+        CorpusPipeline()
+        .require([complete("text", 1.0)])
+        .exact_dedup()
+        .run(df)
+    )
+    assert ok.count() == 2  # gate passed, dedup ran
+    with pytest.raises(ValueError, match=r"unique\(doc_id\) metric=1"):
+        CorpusPipeline().require([unique("doc_id")]).run(df)
