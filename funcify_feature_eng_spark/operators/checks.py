@@ -91,10 +91,14 @@ def row_count_between(lo: int, hi: int) -> _Constraint:
 
 
 def _ratio_ppm(num: Column, den: Column) -> Column:
-    # vacuous pass on an empty denominator (Deequ convention)
-    return F.when(den == 0, F.lit(_PPM)).otherwise(
-        (num * F.lit(_PPM)) / den
+    # vacuous pass on an empty denominator (Deequ convention). DECIMAL
+    # division, not `/` on bigints: the double path loses integer
+    # exactness past 2^53 (num*1e6 crosses it at ~9e9 rows), which would
+    # silently diverge from an exact independent engine at scale
+    q = F.floor(
+        num.cast("decimal(38,0)") * F.lit(_PPM) / den.cast("decimal(38,0)")
     ).cast("bigint")
+    return F.when(den == 0, F.lit(_PPM).cast("bigint")).otherwise(q)
 
 
 def check_constraints(
