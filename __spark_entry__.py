@@ -3143,6 +3143,40 @@ def q_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     ])
 
 
+def q_quality_checks_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (mergeable-state) data quality — Deequ §3.3's
+    state-store analog (operators/checks.py::check_state/
+    merge_check_states/check_verdicts): events ingested as THREE
+    disjoint batches (event_id mod 3), each contributing a mergeable
+    state frame (O(1) counters per constraint + an exact per-key
+    frequency table for `unique`); the merged state yields the verdicts.
+    Oracle = the whole-table one-pass SQL, so the hashed property is
+    incremental ≡ batch. At 100 TB, re-verifying after each daily ingest
+    costs one scan of the new batch plus a constraint-sized merge."""
+    from funcify_feature_eng_spark.operators.checks import (
+        check_state, check_verdicts, complete, isin, matches, max_at_most,
+        merge_check_states, min_at_least, row_count_between, unique,
+    )
+
+    constraints = [
+        complete("event_type", 1.0),
+        complete("props", 0.99),
+        unique("event_id"),
+        min_at_least("value", 0.0),
+        max_at_most("value", 1000.0),
+        matches("props", r'^\{"k": [0-9]+\}$', 0.95),
+        isin("event_type",
+             ["view", "click", "purchase", "signup", "error"], 1.0),
+        row_count_between(1, 100_000_000),
+    ]
+    ev = _t(spark, sf_dir, "events")
+    states = [
+        check_state(ev.filter(F.col("event_id") % 3 == r), constraints)
+        for r in range(3)
+    ]
+    return check_verdicts(merge_check_states(*states), constraints)
+
+
 def q_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """pandas merge_asof direction='nearest' parity (operators/asof.py):
     the closer of the prior/next purchase per event, ties to the PRIOR —
@@ -3581,6 +3615,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_jsonl": q_events_jsonl,
         "scd2_incremental": q_scd2_incremental,
         "asof_nearest": q_asof_nearest,
+        "quality_checks_incremental": q_quality_checks_incremental,
     }
 
 
@@ -4024,7 +4059,7 @@ LIMIT 10
 def oracle_sql() -> dict[str, str]:
     from funcify_feature_eng_spark.operators.retrieval import bm25_oracle_sql
 
-    return {
+    sqls = {
         "turn_features": _TURN_FEATURES_SQL,
         "sessionize": _SESSIONIZE_SQL,
         "asof_prior_purchase": _ASOF_SQL,
@@ -5753,3 +5788,7 @@ SELECT event_id AS "eventId", seq, prior,
 FROM g
 """,
     }
+    # Incremental quality verdicts share the one-pass gate's oracle: the
+    # hashed property IS "merged per-batch states ≡ whole-data verdicts".
+    sqls["quality_checks_incremental"] = sqls["quality_checks"]
+    return sqls

@@ -25,6 +25,20 @@ Scale: every metric is a map-side-combinable aggregate; the whole
 constraint list costs one aggregate job (count-distinct adds Spark's
 expand, still one shuffle round). The verdict frame is
 constraints-sized, never data-sized.
+
+Incremental computation (Deequ §3.3's state-store analog): a 100 TB
+table lands in daily batches, and re-scanning history to re-verify the
+whole table is exactly what the paper's mergeable *states* avoid.
+:func:`check_state` computes a per-batch state frame, :func:`merge_check_states`
+folds any number of them (commutative + associative groupBy-sum), and
+:func:`check_verdicts` turns a state into the same verdict rows
+:func:`check_constraints` emits — so verifying N+1 batches costs one
+scan of the new batch plus a merge of constraint-sized (or, for key
+constraints, distinct-keys-sized) state tables. Scalar constraint state
+is O(1) counters per constraint; ``unique`` state is an exact
+per-key frequency table (key rendered with ``to_json``, the
+FrequenciesAndNumRows analog) — the same distinct-keys footprint an
+incremental dedup store already pays, never the raw data.
 """
 
 from __future__ import annotations
@@ -40,6 +54,7 @@ from pyspark.sql import functions as F
 __all__ = [
     "complete", "unique", "min_at_least", "max_at_most", "matches",
     "isin", "row_count_between", "check_constraints",
+    "check_state", "merge_check_states", "check_verdicts",
 ]
 
 _PPM = 1_000_000
@@ -191,3 +206,181 @@ def check_constraints(
             )
         )
     return one.select(F.explode(F.array(*rows)).alias("__c")).select("__c.*")
+
+
+def check_state(df: DataFrame, constraints: Sequence[_Constraint]) -> DataFrame:
+    """Compute this batch's mergeable constraint state.
+
+    Returns ``(check_id, kind, column, fp, n, m, d)``: one counter row
+    (``fp`` NULL) per constraint — ``n`` the row/denominator count,
+    ``m`` the metric numerator (non-NULL / matched / in-set / violation
+    count), ``d`` the non-NULL denominator for ``matches``/``isin`` —
+    plus, for each ``unique`` constraint, one exact frequency row per
+    distinct fully-non-NULL key (``fp`` = ``to_json`` of the key tuple,
+    ``m`` = its occurrence count). Every field is additive, so states
+    from disjoint batches merge by summation; the counter row doubles as
+    a seed so a constraint whose batch had no qualifying rows still
+    yields a verdict. One aggregate job for the counters plus one
+    distinct-keys-sized groupBy per ``unique`` constraint.
+    """
+    if not constraints:
+        raise ValueError("check_state: empty constraint list")
+    n = F.count(F.lit(1))
+    aggs: list[Column] = [n.alias("__n")]
+    for i, c in enumerate(constraints):
+        col = F.col(c.column) if c.column != "*" else None
+        if c.kind == "complete":
+            aggs.append(F.count(col).alias(f"__m{i}"))
+        elif c.kind == "min_at_least":
+            aggs.append(
+                F.coalesce(F.sum(F.when(col < F.lit(c.extra), 1)), F.lit(0))
+                .alias(f"__m{i}")
+            )
+        elif c.kind == "max_at_most":
+            aggs.append(
+                F.coalesce(F.sum(F.when(col > F.lit(c.extra), 1)), F.lit(0))
+                .alias(f"__m{i}")
+            )
+        elif c.kind == "matches":
+            aggs.append(
+                F.coalesce(
+                    F.sum(F.when(col.rlike(c.extra), 1)), F.lit(0)
+                ).alias(f"__m{i}")
+            )
+            aggs.append(F.count(col).alias(f"__d{i}"))
+        elif c.kind == "isin":
+            aggs.append(
+                F.coalesce(
+                    F.sum(F.when(col.isin(list(c.extra)), 1)), F.lit(0)
+                ).alias(f"__m{i}")
+            )
+            aggs.append(F.count(col).alias(f"__d{i}"))
+        # unique / row_count_between: __n and the frequency rows suffice
+
+    one = df.agg(*aggs)
+    zero = F.lit(0).cast("bigint")
+    rows: list[Column] = []
+    for i, c in enumerate(constraints):
+        if c.kind == "complete":
+            nn, mm, dd = F.col("__n"), F.col(f"__m{i}"), zero
+        elif c.kind in ("min_at_least", "max_at_most"):
+            nn, mm, dd = zero, F.col(f"__m{i}"), zero
+        elif c.kind in ("matches", "isin"):
+            nn, mm, dd = zero, F.col(f"__m{i}"), F.col(f"__d{i}")
+        elif c.kind == "row_count_between":
+            nn, mm, dd = F.col("__n"), zero, zero
+        else:  # unique: seed-only counter row; frequencies carry the data
+            nn, mm, dd = zero, zero, zero
+        rows.append(
+            F.struct(
+                F.lit(i).alias("check_id"),
+                F.lit(c.kind).alias("kind"),
+                F.lit(c.column).alias("column"),
+                F.lit(None).cast("string").alias("fp"),
+                nn.cast("bigint").alias("n"),
+                mm.cast("bigint").alias("m"),
+                dd.cast("bigint").alias("d"),
+            )
+        )
+    state = one.select(F.explode(F.array(*rows)).alias("__c")).select("__c.*")
+
+    for i, c in enumerate(constraints):
+        if c.kind != "unique":
+            continue
+        cols = [F.col(x) for x in c.extra]
+        nonnull = reduce(lambda a, b: a & b, [x.isNotNull() for x in cols])
+        freq = (
+            df.filter(nonnull)
+            .groupBy(
+                F.to_json(
+                    F.struct(*[F.col(x).alias(x) for x in c.extra])
+                ).alias("fp")
+            )
+            .agg(F.count(F.lit(1)).cast("bigint").alias("m"))
+            .select(
+                F.lit(i).alias("check_id"),
+                F.lit(c.kind).alias("kind"),
+                F.lit(c.column).alias("column"),
+                F.col("fp"),
+                F.lit(0).cast("bigint").alias("n"),
+                F.col("m"),
+                F.lit(0).cast("bigint").alias("d"),
+            )
+        )
+        state = state.unionByName(freq)
+    return state
+
+
+def merge_check_states(*states: DataFrame) -> DataFrame:
+    """Fold any number of batch states into one (commutative, associative).
+
+    Pure groupBy-sum on ``(check_id, kind, column, fp)`` — counter rows
+    (NULL ``fp``) collapse to one summed row per constraint; ``unique``
+    frequency rows collapse per key. Merging merged states is the same
+    operation, so a lineage of daily states folds in any tree shape.
+    """
+    if not states:
+        raise ValueError("merge_check_states: no states given")
+    u = reduce(DataFrame.unionByName, states)
+    return u.groupBy("check_id", "kind", "column", "fp").agg(
+        F.sum("n").alias("n"), F.sum("m").alias("m"), F.sum("d").alias("d")
+    )
+
+
+def check_verdicts(
+    state: DataFrame, constraints: Sequence[_Constraint]
+) -> DataFrame:
+    """Turn a (possibly merged) state into verdict rows.
+
+    ``constraints`` must be the same list (same order) the states were
+    computed with — thresholds/bounds live in the plan, never the state.
+    Output schema and semantics match :func:`check_constraints`
+    exactly: ``(check_id, kind, column, metric, threshold, passed)``;
+    the invariant ``check_verdicts(check_state(df, cs), cs) ≡
+    check_constraints(df, cs)`` is property-tested. For ``unique``,
+    surplus = Σ key counts − number of distinct keys = ``sum(m) −
+    count(fp)`` over its frequency rows.
+    """
+    if not constraints:
+        raise ValueError("check_verdicts: empty constraint list")
+    g = state.groupBy("check_id", "kind", "column").agg(
+        F.sum("n").alias("__n"),
+        F.sum("m").alias("__m"),
+        F.sum("d").alias("__d"),
+        F.count("fp").alias("__k"),
+    )
+    metric_w: Column | None = None
+    thr_w: Column | None = None
+    pass_w: Column | None = None
+    for i, c in enumerate(constraints):
+        cond = F.col("check_id") == F.lit(i)
+        if c.kind == "complete":
+            m_i = _ratio_ppm(F.col("__m"), F.col("__n"))
+            p_i = m_i >= F.lit(c.threshold)
+        elif c.kind == "unique":
+            m_i = (F.col("__m") - F.col("__k")).cast("bigint")
+            p_i = m_i == 0
+        elif c.kind in ("min_at_least", "max_at_most"):
+            m_i = F.col("__m").cast("bigint")
+            p_i = m_i == 0
+        elif c.kind in ("matches", "isin"):
+            m_i = _ratio_ppm(F.col("__m"), F.col("__d"))
+            p_i = m_i >= F.lit(c.threshold)
+        else:  # row_count_between
+            m_i = F.col("__n").cast("bigint")
+            p_i = (m_i >= F.lit(c.threshold)) & (m_i <= F.lit(c.extra))
+        t_i = F.lit(int(c.threshold)).cast("bigint")
+        metric_w = F.when(cond, m_i) if metric_w is None else metric_w.when(cond, m_i)
+        thr_w = F.when(cond, t_i) if thr_w is None else thr_w.when(cond, t_i)
+        pass_w = F.when(cond, p_i) if pass_w is None else pass_w.when(cond, p_i)
+    return (
+        g.select(
+            F.col("check_id"),
+            F.col("kind"),
+            F.col("column"),
+            metric_w.alias("metric"),
+            thr_w.alias("threshold"),
+            pass_w.alias("passed"),
+        )
+        .orderBy("check_id")
+    )

@@ -4,10 +4,13 @@ import pytest
 
 from funcify_feature_eng_spark.operators.checks import (
     check_constraints,
+    check_state,
+    check_verdicts,
     complete,
     isin,
     matches,
     max_at_most,
+    merge_check_states,
     min_at_least,
     row_count_between,
     unique,
@@ -66,6 +69,92 @@ def test_multi_column_unique_excludes_null_bearing_rows(spark):
     rows = check_constraints(df, [unique("x", "y")]).collect()
     # (1,a) twice -> surplus 1; the (1, NULL) row is excluded
     assert rows[0]["metric"] == 1 and rows[0]["passed"] is False
+
+
+_CONSTRAINTS = [
+    complete("id", 0.8),
+    complete("email", 1.0),
+    unique("id"),
+    min_at_least("value", 0.0),
+    max_at_most("value", 100.0),
+    matches("email", r"^[^@]+@[^@]+\.[a-z]+$", 0.7),
+    isin("kind", ["view", "click", "purchase"]),
+    row_count_between(5, 10),
+]
+
+
+def _verdict_rows(df):
+    return sorted(
+        (tuple(r) for r in df.collect()), key=lambda t: t[0]
+    )
+
+
+def test_state_roundtrip_equals_batch(spark):
+    df = _df(spark)
+    batch = _verdict_rows(check_constraints(df, _CONSTRAINTS))
+    inc = _verdict_rows(
+        check_verdicts(check_state(df, _CONSTRAINTS), _CONSTRAINTS)
+    )
+    assert inc == batch
+
+
+def test_merged_batch_states_equal_whole(spark):
+    df = _df(spark)
+    # three disjoint batches (one of them empty after the filter)
+    import pyspark.sql.functions as F
+    b0 = df.filter(F.coalesce(F.col("id"), F.lit(99)) % 2 == 0)
+    b1 = df.filter(F.coalesce(F.col("id"), F.lit(99)) % 2 == 1)
+    b2 = df.filter(F.lit(False))
+    merged = merge_check_states(
+        check_state(b0, _CONSTRAINTS),
+        check_state(b1, _CONSTRAINTS),
+        check_state(b2, _CONSTRAINTS),
+    )
+    inc = _verdict_rows(check_verdicts(merged, _CONSTRAINTS))
+    whole = _verdict_rows(check_constraints(df, _CONSTRAINTS))
+    assert inc == whole
+
+
+def test_merge_is_associative_and_reusable(spark):
+    df = _df(spark)
+    import pyspark.sql.functions as F
+    b0 = df.filter(F.coalesce(F.col("id"), F.lit(99)) <= 1)
+    b1 = df.filter((F.coalesce(F.col("id"), F.lit(99)) > 1)
+                   & (F.coalesce(F.col("id"), F.lit(99)) <= 3))
+    b2 = df.filter(F.coalesce(F.col("id"), F.lit(99)) > 3)
+    s0, s1, s2 = (check_state(b, _CONSTRAINTS) for b in (b0, b1, b2))
+    flat = merge_check_states(s0, s1, s2)
+    nested = merge_check_states(merge_check_states(s0, s1), s2)
+    assert (_verdict_rows(check_verdicts(flat, _CONSTRAINTS))
+            == _verdict_rows(check_verdicts(nested, _CONSTRAINTS)))
+    # unique frequency rows collapse per key: surplus across batches
+    # where the duplicate pair straddles a batch boundary
+    dup = spark.createDataFrame([(3,)], "id long")
+    s3 = check_state(dup, [unique("id")])
+    s4 = check_state(dup, [unique("id")])
+    v = check_verdicts(merge_check_states(s3, s4), [unique("id")]).collect()
+    assert v[0]["metric"] == 1 and v[0]["passed"] is False
+
+
+def test_state_of_empty_batch_yields_seed_rows(spark):
+    empty = spark.createDataFrame([], "id long, kind string, value double,"
+                                      " email string")
+    st = check_state(empty, _CONSTRAINTS)
+    assert st.count() == len(_CONSTRAINTS)  # seeds only, no freq rows
+    rows = {r["check_id"]: r for r in
+            check_verdicts(st, _CONSTRAINTS).collect()}
+    assert rows[0]["passed"] is True        # vacuous complete
+    assert rows[2]["metric"] == 0           # unique surplus 0
+    assert rows[7]["passed"] is False       # row count 0 < 5
+
+
+def test_incremental_errors(spark):
+    with pytest.raises(ValueError, match="empty constraint"):
+        check_state(_df(spark), [])
+    with pytest.raises(ValueError, match="no states"):
+        merge_check_states()
+    with pytest.raises(ValueError, match="empty constraint"):
+        check_verdicts(check_state(_df(spark), [unique("id")]), [])
 
 
 def test_constraint_validation_errors(spark):
