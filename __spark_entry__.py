@@ -3177,6 +3177,45 @@ def q_quality_checks_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return check_verdicts(merge_check_states(*states), constraints)
 
 
+def q_quality_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metric-history anomaly detection — Deequ §3.4 (operators/
+    checks.py::detect_metric_anomalies): events ingested as FOUR batches
+    (event_id mod 4), each contributing one verdict row per constraint
+    to a metric ledger; the relative-rate-of-change strategy (5% cap,
+    integer ppm) then compares every metric against its own series. The
+    oracle recomputes the per-batch metrics and the lag comparison in
+    SQL. The ledger is batches × constraints — at 100 TB the anomaly
+    pass never re-touches data, only the ledger."""
+    from funcify_feature_eng_spark.operators.checks import (
+        check_state, check_verdicts, complete, detect_metric_anomalies,
+        row_count_between, unique,
+    )
+
+    constraints = [
+        complete("props", 0.99),
+        unique("event_id"),
+        row_count_between(1, 100_000_000),
+    ]
+    ev = _t(spark, sf_dir, "events")
+    hist = None
+    for b in range(4):
+        v = (
+            check_verdicts(
+                check_state(ev.filter(F.col("event_id") % 4 == b), constraints),
+                constraints,
+            )
+            .select(
+                F.lit(b).cast("bigint").alias("batch_id"),
+                "check_id", "kind", "column", "metric",
+            )
+        )
+        hist = v if hist is None else hist.unionByName(v)
+    return detect_metric_anomalies(hist, rel_max_change_ppm=50_000).select(
+        "batch_id", "check_id", "kind", "column", "metric",
+        "prev_metric", "change_ppm", "anomalous",
+    )
+
+
 def q_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """pandas merge_asof direction='nearest' parity (operators/asof.py):
     the closer of the prior/next purchase per event, ties to the PRIOR —
@@ -3616,6 +3655,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_incremental": q_scd2_incremental,
         "asof_nearest": q_asof_nearest,
         "quality_checks_incremental": q_quality_checks_incremental,
+        "quality_anomalies": q_quality_anomalies,
     }
 
 
@@ -5791,4 +5831,41 @@ FROM g
     # Incremental quality verdicts share the one-pass gate's oracle: the
     # hashed property IS "merged per-batch states ≡ whole-data verdicts".
     sqls["quality_checks_incremental"] = sqls["quality_checks"]
+    # metric-history anomaly detection over event_id-mod-4 ingest batches
+    sqls["quality_anomalies"] = r"""
+WITH b AS (
+  SELECT event_id % 4 AS batch_id,
+         COUNT(*) AS n,
+         COUNT(props) AS c_props,
+         COUNT(event_id) AS nn_id,
+         COUNT(DISTINCT event_id) AS d_id
+  FROM events GROUP BY 1
+),
+m AS (
+  SELECT batch_id, 0 AS check_id, 'complete' AS kind, 'props' AS "column",
+         CAST(CASE WHEN n = 0 THEN 1000000
+                   ELSE c_props * 1000000 // n END AS BIGINT) AS metric
+  FROM b
+  UNION ALL
+  SELECT batch_id, 1, 'unique', 'event_id',
+         CAST(nn_id - d_id AS BIGINT) FROM b
+  UNION ALL
+  SELECT batch_id, 2, 'row_count_between', '*', CAST(n AS BIGINT) FROM b
+),
+l AS (
+  SELECT *,
+         lag(metric) OVER (PARTITION BY check_id ORDER BY batch_id)
+           AS prev_metric
+  FROM m
+)
+SELECT batch_id, check_id, kind, "column", metric, prev_metric,
+       CASE WHEN prev_metric IS NULL OR prev_metric = 0 THEN NULL
+            ELSE CAST(ABS(metric - prev_metric) * 1000000
+                      // ABS(prev_metric) AS BIGINT) END AS change_ppm,
+       CASE WHEN prev_metric IS NULL THEN FALSE
+            WHEN prev_metric = 0 THEN metric <> 0
+            ELSE ABS(metric - prev_metric) * 1000000
+                 // ABS(prev_metric) > 50000 END AS anomalous
+FROM l
+"""
     return sqls

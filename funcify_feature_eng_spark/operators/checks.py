@@ -55,6 +55,7 @@ __all__ = [
     "complete", "unique", "min_at_least", "max_at_most", "matches",
     "isin", "row_count_between", "check_constraints",
     "check_state", "merge_check_states", "check_verdicts",
+    "detect_metric_anomalies",
 ]
 
 _PPM = 1_000_000
@@ -383,4 +384,75 @@ def check_verdicts(
             pass_w.alias("passed"),
         )
         .orderBy("check_id")
+    )
+
+
+def detect_metric_anomalies(
+    history: DataFrame,
+    *,
+    order_col: str = "batch_id",
+    rel_max_change_ppm: int | None = None,
+    abs_lo: int | None = None,
+    abs_hi: int | None = None,
+) -> DataFrame:
+    """Flag anomalous batches in a constraint-metric history.
+
+    Deequ's anomaly-detection pillar (Schelter et al. VLDB 2018 §3.4:
+    verdicts on *this* batch aren't enough — a metric can pass its static
+    threshold while silently drifting): ``history`` holds one row per
+    (batch, constraint) — ``(order_col, check_id, kind, column,
+    metric)``, the natural product of tagging per-batch
+    :func:`check_verdicts` output with an ingest id — and each metric is
+    compared against its own series.
+
+    Strategies (integer-exact, combinable; a row is ``anomalous`` when
+    any enabled strategy fires):
+
+    - relative rate of change (``rel_max_change_ppm``): ``change_ppm`` =
+      floor(|metric − prev| · 1e6 / |prev|) in DECIMAL, fires when it
+      exceeds the cap. The first batch of a series has no ``prev`` and
+      never fires; a zero ``prev`` fires iff the metric moved off zero
+      (``change_ppm`` is NULL in both edge cases).
+    - absolute bounds (``abs_lo`` / ``abs_hi``): metric outside
+      [lo, hi] fires regardless of history.
+
+    Output: history columns + ``(prev_metric, change_ppm, anomalous)``,
+    one row per input row. Plan: a single lag window partitioned by
+    (check_id, kind, column) — the history frame is batches ×
+    constraints, never data-sized, so this runs on a 10-year ingest
+    ledger without a second scan of any data.
+    """
+    from pyspark.sql import Window
+
+    if rel_max_change_ppm is None and abs_lo is None and abs_hi is None:
+        raise ValueError(
+            "detect_metric_anomalies: enable at least one strategy"
+        )
+    w = (
+        Window.partitionBy("check_id", "kind", "column")
+        .orderBy(F.col(order_col).asc())
+    )
+    prev = F.lag("metric").over(w)
+    change = F.when(
+        prev.isNotNull() & (prev != 0),
+        F.floor(
+            F.abs(F.col("metric") - prev).cast("decimal(38,0)")
+            * F.lit(_PPM)
+            / F.abs(prev).cast("decimal(38,0)")
+        ).cast("bigint"),
+    )
+    fired = F.lit(False)
+    if rel_max_change_ppm is not None:
+        rel = F.when(prev.isNull(), F.lit(False)).when(
+            prev == 0, F.col("metric") != 0
+        ).otherwise(F.col("change_ppm") > F.lit(int(rel_max_change_ppm)))
+        fired = fired | rel
+    if abs_lo is not None:
+        fired = fired | (F.col("metric") < F.lit(int(abs_lo)))
+    if abs_hi is not None:
+        fired = fired | (F.col("metric") > F.lit(int(abs_hi)))
+    return (
+        history.withColumn("prev_metric", prev)
+        .withColumn("change_ppm", change)
+        .withColumn("anomalous", fired)
     )

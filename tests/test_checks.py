@@ -164,3 +164,40 @@ def test_constraint_validation_errors(spark):
         unique()
     with pytest.raises(ValueError, match="lo 5 > hi 1"):
         row_count_between(5, 1)
+
+
+def test_metric_anomalies_relative_and_absolute(spark):
+    from funcify_feature_eng_spark.operators.checks import (
+        detect_metric_anomalies,
+    )
+    hist = spark.createDataFrame(
+        [
+            # a steady series, then a 50% jump
+            (0, 0, "complete", "x", 1000000),
+            (1, 0, "complete", "x", 990000),
+            (2, 0, "complete", "x", 495000),
+            # a series that moves off zero
+            (0, 1, "unique", "id", 0),
+            (1, 1, "unique", "id", 3),
+        ],
+        "batch_id long, check_id int, kind string, column string,"
+        " metric long",
+    )
+    out = detect_metric_anomalies(hist, rel_max_change_ppm=200_000)
+    rows = {(r["check_id"], r["batch_id"]): r for r in out.collect()}
+    assert rows[(0, 0)]["anomalous"] is False          # no history
+    assert rows[(0, 0)]["change_ppm"] is None
+    assert rows[(0, 1)]["anomalous"] is False          # 1% change
+    assert rows[(0, 1)]["change_ppm"] == 10000         # floor(10000*1e6/1000000)
+    assert rows[(0, 2)]["anomalous"] is True           # 50% drop
+    assert rows[(1, 1)]["anomalous"] is True           # off-zero
+    assert rows[(1, 1)]["change_ppm"] is None
+
+    out2 = detect_metric_anomalies(hist, abs_lo=500_000)
+    rows2 = {(r["check_id"], r["batch_id"]): r for r in out2.collect()}
+    assert rows2[(0, 2)]["anomalous"] is True
+    assert rows2[(0, 1)]["anomalous"] is False
+    assert rows2[(1, 0)]["anomalous"] is True          # 0 < 500000
+
+    with pytest.raises(ValueError, match="at least one strategy"):
+        detect_metric_anomalies(hist)
