@@ -3216,6 +3216,35 @@ def q_quality_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_feature_parity_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed allclose parity diff (operators/diffing.py::
+    frame_diff) — the engine's own acceptance criterion ("feature
+    vectors match via numpy allclose at every entity × timestamp; text
+    equality") as a Spark job. Expected = events projection; actual = a
+    deterministic perturbation (rows dropped at event_id%101, value
+    nudged +1.0 at %97 / +1e-6 at odd ids, event_type uppercased at
+    %53); the summary counts one-sided rows, per-column mismatches at
+    atol=1e-3, and MAX |diff| (order-independent — no float SUM). The
+    oracle recomputes the identical full-outer-join summary in SQL."""
+    from funcify_feature_eng_spark.operators.diffing import frame_diff
+
+    ev = _t(spark, sf_dir, "events")
+    exp = ev.select("event_id", "value", "event_type")
+    act = ev.filter(F.col("event_id") % 101 != 0).select(
+        "event_id",
+        (
+            F.col("value")
+            + F.when(F.col("event_id") % 97 == 0, F.lit(1.0)).otherwise(
+                F.lit(1e-6) * (F.col("event_id") % 2).cast("double")
+            )
+        ).alias("value"),
+        F.when(
+            F.col("event_id") % 53 == 0, F.upper("event_type")
+        ).otherwise(F.col("event_type")).alias("event_type"),
+    )
+    return frame_diff(exp, act, keys=["event_id"], atol=1e-3)
+
+
 def q_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """pandas merge_asof direction='nearest' parity (operators/asof.py):
     the closer of the prior/next purchase per event, ties to the PRIOR —
@@ -3656,6 +3685,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_nearest": q_asof_nearest,
         "quality_checks_incremental": q_quality_checks_incremental,
         "quality_anomalies": q_quality_anomalies,
+        "feature_parity_diff": q_feature_parity_diff,
     }
 
 
@@ -5867,5 +5897,58 @@ SELECT batch_id, check_id, kind, "column", metric, prev_metric,
             ELSE ABS(metric - prev_metric) * 1000000
                  // ABS(prev_metric) > 50000 END AS anomalous
 FROM l
+"""
+    # distributed-allclose parity summary vs a deterministic perturbation
+    sqls["feature_parity_diff"] = r"""
+WITH e AS (SELECT event_id, value, event_type FROM events),
+a AS (
+  SELECT event_id,
+         value + CASE WHEN event_id % 97 = 0 THEN 1.0
+                      ELSE 0.000001 * (event_id % 2) END AS value,
+         CASE WHEN event_id % 53 = 0 THEN upper(event_type)
+              ELSE event_type END AS event_type
+  FROM events WHERE event_id % 101 <> 0
+),
+j AS (
+  SELECT e.value AS ev, a.value AS av,
+         e.event_type AS es, a.event_type AS a_s,
+         (e.event_id IS NOT NULL) AS ep, (a.event_id IS NOT NULL) AS ap
+  FROM e FULL OUTER JOIN a ON e.event_id = a.event_id
+),
+agg AS (
+  SELECT
+    COALESCE(SUM(CASE WHEN ep THEN 1 END), 0) AS ne,
+    COALESCE(SUM(CASE WHEN ap THEN 1 END), 0) AS na,
+    COALESCE(SUM(CASE WHEN ep AND ap THEN 1 END), 0) AS nb,
+    COALESCE(SUM(CASE WHEN ep AND ap AND ev IS NOT NULL THEN 1 END), 0)
+      AS ev_nn,
+    COALESCE(SUM(CASE WHEN ep AND ap AND av IS NOT NULL THEN 1 END), 0)
+      AS av_nn,
+    COALESCE(SUM(CASE WHEN ep AND ap AND (
+        (ev IS NULL) <> (av IS NULL)
+        OR (ev IS NOT NULL AND av IS NOT NULL
+            AND NOT (ev = av OR ABS(ev - av) <= 0.001))
+      ) THEN 1 END), 0) AS v_mis,
+    MAX(CASE WHEN ep AND ap AND ev IS NOT NULL AND av IS NOT NULL
+             THEN ABS(ev - av) END) AS v_max,
+    COALESCE(SUM(CASE WHEN ep AND ap AND es IS NOT NULL THEN 1 END), 0)
+      AS es_nn,
+    COALESCE(SUM(CASE WHEN ep AND ap AND a_s IS NOT NULL THEN 1 END), 0)
+      AS as_nn,
+    COALESCE(SUM(CASE WHEN ep AND ap AND (es IS DISTINCT FROM a_s)
+                 THEN 1 END), 0) AS s_mis
+  FROM j
+)
+SELECT '__rows__' AS "column", CAST(ne AS BIGINT) AS n_expected,
+       CAST(na AS BIGINT) AS n_actual, CAST(nb AS BIGINT) AS n_compared,
+       CAST(ne + na - 2 * nb AS BIGINT) AS n_mismatch,
+       CAST(NULL AS DOUBLE) AS max_abs_diff FROM agg
+UNION ALL
+SELECT 'value', CAST(ev_nn AS BIGINT), CAST(av_nn AS BIGINT),
+       CAST(nb AS BIGINT), CAST(v_mis AS BIGINT), v_max FROM agg
+UNION ALL
+SELECT 'event_type', CAST(es_nn AS BIGINT), CAST(as_nn AS BIGINT),
+       CAST(nb AS BIGINT), CAST(s_mis AS BIGINT),
+       CAST(NULL AS DOUBLE) FROM agg
 """
     return sqls
