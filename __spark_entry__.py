@@ -3245,6 +3245,19 @@ def q_feature_parity_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frame_diff(exp, act, keys=["event_id"], atol=1e-3)
 
 
+def q_constraint_suggestions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Constraint suggestion from a one-pass profile (operators/
+    checks.py::suggest_constraints; Deequ §4): every events column gets
+    a complete() suggestion at its observed ppm floor; unique() where
+    distinct == non-NULL; isin() for low-cardinality strings with the
+    sorted compact-JSON value set; numeric min/max bounds. The oracle
+    recomputes the profile and every conditional suggestion arm in SQL,
+    so which suggestions exist — not just their values — is hashed."""
+    from funcify_feature_eng_spark.operators.checks import suggest_constraints
+
+    return suggest_constraints(_t(spark, sf_dir, "events"), low_card_max=10)
+
+
 def q_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """pandas merge_asof direction='nearest' parity (operators/asof.py):
     the closer of the prior/next purchase per event, ties to the PRIOR —
@@ -3686,6 +3699,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_checks_incremental": q_quality_checks_incremental,
         "quality_anomalies": q_quality_anomalies,
         "feature_parity_diff": q_feature_parity_diff,
+        "constraint_suggestions": q_constraint_suggestions,
     }
 
 
@@ -5950,5 +5964,73 @@ UNION ALL
 SELECT 'event_type', CAST(es_nn AS BIGINT), CAST(as_nn AS BIGINT),
        CAST(nb AS BIGINT), CAST(s_mis AS BIGINT),
        CAST(NULL AS DOUBLE) FROM agg
+"""
+    # constraint suggestion: profile + conditional suggestion arms
+    sqls["constraint_suggestions"] = r"""
+WITH m AS (
+  SELECT COUNT(*) AS n,
+         COUNT(event_id) AS c_id, COUNT(DISTINCT event_id) AS d_id,
+         CAST(MIN(event_id) AS DOUBLE) AS lo_id,
+         CAST(MAX(event_id) AS DOUBLE) AS hi_id,
+         COUNT(ts) AS c_ts, COUNT(DISTINCT ts) AS d_ts,
+         COUNT(user_id) AS c_uid, COUNT(DISTINCT user_id) AS d_uid,
+         CAST(MIN(user_id) AS DOUBLE) AS lo_uid,
+         CAST(MAX(user_id) AS DOUBLE) AS hi_uid,
+         COUNT(event_type) AS c_et, COUNT(DISTINCT event_type) AS d_et,
+         COUNT(value) AS c_v, COUNT(DISTINCT value) AS d_v,
+         MIN(value) AS lo_v, MAX(value) AS hi_v,
+         COUNT(props) AS c_p, COUNT(DISTINCT props) AS d_p
+  FROM events
+),
+et_list AS (
+  SELECT '[' || string_agg('"' || v || '"', ',' ORDER BY v) || ']' AS j
+  FROM (SELECT DISTINCT event_type AS v FROM events
+        WHERE event_type IS NOT NULL)
+),
+p_list AS (
+  SELECT '[' || string_agg('"' || v || '"', ',' ORDER BY v) || ']' AS j
+  FROM (SELECT DISTINCT props AS v FROM events WHERE props IS NOT NULL)
+)
+SELECT 'event_id' AS "column", 'complete' AS kind,
+       CAST(NULL AS DOUBLE) AS param_num, CAST(NULL AS VARCHAR) AS param_str,
+       CAST(c_id * 1000000 // n AS BIGINT) AS observed FROM m
+UNION ALL SELECT 'ts', 'complete', NULL, NULL,
+       CAST(c_ts * 1000000 // n AS BIGINT) FROM m
+UNION ALL SELECT 'user_id', 'complete', NULL, NULL,
+       CAST(c_uid * 1000000 // n AS BIGINT) FROM m
+UNION ALL SELECT 'event_type', 'complete', NULL, NULL,
+       CAST(c_et * 1000000 // n AS BIGINT) FROM m
+UNION ALL SELECT 'value', 'complete', NULL, NULL,
+       CAST(c_v * 1000000 // n AS BIGINT) FROM m
+UNION ALL SELECT 'props', 'complete', NULL, NULL,
+       CAST(c_p * 1000000 // n AS BIGINT) FROM m
+UNION ALL SELECT 'event_id', 'unique', NULL, NULL, CAST(d_id AS BIGINT)
+  FROM m WHERE d_id = c_id AND c_id > 0
+UNION ALL SELECT 'ts', 'unique', NULL, NULL, CAST(d_ts AS BIGINT)
+  FROM m WHERE d_ts = c_ts AND c_ts > 0
+UNION ALL SELECT 'user_id', 'unique', NULL, NULL, CAST(d_uid AS BIGINT)
+  FROM m WHERE d_uid = c_uid AND c_uid > 0
+UNION ALL SELECT 'event_type', 'unique', NULL, NULL, CAST(d_et AS BIGINT)
+  FROM m WHERE d_et = c_et AND c_et > 0
+UNION ALL SELECT 'value', 'unique', NULL, NULL, CAST(d_v AS BIGINT)
+  FROM m WHERE d_v = c_v AND c_v > 0
+UNION ALL SELECT 'props', 'unique', NULL, NULL, CAST(d_p AS BIGINT)
+  FROM m WHERE d_p = c_p AND c_p > 0
+UNION ALL SELECT 'event_type', 'isin', NULL, (SELECT j FROM et_list),
+       CAST(d_et AS BIGINT) FROM m WHERE d_et BETWEEN 1 AND 10
+UNION ALL SELECT 'props', 'isin', NULL, (SELECT j FROM p_list),
+       CAST(d_p AS BIGINT) FROM m WHERE d_p BETWEEN 1 AND 10
+UNION ALL SELECT 'event_id', 'min_at_least', lo_id, NULL, NULL
+  FROM m WHERE c_id > 0
+UNION ALL SELECT 'event_id', 'max_at_most', hi_id, NULL, NULL
+  FROM m WHERE c_id > 0
+UNION ALL SELECT 'user_id', 'min_at_least', lo_uid, NULL, NULL
+  FROM m WHERE c_uid > 0
+UNION ALL SELECT 'user_id', 'max_at_most', hi_uid, NULL, NULL
+  FROM m WHERE c_uid > 0
+UNION ALL SELECT 'value', 'min_at_least', lo_v, NULL, NULL
+  FROM m WHERE c_v > 0
+UNION ALL SELECT 'value', 'max_at_most', hi_v, NULL, NULL
+  FROM m WHERE c_v > 0
 """
     return sqls

@@ -55,7 +55,8 @@ __all__ = [
     "complete", "unique", "min_at_least", "max_at_most", "matches",
     "isin", "row_count_between", "check_constraints",
     "check_state", "merge_check_states", "check_verdicts",
-    "detect_metric_anomalies",
+    "detect_metric_anomalies", "suggest_constraints",
+    "constraints_from_suggestions",
 ]
 
 _PPM = 1_000_000
@@ -456,3 +457,112 @@ def detect_metric_anomalies(
         .withColumn("change_ppm", change)
         .withColumn("anomalous", fired)
     )
+
+
+def suggest_constraints(
+    df: DataFrame,
+    *,
+    columns: Sequence[str] | None = None,
+    low_card_max: int = 10,
+) -> DataFrame:
+    """Profile the frame and emit suggested constraints (Deequ §4's
+    constraint-suggestion analog: don't ask the pipeline owner to write
+    the contract from scratch — derive a candidate contract from the
+    data's observed shape, then let them tighten it).
+
+    One aggregate pass computes per-column non-NULL and exact distinct
+    counts plus numeric min/max; string columns whose cardinality is
+    within ``low_card_max`` get one bounded follow-up aggregate to fetch
+    the value set (Deequ's two-phase profile). The 1-row profile and the
+    ≤ ``low_card_max`` value sets are the only driver-side collects —
+    both constraints-sized, never data-sized.
+
+    Rules (deterministic; rendered so :func:`constraints_from_suggestions`
+    can replay them as a real :func:`check_constraints` list):
+
+    - every column: ``complete`` at the observed ppm floor
+    - ``unique`` when distinct == non-NULL count > 0
+    - ``isin`` for strings with 1 <= distinct <= ``low_card_max``
+      (``param_str`` = compact-JSON sorted value list)
+    - ``min_at_least`` / ``max_at_most`` for numeric columns
+      (``param_num`` = observed bound as double; integer bounds beyond
+      2^53 would lose exactness — tighten by hand at that magnitude)
+
+    Output: ``(column, kind, param_num, param_str, observed)`` where
+    ``observed`` is the backing metric (ppm for complete, distinct count
+    for unique/isin, NULL for bounds).
+    """
+    import json
+
+    if low_card_max < 1:
+        raise ValueError("suggest_constraints: low_card_max must be >= 1")
+    cols = list(columns) if columns is not None else list(df.columns)
+    schema = {f.name: f.dataType for f in df.schema.fields}
+    for c in cols:
+        if c not in schema:
+            raise ValueError(f"suggest_constraints: unknown column {c!r}")
+    from pyspark.sql import types as T
+
+    aggs: list[Column] = [F.count(F.lit(1)).alias("__n")]
+    for i, c in enumerate(cols):
+        aggs.append(F.count(F.col(c)).alias(f"__c{i}"))
+        aggs.append(F.countDistinct(F.col(c)).alias(f"__d{i}"))
+        if isinstance(schema[c], T.NumericType):
+            aggs.append(F.min(F.col(c)).cast("double").alias(f"__lo{i}"))
+            aggs.append(F.max(F.col(c)).cast("double").alias(f"__hi{i}"))
+    prof = df.agg(*aggs).head()
+
+    n = prof["__n"]
+    out: list[tuple] = []
+    for i, c in enumerate(cols):
+        nonnull, distinct = prof[f"__c{i}"], prof[f"__d{i}"]
+        ppm = _PPM if n == 0 else (nonnull * _PPM) // n
+        out.append((c, "complete", None, None, ppm))
+        if nonnull > 0 and distinct == nonnull:
+            out.append((c, "unique", None, None, distinct))
+        if isinstance(schema[c], T.StringType) and 1 <= distinct <= low_card_max:
+            values = df.agg(
+                F.sort_array(F.collect_set(F.col(c))).alias("v")
+            ).head()["v"]
+            out.append((
+                c, "isin", None,
+                json.dumps(list(values), separators=(",", ":")),
+                distinct,
+            ))
+        if isinstance(schema[c], T.NumericType) and nonnull > 0:
+            out.append((c, "min_at_least", float(prof[f"__lo{i}"]), None, None))
+            out.append((c, "max_at_most", float(prof[f"__hi{i}"]), None, None))
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        out,
+        "column string, kind string, param_num double, param_str string,"
+        " observed bigint",
+    )
+
+
+def constraints_from_suggestions(rows: Sequence) -> list[_Constraint]:
+    """Replay collected :func:`suggest_constraints` rows as constraints.
+
+    The round trip ``check_constraints(df,
+    constraints_from_suggestions(suggest_constraints(df).collect()))``
+    passes by construction on the profiled frame — the suggested
+    contract is the loosest one the data satisfies.
+    """
+    import json
+
+    out: list[_Constraint] = []
+    for r in rows:
+        kind, col = r["kind"], r["column"]
+        if kind == "complete":
+            out.append(_Constraint("complete", col, int(r["observed"])))
+        elif kind == "unique":
+            out.append(unique(col))
+        elif kind == "isin":
+            out.append(isin(col, json.loads(r["param_str"]), 1.0))
+        elif kind == "min_at_least":
+            out.append(min_at_least(col, r["param_num"]))
+        elif kind == "max_at_most":
+            out.append(max_at_most(col, r["param_num"]))
+        else:
+            raise ValueError(f"unknown suggestion kind {kind!r}")
+    return out

@@ -201,3 +201,47 @@ def test_metric_anomalies_relative_and_absolute(spark):
 
     with pytest.raises(ValueError, match="at least one strategy"):
         detect_metric_anomalies(hist)
+
+
+def test_suggest_constraints_rules_and_roundtrip(spark):
+    from funcify_feature_eng_spark.operators.checks import (
+        constraints_from_suggestions,
+        suggest_constraints,
+    )
+    df = _df(spark)
+    sug = suggest_constraints(df, low_card_max=3).collect()
+    by = {(r["column"], r["kind"]): r for r in sug}
+    # complete for every column, at the observed floor
+    assert by[("id", "complete")]["observed"] == 800000
+    assert by[("kind", "complete")]["observed"] == 1000000
+    # id has a duplicate -> no unique; value is all-distinct -> unique
+    assert ("id", "unique") not in by
+    assert by[("value", "unique")]["observed"] == 5
+    # kind: 3 distinct <= low_card_max -> isin with sorted compact JSON
+    assert by[("kind", "isin")]["param_str"] == '["click","purchase","view"]'
+    # email: 4 distinct > 3 -> no isin
+    assert ("email", "isin") not in by
+    # numeric bounds
+    assert by[("value", "min_at_least")]["param_num"] == -5.0
+    assert by[("value", "max_at_most")]["param_num"] == 200.0
+    assert ("kind", "min_at_least") not in by
+    # replayed suggestions all pass on the profiled frame
+    cs = constraints_from_suggestions(sug)
+    verdicts = check_constraints(df, cs).collect()
+    assert all(r["passed"] for r in verdicts)
+
+
+def test_suggest_constraints_empty_and_errors(spark):
+    from funcify_feature_eng_spark.operators.checks import (
+        suggest_constraints,
+    )
+    empty = spark.createDataFrame([], "x long, s string")
+    rows = suggest_constraints(empty).collect()
+    # vacuous complete only: no unique/isin/bounds on nothing
+    assert {(r["column"], r["kind"]) for r in rows} == {
+        ("x", "complete"), ("s", "complete")}
+    assert all(r["observed"] == 1000000 for r in rows)
+    with pytest.raises(ValueError, match="unknown column"):
+        suggest_constraints(empty, columns=["nope"])
+    with pytest.raises(ValueError, match="low_card_max"):
+        suggest_constraints(empty, low_card_max=0)
