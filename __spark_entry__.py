@@ -3258,6 +3258,53 @@ def q_constraint_suggestions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return suggest_constraints(_t(spark, sf_dir, "events"), low_card_max=10)
 
 
+def q_stream_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous data-quality monitoring in the DRIVER gate
+    (streaming/runner.py::quality_monitor_stream): the 2-micro-batch
+    events stream runs check_state per batch via foreachBatch, appending
+    each mergeable state to a parquet ledger; the merged ledger's
+    verdicts are returned. The oracle computes the same verdicts from
+    the WHOLE table in SQL — the hashed property is stream ≡ batch:
+    per-batch states merged across the boundary equal one-pass verdicts.
+    Executor state never grows (the ledger is the only cross-batch
+    state), which is the 100 TB-safe posture."""
+    import shutil
+
+    from funcify_feature_eng_spark.operators.checks import (
+        check_verdicts, complete, isin, merge_check_states,
+        row_count_between, unique,
+    )
+    from funcify_feature_eng_spark.streaming.runner import (
+        quality_monitor_stream,
+    )
+
+    constraints = [
+        complete("role", 1.0),
+        complete("user_id", 1.0),
+        unique("event_id"),
+        isin("role", ["view", "click", "purchase", "signup", "error"], 1.0),
+        row_count_between(1, 100_000_000),
+    ]
+    tmp, stream = _stream_source(spark, sf_dir)
+    _STREAM_GATE_SEQ[0] += 1
+    base = f"{tmp}_quality_{_STREAM_GATE_SEQ[0]}"
+    ledger, ckpt = base + "_ledger", base + "_ckpt"
+    shutil.rmtree(ledger, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    shuffle_conf = "spark.sql.shuffle.partitions"
+    session_parts = spark.conf.get(shuffle_conf)
+    spark.conf.set(shuffle_conf, "4")
+    try:
+        q = quality_monitor_stream(
+            stream, constraints, ledger_dir=ledger, checkpoint_dir=ckpt
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set(shuffle_conf, session_parts)
+    states = spark.read.parquet(ledger).drop("batch_id")
+    return check_verdicts(merge_check_states(states), constraints)
+
+
 def q_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """pandas merge_asof direction='nearest' parity (operators/asof.py):
     the closer of the prior/next purchase per event, ties to the PRIOR —
@@ -3700,6 +3747,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_anomalies": q_quality_anomalies,
         "feature_parity_diff": q_feature_parity_diff,
         "constraint_suggestions": q_constraint_suggestions,
+        "stream_quality": q_stream_quality,
     }
 
 
@@ -6032,5 +6080,44 @@ UNION ALL SELECT 'value', 'min_at_least', lo_v, NULL, NULL
   FROM m WHERE c_v > 0
 UNION ALL SELECT 'value', 'max_at_most', hi_v, NULL, NULL
   FROM m WHERE c_v > 0
+"""
+    # streaming quality monitor: merged per-micro-batch states ≡ the
+    # one-pass whole-table verdicts (events' event_type rides as `role`)
+    sqls["stream_quality"] = r"""
+WITH m AS (
+  SELECT COUNT(*) AS n,
+         COUNT(event_type) AS c_r,
+         COUNT(user_id) AS c_u,
+         COUNT(event_id) AS nn_id,
+         COUNT(DISTINCT event_id) AS d_id,
+         COALESCE(SUM(CASE WHEN event_type IN
+                   ('view', 'click', 'purchase', 'signup', 'error')
+                           THEN 1 END), 0) AS m_in
+  FROM events
+)
+SELECT 0 AS check_id, 'complete' AS kind, 'role' AS "column",
+       CAST(CASE WHEN n = 0 THEN 1000000
+                 ELSE c_r * 1000000 // n END AS BIGINT) AS metric,
+       CAST(1000000 AS BIGINT) AS threshold,
+       (CASE WHEN n = 0 THEN 1000000 ELSE c_r * 1000000 // n END)
+         >= 1000000 AS passed FROM m
+UNION ALL
+SELECT 1, 'complete', 'user_id',
+       CAST(CASE WHEN n = 0 THEN 1000000
+                 ELSE c_u * 1000000 // n END AS BIGINT), 1000000,
+       (CASE WHEN n = 0 THEN 1000000 ELSE c_u * 1000000 // n END)
+         >= 1000000 FROM m
+UNION ALL
+SELECT 2, 'unique', 'event_id', CAST(nn_id - d_id AS BIGINT), 0,
+       nn_id - d_id = 0 FROM m
+UNION ALL
+SELECT 3, 'isin', 'role',
+       CAST(CASE WHEN c_r = 0 THEN 1000000
+                 ELSE m_in * 1000000 // c_r END AS BIGINT), 1000000,
+       (CASE WHEN c_r = 0 THEN 1000000 ELSE m_in * 1000000 // c_r END)
+         >= 1000000 FROM m
+UNION ALL
+SELECT 4, 'row_count_between', '*', CAST(n AS BIGINT), 1,
+       n >= 1 AND n <= 100000000 FROM m
 """
     return sqls

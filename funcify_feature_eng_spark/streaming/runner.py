@@ -657,3 +657,47 @@ def stateful_role_audit_stream(
         "append",
         GroupStateTimeout.NoTimeout,
     )
+
+
+def quality_monitor_stream(
+    stream_df: DataFrame,
+    constraints: Sequence,
+    ledger_dir: str,
+    checkpoint_dir: str | None = None,
+    trigger_seconds: int | None = None,
+) -> StreamingQuery:
+    """Continuous data-quality monitoring: one mergeable state per batch.
+
+    Each micro-batch runs ``operators.checks.check_state`` (O(1) counters
+    per constraint + per-key frequency rows for ``unique``) and APPENDS
+    the result, stamped with ``batch_id``, to the parquet ``ledger_dir``
+    — the durable metric ledger. Nothing data-sized crosses a batch
+    boundary and no state store grows in the executors; the ledger IS
+    the state, exactly the Deequ incremental posture.
+
+    Downstream reads of the ledger give, without touching the stream:
+
+    - whole-corpus-so-far verdicts: ``check_verdicts(
+      merge_check_states(spark.read.parquet(ledger_dir)), constraints)``
+    - per-batch drift: per-``batch_id`` verdicts →
+      ``detect_metric_anomalies`` over the series.
+    """
+    from funcify_feature_eng_spark.operators.checks import check_state
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        # no coalesce: `unique` frequency rows are distinct-keys-sized,
+        # which at 100 TB must not funnel through one writer task
+        (
+            check_state(batch_df, constraints)
+            .withColumn("batch_id", F.lit(int(batch_id)).cast("bigint"))
+            .write.mode("append").parquet(ledger_dir)
+        )
+
+    writer = stream_df.writeStream.foreachBatch(process).outputMode("update")
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    if trigger_seconds:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    else:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

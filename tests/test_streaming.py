@@ -746,3 +746,76 @@ def test_stateful_role_audit_stream_crosses_batch_boundary(spark, tmp_path):
                 bt[cid]["first_violation_ord"], bt[cid]["is_valid"]) == (
             final[cid]["n_turns"], final[cid]["n_violations"],
             final[cid]["first_violation_ord"], final[cid]["is_valid"])
+
+
+def test_quality_monitor_stream_ledger_matches_batch(spark, tmp_path):
+    from funcify_feature_eng_spark.operators.checks import (
+        check_constraints,
+        check_verdicts,
+        complete,
+        detect_metric_anomalies,
+        isin,
+        merge_check_states,
+        row_count_between,
+        unique,
+    )
+    from funcify_feature_eng_spark.streaming.runner import (
+        quality_monitor_stream,
+    )
+
+    rows = [
+        (1, "user", "a"), (2, "tool", "b"), (3, "user", None),
+        (4, "assistant", "c"), (4, "user", "d"), (6, "weird", "e"),
+    ]
+    batch = spark.createDataFrame(rows, "id long, role string, txt string")
+    src = str(tmp_path / "q_src")
+    # two micro-batch files (maxFilesPerTrigger=1)
+    batch.filter(F.col("id") <= 3).coalesce(1).write.parquet(src)
+    batch.filter(F.col("id") > 3).coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", "1").parquet(src)
+    )
+    constraints = [
+        complete("txt", 1.0),
+        unique("id"),
+        isin("role", ["user", "assistant", "tool", "system"], 1.0),
+        row_count_between(1, 100),
+    ]
+    ledger = str(tmp_path / "ledger")
+    q = quality_monitor_stream(
+        stream, constraints, ledger_dir=ledger,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination()
+
+    states = spark.read.parquet(ledger)
+    assert states.select("batch_id").distinct().count() == 2
+    stream_v = sorted(
+        tuple(r) for r in
+        check_verdicts(
+            merge_check_states(states.drop("batch_id")), constraints
+        ).collect()
+    )
+    batch_v = sorted(
+        tuple(r) for r in check_constraints(batch, constraints).collect()
+    )
+    assert stream_v == batch_v  # stream ≡ batch, incl. the id-4 dup surplus
+
+    # the ledger doubles as the anomaly series: per-batch verdicts
+    hist = None
+    for b in (0, 1):
+        v = check_verdicts(
+            states.filter(F.col("batch_id") == b).drop("batch_id"),
+            constraints,
+        ).select(
+            F.lit(b).cast("bigint").alias("batch_id"),
+            "check_id", "kind", "column", "metric",
+        )
+        hist = v if hist is None else hist.unionByName(v)
+    anom = detect_metric_anomalies(hist, rel_max_change_ppm=100_000)
+    flagged = {(r["check_id"], r["batch_id"]): r["anomalous"]
+               for r in anom.collect()}
+    # txt completeness 2/3 -> 3/3: a 50% relative jump fires
+    assert flagged[(0, 1)] is True
+    assert flagged[(0, 0)] is False
