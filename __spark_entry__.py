@@ -3305,6 +3305,49 @@ def q_stream_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return check_verdicts(merge_check_states(states), constraints)
 
 
+def _rater_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two deterministic raters over events: rater a = event_type, rater
+    b = the same label except every 7th event_id is relabeled 'error' —
+    the replicable disagreement pattern both agreement gates share."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        (F.col("user_id") % 4).alias("cohort"),
+        F.col("event_type").alias("a"),
+        F.when(F.col("event_id") % 7 == 0, F.lit("error"))
+        .otherwise(F.col("event_type")).alias("b"),
+    )
+
+
+def q_rater_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa per cohort (operators/agreement.py::cohen_kappa):
+    chance-corrected inter-rater agreement as exact integer ppm —
+    κ·1e6 = floor(1e6·(n·agree − Σ marg_a·marg_b)/(n² − Σ)) in DECIMAL.
+    The oracle recomputes the identity in HUGEINT with an explicit
+    floor-division fixup (DuckDB's // truncates toward zero). The label
+    marginals shuffle group×label rows only — never data-sized."""
+    from funcify_feature_eng_spark.operators.agreement import cohen_kappa
+
+    return cohen_kappa(
+        _rater_frame(spark, sf_dir), rater_a="a", rater_b="b",
+        group_by=["cohort"],
+    )
+
+
+def q_label_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix (operators/agreement.py::confusion_matrix): exact
+    (expected, predicted) pair counts with integer-floor millionths
+    shares; NULL-bearing pairs excluded. One groupBy plus a broadcast
+    totals join."""
+    from funcify_feature_eng_spark.operators.agreement import (
+        confusion_matrix,
+    )
+
+    return confusion_matrix(
+        _rater_frame(spark, sf_dir).drop("cohort"),
+        expected="a", predicted="b",
+    )
+
+
 def q_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """pandas merge_asof direction='nearest' parity (operators/asof.py):
     the closer of the prior/next purchase per event, ties to the PRIOR —
@@ -3748,6 +3791,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "feature_parity_diff": q_feature_parity_diff,
         "constraint_suggestions": q_constraint_suggestions,
         "stream_quality": q_stream_quality,
+        "rater_agreement": q_rater_agreement,
+        "label_confusion": q_label_confusion,
     }
 
 
@@ -6119,5 +6164,54 @@ SELECT 3, 'isin', 'role',
 UNION ALL
 SELECT 4, 'row_count_between', '*', CAST(n AS BIGINT), 1,
        n >= 1 AND n <= 100000000 FROM m
+"""
+    # Cohen's kappa per cohort: exact integer identity in HUGEINT with a
+    # floor-division fixup (DuckDB // truncates toward zero; Spark floors)
+    _RATER_PAIRS = r"""
+  SELECT user_id % 4 AS cohort, event_type AS a,
+         CASE WHEN event_id % 7 = 0 THEN 'error' ELSE event_type END AS b
+  FROM events WHERE event_type IS NOT NULL
+"""
+    sqls["rater_agreement"] = r"""
+WITH p AS (
+""" + _RATER_PAIRS + r"""
+),
+base AS (
+  SELECT cohort, COUNT(*) AS n,
+         COALESCE(SUM(CASE WHEN a = b THEN 1 END), 0) AS agree
+  FROM p GROUP BY cohort
+),
+ma AS (SELECT cohort, a AS l, COUNT(*) AS ca FROM p GROUP BY 1, 2),
+mb AS (SELECT cohort, b AS l, COUNT(*) AS cb FROM p GROUP BY 1, 2),
+s AS (
+  SELECT ma.cohort, SUM(CAST(ca AS HUGEINT) * cb) AS s
+  FROM ma JOIN mb ON ma.cohort = mb.cohort AND ma.l = mb.l
+  GROUP BY 1
+),
+k AS (
+  SELECT b.cohort, b.n, b.agree,
+         CAST(b.n AS HUGEINT) * b.agree - COALESCE(s.s, 0) AS num,
+         CAST(b.n AS HUGEINT) * b.n - COALESCE(s.s, 0) AS den
+  FROM base b LEFT JOIN s ON b.cohort = s.cohort
+)
+SELECT cohort, CAST(n AS BIGINT) AS n_pairs, CAST(agree AS BIGINT) AS n_agree,
+       CASE WHEN n > 0 AND den <> 0 THEN CAST(
+         (num * 1000000) // den
+         - CASE WHEN num < 0 AND (num * 1000000) % den <> 0
+                THEN 1 ELSE 0 END AS BIGINT) END AS kappa_ppm
+FROM k
+"""
+    sqls["label_confusion"] = r"""
+WITH p AS (
+""" + _RATER_PAIRS + r"""
+),
+cell AS (
+  SELECT a AS expected, b AS predicted, COUNT(*) AS n_pairs
+  FROM p GROUP BY 1, 2
+),
+t AS (SELECT SUM(n_pairs) AS tot FROM cell)
+SELECT expected, predicted, CAST(n_pairs AS BIGINT) AS n_pairs,
+       CAST(CAST(n_pairs AS HUGEINT) * 1000000 // tot AS BIGINT) AS share_e6
+FROM cell, t
 """
     return sqls
