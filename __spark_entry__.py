@@ -3348,6 +3348,54 @@ def q_label_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_chi2_label_assoc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact chi-square association (operators/agreement.py::
+    chi2_association) between event_type and a derived user cohort:
+    χ²·1e6 floored per contingency cell via exact integer floor-division
+    (plus the closed-form missing mass for zero-observed cells). The
+    oracle replays the identical HUGEINT identity; all arithmetic is
+    positive so DuckDB's truncating // IS floor here."""
+    from funcify_feature_eng_spark.operators.agreement import (
+        chi2_association,
+    )
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("event_type").alias("a"),
+        (F.col("user_id") % 3).cast("string").alias("b"),
+    )
+    return chi2_association(ev, col_a="a", col_b="b")
+
+
+def q_fk_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity checks (operators/checks.py::
+    referential_integrity; the dbt `relationships` test): three FK
+    relations verified by distinct-key anti-joins — the two TPC-H
+    relations hold by construction, events.user_id -> customer.c_custkey
+    is deliberately violated (user ids start at 0, customer keys at 1).
+    The oracle recomputes each count with NOT EXISTS."""
+    from funcify_feature_eng_spark.operators.checks import (
+        referential_integrity,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    lineitem = _t(spark, sf_dir, "lineitem")
+    events = _t(spark, sf_dir, "events")
+    a = referential_integrity(
+        orders, customer, on=[("o_custkey", "c_custkey")],
+        relation="orders->customer",
+    )
+    b = referential_integrity(
+        lineitem, orders, on=[("l_orderkey", "o_orderkey")],
+        relation="lineitem->orders",
+    )
+    c = referential_integrity(
+        events, customer, on=[("user_id", "c_custkey")],
+        relation="events->customer",
+    )
+    return a.unionByName(b).unionByName(c)
+
+
 def q_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """pandas merge_asof direction='nearest' parity (operators/asof.py):
     the closer of the prior/next purchase per event, ties to the PRIOR —
@@ -3793,6 +3841,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_quality": q_stream_quality,
         "rater_agreement": q_rater_agreement,
         "label_confusion": q_label_confusion,
+        "chi2_label_assoc": q_chi2_label_assoc,
+        "fk_integrity": q_fk_integrity,
     }
 
 
@@ -6213,5 +6263,71 @@ t AS (SELECT SUM(n_pairs) AS tot FROM cell)
 SELECT expected, predicted, CAST(n_pairs AS BIGINT) AS n_pairs,
        CAST(CAST(n_pairs AS HUGEINT) * 1000000 // tot AS BIGINT) AS share_e6
 FROM cell, t
+"""
+    # exact chi-square: per-cell floored HUGEINT identity + missing mass
+    sqls["chi2_label_assoc"] = r"""
+WITH p AS (
+  SELECT event_type AS a, CAST(user_id % 3 AS VARCHAR) AS b
+  FROM events WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+),
+cell AS (SELECT a, b, COUNT(*) AS o FROM p GROUP BY 1, 2),
+ra AS (SELECT a, COUNT(*) AS r FROM p GROUP BY 1),
+cb AS (SELECT b, COUNT(*) AS c FROM p GROUP BY 1),
+tot AS (
+  SELECT COUNT(*) AS n, COUNT(DISTINCT a) AS ka, COUNT(DISTINCT b) AS kb
+  FROM p
+),
+terms AS (
+  SELECT CAST(t.n AS HUGEINT) * cell.o
+           - CAST(ra.r AS HUGEINT) * cb.c AS num0,
+         CAST(t.n AS HUGEINT) * ra.r * cb.c AS d,
+         CAST(ra.r AS HUGEINT) * cb.c AS rc
+  FROM cell JOIN ra USING (a) JOIN cb USING (b) CROSS JOIN tot t
+),
+obs AS (
+  SELECT SUM((num0 * num0) // d * 1000000
+             + ((num0 * num0) % d) * 1000000 // d) AS x,
+         SUM(rc) AS src
+  FROM terms
+)
+SELECT CAST(t.n AS BIGINT) AS n_pairs,
+       CAST((t.ka - 1) * (t.kb - 1) AS BIGINT) AS dof,
+       CASE WHEN (t.ka - 1) * (t.kb - 1) > 0 THEN
+         CAST(o.x + (CAST(t.n AS HUGEINT) * t.n - o.src) * 1000000 // t.n
+              AS BIGINT) END AS chi2_e6
+FROM tot t, obs o
+"""
+    # referential integrity: distinct-key NOT EXISTS counts per relation
+    sqls["fk_integrity"] = r"""
+SELECT 'orders->customer' AS relation,
+       (SELECT COUNT(*) FROM orders) AS n_child,
+       (SELECT COUNT(*) FROM orders WHERE o_custkey IS NOT NULL)
+         AS n_checked,
+       (SELECT COUNT(*) FROM orders o WHERE o_custkey IS NOT NULL
+          AND NOT EXISTS (SELECT 1 FROM customer c
+                          WHERE c.c_custkey = o.o_custkey)) AS n_orphans,
+       (SELECT COUNT(*) FROM orders o WHERE o_custkey IS NOT NULL
+          AND NOT EXISTS (SELECT 1 FROM customer c
+                          WHERE c.c_custkey = o.o_custkey)) = 0 AS ok
+UNION ALL
+SELECT 'lineitem->orders',
+       (SELECT COUNT(*) FROM lineitem),
+       (SELECT COUNT(*) FROM lineitem WHERE l_orderkey IS NOT NULL),
+       (SELECT COUNT(*) FROM lineitem l WHERE l_orderkey IS NOT NULL
+          AND NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_orderkey = l.l_orderkey)),
+       (SELECT COUNT(*) FROM lineitem l WHERE l_orderkey IS NOT NULL
+          AND NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_orderkey = l.l_orderkey)) = 0
+UNION ALL
+SELECT 'events->customer',
+       (SELECT COUNT(*) FROM events),
+       (SELECT COUNT(*) FROM events WHERE user_id IS NOT NULL),
+       (SELECT COUNT(*) FROM events e WHERE user_id IS NOT NULL
+          AND NOT EXISTS (SELECT 1 FROM customer c
+                          WHERE c.c_custkey = e.user_id)),
+       (SELECT COUNT(*) FROM events e WHERE user_id IS NOT NULL
+          AND NOT EXISTS (SELECT 1 FROM customer c
+                          WHERE c.c_custkey = e.user_id)) = 0
 """
     return sqls

@@ -25,7 +25,7 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["confusion_matrix", "cohen_kappa"]
+__all__ = ["confusion_matrix", "cohen_kappa", "chi2_association"]
 
 _PPM = 1_000_000
 
@@ -59,10 +59,12 @@ def confusion_matrix(
     else:
         totals = cell.agg(F.sum("n_pairs").alias("__tot"))
         cell = cell.crossJoin(F.broadcast(totals))
-    share = F.floor(
-        F.col("n_pairs").cast("decimal(38,0)") * F.lit(_PPM)
-        / F.col("__tot").cast("decimal(38,0)")
-    ).cast("bigint")
+    from funcify_feature_eng_spark.operators.util import exact_floor_div
+
+    share = exact_floor_div(
+        F.col("n_pairs").cast("decimal(38,0)") * F.lit(_PPM),
+        F.col("__tot").cast("decimal(38,0)"),
+    )
     return cell.select(
         *gb, "expected", "predicted", "n_pairs", share.alias("share_e6")
     )
@@ -128,8 +130,99 @@ def cohen_kappa(
     ssum = F.coalesce(F.col("__s"), F.lit(0).cast("decimal(38,0)"))
     num = n * agree - ssum
     den = n * n - ssum
+    from funcify_feature_eng_spark.operators.util import exact_floor_div
+
     kappa = F.when(
         (F.col("n_pairs") > 0) & (den != 0),
-        F.floor(num * F.lit(_PPM) / den).cast("bigint"),
+        exact_floor_div(num * F.lit(_PPM), den),
     )
     return joined.select(*gb, "n_pairs", "n_agree", kappa.alias("kappa_ppm"))
+
+
+def chi2_association(
+    df: DataFrame,
+    *,
+    col_a: str,
+    col_b: str,
+    group_by: Sequence[str] = (),
+) -> DataFrame:
+    """Pearson chi-square independence statistic between two categorical
+    columns, as a deterministic integer (χ²·1e6, floored per cell).
+
+    The feature-screening primitive ("does this categorical feature
+    carry signal about the label?") computed from the exact identity
+    χ² = Σ_ij (n·o_ij − r_i·c_j)² / (n·r_i·c_j). Each cell's millionths
+    value is floored exactly via the two-step division
+    ``floor(t/d)·1e6 + floor((t mod d)·1e6 / d)`` — every intermediate
+    fits decimal(38,0) for n up to ~10^9 pairs per group (t ≤ n⁴; the
+    remainder path ≤ n³·1e6; the quotient path ≤ n·1e6 because a cell's
+    χ² contribution is bounded by n). Zero-observed cells (absent from
+    the contingency groupBy) enter through their closed-form total,
+    (n² − Σ_observed r·c)/n, floored once. The statistic is defined AS
+    this floored sum (within #cells+1 ppm of real χ²), so an independent
+    engine reproduces it bit-for-bit. NULL-bearing pairs are excluded.
+
+    Output: ``group_by + (n_pairs, dof, chi2_e6)`` with dof =
+    (distinct_a − 1)·(distinct_b − 1); ``chi2_e6`` is NULL when dof = 0
+    (a degenerate single-level side). Plan: label-sized contingency
+    aggregates joined on tiny marginal tables — nothing data-sized.
+    """
+    gb = list(group_by)
+    pairs = df.filter(
+        F.col(col_a).isNotNull() & F.col(col_b).isNotNull()
+    ).select(*gb, F.col(col_a).alias("__a"), F.col(col_b).alias("__b"))
+
+    cell = pairs.groupBy(*gb, "__a", "__b").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("__o")
+    )
+    ra = pairs.groupBy(*gb, "__a").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("__r")
+    )
+    cb = pairs.groupBy(*gb, "__b").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("__c")
+    )
+
+    def _agg(d, exprs):
+        return d.groupBy(*gb).agg(*exprs) if gb else d.agg(*exprs)
+
+    tot = _agg(pairs, [
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("__n"),
+        F.countDistinct("__a").alias("__ka"),
+        F.countDistinct("__b").alias("__kb"),
+    ])
+    j = cell.join(ra, on=gb + ["__a"]).join(cb, on=gb + ["__b"])
+    j = j.join(F.broadcast(tot), on=gb) if gb else j.crossJoin(
+        F.broadcast(tot)
+    )
+    n, o, r, c = F.col("__n"), F.col("__o"), F.col("__r"), F.col("__c")
+    t = (n * o - r * c) * (n * o - r * c)
+    d = n * r * c
+    from funcify_feature_eng_spark.operators.util import exact_floor_div
+
+    cell_e6 = (
+        exact_floor_div(t, d).cast("decimal(38,0)") * F.lit(_PPM)
+        + exact_floor_div((t % d) * F.lit(_PPM), d).cast("decimal(38,0)")
+    )
+    per = j.select(
+        *gb, "__ka", "__kb",
+        F.col("__n").cast("bigint").alias("__np"),
+        cell_e6.alias("__x"),
+        (r * c).alias("__rc"),
+    )
+    gcols = gb + ["__np", "__ka", "__kb"]
+    out = per.groupBy(*gcols).agg(
+        F.sum("__x").cast("bigint").alias("__obs"),
+        F.sum("__rc").alias("__src"),
+    )
+    # zero-observed cells never appear in the contingency groupBy, but
+    # each still contributes e_ij = r_i·c_j/n to χ²; their total is the
+    # closed-form missing mass (n² − Σ_observed r·c)/n — one exact floor
+    nn = F.col("__np").cast("decimal(38,0)")
+    missing_e6 = exact_floor_div((nn * nn - F.col("__src")) * F.lit(_PPM), nn)
+    dof = ((F.col("__ka") - 1) * (F.col("__kb") - 1)).cast("bigint")
+    return out.select(
+        *gb,
+        F.col("__np").alias("n_pairs"),
+        dof.alias("dof"),
+        F.when(dof > 0, F.col("__obs") + missing_e6).alias("chi2_e6"),
+    )

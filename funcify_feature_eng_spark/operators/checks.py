@@ -56,7 +56,7 @@ __all__ = [
     "isin", "row_count_between", "check_constraints",
     "check_state", "merge_check_states", "check_verdicts",
     "detect_metric_anomalies", "suggest_constraints",
-    "constraints_from_suggestions",
+    "constraints_from_suggestions", "referential_integrity",
 ]
 
 _PPM = 1_000_000
@@ -109,12 +109,16 @@ def row_count_between(lo: int, hi: int) -> _Constraint:
 
 def _ratio_ppm(num: Column, den: Column) -> Column:
     # vacuous pass on an empty denominator (Deequ convention). DECIMAL
-    # division, not `/` on bigints: the double path loses integer
-    # exactness past 2^53 (num*1e6 crosses it at ~9e9 rows), which would
-    # silently diverge from an exact independent engine at scale
-    q = F.floor(
-        num.cast("decimal(38,0)") * F.lit(_PPM) / den.cast("decimal(38,0)")
-    ).cast("bigint")
+    # arithmetic, not `/` on bigints: the double path loses integer
+    # exactness past 2^53 (num*1e6 crosses it at ~9e9 rows). The floor
+    # itself goes through exact_floor_div — F.floor over Spark's decimal
+    # `/` sees a HALF_UP-rounded quotient and can overshoot by one when
+    # the true fraction is within 5e-7 of the next integer.
+    from funcify_feature_eng_spark.operators.util import exact_floor_div
+
+    q = exact_floor_div(
+        num.cast("decimal(38,0)") * F.lit(_PPM), den.cast("decimal(38,0)")
+    )
     return F.when(den == 0, F.lit(_PPM).cast("bigint")).otherwise(q)
 
 
@@ -434,13 +438,15 @@ def detect_metric_anomalies(
         .orderBy(F.col(order_col).asc())
     )
     prev = F.lag("metric").over(w)
+    from funcify_feature_eng_spark.operators.util import exact_floor_div
+
     change = F.when(
         prev.isNotNull() & (prev != 0),
-        F.floor(
+        exact_floor_div(
             F.abs(F.col("metric") - prev).cast("decimal(38,0)")
-            * F.lit(_PPM)
-            / F.abs(prev).cast("decimal(38,0)")
-        ).cast("bigint"),
+            * F.lit(_PPM),
+            F.abs(prev).cast("decimal(38,0)"),
+        ),
     )
     fired = F.lit(False)
     if rel_max_change_ppm is not None:
@@ -566,3 +572,49 @@ def constraints_from_suggestions(rows: Sequence) -> list[_Constraint]:
         else:
             raise ValueError(f"unknown suggestion kind {kind!r}")
     return out
+
+
+def referential_integrity(
+    child: DataFrame,
+    parent: DataFrame,
+    *,
+    on: Sequence[tuple[str, str]] | Sequence[str],
+    relation: str = "child->parent",
+) -> DataFrame:
+    """Foreign-key containment: how many child rows point at no parent.
+
+    The dbt `relationships` / Deequ-style integrity test as one
+    left-anti semi-join: ``on`` is either shared column names or
+    (child_col, parent_col) pairs. Child rows with any NULL key column
+    are excluded (NULL FKs are completeness's job). Output: one row
+    ``(relation, n_child, n_checked, n_orphans, ok)`` — BIGINT counts.
+
+    Scale: the anti-join shuffles on the key like any equi-join; the
+    parent side is deduplicated to distinct keys first, so a 10^12-row
+    child checks against a keys-sized build side, broadcastable when the
+    parent key set is small.
+    """
+    pairs = [
+        (p, p) if isinstance(p, str) else (p[0], p[1]) for p in on
+    ]
+    if not pairs:
+        raise ValueError("referential_integrity: empty key list")
+    ckeys = [c for c, _ in pairs]
+    pkeys = [p for _, p in pairs]
+    nonnull = reduce(
+        lambda a, b: a & b, [F.col(c).isNotNull() for c in ckeys]
+    )
+    checked = child.select(*ckeys).filter(nonnull)
+    parent_keys = parent.select(
+        *[F.col(p).alias(c) for c, p in pairs]
+    ).dropDuplicates(ckeys)
+    orphans = checked.join(parent_keys, on=ckeys, how="left_anti")
+    agg = checked.agg(F.count(F.lit(1)).cast("bigint").alias("n_checked"))
+    total = child.agg(F.count(F.lit(1)).cast("bigint").alias("n_child"))
+    orph = orphans.agg(F.count(F.lit(1)).cast("bigint").alias("n_orphans"))
+    out = total.crossJoin(agg).crossJoin(orph)
+    return out.select(
+        F.lit(relation).alias("relation"),
+        "n_child", "n_checked", "n_orphans",
+        (F.col("n_orphans") == 0).alias("ok"),
+    )

@@ -38,3 +38,24 @@ def release(df: DataFrame) -> None:
     afterwards: a local checkpoint truncates lineage, so its data cannot be
     recomputed once unpersisted."""
     df.rdd.unpersist()
+
+
+def exact_floor_div(num, den):
+    """floor(num / den) on DECIMAL columns, exact, as BIGINT.
+
+    ``F.floor(a / b)`` on decimals is NOT a floor: Spark rounds the
+    quotient HALF_UP to the result scale (6) before floor() sees it, so
+    e.g. floor(19999999/10000000) evaluates to 2. The remainder identity
+    ``(num - num % den) / den`` keeps the division integral — an exactly
+    representable quotient is immune to the rounding — and the sign
+    fixup restores floor (toward −inf) semantics for negative quotients
+    (Spark's ``%`` takes the dividend's sign, like Java). Quotients must
+    fit BIGINT (every ppm/count use here is ≤ ~1e15).
+    """
+    from pyspark.sql import functions as F
+
+    r = num % den
+    q = ((num - r) / den).cast("bigint")
+    return F.when(
+        (r != 0) & ((num < 0) != (den < 0)), q - 1
+    ).otherwise(q)

@@ -82,3 +82,92 @@ def test_confusion_matrix_counts_and_shares(spark):
     assert out[("x", "x")]["share_e6"] == 500_000
     assert out[("x", "y")]["share_e6"] == 250_000
     assert len(out) == 3  # NULL-bearing rows dropped
+
+
+def test_exact_floor_div_regressions(spark):
+    import pyspark.sql.functions as F
+    from funcify_feature_eng_spark.operators.util import exact_floor_div
+
+    def d(x):
+        return F.lit(x).cast("decimal(38,0)")
+
+    row = spark.range(1).select(
+        # F.floor(19999999/10000000) evaluates to 2 (HALF_UP at scale 6)
+        exact_floor_div(d(19999999), d(10000000)).alias("hazard"),
+        exact_floor_div(d(-7), d(2)).alias("neg"),
+        exact_floor_div(d(7), d(-2)).alias("negden"),
+        exact_floor_div(d(6), d(3)).alias("exact"),
+        exact_floor_div(d(-6), d(3)).alias("negexact"),
+    ).collect()[0]
+    assert row["hazard"] == 1
+    assert row["neg"] == -4
+    assert row["negden"] == -4
+    assert row["exact"] == 2
+    assert row["negexact"] == -2
+
+
+def _chi2_e6_ref(pairs):
+    """Independent per-cell-floored chi2*1e6 in pure rationals."""
+    from collections import Counter
+    from math import floor
+
+    from fractions import Fraction
+    pairs = [(a, b) for a, b in pairs if a is not None and b is not None]
+    n = len(pairs)
+    cells = Counter(pairs)
+    ra = Counter(a for a, _ in pairs)
+    cb = Counter(b for _, b in pairs)
+    total = 0
+    src = 0
+    for (a, b), o in cells.items():
+        t = (n * o - ra[a] * cb[b]) ** 2
+        d = n * ra[a] * cb[b]
+        total += (t // d) * 1_000_000 + floor(Fraction((t % d) * 1_000_000, d))
+        src += ra[a] * cb[b]
+    # zero-observed cells: closed-form missing mass (n^2 - sum rc)/n
+    total += floor(Fraction((n * n - src) * 1_000_000, n))
+    dof = (len(ra) - 1) * (len(cb) - 1)
+    return (n, dof, total if dof > 0 else None)
+
+
+def test_chi2_association_matches_rational_reference(spark):
+    from funcify_feature_eng_spark.operators.agreement import (
+        chi2_association,
+    )
+    pairs = (
+        [("x", "p")] * 7 + [("x", "q")] * 1 + [("y", "p")] * 2
+        + [("y", "q")] * 6 + [("z", "p")] * 3 + [(None, "p")] * 2
+    )
+    df = spark.createDataFrame(pairs, "a string, b string")
+    row = chi2_association(df, col_a="a", col_b="b").collect()[0]
+    n, dof, chi2 = _chi2_e6_ref(pairs)
+    assert (row["n_pairs"], row["dof"], row["chi2_e6"]) == (n, dof, chi2)
+    assert chi2 > 0
+
+    # perfectly independent 2x2 -> chi2 exactly 0
+    ind = [("x", "p")] * 2 + [("x", "q")] * 2 + [("y", "p")] * 2 + [("y", "q")] * 2
+    row = chi2_association(
+        spark.createDataFrame(ind, "a string, b string"),
+        col_a="a", col_b="b",
+    ).collect()[0]
+    assert row["chi2_e6"] == 0
+
+    # degenerate single-level side -> dof 0 -> NULL
+    deg = spark.createDataFrame([("x", "p"), ("x", "q")], "a string, b string")
+    row = chi2_association(deg, col_a="a", col_b="b").collect()[0]
+    assert row["dof"] == 0 and row["chi2_e6"] is None
+
+
+def test_chi2_association_grouped(spark):
+    from funcify_feature_eng_spark.operators.agreement import (
+        chi2_association,
+    )
+    rows = ([("g1", "x", "p")] * 4 + [("g1", "y", "q")] * 4
+            + [("g2", "x", "p")] * 2 + [("g2", "x", "q")] * 2)
+    df = spark.createDataFrame(rows, "g string, a string, b string")
+    out = {r["g"]: r for r in
+           chi2_association(df, col_a="a", col_b="b",
+                            group_by=["g"]).collect()}
+    _, _, ref_g1 = _chi2_e6_ref([(a, b) for g, a, b in rows if g == "g1"])
+    assert out["g1"]["chi2_e6"] == ref_g1 == 8_000_000  # perfect assoc, n=8
+    assert out["g2"]["chi2_e6"] is None  # single a-level

@@ -245,3 +245,27 @@ def test_suggest_constraints_empty_and_errors(spark):
         suggest_constraints(empty, columns=["nope"])
     with pytest.raises(ValueError, match="low_card_max"):
         suggest_constraints(empty, low_card_max=0)
+
+
+def test_referential_integrity_orphans_and_nulls(spark):
+    from funcify_feature_eng_spark.operators.checks import (
+        referential_integrity,
+    )
+    child = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (9, "c"), (None, "d")], "fk long, x string")
+    parent = spark.createDataFrame(
+        [(1,), (2,), (2,), (3,)], "pk long")  # dup parent keys collapse
+    out = referential_integrity(
+        child, parent, on=[("fk", "pk")], relation="c->p").collect()[0]
+    assert out["relation"] == "c->p"
+    assert out["n_child"] == 4
+    assert out["n_checked"] == 3      # NULL fk excluded
+    assert out["n_orphans"] == 1      # fk 9
+    assert out["ok"] is False
+    # shared-name form, fully contained
+    child2 = spark.createDataFrame([(1,), (2,)], "pk long")
+    ok = referential_integrity(child2, parent, on=["pk"]).collect()[0]
+    assert ok["n_orphans"] == 0 and ok["ok"] is True
+    import pytest as _pt
+    with _pt.raises(ValueError, match="empty key list"):
+        referential_integrity(child, parent, on=[])
