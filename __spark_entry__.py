@@ -3740,11 +3740,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_checks": q_quality_checks,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
-        "ann_ivf_topk": q_ann_ivf_topk,
+        # new round-5 families inside the hard driver window (each
+        # displaced family keeps >=2 window representatives; the third
+        # reps ann_ivf_topk / bloom_probe moved to the tail)
+        "feature_parity_diff": q_feature_parity_diff,
         "bm25_topk": q_bm25_topk,
         "kmv_distinct": q_kmv_distinct,
         "cms_tokens": q_cms_tokens,
-        "bloom_probe": q_bloom_probe,
+        "rater_agreement": q_rater_agreement,
         "doc_split": q_doc_split,
         "weighted_topk": q_weighted_topk,
         "corpus_pipeline": q_corpus_pipeline,
@@ -3755,6 +3758,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_span_stats": q_dup_span_stats,
         "bpe_pieces": q_bpe_pieces,
         # ---- entries 51+: family tails (locally gated) ----
+        "ann_ivf_topk": q_ann_ivf_topk,
+        "bloom_probe": q_bloom_probe,
         "asof_tolerance": q_asof_tolerance,
         "asof_prior_purchase_merge": q_asof_prior_purchase_merge,
         "asof_prior_purchase_segmented": q_asof_prior_purchase_segmented,
@@ -3836,10 +3841,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_nearest": q_asof_nearest,
         "quality_checks_incremental": q_quality_checks_incremental,
         "quality_anomalies": q_quality_anomalies,
-        "feature_parity_diff": q_feature_parity_diff,
         "constraint_suggestions": q_constraint_suggestions,
         "stream_quality": q_stream_quality,
-        "rater_agreement": q_rater_agreement,
         "label_confusion": q_label_confusion,
         "chi2_label_assoc": q_chi2_label_assoc,
         "fk_integrity": q_fk_integrity,

@@ -188,6 +188,8 @@ def run_default() -> None:
         "stream_model_features": "turn_features",
         "stream_dedup": "dedup_exact",
         "stream_kmv": "kmv_distinct",
+        "stream_role_audit": "role_sequence_audit",
+        "stream_quality": "quality_checks",
     }
     streaming_gates = {
         s: {

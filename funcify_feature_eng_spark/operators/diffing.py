@@ -11,6 +11,13 @@ one full-outer sort-merge join on the entity keys plus one
 map-side-combinable aggregate, emitting a constraints-sized summary —
 never the data.
 
+Companion to :func:`operators.parity.allclose_audit` (same criterion,
+opposite output shape): the audit returns the row-level VIOLATIONS for
+debugging a failed comparison; this module returns the per-column
+SUMMARY (mismatch counts, max |diff|, presence totals) for the CI
+verdict and for tracking drift magnitude over time — plus array-column
+and equal_nan semantics the row audit doesn't need.
+
 Closeness follows ``numpy.isclose(actual, expected)``:
 ``|expected − actual| <= atol + rtol·|expected|`` (expected is the
 reference operand that scales ``rtol``), exact equality short-circuits

@@ -13,6 +13,11 @@ Plan shape: one shuffle on the keys (or zero, if both sides are already
 co-partitioned/bucketed on them), pure Column predicates, no Python. The
 violation frame is tiny by construction (it's the bug report), so it can
 be collected/alerted cheaply.
+
+Companion to :func:`operators.diffing.frame_diff` (same criterion,
+opposite output shape): that one emits the per-column SUMMARY (mismatch
+counts, max |diff|) for the CI verdict; this one emits the row-level
+violations to debug a failure the summary reported.
 """
 
 from __future__ import annotations
