@@ -3348,6 +3348,81 @@ def q_label_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _calibration_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic scored-classifier fixture over events: label fires on
+    every 3rd event_id; the integer-ppm score is the knuth key mod 6e5,
+    shifted +4e5 for positives — overlapping score ranges so bins 4/5
+    carry mixed labels (non-trivial calibration gaps)."""
+    from funcify_feature_eng_spark.operators.sampling import knuth_key
+
+    ev = _t(spark, sf_dir, "events")
+    y = (F.col("event_id") % 3 == 0).cast("int")
+    s = (
+        F.pmod(knuth_key("event_id"), F.lit(600_000))
+        + y.cast("long") * F.lit(400_000)
+    ).cast("long")
+    return ev.select(
+        (F.col("user_id") % 4).alias("cohort"),
+        s.alias("score_e6"),
+        y.alias("y"),
+    )
+
+
+def q_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability-diagram table (operators/calibration.py::
+    reliability_bins): per score decile, exact integer-ppm accuracy /
+    mean confidence / |acc−conf| gap — scores enter as fixed-point
+    millionths so no float crosses an aggregation boundary. One groupBy
+    onto <=10 rows, map-side combined."""
+    from funcify_feature_eng_spark.operators.calibration import (
+        reliability_bins,
+    )
+
+    return reliability_bins(
+        _calibration_frame(spark, sf_dir), score_e6="score_e6", label="y",
+        n_bins=10,
+    )
+
+
+def q_calibration_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cohort calibration verdict (operators/calibration.py::
+    calibration_summary): ECE·1e6 = floor(Σ_b |1e6·pos_b − ssum_b| / N)
+    — the exact bin-mass-weighted |accuracy − confidence| — plus the
+    max-gap MCE, all integer arithmetic in DECIMAL."""
+    from funcify_feature_eng_spark.operators.calibration import (
+        calibration_summary,
+    )
+
+    return calibration_summary(
+        _calibration_frame(spark, sf_dir), score_e6="score_e6", label="y",
+        n_bins=10, group_by=["cohort"],
+    )
+
+
+def q_fleiss_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fleiss' kappa per cohort (operators/agreement.py::fleiss_kappa):
+    chance-corrected agreement among THREE deterministic raters per
+    event (rater 1 = event_type; raters 2/3 relabel every 7th / 11th
+    event_id 'error'), computed as the exact integer identity
+    κ·1e6 = floor(1e6·(T(A−T) − S(n−1)) / ((n−1)(T²−S))) in DECIMAL.
+    The oracle replays the identity in HUGEINT with the floor fixup for
+    DuckDB's truncating //. All shuffles are item- or label-sized."""
+    from funcify_feature_eng_spark.operators.agreement import fleiss_kappa
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_type").isNotNull())
+    r1 = F.col("event_type")
+    r2 = F.when(F.col("event_id") % 7 == 0, F.lit("error")).otherwise(r1)
+    r3 = F.when(F.col("event_id") % 11 == 0, F.lit("error")).otherwise(r1)
+    tall = ev.select(
+        (F.col("user_id") % 4).alias("cohort"),
+        F.col("event_id").alias("item"),
+        F.explode(F.array(r1, r2, r3)).alias("cat"),
+    )
+    return fleiss_kappa(
+        tall, item="item", category="cat", n_raters=3, group_by=["cohort"]
+    )
+
+
 def q_chi2_label_assoc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact chi-square association (operators/agreement.py::
     chi2_association) between event_type and a derived user cohort:
@@ -3844,6 +3919,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "constraint_suggestions": q_constraint_suggestions,
         "stream_quality": q_stream_quality,
         "label_confusion": q_label_confusion,
+        "fleiss_agreement": q_fleiss_agreement,
+        "calibration_bins": q_calibration_bins,
+        "calibration_report": q_calibration_report,
         "chi2_label_assoc": q_chi2_label_assoc,
         "fk_integrity": q_fk_integrity,
     }
@@ -6266,6 +6344,96 @@ t AS (SELECT SUM(n_pairs) AS tot FROM cell)
 SELECT expected, predicted, CAST(n_pairs AS BIGINT) AS n_pairs,
        CAST(CAST(n_pairs AS HUGEINT) * 1000000 // tot AS BIGINT) AS share_e6
 FROM cell, t
+"""
+    # calibration fixture: label on every 3rd event_id; score = knuth key
+    # mod 6e5, +4e5 for positives. All arithmetic positive, so DuckDB's
+    # truncating // IS floor throughout both calibration twins.
+    _CALIB = r"""
+  SELECT user_id % 4 AS cohort,
+         ((event_id % 2147483648) * 2654435761) % 4294967296 % 600000
+         + CASE WHEN event_id % 3 = 0 THEN 400000 ELSE 0 END AS s,
+         CASE WHEN event_id % 3 = 0 THEN 1 ELSE 0 END AS y
+  FROM events
+"""
+    sqls["calibration_bins"] = r"""
+WITH c AS (
+""" + _CALIB + r"""
+),
+b AS (
+  SELECT LEAST(9, GREATEST(0, (s * 10) // 1000000)) AS bin,
+         COUNT(*) AS n, SUM(y) AS n_pos, SUM(CAST(s AS HUGEINT)) AS ssum
+  FROM c GROUP BY 1
+)
+SELECT CAST(bin AS INT) AS bin, CAST(n AS BIGINT) AS n,
+       CAST(n_pos AS BIGINT) AS n_pos,
+       CAST(CAST(n_pos AS HUGEINT) * 1000000 // n AS BIGINT) AS acc_ppm,
+       CAST(ssum // n AS BIGINT) AS conf_ppm,
+       CAST(ABS(CAST(n_pos AS HUGEINT) * 1000000 - ssum) // n AS BIGINT)
+         AS gap_ppm
+FROM b
+"""
+    sqls["calibration_report"] = r"""
+WITH c AS (
+""" + _CALIB + r"""
+),
+b AS (
+  SELECT cohort, LEAST(9, GREATEST(0, (s * 10) // 1000000)) AS bin,
+         COUNT(*) AS n, SUM(y) AS n_pos, SUM(CAST(s AS HUGEINT)) AS ssum
+  FROM c GROUP BY 1, 2
+)
+SELECT cohort, CAST(SUM(n) AS BIGINT) AS n,
+       CAST(SUM(ABS(CAST(n_pos AS HUGEINT) * 1000000 - ssum)) // SUM(n)
+            AS BIGINT) AS ece_ppm,
+       CAST(MAX(ABS(CAST(n_pos AS HUGEINT) * 1000000 - ssum) // n)
+            AS BIGINT) AS mce_ppm
+FROM b GROUP BY cohort
+"""
+    # Fleiss' kappa per cohort: three deterministic raters unpivoted to a
+    # tall rating frame, then the exact HUGEINT identity with floor fixup
+    sqls["fleiss_agreement"] = r"""
+WITH r AS (
+  SELECT user_id % 4 AS cohort, event_id AS item, event_type AS cat
+  FROM events WHERE event_type IS NOT NULL
+  UNION ALL
+  SELECT user_id % 4, event_id,
+         CASE WHEN event_id % 7 = 0 THEN 'error' ELSE event_type END
+  FROM events WHERE event_type IS NOT NULL
+  UNION ALL
+  SELECT user_id % 4, event_id,
+         CASE WHEN event_id % 11 = 0 THEN 'error' ELSE event_type END
+  FROM events WHERE event_type IS NOT NULL
+),
+nij AS (SELECT cohort, item, cat, COUNT(*) AS c FROM r GROUP BY 1, 2, 3),
+itot AS (
+  SELECT cohort, item, SUM(c) AS tot, SUM(CAST(c AS HUGEINT) * c) AS sq
+  FROM nij GROUP BY 1, 2
+),
+ok AS (SELECT * FROM itot WHERE tot = 3),
+base AS (SELECT cohort, COUNT(*) AS n_items, SUM(sq) AS a FROM ok GROUP BY 1),
+drp AS (SELECT cohort, COUNT(*) AS nd FROM itot WHERE tot <> 3 GROUP BY 1),
+cj AS (
+  SELECT nij.cohort, nij.cat, SUM(nij.c) AS cj
+  FROM nij JOIN ok ON nij.cohort = ok.cohort AND nij.item = ok.item
+  GROUP BY 1, 2
+),
+s AS (SELECT cohort, SUM(CAST(cj AS HUGEINT) * cj) AS s FROM cj GROUP BY 1),
+k AS (
+  SELECT b.cohort, b.n_items, COALESCE(d.nd, 0) AS nd,
+         CAST(b.n_items AS HUGEINT) * 3 AS t, b.a AS a,
+         COALESCE(s.s, 0) AS s
+  FROM base b
+  LEFT JOIN drp d ON b.cohort = d.cohort
+  LEFT JOIN s ON b.cohort = s.cohort
+)
+SELECT cohort, CAST(n_items AS BIGINT) AS n_items,
+       CAST(nd AS BIGINT) AS n_items_dropped,
+       CASE WHEN n_items > 0 AND (t * t - s) * 2 <> 0 THEN CAST(
+         (t * (a - t) - s * 2) * 1000000 // ((t * t - s) * 2)
+         - CASE WHEN (t * (a - t) - s * 2) < 0
+                 AND ((t * (a - t) - s * 2) * 1000000)
+                     % ((t * t - s) * 2) <> 0
+                THEN 1 ELSE 0 END AS BIGINT) END AS kappa_ppm
+FROM k
 """
     # exact chi-square: per-cell floored HUGEINT identity + missing mass
     sqls["chi2_label_assoc"] = r"""

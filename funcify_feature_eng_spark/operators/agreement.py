@@ -25,7 +25,9 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["confusion_matrix", "cohen_kappa", "chi2_association"]
+__all__ = [
+    "confusion_matrix", "cohen_kappa", "fleiss_kappa", "chi2_association",
+]
 
 _PPM = 1_000_000
 
@@ -137,6 +139,95 @@ def cohen_kappa(
         exact_floor_div(num * F.lit(_PPM), den),
     )
     return joined.select(*gb, "n_pairs", "n_agree", kappa.alias("kappa_ppm"))
+
+
+def fleiss_kappa(
+    df: DataFrame,
+    *,
+    item: str,
+    category: str,
+    n_raters: int,
+    group_by: Sequence[str] = (),
+) -> DataFrame:
+    """Fleiss' κ (1971) per group — chance-corrected agreement among a
+    FIXED number of raters per item, exact to the ppm floor.
+
+    Input is the tall rating frame: one row per (item, assigned
+    category); an item rated by ``n_raters`` raters contributes exactly
+    ``n_raters`` rows. Items whose rating count differs from
+    ``n_raters`` are EXCLUDED (Fleiss' statistic assumes equal raters
+    per item; partially-rated items are reported in
+    ``n_items_dropped``, not silently mixed in). NULL item/category
+    rows are excluded up front.
+
+    Integer identity (n = n_raters, N = eligible items, T = N·n,
+    A = Σ_items Σ_cats n_ij², S = Σ_cats c_j² over eligible items):
+    κ·1e6 = floor(1e6 · (T·(A − T) − S·(n − 1)) / ((n − 1)·(T² − S))).
+    Every operand is an exact integer in decimal(38,0) — headroom holds
+    to T ≈ 10^12 ratings per group (T²·1e6 < 10^31) — so an independent
+    engine reproduces the value bit-for-bit. NULL when no eligible
+    items, n < 2, or p_e = 1 (T² = S: every rating one category).
+
+    Plan: one groupBy to item×category cells, one item-level aggregate
+    for eligibility + A, a semi-join of eligibility back onto the cells
+    for the category totals — all shuffles are item- or label-sized,
+    map-side combined; nothing data-sized is collected.
+    """
+    if n_raters < 2:
+        raise ValueError(f"fleiss_kappa: n_raters must be >= 2, got {n_raters}")
+    gb = list(group_by)
+    ratings = df.filter(
+        F.col(item).isNotNull() & F.col(category).isNotNull()
+    ).select(*gb, F.col(item).alias("__it"), F.col(category).alias("__ct"))
+
+    nij = ratings.groupBy(*gb, "__it", "__ct").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("__nij")
+    )
+    item_tot = nij.groupBy(*gb, "__it").agg(
+        F.sum("__nij").alias("__tot"),
+        F.sum(F.col("__nij") * F.col("__nij")).alias("__sq"),
+    )
+    ok = item_tot.filter(F.col("__tot") == n_raters)
+
+    def _agg(d, exprs):
+        return d.groupBy(*gb).agg(*exprs) if gb else d.agg(*exprs)
+
+    base = _agg(ok, [
+        F.count(F.lit(1)).cast("bigint").alias("n_items"),
+        F.sum("__sq").alias("__a"),
+    ])
+    dropped = _agg(item_tot.filter(F.col("__tot") != n_raters), [
+        F.count(F.lit(1)).cast("bigint").alias("n_items_dropped"),
+    ])
+    cat = nij.join(ok.select(*gb, "__it"), on=gb + ["__it"], how="left_semi")
+    cj = cat.groupBy(*gb, "__ct").agg(F.sum("__nij").alias("__cj"))
+    s = _agg(cj, [F.sum(F.col("__cj") * F.col("__cj")).alias("__s")])
+
+    j = base
+    for extra in (dropped, s):
+        j = (
+            j.join(extra, on=gb, how="left") if gb
+            else j.crossJoin(F.broadcast(extra))
+        )
+    zero = F.lit(0).cast("decimal(38,0)")
+    t = (F.col("n_items").cast("decimal(38,0)") * F.lit(int(n_raters)))
+    a = F.coalesce(F.col("__a"), zero)
+    ssum = F.coalesce(F.col("__s"), zero)
+    num = t * (a - t) - ssum * F.lit(int(n_raters) - 1)
+    den = (t * t - ssum) * F.lit(int(n_raters) - 1)
+    from funcify_feature_eng_spark.operators.util import exact_floor_div
+
+    kappa = F.when(
+        (F.col("n_items") > 0) & (den != 0),
+        exact_floor_div(num * F.lit(_PPM), den),
+    )
+    return j.select(
+        *gb,
+        "n_items",
+        F.coalesce(F.col("n_items_dropped"), F.lit(0).cast("bigint"))
+        .alias("n_items_dropped"),
+        kappa.alias("kappa_ppm"),
+    )
 
 
 def chi2_association(

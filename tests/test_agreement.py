@@ -171,3 +171,87 @@ def test_chi2_association_grouped(spark):
     _, _, ref_g1 = _chi2_e6_ref([(a, b) for g, a, b in rows if g == "g1"])
     assert out["g1"]["chi2_e6"] == ref_g1 == 8_000_000  # perfect assoc, n=8
     assert out["g2"]["chi2_e6"] is None  # single a-level
+
+
+def _fleiss_ppm_ref(ratings, n_raters):
+    """Independent rational-arithmetic Fleiss' kappa (floor ppm).
+
+    ratings: list of (item, category); items with a rating count other
+    than n_raters are excluded, mirroring the operator contract.
+    """
+    from collections import Counter
+    from math import floor
+
+    per_item = {}
+    for it, c in ratings:
+        if it is None or c is None:
+            continue
+        per_item.setdefault(it, []).append(c)
+    ok = {it: cs for it, cs in per_item.items() if len(cs) == n_raters}
+    n_items = len(ok)
+    dropped = len(per_item) - n_items
+    if n_items == 0:
+        return n_items, dropped, None
+    a = sum(v * v for cs in ok.values() for v in Counter(cs).values())
+    cj = Counter(c for cs in ok.values() for c in cs)
+    s = sum(v * v for v in cj.values())
+    t = n_items * n_raters
+    den = (t * t - s) * (n_raters - 1)
+    if den == 0:
+        return n_items, dropped, None
+    num = t * (a - t) - s * (n_raters - 1)
+    return n_items, dropped, floor(Fraction(1_000_000) * num / den)
+
+
+def test_fleiss_kappa_matches_rational_reference(spark):
+    from funcify_feature_eng_spark.operators.agreement import fleiss_kappa
+
+    # 6 items x 3 raters with mixed agreement + 1 partially-rated item
+    ratings = (
+        [("i1", c) for c in ("x", "x", "x")]
+        + [("i2", c) for c in ("x", "x", "y")]
+        + [("i3", c) for c in ("y", "y", "y")]
+        + [("i4", c) for c in ("x", "y", "z")]
+        + [("i5", c) for c in ("z", "z", "x")]
+        + [("i6", c) for c in ("y", "x", "y")]
+        + [("i7", "x"), ("i7", "x")]        # only 2 ratings -> dropped
+        + [(None, "x"), ("i1", None)]       # NULLs excluded up front
+    )
+    df = spark.createDataFrame(ratings, "item string, cat string")
+    row = fleiss_kappa(df, item="item", category="cat", n_raters=3).collect()[0]
+    n_items, dropped, ref = _fleiss_ppm_ref(
+        [(i, c) for i, c in ratings if i is not None and c is not None], 3)
+    assert (row["n_items"], row["n_items_dropped"]) == (n_items, dropped) == (6, 1)
+    assert row["kappa_ppm"] == ref
+
+
+def test_fleiss_kappa_edges(spark):
+    from funcify_feature_eng_spark.operators.agreement import fleiss_kappa
+    import pytest
+
+    # degenerate: every rating one category -> p_e = 1 -> NULL
+    const = spark.createDataFrame(
+        [(f"i{k}", "x") for k in range(4) for _ in range(2)],
+        "item string, cat string")
+    row = fleiss_kappa(const, item="item", category="cat", n_raters=2).collect()[0]
+    assert row["n_items"] == 4 and row["kappa_ppm"] is None
+    # perfect disagreement, 2 raters, balanced labels: kappa = -1
+    anti = spark.createDataFrame(
+        [(f"i{k}", c) for k in range(4) for c in ("x", "y")],
+        "item string, cat string")
+    row = fleiss_kappa(anti, item="item", category="cat", n_raters=2).collect()[0]
+    _, _, ref = _fleiss_ppm_ref(
+        [(f"i{k}", c) for k in range(4) for c in ("x", "y")], 2)
+    assert row["kappa_ppm"] == ref == -1_000_000
+    # grouped: per-group stats independent
+    g = spark.createDataFrame(
+        [("g1", f"i{k}", "x") for k in range(3) for _ in range(2)]
+        + [("g2", f"i{k}", c) for k in range(3) for c in ("x", "y")],
+        "grp string, item string, cat string")
+    rows = {r["grp"]: r for r in fleiss_kappa(
+        g, item="item", category="cat", n_raters=2, group_by=["grp"]
+    ).collect()}
+    assert rows["g1"]["kappa_ppm"] is None
+    assert rows["g2"]["kappa_ppm"] == -1_000_000
+    with pytest.raises(ValueError):
+        fleiss_kappa(g, item="item", category="cat", n_raters=1)
