@@ -3348,6 +3348,34 @@ def q_label_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ranking_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality eval (operators/retrieval.py::ranking_metrics):
+    per-query MRR / precision@10 / recall@10 / NDCG@10 as exact integer
+    ppm. Four synthetic queries partition documents by doc_id mod 4;
+    each query's ranking is the knuth-key order (top 15 retrieved),
+    relevance is graded 2/1 on doc_id mod 9 / mod 3. DCG uses the
+    plan-time integer weight grid floor(1e9/log2(r+1)) — embedded as
+    literals in BOTH engines, so no libm call enters either plan."""
+    from funcify_feature_eng_spark.operators.retrieval import ranking_metrics
+    from funcify_feature_eng_spark.operators.sampling import knuth_key
+
+    docs = _t(spark, sf_dir, "documents").select(
+        (F.col("doc_id") % 4).alias("query_id"), "doc_id"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        knuth_key("doc_id"), F.col("doc_id")
+    )
+    results = docs.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= 15
+    )
+    labels = docs.select(
+        "query_id", "doc_id",
+        F.when(F.col("doc_id") % 9 == 0, 2)
+        .when(F.col("doc_id") % 3 == 0, 1).otherwise(0).alias("rel"),
+    ).filter(F.col("rel") > 0)
+    return ranking_metrics(results, labels, k=10)
+
+
 def _calibration_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic scored-classifier fixture over events: label fires on
     every 3rd event_id; the integer-ppm score is the knuth key mod 6e5,
@@ -3889,6 +3917,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_top_terms": q_vocab_top_terms,
         "hybrid_rrf": q_hybrid_rrf,
         "knn_label_eval": q_knn_label_eval,
+        "ranking_eval": q_ranking_eval,
         "doc_salient_terms": q_doc_salient_terms,
         "stream_model_features": q_stream_model_features,
         "store_compaction": q_store_compaction,
@@ -6344,6 +6373,64 @@ t AS (SELECT SUM(n_pairs) AS tot FROM cell)
 SELECT expected, predicted, CAST(n_pairs AS BIGINT) AS n_pairs,
        CAST(CAST(n_pairs AS HUGEINT) * 1000000 // tot AS BIGINT) AS share_e6
 FROM cell, t
+"""
+    # ranking eval: the SAME plan-time integer DCG weight grid as Spark
+    # (floor(1e9/log2(r+1)) computed once in Python, embedded as literals
+    # in both engines) — no libm call in either plan
+    from funcify_feature_eng_spark.operators.retrieval import ndcg_weights_e9
+
+    _w10 = "[" + ", ".join(str(x) for x in ndcg_weights_e9(10)) + "]"
+    sqls["ranking_eval"] = r"""
+WITH res AS (
+  SELECT doc_id % 4 AS q, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY doc_id % 4
+           ORDER BY ((doc_id % 2147483648) * 2654435761) % 4294967296,
+                    doc_id) AS rank
+  FROM documents
+  QUALIFY rank <= 15
+),
+lab AS (
+  SELECT doc_id % 4 AS q, doc_id,
+         CASE WHEN doc_id % 9 = 0 THEN 2
+              WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS rel
+  FROM documents
+  WHERE doc_id % 3 = 0
+),
+j AS (
+  SELECT r.q, r.rank, COALESCE(l.rel, 0) AS rel
+  FROM res r LEFT JOIN lab l ON r.q = l.q AND r.doc_id = l.doc_id
+  WHERE r.rank <= 10
+),
+per_res AS (
+  SELECT q, COUNT(*) AS n_results,
+         SUM(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS hits,
+         MIN(CASE WHEN rel > 0 THEN rank END) AS first_rel_rank,
+         SUM(CAST(rel AS HUGEINT) * (""" + _w10 + r""")[rank]) AS dcg
+  FROM j GROUP BY q
+),
+ideal AS (
+  SELECT q, doc_id, rel,
+         ROW_NUMBER() OVER (PARTITION BY q ORDER BY rel DESC, doc_id) AS rn
+  FROM lab WHERE rel > 0
+),
+per_lab AS (
+  SELECT q, COUNT(*) AS n_rel,
+         SUM(CASE WHEN rn <= 10
+             THEN CAST(rel AS HUGEINT) * (""" + _w10 + r""")[rn]
+             ELSE 0 END) AS idcg
+  FROM ideal GROUP BY q
+)
+SELECT r.q AS query_id, CAST(n_results AS BIGINT) AS n_results,
+       CAST(COALESCE(n_rel, 0) AS BIGINT) AS n_rel_total,
+       CAST(hits AS BIGINT) AS hits_at_k,
+       CAST(first_rel_rank AS INT) AS first_rel_rank,
+       COALESCE(1000000 // first_rel_rank, 0) AS mrr_ppm,
+       hits * 1000000 // 10 AS precision_ppm,
+       CASE WHEN n_rel > 0
+            THEN CAST(hits * 1000000 // n_rel AS BIGINT) END AS recall_ppm,
+       CASE WHEN idcg > 0
+            THEN CAST(dcg * 1000000 // idcg AS BIGINT) END AS ndcg_ppm
+FROM per_res r LEFT JOIN per_lab l ON r.q = l.q
 """
     # calibration fixture: label on every 3rd event_id; score = knuth key
     # mod 6e5, +4e5 for positives. All arithmetic positive, so DuckDB's

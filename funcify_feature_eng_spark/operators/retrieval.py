@@ -211,3 +211,129 @@ FROM tf JOIN dfreq USING (term) CROSS JOIN stats
 GROUP BY {id_col}
 ORDER BY score DESC, {id_col} ASC LIMIT {k}
 """
+
+
+def ndcg_weights_e9(k: int) -> list[int]:
+    """The fixed integer DCG weight grid: w_r = floor(1e9 / log2(r+1))
+    for ranks r = 1..k, computed ONCE at plan time in Python and embedded
+    as literals. Pinning the grid (instead of evaluating log2 per row)
+    makes NDCG a pure-integer statistic both engines reproduce
+    bit-for-bit — the last-ulp libm differences that make float DCG
+    unhashable across engines never enter the plan."""
+    import math
+
+    return [int(1_000_000_000 // math.log2(r + 1)) for r in range(1, k + 1)]
+
+
+def ranking_metrics(
+    results: DataFrame,
+    labels: DataFrame,
+    *,
+    query_col: str = "query_id",
+    doc_col: str = "doc_id",
+    rank_col: str = "rank",
+    rel_col: str = "rel",
+    k: int = 10,
+) -> DataFrame:
+    """Per-query retrieval-quality metrics — MRR, precision/recall@k and
+    NDCG@k — as exact integer ppm (the eval loop for any BM25 / ANN /
+    hybrid ranker in this repo; pairs with :func:`bm25_topk`,
+    :func:`rrf_fuse` and the similarity top-k family).
+
+    ``results`` carries one row per (query, doc) with a 1-based
+    ``rank_col``; ``labels`` carries graded relevance (query, doc,
+    rel >= 0 integer; missing pairs count as rel 0; NULL/negative rel
+    rows are dropped). Metrics at cutoff ``k``:
+
+    - ``mrr_ppm`` = floor(1e6 / first rank with rel > 0), 0 if none;
+    - ``precision_ppm`` = floor(1e6 · hits@k / k) (fixed denominator k,
+      comparable across queries even when fewer than k results exist);
+    - ``recall_ppm`` = floor(1e6 · hits@k / n_rel_total), NULL when the
+      query has no relevant docs;
+    - ``ndcg_ppm`` = floor(1e6 · DCG@k / IDCG@k) with linear gains on
+      the pinned :func:`ndcg_weights_e9` grid; IDCG ranks the query's
+      relevant set by (rel desc, doc asc — the deterministic tie-break);
+      NULL when IDCG = 0.
+
+    Output: ``(query, n_results, n_rel_total, hits_at_k, first_rel_rank,
+    mrr_ppm, precision_ppm, recall_ppm, ndcg_ppm)`` — one row per query
+    that appears in ``results`` (queries with labels but no results are
+    the retriever's recall-0 bug, surfaced by joining your query list).
+
+    Plan: one equi-join of the rank<=k slice against labels, one window
+    over the labels' per-query relevant set (judgment-depth-sized), two
+    query-keyed aggregates — nothing corpus-sized shuffles.
+    """
+    if k < 1:
+        raise ValueError(f"ranking_metrics: k must be >= 1, got {k}")
+    w = ndcg_weights_e9(k)
+    warr = F.array(*[F.lit(x).cast("bigint") for x in w])
+
+    lab = labels.filter(
+        F.col(query_col).isNotNull() & F.col(doc_col).isNotNull()
+        & F.col(rel_col).isNotNull() & (F.col(rel_col) >= 0)
+    ).select(
+        F.col(query_col).alias("__q"), F.col(doc_col).alias("__d"),
+        F.col(rel_col).cast("bigint").alias("__rel"),
+    )
+    res = results.filter(F.col(rank_col) <= k).select(
+        F.col(query_col).alias("__q"), F.col(doc_col).alias("__d"),
+        F.col(rank_col).cast("int").alias("__rk"),
+    )
+    j = res.join(lab, on=["__q", "__d"], how="left").withColumn(
+        "__rel", F.coalesce(F.col("__rel"), F.lit(0))
+    )
+    per_res = j.groupBy("__q").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_results"),
+        F.sum(F.when(F.col("__rel") > 0, 1).otherwise(0))
+        .cast("bigint").alias("hits_at_k"),
+        F.min(F.when(F.col("__rel") > 0, F.col("__rk"))).alias(
+            "first_rel_rank"
+        ),
+        F.sum(
+            F.col("__rel") * F.element_at(warr, F.col("__rk"))
+        ).cast("decimal(38,0)").alias("__dcg"),
+    )
+    from pyspark.sql import Window
+
+    rel_only = lab.filter(F.col("__rel") > 0)
+    iw = Window.partitionBy("__q").orderBy(
+        F.col("__rel").desc(), F.col("__d").asc()
+    )
+    ideal = rel_only.withColumn("__rn", F.row_number().over(iw))
+    per_lab = ideal.groupBy("__q").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rel_total"),
+        F.sum(
+            F.when(
+                F.col("__rn") <= k,
+                F.col("__rel") * F.element_at(warr, F.col("__rn")),
+            ).otherwise(0)
+        ).cast("decimal(38,0)").alias("__idcg"),
+    )
+    out = per_res.join(per_lab, on="__q", how="left")
+    from funcify_feature_eng_spark.operators.util import exact_floor_div
+
+    ppm = F.lit(1_000_000).cast("decimal(38,0)")
+    nrel = F.coalesce(F.col("n_rel_total"), F.lit(0).cast("bigint"))
+    idcg = F.coalesce(F.col("__idcg"), F.lit(0).cast("decimal(38,0)"))
+    return out.select(
+        F.col("__q").alias(query_col),
+        "n_results",
+        nrel.alias("n_rel_total"),
+        "hits_at_k",
+        "first_rel_rank",
+        F.coalesce(
+            F.expr("1000000 DIV first_rel_rank"), F.lit(0).cast("bigint")
+        ).alias("mrr_ppm"),
+        F.expr(f"hits_at_k * 1000000 DIV {int(k)}").alias("precision_ppm"),
+        F.when(
+            nrel > 0,
+            exact_floor_div(
+                F.col("hits_at_k").cast("decimal(38,0)") * ppm,
+                nrel.cast("decimal(38,0)"),
+            ),
+        ).alias("recall_ppm"),
+        F.when(
+            idcg > 0, exact_floor_div(F.col("__dcg") * ppm, idcg)
+        ).alias("ndcg_ppm"),
+    )
