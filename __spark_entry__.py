@@ -3722,6 +3722,23 @@ def q_role_sequence_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical Markov transition matrix (operators/transcript_qa.py::
+    state_transitions) over per-user event-type sequences — the
+    statistical twin of role_sequence_audit (measure the machine before
+    declaring it). Exact counts + floor-ppm row-normalized
+    probabilities; one window exchange + alphabet²-sized aggregates."""
+    from funcify_feature_eng_spark.operators.transcript_qa import (
+        state_transitions,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    return state_transitions(
+        ev, entity_col="user_id", order=("ts", "event_id"),
+        state_col="event_type",
+    )
+
+
 def q_conv_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whole-conversation exact dedup (operators/transcript_qa.py::
     conversation_dedup): the unit of duplication is the ORDERED payload
@@ -3814,6 +3831,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_events_per_user": q_top_events_per_user,
         "asof_prior_purchase": q_asof_prior_purchase,
         "role_sequence_audit": q_role_sequence_audit,
+        "event_transitions": q_event_transitions,
         "next_purchase": q_next_purchase,
         "request_doc_features": q_request_doc_features,
         "request_doc_nested": q_request_doc_nested,
@@ -5919,6 +5937,26 @@ WHERE h.rn = 1 AND l.rn = 1 AND h.chosen_score - l.rejected_score > 0
         # the streaming twin hashes the SAME batch oracle: the pinned
         # property is stream (2 mid-conversation micro-batches) ≡ batch
         "stream_role_audit": _ROLE_AUDIT_SQL,
+        # empirical transition matrix: lag pairs over the same
+        # (ts, event_id) sort; prob = exact floor-ppm row normalization
+        # (all operands positive, so DuckDB's truncating // IS floor)
+        "event_transitions": """
+WITH p AS (
+  SELECT LAG(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS from_state,
+         event_type AS to_state
+  FROM events
+),
+cell AS (
+  SELECT from_state, to_state, COUNT(*) AS n
+  FROM p WHERE from_state IS NOT NULL AND to_state IS NOT NULL
+  GROUP BY 1, 2
+),
+tot AS (SELECT from_state, SUM(n) AS t FROM cell GROUP BY 1)
+SELECT cell.from_state, cell.to_state, CAST(n AS BIGINT) AS n,
+       CAST(CAST(n AS HUGEINT) * 1000000 // t AS BIGINT) AS prob_ppm
+FROM cell JOIN tot USING (from_state)
+""",
         # whole-conversation dedup on each user's first-3 event journey:
         # the ordered-payload group is reproduced with string_agg(...
         # ORDER BY), winner = MIN(user_id) in the group

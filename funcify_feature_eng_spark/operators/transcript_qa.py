@@ -48,6 +48,7 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "role_sequence_audit",
+    "state_transitions",
     "conversation_fingerprints",
     "conversation_dedup",
     "truncate_to_budget",
@@ -125,6 +126,60 @@ def role_sequence_audit(
             F.min(F.when(F.col("__viol") == 1, F.col("__pos"))), F.lit(0)
         ).cast("int").alias("first_violation_ord"),
     ).withColumn("is_valid", F.col("n_violations") == 0)
+
+
+def state_transitions(
+    df: DataFrame,
+    *,
+    entity_col: str,
+    order: Sequence[str],
+    state_col: str,
+    group_by: Sequence[str] = (),
+) -> DataFrame:
+    """Row-normalized Markov transition matrix over per-entity state
+    sequences — the corpus-shape descriptor for transcript turn-taking
+    ("after an assistant tool call, how often does a tool turn actually
+    follow?") and the statistical twin of :func:`role_sequence_audit`
+    (that one enforces a declared machine; this one MEASURES the
+    empirical machine so the owner knows what to declare).
+
+    Counts consecutive (state, next_state) pairs within each entity,
+    ordered by ``order``; pairs with a NULL state on either side are
+    excluded (NULL roles are completeness's problem — same contract as
+    the agreement family). Output: ``group_by + (from_state, to_state,
+    n, prob_ppm)`` where ``prob_ppm = floor(1e6·n / Σ n over the same
+    from_state)`` — exact integer division, so rows of the matrix are
+    reproducible bit-for-bit by an independent engine.
+
+    Scale: one window exchange on ``entity_col`` (shared with any other
+    lag features over the same sort), one groupBy onto alphabet²-sized
+    rows (map-side combined), one broadcast-sized totals join. The
+    ``group_by`` keys must be constant per entity (they ride along the
+    entity window).
+    """
+    gb = list(group_by)
+    w = Window.partitionBy(entity_col).orderBy(*_order_cols(order))
+    pairs = df.select(
+        *gb,
+        F.lag(F.col(state_col)).over(w).alias("from_state"),
+        F.col(state_col).alias("to_state"),
+    ).filter(
+        F.col("from_state").isNotNull() & F.col("to_state").isNotNull()
+    )
+    cell = pairs.groupBy(*gb, "from_state", "to_state").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    tot = cell.groupBy(*gb, "from_state").agg(F.sum("n").alias("__tot"))
+    j = cell.join(F.broadcast(tot), on=gb + ["from_state"], how="inner")
+    from funcify_feature_eng_spark.operators.util import exact_floor_div
+
+    return j.select(
+        *gb, "from_state", "to_state", "n",
+        exact_floor_div(
+            F.col("n").cast("decimal(38,0)") * F.lit(1_000_000),
+            F.col("__tot").cast("decimal(38,0)"),
+        ).alias("prob_ppm"),
+    )
 
 
 def conversation_fingerprints(

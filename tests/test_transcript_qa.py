@@ -247,3 +247,55 @@ def test_render_null_role_consistent_between_offsets_and_text(spark):
         assert text[r["start_off"]:r["end_off"]] == (r["text"] or "")
         if r["turn_idx"] == 0:
             assert r["trainable"] is False
+
+
+def test_state_transitions_counts_and_probs(spark):
+    from funcify_feature_eng_spark.operators.transcript_qa import (
+        state_transitions,
+    )
+
+    rows = [
+        # conv A: u -> a -> t -> a   |  conv B: u -> a -> u
+        ("A", 1, "u"), ("A", 2, "a"), ("A", 3, "t"), ("A", 4, "a"),
+        ("B", 1, "u"), ("B", 2, "a"), ("B", 3, "u"),
+        ("C", 1, None), ("C", 2, "a"),   # NULL-adjacent pairs excluded
+    ]
+    df = spark.createDataFrame(rows, "conv string, idx int, role string")
+    out = {
+        (r["from_state"], r["to_state"]): (r["n"], r["prob_ppm"])
+        for r in state_transitions(
+            df, entity_col="conv", order=("idx",), state_col="role"
+        ).collect()
+    }
+    # from u: ->a twice (prob 1.0); from a: ->t, ->u, (A4 ends, B3 end)
+    assert out[("u", "a")] == (2, 1_000_000)
+    assert out[("a", "t")] == (1, 500_000)
+    assert out[("a", "u")] == (1, 500_000)
+    assert out[("t", "a")] == (1, 1_000_000)
+    # C's (NULL -> a) pair is excluded entirely
+    assert len(out) == 4
+    assert sum(n for n, _ in out.values()) == 5
+
+
+def test_state_transitions_grouped_rows_sum_to_one(spark):
+    from funcify_feature_eng_spark.operators.transcript_qa import (
+        state_transitions,
+    )
+
+    rows = [
+        ("g1", "A", 1, "x"), ("g1", "A", 2, "y"), ("g1", "A", 3, "x"),
+        ("g2", "B", 1, "x"), ("g2", "B", 2, "x"), ("g2", "B", 3, "y"),
+        ("g2", "B", 4, "y"),
+    ]
+    df = spark.createDataFrame(rows, "g string, conv string, idx int, role string")
+    out = state_transitions(
+        df, entity_col="conv", order=("idx",), state_col="role",
+        group_by=["g"],
+    ).collect()
+    # per (group, from_state), probs sum to 1e6 minus flooring dust
+    from collections import defaultdict
+    sums = defaultdict(int)
+    for r in out:
+        sums[(r["g"], r["from_state"])] += r["prob_ppm"]
+    for (_, _), s in sums.items():
+        assert 1_000_000 - 3 <= s <= 1_000_000
