@@ -3348,6 +3348,24 @@ def q_label_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_label_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-feature-value label purity (operators/metrics.py::label_gini):
+    exact floor-ppm Gini impurity + majority share per event_type,
+    against the deterministic every-3rd-event label — the rational
+    (log-free) split-quality screen pairing with chi2_label_assoc.
+    Two label-alphabet-sized aggregates, map-side combined."""
+    from funcify_feature_eng_spark.operators.metrics import label_gini
+
+    ev = _t(spark, sf_dir, "events")
+    return label_gini(
+        ev.select(
+            "event_type",
+            (F.col("event_id") % 3 == 0).cast("int").alias("y"),
+        ),
+        feature="event_type", label="y",
+    )
+
+
 def q_ranking_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Retrieval-quality eval (operators/retrieval.py::ranking_metrics):
     per-query MRR / precision@10 / recall@10 / NDCG@10 as exact integer
@@ -3969,6 +3987,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fleiss_agreement": q_fleiss_agreement,
         "calibration_bins": q_calibration_bins,
         "calibration_report": q_calibration_report,
+        "label_gini": q_label_gini,
         "chi2_label_assoc": q_chi2_label_assoc,
         "fk_integrity": q_fk_integrity,
     }
@@ -6411,6 +6430,27 @@ t AS (SELECT SUM(n_pairs) AS tot FROM cell)
 SELECT expected, predicted, CAST(n_pairs AS BIGINT) AS n_pairs,
        CAST(CAST(n_pairs AS HUGEINT) * 1000000 // tot AS BIGINT) AS share_e6
 FROM cell, t
+"""
+    # label purity: rational Gini identity, all operands positive so
+    # DuckDB's truncating // IS floor
+    sqls["label_gini"] = r"""
+WITH p AS (
+  SELECT event_type AS f,
+         CASE WHEN event_id % 3 = 0 THEN 1 ELSE 0 END AS y
+  FROM events WHERE event_type IS NOT NULL
+),
+cell AS (SELECT f, y, COUNT(*) AS c FROM p GROUP BY 1, 2),
+per AS (
+  SELECT f, SUM(c) AS n, COUNT(*) AS n_labels, MAX(c) AS maj,
+         SUM(CAST(c AS HUGEINT) * c) AS sq
+  FROM cell GROUP BY 1
+)
+SELECT f AS event_type, CAST(n AS BIGINT) AS n,
+       CAST(n_labels AS BIGINT) AS n_labels,
+       CAST(CAST(maj AS HUGEINT) * 1000000 // n AS BIGINT) AS majority_ppm,
+       CAST((CAST(n AS HUGEINT) * n - sq) * 1000000
+            // (CAST(n AS HUGEINT) * n) AS BIGINT) AS gini_ppm
+FROM per
 """
     # ranking eval: the SAME plan-time integer DCG weight grid as Spark
     # (floor(1e9/log2(r+1)) computed once in Python, embedded as literals

@@ -74,3 +74,58 @@ def group_auc(
         "n_neg",
         F.when((F.col("n_pos") > 0) & (F.col("n_neg") > 0), auc).alias("auc"),
     )
+
+
+def label_gini(
+    df: DataFrame,
+    *,
+    feature: str,
+    label: str,
+    group_by: Sequence[str] = (),
+) -> DataFrame:
+    """Per-feature-value label purity: Gini impurity + majority share,
+    exact to the ppm floor — the split-quality screen ("does bucketing
+    by this feature separate the labels?") that pairs with
+    :func:`~funcify_feature_eng_spark.operators.agreement.chi2_association`
+    (global association) and cumulative target encoding (per-value
+    signal). Gini is the impurity measure that stays RATIONAL —
+    1 − Σ_k (c_k/n)² — so unlike entropy it needs no log call and an
+    independent engine reproduces it bit-for-bit:
+    ``gini_ppm = floor(1e6 · (n² − Σ_k c_k²) / n²)``.
+
+    NULL feature/label rows are excluded. Output per group:
+    ``group_by + (feature value, n, n_labels, majority_ppm, gini_ppm)``
+    where ``majority_ppm = floor(1e6 · max_k c_k / n)``. Gini of a pure
+    value is 0; of a uniform K-label value, (1 − 1/K) · 1e6 (floored).
+
+    Scale: one groupBy onto (feature × label)-sized rows, one onto
+    feature-sized rows — both map-side combined; decimal(38) headroom
+    past 10^15 rows per feature value.
+    """
+    gb = list(group_by)
+    from funcify_feature_eng_spark.operators.util import exact_floor_div
+
+    pairs = df.filter(
+        F.col(feature).isNotNull() & F.col(label).isNotNull()
+    ).select(*gb, F.col(feature).alias("__f"), F.col(label).alias("__y"))
+    cell = pairs.groupBy(*gb, "__f", "__y").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("__c")
+    )
+    per = cell.groupBy(*gb, "__f").agg(
+        F.sum("__c").alias("__n"),
+        F.count(F.lit(1)).cast("bigint").alias("n_labels"),
+        F.max("__c").alias("__maj"),
+        F.sum(F.col("__c") * F.col("__c")).alias("__sq"),
+    )
+    n = F.col("__n")
+    return per.select(
+        *gb,
+        F.col("__f").alias(feature),
+        n.cast("bigint").alias("n"),
+        "n_labels",
+        exact_floor_div(F.col("__maj") * F.lit(1_000_000), n)
+        .alias("majority_ppm"),
+        exact_floor_div(
+            (n * n - F.col("__sq")) * F.lit(1_000_000), n * n
+        ).alias("gini_ppm"),
+    )

@@ -61,3 +61,41 @@ def test_auc_all_tied_is_half_and_nulls_drop(spark):
     )
     r = group_auc(df, "y", "s").collect()[0]
     assert r.auc == 0.5 and r.n_pos == 2 and r.n_neg == 2
+
+
+def test_label_gini_matches_rational_reference(spark):
+    from fractions import Fraction
+    from math import floor
+
+    from funcify_feature_eng_spark.operators.metrics import label_gini
+
+    rows = [
+        ("f1", "x"), ("f1", "x"), ("f1", "x"),              # pure
+        ("f2", "x"), ("f2", "y"),                           # uniform 2
+        ("f3", "x"), ("f3", "x"), ("f3", "y"),              # 2/3 - 1/3
+        ("f4", "x"), ("f4", "y"), ("f4", "z"),              # uniform 3
+        (None, "x"), ("f1", None),                          # excluded
+    ]
+    df = spark.createDataFrame(rows, "f string, y string")
+    got = {
+        r["f"]: (r["n"], r["n_labels"], r["majority_ppm"], r["gini_ppm"])
+        for r in label_gini(df, feature="f", label="y").collect()
+    }
+    from collections import Counter
+    per = {}
+    for f, y in rows:
+        if f is not None and y is not None:
+            per.setdefault(f, []).append(y)
+    ref = {}
+    for f, ys in per.items():
+        c = Counter(ys)
+        n = len(ys)
+        ref[f] = (
+            n, len(c),
+            floor(Fraction(1_000_000 * max(c.values()), n)),
+            floor(Fraction(1_000_000) * (n * n - sum(v * v for v in c.values())) / (n * n)),
+        )
+    assert got == ref
+    assert got["f1"][3] == 0                       # pure -> gini 0
+    assert got["f2"][3] == 500_000                 # uniform 2 -> 1/2
+    assert got["f4"][3] == 666_666                 # uniform 3 floored
