@@ -3348,6 +3348,43 @@ def q_label_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bootstrap_reps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-replicate Poisson-bootstrap means of the purchase rate (the
+    shared frame behind both bootstrap gates): metric x = purchase
+    indicator, 16 replicates, hash=False knuth keys so the DuckDB twin
+    reproduces every weight exactly."""
+    from funcify_feature_eng_spark.operators.metrics import poisson_bootstrap
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id").isNotNull())
+    frame = ev.select(
+        "event_id",
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("x"),
+    )
+    return poisson_bootstrap(
+        frame, value="x", id_col="event_id", n_replicates=16, hash=False
+    )
+
+
+def q_bootstrap_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass Poisson bootstrap (operators/metrics.py::
+    poisson_bootstrap, Owen & Eckles 2012): per-replicate deterministic
+    Poisson(1) weights from plan-time CDF thresholds on the u32 grid
+    (no transcendental in either plan), exact floor-ppm weighted means.
+    The 100 TB CI method — resampling is a map-side expression, the
+    shuffle carries B rows per partition."""
+    return _bootstrap_reps(spark, sf_dir)
+
+
+def q_bootstrap_rate_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-based percentile-bootstrap interval (operators/metrics.py::
+    bootstrap_ci) over the 16 replicate means: exact integer ranks
+    (floor/ceil via DIV), no interpolation — the uncertainty verdict on
+    the corpus purchase rate."""
+    from funcify_feature_eng_spark.operators.metrics import bootstrap_ci
+
+    return bootstrap_ci(_bootstrap_reps(spark, sf_dir))
+
+
 def q_label_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-feature-value label purity (operators/metrics.py::label_gini):
     exact floor-ppm Gini impurity + majority share per event_type,
@@ -3988,6 +4025,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "calibration_bins": q_calibration_bins,
         "calibration_report": q_calibration_report,
         "label_gini": q_label_gini,
+        "bootstrap_rate": q_bootstrap_rate,
+        "bootstrap_rate_ci": q_bootstrap_rate_ci,
         "chi2_label_assoc": q_chi2_label_assoc,
         "fk_integrity": q_fk_integrity,
     }
@@ -6430,6 +6469,56 @@ t AS (SELECT SUM(n_pairs) AS tot FROM cell)
 SELECT expected, predicted, CAST(n_pairs AS BIGINT) AS n_pairs,
        CAST(CAST(n_pairs AS HUGEINT) * 1000000 // tot AS BIGINT) AS share_e6
 FROM cell, t
+"""
+    # Poisson bootstrap: the SAME plan-time Poisson(1) CDF thresholds on
+    # the u32 grid as Spark (Python-computed literals in both engines);
+    # knuth keys exact in BIGINT; all aggregates non-negative so // IS floor
+    from funcify_feature_eng_spark.operators.metrics import (
+        poisson_cdf_thresholds_u32,
+    )
+
+    _pth = poisson_cdf_thresholds_u32()
+    _wsum = " + ".join(
+        f"(CASE WHEN u >= {t} THEN 1 ELSE 0 END)" for t in _pth
+    )
+    _BOOT_REPS = r"""
+WITH e AS (
+  SELECT event_id AS id,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS x
+  FROM events WHERE event_id IS NOT NULL
+),
+reps AS (SELECT CAST(range AS INT) AS replicate FROM range(16)),
+p AS (
+  SELECT reps.replicate, e.x,
+         ((e.id % 2147483648) * 2654435761 + reps.replicate * 40503)
+           % 4294967296 AS u
+  FROM e CROSS JOIN reps
+),
+w AS (SELECT replicate, x, """ + _wsum + r""" AS w FROM p),
+agg AS (
+  SELECT replicate, SUM(w) AS n_eff, SUM(CAST(w AS HUGEINT) * x) AS wx
+  FROM w GROUP BY replicate
+)
+SELECT replicate, CAST(n_eff AS BIGINT) AS n_eff,
+       CASE WHEN n_eff > 0
+            THEN CAST(wx * 1000000 // n_eff AS BIGINT) END AS mean_e6
+FROM agg
+"""
+    sqls["bootstrap_rate"] = _BOOT_REPS
+    sqls["bootstrap_rate_ci"] = r"""
+WITH agg AS (
+""" + _BOOT_REPS + r"""
+),
+s AS (
+  SELECT list(mean_e6 ORDER BY mean_e6) AS ms,
+         COUNT(mean_e6) AS b
+  FROM agg WHERE mean_e6 IS NOT NULL
+)
+SELECT CAST(b AS INT) AS n_replicates,
+       ms[CAST((b - 1) * 50000 // 1000000 + 1 AS INT)] AS lo_e6,
+       ms[CAST((b - 1) // 2 + 1 AS INT)] AS median_e6,
+       ms[CAST(((b - 1) * 950000 + 999999) // 1000000 + 1 AS INT)] AS hi_e6
+FROM s
 """
     # label purity: rational Gini identity, all operands positive so
     # DuckDB's truncating // IS floor

@@ -129,3 +129,156 @@ def label_gini(
             (n * n - F.col("__sq")) * F.lit(1_000_000), n * n
         ).alias("gini_ppm"),
     )
+
+
+def poisson_cdf_thresholds_u32(max_events: int = 8) -> list[int]:
+    """Cumulative Poisson(1) CDF on the u32 grid: threshold t_k =
+    round(2^32 · P(X <= k)) for k = 0..max_events−1, computed ONCE at
+    plan time in Python and embedded as literals in both engines (the
+    same device as :func:`~funcify_feature_eng_spark.operators.retrieval.ndcg_weights_e9`
+    — no transcendental call ever enters a plan). A uniform u32 draw u
+    maps to the replicate weight w = #{k : u >= t_k} (so w follows
+    Poisson(1) truncated at max_events, the standard online-bootstrap
+    approximation; P(X > 8) ≈ 1e-6)."""
+    import math
+
+    inv_e = math.exp(-1.0)
+    cdf, term = 0.0, inv_e
+    out = []
+    for k in range(max_events):
+        cdf += term
+        out.append(min(int(round(cdf * 2**32)), 2**32))
+        term /= (k + 1)
+    return out
+
+
+def poisson_bootstrap(
+    df: DataFrame,
+    *,
+    value: str,
+    id_col: str,
+    n_replicates: int = 32,
+    group_by: Sequence[str] = (),
+    hash: bool = True,
+    max_events: int = 8,
+) -> DataFrame:
+    """One-pass Poisson bootstrap (Owen & Eckles 2012, public method):
+    per-replicate weighted means of an INTEGER metric column, without
+    ever materializing a resample. The way to put a confidence interval
+    on a corpus statistic at 10^12 rows — resampling-with-replacement
+    is a shuffle of the whole corpus per replicate; Poisson weights are
+    a map-side expression.
+
+    Each row gets, per replicate r, a deterministic weight w ~
+    Poisson(1) derived from a uniform key over (id, r): ``hash=True``
+    uses xxhash64 (production — properly mixed); ``hash=False`` uses the
+    knuth multiplicative key on ``(id mod 2^31)·2654435761 + r·40503``
+    (the SQL-universal oracle convention, exact in any engine's BIGINT).
+    The knuth key is LINEAR in id, so hash=False exists for cross-engine
+    value gating, not statistics: a metric that is itself periodic in id
+    can correlate with the weights. Use hash=True for real intervals.
+    ``value`` must be integral (the house fixed-point rule — pre-scale
+    doubles onto a ppm grid); means are exact floor-ppm:
+    ``mean_e6 = floor(1e6 · Σ w·x / Σ w)``, NULL when the replicate
+    drew no rows. NULL id/value rows are excluded.
+
+    Output: ``group_by + (replicate, n_eff, mean_e6)`` with
+    ``n_eff = Σ w`` — n_replicates rows per group. Pair with
+    :func:`bootstrap_ci` for the rank-based interval.
+
+    Scale: explode(replicates) multiplies rows ×B BEFORE the aggregate,
+    but partial aggregation combines per partition, so the shuffle
+    carries B rows per partition per group — not B× the data. B=32–100
+    replicates is the published operating range.
+    """
+    if n_replicates < 1:
+        raise ValueError(f"n_replicates must be >= 1, got {n_replicates}")
+    gb = list(group_by)
+    from funcify_feature_eng_spark.operators.util import exact_floor_div
+
+    thresholds = poisson_cdf_thresholds_u32(max_events)
+    rows = df.filter(
+        F.col(id_col).isNotNull() & F.col(value).isNotNull()
+    ).select(
+        *gb, F.col(id_col).alias("__id"),
+        F.col(value).cast("bigint").alias("__x"),
+    )
+    rep = rows.withColumn(
+        "replicate",
+        F.explode(F.array(*[F.lit(r) for r in range(n_replicates)])),
+    )
+    if hash:
+        u = F.pmod(
+            F.xxhash64(F.col("__id"), F.col("replicate")), F.lit(2**32)
+        )
+    else:
+        u = F.pmod(
+            F.pmod(F.col("__id"), F.lit(2**31)) * F.lit(2654435761)
+            + F.col("replicate").cast("bigint") * F.lit(40503),
+            F.lit(2**32),
+        )
+    w = None
+    for t in thresholds:
+        term = (u >= F.lit(t)).cast("long")
+        w = term if w is None else (w + term)
+    rep = rep.withColumn("__w", w)
+    agg = rep.groupBy(*gb, "replicate").agg(
+        F.sum("__w").cast("bigint").alias("n_eff"),
+        F.sum(
+            (F.col("__w") * F.col("__x")).cast("decimal(38,0)")
+        ).alias("__wx"),
+    )
+    return agg.select(
+        *gb, "replicate", "n_eff",
+        F.when(
+            F.col("n_eff") > 0,
+            exact_floor_div(
+                F.col("__wx") * F.lit(1_000_000),
+                F.col("n_eff").cast("decimal(38,0)"),
+            ),
+        ).alias("mean_e6"),
+    )
+
+
+def bootstrap_ci(
+    replicates: DataFrame,
+    *,
+    mean_col: str = "mean_e6",
+    group_by: Sequence[str] = (),
+    alpha_ppm: int = 50_000,
+) -> DataFrame:
+    """Rank-based bootstrap interval over :func:`poisson_bootstrap`'s
+    per-replicate means: with the B non-NULL means sorted ascending,
+    ``lo = elem[floor((B−1)·α)]``, ``hi = elem[ceil((B−1)·(1−α))]``
+    (α = alpha_ppm/1e6 per tail — the percentile-bootstrap endpoints on
+    exact integer ranks, no interpolation, so any engine reproduces
+    them). Output: ``group_by + (n_replicates, lo_e6, median_e6,
+    hi_e6)``. B values per group collect into one array — bounded by
+    n_replicates, never data-sized."""
+    if not (0 <= alpha_ppm < 500_000):
+        raise ValueError(f"alpha_ppm must be in [0, 5e5), got {alpha_ppm}")
+    gb = list(group_by)
+    vals = replicates.filter(F.col(mean_col).isNotNull())
+    exprs = [
+        F.array_sort(F.collect_list(F.col(mean_col))).alias("__ms"),
+    ]
+    agg = vals.groupBy(*gb).agg(*exprs) if gb else vals.agg(*exprs)
+    b = F.size("__ms")
+    # integer rank arithmetic: floor via DIV, ceil via negated DIV
+    lo_rank = F.expr(
+        f"(size(__ms) - 1) * {int(alpha_ppm)} DIV 1000000"
+    )
+    # ceil for non-negative operands = (a + b - 1) DIV b (Spark's DIV
+    # truncates toward zero, so the negate trick would floor, not ceil)
+    hi_rank = F.expr(
+        f"((size(__ms) - 1) * {int(1_000_000 - alpha_ppm)} + 999999)"
+        " DIV 1000000"
+    )
+    med_rank = F.expr("(size(__ms) - 1) DIV 2")
+    return agg.select(
+        *gb,
+        b.cast("int").alias("n_replicates"),
+        F.element_at(F.col("__ms"), (lo_rank + 1).cast("int")).alias("lo_e6"),
+        F.element_at(F.col("__ms"), (med_rank + 1).cast("int")).alias("median_e6"),
+        F.element_at(F.col("__ms"), (hi_rank + 1).cast("int")).alias("hi_e6"),
+    )

@@ -99,3 +99,78 @@ def test_label_gini_matches_rational_reference(spark):
     assert got["f1"][3] == 0                       # pure -> gini 0
     assert got["f2"][3] == 500_000                 # uniform 2 -> 1/2
     assert got["f4"][3] == 666_666                 # uniform 3 floored
+
+
+def _poisson_w_ref(ident, rep, thresholds):
+    u = ((ident % 2**31) * 2654435761 + rep * 40503) % 2**32
+    return sum(1 for t in thresholds if u >= t)
+
+
+def test_poisson_bootstrap_matches_reference(spark):
+    from fractions import Fraction
+    from math import floor
+
+    from funcify_feature_eng_spark.operators.metrics import (
+        poisson_bootstrap,
+        poisson_cdf_thresholds_u32,
+    )
+
+    rows = [(i, (i * 7) % 13) for i in range(200)] + [(None, 5), (7, None)]
+    df = spark.createDataFrame(rows, "id long, x int")
+    out = {
+        r["replicate"]: (r["n_eff"], r["mean_e6"])
+        for r in poisson_bootstrap(
+            df, value="x", id_col="id", n_replicates=8, hash=False
+        ).collect()
+    }
+    th = poisson_cdf_thresholds_u32()
+    ref = {}
+    for rep in range(8):
+        sw = swx = 0
+        for i, x in rows:
+            if i is None or x is None:
+                continue
+            w = _poisson_w_ref(i, rep, th)
+            sw += w
+            swx += w * x
+        ref[rep] = (sw, floor(Fraction(1_000_000 * swx, sw)) if sw else None)
+    assert out == ref
+    # weights average ~1: total effective n within 25% of the true n
+    assert all(0.75 * 200 < n < 1.25 * 200 for n, _ in out.values())
+
+
+def test_bootstrap_ci_rank_semantics(spark):
+    import pytest
+
+    from funcify_feature_eng_spark.operators.metrics import bootstrap_ci
+
+    means = [(r, m) for r, m in enumerate(
+        [900, 100, 500, 300, 700, 200, 800, 600, 400, 1000, None])]
+    df = spark.createDataFrame(means, "replicate int, mean_e6 long")
+    row = bootstrap_ci(df, alpha_ppm=100_000).collect()[0]
+    # B = 10 non-NULL; sorted = 100..1000; lo = elem[floor(9*.1)] =
+    # elem[0]=100? floor(0.9)=0 -> 100; hi = elem[ceil(9*.9)] =
+    # elem[ceil(8.1)=9] -> 1000; median = elem[4] = 500
+    assert row["n_replicates"] == 10
+    assert (row["lo_e6"], row["median_e6"], row["hi_e6"]) == (100, 500, 1000)
+    with pytest.raises(ValueError):
+        bootstrap_ci(df, alpha_ppm=600_000)
+
+
+def test_bootstrap_end_to_end_rate_ci(spark):
+    from funcify_feature_eng_spark.operators.metrics import (
+        bootstrap_ci,
+        poisson_bootstrap,
+    )
+
+    # 30% true rate; CI must bracket it with B=32. hash=True (xxhash64)
+    # is the statistically sound path — the linear knuth key (hash=False,
+    # the cross-engine ORACLE convention) can correlate with periodic
+    # labels like this one and is exactness-tested above instead.
+    rows = [(i, 1 if i % 10 < 3 else 0) for i in range(1000)]
+    df = spark.createDataFrame(rows, "id long, x int")
+    reps = poisson_bootstrap(
+        df, value="x", id_col="id", n_replicates=32, hash=True)
+    ci = bootstrap_ci(reps).collect()[0]
+    assert ci["lo_e6"] <= 300_000 <= ci["hi_e6"]
+    assert ci["hi_e6"] - ci["lo_e6"] < 150_000  # tight-ish at n=1000
