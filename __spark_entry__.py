@@ -6001,7 +6001,8 @@ WHERE h.rn = 1 AND l.rn = 1 AND h.chosen_score - l.rejected_score > 0
         "event_transitions": """
 WITH p AS (
   SELECT LAG(event_type) OVER (
-           PARTITION BY user_id ORDER BY ts, event_id) AS from_state,
+           PARTITION BY user_id
+           ORDER BY ts NULLS FIRST, event_id NULLS FIRST) AS from_state,
          event_type AS to_state
   FROM events
 ),
@@ -6526,7 +6527,7 @@ FROM s
 WITH p AS (
   SELECT event_type AS f,
          CASE WHEN event_id % 3 = 0 THEN 1 ELSE 0 END AS y
-  FROM events WHERE event_type IS NOT NULL
+  FROM events WHERE event_type IS NOT NULL AND event_id IS NOT NULL
 ),
 cell AS (SELECT f, y, COUNT(*) AS c FROM p GROUP BY 1, 2),
 per AS (
@@ -6607,7 +6608,7 @@ FROM per_res r LEFT JOIN per_lab l ON r.q = l.q
          ((event_id % 2147483648) * 2654435761) % 4294967296 % 600000
          + CASE WHEN event_id % 3 = 0 THEN 400000 ELSE 0 END AS s,
          CASE WHEN event_id % 3 = 0 THEN 1 ELSE 0 END AS y
-  FROM events
+  FROM events WHERE event_id IS NOT NULL
 """
     sqls["calibration_bins"] = r"""
 WITH c AS (
@@ -6647,15 +6648,15 @@ FROM b GROUP BY cohort
     sqls["fleiss_agreement"] = r"""
 WITH r AS (
   SELECT user_id % 4 AS cohort, event_id AS item, event_type AS cat
-  FROM events WHERE event_type IS NOT NULL
+  FROM events WHERE event_type IS NOT NULL AND event_id IS NOT NULL
   UNION ALL
   SELECT user_id % 4, event_id,
          CASE WHEN event_id % 7 = 0 THEN 'error' ELSE event_type END
-  FROM events WHERE event_type IS NOT NULL
+  FROM events WHERE event_type IS NOT NULL AND event_id IS NOT NULL
   UNION ALL
   SELECT user_id % 4, event_id,
          CASE WHEN event_id % 11 = 0 THEN 'error' ELSE event_type END
-  FROM events WHERE event_type IS NOT NULL
+  FROM events WHERE event_type IS NOT NULL AND event_id IS NOT NULL
 ),
 nij AS (SELECT cohort, item, cat, COUNT(*) AS c FROM r GROUP BY 1, 2, 3),
 itot AS (
@@ -6663,8 +6664,15 @@ itot AS (
   FROM nij GROUP BY 1, 2
 ),
 ok AS (SELECT * FROM itot WHERE tot = 3),
-base AS (SELECT cohort, COUNT(*) AS n_items, SUM(sq) AS a FROM ok GROUP BY 1),
-drp AS (SELECT cohort, COUNT(*) AS nd FROM itot WHERE tot <> 3 GROUP BY 1),
+base AS (
+  -- all-items spine (conditional eligibility), mirroring the operator:
+  -- a cohort whose items are ALL partial still emits its row
+  SELECT cohort,
+         COUNT(CASE WHEN tot = 3 THEN 1 END) AS n_items,
+         SUM(CASE WHEN tot = 3 THEN sq END) AS a,
+         COUNT(CASE WHEN tot <> 3 THEN 1 END) AS nd
+  FROM itot GROUP BY 1
+),
 cj AS (
   SELECT nij.cohort, nij.cat, SUM(nij.c) AS cj
   FROM nij JOIN ok ON nij.cohort = ok.cohort AND nij.item = ok.item
@@ -6672,11 +6680,10 @@ cj AS (
 ),
 s AS (SELECT cohort, SUM(CAST(cj AS HUGEINT) * cj) AS s FROM cj GROUP BY 1),
 k AS (
-  SELECT b.cohort, b.n_items, COALESCE(d.nd, 0) AS nd,
+  SELECT b.cohort, b.n_items, b.nd,
          CAST(b.n_items AS HUGEINT) * 3 AS t, b.a AS a,
          COALESCE(s.s, 0) AS s
   FROM base b
-  LEFT JOIN drp d ON b.cohort = d.cohort
   LEFT JOIN s ON b.cohort = s.cohort
 )
 SELECT cohort, CAST(n_items AS BIGINT) AS n_items,

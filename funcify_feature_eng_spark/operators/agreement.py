@@ -192,23 +192,25 @@ def fleiss_kappa(
     def _agg(d, exprs):
         return d.groupBy(*gb).agg(*exprs) if gb else d.agg(*exprs)
 
-    base = _agg(ok, [
-        F.count(F.lit(1)).cast("bigint").alias("n_items"),
-        F.sum("__sq").alias("__a"),
-    ])
-    dropped = _agg(item_tot.filter(F.col("__tot") != n_raters), [
-        F.count(F.lit(1)).cast("bigint").alias("n_items_dropped"),
+    # base aggregates over ALL items (conditional on eligibility) so a
+    # group whose items are ALL partially rated still emits its row —
+    # n_items 0, n_items_dropped reported, kappa NULL — instead of
+    # silently vanishing from the output
+    eligible = F.col("__tot") == n_raters
+    base = _agg(item_tot, [
+        F.count(F.when(eligible, 1)).cast("bigint").alias("n_items"),
+        F.sum(F.when(eligible, F.col("__sq"))).alias("__a"),
+        F.count(F.when(~eligible, 1)).cast("bigint")
+        .alias("n_items_dropped"),
     ])
     cat = nij.join(ok.select(*gb, "__it"), on=gb + ["__it"], how="left_semi")
     cj = cat.groupBy(*gb, "__ct").agg(F.sum("__nij").alias("__cj"))
     s = _agg(cj, [F.sum(F.col("__cj") * F.col("__cj")).alias("__s")])
 
-    j = base
-    for extra in (dropped, s):
-        j = (
-            j.join(extra, on=gb, how="left") if gb
-            else j.crossJoin(F.broadcast(extra))
-        )
+    j = (
+        base.join(s, on=gb, how="left") if gb
+        else base.crossJoin(F.broadcast(s))
+    )
     zero = F.lit(0).cast("decimal(38,0)")
     t = (F.col("n_items").cast("decimal(38,0)") * F.lit(int(n_raters)))
     a = F.coalesce(F.col("__a"), zero)

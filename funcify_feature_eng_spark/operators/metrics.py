@@ -275,10 +275,16 @@ def bootstrap_ci(
         " DIV 1000000"
     )
     med_rank = F.expr("(size(__ms) - 1) DIV 2")
+    def _pick(rank):
+        # try_element_at: zero non-NULL means (empty input) must yield a
+        # NULL-endpoint row, not an ANSI INVALID_ARRAY_INDEX crash — the
+        # same degenerate answer the SQL twin's ms[1] gives
+        return F.try_element_at(F.col("__ms"), (rank + 1).cast("int"))
+
     return agg.select(
         *gb,
         b.cast("int").alias("n_replicates"),
-        F.element_at(F.col("__ms"), (lo_rank + 1).cast("int")).alias("lo_e6"),
-        F.element_at(F.col("__ms"), (med_rank + 1).cast("int")).alias("median_e6"),
-        F.element_at(F.col("__ms"), (hi_rank + 1).cast("int")).alias("hi_e6"),
+        _pick(lo_rank).alias("lo_e6"),
+        _pick(med_rank).alias("median_e6"),
+        _pick(hi_rank).alias("hi_e6"),
     )

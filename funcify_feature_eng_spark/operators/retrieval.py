@@ -257,8 +257,10 @@ def ranking_metrics(
 
     Output: ``(query, n_results, n_rel_total, hits_at_k, first_rel_rank,
     mrr_ppm, precision_ppm, recall_ppm, ndcg_ppm)`` — one row per query
-    that appears in ``results`` (queries with labels but no results are
-    the retriever's recall-0 bug, surfaced by joining your query list).
+    with at least one result in ranks 1..k (rows with a rank outside
+    that range are dropped, so a 0/negative rank never indexes the
+    weight grid). Queries with labels but no surviving results are the
+    retriever's recall-0 bug — surface them by joining your query list.
 
     Plan: one equi-join of the rank<=k slice against labels, one window
     over the labels' per-query relevant set (judgment-depth-sized), two
@@ -276,7 +278,9 @@ def ranking_metrics(
         F.col(query_col).alias("__q"), F.col(doc_col).alias("__d"),
         F.col(rel_col).cast("bigint").alias("__rel"),
     )
-    res = results.filter(F.col(rank_col) <= k).select(
+    res = results.filter(
+        (F.col(rank_col) >= 1) & (F.col(rank_col) <= k)
+    ).select(
         F.col(query_col).alias("__q"), F.col(doc_col).alias("__d"),
         F.col(rank_col).cast("int").alias("__rk"),
     )

@@ -255,3 +255,21 @@ def test_fleiss_kappa_edges(spark):
     assert rows["g2"]["kappa_ppm"] == -1_000_000
     with pytest.raises(ValueError):
         fleiss_kappa(g, item="item", category="cat", n_raters=1)
+
+
+def test_fleiss_kappa_all_dropped_group_still_reported(spark):
+    from funcify_feature_eng_spark.operators.agreement import fleiss_kappa
+
+    rows = (
+        [("g1", f"i{k}", c) for k in range(3) for c in ("x", "y")]
+        + [("g2", "j1", "x"), ("g2", "j2", "y")]   # every g2 item partial
+    )
+    df = spark.createDataFrame(rows, "grp string, item string, cat string")
+    out = {r["grp"]: r for r in fleiss_kappa(
+        df, item="item", category="cat", n_raters=2, group_by=["grp"]
+    ).collect()}
+    # g2 must not vanish: zero eligible items, both reported dropped
+    assert out["g2"]["n_items"] == 0
+    assert out["g2"]["n_items_dropped"] == 2
+    assert out["g2"]["kappa_ppm"] is None
+    assert out["g1"]["n_items"] == 3

@@ -174,3 +174,14 @@ def test_bootstrap_end_to_end_rate_ci(spark):
     ci = bootstrap_ci(reps).collect()[0]
     assert ci["lo_e6"] <= 300_000 <= ci["hi_e6"]
     assert ci["hi_e6"] - ci["lo_e6"] < 150_000  # tight-ish at n=1000
+
+
+def test_bootstrap_ci_empty_means_yields_null_endpoints(spark):
+    from funcify_feature_eng_spark.operators.metrics import bootstrap_ci
+
+    df = spark.createDataFrame([(0, None)], "replicate int, mean_e6 long")
+    row = bootstrap_ci(df).collect()[0]
+    # zero non-NULL means: degenerate row with NULL endpoints (matching
+    # the SQL twin's ms[1] on an empty list), never an ANSI index crash
+    assert row["n_replicates"] == 0
+    assert row["lo_e6"] is None and row["hi_e6"] is None

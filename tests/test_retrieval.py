@@ -82,3 +82,20 @@ def test_ranking_metrics_edges(spark):
     assert row["mrr_ppm"] == 0 and row["precision_ppm"] == 0
     with pytest.raises(ValueError):
         ranking_metrics(rdf, ldf, k=0)
+
+
+def test_ranking_metrics_rejects_nonpositive_ranks(spark):
+    from funcify_feature_eng_spark.operators.retrieval import ranking_metrics
+
+    rdf = spark.createDataFrame(
+        [("q", "d0", 0), ("q", "dneg", -1), ("q", "d1", 1)],
+        "query_id string, doc_id string, rank int")
+    ldf = spark.createDataFrame(
+        [("q", "d1", 1), ("q", "dneg", 1)],
+        "query_id string, doc_id string, rel int")
+    row = ranking_metrics(rdf, ldf, k=5).collect()[0]
+    # rank 0 / negative rows are dropped BEFORE any weight-grid indexing:
+    # no INVALID_INDEX_OF_ZERO crash, no last-weight aliasing, and the
+    # relevant-but-invalid-rank doc never contributes to MRR
+    assert row["n_results"] == 1 and row["first_rel_rank"] == 1
+    assert row["mrr_ppm"] == 1_000_000 and row["ndcg_ppm"] is not None
