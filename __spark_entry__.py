@@ -3348,6 +3348,52 @@ def q_label_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous calibration monitoring (streaming/runner.py::
+    calibration_monitor_stream): the 2-micro-batch events stream scores
+    itself with the deterministic knuth fixture per batch, appends each
+    mergeable per-bin state (three integer sums) to the parquet ledger,
+    and the merged ledger projects to reliability bins. The oracle is
+    the whole-table calibration_bins SQL — the hashed property is
+    stream ≡ batch. Executor state never grows; the ledger IS the
+    state."""
+    import shutil
+
+    from funcify_feature_eng_spark.operators.calibration import (
+        merge_calibration_states, reliability_from_state,
+    )
+    from funcify_feature_eng_spark.operators.sampling import knuth_key
+    from funcify_feature_eng_spark.streaming.runner import (
+        calibration_monitor_stream,
+    )
+
+    tmp, stream = _stream_source(spark, sf_dir)
+    y = (F.col("event_id") % 3 == 0).cast("int")
+    scored = stream.filter(F.col("event_id").isNotNull()).select(
+        (F.pmod(knuth_key("event_id"), F.lit(600_000))
+         + y.cast("long") * F.lit(400_000)).cast("long").alias("score_e6"),
+        y.alias("y"),
+    )
+    _STREAM_GATE_SEQ[0] += 1
+    base = f"{tmp}_calib_{_STREAM_GATE_SEQ[0]}"
+    ledger, ckpt = base + "_ledger", base + "_ckpt"
+    shutil.rmtree(ledger, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    shuffle_conf = "spark.sql.shuffle.partitions"
+    session_parts = spark.conf.get(shuffle_conf)
+    spark.conf.set(shuffle_conf, "4")
+    try:
+        q = calibration_monitor_stream(
+            scored, ledger, score_e6="score_e6", label="y",
+            checkpoint_dir=ckpt,
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set(shuffle_conf, session_parts)
+    states = spark.read.parquet(ledger).drop("batch_id")
+    return reliability_from_state(merge_calibration_states(states))
+
+
 def _bootstrap_reps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-replicate Poisson-bootstrap means of the purchase rate (the
     shared frame behind both bootstrap gates): metric x = purchase
@@ -4020,6 +4066,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_anomalies": q_quality_anomalies,
         "constraint_suggestions": q_constraint_suggestions,
         "stream_quality": q_stream_quality,
+        "stream_calibration": q_stream_calibration,
         "label_confusion": q_label_confusion,
         "fleiss_agreement": q_fleiss_agreement,
         "calibration_bins": q_calibration_bins,
@@ -6643,6 +6690,9 @@ SELECT cohort, CAST(SUM(n) AS BIGINT) AS n,
             AS BIGINT) AS mce_ppm
 FROM b GROUP BY cohort
 """
+    # streaming calibration ≡ batch: merged per-batch ledger states equal
+    # the whole-table bins (same SQL as the batch gate)
+    sqls["stream_calibration"] = sqls["calibration_bins"]
     # Fleiss' kappa per cohort: three deterministic raters unpivoted to a
     # tall rating frame, then the exact HUGEINT identity with floor fixup
     sqls["fleiss_agreement"] = r"""

@@ -190,6 +190,7 @@ def run_default() -> None:
         "stream_kmv": "kmv_distinct",
         "stream_role_audit": "role_sequence_audit",
         "stream_quality": "quality_checks",
+        "stream_calibration": "calibration_bins",
     }
     streaming_gates = {
         s: {

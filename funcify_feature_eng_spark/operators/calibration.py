@@ -40,7 +40,13 @@ from pyspark.sql import functions as F
 
 from funcify_feature_eng_spark.operators.util import exact_floor_div
 
-__all__ = ["reliability_bins", "calibration_summary"]
+__all__ = [
+    "reliability_bins",
+    "calibration_summary",
+    "calibration_state",
+    "merge_calibration_states",
+    "reliability_from_state",
+]
 
 _PPM = 1_000_000
 
@@ -82,6 +88,60 @@ def _binned(
     )
 
 
+def calibration_state(
+    df: DataFrame,
+    *,
+    score_e6: str,
+    label: str,
+    n_bins: int = 10,
+    group_by: Sequence[str] = (),
+) -> DataFrame:
+    """The MERGEABLE per-bin calibration state: ``group_by + (bin, n,
+    n_pos, score_sum)`` — three integer sums per bin, so states from
+    disjoint slices (micro-batches, partitions, days) merge by addition
+    into exactly the whole-data state (the same incremental posture as
+    ``operators.checks.check_state``). ``score_sum`` is the exact
+    decimal sum of the fixed-point scores. Feed slices here, union the
+    outputs, then :func:`merge_calibration_states` →
+    :func:`reliability_from_state`."""
+    agg = _binned(df, score_e6, label, n_bins, list(group_by))
+    return agg.withColumnRenamed("__ssum", "score_sum")
+
+
+def merge_calibration_states(
+    states: DataFrame, group_by: Sequence[str] = ()
+) -> DataFrame:
+    """Commutative/associative merge of :func:`calibration_state`
+    frames: one groupBy-sum per (group, bin). Merging per-batch states
+    equals the single-pass state over the concatenated data exactly —
+    every field is an integer sum."""
+    gb = list(group_by)
+    return states.groupBy(*gb, "bin").agg(
+        F.sum("n").cast("bigint").alias("n"),
+        F.sum("n_pos").cast("bigint").alias("n_pos"),
+        F.sum("score_sum").cast("decimal(38,0)").alias("score_sum"),
+    )
+
+
+def reliability_from_state(
+    state: DataFrame, group_by: Sequence[str] = ()
+) -> DataFrame:
+    """Project a (merged) :func:`calibration_state` frame onto the
+    reliability-diagram columns (see :func:`reliability_bins`)."""
+    gb = list(group_by)
+    pos6 = F.col("n_pos").cast("decimal(38,0)") * F.lit(_PPM)
+    nn = F.col("n").cast("decimal(38,0)")
+    gap = pos6 - F.col("score_sum")
+    return state.select(
+        *gb, "bin", "n", "n_pos",
+        exact_floor_div(pos6, nn).alias("acc_ppm"),
+        exact_floor_div(F.col("score_sum"), nn).alias("conf_ppm"),
+        exact_floor_div(
+            F.when(gap < 0, -gap).otherwise(gap), nn
+        ).alias("gap_ppm"),
+    )
+
+
 def reliability_bins(
     df: DataFrame,
     *,
@@ -100,19 +160,15 @@ def reliability_bins(
     ``gap_ppm = floor(|1e6·n_pos − ssum| / n)`` — the bin's exact
     |accuracy − confidence| on the ppm grid (NOT |acc_ppm − conf_ppm|,
     which would double-floor). Empty bins are absent (their mass is 0).
+    Composition of :func:`calibration_state` (the mergeable form) and
+    :func:`reliability_from_state`.
     """
     gb = list(group_by)
-    agg = _binned(df, score_e6, label, n_bins, gb)
-    pos6 = F.col("n_pos").cast("decimal(38,0)") * F.lit(_PPM)
-    nn = F.col("n").cast("decimal(38,0)")
-    gap = pos6 - F.col("__ssum")
-    return agg.select(
-        *gb, "bin", "n", "n_pos",
-        exact_floor_div(pos6, nn).alias("acc_ppm"),
-        exact_floor_div(F.col("__ssum"), nn).alias("conf_ppm"),
-        exact_floor_div(
-            F.when(gap < 0, -gap).otherwise(gap), nn
-        ).alias("gap_ppm"),
+    return reliability_from_state(
+        calibration_state(
+            df, score_e6=score_e6, label=label, n_bins=n_bins, group_by=gb
+        ),
+        group_by=gb,
     )
 
 

@@ -701,3 +701,53 @@ def quality_monitor_stream(
     else:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def calibration_monitor_stream(
+    stream_df: DataFrame,
+    ledger_dir: str,
+    *,
+    score_e6: str,
+    label: str,
+    n_bins: int = 10,
+    checkpoint_dir: str | None = None,
+    trigger_seconds: int | None = None,
+) -> StreamingQuery:
+    """Continuous calibration monitoring for a scored stream — the
+    calibration twin of :func:`quality_monitor_stream` and the online
+    eye on a gating model ("is the 0.9 bucket still right 90% of the
+    time this hour?").
+
+    Each micro-batch aggregates to its ``operators.calibration.
+    calibration_state`` (≤ n_bins rows of pure integer sums) and
+    APPENDS it, stamped with ``batch_id``, to the parquet ledger. The
+    ledger IS the state — executor state never grows. Downstream, both
+    views come from the ledger without touching the stream:
+
+    - whole-corpus-so-far: ``reliability_from_state(
+      merge_calibration_states(read(ledger)))``;
+    - per-batch drift: per-``batch_id`` ECE series → feed
+      ``operators.checks.detect_metric_anomalies``.
+    """
+    from funcify_feature_eng_spark.operators.calibration import (
+        calibration_state,
+    )
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            calibration_state(
+                batch_df, score_e6=score_e6, label=label, n_bins=n_bins
+            )
+            .coalesce(1)  # <= n_bins rows: one writer task is correct here
+            .withColumn("batch_id", F.lit(int(batch_id)).cast("bigint"))
+            .write.mode("append").parquet(ledger_dir)
+        )
+
+    writer = stream_df.writeStream.foreachBatch(process).outputMode("update")
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    if trigger_seconds:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    else:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

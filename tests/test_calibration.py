@@ -83,3 +83,70 @@ def test_calibration_grouped_and_perfect(spark):
     assert out["b"]["ece_ppm"] == 800_000 == out["b"]["mce_ppm"]
     with pytest.raises(ValueError):
         reliability_bins(df, score_e6="s", label="y", n_bins=0)
+
+
+def test_calibration_states_merge_equals_whole(spark):
+    from funcify_feature_eng_spark.operators.calibration import (
+        calibration_state,
+        merge_calibration_states,
+        reliability_from_state,
+    )
+
+    rows = [(i, (i * 131) % 1_000_001, 1 if i % 4 == 0 else 0)
+            for i in range(400)]
+    df = spark.createDataFrame(rows, "id long, s long, y int")
+    whole = {
+        r["bin"]: r.asDict()
+        for r in reliability_bins(df, score_e6="s", label="y").collect()
+    }
+    parts = [df.filter(f"id % 3 = {k}") for k in range(3)]
+    states = None
+    for p in parts:
+        st = calibration_state(p, score_e6="s", label="y")
+        states = st if states is None else states.unionByName(st)
+    merged = reliability_from_state(merge_calibration_states(states))
+    got = {r["bin"]: r.asDict() for r in merged.collect()}
+    assert got == whole
+
+
+def test_calibration_monitor_stream_matches_batch(spark, tmp_path):
+    import os
+
+    from funcify_feature_eng_spark.operators.calibration import (
+        merge_calibration_states,
+        reliability_from_state,
+    )
+    from funcify_feature_eng_spark.streaming.runner import (
+        calibration_monitor_stream,
+    )
+
+    rows = [(i, (i * 37) % 1_000_001, 1 if i % 5 == 0 else 0)
+            for i in range(300)]
+    df = spark.createDataFrame(rows, "id long, s long, y int")
+    src = str(tmp_path / "src")
+    # two explicit micro-batch files
+    df.filter("id < 150").coalesce(1).write.parquet(os.path.join(src, "b0"))
+    df.filter("id >= 150").coalesce(1).write.parquet(os.path.join(src, "b1"))
+    stream = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src + "/*")
+    )
+    ledger = str(tmp_path / "ledger")
+    q = calibration_monitor_stream(
+        stream, ledger, score_e6="s", label="y",
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination()
+    states = spark.read.parquet(ledger)
+    # ledger carries >= 2 batch stamps and merges to the batch answer
+    assert states.select("batch_id").distinct().count() >= 2
+    merged = reliability_from_state(
+        merge_calibration_states(states.drop("batch_id"))
+    )
+    got = {r["bin"]: r.asDict() for r in merged.collect()}
+    whole = {
+        r["bin"]: r.asDict()
+        for r in reliability_bins(df, score_e6="s", label="y").collect()
+    }
+    assert got == whole
