@@ -3348,6 +3348,17 @@ def q_label_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ranking_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Macro-averaged retrieval verdict (operators/retrieval.py::
+    ranking_summary) over the ranking_eval per-query frame: exact
+    floor-ppm means per metric, NULL-metric queries excluded from their
+    own mean only — the headline "mean NDCG@10" as one reproducible
+    integer."""
+    from funcify_feature_eng_spark.operators.retrieval import ranking_summary
+
+    return ranking_summary(q_ranking_eval(spark, sf_dir))
+
+
 def q_stream_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Continuous calibration monitoring (streaming/runner.py::
     calibration_monitor_stream): the 2-micro-batch events stream scores
@@ -4037,6 +4048,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_rrf": q_hybrid_rrf,
         "knn_label_eval": q_knn_label_eval,
         "ranking_eval": q_ranking_eval,
+        "ranking_summary": q_ranking_summary,
         "doc_salient_terms": q_doc_salient_terms,
         "stream_model_features": q_stream_model_features,
         "store_compaction": q_store_compaction,
@@ -6646,6 +6658,21 @@ SELECT r.q AS query_id, CAST(n_results AS BIGINT) AS n_results,
        CASE WHEN idcg > 0
             THEN CAST(dcg * 1000000 // idcg AS BIGINT) END AS ndcg_ppm
 FROM per_res r LEFT JOIN per_lab l ON r.q = l.q
+"""
+    sqls["ranking_summary"] = r"""
+WITH per AS (
+""" + sqls["ranking_eval"] + r"""
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+       CAST(SUM(mrr_ppm) // COUNT(mrr_ppm) AS BIGINT) AS mean_mrr_ppm,
+       CAST(SUM(precision_ppm) // COUNT(precision_ppm) AS BIGINT)
+         AS mean_precision_ppm,
+       CASE WHEN COUNT(recall_ppm) > 0 THEN CAST(
+         SUM(recall_ppm) // COUNT(recall_ppm) AS BIGINT) END
+         AS mean_recall_ppm,
+       CASE WHEN COUNT(ndcg_ppm) > 0 THEN CAST(
+         SUM(ndcg_ppm) // COUNT(ndcg_ppm) AS BIGINT) END AS mean_ndcg_ppm
+FROM per
 """
     # calibration fixture: label on every 3rd event_id; score = knuth key
     # mod 6e5, +4e5 for positives. All arithmetic positive, so DuckDB's

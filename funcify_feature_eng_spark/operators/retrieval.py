@@ -36,6 +36,8 @@ the plan shape is identical.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -341,3 +343,37 @@ def ranking_metrics(
             idcg > 0, exact_floor_div(F.col("__dcg") * ppm, idcg)
         ).alias("ndcg_ppm"),
     )
+
+
+def ranking_summary(
+    per_query: DataFrame,
+    *,
+    group_by: Sequence[str] = (),
+) -> DataFrame:
+    """Macro-averaged corpus verdict over :func:`ranking_metrics` output:
+    ``group_by + (n_queries, mean_mrr_ppm, mean_precision_ppm,
+    mean_recall_ppm, mean_ndcg_ppm)`` — each mean is the exact
+    ``floor(Σ ppm / n)`` over the queries where that metric is defined
+    (recall/ndcg skip their NULL rows, the no-relevant-docs queries;
+    NULL when no query defines them). Integer sums of integer ppms, so
+    the headline "mean NDCG@10" is reproducible bit-for-bit."""
+    gb = list(group_by)
+    from funcify_feature_eng_spark.operators.util import exact_floor_div
+
+    def _mean(col):
+        return F.when(
+            F.count(F.col(col)) > 0,
+            exact_floor_div(
+                F.sum(F.col(col)).cast("decimal(38,0)"),
+                F.count(F.col(col)).cast("decimal(38,0)"),
+            ),
+        ).alias(f"mean_{col}")
+
+    exprs = [
+        F.count(F.lit(1)).cast("bigint").alias("n_queries"),
+        _mean("mrr_ppm"),
+        _mean("precision_ppm"),
+        _mean("recall_ppm"),
+        _mean("ndcg_ppm"),
+    ]
+    return per_query.groupBy(*gb).agg(*exprs) if gb else per_query.agg(*exprs)

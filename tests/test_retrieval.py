@@ -99,3 +99,25 @@ def test_ranking_metrics_rejects_nonpositive_ranks(spark):
     # relevant-but-invalid-rank doc never contributes to MRR
     assert row["n_results"] == 1 and row["first_rel_rank"] == 1
     assert row["mrr_ppm"] == 1_000_000 and row["ndcg_ppm"] is not None
+
+
+def test_ranking_summary_macro_average(spark):
+    from funcify_feature_eng_spark.operators.retrieval import ranking_summary
+
+    rows = [
+        ("q1", 1_000_000, 600_000, 500_000, 800_000),
+        ("q2", 500_000, 200_000, None, None),      # no relevant docs
+        ("q3", 0, 0, 0, 0),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "query_id string, mrr_ppm long, precision_ppm long, "
+        "recall_ppm long, ndcg_ppm long",
+    )
+    row = ranking_summary(df).collect()[0]
+    assert row["n_queries"] == 3
+    assert row["mean_mrr_ppm"] == 500_000
+    assert row["mean_precision_ppm"] == (600_000 + 200_000 + 0) // 3
+    # NULL metrics averaged over DEFINED queries only
+    assert row["mean_recall_ppm"] == 250_000
+    assert row["mean_ndcg_ppm"] == 400_000
