@@ -3910,6 +3910,140 @@ def q_boilerplate_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bf_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.floor(F.col("value") * F.lit(1000000.0)).cast("long").alias("v_e6"),
+    )
+
+
+def _bf_compute(df: DataFrame, keys) -> DataFrame:
+    from funcify_feature_eng_spark.operators.windows import rolling_time_agg
+
+    return rolling_time_agg(
+        df, keys=keys, ts_col="ts", value_col="v_e6", window_s=3600, out_prefix="h1"
+    )
+
+
+def q_bounded_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-range backfill as ONE distributed job (operators/
+    backfill.py::bounded_backfill, the north rule's named backfill
+    capability): trailing-1h features recomputed independently per
+    30-minute bucket with a 1h lookback margin (3 replicas/row via
+    explode(sequence), bucket id appended to the window keys), own rows
+    kept. The oracle computes the ONE-SHOT whole-range window — a value
+    hash match proves bounded-lookback partitioned recomputation is
+    exact, including frames crossing bucket boundaries."""
+    from funcify_feature_eng_spark.operators.backfill import bounded_backfill
+
+    ev = _bf_events(spark, sf_dir)
+    out = bounded_backfill(
+        ev, _bf_compute, ts_col="ts", keys=["user_id"], bucket_s=1800, lookback_s=3600
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("h1_cnt").alias("n_prev_1h"),
+        F.col("h1_sum").alias("sum_prev_1h_e6"),
+    )
+
+
+def q_backfill_run(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The operational backfill orchestrator (operators/backfill.py::
+    backfill_partitions): one idempotent Spark job per time bucket, each
+    reading only its bucket + lookback margin (range predicate pushed to
+    the scan) and dynamic-partition-overwriting its own output. The gate
+    runs it in TWO legs — first half of the range, then the full range
+    with resume=True (the crash-restart path: already-written buckets are
+    skipped, so the second leg computes only the tail) — reads the
+    assembled partitions back and must hash-equal the one-shot window."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from funcify_feature_eng_spark.operators.backfill import (
+        backfill_partitions,
+        read_backfill,
+    )
+
+    ev = _bf_events(spark, sf_dir)
+    es = F.floor(
+        F.unix_micros(F.col("ts").cast("timestamp")) / F.lit(1000000)
+    ).cast("long")
+    lo, hi = ev.agg(F.min(es), F.max(es)).first()
+    lo, hi = int(lo), int(hi)
+    bucket_s = max(1, (hi - lo) // 4 + 1)  # ~5 buckets at any sf
+    tmp = tempfile.mkdtemp(prefix="bf_run_")
+    atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+    out_path = os.path.join(tmp, "out")
+    common = dict(
+        ts_col="ts",
+        keys=["user_id"],
+        bucket_s=bucket_s,
+        lookback_s=3600,
+        out_path=out_path,
+    )
+    mid = lo + (hi + 1 - lo) // 2
+    s1 = backfill_partitions(ev, _bf_compute, start_s=lo, end_s=mid, **common)
+    s2 = backfill_partitions(
+        ev, _bf_compute, start_s=lo, end_s=hi + 1, resume=True, **common
+    )
+    # resume contract: leg 2 must skip every bucket leg 1 wrote
+    if s2["skipped"] != s1["computed"]:
+        raise AssertionError(f"backfill resume mismatch: {s1} then {s2}")
+    return read_backfill(spark, out_path).select(
+        "event_id",
+        "user_id",
+        F.col("h1_cnt").alias("n_prev_1h"),
+        F.col("h1_sum").alias("sum_prev_1h_e6"),
+    )
+
+
+def q_multi_horizon_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-horizon trailing feature block in ONE pass (operators/
+    windows.py::rolling_multi_horizon_agg): count+sum over the trailing
+    1h / 6h / 24h per user — all six window columns share one Exchange
+    and one materialized order key (plan-asserted in tests/
+    test_windows.py), so the cost at 100 TB is one shuffle regardless of
+    horizon count. Strictly-prior frames; the oracle layers three RANGE
+    frames over the same window clause."""
+    from funcify_feature_eng_spark.operators.windows import (
+        rolling_multi_horizon_agg,
+    )
+
+    ev = _bf_events(spark, sf_dir)
+    out = rolling_multi_horizon_agg(
+        ev,
+        keys=["user_id"],
+        ts_col="ts",
+        value_col="v_e6",
+        horizons={"h1": 3600, "h6": 21600, "d1": 86400},
+    )
+    return out.select(
+        "event_id", "user_id",
+        "h1_cnt", "h1_sum", "h6_cnt", "h6_sum", "d1_cnt", "d1_sum",
+    )
+
+
+def q_purged_folds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe temporal CV protocol (operators/cv.py::purged_folds,
+    López de Prado's purged k-fold with embargo): contiguous equal-width
+    time folds, training rows PURGED in the 24h before each test fold
+    (forward-label overlap) and EMBARGOED in the 12h after it (serial
+    correlation). Pure integer arithmetic over epoch seconds + a
+    broadcast join against the k-row fold table — the oracle recomputes
+    every row's role from the same (lo, width) closed form."""
+    from funcify_feature_eng_spark.operators.cv import purged_folds
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "ts")
+    out = purged_folds(
+        ev, ts_col="ts", k=4, purge_before_s=86400, embargo_after_s=43200
+    )
+    return out.select("event_id", "test_fold", "role")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: windowed turn features + strictly-prior as-of join at sf0.001."""
     sf_dir = "/root/testdata/sf0.001"
@@ -4088,6 +4222,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bootstrap_rate_ci": q_bootstrap_rate_ci,
         "chi2_label_assoc": q_chi2_label_assoc,
         "fk_integrity": q_fk_integrity,
+        "bounded_backfill": q_bounded_backfill,
+        "backfill_run": q_backfill_run,
+        "multi_horizon_stats": q_multi_horizon_stats,
+        "purged_folds": q_purged_folds,
     }
 
 
@@ -6838,5 +6976,69 @@ SELECT 'events->customer',
        (SELECT COUNT(*) FROM events e WHERE user_id IS NOT NULL
           AND NOT EXISTS (SELECT 1 FROM customer c
                           WHERE c.c_custkey = e.user_id)) = 0
+"""
+    # both backfill gates must reproduce the ONE-SHOT whole-range window —
+    # the oracle is deliberately the un-partitioned computation, so a hash
+    # match proves bucketed recomputation (single-job replication form AND
+    # the resumable per-bucket orchestrator) is exact across bucket edges
+    _backfill_oracle = r"""
+WITH g AS (
+  SELECT event_id, user_id, epoch_us(ts) // 1000000 AS es,
+         CAST(floor(value * 1000000.0) AS BIGINT) AS v_e6
+  FROM events
+)
+SELECT event_id, user_id,
+       CAST(count(v_e6) OVER w AS BIGINT) AS n_prev_1h,
+       CAST(coalesce(sum(v_e6) OVER w, 0) AS BIGINT) AS sum_prev_1h_e6
+FROM g
+WINDOW w AS (PARTITION BY user_id ORDER BY es
+             RANGE BETWEEN 3600 PRECEDING AND 1 PRECEDING)
+"""
+    sqls["bounded_backfill"] = _backfill_oracle
+    sqls["backfill_run"] = _backfill_oracle
+    sqls["multi_horizon_stats"] = r"""
+WITH g AS (
+  SELECT event_id, user_id, epoch_us(ts) // 1000000 AS es,
+         CAST(floor(value * 1000000.0) AS BIGINT) AS v_e6
+  FROM events
+)
+SELECT event_id, user_id,
+       CAST(count(v_e6) OVER w1 AS BIGINT) AS h1_cnt,
+       CAST(coalesce(sum(v_e6) OVER w1, 0) AS BIGINT) AS h1_sum,
+       CAST(count(v_e6) OVER w6 AS BIGINT) AS h6_cnt,
+       CAST(coalesce(sum(v_e6) OVER w6, 0) AS BIGINT) AS h6_sum,
+       CAST(count(v_e6) OVER wd AS BIGINT) AS d1_cnt,
+       CAST(coalesce(sum(v_e6) OVER wd, 0) AS BIGINT) AS d1_sum
+FROM g
+WINDOW
+  w1 AS (PARTITION BY user_id ORDER BY es
+         RANGE BETWEEN 3600 PRECEDING AND 1 PRECEDING),
+  w6 AS (PARTITION BY user_id ORDER BY es
+         RANGE BETWEEN 21600 PRECEDING AND 1 PRECEDING),
+  wd AS (PARTITION BY user_id ORDER BY es
+         RANGE BETWEEN 86400 PRECEDING AND 1 PRECEDING)
+"""
+    # same (lo, width) closed form as operators/cv.py: width =
+    # ceil(span/k) via (hi - lo + k) // k; fold/purge/embargo roles are
+    # pure integer comparisons so the two engines agree bit-for-bit
+    sqls["purged_folds"] = r"""
+WITH g AS (
+  SELECT event_id, epoch_us(ts) // 1000000 AS es
+  FROM events WHERE ts IS NOT NULL
+),
+w AS (SELECT min(es) AS lo, (max(es) - min(es) + 4) // 4 AS width FROM g),
+f AS (SELECT * FROM range(4) t(test_fold))
+SELECT g.event_id,
+       CAST(f.test_fold AS INT) AS test_fold,
+       CASE
+         WHEN (g.es - w.lo) // w.width = f.test_fold THEN 'test'
+         WHEN g.es >= w.lo + f.test_fold * w.width - 86400
+          AND g.es <  w.lo + f.test_fold * w.width THEN 'purged'
+         WHEN g.es >= w.lo + (f.test_fold + 1) * w.width
+          AND g.es <  w.lo + (f.test_fold + 1) * w.width + 43200
+           THEN 'embargoed'
+         ELSE 'train'
+       END AS role
+FROM g, w, f
 """
     return sqls

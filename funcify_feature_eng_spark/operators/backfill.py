@@ -1,0 +1,174 @@
+"""Partition-range backfill: recompute bounded-lookback features over a
+time range in independent, idempotent partition jobs.
+
+The north rule names backfill as a first-class capability: at 10^12 turns
+no feature table is recomputed in one job — history is (re)built
+partition-by-partition (day/hour buckets), and the subtle part is WINDOW
+features that look across partition boundaries (a trailing-1h count at
+00:10 needs rows from the previous day's 23:10+). The reference's analog
+is the tracked-value recomputation path (re-publishing a Planned value
+with a fresh ``calculated_ts`` — ``schema/tracking/TrackableValue.kt:109-193``);
+it never solved the range-partitioned form because the JVM engine
+materialises one request batch at a time.
+
+Two layers, same semantics:
+
+- :func:`bounded_backfill` — ONE distributed job, no driver loop: every
+  row is replicated into each time bucket whose lookback margin it serves
+  (``explode(sequence(own_bucket, floor((t+L)/W)))`` — at most
+  ``1 + ceil(L/W)`` replicas), the caller's compute runs with the bucket
+  id appended to the entity keys (each bucket computes independently —
+  the segmented-window trick generalised), and only each bucket's OWN
+  rows survive. Output is provably row-for-row equal to the one-shot
+  whole-range compute whenever the compute's temporal dependence is
+  bounded by ``lookback_s`` (gate: oracle computes the one-shot form).
+- :func:`backfill_partitions` — the operational orchestrator: a driver
+  loop over bucket ranges where each iteration is an INDEPENDENT Spark
+  job reading only ``[bucket_start - lookback, bucket_end)`` of the
+  source (a pushed-down range predicate → partition pruning on a
+  date-partitioned source) and overwriting exactly its own output
+  partition (dynamic partition overwrite → idempotent; re-running a
+  partition replaces it, crashing between partitions loses nothing).
+  ``resume=True`` skips partitions already written — restart-after-crash
+  continues where it stopped.
+
+At 100 TB the orchestrator is the shape that actually runs (each bucket's
+job is bounded by one partition + margin, schedulable, retryable);
+``bounded_backfill`` is both its single-job equivalent for moderate
+ranges and the correctness witness that bounded-lookback partitioning is
+exact.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# compute contract: (df, keys) -> df with feature columns added; every
+# feature at a row with timestamp t may depend only on rows of the same
+# entity with timestamp in [t - lookback_s, t] — window features built
+# from operators.windows with bounded frames satisfy this by construction.
+ComputeFn = Callable[[DataFrame, Sequence[str]], DataFrame]
+
+_B = "__bf_bucket"
+
+
+def _epoch_s(ts_col: str) -> F.Column:
+    # integer seconds; floor (not cast) so pre-1970 timestamps bucket
+    # consistently toward -inf
+    return F.floor(F.unix_micros(F.col(ts_col).cast("timestamp")) / F.lit(1_000_000)).cast(
+        "long"
+    )
+
+
+def bounded_backfill(
+    df: DataFrame,
+    compute: ComputeFn,
+    *,
+    ts_col: str,
+    keys: Sequence[str],
+    bucket_s: int,
+    lookback_s: int,
+) -> DataFrame:
+    """One-job partitioned recomputation, exact for bounded-lookback computes.
+
+    Each time bucket ``b`` (width ``bucket_s`` seconds) is computed as if it
+    were an independent backfill partition: its input is every row with
+    ``t >= b*W - lookback_s`` (the lookback margin) and ``t < (b+1)*W``; its
+    output is only its OWN rows (``floor(t/W) == b``). Replication factor is
+    ``1 + ceil(lookback_s / bucket_s)`` — the margin cost you pay on a real
+    backfill too (each day's job re-reads the previous lookback window).
+
+    Correctness: a context row ``t'`` needed by a target ``t`` in bucket
+    ``b`` satisfies ``t' >= t - L >= b*W - L``, hence
+    ``floor((t' + L)/W) >= b >= floor(t'/W)`` — it is always replicated
+    into ``b``. Conversely extra replicas are harmless: they are only ever
+    *frame members*, never surviving targets, and a bounded-lookback frame
+    ignores rows outside its range.
+    """
+    if bucket_s < 1:
+        raise ValueError(f"bucket_s must be >= 1, got {bucket_s}")
+    if lookback_s < 0:
+        raise ValueError(f"lookback_s must be >= 0, got {lookback_s}")
+    es = _epoch_s(ts_col)
+    own = F.floor(es / F.lit(int(bucket_s))).cast("long")
+    last = F.floor((es + F.lit(int(lookback_s))) / F.lit(int(bucket_s))).cast("long")
+    replicated = df.withColumn(_B, F.explode(F.sequence(own, last)))
+    out = compute(replicated, [*keys, _B])
+    return out.filter(
+        F.floor(_epoch_s(ts_col) / F.lit(int(bucket_s))).cast("long") == F.col(_B)
+    ).drop(_B)
+
+
+def backfill_partitions(
+    source: DataFrame,
+    compute: ComputeFn,
+    *,
+    ts_col: str,
+    keys: Sequence[str],
+    bucket_s: int,
+    lookback_s: int,
+    out_path: str,
+    start_s: int,
+    end_s: int,
+    resume: bool = True,
+    partition_col: str = "bf_part",
+) -> dict:
+    """Driver-orchestrated backfill over ``[start_s, end_s)`` epoch seconds.
+
+    One Spark job per bucket: reads ``[b*W - L, (b+1)*W)`` of the source
+    (range predicate pushed to the scan — on a date-partitioned 100 TB
+    source this prunes to one partition + margin), computes, keeps the
+    bucket's own rows, writes them under ``partition_col=b`` with dynamic
+    partition overwrite (idempotent per bucket; concurrent-safe across
+    DISTINCT buckets). ``resume=True`` skips buckets whose output
+    partition already exists, so a crashed run restarts where it stopped;
+    pass ``resume=False`` to force-recompute (repair) every bucket in the
+    range. Returns ``{"buckets_total", "computed", "skipped"}``.
+    """
+    if end_s <= start_s:
+        raise ValueError(f"empty backfill range [{start_s}, {end_s})")
+    spark = source.sparkSession
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    b_lo = start_s // bucket_s
+    b_hi = (end_s - 1) // bucket_s
+    computed = skipped = 0
+    try:
+        for b in range(b_lo, b_hi + 1):
+            part_dir = os.path.join(
+                out_path.removeprefix("file:"), f"{partition_col}={b}"
+            )
+            if resume and os.path.isdir(part_dir):
+                skipped += 1
+                continue
+            es = _epoch_s(ts_col)
+            lo = b * bucket_s - lookback_s
+            hi = (b + 1) * bucket_s
+            sl = source.filter((es >= F.lit(lo)) & (es < F.lit(hi)))
+            out = compute(sl, list(keys)).filter(
+                F.floor(_epoch_s(ts_col) / F.lit(int(bucket_s))).cast("long")
+                == F.lit(b)
+            )
+            (
+                out.withColumn(partition_col, F.lit(b))
+                .write.mode("overwrite")
+                .partitionBy(partition_col)
+                .parquet(out_path)
+            )
+            computed += 1
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    return {
+        "buckets_total": b_hi - b_lo + 1,
+        "computed": computed,
+        "skipped": skipped,
+    }
+
+
+def read_backfill(spark: SparkSession, out_path: str) -> DataFrame:
+    """Read an orchestrated backfill's output (all partitions)."""
+    return spark.read.parquet(out_path)

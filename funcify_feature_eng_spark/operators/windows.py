@@ -151,6 +151,50 @@ def rolling_time_agg(
     )
 
 
+def rolling_multi_horizon_agg(
+    df: DataFrame,
+    *,
+    keys: Sequence[str],
+    ts_col: str,
+    value_col: Column | str,
+    horizons: dict[str, int],
+    include_current: bool = False,
+) -> DataFrame:
+    """Trailing aggregates over SEVERAL horizons in ONE pass — the standard
+    multi-horizon feature block ("count/sum over the last 1h, 6h, 24h")
+    without paying one shuffle+sort per horizon.
+
+    Every horizon's frame shares the same partitioning (``keys``) and the
+    same materialized order key (``__es``, computed ONCE — inlining the
+    epoch expression per window would give each window a distinct order
+    expression and defeat the shared sort), so Catalyst plans a single
+    Exchange and a single Sort with ``2·len(horizons)`` window functions
+    layered on top: at 100 TB the cost is one shuffle of the table
+    regardless of how many horizons the feature block declares
+    (plan-asserted in tests/test_windows.py).
+
+    ``horizons`` maps output prefix → window seconds, e.g.
+    ``{"h1": 3600, "d1": 86400}`` → columns ``h1_cnt, h1_sum, d1_cnt,
+    d1_sum``. Frames are strictly prior by default (same leakage contract
+    as :func:`rolling_time_agg`).
+    """
+    if not horizons:
+        raise ValueError("horizons must be a non-empty {prefix: seconds} dict")
+    for p, s in horizons.items():
+        if int(s) < 1:
+            raise ValueError(f"horizon {p!r} must be >= 1 second, got {s}")
+    val = F.col(value_col) if isinstance(value_col, str) else value_col
+    epoch = F.floor(F.unix_micros(F.col(ts_col).cast("timestamp")) / F.lit(1000000)).cast("long")
+    upper = 0 if include_current else -1
+    out = df.withColumn("__v", val).withColumn("__es", epoch)
+    for prefix, window_s in horizons.items():
+        w = time_range_window(keys, "__es", -int(window_s), upper)
+        out = out.withColumn(f"{prefix}_cnt", F.count("__v").over(w).cast("long")).withColumn(
+            f"{prefix}_sum", F.coalesce(F.sum("__v").over(w), F.lit(0)).cast("long")
+        )
+    return out.drop("__v", "__es")
+
+
 def prior_context_col(
     col: str,
     keys: Sequence[str],

@@ -68,3 +68,58 @@ def test_collect_ordered_matches_sorted_groups(spark, transcripts, transcripts_p
     )
     for _, row in got.iterrows():
         assert list(row["collected"]) == exp[row["conv_id"]]
+
+
+def test_multi_horizon_agg_single_shuffle_and_values(spark):
+    """rolling_multi_horizon_agg: N horizons must share ONE Exchange/sort,
+    and each horizon's columns must equal the single-horizon operator's."""
+    from pyspark.sql import functions as F
+
+    from funcify_feature_eng_spark.operators.windows import (
+        rolling_multi_horizon_agg,
+        rolling_time_agg,
+    )
+
+    rows = [("a", t, v) for t, v in [(0, 1), (30, 2), (59, 3), (60, 4), (60, 5), (3700, 6)]]
+    rows += [("b", t, 10 * t + 1) for t in (5, 65, 4000)]
+    df = spark.createDataFrame(rows, "e string, t long, v long").select(
+        "e", F.timestamp_seconds(F.col("t")).alias("ts"), "v", "t"
+    )
+    out = rolling_multi_horizon_agg(
+        df, keys=["e"], ts_col="ts", value_col="v",
+        horizons={"m1": 60, "h1": 3600},
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
+    got = {
+        (r["e"], r["t"]): (r["m1_cnt"], r["m1_sum"], r["h1_cnt"], r["h1_sum"])
+        for r in out.collect()
+    }
+    one_m = rolling_time_agg(
+        df, keys=["e"], ts_col="ts", value_col="v", window_s=60, out_prefix="m1"
+    )
+    one_h = rolling_time_agg(
+        df, keys=["e"], ts_col="ts", value_col="v", window_s=3600, out_prefix="h1"
+    )
+    exp_m = {(r["e"], r["t"]): (r["m1_cnt"], r["m1_sum"]) for r in one_m.collect()}
+    exp_h = {(r["e"], r["t"]): (r["h1_cnt"], r["h1_sum"]) for r in one_h.collect()}
+    for key, (mc, ms, hc, hs) in got.items():
+        assert (mc, ms) == exp_m[key], key
+        assert (hc, hs) == exp_h[key], key
+
+
+def test_multi_horizon_agg_validation(spark):
+    import pytest as _pytest
+
+    from funcify_feature_eng_spark.operators.windows import (
+        rolling_multi_horizon_agg,
+    )
+
+    with _pytest.raises(ValueError, match="non-empty"):
+        rolling_multi_horizon_agg(
+            None, keys=[], ts_col="ts", value_col="v", horizons={}
+        )
+    with _pytest.raises(ValueError, match=">= 1 second"):
+        rolling_multi_horizon_agg(
+            None, keys=[], ts_col="ts", value_col="v", horizons={"x": 0}
+        )
