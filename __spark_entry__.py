@@ -4106,7 +4106,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_clusters": q_dup_clusters,
         "quality_checks": q_quality_checks,
         "ann_cosine_topk": q_ann_cosine_topk,
-        "ann_lsh_topk": q_ann_lsh_topk,
+        # backfill is the north rule's named capability — its family
+        # representative holds a first-50 slot (ann_lsh_topk moved to the
+        # ANN family tail; ann_cosine_topk remains the representative)
+        "bounded_backfill": q_bounded_backfill,
         # new round-5 families inside the hard driver window (each
         # displaced family keeps >=2 window representatives; the third
         # reps ann_ivf_topk / bloom_probe moved to the tail)
@@ -4222,7 +4225,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bootstrap_rate_ci": q_bootstrap_rate_ci,
         "chi2_label_assoc": q_chi2_label_assoc,
         "fk_integrity": q_fk_integrity,
-        "bounded_backfill": q_bounded_backfill,
+        "ann_lsh_topk": q_ann_lsh_topk,
         "backfill_run": q_backfill_run,
         "multi_horizon_stats": q_multi_horizon_stats,
         "purged_folds": q_purged_folds,
