@@ -4001,6 +4001,59 @@ def q_backfill_run(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_store_bitemporal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitemporal feature-store read (store.py::read_through
+    knowledge_time + publish calculated_at): the same (entity, event-time)
+    point read at three KNOWLEDGE instants. v1 (events-so-far at the
+    cutoff) is published with knowledge stamp K1; a corrected v1+1000 for
+    the SAME value_at_ts is published at K2. A reader before K1 sees
+    Planned (NULL), between K1 and K2 sees v1, after K2 sees the
+    correction — "what did the store believe at K", the reproducibility
+    axis (re-running yesterday's job must not see today's corrections;
+    reference dual stamps: TrackableValue.kt:109-193). The oracle
+    recomputes all three knowledge levels from events directly."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from funcify_feature_eng_spark.store import FeatureStore
+
+    store_dir = tempfile.mkdtemp(prefix="sgbitemp_")
+    atexit.register(shutil.rmtree, store_dir, ignore_errors=True)
+    store = FeatureStore(spark, os.path.join(store_dir, "fs"), entity_col="user_id")
+    ev = _t(spark, sf_dir, "events")
+    cut = F.lit(_STORE_CUT).cast("timestamp")
+    base = ev.groupBy("user_id").agg(
+        F.count(F.when(F.col("ts") <= cut, 1)).cast("double").alias("v")
+    )
+    k1, k2 = "2025-01-01 00:00:00", "2025-02-01 00:00:00"
+    store.publish(
+        base.withColumn("ts", cut), "events_so_far", "v", ts_col="ts",
+        calculated_at=k1,
+    )
+    store.publish(
+        base.withColumn("v", F.col("v") + F.lit(1000.0)).withColumn("ts", cut),
+        "events_so_far", "v", ts_col="ts", calculated_at=k2,
+    )
+    spine = base.select("user_id", F.lit(_STORE_T2).cast("timestamp").alias("ts"))
+
+    def at(label: str, know: str) -> DataFrame:
+        r = store.read_through(
+            spine, "events_so_far", "val", ts_col="ts", knowledge_time=know
+        )
+        return r.select(
+            F.lit(label).alias("knowledge"),
+            "user_id",
+            F.get_json_object("val", "$.v").cast("double").alias("value"),
+        )
+
+    return (
+        at("k0", "2024-12-01 00:00:00")
+        .unionByName(at("k1", "2025-01-15 00:00:00"))
+        .unionByName(at("k2", "2025-03-01 00:00:00"))
+    )
+
+
 def q_multi_horizon_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-horizon trailing feature block in ONE pass (operators/
     windows.py::rolling_multi_horizon_agg): count+sum over the trailing
@@ -4229,6 +4282,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "backfill_run": q_backfill_run,
         "multi_horizon_stats": q_multi_horizon_stats,
         "purged_folds": q_purged_folds,
+        "store_bitemporal": q_store_bitemporal,
     }
 
 
@@ -7043,5 +7097,22 @@ SELECT g.event_id,
          ELSE 'train'
        END AS role
 FROM g, w, f
+"""
+    # three knowledge levels of the same (entity, event-time) point:
+    # before K1 nothing is calculated (NULL), between K1 and K2 the
+    # original value, after K2 the correction (+1000) — recomputed from
+    # events alone, independent of the store the Spark side builds
+    sqls["store_bitemporal"] = f"""
+WITH base AS (
+  SELECT user_id,
+         CAST(count(*) FILTER (WHERE ts <= TIMESTAMP '{_STORE_CUT}')
+              AS DOUBLE) AS v
+  FROM events GROUP BY user_id
+)
+SELECT 'k0' AS knowledge, user_id, CAST(NULL AS DOUBLE) AS value FROM base
+UNION ALL
+SELECT 'k1', user_id, v FROM base
+UNION ALL
+SELECT 'k2', user_id, v + 1000.0 FROM base
 """
     return sqls

@@ -113,6 +113,7 @@ class FeatureStore:
         params: dict[str, Any] | None = None,
         params_hash: str | None = None,
         allow_exact_matches: bool = True,
+        knowledge_time: Any | None = None,
     ) -> DataFrame:
         """Planned → Tracked where a stored value exists at-or-before the
         request time (S7/J2). Adds ``out_col`` (NULL = still Planned) and
@@ -120,7 +121,19 @@ class FeatureStore:
 
         Identity is (feature_id, contextual params): ``params`` is hashed via
         :func:`contextual_params_hash`; a pre-computed ``params_hash`` wins
-        if supplied."""
+        if supplied.
+
+        ``knowledge_time`` makes the read BITEMPORAL: only values the store
+        had CALCULATED by that instant are visible (``calculated_ts <=
+        knowledge_time``), on top of the usual event-time as-of on
+        ``value_at_ts``. This answers "what did the store believe at time
+        K" — the reproducibility axis (re-running yesterday's training job
+        must not see today's corrections; the reference's dual stamps are
+        exactly ``TrackableValue.valueAtTimestamp`` vs the transition to
+        *Tracked*, ``schema/tracking/TrackableValue.kt:109-193``). Default
+        ``None`` = current knowledge (no filter); corrections published
+        later (higher ``calculated_ts``, same ``value_at_ts``) win under
+        the existing ``right_order`` exactly when they are visible."""
         ph = params_hash or contextual_params_hash(params)
         # storage schema keeps the canonical entity column name (conv_id);
         # rename to the caller's entity_col so the as-of keys line up
@@ -129,6 +142,10 @@ class FeatureStore:
             .filter(F.col("params_hash") == ph)
             .withColumnRenamed("conv_id", self.entity_col)
         )
+        if knowledge_time is not None:
+            store = store.filter(
+                F.col("calculated_ts") <= F.lit(knowledge_time).cast("timestamp")
+            )
         return asof_join(
             spine,
             store,
@@ -148,13 +165,22 @@ class FeatureStore:
         ts_col: str = "ts",
         params: dict[str, Any] | None = None,
         params_hash: str | None = None,
+        calculated_at: Any | None = None,
     ) -> None:
         """Calculated → Tracked: append newly computed values (S8).
 
         ``value_at_ts`` = the event time the value is valid from; the value
         is serialized to a JSON string (MapType-free Arrow-safe blob).
-        Identity: (feature_id, contextual_params_hash(params))."""
-        now = F.current_timestamp()
+        Identity: (feature_id, contextual_params_hash(params)).
+        ``calculated_at`` overrides the knowledge stamp (default: now) —
+        backfills replaying history publish with the ORIGINAL run's stamp
+        so bitemporal reads (``read_through(knowledge_time=...)``) stay
+        faithful, and tests get deterministic stamps."""
+        now = (
+            F.lit(calculated_at).cast("timestamp")
+            if calculated_at is not None
+            else F.current_timestamp()
+        )
         rows = calculated.select(
             F.lit(feature_id).alias("feature_id"),
             F.col(self.entity_col).alias("conv_id"),

@@ -258,3 +258,42 @@ def test_store_compact_removes_shadowed_duplicates(spark, tmp_store):
     # the survivors are the LATEST records (second publish's calculated_ts)
     cts = {r["calculated_ts"] for r in tmp_store.read().collect()}
     assert len(cts) == 1
+
+
+def test_bitemporal_knowledge_read(spark, tmp_store):
+    """read_through(knowledge_time=K) must see exactly what the store had
+    CALCULATED by K: nothing before the first publish, the original value
+    between the two stamps, the correction after — and the default read
+    (no knowledge filter) always sees the latest correction."""
+    vals = spark.createDataFrame(
+        [("c1", 10.0), ("c2", 20.0)], "conv_id string, v double"
+    ).withColumn("ts", F.lit("2024-01-01 00:00:00").cast("timestamp"))
+    tmp_store.publish(vals, "f", "v", ts_col="ts",
+                      calculated_at="2025-01-01 00:00:00")
+    corrected = vals.withColumn("v", F.col("v") + 1.0)
+    tmp_store.publish(corrected, "f", "v", ts_col="ts",
+                      calculated_at="2025-02-01 00:00:00")
+    spine = vals.select(
+        "conv_id", F.lit("2024-06-01 00:00:00").cast("timestamp").alias("ts")
+    )
+
+    def read(know):
+        out = tmp_store.read_through(spine, "f", "val", ts_col="ts",
+                                     knowledge_time=know)
+        return {
+            r["conv_id"]: r["val"] and float(
+                __import__("json").loads(r["val"])["v"]
+            )
+            for r in out.collect()
+        }
+
+    assert read("2024-12-01 00:00:00") == {"c1": None, "c2": None}
+    assert read("2025-01-15 00:00:00") == {"c1": 10.0, "c2": 20.0}
+    assert read("2025-03-01 00:00:00") == {"c1": 11.0, "c2": 21.0}
+    # default read = current knowledge: the correction wins
+    latest = tmp_store.read_through(spine, "f", "val", ts_col="ts")
+    got = {
+        r["conv_id"]: float(__import__("json").loads(r["val"])["v"])
+        for r in latest.collect()
+    }
+    assert got == {"c1": 11.0, "c2": 21.0}
