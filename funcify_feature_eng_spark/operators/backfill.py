@@ -20,8 +20,9 @@ Two layers, same semantics:
   id appended to the entity keys (each bucket computes independently —
   the segmented-window trick generalised), and only each bucket's OWN
   rows survive. Output is provably row-for-row equal to the one-shot
-  whole-range compute whenever the compute's temporal dependence is
-  bounded by ``lookback_s`` (gate: oracle computes the one-shot form).
+  whole-range compute over rows with non-NULL timestamps whenever the
+  compute's temporal dependence is bounded by ``lookback_s`` (gate:
+  oracle computes the one-shot form).
 - :func:`backfill_partitions` — the operational orchestrator: a driver
   loop over bucket ranges where each iteration is an INDEPENDENT Spark
   job reading only ``[bucket_start - lookback, bucket_end)`` of the
@@ -47,6 +48,8 @@ from collections.abc import Callable, Sequence
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from funcify_feature_eng_spark.operators.windows import epoch_seconds
+
 # compute contract: (df, keys) -> df with feature columns added; every
 # feature at a row with timestamp t may depend only on rows of the same
 # entity with timestamp in [t - lookback_s, t] — window features built
@@ -54,14 +57,6 @@ from pyspark.sql import functions as F
 ComputeFn = Callable[[DataFrame, Sequence[str]], DataFrame]
 
 _B = "__bf_bucket"
-
-
-def _epoch_s(ts_col: str) -> F.Column:
-    # integer seconds; floor (not cast) so pre-1970 timestamps bucket
-    # consistently toward -inf
-    return F.floor(F.unix_micros(F.col(ts_col).cast("timestamp")) / F.lit(1_000_000)).cast(
-        "long"
-    )
 
 
 def bounded_backfill(
@@ -88,18 +83,24 @@ def bounded_backfill(
     into ``b``. Conversely extra replicas are harmless: they are only ever
     *frame members*, never surviving targets, and a bounded-lookback frame
     ignores rows outside its range.
+
+    Contract fine print: ``compute`` must PRESERVE ``ts_col`` (the target
+    filter re-derives each row's own bucket from it), and rows with a
+    NULL timestamp are dropped (``explode`` of a NULL replica sequence) —
+    they have no position in time, matching :mod:`.cv` and the
+    orchestrator's range predicate.
     """
     if bucket_s < 1:
         raise ValueError(f"bucket_s must be >= 1, got {bucket_s}")
     if lookback_s < 0:
         raise ValueError(f"lookback_s must be >= 0, got {lookback_s}")
-    es = _epoch_s(ts_col)
+    es = epoch_seconds(ts_col)
     own = F.floor(es / F.lit(int(bucket_s))).cast("long")
     last = F.floor((es + F.lit(int(lookback_s))) / F.lit(int(bucket_s))).cast("long")
     replicated = df.withColumn(_B, F.explode(F.sequence(own, last)))
     out = compute(replicated, [*keys, _B])
     return out.filter(
-        F.floor(_epoch_s(ts_col) / F.lit(int(bucket_s))).cast("long") == F.col(_B)
+        F.floor(epoch_seconds(ts_col) / F.lit(int(bucket_s))).cast("long") == F.col(_B)
     ).drop(_B)
 
 
@@ -128,9 +129,29 @@ def backfill_partitions(
     partition already exists, so a crashed run restarts where it stopped;
     pass ``resume=False`` to force-recompute (repair) every bucket in the
     range. Returns ``{"buckets_total", "computed", "skipped"}``.
+
+    The resume check inspects the driver-local filesystem (a committed
+    partition directory exists iff Spark's staged commit moved it there —
+    half-written output lives under ``_temporary`` and never looks
+    committed), so ``resume=True`` supports LOCAL ``out_path`` only —
+    same contract as ``FeatureStore.compact``'s parquet fallback. Remote
+    paths (``hdfs://``, ``s3a://``) must pass ``resume=False`` (each
+    bucket's dynamic-partition overwrite is idempotent, so a re-run is
+    always safe, just not incremental) or orchestrate resume externally.
     """
     if end_s <= start_s:
         raise ValueError(f"empty backfill range [{start_s}, {end_s})")
+    if bucket_s < 1:
+        raise ValueError(f"bucket_s must be >= 1, got {bucket_s}")
+    if lookback_s < 0:
+        raise ValueError(f"lookback_s must be >= 0, got {lookback_s}")
+    loc = out_path.removeprefix("file:")
+    if resume and ":" in loc.split("/", 1)[0]:
+        raise NotImplementedError(
+            f"resume=True needs a local out_path (got {out_path!r}): the "
+            "skip check is a driver-local directory probe — pass "
+            "resume=False (idempotent re-run) for remote storage"
+        )
     spark = source.sparkSession
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
@@ -145,12 +166,12 @@ def backfill_partitions(
             if resume and os.path.isdir(part_dir):
                 skipped += 1
                 continue
-            es = _epoch_s(ts_col)
+            es = epoch_seconds(ts_col)
             lo = b * bucket_s - lookback_s
             hi = (b + 1) * bucket_s
             sl = source.filter((es >= F.lit(lo)) & (es < F.lit(hi)))
             out = compute(sl, list(keys)).filter(
-                F.floor(_epoch_s(ts_col) / F.lit(int(bucket_s))).cast("long")
+                F.floor(epoch_seconds(ts_col) / F.lit(int(bucket_s))).cast("long")
                 == F.lit(b)
             )
             (

@@ -27,23 +27,19 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from funcify_feature_eng_spark.operators.windows import epoch_seconds
+
 ROLE_TEST = "test"
 ROLE_TRAIN = "train"
 ROLE_PURGED = "purged"
 ROLE_EMBARGOED = "embargoed"
 
 
-def _epoch_s(ts_col: str) -> Column:
-    return F.floor(F.unix_micros(F.col(ts_col).cast("timestamp")) / F.lit(1_000_000)).cast(
-        "long"
-    )
-
-
 def _bounds(df: DataFrame, ts_col: str, time_range) -> tuple[int, int]:
     if time_range is not None:
         lo, hi = int(time_range[0]), int(time_range[1])
     else:
-        es = _epoch_s(ts_col)
+        es = epoch_seconds(ts_col)
         row = df.agg(F.min(es), F.max(es)).first()
         if row[0] is None:
             raise ValueError("purged_folds: no rows with a non-NULL timestamp")
@@ -90,7 +86,11 @@ def purged_folds(
     ``embargo_after_s`` drops training rows just AFTER it (serial
     correlation). Rows with a NULL timestamp are excluded — they have no
     position in time. ``time_range=(lo_s, hi_s)`` skips the bounds
-    aggregate when the caller already knows the epoch-second range.
+    aggregate when the caller already knows the epoch-second range; rows
+    OUTSIDE that range are excluded too — assigning them any role would
+    leak data from outside the CV period into training (they match no
+    test/purge/embargo branch and would otherwise default to 'train' in
+    every fold).
     """
     if k < 2:
         raise ValueError(f"purged_folds: k must be >= 2, got {k}")
@@ -100,15 +100,14 @@ def purged_folds(
     width = (hi - lo + k) // k  # ceil((hi-lo+1)/k): folds cover the range
     spark = df.sparkSession
     folds = spark.range(0, k).select(F.col("id").cast("int").alias(fold_col))
-    es = _epoch_s(ts_col)
-    out = (
-        df.filter(es.isNotNull())
-        .withColumn("__cv_es", es)
+    es = epoch_seconds(ts_col)
+    return (
+        df.filter(es.between(F.lit(lo), F.lit(hi)))
         .crossJoin(F.broadcast(folds))
         .withColumn(
             role_col,
             _role_col(
-                F.col("__cv_es"),
+                es,
                 F.col(fold_col).cast("long"),
                 lo,
                 width,
@@ -116,9 +115,7 @@ def purged_folds(
                 embargo_after_s,
             ),
         )
-        .drop("__cv_es")
     )
-    return out
 
 
 def purged_fold_slice(
@@ -135,15 +132,17 @@ def purged_fold_slice(
     """One fold's usable rows (role ∈ test/train only) without the ``n·k``
     replication — the per-fold form a 10^12-row training loop iterates.
     Identical arithmetic to :func:`purged_folds` restricted to ``fold``;
-    purged/embargoed rows are dropped, not returned."""
+    purged/embargoed rows are dropped, not returned, and rows outside
+    the (given or derived) time range are excluded exactly as in the
+    long form."""
     if not 0 <= fold < k:
         raise ValueError(f"fold must be in [0, {k}), got {fold}")
     lo, hi = _bounds(df, ts_col, time_range)
     width = (hi - lo + k) // k
-    es = _epoch_s(ts_col)
+    es = epoch_seconds(ts_col)
     role = _role_col(es, F.lit(int(fold)).cast("long"), lo, width, purge_before_s, embargo_after_s)
     return (
-        df.filter(es.isNotNull())
+        df.filter(es.between(F.lit(lo), F.lit(hi)))
         .withColumn(role_col, role)
         .filter(F.col(role_col).isin(ROLE_TEST, ROLE_TRAIN))
     )

@@ -20,6 +20,20 @@ from pyspark.sql import Column, DataFrame, Window, WindowSpec
 from pyspark.sql import functions as F
 
 
+def epoch_seconds(ts_col: str) -> Column:
+    """Integral epoch seconds from a timestamp column — THE shared order
+    key for every event-time RANGE frame and time-bucket operator.
+
+    One canonical expression (floor of unix_micros/1e6, not a cast) so
+    cross-engine exactness — DuckDB twin ``epoch_us(ts) // 1000000`` —
+    and pre-1970 flooring toward -inf are fixed in exactly one place;
+    the cast also accepts TIMESTAMP_NTZ inputs (identity under the UTC
+    session timezone)."""
+    return F.floor(F.unix_micros(F.col(ts_col).cast("timestamp")) / F.lit(1_000_000)).cast(
+        "long"
+    )
+
+
 def ordered_window(keys: Sequence[str], order: Sequence[str]) -> WindowSpec:
     """The canonical per-entity window: partition by entity, total order in time.
 
@@ -135,7 +149,7 @@ def rolling_time_agg(
     activity", matching the store's missing-value semantics.
     """
     val = F.col(value_col) if isinstance(value_col, str) else value_col
-    epoch = F.floor(F.unix_micros(F.col(ts_col).cast("timestamp")) / F.lit(1000000)).cast("long")
+    epoch = epoch_seconds(ts_col)
     upper = 0 if include_current else -1
     # materialize the order key as ONE attribute: inlining the epoch
     # expression per window call would give each window a distinct order
@@ -184,7 +198,7 @@ def rolling_multi_horizon_agg(
         if int(s) < 1:
             raise ValueError(f"horizon {p!r} must be >= 1 second, got {s}")
     val = F.col(value_col) if isinstance(value_col, str) else value_col
-    epoch = F.floor(F.unix_micros(F.col(ts_col).cast("timestamp")) / F.lit(1000000)).cast("long")
+    epoch = epoch_seconds(ts_col)
     upper = 0 if include_current else -1
     out = df.withColumn("__v", val).withColumn("__es", epoch)
     for prefix, window_s in horizons.items():
@@ -233,7 +247,7 @@ def rolling_distinct_count(
     for high-cardinality columns prefer a bucketed groupBy + as-of
     alignment instead of a per-row set.
     """
-    epoch = F.floor(F.unix_micros(F.col(ts_col).cast("timestamp")) / F.lit(1000000)).cast("long")
+    epoch = epoch_seconds(ts_col)
     upper = 0 if include_current else -1
     w = time_range_window(keys, "__es", -window_s, upper)
     return (

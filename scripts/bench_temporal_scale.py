@@ -42,6 +42,13 @@ OPS = [
     "context_concat",
     "sft_examples",
     "resample_grid",
+    # round-5 wave 4: backfill family + multi-horizon + temporal CV.
+    # bounded_backfill is expected ~3x the single-horizon window cost at
+    # ANY scale (3 replicas/row at bucket=1800,L=3600) but still linear;
+    # purged_folds is linear with a k=4 broadcast fan-out.
+    "bounded_backfill",
+    "multi_horizon_stats",
+    "purged_folds",
 ]
 
 

@@ -131,3 +131,23 @@ def test_orchestrator_empty_range(spark):
             None, _compute, ts_col="ts", keys=[], bucket_s=60, lookback_s=0,
             out_path="/tmp/x", start_s=10, end_s=10,
         )
+
+
+def test_orchestrator_validation_matches_single_job(spark, tmp_path):
+    df = _mk(spark)
+    out = os.path.join(str(tmp_path), "bf")
+    with pytest.raises(ValueError, match="bucket_s"):
+        backfill_partitions(
+            df, _compute, ts_col="ts", keys=["entity"], bucket_s=0,
+            lookback_s=0, out_path=out, start_s=0, end_s=10,
+        )
+    with pytest.raises(ValueError, match="lookback_s"):
+        backfill_partitions(
+            df, _compute, ts_col="ts", keys=["entity"], bucket_s=60,
+            lookback_s=-1, out_path=out, start_s=0, end_s=10,
+        )
+    with pytest.raises(NotImplementedError, match="resume=True needs a local"):
+        backfill_partitions(
+            df, _compute, ts_col="ts", keys=["entity"], bucket_s=60,
+            lookback_s=0, out_path="s3a://bucket/x", start_s=0, end_s=10,
+        )

@@ -120,3 +120,16 @@ def test_validation(spark):
     empty = df.filter(F.lit(False))
     with pytest.raises(ValueError, match="no rows"):
         purged_folds(empty, ts_col="ts", k=2)
+
+
+def test_explicit_time_range_excludes_out_of_range_rows(spark):
+    """Rows outside an explicit time_range must be EXCLUDED, not silently
+    assigned 'train' in every fold (data from outside the CV period
+    leaking into training)."""
+    ts = [0, 10, 20, 500, 900]
+    df = _mk(spark, ts)
+    out = purged_folds(df, ts_col="ts", k=2, time_range=(0, 99))
+    ids = sorted({r["id"] for r in out.collect()})
+    assert ids == [0, 1, 2]  # rows at 500/900 are gone
+    sl = purged_fold_slice(df, ts_col="ts", k=2, fold=0, time_range=(0, 99))
+    assert sorted({r["id"] for r in sl.collect()}) == [0, 1, 2]
