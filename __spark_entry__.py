@@ -4054,6 +4054,90 @@ def q_store_bitemporal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_entity_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-complete backfill (operators/backfill.py::entity_backfill):
+    recompute UNBOUNDED-lookback per-entity features (running seq +
+    cumulative sum — the shape bounded_backfill's fixed time margin
+    cannot serve) for every user touched by the middle third of the time
+    range. The oracle computes the same one-shot windows restricted to
+    touched users — equality proves the semi-join slice hands compute
+    complete per-entity history."""
+    from funcify_feature_eng_spark.operators.backfill import entity_backfill
+    from funcify_feature_eng_spark.operators.windows import epoch_seconds
+
+    ev = _bf_events(spark, sf_dir)
+    lo, hi = ev.agg(
+        F.min(epoch_seconds("ts")), F.max(epoch_seconds("ts"))
+    ).first()
+    lo, hi = int(lo), int(hi)
+    third = (hi - lo) // 3
+    start_s, end_s = lo + third, lo + 2 * third
+
+    def compute(d: DataFrame, keys) -> DataFrame:
+        w = (
+            Window.partitionBy(*keys)
+            .orderBy(F.col("__es").asc(), F.col("event_id").asc())
+        )
+        return (
+            d.withColumn("__es", epoch_seconds("ts"))
+            .withColumn("seq", F.row_number().over(w))
+            .withColumn(
+                "cum_e6",
+                F.sum("v_e6").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+            )
+            .drop("__es")
+        )
+
+    out = entity_backfill(
+        ev, compute, ts_col="ts", keys=["user_id"], start_s=start_s, end_s=end_s
+    )
+    return out.select("event_id", "user_id", "seq", "cum_e6")
+
+
+def q_store_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Store retention (store.py::expire): three published vintages per
+    user (value_at = T0 < T1 < cutoff < T2); expire(cutoff,
+    keep_latest=True) must drop ONLY the T0 row — T1 survives as each
+    identity's latest at-or-before-cutoff record (the row every as-of
+    read at request time >= cutoff resolves to), T2 is inside the
+    retained horizon. The oracle recomputes the expected post-expire
+    store contents from events alone."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from funcify_feature_eng_spark.store import FeatureStore
+
+    store_dir = tempfile.mkdtemp(prefix="sgretain_")
+    atexit.register(shutil.rmtree, store_dir, ignore_errors=True)
+    store = FeatureStore(spark, os.path.join(store_dir, "fs"), entity_col="user_id")
+    ev = _t(spark, sf_dir, "events")
+    t0 = "2024-01-08 00:00:00"
+    cut = F.lit(t0).cast("timestamp")
+    base = ev.groupBy("user_id").agg(
+        F.count(F.when(F.col("ts") <= cut, 1)).cast("double").alias("v")
+    )
+    vintages = [(t0, 0.0), (_STORE_CUT, 1000.0), (_STORE_T2, 2000.0)]
+    for at_ts, bump in vintages:
+        store.publish(
+            base.withColumn("v", F.col("v") + F.lit(bump))
+            .withColumn("ts", F.lit(at_ts).cast("timestamp")),
+            "events_so_far", "v", ts_col="ts",
+            calculated_at="2025-01-01 00:00:00",
+        )
+    stats = store.expire("2024-01-20 00:00:00", keep_latest=True)
+    if (stats["rows_before"], stats["rows_after"]) != (
+        3 * base.count(), 2 * base.count()
+    ):
+        raise AssertionError(f"unexpected expire counts: {stats}")
+    # raw store schema keeps the canonical entity column name (conv_id)
+    return store.read("events_so_far").select(
+        F.col("conv_id").alias("user_id"),
+        F.get_json_object("value", "$.v").cast("double").alias("value"),
+        F.date_format("value_at_ts", "yyyy-MM-dd HH:mm:ss").alias("value_at"),
+    )
+
+
 def q_multi_horizon_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-horizon trailing feature block in ONE pass (operators/
     windows.py::rolling_multi_horizon_agg): count+sum over the trailing
@@ -4283,6 +4367,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multi_horizon_stats": q_multi_horizon_stats,
         "purged_folds": q_purged_folds,
         "store_bitemporal": q_store_bitemporal,
+        "entity_backfill": q_entity_backfill,
+        "store_retention": q_store_retention,
     }
 
 
@@ -7114,5 +7200,40 @@ UNION ALL
 SELECT 'k1', user_id, v FROM base
 UNION ALL
 SELECT 'k2', user_id, v + 1000.0 FROM base
+"""
+    # unbounded per-entity windows over the COMPLETE history of every
+    # user touched by the middle third of the range — same closed-form
+    # range arithmetic as the Spark side
+    sqls["entity_backfill"] = r"""
+WITH g AS (
+  SELECT event_id, user_id, epoch_us(ts) // 1000000 AS es,
+         CAST(floor(value * 1000000.0) AS BIGINT) AS v_e6
+  FROM events
+),
+b AS (SELECT min(es) AS lo, max(es) AS hi FROM g),
+r AS (SELECT lo + (hi - lo) // 3 AS s, lo + 2 * ((hi - lo) // 3) AS e FROM b),
+touched AS (
+  SELECT DISTINCT user_id FROM g, r WHERE g.es >= r.s AND g.es < r.e
+)
+SELECT g.event_id, g.user_id,
+       CAST(row_number() OVER w AS INT) AS seq,
+       CAST(sum(v_e6) OVER w AS BIGINT) AS cum_e6
+FROM g JOIN touched USING (user_id)
+WINDOW w AS (PARTITION BY g.user_id ORDER BY es, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+    # post-expire store contents: T0 vintage gone, T1 survives as the
+    # latest at-or-before-cutoff record, T2 is inside the horizon
+    sqls["store_retention"] = f"""
+WITH base AS (
+  SELECT user_id,
+         CAST(count(*) FILTER (WHERE ts <= TIMESTAMP '2024-01-08 00:00:00')
+              AS DOUBLE) AS v
+  FROM events GROUP BY user_id
+)
+SELECT user_id, v + 1000.0 AS value,
+       '{_STORE_CUT}' AS value_at FROM base
+UNION ALL
+SELECT user_id, v + 2000.0, '{_STORE_T2}' FROM base
 """
     return sqls

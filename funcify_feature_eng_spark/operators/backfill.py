@@ -190,6 +190,45 @@ def backfill_partitions(
     }
 
 
+def entity_backfill(
+    df: DataFrame,
+    compute: ComputeFn,
+    *,
+    ts_col: str,
+    keys: Sequence[str],
+    start_s: int,
+    end_s: int,
+) -> DataFrame:
+    """Entity-complete backfill: recompute every entity TOUCHED by the
+    range — the natural unit when features have UNBOUNDED lookback within
+    an entity but none across entities (lag / ffill / session / running
+    aggregates over a conversation: exactly the FeatureModel window
+    block), where :func:`bounded_backfill`'s fixed time margin cannot
+    apply. Conversations are short-lived relative to a backfill window,
+    so "entities with >= 1 row in the range" reads only slightly more
+    than the range itself.
+
+    One distinct over ``keys`` (rows in range only) + one semi join
+    brings in the touched entities' FULL history; the caller's compute
+    then runs with its normal keys. Output = ALL rows of touched
+    entities, recomputed — identical to what the one-shot whole-table
+    compute yields for those entities (entity-scoped computes see the
+    same complete per-entity row set either way). Rows with NULL
+    timestamps never select an entity (range predicate), but a touched
+    entity's NULL-ts rows do flow into compute with their entity.
+    """
+    if end_s <= start_s:
+        raise ValueError(f"empty backfill range [{start_s}, {end_s})")
+    es = epoch_seconds(ts_col)
+    touched = (
+        df.filter((es >= F.lit(int(start_s))) & (es < F.lit(int(end_s))))
+        .select(*keys)
+        .distinct()
+    )
+    sl = df.join(touched, list(keys), "leftsemi")
+    return compute(sl, list(keys))
+
+
 def read_backfill(spark: SparkSession, out_path: str) -> DataFrame:
     """Read an orchestrated backfill's output (all partitions)."""
     return spark.read.parquet(out_path)

@@ -256,8 +256,6 @@ class FeatureStore:
         are installed, so no crash window leaves the data deleted — if a
         crash strands the aside directory, rename it back to recover.
         """
-        import shutil
-
         def survivors(df):
             return (
                 df.groupBy("feature_id", "conv_id", "params_hash", "value_at_ts")
@@ -268,6 +266,63 @@ class FeatureStore:
                 )
                 .select("r.*")
             )
+
+        return self._rewrite(survivors)
+
+    def expire(self, value_at_before: Any, keep_latest: bool = True) -> dict[str, int]:
+        """Retention: drop values whose ``value_at_ts`` is before the cutoff.
+
+        With ``keep_latest=True`` (default) each identity's LATEST
+        at-or-before-cutoff record SURVIVES: it is exactly the row every
+        point-in-time read at request time >= cutoff resolves to, so
+        retention never changes an as-of answer inside the retained
+        horizon — only deep-history reads (request time < cutoff) lose
+        data, which is the policy's stated trade. ``keep_latest=False``
+        is the hard cut (values valid only before the cutoff disappear
+        entirely). Same rewrite protocol and crash-safety as
+        :meth:`compact`; single-writer assumption applies. Returns
+        before/after row counts.
+
+        ``keep_latest=False`` is parquet-fallback only: on a catalog table
+        a partition whose EVERY row expires would produce no output rows,
+        and ``overwritePartitions`` leaves absent partitions untouched —
+        the stale rows would silently survive. (``keep_latest=True`` is
+        safe there: any populated partition keeps >= 1 survivor.) Hard
+        cuts on Iceberg belong to ``DELETE FROM ... WHERE value_at_ts <
+        cutoff``, which deletes by predicate, not by rewritten partition.
+        """
+        if not keep_latest and self._is_table:
+            raise NotImplementedError(
+                "expire(keep_latest=False) on a catalog table: a fully-"
+                "expired partition would be left untouched by "
+                "overwritePartitions — run DELETE FROM ... WHERE "
+                "value_at_ts < cutoff on the table instead"
+            )
+        cut = F.lit(value_at_before).cast("timestamp")
+
+        def survivors(df):
+            recent = df.filter(F.col("value_at_ts") >= cut)
+            if not keep_latest:
+                return recent
+            latest_prior = (
+                df.filter(F.col("value_at_ts") < cut)
+                .groupBy("feature_id", "conv_id", "params_hash")
+                .agg(
+                    F.max_by(
+                        F.struct(*STORE_COLUMNS),
+                        F.struct("value_at_ts", "calculated_ts", "value"),
+                    ).alias("r")
+                )
+                .select("r.*")
+            )
+            return recent.unionByName(latest_prior)
+
+        return self._rewrite(survivors)
+
+    def _rewrite(self, survivors) -> dict[str, int]:
+        """Crash-safe whole-store rewrite keeping ``survivors(df)`` rows —
+        the shared mechanics behind :meth:`compact` and :meth:`expire`."""
+        import shutil
 
         if self._is_table:
             df = self.read()

@@ -151,3 +151,24 @@ def test_orchestrator_validation_matches_single_job(spark, tmp_path):
             df, _compute, ts_col="ts", keys=["entity"], bucket_s=60,
             lookback_s=0, out_path="s3a://bucket/x", start_s=0, end_s=10,
         )
+
+
+def test_entity_backfill_touched_entities_only(spark):
+    """Only entities with >= 1 row in the range are recomputed, and each
+    touched entity's features equal the one-shot compute (complete
+    per-entity history reaches compute through the semi join)."""
+    from funcify_feature_eng_spark.operators.backfill import entity_backfill
+
+    df = _mk(spark)  # entity 'a' rows at t<=200; 'b' at 10/70/130
+    out = entity_backfill(
+        df, _compute, ts_col="ts", keys=["entity"], start_s=150, end_s=250
+    )
+    # only 'a' has rows in [150, 250): b untouched, a complete
+    got = _collected(out)
+    want = [r for r in _collected(_compute(df, ["entity"])) if r[0] == "a"]
+    assert got == want and len(got) == 7
+
+    with pytest.raises(ValueError, match="empty backfill range"):
+        entity_backfill(
+            df, _compute, ts_col="ts", keys=["entity"], start_s=5, end_s=5
+        )

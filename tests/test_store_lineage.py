@@ -297,3 +297,42 @@ def test_bitemporal_knowledge_read(spark, tmp_store):
         for r in latest.collect()
     }
     assert got == {"c1": 11.0, "c2": 21.0}
+
+
+def test_expire_keeps_latest_prior_vintage(spark, tmp_store):
+    """expire(cutoff) drops deep history but keeps each identity's latest
+    at-or-before-cutoff record, so as-of reads at request times >= cutoff
+    are UNCHANGED by retention."""
+    import json as _json
+
+    def pub(v, at, know):
+        vals = spark.createDataFrame(
+            [("c1", float(v))], "conv_id string, v double"
+        ).withColumn("ts", F.lit(at).cast("timestamp"))
+        tmp_store.publish(vals, "f", "v", ts_col="ts", calculated_at=know)
+
+    pub(1.0, "2024-01-01 00:00:00", "2025-01-01 00:00:00")
+    pub(2.0, "2024-02-01 00:00:00", "2025-01-01 00:00:00")
+    pub(3.0, "2024-04-01 00:00:00", "2025-01-01 00:00:00")
+    spine = spark.createDataFrame([("c1",)], "conv_id string").withColumn(
+        "ts", F.lit("2024-03-01 00:00:00").cast("timestamp")
+    )
+    before = tmp_store.read_through(spine, "f", "val", ts_col="ts").first()
+    stats = tmp_store.expire("2024-03-01 00:00:00")
+    assert (stats["rows_before"], stats["rows_after"]) == (3, 2)
+    after = tmp_store.read_through(spine, "f", "val", ts_col="ts").first()
+    # the as-of answer at a retained-horizon request time is unchanged
+    assert _json.loads(before["val"])["v"] == _json.loads(after["val"])["v"] == 2.0
+    # deep-history vintage (2024-01-01) is gone; latest-prior + recent stay
+    kept = sorted(r["value_at_ts"].isoformat() for r in tmp_store.read().collect())
+    assert kept == ["2024-02-01T00:00:00", "2024-04-01T00:00:00"]
+
+
+def test_expire_hard_cut(spark, tmp_store):
+    vals = spark.createDataFrame(
+        [("c1", 1.0), ("c2", 2.0)], "conv_id string, v double"
+    ).withColumn("ts", F.lit("2024-01-01 00:00:00").cast("timestamp"))
+    tmp_store.publish(vals, "f", "v", ts_col="ts",
+                      calculated_at="2025-01-01 00:00:00")
+    stats = tmp_store.expire("2024-06-01 00:00:00", keep_latest=False)
+    assert (stats["rows_before"], stats["rows_after"]) == (2, 0)
