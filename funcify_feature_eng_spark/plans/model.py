@@ -508,6 +508,43 @@ class FeatureModel:
                 out_cols.append(F.col(resolved).alias(col))
         return df.select(*out_cols)
 
+    def materialize_backfill(
+        self,
+        spine: DataFrame,
+        columns: Sequence[str],
+        *,
+        start_s: int,
+        end_s: int,
+        variables: dict[str, Any] | None = None,
+    ) -> DataFrame:
+        """Backfill as a model verb: recompute the requested columns for
+        every entity with >= 1 spine row in ``[start_s, end_s)`` epoch
+        seconds (operators/backfill.py::entity_backfill under this
+        model's entity/event-time declarations).
+
+        The semi-join slice hands :meth:`materialize` each touched
+        entity's COMPLETE history, so unbounded per-entity window
+        features (lag/ffill/session/running — this model's §2.5 block)
+        are exact; as-of/interval features read their full side tables
+        regardless of the spine slice, so they are unaffected. Output =
+        the materialized frame for touched entities only — the
+        reference's tracked-value recomputation path
+        (``schema/tracking/TrackableValue.kt:109-193``) expressed as a
+        range-driven batch instead of per-request dispatch."""
+        from funcify_feature_eng_spark.operators.backfill import entity_backfill
+
+        def compute(sl: DataFrame, _keys) -> DataFrame:
+            return self.materialize(sl, columns, variables=variables)
+
+        return entity_backfill(
+            spine,
+            compute,
+            ts_col=self.event_time,
+            keys=[self.entity_key],
+            start_s=start_s,
+            end_s=end_s,
+        )
+
     def _validate_transformer_input(self, spec: FeatureSpec, df: DataFrame) -> None:
         """P6 input-schema validation at plan time: each declared arg type on
         the transformer is checked against the bound column's actual Spark

@@ -337,3 +337,49 @@ def test_describe_reports_resolution_and_topo_stages():
     assert d["stages"][0]["op"] == "gap"
     assert d["stages"][1]["transformer"] == "negative_to_null"
     assert d["stages"][1]["depends_on"] == ["gap_secs"]
+
+
+def test_materialize_backfill_touched_entities_equal_oneshot(spark):
+    """materialize_backfill = materialize restricted to entities touched
+    by the range, with window features exact (complete entity history
+    reaches the compute through the semi join)."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from funcify_feature_eng_spark.plans.model import FeatureModel
+
+    rows = [
+        (1, "a", 0, "x"), (2, "a", 10, "y"), (3, "a", 500, "z"),
+        (4, "b", 5, "x"), (5, "b", 20, "y"),
+        (6, "c", 490, "x"), (7, "c", 520, "y"),
+    ]
+    pdf = pd.DataFrame(rows, columns=["event_id", "u", "off", "t"])
+    pdf["ts"] = pdf["off"].map(
+        lambda s: dt.datetime(2024, 1, 1) + dt.timedelta(seconds=int(s))
+    )
+    df = spark.createDataFrame(pdf.drop(columns=["off"]))
+    base_es = int(dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc).timestamp())
+
+    m = FeatureModel(entity_key="u", order=("ts", "event_id"), event_time="ts")
+    m.declare_window_feature("prev_t", op="lag", col="t")
+    m.declare_window_feature("seq", op="row_number")
+    cols = ["event_id", "u", "prev_t", "seq"]
+
+    # range [480, 530): touches a (row 3) and c (rows 6,7), not b
+    out = m.materialize_backfill(
+        df, cols, start_s=base_es + 480, end_s=base_es + 530
+    )
+    got = sorted(
+        (r["event_id"], r["u"], r["prev_t"], r["seq"]) for r in out.collect()
+    )
+    full = m.materialize(df, cols)
+    want = sorted(
+        (r["event_id"], r["u"], r["prev_t"], r["seq"])
+        for r in full.collect()
+        if r["u"] in ("a", "c")
+    )
+    assert got == want
+    assert {u for _, u, _, _ in got} == {"a", "c"}
+    # entity 'a' keeps its FULL history: row 3's lag sees row 2
+    assert ((3, "a", "y", 3) in got)
