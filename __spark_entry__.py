@@ -4138,6 +4138,42 @@ def q_store_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC source breadth (sources/tables.py::read_table/write_table
+    file_format='orc', Spark's native vectorized ORC reader): events
+    round-tripped through an ORC copy with projection + predicate applied
+    on the ORC scan (same Catalyst pushdown path as parquet). The oracle
+    reads the ORIGINAL parquet — a hash match proves the ORC round trip
+    preserves every value (timestamps to the microsecond, doubles
+    bit-for-bit via the e6 grid)."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from funcify_feature_eng_spark.sources.tables import read_table, write_table
+
+    tmp = tempfile.mkdtemp(prefix="sgorc_")
+    atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+    loc = os.path.join(tmp, "events_orc")
+    write_table(
+        _t(spark, sf_dir, "events"), loc, mode="overwrite", file_format="orc"
+    )
+    df = read_table(
+        spark,
+        loc,
+        columns=["event_id", "user_id", "event_type", "ts", "value"],
+        predicate=F.col("event_type") != "noop__",
+        file_format="orc",
+    )
+    return df.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts_str"),
+        F.floor(F.col("value") * F.lit(1000000.0)).cast("long").alias("v_e6"),
+    )
+
+
 def q_multi_horizon_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-horizon trailing feature block in ONE pass (operators/
     windows.py::rolling_multi_horizon_agg): count+sum over the trailing
@@ -4369,6 +4405,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "store_bitemporal": q_store_bitemporal,
         "entity_backfill": q_entity_backfill,
         "store_retention": q_store_retention,
+        "events_orc": q_events_orc,
     }
 
 
@@ -7235,5 +7272,13 @@ SELECT user_id, v + 1000.0 AS value,
        '{_STORE_CUT}' AS value_at FROM base
 UNION ALL
 SELECT user_id, v + 2000.0, '{_STORE_T2}' FROM base
+"""
+    # oracle reads the ORIGINAL parquet: hash match <=> lossless ORC trip
+    sqls["events_orc"] = r"""
+SELECT event_id, user_id, event_type,
+       strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_str,
+       CAST(floor(value * 1000000.0) AS BIGINT) AS v_e6
+FROM events
+WHERE event_type <> 'noop__'
 """
     return sqls

@@ -29,19 +29,34 @@ def _is_path(location: str) -> bool:
     return "/" in location or location.endswith(".parquet") or location.startswith("file:")
 
 
+_PATH_FORMATS = ("parquet", "orc")
+
+
 def read_table(
     spark: SparkSession,
     location: str,
     columns: Sequence[str] | None = None,
     predicate: Column | str | None = None,
+    file_format: str = "parquet",
 ) -> DataFrame:
-    """Scan an Iceberg table name or a parquet path.
+    """Scan an Iceberg table name or a parquet/ORC path.
 
     ``columns``/``predicate`` express the reference's selection-set projection
     (P1) and argument pushdown — both reach the scan via Catalyst
     (ColumnPruning / PushDownPredicates → file and partition pruning).
+    ``file_format`` selects the path reader (ignored for table names, whose
+    format the catalog owns): ``parquet`` (default) or ``orc`` — both
+    columnar, both with predicate pushdown and column pruning in Spark's
+    native vectorized readers.
     """
-    df = spark.read.parquet(location) if _is_path(location) else spark.read.table(location)
+    if file_format not in _PATH_FORMATS:
+        raise ValueError(
+            f"file_format must be one of {_PATH_FORMATS}, got {file_format!r}"
+        )
+    if _is_path(location):
+        df = spark.read.format(file_format).load(location)
+    else:
+        df = spark.read.table(location)
     if predicate is not None:
         df = df.filter(predicate)
     if columns:
@@ -54,13 +69,18 @@ def write_table(
     location: str,
     mode: str = "append",
     partition_by: Sequence[str] = (),
+    file_format: str = "parquet",
 ) -> None:
-    """Append/overwrite to an Iceberg table or parquet path."""
+    """Append/overwrite to an Iceberg table or parquet/ORC path."""
+    if file_format not in _PATH_FORMATS:
+        raise ValueError(
+            f"file_format must be one of {_PATH_FORMATS}, got {file_format!r}"
+        )
     if _is_path(location):
         w = df.write.mode(mode)
         if partition_by:
             w = w.partitionBy(*partition_by)
-        w.parquet(location)
+        w.format(file_format).save(location)
     else:
         w = df.writeTo(location)
         if mode == "append":
