@@ -4138,6 +4138,54 @@ def q_store_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_training_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-free training-set capstone — the engine's end-to-end story
+    in ONE composed job: strictly-prior multi-horizon features
+    (rolling_multi_horizon_agg, frames ending at -1s), a strictly-FUTURE
+    label (purchase within 7d, frame starting at +1s), and purged k-fold
+    CV roles with 24h purge + 12h embargo (operators/cv.py) — every
+    temporal boundary is structural, so no feature can see the label
+    window and no training row can see the test period. Features + label
+    share one window Exchange/sort; fold roles are a broadcast fan-out.
+    The oracle recomposes all three from their closed forms."""
+    from funcify_feature_eng_spark.operators.cv import purged_folds
+    from funcify_feature_eng_spark.operators.windows import (
+        epoch_seconds,
+        rolling_multi_horizon_agg,
+        time_range_window,
+    )
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        F.floor(F.col("value") * F.lit(1000000.0)).cast("long").alias("v_e6"),
+    )
+    feats = rolling_multi_horizon_agg(
+        ev, keys=["user_id"], ts_col="ts", value_col="v_e6",
+        horizons={"h1": 3600, "d1": 86400},
+    )
+    wf = time_range_window(["user_id"], "__es", 1, 604800)
+    labeled = (
+        feats.withColumn("__es", epoch_seconds("ts"))
+        .withColumn(
+            "is_p", F.when(F.col("event_type") == "purchase", F.lit(1))
+        )
+        .withColumn(
+            "label_buys_7d", (F.count("is_p").over(wf) > 0).cast("int")
+        )
+        .drop("__es", "is_p")
+    )
+    out = purged_folds(
+        labeled, ts_col="ts", k=4, purge_before_s=86400, embargo_after_s=43200
+    )
+    return out.select(
+        "event_id", "test_fold", "role",
+        "h1_cnt", "h1_sum", "d1_cnt", "d1_sum", "label_buys_7d",
+    )
+
+
 def q_events_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ORC source breadth (sources/tables.py::read_table/write_table
     file_format='orc', Spark's native vectorized ORC reader): events
@@ -4406,6 +4454,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entity_backfill": q_entity_backfill,
         "store_retention": q_store_retention,
         "events_orc": q_events_orc,
+        "training_set": q_training_set,
     }
 
 
@@ -7280,5 +7329,47 @@ SELECT event_id, user_id, event_type,
        CAST(floor(value * 1000000.0) AS BIGINT) AS v_e6
 FROM events
 WHERE event_type <> 'noop__'
+"""
+    # capstone = the three closed forms composed: strictly-prior feature
+    # frames, strictly-future label frame, purged-fold role arithmetic
+    sqls["training_set"] = r"""
+WITH g AS (
+  SELECT event_id, user_id, epoch_us(ts) // 1000000 AS es,
+         CAST(floor(value * 1000000.0) AS BIGINT) AS v_e6,
+         CASE WHEN event_type = 'purchase' THEN 1 END AS is_p
+  FROM events WHERE ts IS NOT NULL
+),
+f AS (
+  SELECT event_id, user_id, es,
+         CAST(count(v_e6) OVER w1 AS BIGINT) AS h1_cnt,
+         CAST(coalesce(sum(v_e6) OVER w1, 0) AS BIGINT) AS h1_sum,
+         CAST(count(v_e6) OVER wd AS BIGINT) AS d1_cnt,
+         CAST(coalesce(sum(v_e6) OVER wd, 0) AS BIGINT) AS d1_sum,
+         CAST(CASE WHEN count(is_p) OVER wf > 0 THEN 1 ELSE 0 END AS INT)
+           AS label_buys_7d
+  FROM g
+  WINDOW
+    w1 AS (PARTITION BY user_id ORDER BY es
+           RANGE BETWEEN 3600 PRECEDING AND 1 PRECEDING),
+    wd AS (PARTITION BY user_id ORDER BY es
+           RANGE BETWEEN 86400 PRECEDING AND 1 PRECEDING),
+    wf AS (PARTITION BY user_id ORDER BY es
+           RANGE BETWEEN 1 FOLLOWING AND 604800 FOLLOWING)
+),
+b AS (SELECT min(es) AS lo, (max(es) - min(es) + 4) // 4 AS width FROM g),
+k AS (SELECT * FROM range(4) t(test_fold))
+SELECT f.event_id,
+       CAST(k.test_fold AS INT) AS test_fold,
+       CASE
+         WHEN (f.es - b.lo) // b.width = k.test_fold THEN 'test'
+         WHEN f.es >= b.lo + k.test_fold * b.width - 86400
+          AND f.es <  b.lo + k.test_fold * b.width THEN 'purged'
+         WHEN f.es >= b.lo + (k.test_fold + 1) * b.width
+          AND f.es <  b.lo + (k.test_fold + 1) * b.width + 43200
+           THEN 'embargoed'
+         ELSE 'train'
+       END AS role,
+       h1_cnt, h1_sum, d1_cnt, d1_sum, label_buys_7d
+FROM f, b, k
 """
     return sqls
