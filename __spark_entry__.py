@@ -4138,6 +4138,94 @@ def q_store_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _events_value_stream_files(spark: SparkSession, sf_dir: str) -> str:
+    """2-file micro-batch split of events (value column included): each
+    user's FIRST half of rows by (ts, event_id) in batch 0, the ordered
+    tail in batch 1 — every multi-row user's store state must cross the
+    batch boundary."""
+
+    def parts():
+        pdf = (
+            _t(spark, sf_dir, "events")
+            .select("user_id", "event_id", "ts", "value")
+            .orderBy("ts", "event_id")
+            .toPandas()
+        )
+        rn = pdf.groupby("user_id").cumcount()
+        half = pdf.groupby("user_id")["event_id"].transform("size") // 2
+        return [pdf[rn < half], pdf[rn >= half]]
+
+    tmp = os.path.join(
+        "/tmp",
+        f"spark_graft_valuepub_stream_{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    return _write_micro_batches(
+        tmp, os.path.join(sf_dir, "events.parquet"), "1", parts,
+        {"coerce_timestamps": "us", "allow_truncated_timestamps": True},
+    )
+
+
+def q_stream_store_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Online feature materialization in the DRIVER gate (streaming/
+    runner.py::store_publish_stream): two micro-batches each publish
+    their per-user latest-event value into the point-in-time store with
+    DETERMINISTIC knowledge stamps (batch 0 → K1, batch 1 → K2); the
+    post-stream read_through must resolve every user to the GLOBAL
+    latest event — batch 1's candidate beats batch 0's on value_at_ts
+    (or, at a tied instant, on calculated_ts), so the hashed property is
+    exactly 'streaming ingestion + as-of read ≡ one-shot latest-per-user'
+    (oracle: global argmax by (ts, event_id))."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from funcify_feature_eng_spark.store import FeatureStore
+    from funcify_feature_eng_spark.streaming.runner import store_publish_stream
+
+    files = _events_value_stream_files(spark, sf_dir)
+    sch = spark.read.parquet(files).schema
+    stream = (
+        spark.readStream.schema(sch).option("maxFilesPerTrigger", "1").parquet(files)
+    )
+    store_dir = tempfile.mkdtemp(prefix="sgstreampub_")
+    atexit.register(shutil.rmtree, store_dir, ignore_errors=True)
+    store = FeatureStore(spark, os.path.join(store_dir, "fs"), entity_col="user_id")
+
+    def compute(b: DataFrame) -> DataFrame:
+        return (
+            b.groupBy("user_id")
+            .agg(
+                F.max_by(
+                    F.struct(
+                        F.col("ts"),
+                        F.floor(F.col("value") * F.lit(1000000.0))
+                        .cast("long")
+                        .alias("v"),
+                    ),
+                    F.struct("ts", "event_id"),
+                ).alias("r")
+            )
+            .select("user_id", F.col("r.ts").alias("ts"), F.col("r.v").alias("lv"))
+        )
+
+    q = store_publish_stream(
+        stream, store, "latest_value", compute, "lv", ts_col="ts",
+        calculated_at=lambda b: f"2025-01-0{b + 1} 00:00:00",
+    )
+    q.awaitTermination()
+    spine = (
+        spark.read.parquet(files)
+        .select("user_id")
+        .distinct()
+        .withColumn("ts", F.lit("2030-01-01 00:00:00").cast("timestamp"))
+    )
+    out = store.read_through(spine, "latest_value", "val", ts_col="ts")
+    return out.select(
+        "user_id",
+        F.get_json_object("val", "$.v").cast("long").alias("latest_v_e6"),
+    )
+
+
 def q_training_set(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Leakage-free training-set capstone — the engine's end-to-end story
     in ONE composed job: strictly-prior multi-horizon features
@@ -4455,6 +4543,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "store_retention": q_store_retention,
         "events_orc": q_events_orc,
         "training_set": q_training_set,
+        "stream_store_publish": q_stream_store_publish,
     }
 
 
@@ -7371,5 +7460,22 @@ SELECT f.event_id,
        END AS role,
        h1_cnt, h1_sum, d1_cnt, d1_sum, label_buys_7d
 FROM f, b, k
+"""
+    # stream ≡ batch: after two per-user-split publishes, the as-of read
+    # resolves each user to the GLOBAL latest event (batch 1 holds the
+    # per-user ordered tail; at a tied instant calculated_ts breaks to it)
+    sqls["stream_store_publish"] = r"""
+WITH g AS (
+  SELECT user_id, event_id, ts,
+         CAST(floor(value * 1000000.0) AS BIGINT) AS v
+  FROM events
+),
+w AS (
+  SELECT user_id, v,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM g
+)
+SELECT user_id, v AS latest_v_e6 FROM w WHERE rn = 1
 """
     return sqls

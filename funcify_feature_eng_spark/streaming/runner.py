@@ -49,6 +49,52 @@ def materialize_stream(
     return writer.start()
 
 
+def store_publish_stream(
+    stream_df: DataFrame,
+    store,
+    feature_id: str,
+    compute: Callable[[DataFrame], DataFrame],
+    value_col: str,
+    ts_col: str = "ts",
+    calculated_at: Callable[[int], str] | None = None,
+    checkpoint_dir: str | None = None,
+    trigger_seconds: int | None = None,
+) -> StreamingQuery:
+    """Online feature materialization: each micro-batch computes the
+    feature on ITS rows and PUBLISHES to the point-in-time store —
+    Calculated → Tracked per batch (store.py), the reference's
+    ``FeatureJsonValuePublisher.kt:11-18`` upgraded from per-request to
+    per-micro-batch. Streaming ingestion and batch training reads meet
+    at the same table: ``read_through`` immediately serves the freshest
+    value per (entity, event-time) with the usual as-of + bitemporal
+    semantics, because ``publish`` is append-only and the read's
+    ``right_order=[calculated_ts, value]`` already prefers the latest
+    knowledge at a tied ``value_at_ts`` — a replayed or corrected batch
+    supersedes cleanly, no upsert machinery needed.
+
+    ``compute(batch_df) -> df`` must yield the store's entity column,
+    ``value_col``, and ``ts_col`` (the value_at stamp). ``calculated_at
+    (batch_id) -> timestamp`` supplies deterministic knowledge stamps —
+    replays publish the ORIGINAL stamp so bitemporal reads stay faithful
+    (default None = publish-time now). Executor state never grows: the
+    store table is the only cross-batch state.
+    """
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        calc = compute(batch_df)
+        at = calculated_at(int(batch_id)) if calculated_at is not None else None
+        store.publish(calc, feature_id, value_col, ts_col=ts_col, calculated_at=at)
+
+    writer = stream_df.writeStream.foreachBatch(process).outputMode("update")
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    if trigger_seconds:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    else:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def stateful_turn_features_stream(
     stream_df: DataFrame,
     entity_col: str = "conv_id",

@@ -819,3 +819,71 @@ def test_quality_monitor_stream_ledger_matches_batch(spark, tmp_path):
     # txt completeness 2/3 -> 3/3: a 50% relative jump fires
     assert flagged[(0, 1)] is True
     assert flagged[(0, 0)] is False
+
+
+def test_store_publish_stream_cross_batch_and_bitemporal(spark, tmp_path):
+    """Two micro-batches publish per-user latest values with deterministic
+    knowledge stamps; the as-of read resolves the freshest value across
+    batches, a tied value_at instant resolves to the LATER batch via
+    calculated_ts, and a bitemporal read pinned before batch 1's stamp
+    sees only batch 0's world."""
+    import json as _json
+    import os as _os
+
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    from funcify_feature_eng_spark.store import FeatureStore
+    from funcify_feature_eng_spark.streaming.runner import store_publish_stream
+
+    src = str(tmp_path / "in")
+    _os.makedirs(src)
+    # u1: later event in batch 1 wins on value_at; u2: SAME timestamp in
+    # both batches — batch 1 must win on calculated_ts
+    b0 = [("u1", 1, 100, 10.0), ("u2", 2, 100, 20.0)]
+    b1 = [("u1", 3, 200, 11.0), ("u2", 4, 100, 21.0)]
+    for i, rows in enumerate([b0, b1]):
+        import pandas as pd
+
+        pdf = pd.DataFrame(rows, columns=["user_id", "event_id", "t", "value"])
+        pdf["ts"] = pd.to_datetime(pdf["t"], unit="s")
+        fp = _os.path.join(src, f"b{i}.parquet")
+        _pq.write_table(
+            _pa.Table.from_pandas(pdf.drop(columns=["t"]), preserve_index=False),
+            fp, coerce_timestamps="us", allow_truncated_timestamps=True,
+        )
+        _os.utime(fp, (1_700_000_000 + i, 1_700_000_000 + i))
+    sch = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(sch).option("maxFilesPerTrigger", "1").parquet(src)
+    )
+    store = FeatureStore(spark, str(tmp_path / "fs"), entity_col="user_id")
+
+    def compute(b):
+        return (
+            b.groupBy("user_id")
+            .agg(F.max_by(F.struct("ts", "value"), F.struct("ts", "event_id")).alias("r"))
+            .select("user_id", F.col("r.ts").alias("ts"), F.col("r.value").alias("v"))
+        )
+
+    q = store_publish_stream(
+        stream, store, "lv", compute, "v", ts_col="ts",
+        calculated_at=lambda b: f"2025-01-0{b + 1} 00:00:00",
+    )
+    q.awaitTermination()
+    spine = spark.createDataFrame(
+        [("u1",), ("u2",)], "user_id string"
+    ).withColumn("ts", F.lit("2030-01-01 00:00:00").cast("timestamp"))
+
+    def vals(know=None):
+        out = store.read_through(spine, "lv", "val", ts_col="ts", knowledge_time=know)
+        return {
+            r["user_id"]: r["val"] and _json.loads(r["val"])["v"]
+            for r in out.collect()
+        }
+
+    # cross-batch freshest: u1 -> batch-1 later event; u2 -> batch-1 wins
+    # the tied instant on calculated_ts
+    assert vals() == {"u1": 11.0, "u2": 21.0}
+    # bitemporal: before batch 1's knowledge stamp, batch 0's world only
+    assert vals("2025-01-01 12:00:00") == {"u1": 10.0, "u2": 20.0}
