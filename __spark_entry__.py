@@ -4226,6 +4226,51 @@ def q_stream_store_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_store_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-store freshness monitoring (store.py::freshness): two
+    features published at deterministic stamps — 'fast' with a recent
+    vintage, 'stale' whose last publish predates it; the report row per
+    feature (value count, distinct entities, latest event-time coverage,
+    latest knowledge stamp) is what an alerting rule reads. The pinned
+    knowledge_time variant must hide the later publish entirely."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from funcify_feature_eng_spark.store import FeatureStore
+
+    store_dir = tempfile.mkdtemp(prefix="sgfresh_")
+    atexit.register(shutil.rmtree, store_dir, ignore_errors=True)
+    store = FeatureStore(spark, os.path.join(store_dir, "fs"), entity_col="user_id")
+    ev = _t(spark, sf_dir, "events")
+    base = ev.groupBy("user_id").agg(F.count(F.lit(1)).cast("double").alias("v"))
+    pubs = [
+        ("fast", _STORE_CUT, "2025-01-01 00:00:00"),
+        ("fast", _STORE_T2, "2025-02-01 00:00:00"),
+        ("stale", _STORE_CUT, "2025-01-01 00:00:00"),
+    ]
+    for fid, at_ts, know in pubs:
+        store.publish(
+            base.withColumn("ts", F.lit(at_ts).cast("timestamp")),
+            fid, "v", ts_col="ts", calculated_at=know,
+        )
+    fmt = lambda c: F.date_format(c, "yyyy-MM-dd HH:mm:ss")  # noqa: E731
+
+    def shape(df: DataFrame, label: str) -> DataFrame:
+        return df.select(
+            F.lit(label).alias("report"),
+            "feature_id",
+            F.col("n_values").cast("long").alias("n_values"),
+            F.col("n_entities").cast("long").alias("n_entities"),
+            fmt("latest_value_at").alias("latest_value_at"),
+            fmt("latest_calculated").alias("latest_calculated"),
+        )
+
+    now_view = shape(store.freshness(), "now")
+    pinned = shape(store.freshness(knowledge_time="2025-01-15 00:00:00"), "at_k1")
+    return now_view.unionByName(pinned)
+
+
 def q_training_set(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Leakage-free training-set capstone — the engine's end-to-end story
     in ONE composed job: strictly-prior multi-horizon features
@@ -4544,6 +4589,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_orc": q_events_orc,
         "training_set": q_training_set,
         "stream_store_publish": q_stream_store_publish,
+        "store_freshness": q_store_freshness,
     }
 
 
@@ -7477,5 +7523,23 @@ w AS (
   FROM g
 )
 SELECT user_id, v AS latest_v_e6 FROM w WHERE rn = 1
+"""
+    # freshness rows from the publish constants + events cardinalities;
+    # the pinned-knowledge report hides the later 'fast' publish
+    sqls["store_freshness"] = f"""
+WITH u AS (SELECT count(DISTINCT user_id) AS n FROM events)
+SELECT 'now' AS report, 'fast' AS feature_id,
+       CAST(2 * n AS BIGINT) AS n_values, CAST(n AS BIGINT) AS n_entities,
+       '{_STORE_T2}' AS latest_value_at,
+       '2025-02-01 00:00:00' AS latest_calculated FROM u
+UNION ALL
+SELECT 'now', 'stale', CAST(n AS BIGINT), CAST(n AS BIGINT),
+       '{_STORE_CUT}', '2025-01-01 00:00:00' FROM u
+UNION ALL
+SELECT 'at_k1', 'fast', CAST(n AS BIGINT), CAST(n AS BIGINT),
+       '{_STORE_CUT}', '2025-01-01 00:00:00' FROM u
+UNION ALL
+SELECT 'at_k1', 'stale', CAST(n AS BIGINT), CAST(n AS BIGINT),
+       '{_STORE_CUT}', '2025-01-01 00:00:00' FROM u
 """
     return sqls

@@ -319,6 +319,27 @@ class FeatureStore:
 
         return self._rewrite(survivors)
 
+    def freshness(self, knowledge_time: Any | None = None) -> DataFrame:
+        """Per-feature operational freshness — the monitoring row a feature
+        platform alerts on: tracked-value count, distinct entities, the
+        latest event-time coverage (``max value_at_ts`` — how far history
+        extends) and the latest knowledge stamp (``max calculated_ts`` —
+        when a pipeline last published; a stalled backfill/stream shows up
+        here first). One map-combinable aggregate over the store;
+        ``knowledge_time`` pins the report to what was known at K (same
+        contract as :meth:`read_through`)."""
+        df = self.read()
+        if knowledge_time is not None:
+            df = df.filter(
+                F.col("calculated_ts") <= F.lit(knowledge_time).cast("timestamp")
+            )
+        return df.groupBy("feature_id").agg(
+            F.count(F.lit(1)).alias("n_values"),
+            F.countDistinct("conv_id").alias("n_entities"),
+            F.max("value_at_ts").alias("latest_value_at"),
+            F.max("calculated_ts").alias("latest_calculated"),
+        )
+
     def _rewrite(self, survivors) -> dict[str, int]:
         """Crash-safe whole-store rewrite keeping ``survivors(df)`` rows —
         the shared mechanics behind :meth:`compact` and :meth:`expire`."""

@@ -336,3 +336,23 @@ def test_expire_hard_cut(spark, tmp_store):
                       calculated_at="2025-01-01 00:00:00")
     stats = tmp_store.expire("2024-06-01 00:00:00", keep_latest=False)
     assert (stats["rows_before"], stats["rows_after"]) == (2, 0)
+
+
+def test_freshness_report_and_pinned_knowledge(spark, tmp_store):
+    vals = spark.createDataFrame(
+        [("c1", 1.0), ("c2", 2.0)], "conv_id string, v double"
+    ).withColumn("ts", F.lit("2024-01-01 00:00:00").cast("timestamp"))
+    tmp_store.publish(vals, "f", "v", ts_col="ts",
+                      calculated_at="2025-01-01 00:00:00")
+    later = vals.filter("conv_id = 'c1'").withColumn(
+        "ts", F.lit("2024-06-01 00:00:00").cast("timestamp")
+    )
+    tmp_store.publish(later, "f", "v", ts_col="ts",
+                      calculated_at="2025-02-01 00:00:00")
+    row = tmp_store.freshness().first()
+    assert (row["feature_id"], row["n_values"], row["n_entities"]) == ("f", 3, 2)
+    assert row["latest_value_at"].isoformat() == "2024-06-01T00:00:00"
+    assert row["latest_calculated"].isoformat() == "2025-02-01T00:00:00"
+    pinned = tmp_store.freshness(knowledge_time="2025-01-15 00:00:00").first()
+    assert pinned["n_values"] == 2
+    assert pinned["latest_value_at"].isoformat() == "2024-01-01T00:00:00"
