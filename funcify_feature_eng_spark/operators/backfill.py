@@ -215,17 +215,28 @@ def entity_backfill(
     compute yields for those entities (entity-scoped computes see the
     same complete per-entity row set either way). Rows with NULL
     timestamps never select an entity (range predicate), but a touched
-    entity's NULL-ts rows do flow into compute with their entity.
+    entity's NULL-ts rows do flow into compute with their entity. The
+    semi join is NULL-SAFE per key: a NULL entity key is one entity here
+    exactly as ``Window.partitionBy`` groups it in the one-shot compute —
+    a plain column-list join would silently never match it and leave
+    NULL-key rows permanently stale after a repair backfill.
     """
     if end_s <= start_s:
         raise ValueError(f"empty backfill range [{start_s}, {end_s})")
     es = epoch_seconds(ts_col)
+    left = df.alias("__eb_l")
     touched = (
         df.filter((es >= F.lit(int(start_s))) & (es < F.lit(int(end_s))))
         .select(*keys)
         .distinct()
+        .alias("__eb_t")
     )
-    sl = df.join(touched, list(keys), "leftsemi")
+    cond = None
+    for k in keys:
+        esc = str(k).replace("`", "``")
+        eq = F.col(f"__eb_l.`{esc}`").eqNullSafe(F.col(f"__eb_t.`{esc}`"))
+        cond = eq if cond is None else (cond & eq)
+    sl = left.join(touched, cond, "leftsemi")
     return compute(sl, list(keys))
 
 

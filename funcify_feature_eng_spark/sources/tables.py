@@ -26,7 +26,12 @@ TRANSCRIPT_SCHEMA = (
 
 
 def _is_path(location: str) -> bool:
-    return "/" in location or location.endswith(".parquet") or location.startswith("file:")
+    return (
+        "/" in location
+        or location.endswith(".parquet")
+        or location.endswith(".orc")
+        or location.startswith("file:")
+    )
 
 
 _PATH_FORMATS = ("parquet", "orc")

@@ -269,19 +269,36 @@ class FeatureStore:
 
         return self._rewrite(survivors)
 
-    def expire(self, value_at_before: Any, keep_latest: bool = True) -> dict[str, int]:
+    def expire(
+        self,
+        value_at_before: Any,
+        keep_latest: bool = True,
+        keep_knowledge_frontier: bool = False,
+    ) -> dict[str, int]:
         """Retention: drop values whose ``value_at_ts`` is before the cutoff.
 
         With ``keep_latest=True`` (default) each identity's LATEST
-        at-or-before-cutoff record SURVIVES: it is exactly the row every
-        point-in-time read at request time >= cutoff resolves to, so
-        retention never changes an as-of answer inside the retained
-        horizon — only deep-history reads (request time < cutoff) lose
-        data, which is the policy's stated trade. ``keep_latest=False``
-        is the hard cut (values valid only before the cutoff disappear
-        entirely). Same rewrite protocol and crash-safety as
-        :meth:`compact`; single-writer assumption applies. Returns
-        before/after row counts.
+        at-or-before-cutoff record SURVIVES (max by value_at_ts, then
+        calculated_ts, then value — the exact row every CURRENT-knowledge
+        point-in-time read at request time >= cutoff resolves to), so
+        retention never changes a current-knowledge as-of answer inside
+        the retained horizon — only deep-history reads (request time <
+        cutoff) lose data, the policy's stated trade. NOTE the bitemporal
+        caveat: a pinned-knowledge read (``read_through(knowledge_time=
+        K)``) with K before the kept record's ``calculated_ts`` may
+        change (superseded knowledge versions of pre-cutoff points are
+        gone). Replayers that must reproduce old knowledge states pass
+        ``keep_knowledge_frontier=True``: every pre-cutoff row that is
+        the knowledge-visible winner for SOME K — i.e. not strictly
+        dominated by a row with ``calculated_ts <= its`` and a strictly
+        later ``value_at_ts`` — survives, which provably preserves every
+        bitemporal answer at request times >= cutoff (one window pass;
+        under a monotone publish pattern the frontier is large, so this
+        mode reclaims only late re-publishes of older points).
+        ``keep_latest=False`` is the hard cut (values valid only before
+        the cutoff disappear entirely). Same rewrite protocol and
+        crash-safety as :meth:`compact`; single-writer assumption
+        applies. Returns before/after row counts.
 
         ``keep_latest=False`` is parquet-fallback only: on a catalog table
         a partition whose EVERY row expires would produce no output rows,
@@ -304,9 +321,30 @@ class FeatureStore:
             recent = df.filter(F.col("value_at_ts") >= cut)
             if not keep_latest:
                 return recent
+            prior = df.filter(F.col("value_at_ts") < cut)
+            if keep_knowledge_frontier:
+                # keep row r unless some row of the same identity with
+                # calculated_ts <= r's has a STRICTLY later value_at_ts —
+                # then that row is visible whenever r is and always wins
+                # the as-of (request ts >= cutoff), making r unreachable.
+                # Ties on value_at_ts are kept on BOTH sides: the later
+                # calculated_ts wins only while visible, the earlier one
+                # is the answer for K between the two stamps.
+                from pyspark.sql import Window as _W
+
+                w = (
+                    _W.partitionBy("feature_id", "conv_id", "params_hash")
+                    .orderBy(F.col("calculated_ts").asc())
+                    .rangeBetween(_W.unboundedPreceding, 0)
+                )
+                frontier = (
+                    prior.withColumn("__dom_max", F.max("value_at_ts").over(w))
+                    .filter(F.col("value_at_ts") >= F.col("__dom_max"))
+                    .drop("__dom_max")
+                )
+                return recent.unionByName(frontier)
             latest_prior = (
-                df.filter(F.col("value_at_ts") < cut)
-                .groupBy("feature_id", "conv_id", "params_hash")
+                prior.groupBy("feature_id", "conv_id", "params_hash")
                 .agg(
                     F.max_by(
                         F.struct(*STORE_COLUMNS),

@@ -18,6 +18,25 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 
+def _start_foreach_batch(
+    stream_df: DataFrame,
+    process: Callable[[DataFrame, int], None],
+    checkpoint_dir: str | None,
+    trigger_seconds: int | None,
+) -> StreamingQuery:
+    """Shared foreachBatch writer policy for every stream entry point:
+    update output mode, optional checkpoint, processing-time trigger or
+    availableNow (drain-and-stop) when no interval is given."""
+    writer = stream_df.writeStream.foreachBatch(process).outputMode("update")
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    if trigger_seconds:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    else:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def materialize_stream(
     stream_df: DataFrame,
     model,
@@ -39,14 +58,7 @@ def materialize_stream(
         if sink is not None:
             sink(out, batch_id)
 
-    writer = stream_df.writeStream.foreachBatch(process).outputMode("update")
-    if checkpoint_dir:
-        writer = writer.option("checkpointLocation", checkpoint_dir)
-    if trigger_seconds:
-        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
-    else:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()
+    return _start_foreach_batch(stream_df, process, checkpoint_dir, trigger_seconds)
 
 
 def store_publish_stream(
@@ -68,16 +80,23 @@ def store_publish_stream(
     at the same table: ``read_through`` immediately serves the freshest
     value per (entity, event-time) with the usual as-of + bitemporal
     semantics, because ``publish`` is append-only and the read's
-    ``right_order=[calculated_ts, value]`` already prefers the latest
-    knowledge at a tied ``value_at_ts`` — a replayed or corrected batch
-    supersedes cleanly, no upsert machinery needed.
+    ``right_order=[calculated_ts, value]`` prefers the latest knowledge
+    at a tied ``value_at_ts`` — no upsert machinery needed.
 
     ``compute(batch_df) -> df`` must yield the store's entity column,
     ``value_col``, and ``ts_col`` (the value_at stamp). ``calculated_at
-    (batch_id) -> timestamp`` supplies deterministic knowledge stamps —
-    replays publish the ORIGINAL stamp so bitemporal reads stay faithful
-    (default None = publish-time now). Executor state never grows: the
-    store table is the only cross-batch state.
+    (batch_id) -> timestamp`` supplies deterministic knowledge stamps
+    (default None = publish-time now). Replay/supersession contract
+    under deterministic stamps: a checkpoint REPLAY of a batch with the
+    same deterministic compute is idempotent (it appends byte-identical
+    rows, which compaction collapses); a CORRECTION — different value
+    for an already-published (entity, value_at) point — must carry a
+    LATER ``calculated_at`` stamp to supersede, because at a tied
+    (value_at_ts, calculated_ts) the read's final tie-break is the
+    serialized value, not recency. Stamps must be non-decreasing in
+    knowledge; never re-publish changed values under an old stamp.
+    Executor state never grows: the store table is the only cross-batch
+    state.
     """
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
@@ -85,14 +104,7 @@ def store_publish_stream(
         at = calculated_at(int(batch_id)) if calculated_at is not None else None
         store.publish(calc, feature_id, value_col, ts_col=ts_col, calculated_at=at)
 
-    writer = stream_df.writeStream.foreachBatch(process).outputMode("update")
-    if checkpoint_dir:
-        writer = writer.option("checkpointLocation", checkpoint_dir)
-    if trigger_seconds:
-        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
-    else:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()
+    return _start_foreach_batch(stream_df, process, checkpoint_dir, trigger_seconds)
 
 
 def stateful_turn_features_stream(
@@ -739,14 +751,7 @@ def quality_monitor_stream(
             .write.mode("append").parquet(ledger_dir)
         )
 
-    writer = stream_df.writeStream.foreachBatch(process).outputMode("update")
-    if checkpoint_dir:
-        writer = writer.option("checkpointLocation", checkpoint_dir)
-    if trigger_seconds:
-        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
-    else:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()
+    return _start_foreach_batch(stream_df, process, checkpoint_dir, trigger_seconds)
 
 
 def calibration_monitor_stream(
@@ -789,11 +794,4 @@ def calibration_monitor_stream(
             .write.mode("append").parquet(ledger_dir)
         )
 
-    writer = stream_df.writeStream.foreachBatch(process).outputMode("update")
-    if checkpoint_dir:
-        writer = writer.option("checkpointLocation", checkpoint_dir)
-    if trigger_seconds:
-        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
-    else:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()
+    return _start_foreach_batch(stream_df, process, checkpoint_dir, trigger_seconds)

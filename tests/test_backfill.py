@@ -172,3 +172,32 @@ def test_entity_backfill_touched_entities_only(spark):
         entity_backfill(
             df, _compute, ts_col="ts", keys=["entity"], start_s=5, end_s=5
         )
+
+
+def test_entity_backfill_null_entity_key(spark):
+    """A NULL entity key is one entity (as Window.partitionBy groups it):
+    when its rows are touched by the range it must be recomputed, not
+    silently skipped by a null-unsafe semi join."""
+    from funcify_feature_eng_spark.operators.backfill import entity_backfill
+
+    rows = [(None, 10, 1), (None, 40, 2), ("a", 50, 3), ("b", 500, 4)]
+    df = spark.createDataFrame(
+        rows, "entity string, t long, v long"
+    ).select("entity", F.timestamp_seconds(F.col("t")).alias("ts"), "v", "t")
+    out = entity_backfill(
+        df, _compute, ts_col="ts", keys=["entity"], start_s=0, end_s=60
+    )
+
+    def coll(d):
+        return sorted(
+            (
+                (r["entity"] or "", r["t"], r["v"], r["m1_cnt"], r["m1_sum"])
+                for r in d.select("entity", "t", "v", "m1_cnt", "m1_sum").collect()
+            )
+        )
+
+    got = coll(out)
+    # NULL entity (both rows) and 'a' are touched; 'b' is not
+    assert {r[0] for r in got} == {"", "a"} and len(got) == 3
+    want = [r for r in coll(_compute(df, ["entity"])) if r[0] in ("", "a")]
+    assert got == want

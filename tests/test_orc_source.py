@@ -39,3 +39,17 @@ def test_unknown_format_rejected(spark, tmp_path):
         write_table(df, str(tmp_path / "x"), file_format="avro")
     with pytest.raises(ValueError, match="file_format"):
         read_table(spark, str(tmp_path / "x"), file_format="csvish")
+
+
+def test_bare_orc_filename_routes_to_path_reader(spark, tmp_path):
+    import os as _os
+
+    df = spark.range(3).withColumn("k", F.lit("x"))
+    cwd = _os.getcwd()
+    _os.chdir(str(tmp_path))
+    try:
+        write_table(df, "events.orc", mode="overwrite", file_format="orc")
+        out = read_table(spark, "events.orc", file_format="orc")
+        assert out.count() == 3
+    finally:
+        _os.chdir(cwd)

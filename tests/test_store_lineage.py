@@ -356,3 +356,40 @@ def test_freshness_report_and_pinned_knowledge(spark, tmp_store):
     pinned = tmp_store.freshness(knowledge_time="2025-01-15 00:00:00").first()
     assert pinned["n_values"] == 2
     assert pinned["latest_value_at"].isoformat() == "2024-01-01T00:00:00"
+
+
+def test_expire_knowledge_frontier_preserves_bitemporal_reads(spark, tmp_store):
+    """keep_knowledge_frontier=True must preserve pinned-knowledge answers
+    at request times >= cutoff: a pre-cutoff point with a correction keeps
+    BOTH knowledge versions, while a late re-publish of an OLDER point
+    (strictly dominated) is reclaimed."""
+    import json as _json
+
+    def pub(v, at, know):
+        vals = spark.createDataFrame(
+            [("c1", float(v))], "conv_id string, v double"
+        ).withColumn("ts", F.lit(at).cast("timestamp"))
+        tmp_store.publish(vals, "f", "v", ts_col="ts", calculated_at=know)
+
+    pub(1.0, "2024-02-01 00:00:00", "2025-01-01 00:00:00")  # original
+    pub(2.0, "2024-02-01 00:00:00", "2025-02-01 00:00:00")  # correction
+    pub(9.0, "2024-01-01 00:00:00", "2025-03-01 00:00:00")  # late older pub
+    stats = tmp_store.expire(
+        "2024-03-01 00:00:00", keep_knowledge_frontier=True
+    )
+    # the dominated late re-publish of 2024-01-01 is gone, both knowledge
+    # versions of 2024-02-01 survive
+    assert (stats["rows_before"], stats["rows_after"]) == (3, 2)
+    spine = spark.createDataFrame([("c1",)], "conv_id string").withColumn(
+        "ts", F.lit("2024-06-01 00:00:00").cast("timestamp")
+    )
+
+    def val(know):
+        r = tmp_store.read_through(
+            spine, "f", "val", ts_col="ts", knowledge_time=know
+        ).first()
+        return r["val"] and _json.loads(r["val"])["v"]
+
+    assert val("2025-01-15 00:00:00") == 1.0  # pre-correction knowledge
+    assert val("2025-02-15 00:00:00") == 2.0  # correction visible
+    assert val("2024-12-01 00:00:00") is None  # before any knowledge
