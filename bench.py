@@ -191,6 +191,7 @@ def run_default() -> None:
         "stream_role_audit": "role_sequence_audit",
         "stream_quality": "quality_checks",
         "stream_calibration": "calibration_bins",
+        "stream_store_publish": "store_lifecycle",
     }
     streaming_gates = {
         s: {
