@@ -42,14 +42,17 @@ def test_unknown_format_rejected(spark, tmp_path):
 
 
 def test_bare_orc_filename_routes_to_path_reader(spark, tmp_path):
-    import os as _os
+    # A bare filename with a data-file suffix is a PATH, not a catalog table.
+    # Assert the routing branch itself (no relative-path write: Spark's JVM
+    # resolves relative paths against ITS launch cwd, not Python's chdir —
+    # a relative write here would land outside tmp_path).
+    from funcify_feature_eng_spark.sources.tables import _is_path
 
-    df = spark.range(3).withColumn("k", F.lit("x"))
-    cwd = _os.getcwd()
-    _os.chdir(str(tmp_path))
-    try:
-        write_table(df, "events.orc", mode="overwrite", file_format="orc")
-        out = read_table(spark, "events.orc", file_format="orc")
-        assert out.count() == 3
-    finally:
-        _os.chdir(cwd)
+    assert _is_path("events.orc") and _is_path("events.parquet")
+    assert _is_path("file:relative") and _is_path("dir/t")
+    assert not _is_path("catalog.db.events")
+    # and the path branch is actually taken: a missing bare .orc name fails
+    # as a PATH error, never as "table or view not found"
+    with pytest.raises(Exception) as ei:
+        read_table(spark, str(tmp_path / "nope.orc"), file_format="orc").collect()
+    assert "TABLE_OR_VIEW_NOT_FOUND" not in str(ei.value)
