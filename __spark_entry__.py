@@ -4398,6 +4398,70 @@ def q_purged_folds(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", "test_fold", "role")
 
 
+def q_sft_context_examples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-context SFT example extraction (operators/transcript_qa.py::
+    context_examples): one training example per target-role turn — context
+    = rendered previous ≤3 turns (the render_text ``<|role|>content\\n``
+    contract), target = the turn's content, zero leakage by construction
+    (frame ends at -1). ONE window Exchange. The oracle recomputes the
+    context with a windowed string_agg over the identical frame."""
+    from funcify_feature_eng_spark.operators.transcript_qa import context_examples
+
+    ev = _t(spark, sf_dir, "events")
+    return context_examples(
+        ev, entity_col="user_id", order=("ts", "event_id"),
+        role_col="event_type", text_col="props",
+        target_roles=("purchase", "signup"), k=3,
+    ).select("user_id", "event_id", "context", "target", "n_context_turns")
+
+
+def q_tool_call_loops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Agent-trajectory loop detection (operators/transcript_qa.py::
+    tool_call_loops): gaps-and-islands run-length over consecutive
+    identical non-NULL tool calls per conversation ('error' turns carry
+    no tool, so they BREAK runs — exercising the NULL-break path).
+    One window Exchange + two run-grain aggregates. The oracle rebuilds
+    the islands with the classic lag/running-sum SQL."""
+    from funcify_feature_eng_spark.operators.transcript_qa import tool_call_loops
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "tool", F.when(F.col("event_type") != "error", F.col("event_type"))
+    )
+    return tool_call_loops(
+        ev, entity_col="user_id", order=("ts", "event_id"),
+        tool_col="tool", min_run=3,
+    )
+
+
+def q_self_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-conversation self-repetition (operators/transcript_qa.py::
+    self_repetition_stats): per conversation, occurrences of view/click
+    turns whose exact payload repeats an earlier counted turn — exact
+    integer ppm, one (conv, text) window + one conv-grain aggregate."""
+    from funcify_feature_eng_spark.operators.transcript_qa import (
+        self_repetition_stats,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    return self_repetition_stats(
+        ev, entity_col="user_id", order=("ts", "event_id"),
+        role_col="event_type", text_col="props", roles=("view", "click"),
+    )
+
+
+def q_embedding_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group embedding pooling on the int8 grid (operators/
+    similarity.py::pool_embeddings, explode strategy — the 100 TB path:
+    per-component partial aggregation, reduce memory O(dim) regardless of
+    group size). Mean = component-wise floor(sum/n), exact integers end
+    to end, so the oracle reproduces the pooled vectors bit-for-bit from
+    the same quantization formula."""
+    from funcify_feature_eng_spark.operators.similarity import pool_embeddings
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return pool_embeddings(emb, "label", strategy="explode", how="mean")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: windowed turn features + strictly-prior as-of join at sf0.001."""
     sf_dir = "/root/testdata/sf0.001"
@@ -4590,6 +4654,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "training_set": q_training_set,
         "stream_store_publish": q_stream_store_publish,
         "store_freshness": q_store_freshness,
+        "sft_context_examples": q_sft_context_examples,
+        "tool_call_loops": q_tool_call_loops,
+        "self_repetition": q_self_repetition,
+        "embedding_pool": q_embedding_pool,
     }
 
 
@@ -7541,5 +7609,108 @@ SELECT 'at_k1', 'fast', CAST(n AS BIGINT), CAST(n AS BIGINT),
 UNION ALL
 SELECT 'at_k1', 'stale', CAST(n AS BIGINT), CAST(n AS BIGINT),
        '{_STORE_CUT}', '2025-01-01 00:00:00' FROM u
+"""
+    # sliding-context SFT examples: windowed string_agg over the IDENTICAL
+    # ROWS frame (3 PRECEDING .. 1 PRECEDING); frame order = window ORDER BY
+    sqls["sft_context_examples"] = """
+WITH r AS (
+  SELECT user_id, event_id, ts, event_type,
+         coalesce(props, '') AS content,
+         '<|' || event_type || '|>' || coalesce(props, '') || chr(10) AS rendered
+  FROM events
+), c AS (
+  SELECT user_id, event_id, event_type, content,
+         coalesce(string_agg(rendered, '') OVER w3, '') AS context,
+         CAST(count(*) OVER w3 AS INT) AS n_context_turns
+  FROM r
+  WINDOW w3 AS (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING)
+)
+SELECT user_id, event_id, context, content AS target, n_context_turns
+FROM c WHERE event_type IN ('purchase', 'signup')
+"""
+    # tool-call loop detection: classic lag/running-sum islands, NULL tool
+    # ('error' turns) breaks runs; longest-run tie breaks to earliest run
+    sqls["tool_call_loops"] = """
+WITH t AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN event_type <> 'error' THEN event_type END AS tool
+  FROM events
+), c AS (
+  SELECT user_id, ts, event_id, tool,
+         CASE WHEN tool IS NOT DISTINCT FROM lag(tool) OVER w THEN 0 ELSE 1 END AS chg
+  FROM t
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT user_id, tool,
+         SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+  FROM c
+), runs AS (
+  SELECT user_id, run, MIN(tool) AS tool, COUNT(*) AS len
+  FROM s WHERE tool IS NOT NULL GROUP BY user_id, run
+), rk AS (
+  SELECT *, row_number() OVER (PARTITION BY user_id
+                               ORDER BY len DESC, run ASC) AS rk
+  FROM runs
+)
+SELECT user_id,
+       CAST(SUM(len) AS BIGINT) AS n_tool_turns,
+       CAST(COUNT(*) AS BIGINT) AS n_runs,
+       CAST(MAX(len) AS BIGINT) AS max_run_len,
+       CAST(SUM(CASE WHEN len >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_loops,
+       MAX(CASE WHEN rk = 1 THEN tool END) AS loop_tool
+FROM rk GROUP BY user_id
+"""
+    # within-conversation self-repetition over view/click payloads; ppm by
+    # truncating // (operands non-negative, so truncation = floor)
+    sqls["self_repetition"] = """
+WITH b AS (
+  SELECT user_id,
+         row_number() OVER (PARTITION BY user_id, props
+                            ORDER BY ts, event_id) AS rn
+  FROM events
+  WHERE event_type IN ('view', 'click') AND props IS NOT NULL
+), a AS (
+  SELECT user_id, COUNT(*) AS n_turns,
+         SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS n_repeated
+  FROM b GROUP BY user_id
+)
+SELECT user_id,
+       CAST(n_turns AS BIGINT) AS n_turns,
+       CAST(n_repeated AS BIGINT) AS n_repeated,
+       CAST(n_turns - n_repeated AS BIGINT) AS n_distinct,
+       CAST((n_repeated * 1000000) // n_turns AS BIGINT) AS repetition_ppm
+FROM a
+"""
+    # exact int8-grid mean pooling: the same floor-based quantization
+    # formula (IEEE double ops on exact inputs), per-position integer sums,
+    # floor division via the remainder identity (sums may be negative —
+    # DuckDB's // truncates, so feed it an exact multiple)
+    sqls["embedding_pool"] = """
+WITH q AS (
+  SELECT label,
+         CASE WHEN amax > 0 THEN list_transform(
+                embedding,
+                x -> CAST(floor(CAST(x AS DOUBLE) * 127 / amax + 0.5) AS BIGINT))
+              ELSE list_transform(embedding, x -> CAST(0 AS BIGINT))
+         END AS qv
+  FROM (
+    SELECT label, embedding,
+           list_max(list_transform(embedding,
+                                   x -> abs(CAST(x AS DOUBLE)))) AS amax
+    FROM embeddings
+    WHERE embedding IS NOT NULL AND len(embedding) > 0
+  )
+), cells AS (
+  SELECT label, generate_subscripts(qv, 1) AS pos, unnest(qv) AS val FROM q
+), sums AS (
+  SELECT label, pos, SUM(val) AS s, COUNT(*) AS n
+  FROM cells GROUP BY label, pos
+)
+SELECT label,
+       list(CAST((s - ((s % n) + n) % n) // n AS BIGINT) ORDER BY pos) AS pooled,
+       CAST(MIN(n) AS BIGINT) AS n_vecs
+FROM sums GROUP BY label
 """
     return sqls

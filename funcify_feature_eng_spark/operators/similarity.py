@@ -405,3 +405,124 @@ def semantic_dedup(
     ).localCheckpoint()
     slim.unpersist()
     return df.join(kept, on=id_col, how="inner")
+
+
+def pool_embeddings(
+    df: DataFrame,
+    group_by,
+    vec_col: str = "embedding",
+    levels: int = 127,
+    how: str = "mean",
+    strategy: str = "explode",
+    out_col: str = "pooled",
+) -> DataFrame:
+    """Exact per-group pooling of embeddings on the :func:`quantize_vec`
+    integer grid — the conversation/document-group embedding builder
+    (mean-pool turn vectors into one conversation vector that feeds the
+    ANN family). Pooling RAW floats would be order-nondeterministic under
+    Spark's unordered aggregation (float + is not associative); pooling
+    the int grid is associative and exact, so two engines (and two runs)
+    produce bit-identical vectors. ``how``: ``mean`` (component-wise
+    floor(sum/n) — floor, not round, for engine portability) or ``sum``.
+
+    Output: ``group_by`` + ``out_col`` (array<bigint>) + ``n_vecs``.
+    Rows with a NULL or EMPTY vector are excluded; all remaining vectors
+    in a group must share one dimension (enforced at runtime — a silent
+    zip_with pad would poison components with NULL instead).
+
+    Two value-identical strategies (pytest-pinned):
+
+    ``fold``
+        collect_list per group, folded JVM-side with zip_with — ONE
+        shuffle carrying each vector once, per-group memory
+        O(group_size·dim). Right when groups are conversation-sized.
+
+    ``explode`` (the 100 TB path)
+        posexplode to (keys, pos, val), partial map-side combined sum per
+        component, re-assembled with one run-length-bounded sorted
+        collect. Shuffle rows ×dim but reduce-side memory is O(dim) per
+        group — no group-size bound at all. Right for corpus-scale
+        groups (pool-by-source, pool-by-label).
+    """
+    gb = [group_by] if isinstance(group_by, str) else list(group_by)
+    if how not in ("mean", "sum"):
+        raise ValueError(f"pool_embeddings: how must be mean|sum, got {how!r}")
+    if strategy not in ("fold", "explode"):
+        raise ValueError(
+            f"pool_embeddings: strategy must be fold|explode, got {strategy!r}"
+        )
+    from .util import exact_floor_div
+
+    q = quantize_vec(F.col(vec_col), levels)
+    base = (
+        df.filter(F.col(vec_col).isNotNull())
+        .select(*gb, q.alias("__q"), F.size(q).alias("__dim"))
+        # empty vectors carry no components: excluded like NULLs (the
+        # explode path would silently treat them as absent anyway —
+        # make both strategies agree by construction)
+        .filter(F.col("__dim") > 0)
+    )
+
+    def _finish(sums: Column, n: Column) -> Column:
+        if how == "sum":
+            return sums
+        return F.transform(sums, lambda s: exact_floor_div(s, n))
+
+    dim_msg = F.concat(
+        F.lit("pool_embeddings: mixed vector dimensions within a group ("),
+        F.concat_ws("/", *[F.col(c).cast("string") for c in gb]),
+        F.lit(")"),
+    )
+    if strategy == "fold":
+        agg = base.groupBy(*gb).agg(
+            F.collect_list("__q").alias("__l"),
+            F.count(F.lit(1)).cast("long").alias("n_vecs"),
+            F.min("__dim").alias("__dmin"),
+            F.max("__dim").alias("__dmax"),
+        )
+        # fold with a zero accumulator of the group's dimension; the
+        # assert_true folds into n_vecs so Catalyst cannot prune it
+        zero = F.transform(
+            F.element_at(F.col("__l"), 1), lambda _: F.lit(0).cast("long")
+        )
+        sums = F.aggregate(
+            F.col("__l"),
+            zero,
+            lambda acc, v: F.zip_with(acc, v, lambda a, b: a + b.cast("long")),
+        )
+        n_checked = F.col("n_vecs") + F.coalesce(
+            F.assert_true(F.col("__dmin") == F.col("__dmax"), dim_msg).cast("long"),
+            F.lit(0),
+        )
+        return agg.select(
+            *gb,
+            _finish(sums, n_checked).alias(out_col),
+            n_checked.alias("n_vecs"),
+        )
+
+    # explode: component cells carry (sum, count); every component of a
+    # well-formed group sees the same count — that equality IS the runtime
+    # dimension guard (min==max over per-position counts)
+    cells = (
+        base.select(*gb, F.posexplode("__q").alias("__pos", "__val"))
+        .groupBy(*gb, "__pos")
+        .agg(
+            F.sum(F.col("__val").cast("long")).alias("__s"),
+            F.count(F.lit(1)).cast("long").alias("__n"),
+        )
+    )
+    agg = cells.groupBy(*gb).agg(
+        F.sort_array(F.collect_list(F.struct("__pos", "__s"))).alias("__cells"),
+        F.min("__n").alias("__nmin"),
+        F.max("__n").alias("__nmax"),
+    )
+    n_checked = F.col("__nmin") + F.coalesce(
+        F.assert_true(F.col("__nmin") == F.col("__nmax"), dim_msg).cast("long"),
+        F.lit(0),
+    )
+    sums = F.transform(F.col("__cells"), lambda c: c["__s"])
+    return agg.select(
+        *gb,
+        _finish(sums, n_checked).alias(out_col),
+        n_checked.cast("long").alias("n_vecs"),
+    )

@@ -56,6 +56,9 @@ __all__ = [
     "drop_boilerplate",
     "render_offsets",
     "render_text",
+    "context_examples",
+    "tool_call_loops",
+    "self_repetition_stats",
 ]
 
 # Unit separators for payload joins: chosen outside any plausible payload
@@ -488,4 +491,164 @@ def render_text(
             ).alias("conv_text"),
         )
         .withColumn("conv_chars", F.length("conv_text").cast("bigint"))
+    )
+
+
+def context_examples(
+    df: DataFrame,
+    *,
+    entity_col: str,
+    order: Sequence[str],
+    role_col: str,
+    text_col: str,
+    target_roles: Sequence[str] = ("assistant",),
+    k: int = 4,
+    sep: str = "\n",
+) -> DataFrame:
+    """Sliding-context SFT example extraction: ONE training example per
+    target-role turn — ``context`` = the rendered previous ≤ ``k`` turns
+    (same ``<|role|>content<sep>`` rendering as :func:`render_text`, so a
+    context is a verbatim substring of the full rendered conversation) and
+    ``target`` = the turn's own content. This is the canonical multi-turn
+    SFT exploder: a conversation with T assistant turns yields T examples,
+    each seeing only strictly-PRIOR turns (zero temporal leakage by
+    construction — the frame ends at -1).
+
+    Adds ``context`` (string, '' for a conversation-opening target),
+    ``target`` (string), ``n_context_turns`` (int). ``order`` must be a
+    total order within each conversation (the (ts, turn_idx) convention) —
+    the frame walks rows in that order, so the context string is
+    deterministic.
+
+    Scale: ONE window Exchange on the conversation key — no join, no
+    collect, no second pass; the ≤k-row frame bounds per-row memory by
+    k·turn_len regardless of conversation length. Compose with
+    :func:`truncate_to_budget` upstream to bound turn cost first.
+    """
+    if k < 1:
+        raise ValueError(f"context_examples: k must be >= 1, got {k}")
+    role = F.coalesce(F.col(role_col), F.lit(""))
+    content = F.coalesce(F.col(text_col), F.lit(""))
+    rendered = F.concat(F.lit("<|"), role, F.lit("|>"), content, F.lit(sep))
+    w = (
+        Window.partitionBy(entity_col)
+        .orderBy(*_order_cols(order))
+        .rowsBetween(-k, -1)
+    )
+    out = (
+        df.withColumn("context", F.array_join(F.collect_list(rendered).over(w), ""))
+        .withColumn("n_context_turns", F.count(F.lit(1)).over(w).cast("int"))
+        .withColumn("target", content)
+    )
+    return out.filter(F.col(role_col).isin(list(target_roles)))
+
+
+def tool_call_loops(
+    df: DataFrame,
+    *,
+    entity_col: str,
+    order: Sequence[str],
+    tool_col: str,
+    min_run: int = 3,
+) -> DataFrame:
+    """Agent-trajectory loop detection: per conversation, the run-length
+    structure of CONSECUTIVE identical non-NULL tool calls. An agent stuck
+    re-issuing the same tool is the classic trajectory failure; its
+    signature is a long run in the turn-ordered tool sequence (a NULL tool
+    — a non-tool turn — BREAKS a run, so two calls separated by assistant
+    text do not merge).
+
+    One row per conversation that has at least one tool turn:
+    ``n_tool_turns``, ``n_runs``, ``max_run_len``, ``n_loops`` (runs with
+    length ≥ ``min_run``), ``loop_tool`` (the tool of the longest run;
+    ties break to the EARLIEST run — deterministic). Conversations with no
+    tool turns are absent (nothing to loop).
+
+    Scale: gaps-and-islands — one window Exchange on the conversation key
+    (lag + running sum share it), then two aggregates at RUN grain (rows =
+    number of runs, not turns). No join, no collect.
+    """
+    w_seq = Window.partitionBy(entity_col).orderBy(*_order_cols(order))
+    tool = F.col(tool_col)
+    prev = F.lag(tool).over(w_seq)
+    # null-safe change flag: any transition (incl. NULL<->value) starts a run
+    chg = F.when(tool.eqNullSafe(prev), F.lit(0)).otherwise(F.lit(1))
+    run_id = F.sum(chg).over(
+        Window.partitionBy(entity_col)
+        .orderBy(*_order_cols(order))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    runs = (
+        df.select(F.col(entity_col), tool.alias("__tool"), run_id.alias("__run"))
+        .filter(F.col("__tool").isNotNull())
+        .groupBy(entity_col, "__run")
+        .agg(
+            F.min("__tool").alias("__tool"),  # constant within a run
+            F.count(F.lit(1)).alias("__len"),
+        )
+    )
+    w_top = Window.partitionBy(entity_col).orderBy(
+        F.col("__len").desc(), F.col("__run").asc()
+    )
+    return (
+        runs.withColumn("__rk", F.row_number().over(w_top))
+        .groupBy(entity_col)
+        .agg(
+            F.sum("__len").cast("long").alias("n_tool_turns"),
+            F.count(F.lit(1)).cast("long").alias("n_runs"),
+            F.max("__len").cast("long").alias("max_run_len"),
+            F.sum((F.col("__len") >= F.lit(int(min_run))).cast("long"))
+            .cast("long")
+            .alias("n_loops"),
+            F.max(F.when(F.col("__rk") == 1, F.col("__tool"))).alias("loop_tool"),
+        )
+    )
+
+
+def self_repetition_stats(
+    df: DataFrame,
+    *,
+    entity_col: str,
+    order: Sequence[str],
+    role_col: str,
+    text_col: str,
+    roles: Sequence[str] = ("assistant",),
+) -> DataFrame:
+    """Within-conversation self-repetition: per conversation, how many of
+    its ``roles``-turns repeat the EXACT text of an earlier same-filter
+    turn in the same conversation (a model stuck emitting the same reply —
+    the turn-grain cousin of :func:`boilerplate_stats`, which is
+    cross-conversation). NULL-text turns are excluded (no payload to
+    repeat).
+
+    One row per conversation with ≥1 counted turn: ``n_turns``,
+    ``n_repeated`` (occurrences after each text's first), ``n_distinct``,
+    and ``repetition_ppm`` = floor(1e6·n_repeated/n_turns) — exact integer
+    arithmetic, engine-portable.
+
+    Scale: one window Exchange on (conversation, text) + one aggregate at
+    conversation grain. The window's ORDER BY is only a first-occurrence
+    tie-break; counts are order-free.
+    """
+    from .util import exact_floor_div
+
+    base = df.filter(
+        F.col(role_col).isin(list(roles)) & F.col(text_col).isNotNull()
+    )
+    w = Window.partitionBy(entity_col, text_col).orderBy(*_order_cols(order))
+    occ = base.select(
+        F.col(entity_col), (F.row_number().over(w) > 1).alias("__rep")
+    )
+    agg = occ.groupBy(entity_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_turns"),
+        F.sum(F.col("__rep").cast("long")).cast("long").alias("n_repeated"),
+    )
+    return agg.select(
+        F.col(entity_col),
+        "n_turns",
+        "n_repeated",
+        (F.col("n_turns") - F.col("n_repeated")).cast("long").alias("n_distinct"),
+        exact_floor_div(
+            F.col("n_repeated") * F.lit(1_000_000), F.col("n_turns")
+        ).cast("long").alias("repetition_ppm"),
     )

@@ -299,3 +299,150 @@ def test_state_transitions_grouped_rows_sum_to_one(spark):
         sums[(r["g"], r["from_state"])] += r["prob_ppm"]
     for (_, _), s in sums.items():
         assert 1_000_000 - 3 <= s <= 1_000_000
+
+
+# ---------------------------------------------------------------- wave 6
+
+
+def _turns_tool(spark, rows):
+    return spark.createDataFrame(
+        rows, "conv_id: long, turn_idx: int, role: string, text: string, tool: string"
+    )
+
+
+def test_context_examples_hand_computed(spark):
+    from funcify_feature_eng_spark.operators.transcript_qa import context_examples
+
+    df = _turns(spark, [
+        (1, 0, "system", "S"), (1, 1, "user", "U1"), (1, 2, "assistant", "A1"),
+        (1, 3, "user", "U2"), (1, 4, "assistant", "A2"),
+        # conv 2 OPENS with the target role: context must be ''
+        (2, 0, "assistant", "A"), (2, 1, "user", "U"),
+    ])
+    out = context_examples(
+        df, entity_col="conv_id", order=("turn_idx",),
+        role_col="role", text_col="text", target_roles=("assistant",), k=2,
+    ).orderBy("conv_id", "turn_idx").collect()
+    got = [(r["conv_id"], r["turn_idx"], r["context"], r["target"],
+            r["n_context_turns"]) for r in out]
+    assert got == [
+        (1, 2, "<|system|>S\n<|user|>U1\n", "A1", 2),
+        # k=2 window slides: system turn falls out
+        (1, 4, "<|assistant|>A1\n<|user|>U2\n", "A2", 2),
+        (2, 0, "", "A", 0),
+    ]
+
+
+def test_context_examples_is_substring_of_render_text(spark):
+    """Every context must be a VERBATIM substring of the full rendered
+    conversation (shared rendering contract with render_text)."""
+    from funcify_feature_eng_spark.operators.transcript_qa import (
+        context_examples, render_text,
+    )
+
+    df = _turns(spark, [
+        (7, i, ["user", "assistant"][i % 2], f"t{i}") for i in range(6)
+    ])
+    full = render_text(
+        df, entity_col="conv_id", order=("turn_idx",),
+        role_col="role", text_col="text",
+    ).collect()[0]["conv_text"]
+    for r in context_examples(
+        df, entity_col="conv_id", order=("turn_idx",),
+        role_col="role", text_col="text", k=3,
+    ).collect():
+        assert r["context"] in full
+
+
+def test_context_examples_no_leakage_and_null_text(spark):
+    """The frame ends at -1: a target's own text never appears in its
+    context; NULL text renders empty, role NULL renders <||>."""
+    from funcify_feature_eng_spark.operators.transcript_qa import context_examples
+
+    df = _turns(spark, [
+        (1, 0, "user", None), (1, 1, None, "x"), (1, 2, "assistant", "ONLY_IN_TARGET"),
+    ])
+    [r] = context_examples(
+        df, entity_col="conv_id", order=("turn_idx",),
+        role_col="role", text_col="text", k=5,
+    ).collect()
+    assert r["context"] == "<|user|>\n<||>x\n"
+    assert "ONLY_IN_TARGET" not in r["context"] and r["target"] == "ONLY_IN_TARGET"
+    with pytest.raises(ValueError, match="k must be"):
+        context_examples(
+            df, entity_col="conv_id", order=("turn_idx",),
+            role_col="role", text_col="text", k=0,
+        )
+
+
+def test_tool_call_loops_hand_computed(spark):
+    from funcify_feature_eng_spark.operators.transcript_qa import tool_call_loops
+
+    df = _turns_tool(spark, [
+        # conv 1: search x3 (a loop), break by NULL, search x2 again, fetch x1
+        (1, 0, "assistant", "a", "search"),
+        (1, 1, "assistant", "a", "search"),
+        (1, 2, "assistant", "a", "search"),
+        (1, 3, "user", "u", None),
+        (1, 4, "assistant", "a", "search"),
+        (1, 5, "assistant", "a", "search"),
+        (1, 6, "assistant", "a", "fetch"),
+        # conv 2: no tool turns at all -> absent from output
+        (2, 0, "user", "u", None),
+        # conv 3: two runs of equal length 2 -> tie breaks to the EARLIEST
+        (3, 0, "assistant", "a", "b_tool"),
+        (3, 1, "assistant", "a", "b_tool"),
+        (3, 2, "assistant", "a", "a_tool"),
+        (3, 3, "assistant", "a", "a_tool"),
+    ])
+    out = {r["conv_id"]: r for r in tool_call_loops(
+        df, entity_col="conv_id", order=("turn_idx",), tool_col="tool", min_run=3,
+    ).collect()}
+    assert set(out) == {1, 3}
+    r1 = out[1]
+    assert (r1["n_tool_turns"], r1["n_runs"], r1["max_run_len"],
+            r1["n_loops"], r1["loop_tool"]) == (6, 3, 3, 1, "search")
+    r3 = out[3]
+    assert (r3["n_tool_turns"], r3["n_runs"], r3["max_run_len"],
+            r3["n_loops"], r3["loop_tool"]) == (4, 2, 2, 0, "b_tool")
+
+
+def test_tool_call_loops_null_breaks_run(spark):
+    """Two identical tools separated by a non-tool turn are TWO runs —
+    filtering NULLs before the islands would wrongly merge them."""
+    from funcify_feature_eng_spark.operators.transcript_qa import tool_call_loops
+
+    df = _turns_tool(spark, [
+        (1, 0, "assistant", "a", "t"),
+        (1, 1, "user", "u", None),
+        (1, 2, "assistant", "a", "t"),
+    ])
+    [r] = tool_call_loops(
+        df, entity_col="conv_id", order=("turn_idx",), tool_col="tool", min_run=2,
+    ).collect()
+    assert (r["n_runs"], r["max_run_len"], r["n_loops"]) == (2, 1, 0)
+
+
+def test_self_repetition_hand_computed(spark):
+    from funcify_feature_eng_spark.operators.transcript_qa import (
+        self_repetition_stats,
+    )
+
+    df = _turns(spark, [
+        # conv 1: assistant says "hi" 3x and "bye" 1x -> 2 repeated of 4
+        (1, 0, "assistant", "hi"), (1, 1, "user", "hi"),
+        (1, 2, "assistant", "hi"), (1, 3, "assistant", "bye"),
+        (1, 4, "assistant", "hi"),
+        # conv 2: all distinct; NULL text excluded
+        (2, 0, "assistant", "x"), (2, 1, "assistant", None),
+        (2, 2, "assistant", "y"),
+    ])
+    out = {r["conv_id"]: r for r in self_repetition_stats(
+        df, entity_col="conv_id", order=("turn_idx",),
+        role_col="role", text_col="text",
+    ).collect()}
+    r1, r2 = out[1], out[2]
+    assert (r1["n_turns"], r1["n_repeated"], r1["n_distinct"]) == (4, 2, 2)
+    assert r1["repetition_ppm"] == 500_000
+    assert (r2["n_turns"], r2["n_repeated"], r2["n_distinct"]) == (2, 0, 2)
+    assert r2["repetition_ppm"] == 0
