@@ -1566,13 +1566,15 @@ def q_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DPO/RLHF preference-pair mining (operators/selection.py::
     preference_pairs): per user, the (chosen, rejected) = (argmax,
     argmin) of `value` with struct-order tie rules (chosen tie -> larger
-    event_id, rejected tie -> smaller), strict margin > 0. One
+    event_id, rejected tie -> smaller), strict margin > 0, carrying the
+    `props` payload through as chosen_text/rejected_text (the DPO
+    training unit) via max_by/min_by on the same ordering struct. One
     map-side-combined groupBy — a single shuffle of one row per group, no
     window/self-join. Oracle recomputes both argselects as rank-1 windows."""
     from funcify_feature_eng_spark.operators.selection import preference_pairs
 
     ev = _t(spark, sf_dir, "events")
-    return preference_pairs(ev, "user_id", "event_id", "value")
+    return preference_pairs(ev, "user_id", "event_id", "value", text_col="props")
 
 
 def q_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4462,6 +4464,38 @@ def q_embedding_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pool_embeddings(emb, "label", strategy="explode", how="mean")
 
 
+def q_retry_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consecutive near-retry detection (operators/transcript_qa.py::
+    retry_similarity): JVM-side Levenshtein between consecutive counted
+    turns, exact floor-ppm relative distance, inputs capped at 2000
+    chars (O(len²) bound). Spark counts codepoint edits vs DuckDB's
+    bytes — identical on this ASCII corpus (divergence documented in the
+    operator)."""
+    from funcify_feature_eng_spark.operators.transcript_qa import retry_similarity
+
+    ev = _t(spark, sf_dir, "events")
+    return retry_similarity(
+        ev, entity_col="user_id", order=("ts", "event_id"),
+        role_col="event_type", text_col="props", roles=("view", "click"),
+    ).select("user_id", "event_id", "lev_dist", "rel_dist_ppm", "is_near_retry")
+
+
+def q_event_path_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trajectory motif mining (operators/transcript_qa.py::path_ngrams):
+    corpus-wide trigram counts over each user's ordered event-type path —
+    the n-gram generalization of the state_transitions matrix (n=2).
+    One window Exchange (both lags share the sort) + one map-side-combined
+    aggregate onto alphabet³ rows; counts merge by addition across
+    shards."""
+    from funcify_feature_eng_spark.operators.transcript_qa import path_ngrams
+
+    ev = _t(spark, sf_dir, "events")
+    return path_ngrams(
+        ev, entity_col="user_id", order=("ts", "event_id"),
+        state_col="event_type", n=3,
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: windowed turn features + strictly-prior as-of join at sf0.001."""
     sf_dir = "/root/testdata/sf0.001"
@@ -4658,6 +4692,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tool_call_loops": q_tool_call_loops,
         "self_repetition": q_self_repetition,
         "embedding_pool": q_embedding_pool,
+        "retry_similarity": q_retry_similarity,
+        "event_path_ngrams": q_event_path_ngrams,
     }
 
 
@@ -6600,20 +6636,23 @@ SELECT doc_id, source FROM ranked WHERE rn <= 10
         # smaller). margin = the same two doubles subtracted, IEEE-exact.
         "preference_pairs": """
 WITH s AS (
-  SELECT user_id, event_id, value FROM events WHERE value IS NOT NULL
+  SELECT user_id, event_id, value, props FROM events WHERE value IS NOT NULL
 ), hi AS (
   SELECT user_id, event_id AS chosen_id, value AS chosen_score,
+         props AS chosen_text,
          row_number() OVER (PARTITION BY user_id
                             ORDER BY value DESC, event_id DESC) AS rn
   FROM s
 ), lo AS (
   SELECT user_id, event_id AS rejected_id, value AS rejected_score,
+         props AS rejected_text,
          row_number() OVER (PARTITION BY user_id
                             ORDER BY value ASC, event_id ASC) AS rn
   FROM s
 )
 SELECT h.user_id, h.chosen_id, l.rejected_id, h.chosen_score,
-       l.rejected_score, h.chosen_score - l.rejected_score AS margin
+       l.rejected_score, h.chosen_score - l.rejected_score AS margin,
+       h.chosen_text, l.rejected_text
 FROM hi h JOIN lo l USING (user_id)
 WHERE h.rn = 1 AND l.rn = 1 AND h.chosen_score - l.rejected_score > 0
 """,
@@ -7712,5 +7751,39 @@ SELECT label,
        list(CAST((s - ((s % n) + n) % n) // n AS BIGINT) ORDER BY pos) AS pooled,
        CAST(MIN(n) AS BIGINT) AS n_vecs
 FROM sums GROUP BY label
+"""
+    # consecutive near-retry: levenshtein over the role-filtered lag chain;
+    # operands non-negative so // = floor; NULL distance on firsts
+    sqls["retry_similarity"] = """
+WITH b AS (
+  SELECT user_id, event_id, ts,
+         substr(coalesce(props, ''), 1, 2000) AS t
+  FROM events WHERE event_type IN ('view', 'click')
+), l AS (
+  SELECT user_id, event_id,
+         levenshtein(lag(t) OVER w, t) AS d,
+         greatest(length(lag(t) OVER w), length(t), 1) AS dn
+  FROM b
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id, event_id,
+       CAST(d AS BIGINT) AS lev_dist,
+       CAST((d * 1000000) // dn AS BIGINT) AS rel_dist_ppm,
+       coalesce((d * 1000000) // dn <= 200000, false) AS is_near_retry
+FROM l
+"""
+    # trajectory trigram counts over the per-user event-type path
+    sqls["event_path_ngrams"] = """
+WITH l AS (
+  SELECT lag(event_type, 2) OVER w AS a,
+         lag(event_type, 1) OVER w AS b,
+         event_type AS c
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT a || '>' || b || '>' || c AS ngram,
+       CAST(COUNT(*) AS BIGINT) AS n_occurrences
+FROM l WHERE a IS NOT NULL AND b IS NOT NULL AND c IS NOT NULL
+GROUP BY 1
 """
     return sqls

@@ -233,6 +233,8 @@ def preference_pairs(
     score_col: str,
     *,
     strict: bool = True,
+    text_col: str | None = None,
+    min_margin: float | None = None,
 ) -> DataFrame:
     """Mine one (chosen, rejected) preference pair per group (DPO/RLHF
     pair construction): within each ``group_col`` (e.g. prompt id), chosen
@@ -244,16 +246,33 @@ def preference_pairs(
     candidates are excluded up front. ``strict=True`` (default) keeps only
     groups with ``margin > 0`` (a group whose candidates all tie yields no
     training signal; it would also make chosen == rejected possible).
+    ``min_margin`` additionally drops pairs below the floor — low-margin
+    pairs are near-noise for a DPO trainer; margin is a plain subtraction
+    of two stored values (no accumulation), so the cut is IEEE-exact
+    cross-engine.
+
+    ``text_col`` carries the candidate payload through as ``chosen_text``
+    / ``rejected_text`` (the actual DPO training unit) via ``max_by`` /
+    ``min_by`` on the same ``(score, id)`` ordering struct — identical tie
+    semantics; ``id_col`` must be unique within a group for the carried
+    text to be deterministic (ids are, on every spine this repo builds).
 
     Returns ``(group_col, chosen_id, rejected_id, chosen_score,
-    rejected_score, margin)``. Plan: a single map-side-combined groupBy
-    with two struct min/max aggregates — one shuffle of one row per group,
-    no window, no self-join; at 100 TB this is the cheapest possible shape
+    rejected_score, margin[, chosen_text, rejected_text])``. Plan: a
+    single map-side-combined groupBy with two struct min/max (or
+    min_by/max_by) aggregates — one shuffle of one row per group, no
+    window, no self-join; at 100 TB this is the cheapest possible shape
     for per-group argmax/argmin.
     """
     scored = df.where(F.col(score_col).isNotNull())
-    top = F.max(F.struct(F.col(score_col), F.col(id_col)))
-    bot = F.min(F.struct(F.col(score_col), F.col(id_col)))
+    ordkey = F.struct(F.col(score_col), F.col(id_col))
+    if text_col is None:
+        top, bot = F.max(ordkey), F.min(ordkey)
+    else:
+        payload = F.struct(
+            F.col(score_col), F.col(id_col), F.col(text_col).alias("__txt")
+        )
+        top, bot = F.max_by(payload, ordkey), F.min_by(payload, ordkey)
     agg = scored.groupBy(group_col).agg(top.alias("__hi"), bot.alias("__lo"))
     out = agg.select(
         group_col,
@@ -262,5 +281,18 @@ def preference_pairs(
         F.col(f"__hi.{score_col}").alias("chosen_score"),
         F.col(f"__lo.{score_col}").alias("rejected_score"),
         (F.col(f"__hi.{score_col}") - F.col(f"__lo.{score_col}")).alias("margin"),
+        *(
+            []
+            if text_col is None
+            else [
+                F.col("__hi.__txt").alias("chosen_text"),
+                F.col("__lo.__txt").alias("rejected_text"),
+            ]
+        ),
     )
-    return out.where(F.col("margin") > 0) if strict else out
+    cond = F.col("margin") > 0
+    if min_margin is not None:
+        cond = cond & (F.col("margin") >= F.lit(float(min_margin)))
+    if not strict and min_margin is None:
+        return out
+    return out.where(cond)

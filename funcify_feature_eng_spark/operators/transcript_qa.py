@@ -59,6 +59,8 @@ __all__ = [
     "context_examples",
     "tool_call_loops",
     "self_repetition_stats",
+    "retry_similarity",
+    "path_ngrams",
 ]
 
 # Unit separators for payload joins: chosen outside any plausible payload
@@ -651,4 +653,115 @@ def self_repetition_stats(
         exact_floor_div(
             F.col("n_repeated") * F.lit(1_000_000), F.col("n_turns")
         ).cast("long").alias("repetition_ppm"),
+    )
+
+
+def retry_similarity(
+    df: DataFrame,
+    *,
+    entity_col: str,
+    order: Sequence[str],
+    role_col: str,
+    text_col: str,
+    roles: Sequence[str] = ("assistant",),
+    near_ppm: int = 200_000,
+    max_chars: int = 2000,
+) -> DataFrame:
+    """Consecutive same-role near-retry detection: for each counted turn
+    after its conversation's first, the Levenshtein distance to the
+    PREVIOUS counted turn's text and the relative distance
+    ``rel_dist_ppm = floor(1e6·dist / max(len_prev, len_cur, 1))`` —
+    near-identical consecutive responses (``rel_dist_ppm <= near_ppm``)
+    are the regenerate-loop signature that exact matching
+    (:func:`self_repetition_stats`) misses.
+
+    Adds ``lev_dist`` (bigint, NULL on each conversation's first counted
+    turn), ``rel_dist_ppm`` (bigint, NULL likewise) and ``is_near_retry``
+    (boolean, False on firsts). NULL text compares as '' (a blank retry
+    of a blank is a retry). Both texts are truncated to ``max_chars``
+    first — Levenshtein is O(len²) per pair, so the cap bounds per-row
+    cost at scale (state it in the feature doc; 2000 chars covers the
+    overwhelming mass of single turns).
+
+    Engine-portability note: Spark's ``levenshtein`` counts CODEPOINT
+    edits, DuckDB's counts BYTE edits — they agree exactly on ASCII
+    text. The driver gate runs on ASCII testdata; for non-ASCII corpora
+    the Spark semantics are the correct ones (a one-character accent
+    edit is one edit).
+
+    Scale: ONE window Exchange on the conversation key; the distance is
+    a JVM-side expression (no Python, no join).
+    """
+    from .util import exact_floor_div
+
+    base = df.filter(F.col(role_col).isin(list(roles)))
+    txt = F.substring(F.coalesce(F.col(text_col), F.lit("")), 1, int(max_chars))
+    w = Window.partitionBy(entity_col).orderBy(*_order_cols(order))
+    prev = F.lag(txt).over(w)
+    dist = F.levenshtein(prev, txt).cast("long")
+    denom = F.greatest(F.length(prev), F.length(txt), F.lit(1)).cast("long")
+    rel = exact_floor_div(dist * F.lit(1_000_000), denom)
+    return (
+        base.withColumn("lev_dist", dist)
+        .withColumn("rel_dist_ppm", rel.cast("long"))
+        .withColumn(
+            "is_near_retry",
+            F.coalesce(F.col("rel_dist_ppm") <= F.lit(int(near_ppm)), F.lit(False)),
+        )
+    )
+
+
+def path_ngrams(
+    df: DataFrame,
+    *,
+    entity_col: str,
+    order: Sequence[str],
+    state_col: str,
+    n: int = 3,
+    sep: str = ">",
+) -> DataFrame:
+    """Trajectory motif mining: corpus-wide counts of every length-``n``
+    window of consecutive states along each entity's ordered sequence —
+    the n-gram generalization of :func:`state_transitions` (which is the
+    n=2 row-normalized case). "What three-step tool paths dominate the
+    corpus?" is the question this answers before anyone hand-writes a
+    role machine for :func:`role_sequence_audit`.
+
+    Windows containing a NULL state are excluded (same contract as
+    state_transitions). Output: ``ngram`` (states joined by ``sep``),
+    ``n_occurrences`` — counts, not probabilities, so rows merge by
+    addition across corpus shards (mergeable-sketch posture).
+
+    Scale: one window Exchange on the entity key (n−1 lags share one
+    sort), then one map-side-combined aggregate onto alphabet^n rows.
+    ``sep`` must not occur in state names (validated against the data at
+    runtime via assert_true — a separator collision would alias two
+    different paths).
+    """
+    if n < 2:
+        raise ValueError(f"path_ngrams: n must be >= 2, got {n}")
+    if not sep:
+        raise ValueError("path_ngrams: sep must be non-empty")
+    w = Window.partitionBy(entity_col).orderBy(*_order_cols(order))
+    state = F.col(state_col)
+    # fold the separator-collision guard into the current state so Catalyst
+    # cannot prune it: state names containing `sep` would alias paths
+    ok = ~F.coalesce(state.contains(sep), F.lit(False))
+    msg = F.concat(
+        F.lit(f"path_ngrams: state name contains the separator {sep!r}: "),
+        state,
+    )
+    checked = F.concat(
+        state,
+        F.coalesce(F.assert_true(ok, msg).cast("string"), F.lit("")),
+    )
+    lags = [F.lag(checked, n - 1 - i).over(w) for i in range(n - 1)] + [checked]
+    all_present = lags[0].isNotNull()
+    for c in lags[1:]:
+        all_present = all_present & c.isNotNull()
+    grams = df.select(
+        F.when(all_present, F.concat_ws(sep, *lags)).alias("ngram")
+    ).filter(F.col("ngram").isNotNull())
+    return grams.groupBy("ngram").agg(
+        F.count(F.lit(1)).cast("long").alias("n_occurrences")
     )

@@ -192,3 +192,40 @@ def test_preference_pairs_single_shuffle_no_window(spark):
     )._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan
     assert plan.count("Exchange") <= 1
+
+
+def _texted(spark):
+    rows = [
+        ("p1", 1, 0.9, "best"), ("p1", 2, 0.1, "worst"), ("p1", 3, 0.5, "mid"),
+        # tie on 0.8 -> chosen = larger id (12), text follows the id
+        ("p2", 11, 0.8, "t-a"), ("p2", 12, 0.8, "t-b"), ("p2", 13, 0.2, "low"),
+        # small margin, cut by min_margin=0.2
+        ("p3", 21, 0.55, "x"), ("p3", 22, 0.50, "y"),
+    ]
+    return spark.createDataFrame(
+        rows, "prompt: string, cand_id: long, score: double, text: string"
+    )
+
+
+def test_preference_pairs_text_payload_and_min_margin(spark):
+    out = {r["prompt"]: r for r in preference_pairs(
+        _texted(spark), "prompt", "cand_id", "score", text_col="text"
+    ).collect()}
+    assert set(out) == {"p1", "p2", "p3"}
+    assert (out["p1"]["chosen_text"], out["p1"]["rejected_text"]) == (
+        "best", "worst")
+    # tie resolves on (score, id) and the text follows the winning id
+    assert (out["p2"]["chosen_id"], out["p2"]["chosen_text"]) == (12, "t-b")
+    cut = {r["prompt"] for r in preference_pairs(
+        _texted(spark), "prompt", "cand_id", "score",
+        text_col="text", min_margin=0.2,
+    ).collect()}
+    assert cut == {"p1", "p2"}
+
+
+def test_preference_pairs_text_path_single_shuffle(spark):
+    plan = preference_pairs(
+        _texted(spark), "prompt", "cand_id", "score", text_col="text"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert plan.count("Exchange") <= 1

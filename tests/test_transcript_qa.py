@@ -446,3 +446,81 @@ def test_self_repetition_hand_computed(spark):
     assert r1["repetition_ppm"] == 500_000
     assert (r2["n_turns"], r2["n_repeated"], r2["n_distinct"]) == (2, 0, 2)
     assert r2["repetition_ppm"] == 0
+
+
+def test_retry_similarity_hand_computed(spark):
+    from funcify_feature_eng_spark.operators.transcript_qa import retry_similarity
+
+    df = _turns(spark, [
+        (1, 0, "assistant", "hello world"),
+        (1, 1, "user", "IGNORED"),           # not counted: no effect on lag
+        (1, 2, "assistant", "hello worlds"), # 1 edit / 12 chars
+        (1, 3, "assistant", "zzz"),          # 12 edits / 12 chars
+        (2, 0, "assistant", None),           # NULL text -> ''
+        (2, 1, "assistant", ""),             # '' vs '' -> 0/1 = retry
+    ])
+    out = {(r["conv_id"], r["turn_idx"]): r for r in retry_similarity(
+        df, entity_col="conv_id", order=("turn_idx",),
+        role_col="role", text_col="text", near_ppm=200_000,
+    ).collect()}
+    assert len(out) == 5  # user turn excluded
+    first = out[(1, 0)]
+    assert first["lev_dist"] is None and first["is_near_retry"] is False
+    r2 = out[(1, 2)]
+    assert (r2["lev_dist"], r2["rel_dist_ppm"], r2["is_near_retry"]) == (
+        1, 83_333, True)  # floor(1e6/12)
+    r3 = out[(1, 3)]
+    assert (r3["lev_dist"], r3["rel_dist_ppm"], r3["is_near_retry"]) == (
+        12, 1_000_000, False)
+    rb = out[(2, 1)]
+    assert (rb["lev_dist"], rb["rel_dist_ppm"], rb["is_near_retry"]) == (
+        0, 0, True)
+
+
+def test_retry_similarity_truncation_bounds_cost(spark):
+    from funcify_feature_eng_spark.operators.transcript_qa import retry_similarity
+
+    df = _turns(spark, [
+        (1, 0, "assistant", "a" * 50 + "X"),
+        (1, 1, "assistant", "a" * 50 + "Y"),
+    ])
+    [_, r] = retry_similarity(
+        df, entity_col="conv_id", order=("turn_idx",),
+        role_col="role", text_col="text", max_chars=50,
+    ).orderBy("turn_idx").collect()
+    # both truncated to 'a'*50 -> identical
+    assert r["lev_dist"] == 0 and r["is_near_retry"] is True
+
+
+def test_path_ngrams_hand_computed(spark):
+    from funcify_feature_eng_spark.operators.transcript_qa import path_ngrams
+
+    df = _turns(spark, [
+        (1, 0, "u", "x"), (1, 1, "a", "x"), (1, 2, "u", "x"), (1, 3, "a", "x"),
+        (2, 0, "u", "x"), (2, 1, "a", "x"), (2, 2, "u", "x"),
+        # conv 3: NULL state breaks every window containing it
+        (3, 0, "u", "x"), (3, 1, None, "x"), (3, 2, "u", "x"), (3, 3, "a", "x"),
+    ])
+    out = {r["ngram"]: r["n_occurrences"] for r in path_ngrams(
+        df, entity_col="conv_id", order=("turn_idx",), state_col="role", n=3,
+    ).collect()}
+    assert out == {"u>a>u": 2, "a>u>a": 1}
+    # n=2 reduces to transition counts
+    out2 = {r["ngram"]: r["n_occurrences"] for r in path_ngrams(
+        df, entity_col="conv_id", order=("turn_idx",), state_col="role", n=2,
+    ).collect()}
+    # conv1 u,a,u,a -> u>a x2, a>u x1; conv2 u,a,u -> one each;
+    # conv3 u,NULL,u,a -> only (u,a) survives the NULL exclusion
+    assert out2 == {"u>a": 4, "a>u": 2}
+    with pytest.raises(ValueError, match="n must be"):
+        path_ngrams(df, entity_col="conv_id", order=("turn_idx",),
+                    state_col="role", n=1)
+
+
+def test_path_ngrams_separator_collision_raises(spark):
+    from funcify_feature_eng_spark.operators.transcript_qa import path_ngrams
+
+    df = _turns(spark, [(1, 0, "a>b", "x"), (1, 1, "c", "x")])
+    with pytest.raises(Exception, match="separator"):
+        path_ngrams(df, entity_col="conv_id", order=("turn_idx",),
+                    state_col="role", n=2).collect()
