@@ -4496,6 +4496,100 @@ def q_event_path_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_feature_scaling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Numeric feature conditioning (operators/scaling.py): per-language
+    equi-depth NTILE(5) discretization (exact integer rank semantics,
+    doc_id tiebreak), plan-time cut-point binning (zero shuffle), min-max
+    scaling on the e6 grid (exact remainder-identity floor division), and
+    a deterministic z-score — exact integer moments n/s1/s2, then
+    z = (n*x - s1)/sqrt(n*s2 - s1^2): every double operation's inputs are
+    exact integers, so IEEE-754 engines agree to the last bit. Stats sides
+    are group-grain aggregates broadcast back; only the NTILE rank sort
+    shuffles the data."""
+    from funcify_feature_eng_spark.operators.scaling import (
+        bin_by_cuts,
+        minmax_scale,
+        quantile_bin,
+        standardize,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    out = quantile_bin(
+        docs, "n_chars", n_bins=5, tiebreak="doc_id", group_by=["lang"],
+        out_col="depth_bin",
+    )
+    out = bin_by_cuts(out, "n_chars", [100, 200, 400], out_col="cut_bin")
+    out = minmax_scale(out, "n_chars", group_by=["lang"], out_col="minmax_e6")
+    out = standardize(out, "n_chars", group_by=["lang"], out_col="zscore")
+    return out.select(
+        "doc_id", "lang", "n_chars", "depth_bin", "cut_bin", "minmax_e6", "zscore"
+    )
+
+
+def q_winsorized_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization (operators/scaling.py::winsorize): clip each event
+    type's values to its exact [5%, 95%] band on the e6 fixed-point grid.
+    Thresholds are the repo's rank rule — value at rank max(1, ceil(p*n))
+    — computed in one per-group rank window, then broadcast back for a
+    map-only clip; no interpolation, so the bounds are actual data values
+    and the SQL twin reproduces them exactly."""
+    from funcify_feature_eng_spark.operators.scaling import winsorize
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "event_type",
+        F.floor(F.col("value") * F.lit(1_000_000.0)).cast("long").alias("v_e6"),
+    )
+    return winsorize(
+        ev, "v_e6", lower_ppm=50_000, upper_ppm=950_000, tiebreak="event_id",
+        group_by=["event_type"], out_col="v_winsor",
+    )
+
+
+def q_count_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency encoding (operators/encoding.py::count_encode): attach
+    each event's category prevalence — exact count + floor-ppm share of
+    the corpus. One map-side-combined aggregate onto category-grain rows
+    (plus a category-grain window for the total), broadcast back; the
+    data side never shuffles."""
+    from funcify_feature_eng_spark.operators.encoding import count_encode
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "event_type")
+    return count_encode(ev, "event_type", out_prefix="cat")
+
+
+def q_hash_crosses(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hashing trick for feature crosses (operators/encoding.py::
+    hash_cross): bucket = xxhash64(lang, source) pmod 64 — a bounded id
+    for the lang x source INTERACTION without materializing the cross
+    vocabulary. Zero shuffle (pure Column expression). Oracle = fixture
+    from the INDEPENDENT pure-Python xxh64 chain
+    (scripts/make_fixtures.py::hash_cross_buckets); params must mirror
+    it (n_buckets=64 over (lang, source))."""
+    from funcify_feature_eng_spark.operators.encoding import hash_cross
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    return hash_cross(docs, ["lang", "source"], n_buckets=64)
+
+
+def q_time_decay_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency-weighted rollup (operators/decay.py::time_decay_agg): per
+    user, exponentially decayed value sum / event count as of a pinned
+    instant, decay quantized to half-life buckets so every weight is the
+    integer 2^(20-k) — exact, associative, map-side combinable and
+    mergeable across shards by addition. Rows after the as-of instant are
+    excluded (the strictly-prior leakage rule). The double columns divide
+    exact integers, so they too are bit-identical cross-engine."""
+    from funcify_feature_eng_spark.operators.decay import time_decay_agg
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "v_e6", F.floor(F.col("value") * F.lit(1_000_000.0)).cast("long")
+    )
+    return time_decay_agg(
+        ev, value_col="v_e6", ts_col="ts", keys=["user_id"],
+        ref_ts="2024-02-01 00:00:00", halflife_s=172_800, max_pow=20,
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: windowed turn features + strictly-prior as-of join at sf0.001."""
     sf_dir = "/root/testdata/sf0.001"
@@ -4694,6 +4788,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_pool": q_embedding_pool,
         "retry_similarity": q_retry_similarity,
         "event_path_ngrams": q_event_path_ngrams,
+        # round-5 wave 8: numeric feature conditioning + hashed crosses +
+        # recency decay (operators/scaling.py, encoding.py, decay.py)
+        "feature_scaling": q_feature_scaling,
+        "winsorized_values": q_winsorized_values,
+        "count_encoding": q_count_encoding,
+        "hash_crosses": q_hash_crosses,
+        "time_decay_rollup": q_time_decay_rollup,
     }
 
 
@@ -7785,5 +7886,110 @@ SELECT a || '>' || b || '>' || c AS ngram,
        CAST(COUNT(*) AS BIGINT) AS n_occurrences
 FROM l WHERE a IS NOT NULL AND b IS NOT NULL AND c IS NOT NULL
 GROUP BY 1
+"""
+    # numeric feature conditioning: NTILE discretization + cut binning +
+    # exact min-max + integer-moment z-score, identical formulas
+    sqls["feature_scaling"] = """
+WITH nn AS (
+  SELECT doc_id, lang, n_chars FROM documents WHERE n_chars IS NOT NULL
+), b AS (
+  SELECT doc_id, lang, n_chars,
+         CAST(NTILE(5) OVER (PARTITION BY lang ORDER BY n_chars, doc_id)
+              AS INTEGER) AS depth_bin
+  FROM nn
+), s AS (
+  SELECT lang, MIN(n_chars) AS mn, MAX(n_chars) AS mx,
+         COUNT(*) AS n, SUM(n_chars) AS s1, SUM(n_chars * n_chars) AS s2
+  FROM nn GROUP BY lang
+)
+SELECT b.doc_id, b.lang, b.n_chars, b.depth_bin,
+       CAST(CAST(b.n_chars >= 100 AS INT) + CAST(b.n_chars >= 200 AS INT)
+            + CAST(b.n_chars >= 400 AS INT) AS INTEGER) AS cut_bin,
+       CAST(CASE WHEN s.mx = s.mn THEN 0
+            ELSE (b.n_chars - s.mn) * 1000000 // (s.mx - s.mn)
+       END AS BIGINT) AS minmax_e6,
+       CASE WHEN s.n * s.s2 - s.s1 * s.s1 <= 0 THEN NULL
+            ELSE CAST(s.n * b.n_chars - s.s1 AS DOUBLE)
+                 / sqrt(CAST(s.n * s.s2 - s.s1 * s.s1 AS DOUBLE))
+       END AS zscore
+FROM b JOIN s USING (lang)
+UNION ALL
+SELECT doc_id, lang, n_chars, CAST(NULL AS INTEGER), CAST(NULL AS INTEGER),
+       CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE)
+FROM documents WHERE n_chars IS NULL
+"""
+    # winsorize: thresholds = value at rank max(1, ceil(p*n)) per group;
+    # non-negative operands so // = floor, ceil via (a + b - 1) // b
+    sqls["winsorized_values"] = """
+WITH b AS (
+  SELECT event_id, event_type,
+         CAST(floor(value * 1000000.0) AS BIGINT) AS v_e6
+  FROM events
+), nn AS (
+  SELECT event_id, event_type, v_e6,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY v_e6, event_id)
+           AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM b WHERE v_e6 IS NOT NULL
+), th AS (
+  SELECT event_type,
+         MIN(CASE WHEN rn = GREATEST(1, LEAST((50000 * n + 999999) // 1000000,
+                                              n)) THEN v_e6 END) AS lo,
+         MIN(CASE WHEN rn = GREATEST(1, LEAST((950000 * n + 999999) // 1000000,
+                                              n)) THEN v_e6 END) AS hi
+  FROM nn GROUP BY event_type
+)
+SELECT b.event_id, b.event_type, b.v_e6,
+       CASE WHEN b.v_e6 IS NULL THEN NULL
+            ELSE GREATEST(th.lo, LEAST(th.hi, b.v_e6)) END AS v_winsor
+FROM b LEFT JOIN th USING (event_type)
+"""
+    # frequency encoding: category-grain counts + floor-ppm corpus share
+    sqls["count_encoding"] = """
+WITH c AS (
+  SELECT event_type, COUNT(*) AS cat_cnt FROM events GROUP BY event_type
+), t AS (SELECT SUM(cat_cnt) AS tot FROM c)
+SELECT e.event_id, e.event_type,
+       CAST(c.cat_cnt AS BIGINT) AS cat_cnt,
+       CAST((c.cat_cnt * 1000000) // t.tot AS BIGINT) AS cat_share_ppm
+FROM events e
+JOIN c ON e.event_type IS NOT DISTINCT FROM c.event_type
+CROSS JOIN t
+"""
+    # hashed feature cross: fixture from the independent pure-Python
+    # xxh64 chain (scripts/make_fixtures.py::hash_cross_buckets)
+    sqls["hash_crosses"] = f"""
+WITH fx AS ({_fixture_values("hash_cross_sf0.01.parquet",
+                             ["doc_id", "cross_bucket"])})
+SELECT d.doc_id, d.lang, d.source, fx.cross_bucket
+FROM documents d JOIN fx USING (doc_id)
+"""
+    # recency-decayed rollup: half-life-bucketed integer weights
+    # 2^(20-k), strictly-prior cutoff, exact integer sums
+    sqls["time_decay_rollup"] = """
+WITH b AS (
+  SELECT user_id,
+         CAST(floor(value * 1000000.0) AS BIGINT) AS v,
+         CAST((epoch_us(TIMESTAMP '2024-02-01 00:00:00') - epoch_us(ts))
+              // 172800000000 AS INTEGER) AS k
+  FROM events
+  WHERE ts IS NOT NULL AND ts <= TIMESTAMP '2024-02-01 00:00:00'
+), w AS (
+  SELECT user_id, v,
+         CASE WHEN k > 20 THEN 0
+              ELSE (CAST(1 AS BIGINT) << (20 - k)) END AS wq
+  FROM b
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COALESCE(SUM(v * wq), 0) AS BIGINT) AS decayed_sum_q,
+       CAST(SUM(wq) AS BIGINT) AS decayed_wsum_q,
+       CAST(CAST(COALESCE(SUM(v * wq), 0) AS BIGINT) AS DOUBLE) / 1048576.0
+         AS decayed_sum,
+       CASE WHEN SUM(CASE WHEN v IS NOT NULL THEN wq END) > 0
+            THEN CAST(CAST(COALESCE(SUM(v * wq), 0) AS BIGINT) AS DOUBLE)
+                 / CAST(SUM(CASE WHEN v IS NOT NULL THEN wq END) AS DOUBLE)
+       END AS decayed_mean
+FROM w GROUP BY user_id
 """
     return sqls

@@ -75,3 +75,96 @@ def cumulative_target_encode(
         .withColumn(out_col, enc.cast("long"))
         .drop("__t")
     )
+
+
+def count_encode(
+    df: DataFrame,
+    category_col: str,
+    *,
+    group_by: Sequence[str] = (),
+    out_prefix: str = "cat",
+) -> DataFrame:
+    """Frequency (count) encoding: attach ``{out_prefix}_cnt`` — how many
+    rows share this row's category (within ``group_by`` if given) — and
+    ``{out_prefix}_share_ppm`` = floor(1e6 * cnt / group total). The
+    no-training-table cousin of target encoding: a category's prevalence
+    is often the only signal a tail category has, and unlike one-hot it
+    costs one column at ANY cardinality.
+
+    NULL categories are a real level (frequency encoding treats "absent"
+    as informative) — counted as their own group, like SQL GROUP BY.
+
+    Exactness: counts are integers; the share uses the remainder-identity
+    floor division (``exact_floor_div``), so both outputs are
+    bit-reproducible in any engine. Unlike ``cumulative_target_encode``
+    this is NOT leakage-free w.r.t. a label — it encodes prevalence, not
+    the target; it needs no temporal guard.
+
+    Scale: one map-side-combined aggregate onto category-grain rows +
+    one group-grain roll-up of that (no second data pass), broadcast
+    back — the data side never shuffles."""
+    from funcify_feature_eng_spark.operators.util import exact_floor_div
+
+    keys = list(group_by)
+    counts = df.groupBy(*keys, category_col).agg(
+        F.count(F.lit(1)).alias(f"{out_prefix}_cnt")
+    )
+    tot_w = Window.partitionBy(*[F.col(k) for k in keys])
+    # totals via a window over the CATEGORY-GRAIN frame: tiny (one row per
+    # category), never the data
+    enriched = counts.withColumn(
+        "__tot", F.sum(f"{out_prefix}_cnt").over(tot_w)
+    ).withColumn(
+        f"{out_prefix}_share_ppm",
+        exact_floor_div(
+            F.col(f"{out_prefix}_cnt").cast("decimal(38,0)")
+            * F.lit(1_000_000).cast("decimal(38,0)"),
+            F.col("__tot").cast("decimal(38,0)"),
+        ),
+    ).drop("__tot")
+    if keys:
+        return df.join(
+            F.broadcast(enriched), keys + [category_col], "left"
+        )
+    # keyless: join on the category alone; eqNullSafe keeps NULL categories
+    # matched to their own count row
+    cond = F.col(f"__ce_l.`{category_col}`").eqNullSafe(
+        F.col(f"__ce_r.`{category_col}`")
+    )
+    return (
+        df.alias("__ce_l")
+        .join(F.broadcast(enriched.alias("__ce_r")), cond, "left")
+        .drop(F.col(f"__ce_r.`{category_col}`"))
+    )
+
+
+def hash_cross(
+    df: DataFrame,
+    cols: Sequence[str],
+    *,
+    n_buckets: int,
+    out_col: str = "cross_bucket",
+) -> DataFrame:
+    """The hashing trick for feature crosses (Weinberger et al. 2009,
+    public): ``out_col`` = xxhash64(col1, ..., colN) mod n_buckets — a
+    bounded-cardinality id for the INTERACTION of the columns, without
+    materializing the cross-product vocabulary. Collisions are the
+    accepted trade (size n_buckets for the cross's live cardinality).
+
+    Deterministic: Spark's xxhash64 seeds each column's hash with the
+    previous column's (seed 42 first), so the bucket is a pure function
+    of the values — reproducible across runs, engines with the same
+    xxhash64 chain (the repo's pure-Python ``functions/xxh64.py`` twin
+    locks the algorithm), and cluster layouts. NULL participates as
+    xxhash64's NULL convention (skipped — document crosses with NULLable
+    columns accordingly). Zero shuffle: a pure Column expression."""
+    if n_buckets < 1:
+        raise ValueError(f"hash_cross: n_buckets must be >= 1, got {n_buckets}")
+    if not cols:
+        raise ValueError("hash_cross: need at least one column")
+    return df.withColumn(
+        out_col,
+        F.pmod(F.xxhash64(*[F.col(c) for c in cols]), F.lit(int(n_buckets))).cast(
+            "int"
+        ),
+    )

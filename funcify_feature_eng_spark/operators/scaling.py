@@ -1,0 +1,284 @@
+"""Numeric feature transforms: binning, min-max scaling, standardization,
+winsorization — the post-materialization conditioning a feature vector
+needs before it reaches a trainer.
+
+The reference materializes raw feature values and stops
+(``feature-json/.../FeatureJsonPublisher.kt`` is the sink); every model
+team then re-implements "scale this column per segment" downstream. Here
+the transforms are first-class operators over the materialized frame,
+with the repo's determinism contract: inputs arrive on an integer
+fixed-point grid (the house ``*_e2``/``*_e6`` convention — callers with a
+double column pre-scale once, e.g. ``F.floor(x * 100).cast("long")``),
+every threshold/rank/ratio is integer arithmetic, and the only doubles
+produced are quotients/square-roots OF exact integers — deterministic
+and bit-identical in any IEEE-754 engine, so an independent SQL twin
+reproduces every output value.
+
+Scale posture (100 TB): the stats side of every transform is GROUP-grain
+(one map-side-combined aggregate onto one row per group), joined back
+broadcast — the data side never shuffles. The exceptions are rank-based
+transforms (`quantile_bin`, `winsorize`), which fundamentally need a
+per-group sort: one Exchange on the group keys, spill-safe. Their
+keyless form sorts a single partition — fine for bounded frames
+(eval sets, per-batch stats), wrong for a raw corpus; `bin_by_cuts`
+(plan-time literal cut points, zero shuffle) is the keyless 100 TB path,
+with cuts from a prior `winsorize`/`quantile_bin` run or approx
+quantiles.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from funcify_feature_eng_spark.operators.util import exact_floor_div
+
+__all__ = [
+    "bin_by_cuts",
+    "quantile_bin",
+    "minmax_scale",
+    "standardize",
+    "winsorize",
+]
+
+_PPM = 1_000_000
+_DEC = "decimal(38,0)"
+
+_INTEGRAL = ("tinyint", "smallint", "int", "bigint")
+
+
+def _require_integral(df: DataFrame, value_col: str, op: str) -> None:
+    t = df.schema[value_col].dataType.simpleString()
+    if t not in _INTEGRAL:
+        raise ValueError(
+            f"{op} requires an integral value column (got {value_col}: {t}): "
+            "floats break the exact-arithmetic contract — pre-scale onto a "
+            "fixed-point grid (e.g. F.floor(x * 100).cast('long'))"
+        )
+
+
+def bin_by_cuts(
+    df: DataFrame,
+    value_col: str,
+    cuts: Sequence[int | float],
+    out_col: str = "bin",
+) -> DataFrame:
+    """Assign ``out_col`` = number of ``cuts`` <= value (0..len(cuts));
+    NULL value -> NULL bin. ``cuts`` must be strictly increasing plan-time
+    literals.
+
+    This is the zero-shuffle binning path: a pure Column expression
+    (whole-stage codegen), the right tool when the cut points are known —
+    from a config, a prior :func:`quantile_bin`/:func:`winsorize` run, or
+    ``approxQuantile``. Use it instead of keyless :func:`quantile_bin`
+    on anything corpus-sized."""
+    if not cuts:
+        raise ValueError("bin_by_cuts: need at least one cut point")
+    if any(b <= a for a, b in zip(cuts, cuts[1:])):
+        raise ValueError(f"bin_by_cuts: cuts must be strictly increasing: {cuts}")
+    v = F.col(value_col)
+    bin_expr: Column = sum(
+        ((v >= F.lit(c)).cast("int") for c in cuts), F.lit(0)
+    ).cast("int")
+    return df.withColumn(
+        out_col, F.when(v.isNull(), F.lit(None).cast("int")).otherwise(bin_expr)
+    )
+
+
+def quantile_bin(
+    df: DataFrame,
+    value_col: str,
+    *,
+    n_bins: int,
+    tiebreak: str,
+    group_by: Sequence[str] = (),
+    out_col: str = "bin",
+) -> DataFrame:
+    """Equi-depth discretization: ``out_col`` = NTILE(``n_bins``) of the
+    non-NULL values per group, ordered by ``(value, tiebreak)`` — exact
+    integer rank semantics (bucket sizes differ by at most one), identical
+    in every SQL engine, no estimation. NULL values get a NULL bin and do
+    NOT count toward bucket sizing (they carry no rank information).
+
+    ``tiebreak`` (a unique id column) makes tied values' bucket assignment
+    deterministic — without it NTILE splits a tie run arbitrarily across a
+    bucket boundary and two runs disagree.
+
+    Scale: one Exchange on the group keys + a per-group spill-safe sort.
+    Keyless (``group_by=()``) sorts ONE partition — bounded frames only;
+    use :func:`bin_by_cuts` for corpus-sized keyless binning."""
+    if n_bins < 1:
+        raise ValueError(f"quantile_bin: n_bins must be >= 1, got {n_bins}")
+    keys = list(group_by)
+    v = F.col(value_col)
+    w = Window.partitionBy(*[F.col(k) for k in keys]).orderBy(
+        v.asc(), F.col(tiebreak).asc()
+    )
+    nn = df.filter(v.isNotNull()).withColumn(
+        out_col, F.ntile(n_bins).over(w).cast("int")
+    )
+    nulls = df.filter(v.isNull()).withColumn(out_col, F.lit(None).cast("int"))
+    return nn.unionByName(nulls)
+
+
+def _stats_join(
+    df: DataFrame, stats: DataFrame, keys: Sequence[str]
+) -> DataFrame:
+    """Attach a group-grain stats frame: broadcast equi-join on the keys,
+    or broadcast cross-join for the keyless (single global row) case —
+    either way the DATA side crosses no Exchange."""
+    if keys:
+        return df.join(F.broadcast(stats), list(keys), "left")
+    return df.crossJoin(F.broadcast(stats))
+
+
+def minmax_scale(
+    df: DataFrame,
+    value_col: str,
+    *,
+    group_by: Sequence[str] = (),
+    out_col: str = "minmax_e6",
+    scale: int = _PPM,
+) -> DataFrame:
+    """Min-max scaling on the integer grid: ``out_col`` =
+    floor(scale * (x - min) / (max - min)) per group, in [0, scale].
+    A constant group (max == min) scales to 0; NULL values stay NULL and
+    do not contribute to the extrema.
+
+    Exactness: the value column must be integral (see module contract);
+    the numerator is widened to DECIMAL(38) before the multiply so no
+    intermediate overflows, and the floor division uses the remainder
+    identity (``util.exact_floor_div``) — bit-reproducible anywhere.
+
+    Scale: ONE map-side-combined aggregate onto group-grain rows,
+    broadcast back. The data side never shuffles."""
+    _require_integral(df, value_col, "minmax_scale")
+    keys = list(group_by)
+    v = F.col(value_col)
+    stats = df.groupBy(*keys).agg(
+        F.min(v).alias("__mn"), F.max(v).alias("__mx")
+    )
+    num = (v.cast(_DEC) - F.col("__mn").cast(_DEC)) * F.lit(int(scale)).cast(_DEC)
+    den = (F.col("__mx") - F.col("__mn")).cast(_DEC)
+    scaled = F.when(v.isNull(), F.lit(None).cast("bigint")).when(
+        F.col("__mx") == F.col("__mn"), F.lit(0).cast("bigint")
+    ).otherwise(exact_floor_div(num, den))
+    return (
+        _stats_join(df, stats, keys)
+        .withColumn(out_col, scaled)
+        .drop("__mn", "__mx")
+    )
+
+
+def standardize(
+    df: DataFrame,
+    value_col: str,
+    *,
+    group_by: Sequence[str] = (),
+    out_col: str = "zscore",
+) -> DataFrame:
+    """Population z-score per group, deterministic: with exact integer
+    moments n, s1 = sum(x), s2 = sum(x^2),
+
+        z = (n*x - s1) / sqrt(n*s2 - s1^2)
+
+    algebraically equals (x - mean) / stddev_pop but every input to the
+    double division and square root is an EXACT integer — integer sums
+    are partition-order independent (a naive double variance is not), and
+    int->double conversion, division, and sqrt are all correctly rounded
+    under IEEE-754, so two engines agree to the last bit. Zero-variance
+    groups and NULL values yield NULL.
+
+    Scale: one map-side-combined aggregate (group-grain), broadcast back;
+    no data-side shuffle. s2 headroom: |x| <= ~3e9 at 10^18 rows inside
+    DECIMAL(38)."""
+    _require_integral(df, value_col, "standardize")
+    keys = list(group_by)
+    v = F.col(value_col)
+    d = v.cast(_DEC)
+    stats = df.groupBy(*keys).agg(
+        F.count(v).cast(_DEC).alias("__n"),
+        F.sum(d).alias("__s1"),
+        F.sum(d * d).alias("__s2"),
+    )
+    var_num = F.col("__n") * F.col("__s2") - F.col("__s1") * F.col("__s1")
+    z = (
+        (F.col("__n") * d - F.col("__s1")).cast("double")
+        / F.sqrt(var_num.cast("double"))
+    )
+    out = F.when(
+        v.isNull() | F.col("__n").isNull() | (var_num <= 0), F.lit(None).cast("double")
+    ).otherwise(z)
+    return (
+        _stats_join(df, stats, keys)
+        .withColumn(out_col, out)
+        .drop("__n", "__s1", "__s2")
+    )
+
+
+def winsorize(
+    df: DataFrame,
+    value_col: str,
+    *,
+    lower_ppm: int,
+    upper_ppm: int,
+    tiebreak: str,
+    group_by: Sequence[str] = (),
+    out_col: str = "winsorized",
+) -> DataFrame:
+    """Clip each group's values to its exact [lower_ppm, upper_ppm]
+    percentile band (parts-per-million of the group's non-NULL count).
+    Thresholds use the repo's rank rule: the p-quantile of n ordered
+    values is the value at rank max(1, ceil(p*n)) — exact integer ranks,
+    no interpolation, so the clip bounds are actual data values and an
+    independent engine reproduces them. NULL values pass through NULL and
+    do not consume ranks.
+
+    Scale: one Exchange for the per-group rank sort (the fundamental cost
+    of an exact order statistic), then a group-grain threshold aggregate
+    broadcast back — the second pass over the data is map-only. For
+    corpus-sized keyless clipping, take the thresholds from a bounded
+    sample or prior run and apply them with two ``F.greatest``/
+    ``F.least`` literals instead."""
+    if not (0 <= lower_ppm <= upper_ppm <= _PPM):
+        raise ValueError(
+            f"winsorize: need 0 <= lower_ppm <= upper_ppm <= 1e6, "
+            f"got {lower_ppm}, {upper_ppm}"
+        )
+    keys = list(group_by)
+    v = F.col(value_col)
+    w = Window.partitionBy(*[F.col(k) for k in keys]).orderBy(
+        v.asc(), F.col(tiebreak).asc()
+    )
+    wn = Window.partitionBy(*[F.col(k) for k in keys])
+    nn = (
+        df.filter(v.isNotNull())
+        .withColumn("__rn", F.row_number().over(w))
+        .withColumn("__n", F.count(F.lit(1)).over(wn))
+    )
+    # ceil(p*n/1e6) with positive integers: (p*n + 1e6 - 1) div 1e6 —
+    # truncating division == floor for non-negative operands
+    def _rank(ppm: int) -> Column:
+        r = F.floor(
+            (F.lit(int(ppm)).cast("long") * F.col("__n") + F.lit(_PPM - 1))
+            / F.lit(_PPM)
+        ).cast("long")
+        return F.greatest(F.lit(1).cast("long"), F.least(r, F.col("__n").cast("long")))
+
+    marked = nn.withColumn("__klo", _rank(lower_ppm)).withColumn(
+        "__khi", _rank(upper_ppm)
+    )
+    thresholds = marked.groupBy(*keys).agg(
+        F.min(F.when(F.col("__rn") == F.col("__klo"), v)).alias("__lo"),
+        F.min(F.when(F.col("__rn") == F.col("__khi"), v)).alias("__hi"),
+    )
+    clipped = F.when(v.isNull(), F.lit(None).cast(df.schema[value_col].dataType)).otherwise(
+        F.greatest(F.col("__lo"), F.least(F.col("__hi"), v))
+    )
+    return (
+        _stats_join(df, thresholds, keys)
+        .withColumn(out_col, clipped)
+        .drop("__lo", "__hi")
+    )

@@ -627,6 +627,21 @@ def incremental_minhash_kept(
     return sorted(kept.items())
 
 
+def hash_cross_buckets(
+    rows: list[tuple[int, str | None, str | None]], n_buckets: int = 64
+) -> list[tuple[int, int]]:
+    """Pure-Python twin of operators/encoding.py::hash_cross over
+    (lang, source): Spark's chained xxhash64 (seed 42, each column's hash
+    seeds the next; NULL columns are SKIPPED, not hashed) followed by
+    pmod. Params MUST mirror __spark_entry__.q_hash_crosses."""
+    out = []
+    for doc_id, lang, source in rows:
+        vals = [v for v in (lang, source) if v is not None]
+        h = spark_xxhash64(*vals)
+        out.append((doc_id, h % n_buckets))  # python % == pmod for m > 0
+    return sorted(out)
+
+
 def make_shows_csv(path: str) -> int:
     """Raw netflix-shaped CSV derived from the deterministic gen_shows
     fixture: duration back-formatted to '<n> min' / '<n> Season(s)', dates to
@@ -878,6 +893,30 @@ def main(sf_dir: str | None = None) -> None:
     )
     print(f"incremental_minhash_{sf}.parquet: {len(ik)} rows "
           f"({sum(1 for _, k in ik if not k)} dropped)")
+
+    htbl = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "lang", "source"],
+    )
+    hc = hash_cross_buckets(
+        list(
+            zip(
+                htbl["doc_id"].to_pylist(),
+                htbl["lang"].to_pylist(),
+                htbl["source"].to_pylist(),
+            )
+        )
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in hc], pa.int64()),
+                "cross_bucket": pa.array([r[1] for r in hc], pa.int32()),
+            }
+        ),
+        os.path.join(FIXDIR, f"hash_cross_{sf}.parquet"),
+    )
+    print(f"hash_cross_{sf}.parquet: {len(hc)} rows")
 
     n = make_shows_csv(os.path.join(FIXDIR, "shows_raw.csv"))
     print(f"shows_raw.csv: {n} rows")

@@ -123,3 +123,15 @@ def test_bloom_probe_fixture_matches_spark(spark):
     }
     want = _fixture_rows("bloom_probe_sf0.01.parquet")
     assert got == want
+
+
+@needs_testdata
+def test_hash_cross_fixture_matches_spark(spark):
+    got = {
+        (r.doc_id, r.cross_bucket)
+        for r in entrymod.q_hash_crosses(spark, SF_DIR)
+        .select("doc_id", "cross_bucket")
+        .collect()
+    }
+    want = _fixture_rows("hash_cross_sf0.01.parquet")
+    assert got == want

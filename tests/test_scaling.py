@@ -1,0 +1,243 @@
+"""Numeric feature transforms (operators/scaling.py, encoding.py additions,
+decay.py) vs pure-Python oracles: binning, min-max, z-score, winsorize,
+count encoding, hash crosses, time-decay rollups."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from funcify_feature_eng_spark.operators.decay import decay_weight_q, time_decay_agg
+from funcify_feature_eng_spark.operators.encoding import count_encode, hash_cross
+from funcify_feature_eng_spark.operators.scaling import (
+    bin_by_cuts,
+    minmax_scale,
+    quantile_bin,
+    standardize,
+    winsorize,
+)
+
+
+def _vals_df(spark, rows):
+    return spark.createDataFrame(rows, "id bigint, g string, v bigint")
+
+
+ROWS = [
+    (1, "a", 10), (2, "a", 20), (3, "a", 20), (4, "a", 40), (5, "a", 100),
+    (6, "b", 7), (7, "b", 7), (8, "b", 7),
+    (9, "c", 5), (10, "c", None),
+]
+
+
+def test_bin_by_cuts_golden(spark):
+    df = _vals_df(spark, ROWS)
+    out = {r["id"]: r["bin"] for r in bin_by_cuts(df, "v", [10, 30]).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 4: 2, 5: 2, 6: 0, 7: 0, 8: 0, 9: 0, 10: None}
+    with pytest.raises(ValueError):
+        bin_by_cuts(df, "v", [])
+    with pytest.raises(ValueError):
+        bin_by_cuts(df, "v", [5, 5])
+
+
+def test_quantile_bin_matches_pure_python(spark):
+    df = _vals_df(spark, ROWS)
+    got = {
+        r["id"]: r["bin"]
+        for r in quantile_bin(df, "v", n_bins=2, tiebreak="id", group_by=["g"]).collect()
+    }
+
+    # pure-Python NTILE: first (n % b) buckets get ceil(n/b) rows
+    def ntile(ordered_ids, b):
+        n = len(ordered_ids)
+        out, i = {}, 0
+        for bucket in range(1, b + 1):
+            size = n // b + (1 if bucket <= n % b else 0)
+            for _ in range(size):
+                if i < n:
+                    out[ordered_ids[i]] = bucket
+                    i += 1
+        return out
+
+    expect = {}
+    for g in ("a", "b", "c"):
+        rows = sorted(
+            [(v, i) for i, gg, v in ROWS if gg == g and v is not None]
+        )
+        expect.update(ntile([i for _, i in rows], 2))
+    expect[10] = None
+    assert got == expect
+
+
+def test_quantile_bin_tie_determinism(spark):
+    # a tie run straddling the bucket boundary: tiebreak id decides
+    df = _vals_df(spark, [(i, "t", 5) for i in range(1, 5)])
+    got = {r["id"]: r["bin"] for r in quantile_bin(
+        df, "v", n_bins=2, tiebreak="id", group_by=["g"]).collect()}
+    assert got == {1: 1, 2: 1, 3: 2, 4: 2}
+
+
+def test_minmax_scale_exact(spark):
+    df = _vals_df(spark, ROWS)
+    got = {r["id"]: r["minmax_e6"] for r in minmax_scale(
+        df, "v", group_by=["g"]).collect()}
+    # group a: min 10 max 100 -> floor(1e6*(x-10)/90)
+    for i, v in ((1, 10), (2, 20), (3, 20), (4, 40), (5, 100)):
+        assert got[i] == (v - 10) * 1_000_000 // 90
+    # constant group b -> 0; single-value group c -> 0; NULL -> NULL
+    assert got[6] == got[7] == got[8] == 0
+    assert got[9] == 0
+    assert got[10] is None
+    # keyless: global min 5 max 100
+    g = {r["id"]: r["minmax_e6"] for r in minmax_scale(df, "v").collect()}
+    assert g[5] == 1_000_000 and g[9] == 0 and g[10] is None
+    with pytest.raises(ValueError, match="integral"):
+        minmax_scale(df.withColumn("v", F.col("v").cast("double")), "v")
+
+
+def test_standardize_matches_pure_python(spark):
+    df = _vals_df(spark, ROWS)
+    got = {r["id"]: r["zscore"] for r in standardize(df, "v", group_by=["g"]).collect()}
+    a = [10, 20, 20, 40, 100]
+    n, s1, s2 = len(a), sum(a), sum(x * x for x in a)
+    for i, v in ((1, 10), (2, 20), (3, 20), (4, 40), (5, 100)):
+        assert got[i] == (n * v - s1) / math.sqrt(n * s2 - s1 * s1)
+    # zero variance / singleton / NULL -> NULL
+    assert got[6] is None and got[9] is None and got[10] is None
+
+
+def test_winsorize_matches_pure_python(spark):
+    import random
+
+    rng = random.Random(7)
+    rows = [(i, "g" + str(i % 2), rng.randrange(0, 1000)) for i in range(1, 201)]
+    rows.append((201, "g0", None))
+    df = _vals_df(spark, rows)
+    got = {r["id"]: r["winsorized"] for r in winsorize(
+        df, "v", lower_ppm=50_000, upper_ppm=950_000, tiebreak="id",
+        group_by=["g"]).collect()}
+
+    def pct(vals, ppm):
+        n = len(vals)
+        k = max(1, -(-ppm * n // 1_000_000))  # ceil
+        return sorted(vals)[k - 1]
+
+    for g in ("g0", "g1"):
+        vals = [v for i, gg, v in rows if gg == g and v is not None]
+        lo, hi = pct(vals, 50_000), pct(vals, 950_000)
+        for i, gg, v in rows:
+            if gg == g and v is not None:
+                assert got[i] == min(hi, max(lo, v)), (i, v, lo, hi)
+    assert got[201] is None
+    with pytest.raises(ValueError):
+        winsorize(df, "v", lower_ppm=-1, upper_ppm=10, tiebreak="id")
+
+
+def test_count_encode_counts_and_shares(spark):
+    df = spark.createDataFrame(
+        [(1, "x"), (2, "x"), (3, "y"), (4, None)], "id bigint, cat string"
+    )
+    got = {r["id"]: (r["cat_cnt"], r["cat_share_ppm"]) for r in count_encode(
+        df, "cat").collect()}
+    assert got[1] == got[2] == (2, 500_000)
+    assert got[3] == (1, 250_000)
+    assert got[4] == (1, 250_000)  # NULL is a real level
+    # grouped: totals within the group
+    df2 = spark.createDataFrame(
+        [(1, "a", "x"), (2, "a", "x"), (3, "a", "y"), (4, "b", "x")],
+        "id bigint, g string, cat string",
+    )
+    got2 = {r["id"]: (r["cat_cnt"], r["cat_share_ppm"]) for r in count_encode(
+        df2, "cat", group_by=["g"]).collect()}
+    assert got2[1] == (2, 666_666) and got2[3] == (1, 333_333)
+    assert got2[4] == (1, 1_000_000)
+
+
+def test_hash_cross_is_stable_and_bounded(spark):
+    from funcify_feature_eng_spark.functions.xxh64 import spark_xxhash64
+
+    df = spark.createDataFrame(
+        [(1, "u1", "click"), (2, "u2", "view"), (3, "u1", "click")],
+        "id bigint, u string, e string",
+    )
+    out = {r["id"]: r["cross_bucket"] for r in hash_cross(
+        df, ["u", "e"], n_buckets=16).collect()}
+    assert out[1] == out[3]  # same inputs, same bucket
+    assert all(0 <= b < 16 for b in out.values())
+    # pure-Python twin of Spark's chained xxhash64 pins the exact bucket
+    assert out[1] == spark_xxhash64("u1", "click") % 16
+    with pytest.raises(ValueError):
+        hash_cross(df, [], n_buckets=4)
+
+
+def test_decay_weight_buckets(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "2024-01-10 00:00:00"),  # fresh: k=0
+            (2, "2024-01-09 00:00:01"),  # < 1 day: k=0
+            (3, "2024-01-08 23:59:59"),  # just over 1 halflife: k=1
+            (4, "2024-01-05 00:00:00"),  # 5 days: k=5
+            (5, "2023-01-01 00:00:00"),  # ancient: k > max_pow -> 0
+            (6, None),
+        ],
+        "id bigint, ts string",
+    )
+    w = decay_weight_q(
+        F.col("ts").cast("timestamp"),
+        ref_ts="2024-01-10 00:00:00", halflife_s=86400, max_pow=10,
+    )
+    got = {r["id"]: r["w"] for r in df.select("id", w.alias("w")).collect()}
+    assert got[1] == 1024 and got[2] == 1024
+    assert got[3] == 512
+    assert got[4] == 32
+    assert got[5] == 0
+    assert got[6] is None
+
+
+def test_time_decay_agg_matches_pure_python(spark):
+    rows = [
+        ("u1", "2024-01-10 00:00:00", 100),
+        ("u1", "2024-01-08 00:00:00", 200),   # k=2
+        ("u1", "2024-01-01 00:00:00", 1000),  # k=9
+        ("u1", "2024-01-11 00:00:00", 7777),  # FUTURE: excluded
+        ("u1", "2024-01-09 00:00:00", None),  # NULL value: weight only
+        ("u2", None, 5),                      # NULL ts: excluded
+    ]
+    df = spark.createDataFrame(rows, "u string, ts string, v bigint").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    out = time_decay_agg(
+        df, value_col="v", ts_col="ts", keys=["u"],
+        ref_ts="2024-01-10 00:00:00", halflife_s=86400, max_pow=10,
+    ).collect()
+    assert len(out) == 1  # u2 has no usable row
+    r = out[0]
+    sum_q = 100 * 1024 + 200 * 256 + 1000 * 2
+    wsum_q = 1024 + 256 + 2 + 512  # incl. the NULL-value row (k=1)
+    assert r["u"] == "u1" and r["n_rows"] == 4
+    assert r["decayed_sum_q"] == sum_q
+    assert r["decayed_wsum_q"] == wsum_q
+    assert r["decayed_sum"] == sum_q / 1024
+    assert r["decayed_mean"] == sum_q / (1024 + 256 + 2)
+    with pytest.raises(ValueError, match="integral"):
+        time_decay_agg(
+            df.withColumn("v", F.col("v").cast("double")), value_col="v",
+            ts_col="ts", keys=["u"], ref_ts="2024-01-10 00:00:00",
+            halflife_s=86400,
+        )
+
+
+def test_time_decay_agg_mergeable(spark):
+    rows = [("u1", f"2024-01-{d:02d} 00:00:00", d * 10) for d in range(1, 10)]
+    df = spark.createDataFrame(rows, "u string, ts string, v bigint").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    kw = dict(value_col="v", ts_col="ts", keys=["u"],
+              ref_ts="2024-01-10 00:00:00", halflife_s=86400, max_pow=20)
+    whole = time_decay_agg(df, **kw).collect()[0]
+    a = time_decay_agg(df.filter(F.dayofmonth("ts") <= 4), **kw).collect()[0]
+    b = time_decay_agg(df.filter(F.dayofmonth("ts") > 4), **kw).collect()[0]
+    assert whole["decayed_sum_q"] == a["decayed_sum_q"] + b["decayed_sum_q"]
+    assert whole["decayed_wsum_q"] == a["decayed_wsum_q"] + b["decayed_wsum_q"]
+    assert whole["n_rows"] == a["n_rows"] + b["n_rows"]
