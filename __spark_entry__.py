@@ -4590,6 +4590,45 @@ def q_time_decay_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_feature_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Pearson correlation matrix (operators/correlation.py::
+    corr_matrix) over three lineitem measures on fixed-point grids, per
+    return flag: ALL pairs' integer moments ride ONE map-side-combined
+    aggregate (single data pass; plan-asserted in tests), r =
+    (n*sxy - sx*sy)/(sqrt(n*sxx - sx^2)*sqrt(n*syy - sy^2)) with every
+    double op's inputs exact integers — bit-identical cross-engine.
+    Pairwise-complete NULL semantics (pandas' pairwise deletion)."""
+    from funcify_feature_eng_spark.operators.correlation import corr_matrix
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.floor(F.col("l_quantity") * F.lit(100.0)).cast("long").alias("q_e2"),
+        F.floor(F.col("l_extendedprice") * F.lit(100.0)).cast("long").alias("p_e2"),
+        F.floor(F.col("l_discount") * F.lit(10_000.0)).cast("long").alias("d_e4"),
+    )
+    return corr_matrix(li, ["q_e2", "p_e2", "d_e4"], group_by=["l_returnflag"])
+
+
+def q_rank_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile (rank) normalization (operators/scaling.py::
+    rank_normalize): each document's n_chars as exact floor-ppm rank
+    position per language — method='first' (tiebreak-unique ranks) and
+    method='average' (tied values share their mid-rank, the Spearman
+    convention, kept exact on a doubled grid). One Exchange per pass
+    (rank + count windows share the sort)."""
+    from funcify_feature_eng_spark.operators.scaling import rank_normalize
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    out = rank_normalize(
+        docs, "n_chars", tiebreak="doc_id", group_by=["lang"],
+        out_col="rank_first_ppm", method="first",
+    )
+    return rank_normalize(
+        out, "n_chars", tiebreak="doc_id", group_by=["lang"],
+        out_col="rank_avg_ppm", method="average",
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: windowed turn features + strictly-prior as-of join at sf0.001."""
     sf_dir = "/root/testdata/sf0.001"
@@ -4795,6 +4834,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "count_encoding": q_count_encoding,
         "hash_crosses": q_hash_crosses,
         "time_decay_rollup": q_time_decay_rollup,
+        "feature_corr": q_feature_corr,
+        "rank_normalized": q_rank_normalized,
     }
 
 
@@ -7991,5 +8032,65 @@ SELECT user_id,
                  / CAST(SUM(CASE WHEN v IS NOT NULL THEN wq END) AS DOUBLE)
        END AS decayed_mean
 FROM w GROUP BY user_id
+"""
+    # exact Pearson matrix: one moment block per pair, generated by the
+    # same Python loop shape as the Spark side (pairwise-complete FILTERs)
+    def _corr_pair(x: str, y: str) -> str:
+        f = f"FILTER ({x} IS NOT NULL AND {y} IS NOT NULL)"
+        return f"""
+  SELECT l_returnflag, '{x}' AS col_x, '{y}' AS col_y,
+         COUNT(*) {f} AS n,
+         COALESCE(SUM({x}) {f}, 0) AS sx,
+         COALESCE(SUM({y}) {f}, 0) AS sy,
+         COALESCE(SUM({x} * {x}) {f}, 0) AS sxx,
+         COALESCE(SUM({y} * {y}) {f}, 0) AS syy,
+         COALESCE(SUM({x} * {y}) {f}, 0) AS sxy
+  FROM b GROUP BY l_returnflag"""
+
+    _corr_pairs = " UNION ALL ".join(
+        _corr_pair(x, y)
+        for x, y in [("q_e2", "p_e2"), ("q_e2", "d_e4"), ("p_e2", "d_e4")]
+    )
+    sqls["feature_corr"] = f"""
+WITH b AS (
+  SELECT l_returnflag,
+         CAST(floor(l_quantity * 100.0) AS BIGINT) AS q_e2,
+         CAST(floor(l_extendedprice * 100.0) AS BIGINT) AS p_e2,
+         CAST(floor(l_discount * 10000.0) AS BIGINT) AS d_e4
+  FROM lineitem
+), m AS ({_corr_pairs})
+SELECT l_returnflag, col_x, col_y,
+       CAST(n AS BIGINT) AS n_pairs,
+       CASE WHEN n * sxx - sx * sx <= 0 OR n * syy - sy * sy <= 0 THEN NULL
+            ELSE CAST(n * sxy - sx * sy AS DOUBLE)
+                 / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                    * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+       END AS pearson_r
+FROM m
+"""
+    # rank normalization: first = (rn-1)/(n-1), average = mid-rank of the
+    # tie run, both on the doubled grid with non-negative // = floor
+    sqls["rank_normalized"] = """
+WITH nn AS (
+  SELECT doc_id, lang, n_chars FROM documents WHERE n_chars IS NOT NULL
+), r AS (
+  SELECT doc_id, lang, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS rn,
+         RANK() OVER (PARTITION BY lang ORDER BY n_chars) AS lo,
+         COUNT(*) OVER (PARTITION BY lang, n_chars) AS tie_n,
+         COUNT(*) OVER (PARTITION BY lang) AS n
+  FROM nn
+)
+SELECT doc_id, lang, n_chars,
+       CAST(CASE WHEN n = 1 THEN 0
+            ELSE ((rn - 1) * 2 * 1000000) // (2 * (n - 1))
+       END AS BIGINT) AS rank_first_ppm,
+       CAST(CASE WHEN n = 1 THEN 0
+            ELSE ((lo + (tie_n + lo - 1) - 2) * 1000000) // (2 * (n - 1))
+       END AS BIGINT) AS rank_avg_ppm
+FROM r
+UNION ALL
+SELECT doc_id, lang, n_chars, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+FROM documents WHERE n_chars IS NULL
 """
     return sqls

@@ -1,0 +1,152 @@
+"""Exact Pearson correlation — the numeric feature-selection stat.
+
+Before a feature ships, its owner asks two questions this module answers
+at corpus scale: "does it move with the label" and "is it redundant with
+a feature we already have" (a correlation matrix over the candidate
+set). ``F.corr`` exists but aggregates doubles — partition-order
+nondeterministic and irreproducible across engines; the house contract
+(cf. ``scaling.standardize``, ``agreement.chi2_association``) is exact
+integer moments first, floats only at the last step:
+
+    r = (n*sxy - sx*sy) / (sqrt(n*sxx - sx^2) * sqrt(n*syy - sy^2))
+
+with n, sx, sy, sxx, syy, sxy exact DECIMAL(38) sums over
+pairwise-complete rows (both values non-NULL — the convention pandas
+calls ``min_periods=1`` pairwise deletion). Every double operation's
+inputs are exact integers and the expression shape is mirrored verbatim
+in the SQL twin, so IEEE-754 engines agree to the last bit. Degenerate
+inputs (no pairs, zero variance on either side) yield NULL, never a
+division error.
+
+Scale: ONE map-side-combined aggregate onto group-grain rows — for the
+matrix form, all column pairs' moments ride the SAME aggregate (one data
+pass, one tiny shuffle of group-grain partials), then a plan-time
+literal pair list explodes the moments into tidy (col_x, col_y) rows.
+Headroom: |x| <= ~1e9 keeps sxy inside DECIMAL(38) past 10^18 rows.
+
+Reference parity anchor: the reference has no statistical operators; this
+extends the eval family (SURVEY §2 extensions) beside chi2_association
+(categorical) with the numeric counterpart.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["pearson_corr", "corr_matrix"]
+
+_DEC = "decimal(38,0)"
+
+_INTEGRAL = ("tinyint", "smallint", "int", "bigint")
+
+
+def _check_integral(df: DataFrame, cols: Sequence[str], op: str) -> None:
+    for c in cols:
+        t = df.schema[c].dataType.simpleString()
+        if t not in _INTEGRAL:
+            raise ValueError(
+                f"{op} requires integral columns (got {c}: {t}): pre-scale "
+                "onto a fixed-point grid (e.g. F.floor(x * 1e6).cast('long'))"
+            )
+
+
+def _pair_moments(x: Column, y: Column, tag: str) -> list[Column]:
+    """The six pairwise-complete moment aggregates for one (x, y) pair."""
+    both = x.isNotNull() & y.isNotNull()
+    xd = F.when(both, x).cast(_DEC)
+    yd = F.when(both, y).cast(_DEC)
+    return [
+        F.count(F.when(both, F.lit(1))).cast(_DEC).alias(f"__n_{tag}"),
+        F.coalesce(F.sum(xd), F.lit(0).cast(_DEC)).alias(f"__sx_{tag}"),
+        F.coalesce(F.sum(yd), F.lit(0).cast(_DEC)).alias(f"__sy_{tag}"),
+        F.coalesce(F.sum(xd * xd), F.lit(0).cast(_DEC)).alias(f"__sxx_{tag}"),
+        F.coalesce(F.sum(yd * yd), F.lit(0).cast(_DEC)).alias(f"__syy_{tag}"),
+        F.coalesce(F.sum(xd * yd), F.lit(0).cast(_DEC)).alias(f"__sxy_{tag}"),
+    ]
+
+
+def _r_from_moments(tag: str) -> tuple[Column, Column]:
+    """(n_pairs bigint, r double) from the six tagged moment columns."""
+    n = F.col(f"__n_{tag}")
+    sx, sy = F.col(f"__sx_{tag}"), F.col(f"__sy_{tag}")
+    sxx, syy, sxy = (
+        F.col(f"__sxx_{tag}"), F.col(f"__syy_{tag}"), F.col(f"__sxy_{tag}")
+    )
+    vx = n * sxx - sx * sx
+    vy = n * syy - sy * sy
+    num = n * sxy - sx * sy
+    r = F.when(
+        (vx <= 0) | (vy <= 0), F.lit(None).cast("double")
+    ).otherwise(
+        num.cast("double") / (F.sqrt(vx.cast("double")) * F.sqrt(vy.cast("double")))
+    )
+    return n.cast("bigint"), r
+
+
+def pearson_corr(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    *,
+    group_by: Sequence[str] = (),
+    out_col: str = "pearson_r",
+) -> DataFrame:
+    """Per-group exact Pearson correlation of two integral columns (see
+    module doc). Output: group keys + ``n_pairs`` (pairwise-complete
+    count) + ``out_col`` (double in [-1, 1], NULL when degenerate)."""
+    _check_integral(df, (x_col, y_col), "pearson_corr")
+    keys = list(group_by)
+    agg = df.groupBy(*keys).agg(
+        *_pair_moments(F.col(x_col), F.col(y_col), "0")
+    )
+    n, r = _r_from_moments("0")
+    return agg.select(*keys, n.alias("n_pairs"), r.alias(out_col))
+
+
+def corr_matrix(
+    df: DataFrame,
+    cols: Sequence[str],
+    *,
+    group_by: Sequence[str] = (),
+) -> DataFrame:
+    """Tidy correlation matrix over a candidate feature set: one row per
+    group x unordered column pair (i < j in the given order) with
+    ``(col_x, col_y, n_pairs, pearson_r)``. ALL pairs' moments ride ONE
+    map-side-combined aggregate (a single data pass); the pair expansion
+    is a plan-time literal over the group-grain result, so the cost is
+    O(k^2) aggregate expressions, never extra shuffles. Keep k modest
+    (a 50-column candidate set = 1,275 pairs x 6 moments — fine; pick a
+    narrower set before trying thousands)."""
+    if len(cols) < 2:
+        raise ValueError("corr_matrix: need at least two columns")
+    if len(set(cols)) != len(cols):
+        raise ValueError(f"corr_matrix: duplicate columns in {list(cols)}")
+    _check_integral(df, cols, "corr_matrix")
+    keys = list(group_by)
+    pairs = [
+        (i, j) for i in range(len(cols)) for j in range(len(cols)) if i < j
+    ]
+    aggs: list[Column] = []
+    for i, j in pairs:
+        aggs.extend(
+            _pair_moments(F.col(cols[i]), F.col(cols[j]), f"{i}_{j}")
+        )
+    agg = df.groupBy(*keys).agg(*aggs)
+    structs = []
+    for i, j in pairs:
+        n, r = _r_from_moments(f"{i}_{j}")
+        structs.append(
+            F.struct(
+                F.lit(cols[i]).alias("col_x"),
+                F.lit(cols[j]).alias("col_y"),
+                n.alias("n_pairs"),
+                r.alias("pearson_r"),
+            )
+        )
+    return (
+        agg.select(*keys, F.explode(F.array(*structs)).alias("__p"))
+        .select(*keys, "__p.col_x", "__p.col_y", "__p.n_pairs", "__p.pearson_r")
+    )

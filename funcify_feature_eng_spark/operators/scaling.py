@@ -41,6 +41,7 @@ __all__ = [
     "minmax_scale",
     "standardize",
     "winsorize",
+    "rank_normalize",
 ]
 
 _PPM = 1_000_000
@@ -282,3 +283,69 @@ def winsorize(
         .withColumn(out_col, clipped)
         .drop("__lo", "__hi")
     )
+
+
+def rank_normalize(
+    df: DataFrame,
+    value_col: str,
+    *,
+    tiebreak: str,
+    group_by: Sequence[str] = (),
+    out_col: str = "rank_ppm",
+    method: str = "average",
+) -> DataFrame:
+    """Quantile (rank) normalization: ``out_col`` = the value's exact rank
+    position in its group as floor parts-per-million of [0, 1e6] —
+    distribution-free, outlier-immune, the transform that makes two
+    features comparable when only order matters.
+
+    ``method="average"`` (default) gives tied values their shared
+    mid-rank (the statistics convention: Spearman-ready): with ties
+    ranked [lo..hi], every tied row gets floor(1e6*(lo+hi-2)/(2*(n-1)))
+    — kept exact by doubling the grid before the single division.
+    ``method="first"`` ranks ties by ``tiebreak`` (row-unique ranks):
+    floor(1e6*(rn-1)/(n-1)). Single-row groups get 0 (the defined floor
+    of an empty range); NULL values pass through NULL and consume no
+    rank.
+
+    Scale: one Exchange for the per-group rank sort (shared by both the
+    rank and count windows — one data pass), map-only arithmetic after.
+    Keyless = single-partition sort: bounded frames only, like
+    :func:`quantile_bin`."""
+    if method not in ("average", "first"):
+        raise ValueError(f"rank_normalize: unknown method {method!r}")
+    keys = list(group_by)
+    v = F.col(value_col)
+    w = Window.partitionBy(*[F.col(k) for k in keys]).orderBy(
+        v.asc(), F.col(tiebreak).asc()
+    )
+    wv = Window.partitionBy(*[F.col(k) for k in keys]).orderBy(v.asc())
+    wn = Window.partitionBy(*[F.col(k) for k in keys])
+    n = F.count(F.lit(1)).over(wn)
+    if method == "first":
+        # doubled grid so both methods share one remainder-identity
+        # floor division at the end
+        pos2 = (F.row_number().over(w).cast("long") - F.lit(1)) * F.lit(2)
+    else:
+        # average rank of a tie run [lo..hi] = (lo+hi)/2; rank() gives lo,
+        # lo + cume count of the run - 1 gives hi. Doubling keeps the
+        # half-integer exact until the single floor division.
+        lo = F.rank().over(wv).cast("long")
+        hi = (
+            F.count(F.lit(1)).over(
+                Window.partitionBy(*[F.col(k) for k in keys], v)
+            ).cast("long")
+            + lo - F.lit(1)
+        )
+        pos2 = lo + hi - F.lit(2)
+    rank_ppm = F.when(v.isNull(), F.lit(None).cast("bigint")).when(
+        n == 1, F.lit(0).cast("bigint")
+    ).otherwise(
+        exact_floor_div(
+            (pos2 * F.lit(1_000_000)).cast(_DEC),
+            (F.lit(2) * (n.cast("long") - F.lit(1))).cast(_DEC),
+        )
+    )
+    nn = df.filter(v.isNotNull()).withColumn(out_col, rank_ppm)
+    nulls = df.filter(v.isNull()).withColumn(out_col, F.lit(None).cast("bigint"))
+    return nn.unionByName(nulls)

@@ -30,7 +30,7 @@ from collections.abc import Sequence
 from dataclasses import dataclass, field
 from typing import Any
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from funcify_feature_eng_spark.functions.registry import TransformerRegistry, default_registry
@@ -42,6 +42,11 @@ _WINDOW_OPS = {
     "lag", "lead", "ffill", "ffill_strict", "bfill", "gap", "session", "row_number",
     # event-time RANGE frames + context assembly (all strictly prior)
     "rolling_count", "rolling_sum", "rolling_distinct", "context",
+    # within-entity scaling (unbounded frame over the model's entity
+    # partition — shares the same Exchange as every other window feature;
+    # NOT temporal-leakage-safe by construction: they see the entity's
+    # whole history, the declared semantics of a per-entity normalization)
+    "zscore", "minmax",
 }
 
 
@@ -605,4 +610,42 @@ class FeatureModel:
             return W.prior_context_col(
                 c, keys, order, int(spec.params.get("k", 3)), spec.params.get("sep", "|")
             )
+        if op in ("zscore", "minmax"):
+            # within-entity scaling over the SAME partition exchange as the
+            # other window features (unbounded frame); exact-arithmetic
+            # formulas shared with operators/scaling.py::standardize/
+            # minmax_scale — the declarative twin of the frame-level ops.
+            # Integral input is the caller's contract (scaling module doc).
+            wspec = (
+                Window.partitionBy(*[F.col(k) for k in keys])
+                .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+            )
+            v = F.col(c)
+            if op == "zscore":
+                d = v.cast("decimal(38,0)")
+                n = F.count(v).over(wspec).cast("decimal(38,0)")
+                s1 = F.coalesce(
+                    F.sum(d).over(wspec), F.lit(0).cast("decimal(38,0)")
+                )
+                s2 = F.coalesce(
+                    F.sum(d * d).over(wspec), F.lit(0).cast("decimal(38,0)")
+                )
+                var_num = n * s2 - s1 * s1
+                return F.when(
+                    v.isNull() | (var_num <= 0), F.lit(None).cast("double")
+                ).otherwise(
+                    (n * d - s1).cast("double") / F.sqrt(var_num.cast("double"))
+                )
+            scale = int(spec.params.get("scale", 1_000_000))
+            mn = F.min(v).over(wspec)
+            mx = F.max(v).over(wspec)
+            num = (v.cast("decimal(38,0)") - mn.cast("decimal(38,0)")) * F.lit(
+                scale
+            ).cast("decimal(38,0)")
+            den = (mx - mn).cast("decimal(38,0)")
+            from funcify_feature_eng_spark.operators.util import exact_floor_div
+
+            return F.when(v.isNull(), F.lit(None).cast("bigint")).when(
+                mx == mn, F.lit(0).cast("bigint")
+            ).otherwise(exact_floor_div(num, den))
         raise PlanError(f"unhandled window op {op!r}")

@@ -383,3 +383,44 @@ def test_materialize_backfill_touched_entities_equal_oneshot(spark):
     assert {u for _, u, _, _ in got} == {"a", "c"}
     # entity 'a' keeps its FULL history: row 3's lag sees row 2
     assert ((3, "a", "y", 3) in got)
+
+
+def test_window_scaling_verbs_match_frame_operators(spark):
+    """declare_window_feature('zscore'/'minmax') — the declarative twins of
+    operators/scaling.py::standardize/minmax_scale over the model's entity
+    partition — must produce identical values, and both ride the model's
+    ONE window Exchange."""
+    from funcify_feature_eng_spark.operators.scaling import minmax_scale, standardize
+    from funcify_feature_eng_spark.plans.model import FeatureModel, PlanError
+
+    spine = spark.createDataFrame(
+        [("u1", i, f"2024-01-01 00:0{i}:00", v)
+         for i, v in enumerate([10, 20, 20, 40, 100])]
+        + [("u2", 0, "2024-01-01 00:00:00", 7),
+           ("u2", 1, "2024-01-01 00:01:00", 7)],
+        "user_id string, turn_idx int, ts_s string, v long",
+    ).selectExpr("user_id", "turn_idx", "cast(ts_s as timestamp) as ts", "v")
+    m = FeatureModel(entity_key="user_id", order=("turn_idx",), event_time="ts")
+    m.declare_window_feature("v_z", "zscore", col="v")
+    m.declare_window_feature("v_mm", "minmax", col="v")
+    out = m.materialize(
+        spine, ["user_id", "turn_idx", "v", "v_z", "v_mm"]
+    )
+    got = {(r["user_id"], r["turn_idx"]): (r["v_z"], r["v_mm"])
+           for r in out.collect()}
+    zref = {(r["user_id"], r["turn_idx"]): r["zscore"] for r in standardize(
+        spine, "v", group_by=["user_id"]).collect()}
+    mref = {(r["user_id"], r["turn_idx"]): r["minmax_e6"] for r in minmax_scale(
+        spine, "v", group_by=["user_id"]).collect()}
+    for k, (z, mm) in got.items():
+        assert z == zref[k] and mm == mref[k], k
+    # constant entity u2: zscore NULL, minmax 0
+    assert got[("u2", 0)] == (None, 0)
+    # shared exchange: at most one Exchange for the whole window bundle
+    # (fresh, un-executed frame: a finalized AQE plan renders each shuffle
+    # stage with the word Exchange twice)
+    fresh = m.materialize(spine, ["user_id", "turn_idx", "v", "v_z", "v_mm"])
+    plan = fresh._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") <= 1, plan
+    with pytest.raises(PlanError):
+        m.declare_window_feature("bad", "robust_scale", col="v")

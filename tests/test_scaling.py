@@ -15,6 +15,7 @@ from funcify_feature_eng_spark.operators.scaling import (
     bin_by_cuts,
     minmax_scale,
     quantile_bin,
+    rank_normalize,
     standardize,
     winsorize,
 )
@@ -241,3 +242,83 @@ def test_time_decay_agg_mergeable(spark):
     assert whole["decayed_sum_q"] == a["decayed_sum_q"] + b["decayed_sum_q"]
     assert whole["decayed_wsum_q"] == a["decayed_wsum_q"] + b["decayed_wsum_q"]
     assert whole["n_rows"] == a["n_rows"] + b["n_rows"]
+
+
+def test_rank_normalize_first_and_average(spark):
+    df = _vals_df(spark, [
+        (1, "g", 10), (2, "g", 20), (3, "g", 20), (4, "g", 40), (5, "g", None),
+    ])
+    first = {r["id"]: r["rank_ppm"] for r in rank_normalize(
+        df, "v", tiebreak="id", group_by=["g"], method="first").collect()}
+    # ranks 1..4 over n=4 -> (rn-1)/3
+    assert first == {1: 0, 2: 333_333, 3: 666_666, 4: 1_000_000, 5: None}
+    avg = {r["id"]: r["rank_ppm"] for r in rank_normalize(
+        df, "v", tiebreak="id", group_by=["g"], method="average").collect()}
+    # tie run {2,3} has ranks [2,3] -> avg 2.5 -> (2.5-1)/3 = 0.5
+    assert avg == {1: 0, 2: 500_000, 3: 500_000, 4: 1_000_000, 5: None}
+    # singleton group -> 0
+    one = _vals_df(spark, [(1, "s", 99)])
+    assert rank_normalize(one, "v", tiebreak="id", group_by=["g"]).collect()[0][
+        "rank_ppm"] == 0
+    with pytest.raises(ValueError):
+        rank_normalize(df, "v", tiebreak="id", method="median")
+
+
+def test_pearson_corr_matches_pure_python(spark):
+    from funcify_feature_eng_spark.operators.correlation import pearson_corr
+
+    rows = [
+        ("g1", 1, 2), ("g1", 2, 4), ("g1", 3, 7), ("g1", 4, 8), ("g1", 5, 9),
+        ("g2", 1, 9), ("g2", 2, 5), ("g2", 3, 1),     # perfectly anti-linear
+        ("g3", 7, 1), ("g3", 7, 2),                    # zero x-variance
+        ("g4", 1, None), ("g4", None, 3), ("g4", 2, 5),  # pairwise deletion
+    ]
+    df = spark.createDataFrame(rows, "g string, x bigint, y bigint")
+    got = {r["g"]: (r["n_pairs"], r["pearson_r"]) for r in pearson_corr(
+        df, "x", "y", group_by=["g"]).collect()}
+
+    def ref(pts):
+        n = len(pts)
+        sx = sum(x for x, _ in pts); sy = sum(y for _, y in pts)
+        sxx = sum(x * x for x, _ in pts); syy = sum(y * y for _, y in pts)
+        sxy = sum(x * y for x, y in pts)
+        vx, vy = n * sxx - sx * sx, n * syy - sy * sy
+        if vx <= 0 or vy <= 0:
+            return None
+        return (n * sxy - sx * sy) / (math.sqrt(vx) * math.sqrt(vy))
+
+    assert got["g1"] == (5, ref([(1, 2), (2, 4), (3, 7), (4, 8), (5, 9)]))
+    assert got["g2"][0] == 3 and abs(got["g2"][1] + 1.0) < 1e-12
+    assert got["g3"] == (2, None)
+    assert got["g4"] == (1, None)  # one complete pair: zero variance
+    with pytest.raises(ValueError, match="integral"):
+        pearson_corr(df.withColumn("x", F.col("x").cast("double")), "x", "y")
+
+
+def test_corr_matrix_one_pass_and_values(spark):
+    from funcify_feature_eng_spark.operators.correlation import (
+        corr_matrix,
+        pearson_corr,
+    )
+
+    rows = [(i, i * 2, 100 - i, (i * 7) % 13) for i in range(1, 41)]
+    df = spark.createDataFrame(rows, "a bigint, b bigint, c bigint, d bigint")
+    out = corr_matrix(df, ["a", "b", "c", "d"]).collect()
+    assert len(out) == 6
+    m = {(r["col_x"], r["col_y"]): (r["n_pairs"], r["pearson_r"]) for r in out}
+    # matrix entries equal the pairwise operator exactly
+    for x, y in [("a", "b"), ("a", "c"), ("c", "d")]:
+        lone = pearson_corr(df, x, y).collect()[0]
+        assert m[(x, y)] == (lone["n_pairs"], lone["pearson_r"])
+    # perfectly (anti-)linear: |r| within one ulp of 1 (the formula does
+    # not clamp; the contract is bit-identity across engines, not |r|<=1)
+    assert abs(m[("a", "b")][1] - 1.0) < 1e-12
+    assert abs(m[("a", "c")][1] + 1.0) < 1e-12
+    # single aggregate: exactly one Exchange in the plan
+    plan = corr_matrix(df, ["a", "b", "c", "d"])._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert plan.count("Exchange") <= 1
+    with pytest.raises(ValueError):
+        corr_matrix(df, ["a"])
+    with pytest.raises(ValueError):
+        corr_matrix(df, ["a", "a"])
