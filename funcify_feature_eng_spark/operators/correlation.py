@@ -22,7 +22,12 @@ Scale: ONE map-side-combined aggregate onto group-grain rows — for the
 matrix form, all column pairs' moments ride the SAME aggregate (one data
 pass, one tiny shuffle of group-grain partials), then a plan-time
 literal pair list explodes the moments into tidy (col_x, col_y) rows.
-Headroom: |x| <= ~1e9 keeps sxy inside DECIMAL(38) past 10^18 rows.
+Per-row products stay in LONG (cheap, allocation-free) under a
+RUNTIME-ENFORCED |value| < 2^31 contract — a max(abs) witness per column
+rides the same aggregate and a violation raises loudly before any output
+row emerges (never a wrapped sum). 2^31 on the e6 ppm grid is ±2147 in
+raw units; rescale the grid down for wider-ranged features. Sums in
+DECIMAL(38): headroom past 10^18 rows at the contract bound.
 
 Reference parity anchor: the reference has no statistical operators; this
 extends the eval family (SURVEY §2 extensions) beside chi2_association
@@ -54,18 +59,59 @@ def _check_integral(df: DataFrame, cols: Sequence[str], op: str) -> None:
 
 
 def _pair_moments(x: Column, y: Column, tag: str) -> list[Column]:
-    """The six pairwise-complete moment aggregates for one (x, y) pair."""
+    """The six pairwise-complete moment aggregates for one (x, y) pair.
+
+    Per-row products are computed in LONG (exact while |value| < 2^31 —
+    the guard aggregates in :func:`_abs_guards` make a violation a loud
+    error, never a wrapped sum) and only the running sums widen to
+    DECIMAL(38): one decimal allocation per row per moment instead of a
+    128-bit multiply chain — measurably less per-row garbage, which is
+    what keeps this aggregate fast when the heap is busy."""
     both = x.isNotNull() & y.isNotNull()
-    xd = F.when(both, x).cast(_DEC)
-    yd = F.when(both, y).cast(_DEC)
+    xl = F.when(both, x.cast("long"))
+    yl = F.when(both, y.cast("long"))
     return [
         F.count(F.when(both, F.lit(1))).cast(_DEC).alias(f"__n_{tag}"),
-        F.coalesce(F.sum(xd), F.lit(0).cast(_DEC)).alias(f"__sx_{tag}"),
-        F.coalesce(F.sum(yd), F.lit(0).cast(_DEC)).alias(f"__sy_{tag}"),
-        F.coalesce(F.sum(xd * xd), F.lit(0).cast(_DEC)).alias(f"__sxx_{tag}"),
-        F.coalesce(F.sum(yd * yd), F.lit(0).cast(_DEC)).alias(f"__syy_{tag}"),
-        F.coalesce(F.sum(xd * yd), F.lit(0).cast(_DEC)).alias(f"__sxy_{tag}"),
+        F.coalesce(F.sum(xl.cast(_DEC)), F.lit(0).cast(_DEC)).alias(f"__sx_{tag}"),
+        F.coalesce(F.sum(yl.cast(_DEC)), F.lit(0).cast(_DEC)).alias(f"__sy_{tag}"),
+        F.coalesce(
+            F.sum((xl * xl).cast(_DEC)), F.lit(0).cast(_DEC)
+        ).alias(f"__sxx_{tag}"),
+        F.coalesce(
+            F.sum((yl * yl).cast(_DEC)), F.lit(0).cast(_DEC)
+        ).alias(f"__syy_{tag}"),
+        F.coalesce(
+            F.sum((xl * yl).cast(_DEC)), F.lit(0).cast(_DEC)
+        ).alias(f"__sxy_{tag}"),
     ]
+
+
+def _abs_guards(cols: Sequence[str]) -> list[Column]:
+    """One max(abs(col)) aggregate per distinct column — the runtime
+    witness that every value stayed under 2^31 (so the LONG products in
+    :func:`_pair_moments` were exact)."""
+    return [
+        F.coalesce(F.max(F.abs(F.col(c).cast("long"))), F.lit(0)).alias(
+            f"__mabs_{c}"
+        )
+        for c in cols
+    ]
+
+
+def _guard_col(cols: Sequence[str]) -> Column:
+    """NULL when every column's witness passes; raises otherwise. Ride it
+    through an output column (the intervals.py span-guard device) so
+    Catalyst cannot prune it — a wrapped product can then never emerge."""
+    ok = None
+    for c in cols:
+        this = F.col(f"__mabs_{c}") < F.lit(2 ** 31)
+        ok = this if ok is None else (ok & this)
+    msg = F.lit(
+        "pearson correlation: |value| >= 2^31 breaks the exact LONG-product "
+        f"contract for columns {list(cols)} — rescale the fixed-point grid "
+        "down (the moments would wrap silently otherwise)"
+    )
+    return F.coalesce(F.assert_true(ok, msg).cast("bigint"), F.lit(0))
 
 
 def _r_from_moments(tag: str) -> tuple[Column, Column]:
@@ -99,11 +145,15 @@ def pearson_corr(
     count) + ``out_col`` (double in [-1, 1], NULL when degenerate)."""
     _check_integral(df, (x_col, y_col), "pearson_corr")
     keys = list(group_by)
+    cols = [x_col] if x_col == y_col else [x_col, y_col]
     agg = df.groupBy(*keys).agg(
-        *_pair_moments(F.col(x_col), F.col(y_col), "0")
+        *_pair_moments(F.col(x_col), F.col(y_col), "0"),
+        *_abs_guards(cols),
     )
     n, r = _r_from_moments("0")
-    return agg.select(*keys, n.alias("n_pairs"), r.alias(out_col))
+    return agg.select(
+        *keys, (n + _guard_col(cols)).alias("n_pairs"), r.alias(out_col)
+    )
 
 
 def corr_matrix(
@@ -134,7 +184,9 @@ def corr_matrix(
         aggs.extend(
             _pair_moments(F.col(cols[i]), F.col(cols[j]), f"{i}_{j}")
         )
+    aggs.extend(_abs_guards(cols))
     agg = df.groupBy(*keys).agg(*aggs)
+    guard = _guard_col(cols)
     structs = []
     for i, j in pairs:
         n, r = _r_from_moments(f"{i}_{j}")
@@ -142,7 +194,7 @@ def corr_matrix(
             F.struct(
                 F.lit(cols[i]).alias("col_x"),
                 F.lit(cols[j]).alias("col_y"),
-                n.alias("n_pairs"),
+                (n + guard).alias("n_pairs"),
                 r.alias("pearson_r"),
             )
         )

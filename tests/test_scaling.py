@@ -322,3 +322,18 @@ def test_corr_matrix_one_pass_and_values(spark):
         corr_matrix(df, ["a"])
     with pytest.raises(ValueError):
         corr_matrix(df, ["a", "a"])
+
+
+def test_pearson_corr_overflow_guard(spark):
+    from funcify_feature_eng_spark.operators.correlation import pearson_corr
+
+    big = spark.createDataFrame(
+        [(1, 2**31, 5), (2, 3, 6)], "id bigint, x bigint, y bigint"
+    )
+    with pytest.raises(Exception, match="2\\^31|LONG-product"):
+        pearson_corr(big, "x", "y").collect()
+    # boundary-1 passes
+    ok = spark.createDataFrame(
+        [(1, 2**31 - 1, 5), (2, 3, 6)], "id bigint, x bigint, y bigint"
+    )
+    assert pearson_corr(ok, "x", "y").collect()[0]["n_pairs"] == 2
