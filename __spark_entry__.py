@@ -2627,6 +2627,36 @@ def _stream_batch_files(spark: SparkSession, sf_dir: str) -> str:
     )
 
 
+def _decay_stream_source(spark: SparkSession, sf_dir: str):
+    """(tmp_dir, streaming DataFrame) over a 2-file ts-ordered split of
+    events CARRYING the value column (the shared split projects it away;
+    the decay gate aggregates it)."""
+
+    def parts():
+        pdf = (
+            _t(spark, sf_dir, "events")
+            .select("user_id", "event_id", "ts", "value")
+            .orderBy("ts", "event_id")
+            .toPandas()
+        )
+        n = len(pdf)
+        return [pdf.iloc[i * n // 2 : (i + 1) * n // 2] for i in range(2)]
+
+    tmp = os.path.join(
+        "/tmp",
+        f"spark_graft_decay_stream_{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    tmp = _write_micro_batches(
+        tmp, os.path.join(sf_dir, "events.parquet"), "1", parts,
+        {"coerce_timestamps": "us", "allow_truncated_timestamps": True},
+    )
+    sch = spark.read.parquet(tmp).schema
+    stream = (
+        spark.readStream.schema(sch).option("maxFilesPerTrigger", "1").parquet(tmp)
+    )
+    return tmp, stream
+
+
 def _stream_source(spark: SparkSession, sf_dir: str):
     """(tmp_dir, streaming DataFrame) over the 2-file micro-batch split —
     one definition of the micro-batch contract for both streaming gates."""
@@ -4629,6 +4659,50 @@ def q_rank_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Online recency-weighted counters (streaming/runner.py::
+    decay_monitor_stream): the 2-micro-batch events stream appends each
+    batch's mergeable decay state (exact integer sums under the PINNED
+    ref_ts) to a parquet ledger; the merged ledger projects to the
+    time_decay_agg output. Oracle = the SAME whole-table SQL as
+    time_decay_rollup — the hashed property is stream ≡ batch (state
+    merge is plain addition). Executor state never grows."""
+    import shutil
+
+    from funcify_feature_eng_spark.operators.decay import (
+        decay_from_state,
+        merge_decay_states,
+    )
+    from funcify_feature_eng_spark.streaming.runner import decay_monitor_stream
+
+    tmp, stream = _decay_stream_source(spark, sf_dir)
+    staged = stream.withColumn(
+        "v_e6", F.floor(F.col("value") * F.lit(1_000_000.0)).cast("long")
+    )
+    _STREAM_GATE_SEQ[0] += 1
+    base = f"{tmp}_decay_{_STREAM_GATE_SEQ[0]}"
+    ledger, ckpt = base + "_ledger", base + "_ckpt"
+    shutil.rmtree(ledger, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    shuffle_conf = "spark.sql.shuffle.partitions"
+    session_parts = spark.conf.get(shuffle_conf)
+    spark.conf.set(shuffle_conf, "4")
+    try:
+        q = decay_monitor_stream(
+            staged, ledger, value_col="v_e6", ts_col="ts", keys=["user_id"],
+            ref_ts="2024-02-01 00:00:00", halflife_s=172_800, max_pow=20,
+            checkpoint_dir=ckpt,
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set(shuffle_conf, session_parts)
+    states = spark.read.parquet(ledger).drop("batch_id")
+    return decay_from_state(
+        merge_decay_states(states, keys=["user_id"]), keys=["user_id"],
+        max_pow=20,
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: windowed turn features + strictly-prior as-of join at sf0.001."""
     sf_dir = "/root/testdata/sf0.001"
@@ -4836,6 +4910,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "time_decay_rollup": q_time_decay_rollup,
         "feature_corr": q_feature_corr,
         "rank_normalized": q_rank_normalized,
+        "stream_decay": q_stream_decay,
     }
 
 
@@ -8093,4 +8168,7 @@ UNION ALL
 SELECT doc_id, lang, n_chars, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
 FROM documents WHERE n_chars IS NULL
 """
+    # stream == batch: the merged decay ledger must equal the one-shot
+    # whole-table rollup (state merge is plain addition)
+    sqls["stream_decay"] = sqls["time_decay_rollup"]
     return sqls

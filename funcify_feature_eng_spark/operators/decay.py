@@ -41,7 +41,13 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["time_decay_agg", "decay_weight_q"]
+__all__ = [
+    "time_decay_agg",
+    "decay_weight_q",
+    "decay_state",
+    "merge_decay_states",
+    "decay_from_state",
+]
 
 _DEC = "decimal(38,0)"
 
@@ -113,6 +119,31 @@ def time_decay_agg(
     Mergeable: states from disjoint shards/batches with the SAME ref_ts
     merge by adding n_rows/sum_q/wsum_q — the streaming-ledger pattern
     (cf. ``calibration_state``)."""
+    state = decay_state(
+        df, value_col=value_col, ts_col=ts_col, keys=keys, ref_ts=ref_ts,
+        halflife_s=halflife_s, max_pow=max_pow,
+    )
+    return decay_from_state(state, keys=keys, max_pow=max_pow,
+                            out_prefix=out_prefix)
+
+
+def decay_state(
+    df: DataFrame,
+    *,
+    value_col: str,
+    ts_col: str,
+    keys: Sequence[str],
+    ref_ts: str,
+    halflife_s: int,
+    max_pow: int = 40,
+) -> DataFrame:
+    """The MERGEABLE per-key decay state: ``(keys..., n_rows, sum_q,
+    wsum_q, vwsum_q)`` with the three sums kept in DECIMAL(38) so states
+    merge by plain addition without overflow (:func:`merge_decay_states`)
+    — the ledger pattern shared with ``calibration_state``/
+    ``check_state``. ``vwsum_q`` is the weight restricted to
+    non-NULL-value rows (what the decayed mean divides by). States are
+    only meaningful under ONE shared (ref_ts, halflife_s, max_pow)."""
     t = df.schema[value_col].dataType.simpleString()
     if t not in _INTEGRAL:
         raise ValueError(
@@ -122,24 +153,53 @@ def time_decay_agg(
     v = F.col(value_col)
     ts = F.col(ts_col)
     w = decay_weight_q(ts, ref_ts=ref_ts, halflife_s=halflife_s, max_pow=max_pow)
-    p = out_prefix
-    pow2 = float(2 ** max_pow)
     base = df.filter(
         ts.isNotNull() & (ts.cast("timestamp") <= F.lit(ref_ts).cast("timestamp"))
     ).select(*keys, v.alias("__v"), w.alias("__w"))
-    agg = base.groupBy(*keys).agg(
+    return base.groupBy(*keys).agg(
         F.count(F.lit(1)).alias("n_rows"),
-        F.sum(F.col("__v").cast(_DEC) * F.col("__w").cast(_DEC)).alias("__sq"),
-        F.sum(F.col("__w").cast(_DEC)).alias("__wq"),
-        F.sum(
-            F.when(F.col("__v").isNotNull(), F.col("__w")).cast(_DEC)
-        ).alias("__vwq"),
+        F.coalesce(
+            F.sum(F.col("__v").cast(_DEC) * F.col("__w").cast(_DEC)),
+            F.lit(0).cast(_DEC),
+        ).alias("sum_q"),
+        F.coalesce(F.sum(F.col("__w").cast(_DEC)), F.lit(0).cast(_DEC)).alias(
+            "wsum_q"
+        ),
+        F.coalesce(
+            F.sum(F.when(F.col("__v").isNotNull(), F.col("__w")).cast(_DEC)),
+            F.lit(0).cast(_DEC),
+        ).alias("vwsum_q"),
     )
-    # DECIMAL(38) accumulation, then a checked narrow to BIGINT: an
-    # out-of-contract input overflows loudly here, never silently
-    sum_q = F.coalesce(F.col("__sq"), F.lit(0).cast(_DEC))
+
+
+def merge_decay_states(states: DataFrame, *, keys: Sequence[str]) -> DataFrame:
+    """Merge decay states from disjoint shards/micro-batches (same
+    ref_ts/halflife/max_pow) by addition — commutative and associative,
+    so any merge order and any sharding give the identical state."""
+    return states.groupBy(*keys).agg(
+        F.sum("n_rows").cast("long").alias("n_rows"),
+        F.sum("sum_q").alias("sum_q"),
+        F.sum("wsum_q").alias("wsum_q"),
+        F.sum("vwsum_q").alias("vwsum_q"),
+    )
+
+
+def decay_from_state(
+    state: DataFrame,
+    *,
+    keys: Sequence[str],
+    max_pow: int = 40,
+    out_prefix: str = "decayed",
+) -> DataFrame:
+    """Project a (possibly merged) decay state to the
+    :func:`time_decay_agg` output shape. The DECIMAL(38) sums narrow to
+    BIGINT under a loud guard — an out-of-contract corpus raises here,
+    never emits a wrapped value."""
+    p = out_prefix
+    pow2 = float(2 ** max_pow)
+    sum_q = F.coalesce(F.col("sum_q"), F.lit(0).cast(_DEC))
     over = (F.abs(sum_q) > F.lit(2 ** 63 - 1).cast(_DEC)) | (
-        F.col("__wq") > F.lit(2 ** 63 - 1).cast(_DEC)
+        F.col("wsum_q") > F.lit(2 ** 63 - 1).cast(_DEC)
     )
     guard = F.assert_true(
         ~over,
@@ -149,18 +209,24 @@ def time_decay_agg(
         ),
     )
     return (
-        agg.withColumn(
+        state.withColumn(
             f"{p}_sum_q",
-            (sum_q + F.coalesce(guard.cast(_DEC), F.lit(0).cast(_DEC))).cast("bigint"),
+            (sum_q + F.coalesce(guard.cast(_DEC), F.lit(0).cast(_DEC))).cast(
+                "bigint"
+            ),
         )
-        .withColumn(f"{p}_wsum_q", F.col("__wq").cast("bigint"))
+        .withColumn(f"{p}_wsum_q", F.col("wsum_q").cast("bigint"))
         .withColumn(f"{p}_sum", F.col(f"{p}_sum_q").cast("double") / F.lit(pow2))
         .withColumn(
             f"{p}_mean",
             F.when(
-                F.col("__vwq") > 0,
-                F.col(f"{p}_sum_q").cast("double") / F.col("__vwq").cast("double"),
+                F.col("vwsum_q") > 0,
+                F.col(f"{p}_sum_q").cast("double")
+                / F.col("vwsum_q").cast("double"),
             ),
         )
-        .drop("__sq", "__wq", "__vwq")
+        .select(
+            *keys, "n_rows", f"{p}_sum_q", f"{p}_wsum_q", f"{p}_sum",
+            f"{p}_mean",
+        )
     )

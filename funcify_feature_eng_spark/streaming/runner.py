@@ -795,3 +795,49 @@ def calibration_monitor_stream(
         )
 
     return _start_foreach_batch(stream_df, process, checkpoint_dir, trigger_seconds)
+
+
+def decay_monitor_stream(
+    stream_df: DataFrame,
+    ledger_dir: str,
+    *,
+    value_col: str,
+    ts_col: str,
+    keys: list[str],
+    ref_ts: str,
+    halflife_s: int,
+    max_pow: int = 40,
+    checkpoint_dir: str | None = None,
+    trigger_seconds: int | None = None,
+) -> StreamingQuery:
+    """Online recency-weighted counters: the decay twin of
+    :func:`quality_monitor_stream` / :func:`calibration_monitor_stream`.
+
+    Each micro-batch aggregates to its ``operators.decay.decay_state``
+    (key-grain rows of exact integer sums — weights are fixed by the
+    PINNED ref_ts, so a row's contribution is batch-order independent)
+    and APPENDS it, stamped with ``batch_id``, to the parquet ledger.
+    The ledger IS the state; executor state never grows. Whole-corpus-
+    so-far counters come from ``decay_from_state(merge_decay_states(
+    read(ledger)))`` — provably equal to the one-shot batch rollup
+    because the state merge is plain addition (the stream ≡ batch gate
+    hashes exactly that).
+
+    Note the ref_ts is a PINNED instant, not "now": a production job
+    re-pins it per serving snapshot (weights then shift by an exact
+    power of two per elapsed half-life — old states remain mergeable
+    after a single integer rescale as long as the shift stays within
+    max_pow)."""
+    from funcify_feature_eng_spark.operators.decay import decay_state
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            decay_state(
+                batch_df, value_col=value_col, ts_col=ts_col, keys=keys,
+                ref_ts=ref_ts, halflife_s=halflife_s, max_pow=max_pow,
+            )
+            .withColumn("batch_id", F.lit(int(batch_id)).cast("bigint"))
+            .write.mode("append").parquet(ledger_dir)
+        )
+
+    return _start_foreach_batch(stream_df, process, checkpoint_dir, trigger_seconds)

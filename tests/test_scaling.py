@@ -337,3 +337,27 @@ def test_pearson_corr_overflow_guard(spark):
         [(1, 2**31 - 1, 5), (2, 3, 6)], "id bigint, x bigint, y bigint"
     )
     assert pearson_corr(ok, "x", "y").collect()[0]["n_pairs"] == 2
+
+
+def test_decay_state_merge_equals_whole(spark):
+    from funcify_feature_eng_spark.operators.decay import (
+        decay_from_state,
+        decay_state,
+        merge_decay_states,
+        time_decay_agg,
+    )
+
+    rows = [("u%d" % (d % 3), f"2024-01-{d:02d} 00:00:00", d * 10)
+            for d in range(1, 10)]
+    df = spark.createDataFrame(rows, "u string, ts string, v bigint").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    kw = dict(value_col="v", ts_col="ts", keys=["u"],
+              ref_ts="2024-01-10 00:00:00", halflife_s=86400, max_pow=20)
+    whole = sorted(map(tuple, time_decay_agg(df, **kw).collect()))
+    a = decay_state(df.filter(F.dayofmonth("ts") <= 4), **kw)
+    b = decay_state(df.filter(F.dayofmonth("ts") > 4), **kw)
+    merged = decay_from_state(
+        merge_decay_states(a.unionByName(b), keys=["u"]), keys=["u"], max_pow=20
+    )
+    assert sorted(map(tuple, merged.collect())) == whole

@@ -135,3 +135,26 @@ def test_sdl_asof_direction_round_trips(spark):
     m3.declare_asof_feature("near_val", "fs", value_col="value")
     c = sorted(map(tuple, m3.materialize(ev, ["event_id", "near_val"]).collect()))
     assert a != c
+
+
+def test_sdl_scaling_verbs_round_trip(spark):
+    """@window(op:"zscore"/"minmax") — the schema-first route to the
+    within-entity scaling verbs — round-trips and materializes."""
+    from funcify_feature_eng_spark.plans.sdl import from_sdl, to_sdl
+
+    sdl = (
+        'type T @entity(key: "user_id", order: ["turn_idx"], eventTime: "ts")'
+        ' { v_z: Float @window(op: "zscore", col: "v")'
+        ' v_mm: Float @window(op: "minmax", col: "v") }'
+    )
+    m = from_sdl(sdl)
+    assert to_sdl(from_sdl(to_sdl(m))) == to_sdl(m)
+    spine = spark.createDataFrame(
+        [("u1", 0, 10), ("u1", 1, 30), ("u2", 0, 5)],
+        "user_id string, turn_idx int, v long",
+    ).selectExpr("user_id", "turn_idx", "timestamp('2024-01-01') as ts", "v")
+    got = {(r["user_id"], r["turn_idx"]): (r["v_z"], r["v_mm"])
+           for r in m.materialize(
+               spine, ["user_id", "turn_idx", "v_z", "v_mm"]).collect()}
+    assert got[("u1", 1)][1] == 1_000_000 and got[("u1", 0)][1] == 0
+    assert got[("u2", 0)] == (None, 0)
