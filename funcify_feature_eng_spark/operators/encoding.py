@@ -122,20 +122,21 @@ def count_encode(
             F.col("__tot").cast("decimal(38,0)"),
         ),
     ).drop("__tot")
-    if keys:
-        return df.join(
-            F.broadcast(enriched), keys + [category_col], "left"
-        )
-    # keyless: join on the category alone; eqNullSafe keeps NULL categories
-    # matched to their own count row
-    cond = F.col(f"__ce_l.`{category_col}`").eqNullSafe(
-        F.col(f"__ce_r.`{category_col}`")
-    )
-    return (
-        df.alias("__ce_l")
-        .join(F.broadcast(enriched.alias("__ce_r")), cond, "left")
-        .drop(F.col(f"__ce_r.`{category_col}`"))
-    )
+    # NULL-SAFE equality throughout: NULL categories (and NULL group keys)
+    # are real levels — a name-based null-unsafe join would silently hand
+    # them NULL counts instead of their own row's. Catalyst rewrites
+    # EqualNullSafe into coalesced join keys (stays a broadcast hash join).
+    join_cols = keys + [category_col]
+    l, r = df.alias("__ce_l"), enriched.alias("__ce_r")
+    cond = None
+    for c in join_cols:
+        esc = c.replace("`", "``")
+        eq = F.col(f"__ce_l.`{esc}`").eqNullSafe(F.col(f"__ce_r.`{esc}`"))
+        cond = eq if cond is None else (cond & eq)
+    out = l.join(F.broadcast(r), cond, "left")
+    for c in join_cols:
+        out = out.drop(F.col("__ce_r.`" + c.replace("`", "``") + "`"))
+    return out
 
 
 def hash_cross(

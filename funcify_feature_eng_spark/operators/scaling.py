@@ -129,10 +129,24 @@ def _stats_join(
 ) -> DataFrame:
     """Attach a group-grain stats frame: broadcast equi-join on the keys,
     or broadcast cross-join for the keyless (single global row) case —
-    either way the DATA side crosses no Exchange."""
-    if keys:
-        return df.join(F.broadcast(stats), list(keys), "left")
-    return df.crossJoin(F.broadcast(stats))
+    either way the DATA side crosses no Exchange.
+
+    The key equality is NULL-SAFE: groupBy treats NULL as a real group, so
+    a name-based (null-unsafe) join would silently hand NULL-keyed rows
+    NULL stats instead of their own group's. Catalyst rewrites EqualNullSafe
+    into coalesced join keys, so this stays a broadcast hash join."""
+    if not keys:
+        return df.crossJoin(F.broadcast(stats))
+    l, r = df.alias("__sj_l"), stats.alias("__sj_r")
+    cond = None
+    for k in keys:
+        esc = k.replace("`", "``")
+        eq = F.col(f"__sj_l.`{esc}`").eqNullSafe(F.col(f"__sj_r.`{esc}`"))
+        cond = eq if cond is None else (cond & eq)
+    out = l.join(F.broadcast(r), cond, "left")
+    for k in keys:
+        out = out.drop(F.col("__sj_r.`" + k.replace("`", "``") + "`"))
+    return out
 
 
 def minmax_scale(

@@ -361,3 +361,30 @@ def test_decay_state_merge_equals_whole(spark):
         merge_decay_states(a.unionByName(b), keys=["u"]), keys=["u"], max_pow=20
     )
     assert sorted(map(tuple, merged.collect())) == whole
+
+
+def test_null_group_keys_get_their_own_stats(spark):
+    """Regression (wave-11 self-review): groupBy treats NULL as a real
+    group, so the broadcast join-backs must be NULL-SAFE — a name-based
+    join silently handed NULL-keyed rows NULL stats."""
+    df = spark.createDataFrame(
+        [(1, None, 10), (2, None, 30), (3, "g", 7)],
+        "id bigint, g string, v bigint",
+    )
+    mm = {r["id"]: r["minmax_e6"] for r in minmax_scale(
+        df, "v", group_by=["g"]).collect()}
+    assert mm[1] == 0 and mm[2] == 1_000_000 and mm[3] == 0
+    z = {r["id"]: r["zscore"] for r in standardize(
+        df, "v", group_by=["g"]).collect()}
+    assert z[1] is not None and z[1] == -z[2]
+    w = {r["id"]: r["winsorized"] for r in winsorize(
+        df, "v", lower_ppm=0, upper_ppm=1_000_000, tiebreak="id",
+        group_by=["g"]).collect()}
+    assert w == {1: 10, 2: 30, 3: 7}
+    ce = {r["id"]: (r["cat_cnt"], r["cat_share_ppm"]) for r in count_encode(
+        spark.createDataFrame(
+            [(1, "a", None), (2, "a", None), (3, "a", "x"), (4, None, "x")],
+            "id bigint, g string, cat string",
+        ), "cat", group_by=["g"]).collect()}
+    assert ce[1] == ce[2] == (2, 666_666)   # NULL category within group a
+    assert ce[4] == (1, 1_000_000)          # NULL group key is its own group
