@@ -4703,6 +4703,23 @@ def q_stream_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_spearman_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Spearman rank correlation (operators/correlation.py::
+    spearman_corr): per event type, does the value drift monotonically
+    with time? Average ranks kept exact on the doubled integer grid
+    (2*rank + ties - 1 — affine in the mid-rank, and Pearson is affine-
+    invariant), then the integer-moment Pearson — rho bit-identical
+    cross-engine. One Exchange carries both rank windows."""
+    from funcify_feature_eng_spark.operators.correlation import spearman_corr
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.floor(F.col("value") * F.lit(1_000_000.0)).cast("long").alias("x"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("y"),
+    )
+    return spearman_corr(ev, "x", "y", group_by=["event_type"])
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: windowed turn features + strictly-prior as-of join at sf0.001."""
     sf_dir = "/root/testdata/sf0.001"
@@ -4911,6 +4928,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "feature_corr": q_feature_corr,
         "rank_normalized": q_rank_normalized,
         "stream_decay": q_stream_decay,
+        "spearman_drift": q_spearman_drift,
     }
 
 
@@ -8171,4 +8189,33 @@ FROM documents WHERE n_chars IS NULL
     # stream == batch: the merged decay ledger must equal the one-shot
     # whole-table rollup (state merge is plain addition)
     sqls["stream_decay"] = sqls["time_decay_rollup"]
+    # Spearman: 2*rank + ties - 1 doubled-grid mid-ranks, then the exact
+    # integer-moment Pearson identity (affine-invariant, so identical rho)
+    sqls["spearman_drift"] = """
+WITH b AS (
+  SELECT event_type,
+         CAST(floor(value * 1000000.0) AS BIGINT) AS x,
+         epoch_us(ts) AS y
+  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+), r AS (
+  SELECT event_type,
+         2 * RANK() OVER (PARTITION BY event_type ORDER BY x)
+           + COUNT(*) OVER (PARTITION BY event_type, x) - 1 AS rx,
+         2 * RANK() OVER (PARTITION BY event_type ORDER BY y)
+           + COUNT(*) OVER (PARTITION BY event_type, y) - 1 AS ry
+  FROM b
+), m AS (
+  SELECT event_type, COUNT(*) AS n,
+         SUM(rx) AS sx, SUM(ry) AS sy,
+         SUM(rx * rx) AS sxx, SUM(ry * ry) AS syy, SUM(rx * ry) AS sxy
+  FROM r GROUP BY event_type
+)
+SELECT event_type, CAST(n AS BIGINT) AS n_pairs,
+       CASE WHEN n * sxx - sx * sx <= 0 OR n * syy - sy * sy <= 0 THEN NULL
+            ELSE CAST(n * sxy - sx * sy AS DOUBLE)
+                 / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                    * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+       END AS spearman_rho
+FROM m
+"""
     return sqls

@@ -38,10 +38,10 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["pearson_corr", "corr_matrix"]
+__all__ = ["pearson_corr", "corr_matrix", "spearman_corr"]
 
 _DEC = "decimal(38,0)"
 
@@ -201,4 +201,51 @@ def corr_matrix(
     return (
         agg.select(*keys, F.explode(F.array(*structs)).alias("__p"))
         .select(*keys, "__p.col_x", "__p.col_y", "__p.n_pairs", "__p.pearson_r")
+    )
+
+
+def spearman_corr(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    *,
+    group_by: Sequence[str] = (),
+    out_col: str = "spearman_rho",
+) -> DataFrame:
+    """Per-group exact Spearman rank correlation — the monotone-
+    relationship stat (outlier-immune, scale-free): Pearson over the
+    columns' average ranks. Ties get their mid-rank (the statistics
+    convention), kept EXACT on a doubled integer grid: for a value with
+    dense rank run [lo..hi], 2*midrank = 2*lo + ties - 1 — an integer,
+    and Pearson is affine-invariant, so rho over these equals rho over
+    the mid-ranks with no float rank ever materialized. The result is
+    then bit-identical cross-engine like :func:`pearson_corr` (whose
+    guard also bounds groups at ~2^30 rows on this grid — an exact
+    all-rank Spearman beyond that wants a sampled or binned variant
+    anyway).
+
+    Rows where EITHER side is NULL are dropped BEFORE ranking (pairwise-
+    complete, pandas' convention), so ranks are over the complete pairs.
+
+    Scale: one Exchange on the group keys carries BOTH rank windows (two
+    in-partition sorts), then the single corr aggregate."""
+    _check_integral(df, (x_col, y_col), "spearman_corr")
+    keys = list(group_by)
+    x, y = F.col(x_col), F.col(y_col)
+    nn = df.filter(x.isNotNull() & y.isNotNull())
+
+    def pos2(c: Column) -> Column:
+        lo = F.rank().over(
+            Window.partitionBy(*[F.col(k) for k in keys]).orderBy(c.asc())
+        ).cast("long")
+        ties = F.count(F.lit(1)).over(
+            Window.partitionBy(*[F.col(k) for k in keys], c)
+        ).cast("long")
+        return F.lit(2) * lo + ties - F.lit(1)
+
+    ranked = nn.select(
+        *keys, pos2(x).alias("__rx"), pos2(y).alias("__ry")
+    )
+    return pearson_corr(
+        ranked, "__rx", "__ry", group_by=keys, out_col=out_col
     )

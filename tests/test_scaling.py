@@ -388,3 +388,48 @@ def test_null_group_keys_get_their_own_stats(spark):
         ), "cat", group_by=["g"]).collect()}
     assert ce[1] == ce[2] == (2, 666_666)   # NULL category within group a
     assert ce[4] == (1, 1_000_000)          # NULL group key is its own group
+
+
+def test_spearman_corr_matches_pure_python(spark):
+    from funcify_feature_eng_spark.operators.correlation import spearman_corr
+
+    rows = [
+        # monotone but non-linear (rho 1, pearson < 1), with ties
+        ("m", 1, 1), ("m", 2, 8), ("m", 3, 27), ("m", 3, 27), ("m", 5, 125),
+        # anti-monotone
+        ("a", 1, 9), ("a", 2, 4), ("a", 3, 1),
+        # NULLs drop before ranking
+        ("n", 1, None), ("n", 2, 5), ("n", 3, 1), ("n", None, 7),
+    ]
+    df = spark.createDataFrame(rows, "g string, x bigint, y bigint")
+    got = {r["g"]: (r["n_pairs"], r["spearman_rho"]) for r in spearman_corr(
+        df, "x", "y", group_by=["g"]).collect()}
+
+    def ref(pts):
+        import math
+
+        def avg_ranks(vals):
+            s = sorted(range(len(vals)), key=lambda i: vals[i])
+            ranks = [0.0] * len(vals)
+            i = 0
+            while i < len(s):
+                j = i
+                while j < len(s) and vals[s[j]] == vals[s[i]]:
+                    j += 1
+                for k in range(i, j):
+                    ranks[s[k]] = (i + 1 + j) / 2
+                i = j
+            return ranks
+        rx = avg_ranks([p[0] for p in pts]); ry = avg_ranks([p[1] for p in pts])
+        n = len(pts)
+        mx = sum(rx) / n; my = sum(ry) / n
+        num = sum((a - mx) * (b - my) for a, b in zip(rx, ry))
+        den = math.sqrt(sum((a - mx) ** 2 for a in rx)) * math.sqrt(
+            sum((b - my) ** 2 for b in ry))
+        return num / den if den else None
+
+    m = ref([(1, 1), (2, 8), (3, 27), (3, 27), (5, 125)])
+    assert got["m"][0] == 5 and abs(got["m"][1] - m) < 1e-12
+    assert abs(got["m"][1] - 1.0) < 1e-12  # perfectly monotone incl. tie
+    assert abs(got["a"][1] + 1.0) < 1e-12
+    assert got["n"][0] == 2 and abs(got["n"][1] + 1.0) < 1e-12
