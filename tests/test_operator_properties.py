@@ -387,3 +387,91 @@ def test_render_offsets_always_slice_render_text(spark, rows):
              for r in render_text(df, **kw).collect()}
     for r in render_offsets(df, **kw).collect():
         assert texts[r["conv_id"]][r["start_off"]:r["end_off"]] == r["text"]
+
+
+scale_rows = st.lists(
+    st.tuples(
+        st.sampled_from(["g0", "g1"]),
+        st.one_of(st.none(), st.integers(min_value=-1000, max_value=1000)),
+    ),
+    min_size=1,
+    max_size=24,
+)
+
+
+@SETTLE
+@given(rows=scale_rows)
+def test_scaling_family_invariants(spark, rows):
+    """Range/NULL/idempotence invariants of the conditioning transforms vs
+    a pure-Python reference on random grouped integer data."""
+    from funcify_feature_eng_spark.operators.scaling import (
+        minmax_scale,
+        rank_normalize,
+        standardize,
+        winsorize,
+    )
+
+    df = spark.createDataFrame(
+        [(i, g, v) for i, (g, v) in enumerate(rows)], "id bigint, g string, v long"
+    )
+    mm = minmax_scale(df, "v", group_by=["g"])
+    rn = rank_normalize(mm, "v", tiebreak="id", group_by=["g"])
+    zs = standardize(rn, "v", group_by=["g"])
+    ws = winsorize(
+        zs, "v", lower_ppm=100_000, upper_ppm=900_000, tiebreak="id",
+        group_by=["g"],
+    )
+    out = ws.collect()
+    assert len(out) == len(rows)
+    by_g: dict = {}
+    for g, v in rows:
+        by_g.setdefault(g, []).append(v)
+    for r in out:
+        vals = [v for v in by_g[r["g"]] if v is not None]
+        if r["v"] is None:
+            assert (r["minmax_e6"] is None and r["rank_ppm"] is None
+                    and r["zscore"] is None and r["winsorized"] is None)
+            continue
+        assert 0 <= r["minmax_e6"] <= 1_000_000
+        assert 0 <= r["rank_ppm"] <= 1_000_000
+        # winsorized stays inside the group's value range and clips order-
+        # preservingly: original min/max rows map to clipped min/max
+        assert min(vals) <= r["winsorized"] <= max(vals)
+        if len(vals) >= 2 and len(set(vals)) >= 2:
+            assert r["zscore"] is not None
+        # extremes hit the grid ends exactly when distinct values exist
+        if len(set(vals)) >= 2:
+            if r["v"] == max(vals):
+                assert r["minmax_e6"] == 1_000_000
+            if r["v"] == min(vals):
+                assert r["minmax_e6"] == 0
+    # z-scores sum to ~0 per group (exact integer moments -> tiny fp error)
+    for g, vals in by_g.items():
+        zs_g = [r["zscore"] for r in out if r["g"] == g and r["zscore"] is not None]
+        if zs_g:
+            assert abs(sum(zs_g)) < 1e-9 * max(1.0, max(abs(z) for z in zs_g)) * len(zs_g)
+
+
+@SETTLE
+@given(rows=scale_rows)
+def test_winsorize_idempotent(spark, rows):
+    """Winsorizing an already-winsorized column at the same band is the
+    identity (the thresholds are data values, so re-clipping moves
+    nothing... with ranks recomputed over the CLIPPED distribution the
+    band can only widen coverage, never move values)."""
+    from funcify_feature_eng_spark.operators.scaling import winsorize
+
+    df = spark.createDataFrame(
+        [(i, g, v) for i, (g, v) in enumerate(rows)], "id bigint, g string, v long"
+    )
+    once = winsorize(
+        df, "v", lower_ppm=200_000, upper_ppm=800_000, tiebreak="id",
+        group_by=["g"], out_col="w1",
+    ).drop("v").withColumnRenamed("w1", "v")
+    twice = winsorize(
+        once, "v", lower_ppm=200_000, upper_ppm=800_000, tiebreak="id",
+        group_by=["g"], out_col="w2",
+    )
+    for r in twice.collect():
+        if r["v"] is not None:
+            assert r["w2"] == r["v"], r
