@@ -4720,6 +4720,19 @@ def q_spearman_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spearman_corr(ev, "x", "y", group_by=["event_type"])
 
 
+def q_label_centroid_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-label centroid cosine matrix (operators/similarity.py::
+    centroid_similarity): mean-pool each label's embeddings on the exact
+    int8 grid (pool_embeddings explode path — reduce memory O(dim) at any
+    group size), then pairwise cosine over the GROUP-grain centroid table
+    (broadcast self-join, O(G^2) arithmetic, never data). Integer dot /
+    sqrt-of-integer norms — cos_sim bit-identical cross-engine."""
+    from funcify_feature_eng_spark.operators.similarity import centroid_similarity
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return centroid_similarity(emb, "label")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: windowed turn features + strictly-prior as-of join at sf0.001."""
     sf_dir = "/root/testdata/sf0.001"
@@ -4929,6 +4942,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rank_normalized": q_rank_normalized,
         "stream_decay": q_stream_decay,
         "spearman_drift": q_spearman_drift,
+        "label_centroid_sim": q_label_centroid_sim,
     }
 
 
@@ -8217,5 +8231,49 @@ SELECT event_type, CAST(n AS BIGINT) AS n_pairs,
                     * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
        END AS spearman_rho
 FROM m
+"""
+    # inter-label centroid cosine: the embedding_pool quantize+pool CTEs,
+    # then pairwise integer dot / sqrt-of-integer norms over label pairs
+    sqls["label_centroid_sim"] = """
+WITH q AS (
+  SELECT label,
+         CASE WHEN amax > 0 THEN list_transform(
+                embedding,
+                x -> CAST(floor(CAST(x AS DOUBLE) * 127 / amax + 0.5) AS BIGINT))
+              ELSE list_transform(embedding, x -> CAST(0 AS BIGINT))
+         END AS qv
+  FROM (
+    SELECT label, embedding,
+           list_max(list_transform(embedding,
+                                   x -> abs(CAST(x AS DOUBLE)))) AS amax
+    FROM embeddings
+    WHERE embedding IS NOT NULL AND len(embedding) > 0
+  )
+), cells AS (
+  SELECT label, generate_subscripts(qv, 1) AS pos, unnest(qv) AS val FROM q
+), sums AS (
+  SELECT label, pos, SUM(val) AS s, COUNT(*) AS n
+  FROM cells GROUP BY label, pos
+), pooled AS (
+  SELECT label, pos,
+         CAST((s - ((s % n) + n) % n) // n AS BIGINT) AS pv,
+         CAST(MIN(n) OVER (PARTITION BY label) AS BIGINT) AS n_vecs
+  FROM sums
+), pairdot AS (
+  SELECT a.label AS group_a, b.label AS group_b,
+         CAST(MIN(a.n_vecs) AS BIGINT) AS n_vecs_a,
+         CAST(MIN(b.n_vecs) AS BIGINT) AS n_vecs_b,
+         SUM(a.pv * b.pv) AS dot,
+         SUM(a.pv * a.pv) AS na, SUM(b.pv * b.pv) AS nb
+  FROM pooled a JOIN pooled b ON a.pos = b.pos AND a.label < b.label
+  GROUP BY a.label, b.label
+)
+SELECT group_a, group_b, n_vecs_a, n_vecs_b,
+       CAST(dot AS BIGINT) AS dot_q,
+       CASE WHEN na = 0 OR nb = 0 THEN NULL
+            ELSE CAST(dot AS DOUBLE)
+                 / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE)))
+       END AS cos_sim
+FROM pairdot
 """
     return sqls

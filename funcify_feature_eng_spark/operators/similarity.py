@@ -526,3 +526,89 @@ def pool_embeddings(
         _finish(sums, n_checked).alias(out_col),
         n_checked.cast("long").alias("n_vecs"),
     )
+
+
+def centroid_similarity(
+    df: DataFrame,
+    group_by,
+    vec_col: str = "embedding",
+    levels: int = 127,
+    how: str = "mean",
+) -> DataFrame:
+    """Pairwise cosine similarity between GROUP CENTROIDS — "how close are
+    these sources/labels/clusters in embedding space", the group-grain
+    companion of the row-grain ANN family (mixture design, dedup-scope
+    decisions, label-taxonomy sanity all start from this matrix).
+
+    Centroids come from :func:`pool_embeddings` (exact integer grid, so
+    the centroids are bit-identical cross-engine); the cosine then divides
+    an exact integer dot by square roots of exact integer norms — every
+    double op's inputs are exact, so the similarities reproduce to the
+    last bit too (house contract, cf. operators/correlation.py). Pooled
+    components are bounded by ``levels`` (mean pooling), so the LONG dot
+    products are exact past 10^14 dimensions — no headroom concern.
+
+    Output: one row per unordered group pair (a < b):
+    ``(group_a, group_b, n_vecs_a, n_vecs_b, dot_q, cos_sim)`` — dot_q is
+    the exact integer dot on the pooled grid; cos NULL for a zero-norm
+    centroid. Zero-norm pairs stay in the output (the caller sees WHICH
+    pair degenerated rather than losing the row).
+
+    Scale: centroid table is GROUP-grain (pool_embeddings' explode path
+    bounds reduce memory at O(dim)); the pair expansion is a broadcast
+    self-join over that tiny table — O(G^2) rows of arithmetic, never
+    data."""
+    gb = [group_by] if isinstance(group_by, str) else list(group_by)
+    if len(gb) != 1:
+        raise ValueError(
+            "centroid_similarity: exactly one group column (pairs of "
+            f"composite keys are ambiguous to order), got {gb}"
+        )
+    g = gb[0]
+    pooled = pool_embeddings(
+        df, gb, vec_col=vec_col, levels=levels, how=how, strategy="explode"
+    )
+    a = pooled.select(
+        F.col(g).alias("group_a"), F.col("pooled").alias("__va"),
+        F.col("n_vecs").alias("n_vecs_a"),
+    )
+    b = pooled.select(
+        F.col(g).alias("group_b"), F.col("pooled").alias("__vb"),
+        F.col("n_vecs").alias("n_vecs_b"),
+    )
+    pairs = a.crossJoin(F.broadcast(b)).filter(F.col("group_a") < F.col("group_b"))
+    zero = F.lit(0).cast("long")
+    # runtime dimension guard: pool_embeddings enforces one dim per group;
+    # a cross-GROUP mismatch means corrupt input and must raise, not
+    # silently NULL the dot via zip_with padding
+    dim_ok = F.assert_true(
+        F.size("__va") == F.size("__vb"),
+        F.concat(
+            F.lit("centroid_similarity: centroid dimensions differ between "
+                  "groups "),
+            F.col("group_a").cast("string"), F.lit(" and "),
+            F.col("group_b").cast("string"),
+        ),
+    )
+    # guard on the LEFT of the +: binary-arithmetic codegen short-circuits
+    # when the left operand is NULL, and a dimension mismatch makes the
+    # zip_with dot NULL — guard-first guarantees evaluation
+    dot = F.coalesce(dim_ok.cast("long"), zero) + F.aggregate(
+        F.zip_with(F.col("__va"), F.col("__vb"), lambda x, y: x * y),
+        zero, lambda acc, v: acc + v,
+    )
+    na = F.aggregate(
+        F.transform(F.col("__va"), lambda x: x * x), zero, lambda acc, v: acc + v
+    )
+    nb = F.aggregate(
+        F.transform(F.col("__vb"), lambda x: x * x), zero, lambda acc, v: acc + v
+    )
+    cos = F.when(
+        (na == 0) | (nb == 0), F.lit(None).cast("double")
+    ).otherwise(
+        dot.cast("double") / (F.sqrt(na.cast("double")) * F.sqrt(nb.cast("double")))
+    )
+    return pairs.select(
+        "group_a", "group_b", "n_vecs_a", "n_vecs_b",
+        dot.cast("bigint").alias("dot_q"), cos.alias("cos_sim"),
+    )

@@ -84,3 +84,48 @@ def test_pool_embeddings_negative_mean_floors(spark):
     # equal dims required: make second vector 1-dim zero -> quantizes to [0]
     [r] = pool_embeddings(df, "grp", how="mean", strategy="explode").collect()
     assert r["pooled"] == [-64]
+
+
+def test_centroid_similarity_matches_pure_python(spark):
+    import math
+
+    from funcify_feature_eng_spark.operators.similarity import (
+        centroid_similarity,
+        pool_embeddings,
+    )
+
+    rows = [
+        ("a", [1.0, 0.0, 0.0]), ("a", [1.0, 1.0, 0.0]),
+        ("b", [0.0, 2.0, 0.0]),
+        ("c", [0.0, 0.0, 0.0]),  # zero-norm centroid -> NULL cos, row kept
+    ]
+    df = spark.createDataFrame(rows, "g string, embedding array<float>")
+    out = {(r["group_a"], r["group_b"]): r for r in centroid_similarity(
+        df, "g").collect()}
+    assert set(out) == {("a", "b"), ("a", "c"), ("b", "c")}
+    pooled = {r["g"]: r["pooled"] for r in pool_embeddings(
+        df, ["g"], strategy="explode").collect()}
+
+    def cos(u, v):
+        d = sum(x * y for x, y in zip(u, v))
+        nu = sum(x * x for x in u); nv = sum(y * y for y in v)
+        return None if nu == 0 or nv == 0 else d / (math.sqrt(nu) * math.sqrt(nv))
+
+    for (ga, gb), r in out.items():
+        ref = cos(pooled[ga], pooled[gb])
+        assert r["cos_sim"] == ref, (ga, gb)
+        assert r["dot_q"] == sum(x * y for x, y in zip(pooled[ga], pooled[gb]))
+    assert out[("a", "c")]["cos_sim"] is None
+    with pytest.raises(ValueError, match="one group column"):
+        centroid_similarity(df, ["g", "g"])
+
+
+def test_centroid_similarity_dim_mismatch_raises(spark):
+    from funcify_feature_eng_spark.operators.similarity import centroid_similarity
+
+    df = spark.createDataFrame(
+        [("a", [1.0, 2.0]), ("b", [1.0, 2.0, 3.0])],
+        "g string, embedding array<float>",
+    )
+    with pytest.raises(Exception, match="dimensions differ"):
+        centroid_similarity(df, "g").collect()
