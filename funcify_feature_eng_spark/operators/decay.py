@@ -81,15 +81,20 @@ def decay_weight_q(
     # is exact (the raw floor(a/b) double route can misround at a bucket
     # boundary when a/b lands within one ulp of an integer)
     hl = F.lit(int(halflife_s) * 1_000_000)
-    k = ((dt_us - F.pmod(dt_us, hl)) / hl).cast("int")
+    # LONG, not INT: an ancient row under a short half-life can push k past
+    # 2^31, and an INT cast would wrap it negative — turning "weight 0"
+    # into "weight NULL" silently
+    k = ((dt_us - F.pmod(dt_us, hl)) / hl).cast("long")
     # weights as a PLAN-TIME literal array indexed by the bucket — integer
     # lookup, whole-stage codegen, no runtime shift/pow
     weights = F.array(
         *[F.lit(1 << (max_pow - i)).cast("long") for i in range(max_pow + 1)]
     )
+    # element_at wants an INT index; safe here — this branch is only
+    # reached for 0 <= k <= max_pow (<= 62)
     return F.when(ts.isNull() | (k < 0), F.lit(None).cast("long")).when(
         k > F.lit(int(max_pow)), F.lit(0).cast("long")
-    ).otherwise(F.element_at(weights, k + F.lit(1)))
+    ).otherwise(F.element_at(weights, (k + F.lit(1)).cast("int")))
 
 
 def time_decay_agg(

@@ -433,3 +433,18 @@ def test_spearman_corr_matches_pure_python(spark):
     assert abs(got["m"][1] - 1.0) < 1e-12  # perfectly monotone incl. tie
     assert abs(got["a"][1] + 1.0) < 1e-12
     assert got["n"][0] == 2 and abs(got["n"][1] + 1.0) < 1e-12
+
+
+def test_decay_weight_ancient_row_short_halflife(spark):
+    """Regression: k past 2^31 must give weight 0, not wrap negative via
+    an INT cast (which silently turned 'weight 0' into 'weight NULL')."""
+    df = spark.createDataFrame(
+        [(1, "1970-01-02 00:00:00"), (2, "2024-01-10 00:00:00")],
+        "id bigint, ts string",
+    )
+    w = decay_weight_q(
+        F.col("ts").cast("timestamp"),
+        ref_ts="2100-01-01 00:00:00", halflife_s=1, max_pow=10,
+    )
+    got = {r["id"]: r["w"] for r in df.select("id", w.alias("w")).collect()}
+    assert got[1] == 0 and got[2] == 0
