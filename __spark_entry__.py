@@ -4791,7 +4791,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash_near_pairs": q_simhash_near_pairs,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
-        "line_dedup": q_line_dedup,
+        # round-5 wave 8 opened the feature-conditioning family
+        # (scaling/encoding/correlation/decay); its representative takes a
+        # first-50 slot per the ordering contract — line_dedup moved to the
+        # dedup family tail (the family keeps 5 window reps: exact, minhash,
+        # simhash, ngram, CC)
+        "feature_scaling": q_feature_scaling,
         "dup_clusters": q_dup_clusters,
         "quality_checks": q_quality_checks,
         "ann_cosine_topk": q_ann_cosine_topk,
@@ -4932,8 +4937,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retry_similarity": q_retry_similarity,
         "event_path_ngrams": q_event_path_ngrams,
         # round-5 wave 8: numeric feature conditioning + hashed crosses +
-        # recency decay (operators/scaling.py, encoding.py, decay.py)
-        "feature_scaling": q_feature_scaling,
+        # recency decay (operators/scaling.py, encoding.py, decay.py);
+        # family rep feature_scaling holds a first-50 slot above
+        "line_dedup": q_line_dedup,
         "winsorized_values": q_winsorized_values,
         "count_encoding": q_count_encoding,
         "hash_crosses": q_hash_crosses,
