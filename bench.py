@@ -192,6 +192,7 @@ def run_default() -> None:
         "stream_quality": "quality_checks",
         "stream_calibration": "calibration_bins",
         "stream_store_publish": "store_lifecycle",
+        "stream_decay": "time_decay_rollup",
     }
     streaming_gates = {
         s: {
