@@ -4733,6 +4733,22 @@ def q_label_centroid_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
     return centroid_similarity(emb, "label")
 
 
+def q_rank_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distributed group quantiles (operators/scaling.py::
+    rank_quantiles): value at rank max(1, ceil(p*n)) per language at
+    five ppm points — the distributed PRODUCER of bin_by_cuts cut
+    points (the exact two-job answer to keyless equi-depth binning at
+    100 TB). One rank-sort Exchange; each row tests its rank against
+    the plan-time literal point list (map-only, no second pass)."""
+    from funcify_feature_eng_spark.operators.scaling import rank_quantiles
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    return rank_quantiles(
+        docs, "n_chars", ppms=[0, 250_000, 500_000, 750_000, 1_000_000],
+        tiebreak="doc_id", group_by=["lang"],
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: windowed turn features + strictly-prior as-of join at sf0.001."""
     sf_dir = "/root/testdata/sf0.001"
@@ -4949,6 +4965,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_decay": q_stream_decay,
         "spearman_drift": q_spearman_drift,
         "label_centroid_sim": q_label_centroid_sim,
+        "value_rank_quantiles": q_rank_quantiles,
     }
 
 
@@ -8281,5 +8298,24 @@ SELECT group_a, group_b, n_vecs_a, n_vecs_b,
                  / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE)))
        END AS cos_sim
 FROM pairdot
+"""
+    # exact group quantiles: value at rank max(1, ceil(p*n)) per ppm point
+    # — non-negative operands so // = floor, ceil via (a + b - 1) // b
+    sqls["value_rank_quantiles"] = """
+WITH nn AS (
+  SELECT doc_id, lang, n_chars FROM documents WHERE n_chars IS NOT NULL
+), r AS (
+  SELECT lang, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n_chars, doc_id)
+           AS rn,
+         COUNT(*) OVER (PARTITION BY lang) AS n
+  FROM nn
+), pts AS (
+  SELECT unnest([0, 250000, 500000, 750000, 1000000]) AS ppm
+)
+SELECT r.lang, CAST(pts.ppm AS BIGINT) AS ppm,
+       r.n_chars AS value, CAST(r.n AS BIGINT) AS n_values
+FROM r JOIN pts
+  ON r.rn = GREATEST(1, (pts.ppm * r.n + 999999) // 1000000)
 """
     return sqls

@@ -42,6 +42,7 @@ __all__ = [
     "standardize",
     "winsorize",
     "rank_normalize",
+    "rank_quantiles",
 ]
 
 _PPM = 1_000_000
@@ -363,3 +364,68 @@ def rank_normalize(
     nn = df.filter(v.isNotNull()).withColumn(out_col, rank_ppm)
     nulls = df.filter(v.isNull()).withColumn(out_col, F.lit(None).cast("bigint"))
     return nn.unionByName(nulls)
+
+
+def rank_quantiles(
+    df: DataFrame,
+    value_col: str,
+    *,
+    ppms: Sequence[int],
+    tiebreak: str,
+    group_by: Sequence[str] = (),
+) -> DataFrame:
+    """Exact per-group quantiles at the requested parts-per-million
+    points: the value at rank max(1, ceil(p*n)) (the repo's quantile rank
+    rule — actual data values, no interpolation, reproducible anywhere).
+    This is the distributed PRODUCER of cut points for
+    :func:`bin_by_cuts`: run it once over the corpus (or per segment),
+    collect the group-grain result (one row per group x ppm), and apply
+    the cuts as plan-time literals — the exact two-job answer to "equi-
+    depth binning at 100 TB" that keyless :func:`quantile_bin` cannot be.
+
+    Output: long form ``(group_by..., ppm, value, n_values)`` — one row
+    per group per requested point; NULL values consume no rank and a
+    group with only NULLs emits nothing. ``ppms`` must be in [0, 1e6]
+    (0 and 1e6 give the min and max).
+
+    Scale: ONE rank-sort Exchange (shared rank + count windows); each row
+    then tests its rank against the P requested ranks with a plan-time
+    literal array — map-only, no second pass, no explode of non-matching
+    rows."""
+    pts = list(dict.fromkeys(int(p) for p in ppms))
+    if not pts:
+        raise ValueError("rank_quantiles: need at least one ppm point")
+    if any(p < 0 or p > _PPM for p in pts):
+        raise ValueError(f"rank_quantiles: ppms must be in [0, 1e6], got {pts}")
+    keys = list(group_by)
+    v = F.col(value_col)
+    w = Window.partitionBy(*[F.col(k) for k in keys]).orderBy(
+        v.asc(), F.col(tiebreak).asc()
+    )
+    wn = Window.partitionBy(*[F.col(k) for k in keys])
+    nn = (
+        df.filter(v.isNotNull())
+        .withColumn("__rn", F.row_number().over(w).cast("long"))
+        .withColumn("__n", F.count(F.lit(1)).over(wn).cast("long"))
+    )
+    arr = F.array(*[F.lit(p).cast("long") for p in pts])
+
+    def k_of(p: Column) -> Column:
+        # ceil(p*n/1e6) exactly: non-negative operands, remainder identity
+        num = p * F.col("__n") + F.lit(_PPM - 1)
+        return F.greatest(
+            F.lit(1).cast("long"),
+            ((num - F.pmod(num, F.lit(_PPM))) / F.lit(_PPM)).cast("long"),
+        )
+
+    matched = F.filter(arr, lambda p: k_of(p) == F.col("__rn"))
+    return (
+        nn.withColumn("__mp", matched)
+        .filter(F.size("__mp") > 0)
+        .select(
+            *keys,
+            F.explode("__mp").alias("ppm"),
+            v.alias("value"),
+            F.col("__n").alias("n_values"),
+        )
+    )

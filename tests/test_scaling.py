@@ -448,3 +448,35 @@ def test_decay_weight_ancient_row_short_halflife(spark):
     )
     got = {r["id"]: r["w"] for r in df.select("id", w.alias("w")).collect()}
     assert got[1] == 0 and got[2] == 0
+
+
+def test_rank_quantiles_matches_pure_python(spark):
+    from funcify_feature_eng_spark.operators.scaling import rank_quantiles
+
+    import random
+    rng = random.Random(11)
+    rows = [(i, "g" + str(i % 2), rng.randrange(0, 500)) for i in range(1, 102)]
+    rows.append((102, "g0", None))
+    df = _vals_df(spark, rows)
+    pts = [0, 250_000, 500_000, 750_000, 1_000_000]
+    got = {(r["g"], r["ppm"]): (r["value"], r["n_values"]) for r in rank_quantiles(
+        df, "v", ppms=pts, tiebreak="id", group_by=["g"]).collect()}
+
+    for g in ("g0", "g1"):
+        vals = sorted(v for i, gg, v in rows if gg == g and v is not None)
+        n = len(vals)
+        for p in pts:
+            k = max(1, -(-p * n // 1_000_000))
+            assert got[(g, p)] == (vals[k - 1], n), (g, p)
+    assert len(got) == 10
+    # endpoints are exact min / max
+    g0 = sorted(v for i, gg, v in rows if gg == "g0" and v is not None)
+    assert got[("g0", 0)][0] == g0[0] and got[("g0", 1_000_000)][0] == g0[-1]
+    with pytest.raises(ValueError):
+        rank_quantiles(df, "v", ppms=[], tiebreak="id")
+    with pytest.raises(ValueError):
+        rank_quantiles(df, "v", ppms=[2_000_000], tiebreak="id")
+    # producer->consumer loop: cuts from rank_quantiles feed bin_by_cuts
+    cuts = sorted({got[("g0", p)][0] for p in (250_000, 500_000, 750_000)})
+    binned = bin_by_cuts(df.filter(F.col("g") == "g0"), "v", cuts)
+    assert binned.filter(F.col("bin").isNull()).count() == 1  # the NULL row
