@@ -274,13 +274,14 @@ def winsorize(
         .withColumn("__rn", F.row_number().over(w))
         .withColumn("__n", F.count(F.lit(1)).over(wn))
     )
-    # ceil(p*n/1e6) with positive integers: (p*n + 1e6 - 1) div 1e6 —
-    # truncating division == floor for non-negative operands
+    # ceil(p*n/1e6) with positive integers, exactly, via the DECIMAL
+    # remainder identity (a long->double floor would lose low bits past
+    # n ~ 9e9 rows per group)
     def _rank(ppm: int) -> Column:
-        r = F.floor(
-            (F.lit(int(ppm)).cast("long") * F.col("__n") + F.lit(_PPM - 1))
-            / F.lit(_PPM)
-        ).cast("long")
+        num = (
+            F.lit(int(ppm)).cast("long") * F.col("__n") + F.lit(_PPM - 1)
+        ).cast(_DEC)
+        r = exact_floor_div(num, F.lit(_PPM).cast(_DEC))
         return F.greatest(F.lit(1).cast("long"), F.least(r, F.col("__n").cast("long")))
 
     marked = nn.withColumn("__klo", _rank(lower_ppm)).withColumn(
@@ -411,11 +412,12 @@ def rank_quantiles(
     arr = F.array(*[F.lit(p).cast("long") for p in pts])
 
     def k_of(p: Column) -> Column:
-        # ceil(p*n/1e6) exactly: non-negative operands, remainder identity
-        num = p * F.col("__n") + F.lit(_PPM - 1)
+        # ceil(p*n/1e6) exactly via the DECIMAL remainder identity — the
+        # long->double route would lose low bits past n ~ 9e9 rows/group
+        # (numerator > 2^53)
+        num = (p * F.col("__n") + F.lit(_PPM - 1)).cast(_DEC)
         return F.greatest(
-            F.lit(1).cast("long"),
-            ((num - F.pmod(num, F.lit(_PPM))) / F.lit(_PPM)).cast("long"),
+            F.lit(1).cast("long"), exact_floor_div(num, F.lit(_PPM).cast(_DEC))
         )
 
     matched = F.filter(arr, lambda p: k_of(p) == F.col("__rn"))
