@@ -4749,6 +4749,97 @@ def q_rank_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# epoch micros of 2024-01-16T00:00:00Z — the literal ref/cur split for the
+# two-sample test gates (events span Jan 2024; tz-proof: compared on micros)
+_SPLIT_US = 1_705_363_200_000_000
+
+
+def _events_sides(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events → (event_type, v on the e6 grid, is_ref by time half)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.filter(
+        F.col("value").isNotNull() & F.col("ts").isNotNull()
+    ).select(
+        "event_type",
+        F.floor(F.col("value") * F.lit(1_000_000.0)).cast("long").alias("v"),
+        (
+            F.unix_micros(F.col("ts").cast("timestamp")) <= F.lit(_SPLIT_US)
+        ).alias("is_ref"),
+    )
+
+
+def q_ks_value_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov (operators/stats_tests.py::
+    ks_test): per event type, max ECDF gap between the first and second
+    half of January on the e6 value grid — the binning-free companion to
+    drift_report's TVD. Gap kept as the exact integer
+    |cum_ref*n_cur - cum_cur*n_ref| until the argmax (smallest value on
+    ties); ONE data-sized map-combined aggregate to value grain, then
+    distinct-value-sized ECDF windows."""
+    from funcify_feature_eng_spark.operators.stats_tests import ks_test
+
+    return ks_test(
+        _events_sides(spark, sf_dir), "v", "is_ref", group_by=["event_type"]
+    )
+
+
+def q_mw_value_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney rank-sum test (operators/stats_tests.py::
+    mann_whitney): per event type, is the first half of January
+    stochastically larger? Doubled mid-ranks keep U exact through ties
+    (u_ref_x2 BIGINT, guarded); the tie-corrected z assembles from three
+    exact integers with doubles only in the final mirrored expression.
+    Same value-grain two-stage shape as the KS gate."""
+    from funcify_feature_eng_spark.operators.stats_tests import mann_whitney
+
+    return mann_whitney(
+        _events_sides(spark, sf_dir), "v", "is_ref", group_by=["event_type"]
+    )
+
+
+def q_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group least-squares trend (operators/stats_tests.py::
+    ols_trend): value (e6 grid) against hours-since-epoch per event
+    type — "is this metric trending and how fast", from the same exact
+    DECIMAL(38) integer moments as pearson_corr (|value| < 2^31
+    runtime-guarded; hour grid keeps x at ~4.7e5). ONE map-side-combined
+    aggregate, zero windows."""
+    from funcify_feature_eng_spark.operators.stats_tests import ols_trend
+
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & F.col("ts").isNotNull()
+    ).select(
+        "event_type",
+        F.expr(
+            "CAST(unix_micros(CAST(ts AS timestamp)) DIV 3600000000 AS BIGINT)"
+        ).alias("x"),
+        F.floor(F.col("value") * F.lit(1_000_000.0)).cast("long").alias("y"),
+    )
+    return ols_trend(ev, "x", "y", group_by=["event_type"])
+
+
+def q_cusum_value_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact CUSUM change-point (operators/stats_tests.py::
+    cusum_changepoint): per event type, WHERE in the (ts, event_id)-
+    ordered stream the mean value moved — argmax of the exact integer
+    d_i = n*cum_i - i*S = i*(n-i)*(mean_before - mean_after), smallest i
+    on ties. ONE Exchange; the cumulative, total and argmax windows all
+    share it."""
+    from funcify_feature_eng_spark.operators.stats_tests import cusum_changepoint
+
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & F.col("ts").isNotNull()
+    ).select(
+        "event_type",
+        "ts",
+        "event_id",
+        F.floor(F.col("value") * F.lit(1_000_000.0)).cast("long").alias("v"),
+    )
+    return cusum_changepoint(
+        ev, "v", ["ts", "event_id"], group_by=["event_type"]
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: windowed turn features + strictly-prior as-of join at sf0.001."""
     sf_dir = "/root/testdata/sf0.001"
@@ -4966,6 +5057,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spearman_drift": q_spearman_drift,
         "label_centroid_sim": q_label_centroid_sim,
         "value_rank_quantiles": q_rank_quantiles,
+        # round-5 wave 15: exact two-sample tests + trend/change-point
+        # (operators/stats_tests.py) — the binning-free monitoring family
+        "ks_value_shift": q_ks_value_shift,
+        "mw_value_shift": q_mw_value_shift,
+        "value_trend": q_value_trend,
+        "cusum_value_shift": q_cusum_value_shift,
     }
 
 
@@ -8317,5 +8414,146 @@ SELECT r.lang, CAST(pts.ppm AS BIGINT) AS ppm,
        r.n_chars AS value, CAST(r.n AS BIGINT) AS n_values
 FROM r JOIN pts
   ON r.rn = GREATEST(1, (pts.ppm * r.n + 999999) // 1000000)
+"""
+    # exact two-sample KS: integer cross-multiplied ECDF gap, argmax at
+    # the smallest value among ties; 1705363200000000 us = 2024-01-16Z
+    sqls["ks_value_shift"] = """
+WITH b AS (
+  SELECT event_type,
+         CAST(floor(value * 1000000.0) AS BIGINT) AS v,
+         (epoch_us(ts) <= 1705363200000000) AS is_ref
+  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+), g AS (
+  SELECT event_type, v,
+         SUM(CASE WHEN is_ref THEN 1 ELSE 0 END)::HUGEINT AS c1,
+         SUM(CASE WHEN is_ref THEN 0 ELSE 1 END)::HUGEINT AS c2
+  FROM b GROUP BY event_type, v
+), s AS (
+  SELECT event_type, v,
+         SUM(c1) OVER (PARTITION BY event_type ORDER BY v
+                       ROWS UNBOUNDED PRECEDING) AS cum1,
+         SUM(c2) OVER (PARTITION BY event_type ORDER BY v
+                       ROWS UNBOUNDED PRECEDING) AS cum2,
+         SUM(c1) OVER (PARTITION BY event_type) AS n1,
+         SUM(c2) OVER (PARTITION BY event_type) AS n2
+  FROM g
+), p AS (
+  SELECT event_type, v, n1, n2, abs(cum1 * n2 - cum2 * n1) AS gap,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY abs(cum1 * n2 - cum2 * n1) DESC, v ASC)
+           AS rn
+  FROM s
+)
+SELECT event_type,
+       CAST(n1 AS BIGINT) AS n_ref, CAST(n2 AS BIGINT) AS n_cur,
+       CASE WHEN n1 > 0 AND n2 > 0 THEN v END AS ks_at,
+       CASE WHEN n1 > 0 AND n2 > 0
+            THEN CAST(gap AS DOUBLE)
+                 / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))
+       END AS ks_d
+FROM p WHERE rn = 1
+"""
+    # Mann-Whitney: doubled mid-rank 2*cum_below + t + 1 keeps U exact
+    # through ties; z from three exact integers, doubles mirrored
+    sqls["mw_value_shift"] = """
+WITH b AS (
+  SELECT event_type,
+         CAST(floor(value * 1000000.0) AS BIGINT) AS v,
+         (epoch_us(ts) <= 1705363200000000) AS is_ref
+  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+), g AS (
+  SELECT event_type, v,
+         SUM(CASE WHEN is_ref THEN 1 ELSE 0 END)::HUGEINT AS c1,
+         SUM(CASE WHEN is_ref THEN 0 ELSE 1 END)::HUGEINT AS c2
+  FROM b GROUP BY event_type, v
+), s AS (
+  SELECT event_type, c1, c2, (c1 + c2) AS t,
+         SUM(c1 + c2) OVER (PARTITION BY event_type ORDER BY v
+                            ROWS UNBOUNDED PRECEDING) - (c1 + c2)
+           AS cum_below
+  FROM g
+), m AS (
+  SELECT event_type,
+         SUM(c1 * (2 * cum_below + t + 1)) AS r1x2,
+         SUM(c1) AS n1, SUM(c2) AS n2,
+         SUM(t * t * t - t) AS tcorr
+  FROM s GROUP BY event_type
+), f AS (
+  SELECT event_type, n1, n2,
+         r1x2 - n1 * (n1 + 1) AS u_x2,
+         n1 * n2 * ((n1 + n2 + 1) * (n1 + n2) * (n1 + n2 - 1) - tcorr)
+           AS v_num,
+         12 * (n1 + n2) * (n1 + n2 - 1) AS v_den
+  FROM m
+)
+SELECT event_type,
+       CAST(n1 AS BIGINT) AS n_ref, CAST(n2 AS BIGINT) AS n_cur,
+       CAST(u_x2 AS BIGINT) AS u_ref_x2,
+       CASE WHEN n1 > 0 AND n2 > 0 AND v_num > 0
+            THEN CAST(u_x2 AS DOUBLE)
+                 / (2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))
+       END AS auc_ref,
+       CASE WHEN n1 > 0 AND n2 > 0 AND v_num > 0
+            THEN CAST(u_x2 - n1 * n2 AS DOUBLE) * sqrt(CAST(v_den AS DOUBLE))
+                 / (2.0 * sqrt(CAST(v_num AS DOUBLE)))
+       END AS mw_z
+FROM f
+"""
+    # OLS trend: the six exact integer moments, slope num/den in exact
+    # integers, intercept as four mirrored IEEE ops over exact integers
+    sqls["value_trend"] = """
+WITH b AS (
+  SELECT event_type,
+         epoch_us(ts) // 3600000000 AS x,
+         CAST(floor(value * 1000000.0) AS BIGINT) AS y
+  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+), m AS (
+  SELECT event_type, COUNT(*)::HUGEINT AS n,
+         SUM(x)::HUGEINT AS sx, SUM(y)::HUGEINT AS sy,
+         SUM(x * x)::HUGEINT AS sxx, SUM(x * y)::HUGEINT AS sxy
+  FROM b GROUP BY event_type
+)
+SELECT event_type, CAST(n AS BIGINT) AS n_pairs,
+       CASE WHEN n * sxx - sx * sx <= 0 THEN NULL
+            ELSE CAST(n * sxy - sx * sy AS DOUBLE)
+                 / CAST(n * sxx - sx * sx AS DOUBLE)
+       END AS slope,
+       CASE WHEN n * sxx - sx * sx <= 0 THEN NULL
+            ELSE CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)
+                 - (CAST(n * sxy - sx * sy AS DOUBLE)
+                    / CAST(n * sxx - sx * sx AS DOUBLE))
+                   * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+       END AS intercept
+FROM m
+"""
+    # CUSUM change-point: exact integer d_i = n*cum_i - i*S, argmax over
+    # interior splits, smallest i on ties; (ts, event_id) is a total order
+    sqls["cusum_value_shift"] = """
+WITH b AS (
+  SELECT event_type, ts, event_id,
+         CAST(floor(value * 1000000.0) AS BIGINT) AS v
+  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+), s AS (
+  SELECT event_type,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY ts, event_id)
+           AS i,
+         SUM(v::HUGEINT) OVER (PARTITION BY event_type ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS cum,
+         SUM(v::HUGEINT) OVER (PARTITION BY event_type) AS s_tot,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM b
+), p AS (
+  SELECT event_type, i, n,
+         n * cum - i * s_tot AS d,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY abs(n * cum - i * s_tot) DESC, i ASC)
+           AS rn
+  FROM s WHERE i >= 1 AND i <= n - 1
+)
+SELECT event_type,
+       CAST(n AS BIGINT) AS n_rows, CAST(i AS BIGINT) AS cp_index,
+       CAST(d AS DOUBLE) / (CAST(i AS DOUBLE) * CAST(n - i AS DOUBLE))
+         AS mean_gap
+FROM p WHERE rn = 1
 """
     return sqls
