@@ -49,6 +49,17 @@ OPS = [
     "bounded_backfill",
     "multi_horizon_stats",
     "purged_folds",
+    # round-5 wave 15: exact two-sample tests + trend/change-point.
+    # ks/mw: the data-sized stage is one map-combined value-grain
+    # aggregate (linear); the ECDF windows move distinct-value rows.
+    # value_trend: one aggregate, zero windows (linear, map-dominated).
+    # cusum: one sorted window partitioned by event_type — 5 groups, so
+    # at fixed parallelism the per-group funnel dominates (linear in
+    # rows, parallelism-limited like any low-cardinality global sort).
+    "ks_value_shift",
+    "mw_value_shift",
+    "value_trend",
+    "cusum_value_shift",
 ]
 
 
