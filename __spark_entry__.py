@@ -4840,6 +4840,23 @@ def q_cusum_value_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_emb_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact int64 Gram sufficient statistics over quantize_vec-grid
+    embeddings (operators/pca.py::embedding_gram) — the data-sized pass of
+    distributed PCA/whitening. Arrow strategy: one vectorized integer QᵀQ
+    partial per partition (numpy int matmul, exact), shuffle carries ONE
+    O(d²) row per partition, final reduce is a bounded O(d²) collect —
+    vectors never shuffle. Downstream pca_fit (driver d×d eigh) +
+    pca_transform (literal-component zip_with dots, zero Python) are
+    pytest-verified against numpy (tests/test_pca.py); the gate pins the
+    sufficient statistics, which integer arithmetic makes cross-engine
+    bit-exact. Pure-Column `explode` twin pinned value-identical."""
+    from funcify_feature_eng_spark.operators.pca import embedding_gram
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_gram(emb, dim=64, strategy="arrow")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: windowed turn features + strictly-prior as-of join at sf0.001."""
     sf_dir = "/root/testdata/sf0.001"
@@ -5063,6 +5080,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mw_value_shift": q_mw_value_shift,
         "value_trend": q_value_trend,
         "cusum_value_shift": q_cusum_value_shift,
+        # round-5 wave 16: distributed PCA sufficient statistics
+        # (operators/pca.py) — the embedding linear-algebra family
+        "emb_gram": q_emb_gram,
     }
 
 
@@ -8555,5 +8575,36 @@ SELECT event_type,
        CAST(d AS DOUBLE) / (CAST(i AS DOUBLE) * CAST(n - i AS DOUBLE))
          AS mean_gap
 FROM p WHERE rn = 1
+"""
+    # PCA Gram: same quantization SQL as ann_int8_topk, then exact integer
+    # pair sums over the upper triangle (range() cross for the 2080 pairs)
+    sqls["emb_gram"] = """
+WITH base AS (
+  SELECT embedding::DOUBLE[] AS e,
+         list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) AS amax
+  FROM embeddings
+  WHERE embedding IS NOT NULL AND len(embedding) = 64
+), qz AS (
+  SELECT CASE WHEN amax > 0
+              THEN list_transform(e, x -> CAST(floor(x * 127 / amax + 0.5) AS BIGINT))
+              ELSE list_transform(e, x -> CAST(0 AS BIGINT)) END AS q
+  FROM base
+), prods AS (
+  SELECT CAST(ai AS INT) AS i, CAST(bj AS INT) AS j,
+         CAST(SUM(q[CAST(ai AS INT) + 1] * q[CAST(bj AS INT) + 1]) AS BIGINT)
+           AS sxx
+  FROM qz, range(64) a(ai), range(64) b(bj)
+  WHERE bj >= ai
+  GROUP BY 1, 2
+), dims AS (
+  SELECT CAST(di AS INT) AS dim,
+         CAST(SUM(q[CAST(di AS INT) + 1]) AS BIGINT) AS sx
+  FROM qz, range(64) t(di)
+  GROUP BY 1
+), cnt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM qz)
+SELECT p.i, p.j, p.sxx, di.sx AS sx_i, dj.sx AS sx_j, cnt.n
+FROM prods p
+JOIN dims di ON di.dim = p.i
+JOIN dims dj ON dj.dim = p.j, cnt
 """
     return sqls
