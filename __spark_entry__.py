@@ -4857,6 +4857,28 @@ def q_emb_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_gram(emb, dim=64, strategy="arrow")
 
 
+def q_zorder_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton (z-order) keys over (user_id, hour-of-ts) grids
+    (sources/zorder.py::zvalue) — the multi-column data-skipping layout's
+    sort key, pure integer bit interleaving (map-only, zero shuffle; the
+    DuckDB twin runs the IDENTICAL unrolled expression via zvalue_sql).
+    write_zordered lays files out along this curve so parquet footer
+    min/max boxes prune scans on EITHER keyed dimension — the
+    two-dimensional companion to ingest_bucketed; pruning evidence is
+    pytest-pinned (tests/test_zorder.py: an x-sorted layout reads 8/8
+    files on a y-only predicate, the z-layout <8)."""
+    from funcify_feature_eng_spark.sources.zorder import zvalue
+
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
+    gx = F.pmod(F.col("user_id"), F.lit(1024)).cast("long")
+    gy = F.pmod(
+        F.expr("unix_micros(CAST(ts AS timestamp)) DIV 3600000000"), F.lit(1024)
+    ).cast("long")
+    return ev.select("event_id", zvalue([gx, gy], bits=10).alias("zval"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: windowed turn features + strictly-prior as-of join at sf0.001."""
     sf_dir = "/root/testdata/sf0.001"
@@ -5083,6 +5105,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-5 wave 16: distributed PCA sufficient statistics
         # (operators/pca.py) — the embedding linear-algebra family
         "emb_gram": q_emb_gram,
+        # round-5 wave 16: z-order layout keys (sources/zorder.py)
+        "zorder_keys": q_zorder_keys,
     }
 
 
@@ -8606,5 +8630,20 @@ SELECT p.i, p.j, p.sxx, di.sx AS sx_i, dj.sx AS sx_j, cnt.n
 FROM prods p
 JOIN dims di ON di.dim = p.i
 JOIN dims dj ON dj.dim = p.j, cnt
+"""
+    # z-order keys: the oracle runs the IDENTICAL unrolled Morton
+    # expression (sources/zorder.py::zvalue_sql generates it)
+    from funcify_feature_eng_spark.sources.zorder import zvalue_sql
+
+    sqls["zorder_keys"] = f"""
+WITH g AS (
+  SELECT event_id,
+         CAST(user_id % 1024 AS BIGINT) AS gx,
+         CAST((epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000) % 1024 AS BIGINT)
+           AS gy
+  FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+)
+SELECT event_id, {zvalue_sql(["gx", "gy"], bits=10)} AS zval FROM g
 """
     return sqls
