@@ -4601,6 +4601,36 @@ def q_hash_crosses(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hash_cross(docs, ["lang", "source"], n_buckets=64)
 
 
+def q_hashed_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-hashing vectorizer (operators/vectorize.py::
+    hashed_count_vector — the HashingVectorizer/HashingTF analog as a pure
+    Catalyst expression): every 20th doc's single-space tokens hashed into
+    a signed 64-slot sparse vector (slot = xxhash64(int(5), tok) pmod 64,
+    contribution ±1 from the hash's sign bit so collisions cancel in
+    expectation), exploded back to (doc_id, slot, val) rows so the fold's
+    slot alignment is value-gated per doc. Map-only, zero shuffle, zero
+    Python. Oracle = fixture from the INDEPENDENT pure-Python xxh64 twin
+    (scripts/make_fixtures.py::hashed_vector_rows); dim/seed/doc-subset
+    MUST mirror HV_DIM/HV_SEED/HV_DOC_MOD there."""
+    from funcify_feature_eng_spark.operators.vectorize import hashed_count_vector
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 20 == 0)
+        .select(
+            "doc_id",
+            F.filter(F.split("text", " "), lambda t: t != "").alias("toks"),
+        )
+    )
+    vec = hashed_count_vector(docs, "toks", 64, seed=5, signed=True)
+    z = F.explode(F.arrays_zip("indices", "values")).alias("z")
+    return vec.select("doc_id", z).select(
+        "doc_id",
+        F.col("z.indices").alias("slot"),
+        F.col("z.values").alias("val"),
+    )
+
+
 def q_time_decay_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recency-weighted rollup (operators/decay.py::time_decay_agg): per
     user, exponentially decayed value sum / event count as of a pinned
@@ -5089,6 +5119,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winsorized_values": q_winsorized_values,
         "count_encoding": q_count_encoding,
         "hash_crosses": q_hash_crosses,
+        "hashed_features": q_hashed_features,
         "time_decay_rollup": q_time_decay_rollup,
         "feature_corr": q_feature_corr,
         "rank_normalized": q_rank_normalized,
@@ -8275,6 +8306,13 @@ WITH fx AS ({_fixture_values("hash_cross_sf0.01.parquet",
                              ["doc_id", "cross_bucket"])})
 SELECT d.doc_id, d.lang, d.source, fx.cross_bucket
 FROM documents d JOIN fx USING (doc_id)
+"""
+    # hashing-trick vectorizer: fixture from the independent pure-Python
+    # xxh64 twin (scripts/make_fixtures.py::hashed_vector_rows)
+    sqls["hashed_features"] = f"""
+SELECT doc_id, slot, val
+FROM ({_fixture_values("hashed_features_sf0.01.parquet",
+                       ["doc_id", "slot", "val"])})
 """
     # recency-decayed rollup: half-life-bucketed integer weights
     # 2^(20-k), strictly-prior cutoff, exact integer sums

@@ -642,6 +642,39 @@ def hash_cross_buckets(
     return sorted(out)
 
 
+# MUST mirror __spark_entry__.q_hashed_features / operators/vectorize.py
+HV_DIM = 64
+HV_SEED = 5
+HV_DOC_MOD = 20
+
+
+def hashed_vector_rows(
+    docs: list[tuple[int, str]]
+) -> list[tuple[int, int, int]]:
+    """Pure-Python twin of operators/vectorize.py::hashed_count_vector for
+    the hashed_features gate: single-space tokens of every doc with
+    ``doc_id %% HV_DOC_MOD == 0``, slot = ``spark_xxhash64(('int', seed),
+    tok) pmod dim``, signed contribution ±1 from the hash's sign bit,
+    per-(doc, slot) signed sums — INCLUDING slots whose collisions cancel
+    to 0 (the occupied-slot set is a function of the tokens alone)."""
+    out = []
+    for doc_id, text in docs:
+        # NULL text → NULL token array → NULL vector → explode drops the
+        # doc entirely on the Spark side; mirror that here
+        if doc_id % HV_DOC_MOD != 0 or text is None:
+            continue
+        sums: dict[int, int] = {}
+        for tok in text.split(" "):
+            if not tok:
+                continue
+            h = spark_xxhash64(("int", HV_SEED), tok)
+            slot = h % HV_DIM  # python % == pmod for m > 0
+            sums[slot] = sums.get(slot, 0) + (-1 if h < 0 else 1)
+        for slot in sorted(sums):
+            out.append((doc_id, slot, sums[slot]))
+    return out
+
+
 def make_shows_csv(path: str) -> int:
     """Raw netflix-shaped CSV derived from the deterministic gen_shows
     fixture: duration back-formatted to '<n> min' / '<n> Season(s)', dates to
@@ -917,6 +950,19 @@ def main(sf_dir: str | None = None) -> None:
         os.path.join(FIXDIR, f"hash_cross_{sf}.parquet"),
     )
     print(f"hash_cross_{sf}.parquet: {len(hc)} rows")
+
+    hv = hashed_vector_rows(docs)
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in hv], pa.int64()),
+                "slot": pa.array([r[1] for r in hv], pa.int32()),
+                "val": pa.array([r[2] for r in hv], pa.int64()),
+            }
+        ),
+        os.path.join(FIXDIR, f"hashed_features_{sf}.parquet"),
+    )
+    print(f"hashed_features_{sf}.parquet: {len(hv)} rows")
 
     n = make_shows_csv(os.path.join(FIXDIR, "shows_raw.csv"))
     print(f"shows_raw.csv: {n} rows")
