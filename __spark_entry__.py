@@ -4631,6 +4631,51 @@ def q_hashed_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy record linkage (operators/linkage.py::blocked_edit_pairs):
+    distinct part names at Levenshtein distance ≤ 2, compared only inside
+    last-token blocks (Fellegi–Sunter blocking — one shuffle on the block
+    key, size-guarded before any quadratic work, |len| band pruning before
+    levenshtein). The edit-distance family the token/hash dedup tier can't
+    express. Oracle = the identical SQL: DuckDB ships the same classic
+    levenshtein."""
+    from funcify_feature_eng_spark.operators.linkage import blocked_edit_pairs
+
+    part = _t(spark, sf_dir, "part")
+    return blocked_edit_pairs(
+        part,
+        "p_name",
+        block=lambda c: F.regexp_extract(c, r"([^ ]+)$", 1),
+        max_dist=2,
+    )
+
+
+def q_canonical_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution end-to-end (operators/linkage.py::canonicalize):
+    transitive closure over the fuzzy pairs (connected components on the
+    64-name match graph — the quadratic piece runs on the VOCABULARY, rows
+    rejoin by a broadcast equality map), canonical = minimum member
+    spelling, then parts per resolved entity. Oracle = DuckDB recursive-CTE
+    reachability over the same edges."""
+    from funcify_feature_eng_spark.operators.linkage import (
+        blocked_edit_pairs,
+        canonicalize,
+    )
+
+    part = _t(spark, sf_dir, "part")
+    pairs = blocked_edit_pairs(
+        part,
+        "p_name",
+        block=lambda c: F.regexp_extract(c, r"([^ ]+)$", 1),
+        max_dist=2,
+    )
+    resolved = canonicalize(part, "p_name", pairs)
+    return resolved.groupBy("canonical").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.countDistinct("p_name").alias("n_spellings"),
+    )
+
+
 def q_time_decay_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recency-weighted rollup (operators/decay.py::time_decay_agg): per
     user, exponentially decayed value sum / event count as of a pinned
@@ -5120,6 +5165,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "count_encoding": q_count_encoding,
         "hash_crosses": q_hash_crosses,
         "hashed_features": q_hashed_features,
+        "fuzzy_name_pairs": q_fuzzy_name_pairs,
+        "canonical_parts": q_canonical_parts,
         "time_decay_rollup": q_time_decay_rollup,
         "feature_corr": q_feature_corr,
         "rank_normalized": q_rank_normalized,
@@ -8313,6 +8360,47 @@ FROM documents d JOIN fx USING (doc_id)
 SELECT doc_id, slot, val
 FROM ({_fixture_values("hashed_features_sf0.01.parquet",
                        ["doc_id", "slot", "val"])})
+"""
+    # fuzzy record linkage: DuckDB ships the same classic levenshtein, so
+    # the oracle is the IDENTICAL algorithm — last-token blocks, |len| band,
+    # dist ≤ 2, canonical a < b ordering
+    _FUZZY_PAIRS_SQL = """
+WITH names AS (
+  SELECT DISTINCT p_name AS name, regexp_extract(p_name, '([^ ]+)$', 1) AS blk
+  FROM part WHERE p_name IS NOT NULL
+)
+SELECT a.name AS name_a, b.name AS name_b,
+       CAST(levenshtein(a.name, b.name) AS INT) AS dist
+FROM names a JOIN names b ON a.blk = b.blk
+WHERE a.name < b.name
+  AND abs(length(a.name) - length(b.name)) <= 2
+  AND levenshtein(a.name, b.name) <= 2
+"""
+    sqls["fuzzy_name_pairs"] = _FUZZY_PAIRS_SQL
+    # entity resolution: transitive closure over the fuzzy pairs via a
+    # recursive-CTE reachability (UNION dedups, so it terminates), canonical
+    # = minimum member spelling; unmatched names canonicalize to themselves
+    sqls["canonical_parts"] = f"""
+WITH RECURSIVE pairs AS ({_FUZZY_PAIRS_SQL}),
+edges AS (
+  SELECT name_a AS src, name_b AS dst FROM pairs
+  UNION ALL
+  SELECT name_b AS src, name_a AS dst FROM pairs
+),
+reach(src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+),
+canon AS (
+  SELECT src AS name, least(src, min(dst)) AS canonical
+  FROM reach GROUP BY src
+)
+SELECT coalesce(c.canonical, p.p_name) AS canonical,
+       COUNT(*) AS n_parts,
+       COUNT(DISTINCT p.p_name) AS n_spellings
+FROM part p LEFT JOIN canon c ON p.p_name = c.name
+GROUP BY 1
 """
     # recency-decayed rollup: half-life-bucketed integer weights
     # 2^(20-k), strictly-prior cutoff, exact integer sums
