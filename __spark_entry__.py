@@ -4676,6 +4676,35 @@ def q_canonical_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-step funnel (operators/funnel.py::funnel_steps): per user,
+    how far through signup → view → purchase the event stream gets within
+    7 days of first touch — first-touch anchoring, strictly-after on the
+    (ts, event_id) tuple, collect+array_sort+F.aggregate fold (JVM HOFs,
+    one shuffle, zero Python). Oracle = step-at-a-time earliest-qualifying
+    joins (QUALIFY row_number) — a structurally different evaluation of
+    the same pinned semantics."""
+    from funcify_feature_eng_spark.operators.funnel import funnel_steps
+
+    return funnel_steps(
+        _t(spark, sf_dir, "events"),
+        ["signup", "view", "purchase"],
+        within_s=7 * 86400,
+    )
+
+
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention cohorts (operators/funnel.py::retention_cohorts): users
+    cohorted by the epoch-aligned DAY of their first event; distinct-user
+    activity counts at each day offset. Integer period grid (never
+    date_trunc — week-start anchors are engine config), two aggregates +
+    one co-partitioned join. Oracle = the same grid in DuckDB integer
+    division."""
+    from funcify_feature_eng_spark.operators.funnel import retention_cohorts
+
+    return retention_cohorts(_t(spark, sf_dir, "events"), period_s=86400)
+
+
 def q_time_decay_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recency-weighted rollup (operators/decay.py::time_decay_agg): per
     user, exponentially decayed value sum / event count as of a pinned
@@ -5167,6 +5196,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hashed_features": q_hashed_features,
         "fuzzy_name_pairs": q_fuzzy_name_pairs,
         "canonical_parts": q_canonical_parts,
+        "funnel_conversion": q_funnel_conversion,
+        "retention_cohorts": q_retention_cohorts,
         "time_decay_rollup": q_time_decay_rollup,
         "feature_corr": q_feature_corr,
         "rank_normalized": q_rank_normalized,
@@ -8401,6 +8432,60 @@ SELECT coalesce(c.canonical, p.p_name) AS canonical,
        COUNT(DISTINCT p.p_name) AS n_spellings
 FROM part p LEFT JOIN canon c ON p.p_name = c.name
 GROUP BY 1
+"""
+    # funnel: the oracle evaluates the SAME pinned semantics (first-touch
+    # anchor, strictly-after (us, oid) tuple, 7-day window from step 1)
+    # step-at-a-time — earliest qualifying event per step via QUALIFY —
+    # instead of the Spark side's sorted-array fold
+    _FUNNEL_WIN_US = 7 * 86400 * 1_000_000
+    sqls["funnel_conversion"] = f"""
+WITH e AS (
+  SELECT user_id, event_type, epoch_us(ts) AS us, event_id AS oid
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+),
+s1 AS (
+  SELECT user_id, us, oid FROM e WHERE event_type = 'signup'
+  QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY us, oid) = 1
+),
+s2 AS (
+  SELECT s1.user_id, s1.us AS a_us, e.us, e.oid
+  FROM s1 JOIN e ON e.user_id = s1.user_id AND e.event_type = 'view'
+   AND (e.us > s1.us OR (e.us = s1.us AND e.oid > s1.oid))
+   AND e.us <= s1.us + {_FUNNEL_WIN_US}
+  QUALIFY row_number() OVER (PARTITION BY s1.user_id ORDER BY e.us, e.oid) = 1
+),
+s3 AS (
+  SELECT s2.user_id, e.us, e.oid
+  FROM s2 JOIN e ON e.user_id = s2.user_id AND e.event_type = 'purchase'
+   AND (e.us > s2.us OR (e.us = s2.us AND e.oid > s2.oid))
+   AND e.us <= s2.a_us + {_FUNNEL_WIN_US}
+  QUALIFY row_number() OVER (PARTITION BY s2.user_id ORDER BY e.us, e.oid) = 1
+)
+SELECT s1.user_id,
+       CAST(CASE WHEN s3.user_id IS NOT NULL THEN 3
+                 WHEN s2.user_id IS NOT NULL THEN 2 ELSE 1 END AS INT)
+         AS steps_completed,
+       make_timestamp(s1.us) AS ts_1,
+       make_timestamp(s2.us) AS ts_2,
+       make_timestamp(s3.us) AS ts_3
+FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+"""
+    # retention: epoch-aligned integer day grid (NOT date_trunc) — engine
+    # week-start / locale config can never shift a bucket
+    sqls["retention_cohorts"] = """
+WITH b AS (
+  SELECT user_id AS u, epoch_us(ts) // 86400000000 AS p
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+),
+firsts AS (SELECT u, min(p) AS cohort FROM b GROUP BY u),
+active AS (SELECT DISTINCT u, p FROM b),
+ret AS (
+  SELECT f.cohort, a.p - f.cohort AS "offset", COUNT(*) AS n_active
+  FROM active a JOIN firsts f USING (u) GROUP BY 1, 2
+),
+sizes AS (SELECT cohort, COUNT(*) AS cohort_size FROM firsts GROUP BY 1)
+SELECT cohort, "offset", n_active, cohort_size
+FROM ret JOIN sizes USING (cohort)
 """
     # recency-decayed rollup: half-life-bucketed integer weights
     # 2^(20-k), strictly-prior cutoff, exact integer sums
