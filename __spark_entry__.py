@@ -4705,6 +4705,40 @@ def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return retention_cohorts(_t(spark, sf_dir, "events"), period_s=86400)
 
 
+def q_copart_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-occurrence graph construction (operators/cooccurrence.py::
+    co_occurrence_edges): parts co-ordered in the same order, thinned to
+    pairs seen in >= 2 orders. Pairs expand from a per-group collected set
+    (ONE shuffle, size-guarded before the quadratic, JVM HOFs) — never a
+    row-level self-join. Oracle = the distinct-pair self-join formulation
+    (structurally different evaluation)."""
+    from funcify_feature_eng_spark.operators.cooccurrence import (
+        co_occurrence_edges,
+    )
+
+    return co_occurrence_edges(
+        _t(spark, sf_dir, "lineitem"), "l_orderkey", "l_partkey", min_count=2
+    )
+
+
+def q_part_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact triangle counting + local clustering coefficient
+    (operators/cooccurrence.py::triangle_stats) over the thinned co-order
+    graph: degree-oriented wedge enumeration (Suri & Vassilvitskii — the
+    hottest node's fan-out bounded by oriented out-degree, O(sqrt m)),
+    integer-exact floor-ppm clustering. Oracle = DuckDB id-ordered 3-way
+    self-join (a<b<c), a different enumeration of the same triangle set."""
+    from funcify_feature_eng_spark.operators.cooccurrence import (
+        co_occurrence_edges,
+        triangle_stats,
+    )
+
+    edges = co_occurrence_edges(
+        _t(spark, sf_dir, "lineitem"), "l_orderkey", "l_partkey", min_count=2
+    )
+    return triangle_stats(edges)
+
+
 def q_time_decay_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recency-weighted rollup (operators/decay.py::time_decay_agg): per
     user, exponentially decayed value sum / event count as of a pinned
@@ -5198,6 +5232,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "canonical_parts": q_canonical_parts,
         "funnel_conversion": q_funnel_conversion,
         "retention_cohorts": q_retention_cohorts,
+        "copart_edges": q_copart_edges,
+        "part_triangles": q_part_triangles,
         "time_decay_rollup": q_time_decay_rollup,
         "feature_corr": q_feature_corr,
         "rank_normalized": q_rank_normalized,
@@ -8486,6 +8522,41 @@ ret AS (
 sizes AS (SELECT cohort, COUNT(*) AS cohort_size FROM firsts GROUP BY 1)
 SELECT cohort, "offset", n_active, cohort_size
 FROM ret JOIN sizes USING (cohort)
+"""
+    # co-occurrence edges: the oracle builds pairs via a distinct-pair
+    # self-join — a structurally different evaluation of the same set
+    _COPART_EDGES_SQL = """
+WITH gi AS (
+  SELECT DISTINCT l_orderkey AS g, l_partkey AS i FROM lineitem
+  WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL
+)
+SELECT a.i AS item_a, b.i AS item_b, COUNT(*) AS n_groups
+FROM gi a JOIN gi b ON a.g = b.g AND a.i < b.i
+GROUP BY 1, 2 HAVING COUNT(*) >= 2
+"""
+    sqls["copart_edges"] = _COPART_EDGES_SQL
+    # triangles: id-ordered 3-way self-join (a<b<c) enumerates each
+    # triangle once; Spark's degree-oriented wedges count the same set
+    sqls["part_triangles"] = f"""
+WITH e AS (SELECT item_a AS u, item_b AS v FROM ({_COPART_EDGES_SQL})),
+deg AS (
+  SELECT node, COUNT(*) AS degree
+  FROM (SELECT u AS node FROM e UNION ALL SELECT v FROM e) GROUP BY 1
+),
+tri AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM e e1 JOIN e e2 ON e2.u = e1.v JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+),
+pn AS (
+  SELECT node, COUNT(*) AS triangles
+  FROM (SELECT a AS node FROM tri UNION ALL SELECT b FROM tri
+        UNION ALL SELECT c FROM tri) GROUP BY 1
+)
+SELECT d.node, d.degree, coalesce(pn.triangles, 0) AS triangles,
+       CASE WHEN d.degree >= 2
+            THEN (2 * coalesce(pn.triangles, 0) * 1000000)
+                 // (d.degree * (d.degree - 1)) END AS clustering_ppm
+FROM deg d LEFT JOIN pn USING (node)
 """
     # recency-decayed rollup: half-life-bucketed integer weights
     # 2^(20-k), strictly-prior cutoff, exact integer sums

@@ -1,0 +1,212 @@
+"""Co-occurrence graphs + exact triangle / clustering-coefficient analytics.
+
+"Which items appear together" is the other graph the pipeline needs beside
+the dup graph (operators/graph.py): parts co-ordered in a basket, tools
+co-invoked in a conversation, documents co-cited by a query. This module
+builds the co-occurrence edge list and computes the classic local graph
+features — degree, exact triangle count, clustering coefficient — with the
+shapes that survive 100 TB:
+
+- **Pairs are generated per group from a collected item set** (ONE shuffle
+  onto group grain, map-side combined), never by a row-level self-join —
+  and the per-group set is size-guarded BEFORE the quadratic pair
+  expansion (``max_group``; error or documented skip), the same
+  loud-before-quadratic posture as blocked_edit_pairs and the n-gram
+  hot-gram cap.
+- **Triangle counting uses degree orientation** (each undirected edge is
+  directed from its (degree, id)-smaller endpoint): every wedge is
+  enumerated at its lowest-degree apex, so per-node fan-out is bounded by
+  the oriented out-degree — O(sqrt(m)) on any graph (Suri & Vassilvitskii,
+  WWW'11 "Counting Triangles and the Curse of the Last Reducer"). A plain
+  neighbor-join would square the hottest node's degree; orientation is
+  what kills that reducer.
+- Everything is integer-exact: counts are longs, the clustering
+  coefficient is an exact floor ppm (``2·tri·1e6 / (deg·(deg−1))``) on
+  the repo-wide fixed-point grid — reproducible bit-for-bit by an
+  independent engine.
+
+Reference parity anchor: the reference has no graph tier at all (its
+closest shape is per-entity batching, ``materializer/.../
+BatchedDataElementCallable.kt``); this extends the graph family beside
+connected components (SURVEY §2 extensions).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["co_occurrence_edges", "triangle_stats"]
+
+_PPM = 1_000_000
+
+
+def co_occurrence_edges(
+    df: DataFrame,
+    group_col: str,
+    item_col: str,
+    *,
+    min_count: int = 1,
+    max_group: int = 1_000,
+    on_oversize: str = "error",
+) -> DataFrame:
+    """Undirected co-occurrence edges ``(item_a, item_b, n_groups)``:
+    distinct item pairs sharing a group, with the number of distinct groups
+    both appear in. ``item_a < item_b`` canonical ordering; duplicate
+    (group, item) rows collapse first (collect_set), so a basket listing
+    the same part twice counts once. NULL group/item rows are excluded.
+
+    ``min_count`` keeps only pairs co-occurring in at least that many
+    groups — the standard thinning knob that turns a hairball into a
+    signal graph. ``on_oversize``: ``"error"`` (default) raises on a group
+    with more than ``max_group`` distinct items (its pair expansion is
+    size²); ``"skip"`` drops oversized groups whole — documented
+    degradation, never a silent quadratic.
+    """
+    if on_oversize not in ("error", "skip"):
+        raise ValueError(f"on_oversize must be 'error'|'skip' (got {on_oversize!r})")
+    if min_count < 1:
+        raise ValueError(f"co_occurrence_edges: min_count must be >= 1, got {min_count}")
+    g, i = F.col(group_col), F.col(item_col)
+    grouped = (
+        df.filter(g.isNotNull() & i.isNotNull())
+        .groupBy(g.alias("__g"))
+        .agg(F.array_sort(F.collect_set(i)).alias("__items"))
+    )
+    n = F.size("__items")
+    if on_oversize == "error":
+        # inline guard: evaluated before any pair expands, names the group
+        grouped = grouped.withColumn(
+            "__items",
+            F.when(n <= F.lit(int(max_group)), F.col("__items")).otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            f"co_occurrence_edges: group exceeds max_group="
+                            f"{max_group} (pair expansion is size^2) — thin "
+                            "upstream, raise max_group, or pass "
+                            "on_oversize='skip'; offending group: "
+                        ),
+                        F.col("__g").cast("string"),
+                        F.lit(" with "),
+                        n.cast("string"),
+                        F.lit(" items"),
+                    )
+                )
+            ),
+        )
+    else:
+        grouped = grouped.filter(n <= F.lit(int(max_group)))
+    # pair expansion as JVM HOFs over the sorted set: element x at index k
+    # pairs with every later element — items are distinct and sorted, so
+    # (x, y) is automatically canonical and unique within the group
+    pairs = F.flatten(
+        F.transform(
+            F.col("__items"),
+            lambda x, k: F.transform(
+                F.slice(F.col("__items"), k + F.lit(2), F.size("__items")),
+                lambda y: F.struct(x.alias("item_a"), y.alias("item_b")),
+            ),
+        )
+    )
+    exploded = grouped.select(F.explode(pairs).alias("__p")).select(
+        F.col("__p.item_a"), F.col("__p.item_b")
+    )
+    out = exploded.groupBy("item_a", "item_b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_groups")
+    )
+    if min_count > 1:
+        out = out.filter(F.col("n_groups") >= F.lit(int(min_count)))
+    return out
+
+
+def triangle_stats(
+    edges: DataFrame,
+    src: str = "item_a",
+    dst: str = "item_b",
+) -> DataFrame:
+    """Per-node ``(node, degree, triangles, clustering_ppm)`` over an
+    undirected simple graph given as an edge list (any orientation;
+    duplicates, reversals, and self-loops are canonicalized away first).
+
+    ``triangles`` = exact triangles through the node; ``clustering_ppm`` =
+    ``floor(2·triangles·1e6 / (degree·(degree−1)))`` — the local
+    clustering coefficient on the integer ppm grid, NULL for degree < 2
+    (undefined, not 0: a degree-1 node has no wedge to close).
+
+    Wedges enumerate at the (degree, id)-smallest endpoint of each edge —
+    the degree-orientation bound (module doc) that keeps the hottest
+    node's fan-out O(sqrt(m)).
+    """
+    from .util import exact_floor_div, release
+
+    s, d = F.col(src), F.col(dst)
+    # the canonical edge set is referenced by THREE consumers (degree,
+    # orientation, wedge closing) and the degree table by three more; left
+    # lazy, each reference would replay the caller's whole edge pipeline
+    # (e.g. the co-occurrence expansion) — eager localCheckpoint once,
+    # release before returning (the dedup-family convention, see
+    # operators/dedup.py): what survives is the node-grain output,
+    # itself checkpointed so it never re-derives the released bases.
+    canon = (
+        edges.filter(s.isNotNull() & d.isNotNull() & (s != d))
+        .select(F.least(s, d).alias("u"), F.greatest(s, d).alias("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    deg = (
+        canon.select(F.explode(F.array("u", "v")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("degree"))
+        .localCheckpoint()
+    )
+    # orient each edge from its (degree, id)-smaller endpoint
+    e = (
+        canon.join(deg.withColumnRenamed("node", "u"), on="u")
+        .withColumnRenamed("degree", "__du")
+        .join(deg.withColumnRenamed("node", "v"), on="v")
+        .withColumnRenamed("degree", "__dv")
+        .select(
+            F.when(
+                (F.col("__du") < F.col("__dv"))
+                | ((F.col("__du") == F.col("__dv")) & (F.col("u") < F.col("v"))),
+                F.struct(F.col("u").alias("lo"), F.col("v").alias("hi")),
+            )
+            .otherwise(F.struct(F.col("v").alias("lo"), F.col("u").alias("hi")))
+            .alias("__e")
+        )
+        .select(F.col("__e.lo").alias("apex"), F.col("__e.hi").alias("leaf"))
+    )
+    # wedges at the apex: pairs of out-neighbors; close them against the
+    # canonical undirected edge set
+    a = e.select(F.col("apex"), F.col("leaf").alias("__x"))
+    b = e.select(F.col("apex"), F.col("leaf").alias("__y"))
+    wedges = a.join(b, on="apex").filter(F.col("__x") < F.col("__y"))
+    tri = wedges.join(
+        canon.select(F.col("u").alias("__x"), F.col("v").alias("__y")),
+        on=["__x", "__y"],
+        how="inner",
+    )
+    per_node = (
+        tri.select(
+            F.explode(F.array("apex", "__x", "__y")).alias("node")
+        )
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("triangles"))
+    )
+    out = deg.join(per_node, on="node", how="left").select(
+        "node",
+        "degree",
+        F.coalesce(F.col("triangles"), F.lit(0).cast("bigint")).alias("triangles"),
+    )
+    two_tri_ppm = (F.col("triangles") * F.lit(2 * _PPM)).cast("decimal(38,0)")
+    wedge_cnt = (F.col("degree") * (F.col("degree") - 1)).cast("decimal(38,0)")
+    out = out.withColumn(
+        "clustering_ppm",
+        F.when(
+            F.col("degree") >= 2, exact_floor_div(two_tri_ppm, wedge_cnt)
+        ),
+    ).localCheckpoint()
+    release(canon)
+    release(deg)
+    return out

@@ -1,0 +1,118 @@
+"""Co-occurrence graph + triangle analytics (operators/cooccurrence.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.errors import PySparkException
+
+from funcify_feature_eng_spark.operators.cooccurrence import (
+    co_occurrence_edges,
+    triangle_stats,
+)
+
+
+@pytest.fixture(scope="module")
+def baskets(spark):
+    rows = [
+        (1, "a"), (1, "b"), (1, "c"),
+        (2, "a"), (2, "b"),
+        (3, "a"), (3, "b"),
+        (4, "c"), (4, "d"),
+        (5, "d"), (5, "d"),      # duplicate (group, item): collapses
+        (6, "e"),                # singleton group: no pairs
+        (7, None), (None, "f"),  # NULLs excluded
+    ]
+    return spark.createDataFrame(rows, "g int, i string")
+
+
+def test_edges_basic(spark, baskets):
+    got = {
+        (r["item_a"], r["item_b"]): r["n_groups"]
+        for r in co_occurrence_edges(baskets, "g", "i").collect()
+    }
+    assert got == {
+        ("a", "b"): 3,
+        ("a", "c"): 1,
+        ("b", "c"): 1,
+        ("c", "d"): 1,
+    }
+
+
+def test_edges_min_count(spark, baskets):
+    got = {
+        (r["item_a"], r["item_b"])
+        for r in co_occurrence_edges(baskets, "g", "i", min_count=2).collect()
+    }
+    assert got == {("a", "b")}
+
+
+def test_edges_oversize(spark):
+    big = spark.createDataFrame(
+        [(1, f"i{k}") for k in range(12)] + [(2, "x"), (2, "y")], "g int, i string"
+    )
+    with pytest.raises(PySparkException, match="max_group"):
+        co_occurrence_edges(big, "g", "i", max_group=10).collect()
+    got = {
+        (r["item_a"], r["item_b"])
+        for r in co_occurrence_edges(
+            big, "g", "i", max_group=10, on_oversize="skip"
+        ).collect()
+    }
+    assert got == {("x", "y")}
+    with pytest.raises(ValueError, match="on_oversize"):
+        co_occurrence_edges(big, "g", "i", on_oversize="drop")
+    with pytest.raises(ValueError, match="min_count"):
+        co_occurrence_edges(big, "g", "i", min_count=0)
+
+
+def _tri(spark, edges):
+    df = spark.createDataFrame(edges, "item_a string, item_b string")
+    return {
+        r["node"]: (r["degree"], r["triangles"], r["clustering_ppm"])
+        for r in triangle_stats(df).collect()
+    }
+
+
+def test_triangle_single(spark):
+    got = _tri(spark, [("a", "b"), ("b", "c"), ("c", "a")])
+    # every node: degree 2, 1 triangle, clustering 2*1/(2*1) = 1.0
+    assert got == {k: (2, 1, 1_000_000) for k in "abc"}
+
+
+def test_triangle_square_no_diagonal(spark):
+    got = _tri(spark, [("a", "b"), ("b", "c"), ("c", "d"), ("d", "a")])
+    assert got == {k: (2, 0, 0) for k in "abcd"}
+
+
+def test_triangle_diamond(spark):
+    # square + one diagonal a-c: two triangles sharing edge a-c
+    got = _tri(
+        spark, [("a", "b"), ("b", "c"), ("c", "d"), ("d", "a"), ("a", "c")]
+    )
+    # a, c: degree 3, 2 triangles, 2*2/(3*2) = 666666 ppm (floor)
+    # b, d: degree 2, 1 triangle, clustering 1.0
+    assert got == {
+        "a": (3, 2, 666_666),
+        "c": (3, 2, 666_666),
+        "b": (2, 1, 1_000_000),
+        "d": (2, 1, 1_000_000),
+    }
+
+
+def test_triangle_canonicalization(spark):
+    # reversed duplicates + self-loop + degree-1 node collapse correctly
+    got = _tri(
+        spark,
+        [("a", "b"), ("b", "a"), ("b", "c"), ("c", "a"), ("a", "a"), ("c", "d")],
+    )
+    assert got["a"] == (2, 1, 1_000_000)
+    assert got["b"] == (2, 1, 1_000_000)
+    assert got["c"] == (3, 1, 333_333)
+    assert got["d"] == (1, 0, None)  # degree < 2: clustering undefined
+
+
+def test_triangle_k4(spark):
+    # complete graph on 4 nodes: 4 triangles, each node in 3 of them
+    edges = [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"), ("c", "d")]
+    got = _tri(spark, edges)
+    assert got == {k: (3, 3, 1_000_000) for k in "abcd"}
