@@ -4739,6 +4739,37 @@ def q_part_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_stats(edges)
 
 
+def q_cuped_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance-reduced A/B readout (operators/experiment.py::
+    cuped_readout, Deng et al. WSDM'13): units = users, arm = user_id % 2,
+    covariate = first-half-of-month value sum (pre-period), metric =
+    second-half sum — both on the e3 fixed-point grid (unit sums stay
+    under the 2^31 LONG-product witness). Exact integer moments; doubles
+    only in the final mirrored expression, duplicated verbatim in the
+    DuckDB twin."""
+    from funcify_feature_eng_spark.operators.experiment import cuped_readout
+
+    ev = _t(spark, sf_dir, "events")
+    split = F.lit("2024-01-16").cast("timestamp")
+    vq = F.coalesce(F.floor(F.col("value") * 1000).cast("long"), F.lit(0))
+    unit = (
+        ev.filter(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.when(F.col("ts") < split, vq).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("x_q"),
+            F.sum(F.when(F.col("ts") >= split, vq).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("y_q"),
+        )
+        .withColumn("arm", F.pmod(F.col("user_id"), F.lit(2)))
+    )
+    return cuped_readout(
+        unit, arm_col="arm", metric_col="y_q", covariate_col="x_q"
+    )
+
+
 def q_time_decay_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recency-weighted rollup (operators/decay.py::time_decay_agg): per
     user, exponentially decayed value sum / event count as of a pinned
@@ -5234,6 +5265,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retention_cohorts": q_retention_cohorts,
         "copart_edges": q_copart_edges,
         "part_triangles": q_part_triangles,
+        "cuped_readout": q_cuped_readout,
         "time_decay_rollup": q_time_decay_rollup,
         "feature_corr": q_feature_corr,
         "rank_normalized": q_rank_normalized,
@@ -8557,6 +8589,47 @@ SELECT d.node, d.degree, coalesce(pn.triangles, 0) AS triangles,
             THEN (2 * coalesce(pn.triangles, 0) * 1000000)
                  // (d.degree * (d.degree - 1)) END AS clustering_ppm
 FROM deg d LEFT JOIN pn USING (node)
+"""
+    # CUPED: exact HUGEINT moments (the Spark side's DECIMAL(38) twin),
+    # doubles only in the final expression — shape mirrored VERBATIM so
+    # both engines round identically at every step
+    sqls["cuped_readout"] = """
+WITH unit AS (
+  SELECT user_id, user_id % 2 AS arm,
+    sum(CASE WHEN ts < TIMESTAMP '2024-01-16'
+        THEN coalesce(CAST(floor(value * 1000) AS BIGINT), 0) ELSE 0 END) AS x,
+    sum(CASE WHEN ts >= TIMESTAMP '2024-01-16'
+        THEN coalesce(CAST(floor(value * 1000) AS BIGINT), 0) ELSE 0 END) AS y
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL GROUP BY 1
+),
+arm_m AS (
+  SELECT arm, CAST(count(*) AS HUGEINT) AS n,
+         CAST(sum(CAST(x AS HUGEINT)) AS HUGEINT) AS sx,
+         CAST(sum(CAST(y AS HUGEINT)) AS HUGEINT) AS sy,
+         CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+         CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy
+  FROM unit GROUP BY 1
+),
+pool AS (
+  SELECT arm, n, sx, sy, sxx, sxy,
+         sum(n) OVER () AS np, sum(sx) OVER () AS sxp,
+         sum(sxx) OVER () AS sxxp, sum(sxy) OVER () AS sxyp,
+         sum(sy) OVER () AS syp
+  FROM arm_m
+)
+SELECT arm, CAST(n AS BIGINT) AS n,
+  CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS mean_y,
+  CASE WHEN (np * sxxp - sxp * sxp) > 0 THEN
+    CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)
+    - (CAST(np * sxyp - sxp * syp AS DOUBLE)
+       / CAST(np * sxxp - sxp * sxp AS DOUBLE))
+      * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)
+         - CAST(sxp AS DOUBLE) / CAST(np AS DOUBLE))
+  ELSE CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) END AS mean_adj,
+  CASE WHEN (np * sxxp - sxp * sxp) > 0 THEN
+    CAST(np * sxyp - sxp * syp AS DOUBLE)
+    / CAST(np * sxxp - sxp * sxp AS DOUBLE) END AS theta
+FROM pool
 """
     # recency-decayed rollup: half-life-bucketed integer weights
     # 2^(20-k), strictly-prior cutoff, exact integer sums
