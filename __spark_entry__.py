@@ -4770,6 +4770,44 @@ def q_cuped_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_attribution_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution (operators/attribution.py::
+    attribute_conversions): each purchase credited to the latest view/click
+    strictly before it (tuple-strict on (ts, event_id)) within a 3-day
+    lookback — one shuffle + one running-last window pass. Oracle =
+    join-then-rank (QUALIFY row_number DESC), a structurally different
+    evaluation."""
+    from funcify_feature_eng_spark.operators.attribution import (
+        attribute_conversions,
+    )
+
+    return attribute_conversions(
+        _t(spark, sf_dir, "events"),
+        touch_types=["view", "click"],
+        conversion_types=["purchase"],
+        model="last_touch",
+        lookback_s=3 * 86400,
+    )
+
+
+def q_attribution_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch attribution within a sliding 3-day lookback: the
+    RANGE-frame + lexicographic struct-min path (order-independent tie
+    resolution — F.first over a range frame would be partition-order-
+    dependent). Oracle = join-then-rank ascending."""
+    from funcify_feature_eng_spark.operators.attribution import (
+        attribute_conversions,
+    )
+
+    return attribute_conversions(
+        _t(spark, sf_dir, "events"),
+        touch_types=["view", "click"],
+        conversion_types=["purchase"],
+        model="first_touch",
+        lookback_s=3 * 86400,
+    )
+
+
 def q_time_decay_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recency-weighted rollup (operators/decay.py::time_decay_agg): per
     user, exponentially decayed value sum / event count as of a pinned
@@ -5266,6 +5304,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "copart_edges": q_copart_edges,
         "part_triangles": q_part_triangles,
         "cuped_readout": q_cuped_readout,
+        "attribution_last": q_attribution_last,
+        "attribution_first": q_attribution_first,
         "time_decay_rollup": q_time_decay_rollup,
         "feature_corr": q_feature_corr,
         "rank_normalized": q_rank_normalized,
@@ -8631,6 +8671,37 @@ SELECT arm, CAST(n AS BIGINT) AS n,
     / CAST(np * sxxp - sxp * sxp AS DOUBLE) END AS theta
 FROM pool
 """
+    # attribution: join-then-rank oracle — every qualifying touch joins,
+    # the rank picks the credited one; Spark's single window pass must
+    # agree row-for-row
+    _ATTR_LB_US = 3 * 86400 * 1_000_000
+
+    def _attr_sql(direction: str) -> str:
+        return f"""
+WITH e AS (
+  SELECT user_id, event_type, event_id AS oid, epoch_us(ts) AS us
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    AND event_type IN ('view', 'click', 'purchase')
+),
+conv AS (SELECT * FROM e WHERE event_type = 'purchase'),
+t AS (SELECT * FROM e WHERE event_type IN ('view', 'click')),
+j AS (
+  SELECT c.user_id, c.oid AS conversion_id, c.event_type AS conversion_type,
+         c.us AS cus, t.event_type AS tt, t.us AS tus, t.oid AS toid
+  FROM conv c LEFT JOIN t ON t.user_id = c.user_id
+   AND (t.us < c.us OR (t.us = c.us AND t.oid < c.oid))
+   AND t.us >= c.us - {_ATTR_LB_US}
+)
+SELECT user_id, conversion_id, conversion_type,
+       make_timestamp(cus) AS conversion_ts,
+       tt AS touch_type, make_timestamp(tus) AS touch_ts
+FROM j
+QUALIFY row_number() OVER (PARTITION BY conversion_id
+                           ORDER BY tus {direction}, toid {direction}) = 1
+"""
+
+    sqls["attribution_last"] = _attr_sql("DESC")
+    sqls["attribution_first"] = _attr_sql("ASC")
     # recency-decayed rollup: half-life-bucketed integer weights
     # 2^(20-k), strictly-prior cutoff, exact integer sums
     sqls["time_decay_rollup"] = """
