@@ -4808,6 +4808,18 @@ def q_attribution_first(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands activity streaks (operators/funnel.py::
+    activity_streaks): per user on the epoch DAY grid — active days,
+    island count, longest consecutive run, run still alive at the
+    dataset's max day. One shuffle + a JVM array fold (no window).
+    Oracle = the classic lag-free islands SQL (period - row_number
+    grouping), a structurally different evaluation."""
+    from funcify_feature_eng_spark.operators.funnel import activity_streaks
+
+    return activity_streaks(_t(spark, sf_dir, "events"))
+
+
 def q_time_decay_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recency-weighted rollup (operators/decay.py::time_decay_agg): per
     user, exponentially decayed value sum / event count as of a pinned
@@ -5306,6 +5318,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cuped_readout": q_cuped_readout,
         "attribution_last": q_attribution_last,
         "attribution_first": q_attribution_first,
+        "activity_streaks": q_activity_streaks,
         "time_decay_rollup": q_time_decay_rollup,
         "feature_corr": q_feature_corr,
         "rank_normalized": q_rank_normalized,
@@ -8702,6 +8715,33 @@ QUALIFY row_number() OVER (PARTITION BY conversion_id
 
     sqls["attribution_last"] = _attr_sql("DESC")
     sqls["attribution_first"] = _attr_sql("ASC")
+    # activity streaks: classic islands SQL — (period - row_number) groups
+    # consecutive runs; the Spark side is a window-free array fold
+    sqls["activity_streaks"] = """
+WITH p AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS per
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+),
+a AS (SELECT max(per) AS am FROM p),
+g AS (
+  SELECT user_id, per,
+         per - row_number() OVER (PARTITION BY user_id ORDER BY per) AS grp
+  FROM p, a WHERE per <= am
+),
+i AS (
+  SELECT user_id, grp, count(*) AS len, min(per) AS s, max(per) AS e
+  FROM g GROUP BY user_id, grp
+)
+SELECT user_id,
+       CAST(sum(len) AS BIGINT) AS n_active,
+       CAST(count(*) AS BIGINT) AS n_islands,
+       CAST(max(len) AS BIGINT) AS longest_streak,
+       CAST(coalesce(max(CASE WHEN e = (SELECT am FROM a) THEN len END), 0)
+            AS BIGINT) AS current_streak,
+       CAST(min(s) AS BIGINT) AS first_period,
+       CAST(max(e) AS BIGINT) AS last_period
+FROM i GROUP BY user_id
+"""
     # recency-decayed rollup: half-life-bucketed integer weights
     # 2^(20-k), strictly-prior cutoff, exact integer sums
     sqls["time_decay_rollup"] = """

@@ -1,7 +1,7 @@
-"""Ordered-step funnels and retention cohorts, exactly.
+"""Ordered-step funnels, retention cohorts, and activity streaks, exactly.
 
-Two classic product/behavior analytics shapes the event-stream feature
-surface was missing; both are integer-exact, one-shuffle-per-side jobs:
+Classic product/behavior analytics shapes the event-stream feature
+surface was missing; all integer-exact, one-shuffle-per-side jobs:
 
 **Funnel** (:func:`funnel_steps`): per entity, the furthest prefix of an
 ordered step list reached by its event stream — "did this user signup,
@@ -50,7 +50,7 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["funnel_steps", "retention_cohorts"]
+__all__ = ["activity_streaks", "funnel_steps", "retention_cohorts"]
 
 
 def funnel_steps(
@@ -153,6 +153,106 @@ def funnel_steps(
             ).alias(f"ts_{i}")
         )
     return out.select(*cols).drop("__m")
+
+
+def activity_streaks(
+    df: DataFrame,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    period_s: int = 86400,
+    as_of_period: int | None = None,
+) -> DataFrame:
+    """Gaps-and-islands activity streaks per entity on the epoch period grid.
+
+    Output: one row per entity with any in-scope activity —
+    ``(user_col, n_active:bigint, n_islands:bigint, longest_streak:bigint,
+    current_streak:bigint, first_period:bigint, last_period:bigint)``.
+    A *streak* (island) is a maximal run of CONSECUTIVE active periods;
+    ``current_streak`` is the length of the streak that is still alive at
+    ``as_of_period`` (0 if the entity was inactive then). Periods use the
+    same epoch-anchored integer grid as :func:`retention_cohorts` —
+    ``floor(epoch_us / period_us)`` — never date_trunc.
+
+    ``as_of_period`` defaults to the dataset's max active period (one
+    O(1) driver-collected aggregate); periods AFTER it are excluded from
+    the whole computation, so "current" is well-defined against a pinned
+    clock rather than whatever late data happens to have arrived.
+
+    Physical shape: filter → ONE data-sized shuffle (``collect_set`` of
+    periods per entity, map-side combined) → ``array_sort`` + an
+    ``F.aggregate`` fold over the sorted periods — all JVM higher-order
+    functions, zero Python, no window. Per-entity cost is its distinct
+    active-period count (a few thousand even for years of daily grain),
+    the same bound retention_cohorts carries. The classic lag/running-sum
+    islands window would pay the identical shuffle plus TWO window passes;
+    the fold does it in the aggregate itself. All outputs integer-exact.
+    """
+    if period_s < 1:
+        raise ValueError(f"activity_streaks: period_s must be >= 1, got {period_s}")
+    p_us = int(period_s) * 1_000_000
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    from .util import exact_floor_div
+
+    base = df.filter(F.col(user_col).isNotNull() & F.col(ts_col).isNotNull()).select(
+        F.col(user_col),
+        exact_floor_div(us.cast("decimal(38,0)"), F.lit(p_us).cast("decimal(38,0)"))
+        .alias("__p"),
+    )
+    if as_of_period is None:
+        # bounded O(1) collect (the drift_report split_us convention): the
+        # pinned clock must be a VALUE, not a per-row expression — a
+        # cross-join against the 1-row max would shuffle everything to
+        # evaluate a constant
+        row = base.agg(F.max("__p")).collect()[0]
+        if row[0] is None:
+            # no qualifying rows: empty result with the declared schema
+            as_of_period = 0
+        else:
+            as_of_period = int(row[0])
+    aop = F.lit(int(as_of_period)).cast("bigint")
+
+    per_user = (
+        base.filter(F.col("__p") <= aop)
+        .groupBy(user_col)
+        .agg(F.array_sort(F.collect_set("__p")).alias("__ps"))
+    )
+
+    # fold state: (prev period, current run, longest run, island count) —
+    # consecutive iff p == prev + 1; prev NULL starts the first island
+    zero = F.struct(
+        F.lit(None).cast("bigint").alias("prev"),
+        F.lit(0).cast("bigint").alias("run"),
+        F.lit(0).cast("bigint").alias("longest"),
+        F.lit(0).cast("bigint").alias("islands"),
+    )
+
+    def _step(acc: Column, p: Column) -> Column:
+        cont = acc["prev"].isNotNull() & (p == acc["prev"] + 1)
+        run = F.when(cont, acc["run"] + 1).otherwise(F.lit(1).cast("bigint"))
+        return F.struct(
+            p.alias("prev"),
+            run.alias("run"),
+            F.greatest(acc["longest"], run).alias("longest"),
+            F.when(cont, acc["islands"])
+            .otherwise(acc["islands"] + 1)
+            .alias("islands"),
+        )
+
+    st = F.aggregate(F.col("__ps"), zero, _step)
+    return per_user.select(
+        F.col(user_col),
+        F.size("__ps").cast("bigint").alias("n_active"),
+        st["islands"].alias("n_islands"),
+        st["longest"].alias("longest_streak"),
+        # the fold ends holding the LAST island's run; it is "current" iff
+        # that island reaches the pinned clock
+        F.when(F.element_at("__ps", -1) == aop, st["run"])
+        .otherwise(F.lit(0).cast("bigint"))
+        .alias("current_streak"),
+        F.element_at("__ps", 1).alias("first_period"),
+        F.element_at("__ps", -1).alias("last_period"),
+    )
 
 
 def retention_cohorts(
