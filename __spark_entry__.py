@@ -4808,6 +4808,21 @@ def q_attribution_first(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_item_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-occurrence recommender (operators/cooccurrence.py::
+    item_neighbors): top-5 "also bought" parts per part by exact integer
+    squared-cosine ppm over order-incidence vectors (monotone with cosine
+    — no transcendental sqrt in the result), fully tie-broken. Oracle =
+    distinct-pair self-join + QUALIFY rank, structurally different from
+    the Spark side's per-group set expansion + window."""
+    from funcify_feature_eng_spark.operators.cooccurrence import item_neighbors
+
+    return item_neighbors(
+        _t(spark, sf_dir, "lineitem"), "l_orderkey", "l_partkey",
+        k=5, min_count=2,
+    )
+
+
 def q_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gaps-and-islands activity streaks (operators/funnel.py::
     activity_streaks): per user on the epoch DAY grid — active days,
@@ -5319,6 +5334,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "attribution_last": q_attribution_last,
         "attribution_first": q_attribution_first,
         "activity_streaks": q_activity_streaks,
+        "item_neighbors": q_item_neighbors,
         "time_decay_rollup": q_time_decay_rollup,
         "feature_corr": q_feature_corr,
         "rank_normalized": q_rank_normalized,
@@ -8620,6 +8636,36 @@ FROM gi a JOIN gi b ON a.g = b.g AND a.i < b.i
 GROUP BY 1, 2 HAVING COUNT(*) >= 2
 """
     sqls["copart_edges"] = _COPART_EDGES_SQL
+    # item neighbors: symmetric view of the same edges + per-item group
+    # counts; squared-cosine ppm as pure integer floor division; QUALIFY
+    # rank with the identical (cos2 DESC, n_both DESC, neighbor ASC)
+    # tie-break
+    sqls["item_neighbors"] = f"""
+WITH gi AS (
+  SELECT DISTINCT l_orderkey AS g, l_partkey AS i FROM lineitem
+  WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL
+),
+cnt AS (SELECT i AS item, COUNT(*) AS n_item FROM gi GROUP BY 1),
+e AS ({_COPART_EDGES_SQL}),
+sym AS (
+  SELECT item_a AS item, item_b AS neighbor, n_groups AS n_both FROM e
+  UNION ALL
+  SELECT item_b, item_a, n_groups FROM e
+)
+SELECT s.item, s.neighbor, CAST(s.n_both AS BIGINT) AS n_both,
+       CAST(ci.n_item AS BIGINT) AS n_item,
+       CAST(cn.n_item AS BIGINT) AS n_neighbor,
+       CAST((s.n_both * s.n_both * 1000000) // (ci.n_item * cn.n_item)
+            AS BIGINT) AS cosine2_ppm,
+       CAST(row_number() OVER (
+         PARTITION BY s.item
+         ORDER BY (s.n_both * s.n_both * 1000000) // (ci.n_item * cn.n_item)
+           DESC, s.n_both DESC, s.neighbor ASC) AS INT) AS rank
+FROM sym s
+JOIN cnt ci ON ci.item = s.item
+JOIN cnt cn ON cn.item = s.neighbor
+QUALIFY rank <= 5
+"""
     # triangles: id-ordered 3-way self-join (a<b<c) enumerates each
     # triangle once; Spark's degree-oriented wedges count the same set
     sqls["part_triangles"] = f"""

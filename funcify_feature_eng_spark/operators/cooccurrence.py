@@ -36,7 +36,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["co_occurrence_edges", "triangle_stats"]
+__all__ = ["co_occurrence_edges", "item_neighbors", "triangle_stats"]
 
 _PPM = 1_000_000
 
@@ -117,6 +117,105 @@ def co_occurrence_edges(
     )
     if min_count > 1:
         out = out.filter(F.col("n_groups") >= F.lit(int(min_count)))
+    return out
+
+
+def item_neighbors(
+    df: DataFrame,
+    group_col: str,
+    item_col: str,
+    *,
+    k: int = 10,
+    min_count: int = 1,
+    max_group: int = 1_000,
+    on_oversize: str = "error",
+) -> DataFrame:
+    """Top-``k`` most-similar items per item — the "users who bought X also
+    bought Y" co-occurrence recommender, integer-exact.
+
+    Similarity is cosine over the binary group-incidence vectors,
+    ``cos(i,j) = n_both / sqrt(n_i · n_j)``, carried as the exact integer
+    ``cosine2_ppm = floor(n_both² · 1e6 / (n_i · n_j))`` (squared cosine on
+    the repo-wide fixed-point ppm grid — the square is monotone in the
+    cosine, so ranks are identical and no transcendental sqrt enters the
+    result). Neighbors rank by ``(cosine2_ppm DESC, n_both DESC, neighbor
+    ASC)`` — fully tie-broken, reproducible bit-for-bit.
+
+    Output: ``(item, neighbor, n_both:bigint, n_item:bigint,
+    n_neighbor:bigint, cosine2_ppm:bigint, rank:int)``, ``rank`` 1..k.
+
+    Physical shape: the edge list comes from :func:`co_occurrence_edges`
+    (one shuffle, size-guarded pair expansion — never a row-level
+    self-join); per-item group counts are one distinct + aggregate on
+    (group, item); the symmetric view is two selects over ONE eagerly
+    checkpointed edge frame (not a re-expansion per direction); top-k is a
+    row_number window on item grain. At 100 TB the cost is the edge list's
+    — counts and the window add O(items) and O(edges·2) respectively.
+    """
+    if k < 1:
+        raise ValueError(f"item_neighbors: k must be >= 1, got {k}")
+    from pyspark.sql import Window
+
+    from .util import exact_floor_div, release
+
+    edges = co_occurrence_edges(
+        df,
+        group_col,
+        item_col,
+        min_count=min_count,
+        max_group=max_group,
+        on_oversize=on_oversize,
+    ).localCheckpoint()
+    g, i = F.col(group_col), F.col(item_col)
+    cnt = (
+        df.filter(g.isNotNull() & i.isNotNull())
+        .select(g.alias("__g"), i.alias("item"))
+        .distinct()
+        .groupBy("item")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_item"))
+    )
+    sym = edges.select(
+        F.col("item_a").alias("item"),
+        F.col("item_b").alias("neighbor"),
+        F.col("n_groups").alias("n_both"),
+    ).unionByName(
+        edges.select(
+            F.col("item_b").alias("item"),
+            F.col("item_a").alias("neighbor"),
+            F.col("n_groups").alias("n_both"),
+        )
+    )
+    scored = (
+        sym.join(cnt, on="item")
+        .join(
+            cnt.select(
+                F.col("item").alias("neighbor"), F.col("n_item").alias("n_neighbor")
+            ),
+            on="neighbor",
+        )
+        .withColumn(
+            "cosine2_ppm",
+            exact_floor_div(
+                (F.col("n_both") * F.col("n_both") * F.lit(_PPM)).cast(
+                    "decimal(38,0)"
+                ),
+                (F.col("n_item") * F.col("n_neighbor")).cast("decimal(38,0)"),
+            ),
+        )
+    )
+    w = Window.partitionBy("item").orderBy(
+        F.col("cosine2_ppm").desc(), F.col("n_both").desc(), F.col("neighbor").asc()
+    )
+    out = (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= F.lit(int(k)))
+        .select(
+            "item", "neighbor", "n_both", "n_item", "n_neighbor",
+            "cosine2_ppm", "rank",
+        )
+        .localCheckpoint()
+    )
+    release(edges)
     return out
 
 

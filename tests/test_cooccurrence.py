@@ -116,3 +116,44 @@ def test_triangle_k4(spark):
     edges = [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"), ("c", "d")]
     got = _tri(spark, edges)
     assert got == {k: (3, 3, 1_000_000) for k in "abcd"}
+
+
+def test_item_neighbors_scores(spark, baskets):
+    from funcify_feature_eng_spark.operators.cooccurrence import item_neighbors
+
+    got = {
+        (r["item"], r["neighbor"]): (
+            r["n_both"], r["n_item"], r["n_neighbor"], r["cosine2_ppm"], r["rank"]
+        )
+        for r in item_neighbors(baskets, "g", "i", k=10).collect()
+    }
+    # counts: a in 3 groups, b in 3, c in 2, d in 2 (dup (5,d) collapses)
+    # cos2(a,b) = 9*1e6/(3*3) = 1_000_000 (identical incidence vectors)
+    assert got[("a", "b")] == (3, 3, 3, 1_000_000, 1)
+    assert got[("b", "a")] == (3, 3, 3, 1_000_000, 1)
+    # cos2(a,c) = 1*1e6/(3*2) = 166_666 (floor)
+    assert got[("a", "c")] == (1, 3, 2, 166_666, 2)
+    # c's neighbors rank by cos2 desc: d (1e6/4=250_000) then a=b tie
+    # (166_666) broken by neighbor id asc
+    assert got[("c", "d")][3:] == (250_000, 1)
+    assert got[("c", "a")][4] == 2 and got[("c", "b")][4] == 3
+    # e never co-occurs -> absent
+    assert not any(it == "e" for it, _ in got)
+
+
+def test_item_neighbors_k_cut(spark, baskets):
+    from funcify_feature_eng_spark.operators.cooccurrence import item_neighbors
+
+    got = item_neighbors(baskets, "g", "i", k=1).collect()
+    by_item = {}
+    for r in got:
+        by_item.setdefault(r["item"], []).append(r)
+    assert all(len(v) == 1 and v[0]["rank"] == 1 for v in by_item.values())
+    assert by_item["c"][0]["neighbor"] == "d"
+
+
+def test_item_neighbors_validation(spark, baskets):
+    from funcify_feature_eng_spark.operators.cooccurrence import item_neighbors
+
+    with pytest.raises(ValueError, match="k must be"):
+        item_neighbors(baskets, "g", "i", k=0)
