@@ -4823,6 +4823,39 @@ def q_item_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_km_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival (operators/survival.py::km_survival): per
+    user-id-parity arm, time in whole seconds from the user's first event
+    to their first 'error' (censored at the last event when none fired).
+    survival_e12 is the product-limit estimator on the fixed-point 1e-12
+    grid under a PINNED integer rounding sequence (s = floor(s*(n-d)/n)
+    per event time) — no doubles anywhere, so the DuckDB oracle replays
+    the identical fold with a recursive CTE and matches bit-for-bit."""
+    from funcify_feature_eng_spark.operators.survival import km_survival
+    from funcify_feature_eng_spark.operators.util import exact_floor_div
+
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    per = ev.groupBy("user_id").agg(
+        F.min(us).alias("__t0"),
+        F.min(F.when(F.col("event_type") == "error", us)).alias("__te"),
+        F.max(us).alias("__tl"),
+    )
+    subj = per.select(
+        F.pmod(F.col("user_id"), F.lit(2)).cast("bigint").alias("arm"),
+        exact_floor_div(
+            (F.coalesce(F.col("__te"), F.col("__tl")) - F.col("__t0")).cast(
+                "decimal(38,0)"
+            ),
+            F.lit(1_000_000).cast("decimal(38,0)"),
+        ).alias("t"),
+        F.col("__te").isNotNull().alias("e"),
+    )
+    return km_survival(subj, duration_col="t", event_col="e", group_by=["arm"])
+
+
 def q_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gaps-and-islands activity streaks (operators/funnel.py::
     activity_streaks): per user on the epoch DAY grid — active days,
@@ -5335,6 +5368,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "attribution_first": q_attribution_first,
         "activity_streaks": q_activity_streaks,
         "item_neighbors": q_item_neighbors,
+        "km_survival": q_km_survival,
         "time_decay_rollup": q_time_decay_rollup,
         "feature_corr": q_feature_corr,
         "rank_normalized": q_rank_normalized,
@@ -8761,6 +8795,48 @@ QUALIFY row_number() OVER (PARTITION BY conversion_id
 
     sqls["attribution_last"] = _attr_sql("DESC")
     sqls["attribution_first"] = _attr_sql("ASC")
+    # Kaplan-Meier: the oracle replays the PINNED integer rounding fold
+    # (s = floor(s*(n-d)/n), 1e-12 fixed point, HUGEINT intermediates)
+    # with a recursive CTE over the life-table rows — bit-for-bit equal to
+    # Spark's DECIMAL(38) array fold by construction
+    sqls["km_survival"] = """
+WITH RECURSIVE per AS (
+  SELECT user_id, min(epoch_us(ts)) AS t0,
+         min(CASE WHEN event_type = 'error' THEN epoch_us(ts) END) AS te,
+         max(epoch_us(ts)) AS tl
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+  GROUP BY user_id
+),
+subj AS (
+  SELECT CAST(user_id % 2 AS BIGINT) AS arm,
+         (coalesce(te, tl) - t0) // 1000000 AS t,
+         CASE WHEN te IS NOT NULL THEN 1 ELSE 0 END AS e
+  FROM per
+),
+lt AS (SELECT arm, t, sum(e) AS d, sum(1 - e) AS c FROM subj GROUP BY arm, t),
+o AS (
+  SELECT arm, t, d, c,
+         sum(d + c) OVER (PARTITION BY arm ORDER BY t DESC) AS n_risk,
+         row_number() OVER (PARTITION BY arm ORDER BY t) AS rn
+  FROM lt
+),
+r AS (
+  SELECT arm, t, d, c, n_risk, rn,
+         CASE WHEN d > 0
+              THEN (CAST(1000000000000 AS HUGEINT) * (n_risk - d)) // n_risk
+              ELSE CAST(1000000000000 AS HUGEINT) END AS s
+  FROM o WHERE rn = 1
+  UNION ALL
+  SELECT o.arm, o.t, o.d, o.c, o.n_risk, o.rn,
+         CASE WHEN o.d > 0 THEN (r.s * (o.n_risk - o.d)) // o.n_risk
+              ELSE r.s END
+  FROM o JOIN r ON o.arm = r.arm AND o.rn = r.rn + 1
+)
+SELECT arm, CAST(t AS BIGINT) AS duration, CAST(n_risk AS BIGINT) AS n_risk,
+       CAST(d AS BIGINT) AS n_event, CAST(c AS BIGINT) AS n_censored,
+       CAST(s AS BIGINT) AS survival_e12
+FROM r
+"""
     # activity streaks: classic islands SQL — (period - row_number) groups
     # consecutive runs; the Spark side is a window-free array fold
     sqls["activity_streaks"] = """
