@@ -4823,6 +4823,37 @@ def q_item_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_k_anonymity_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Privacy audit (operators/privacy.py::k_anonymity_report): customer
+    quasi-identifier groups (nation, market segment) violating
+    10-anonymity or 2-diversity on the account-balance sensitive column —
+    exact integer counts, one QI-grain aggregate. Oracle = plain GROUP BY
+    + HAVING."""
+    from funcify_feature_eng_spark.operators.privacy import k_anonymity_report
+
+    return k_anonymity_report(
+        _t(spark, sf_dir, "customer"),
+        ["c_nationkey", "c_mktsegment"],
+        sensitive_col="c_acctbal",
+        k=10,
+        l=2,
+    )
+
+
+def q_k_anonymity_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-level privacy verdict (operators/privacy.py::
+    k_anonymity_summary): the customer table's actual k (smallest QI
+    group), minimum l, singleton count and ppm — one row, all integer-
+    exact."""
+    from funcify_feature_eng_spark.operators.privacy import k_anonymity_summary
+
+    return k_anonymity_summary(
+        _t(spark, sf_dir, "customer"),
+        ["c_nationkey", "c_mktsegment"],
+        sensitive_col="c_acctbal",
+    )
+
+
 def q_km_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Kaplan-Meier survival (operators/survival.py::km_survival): per
     user-id-parity arm, time in whole seconds from the user's first event
@@ -5369,6 +5400,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "activity_streaks": q_activity_streaks,
         "item_neighbors": q_item_neighbors,
         "km_survival": q_km_survival,
+        "k_anonymity_groups": q_k_anonymity_groups,
+        "k_anonymity_summary": q_k_anonymity_summary,
         "time_decay_rollup": q_time_decay_rollup,
         "feature_corr": q_feature_corr,
         "rank_normalized": q_rank_normalized,
@@ -8795,6 +8828,30 @@ QUALIFY row_number() OVER (PARTITION BY conversion_id
 
     sqls["attribution_last"] = _attr_sql("DESC")
     sqls["attribution_first"] = _attr_sql("ASC")
+    # k-anonymity: plain GROUP BY + HAVING reproduces the violation set
+    sqls["k_anonymity_groups"] = """
+SELECT c_nationkey, c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+       CAST(count(DISTINCT c_acctbal) AS BIGINT) AS l_distinct,
+       count(*) < 10 AS k_violation,
+       count(DISTINCT c_acctbal) < 2 AS l_violation
+FROM customer
+GROUP BY c_nationkey, c_mktsegment
+HAVING count(*) < 10 OR count(DISTINCT c_acctbal) < 2
+"""
+    sqls["k_anonymity_summary"] = """
+WITH g AS (
+  SELECT count(*) AS n, count(DISTINCT c_acctbal) AS l
+  FROM customer GROUP BY c_nationkey, c_mktsegment
+)
+SELECT CAST(sum(n) AS BIGINT) AS n_rows,
+       CAST(count(*) AS BIGINT) AS n_groups,
+       CAST(min(n) AS BIGINT) AS k_anonymity,
+       CAST(min(l) AS BIGINT) AS l_diversity,
+       CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_singletons,
+       CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) * 1000000 // sum(n)
+            AS BIGINT) AS singleton_row_ppm
+FROM g
+"""
     # Kaplan-Meier: the oracle replays the PINNED integer rounding fold
     # (s = floor(s*(n-d)/n), 1e-12 fixed point, HUGEINT intermediates)
     # with a recursive CTE over the life-table rows — bit-for-bit equal to
