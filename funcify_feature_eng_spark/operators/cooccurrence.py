@@ -194,12 +194,17 @@ def item_neighbors(
             on="neighbor",
         )
         .withColumn(
+            # cast each factor BEFORE multiplying: n_both² · 1e6 in LONG
+            # would silently wrap past n_both ≈ 3e6 under non-ANSI
+            # arithmetic (n_i · n_j likewise) — DECIMAL(38) holds ~1e24
+            # comfortably
             "cosine2_ppm",
             exact_floor_div(
-                (F.col("n_both") * F.col("n_both") * F.lit(_PPM)).cast(
-                    "decimal(38,0)"
-                ),
-                (F.col("n_item") * F.col("n_neighbor")).cast("decimal(38,0)"),
+                F.col("n_both").cast("decimal(38,0)")
+                * F.col("n_both").cast("decimal(38,0)")
+                * F.lit(_PPM).cast("decimal(38,0)"),
+                F.col("n_item").cast("decimal(38,0)")
+                * F.col("n_neighbor").cast("decimal(38,0)"),
             ),
         )
     )

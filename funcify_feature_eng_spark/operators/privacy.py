@@ -132,8 +132,11 @@ def k_anonymity_summary(
         "n_singletons",
         F.when(
             F.coalesce(F.col("n_rows"), F.lit(0)) > 0,
+            # cast BEFORE multiplying: n_singletons · 1e6 in LONG would
+            # silently wrap past ~9.2e12 singletons under non-ANSI math
             exact_floor_div(
-                (F.col("n_singletons") * F.lit(1_000_000)).cast("decimal(38,0)"),
+                F.col("n_singletons").cast("decimal(38,0)")
+                * F.lit(1_000_000).cast("decimal(38,0)"),
                 F.col("n_rows").cast("decimal(38,0)"),
             ),
         )
