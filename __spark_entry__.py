@@ -4823,6 +4823,29 @@ def q_item_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (operators/graph.py::pagerank) over the symmetrized
+    thinned co-order part graph, 8 iterations, damping 85/100 — PINNED
+    integer fixed-point semantics (every division an integer floor, every
+    sum exact), so the DuckDB oracle replays the identical fold as 8
+    unrolled CTE layers and matches bit-for-bit. O(n_iters) shuffles;
+    per-iteration checkpoints released as superseded."""
+    from funcify_feature_eng_spark.operators.cooccurrence import (
+        co_occurrence_edges,
+    )
+    from funcify_feature_eng_spark.operators.graph import pagerank
+
+    edges = co_occurrence_edges(
+        _t(spark, sf_dir, "lineitem"), "l_orderkey", "l_partkey", min_count=2
+    )
+    sym = edges.select(
+        F.col("item_a").alias("src"), F.col("item_b").alias("dst")
+    ).unionByName(
+        edges.select(F.col("item_b").alias("src"), F.col("item_a").alias("dst"))
+    )
+    return pagerank(sym, n_iters=8)
+
+
 def q_k_anonymity_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Privacy audit (operators/privacy.py::k_anonymity_report): customer
     quasi-identifier groups (nation, market segment) violating
@@ -5402,6 +5425,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "km_survival": q_km_survival,
         "k_anonymity_groups": q_k_anonymity_groups,
         "k_anonymity_summary": q_k_anonymity_summary,
+        "pagerank_parts": q_pagerank_parts,
         "time_decay_rollup": q_time_decay_rollup,
         "feature_corr": q_feature_corr,
         "rank_normalized": q_rank_normalized,
@@ -8828,6 +8852,47 @@ QUALIFY row_number() OVER (PARTITION BY conversion_id
 
     sqls["attribution_last"] = _attr_sql("DESC")
     sqls["attribution_first"] = _attr_sql("ASC")
+    # PageRank: the oracle replays the pinned integer fold as n_iters
+    # UNROLLED CTE layers (generated here in a loop — aggregation inside a
+    # recursive CTE is not portable); every term is BIGINT floor division,
+    # so equality with Spark's DECIMAL loop is by construction
+    _PR_ITERS, _PR_NUM, _PR_DEN = 8, 85, 100
+    _pr_layers = [
+        "r0 AS (SELECT v, CAST(1000000000000 // n.cnt AS BIGINT) AS r "
+        "FROM nodes CROSS JOIN n)"
+    ]
+    for _k in range(1, _PR_ITERS + 1):
+        _pr_layers.append(f"""
+r{_k} AS (
+  SELECT no.v, b.b + coalesce(c.s, 0) AS r
+  FROM nodes no CROSS JOIN base b
+  LEFT JOIN (
+    SELECT e.d AS v,
+           sum(({_PR_NUM} * p.r) // ({_PR_DEN} * dg.od)) AS s
+    FROM e JOIN r{_k - 1} p ON p.v = e.s JOIN deg dg ON dg.v = e.s
+    GROUP BY e.d
+  ) c ON c.v = no.v
+)""")
+    sqls["pagerank_parts"] = f"""
+WITH sym AS (
+  SELECT item_a AS s, item_b AS d FROM ({_COPART_EDGES_SQL})
+  UNION ALL
+  SELECT item_b, item_a FROM ({_COPART_EDGES_SQL})
+),
+e AS (SELECT DISTINCT s, d FROM sym WHERE s IS NOT NULL AND d IS NOT NULL AND s <> d),
+nodes AS (SELECT s AS v FROM e UNION SELECT d FROM e),
+deg AS (SELECT s AS v, count(*) AS od FROM e GROUP BY 1),
+n AS (SELECT count(*) AS cnt FROM nodes),
+base AS (
+  SELECT CAST((({_PR_DEN} - {_PR_NUM}) * 1000000000000)
+              // ({_PR_DEN} * cnt) AS BIGINT) AS b FROM n
+),
+{",".join(_pr_layers)}
+SELECT no.v AS node, CAST(r{_PR_ITERS}.r AS BIGINT) AS rank_e12,
+       CAST(coalesce(dg.od, 0) AS BIGINT) AS out_degree
+FROM nodes no JOIN r{_PR_ITERS} ON r{_PR_ITERS}.v = no.v
+LEFT JOIN deg dg ON dg.v = no.v
+"""
     # k-anonymity: plain GROUP BY + HAVING reproduces the violation set
     sqls["k_anonymity_groups"] = """
 SELECT c_nationkey, c_mktsegment, CAST(count(*) AS BIGINT) AS n,

@@ -261,3 +261,134 @@ def keep_best_per_cluster(
         .filter(F.col(id_col) == F.col("__keep"))
         .drop("__grp", "__keep", "comp")
     )
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    *,
+    n_iters: int = 10,
+    damping_num: int = 85,
+    damping_den: int = 100,
+) -> DataFrame:
+    """PageRank with PINNED integer fixed-point semantics — reproducible
+    bit-for-bit by any engine (the Kaplan-Meier posture applied to an
+    iterative algorithm; floats would drift across libm/summation orders).
+
+    Semantics (the cross-engine contract):
+
+    - Directed simple graph: NULL endpoints and self-loops drop, duplicate
+      (src, dst) edges collapse. Nodes = union of endpoints.
+    - ``r_0(v) = floor(1e12 / N)`` on the 1e-12 fixed-point grid.
+    - ``r_{k+1}(v) = floor((den-num)·1e12 / (den·N)) + sum over in-edges
+      (u,v) of floor(num·r_k(u) / (den·outdeg(u)))`` — every division is
+      an integer floor, every sum exact.
+    - Dangling mass is NOT redistributed (the standard "lost mass"
+      simplification, pinned: ranks need not sum to 1e12). Exactly
+      ``n_iters`` iterations run — no float convergence test.
+
+    Output: ``(node, rank_e12:bigint, out_degree:bigint)``.
+
+    Physical shape: the edge set joins out-degrees ONCE and is eagerly
+    checkpointed; each iteration is one join (ranks onto edge sources) +
+    one aggregate (contributions onto destinations) + one left join back
+    onto the static node table — O(n_iters) shuffles total, each
+    checkpoint released as the next supersedes it (the
+    connected_components loop discipline). Per-step products stay in
+    DECIMAL(38): num·r ≤ 8.5e13 but den·outdeg can reach den·N.
+    """
+    if n_iters < 1:
+        raise ValueError(f"pagerank: n_iters must be >= 1, got {n_iters}")
+    if not (0 < damping_num < damping_den):
+        raise ValueError(
+            f"pagerank: need 0 < damping_num < damping_den, got "
+            f"{damping_num}/{damping_den}"
+        )
+    from .util import exact_floor_div, release
+
+    spark = edges.sparkSession
+    sc = spark.sparkContext
+    s, d = F.col(src), F.col(dst)
+    e = (
+        edges.filter(s.isNotNull() & d.isNotNull() & (s != d))
+        .select(s.alias("s"), d.alias("d"))
+        .distinct()
+        .localCheckpoint()
+    )
+    nodes = (
+        e.select(F.col("s").alias("node"))
+        .unionByName(e.select(F.col("d").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    n = nodes.count()
+    if n == 0:
+        # empty graph: empty frame with the declared schema (the two
+        # checkpoints are empty; nothing worth releasing eagerly)
+        return nodes.withColumn("rank_e12", F.lit(None).cast("bigint")).withColumn(
+            "out_degree", F.lit(None).cast("bigint")
+        )
+    outdeg = e.groupBy(F.col("s").alias("node")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("out_degree")
+    )
+    # static per-iteration inputs: edges with the source's out-degree, and
+    # the node table with degree attached — checkpoint once
+    ed = (
+        e.join(outdeg.withColumnRenamed("node", "s"), on="s")
+        .localCheckpoint()
+    )
+    node_deg = (
+        nodes.join(outdeg, on="node", how="left")
+        .select(
+            "node",
+            F.coalesce("out_degree", F.lit(0).cast("bigint")).alias("out_degree"),
+        )
+        .localCheckpoint()
+    )
+    release(e)
+    release(nodes)
+
+    e12 = 10**12
+    base = ((damping_den - damping_num) * e12) // (damping_den * n)
+    ranks = node_deg.select(
+        "node", F.lit(e12 // n).cast("bigint").alias("rank_e12")
+    ).localCheckpoint()
+    round_ids: set[int] = set()
+    for _ in range(int(n_iters)):
+        known = _persistent_rdd_ids(sc)
+        contribs = (
+            ed.join(ranks.withColumnRenamed("node", "s"), on="s")
+            .select(
+                F.col("d").alias("node"),
+                exact_floor_div(
+                    F.lit(damping_num).cast("decimal(38,0)")
+                    * F.col("rank_e12").cast("decimal(38,0)"),
+                    F.lit(damping_den).cast("decimal(38,0)")
+                    * F.col("out_degree").cast("decimal(38,0)"),
+                ).alias("__c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("__c").cast("bigint").alias("__in"))
+        )
+        ranks = (
+            node_deg.select("node")
+            .join(contribs, on="node", how="left")
+            .select(
+                "node",
+                (
+                    F.lit(base).cast("bigint")
+                    + F.coalesce(F.col("__in"), F.lit(0).cast("bigint"))
+                ).alias("rank_e12"),
+            )
+            .localCheckpoint()
+        )
+        _release_rdds(sc, round_ids)
+        round_ids = _persistent_rdd_ids(sc) - known
+    out = ranks.join(node_deg, on="node").select(
+        "node", "rank_e12", "out_degree"
+    ).localCheckpoint()
+    _release_rdds(sc, round_ids)
+    release(ed)
+    release(node_deg)
+    return out

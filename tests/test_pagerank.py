@@ -1,0 +1,88 @@
+"""PageRank with pinned integer semantics (operators/graph.py)."""
+
+from __future__ import annotations
+
+import pytest
+
+from funcify_feature_eng_spark.operators.graph import pagerank
+
+E12 = 10**12
+
+
+def _twin(edges, n_iters=10, num=85, den=100):
+    """Pure-Python replay of the pinned fold — bit equality expected."""
+    e = sorted({(s, d) for s, d in edges if s is not None and d is not None and s != d})
+    nodes = sorted({s for s, _ in e} | {d for _, d in e})
+    n = len(nodes)
+    outdeg = {}
+    for s, _ in e:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    base = (den - num) * E12 // (den * n)
+    r = {v: E12 // n for v in nodes}
+    for _ in range(n_iters):
+        incoming = {v: 0 for v in nodes}
+        for s, d in e:
+            incoming[d] += num * r[s] // (den * outdeg[s])
+        r = {v: base + incoming[v] for v in nodes}
+    return {v: (r[v], outdeg.get(v, 0)) for v in nodes}
+
+
+def _run(spark, rows, **kw):
+    df = spark.createDataFrame(rows, "src long, dst long")
+    return {
+        r["node"]: (r["rank_e12"], r["out_degree"])
+        for r in pagerank(df, **kw).collect()
+    }
+
+
+def test_star_graph(spark):
+    # 2,3,4 all point at 1: hub accumulates, leaves hold the base
+    rows = [(2, 1), (3, 1), (4, 1)]
+    got = _run(spark, rows, n_iters=3)
+    assert got == _twin(rows, n_iters=3)
+    # leaves have no in-edges: exactly the base share at every iteration
+    assert got[2][0] == got[3][0] == got[4][0] == 15 * E12 // 400
+    assert got[1][0] > got[2][0]
+
+
+def test_cycle_uniform(spark):
+    # a 4-cycle is symmetric: all ranks equal at every iteration
+    rows = [(1, 2), (2, 3), (3, 4), (4, 1)]
+    got = _run(spark, rows, n_iters=5)
+    vals = {v for v, _ in got.values()}
+    assert len(vals) == 1
+    assert got == _twin(rows, n_iters=5)
+
+
+def test_dangling_and_duplicates_and_self_loops(spark):
+    # 3 is dangling (mass lost, pinned); (1,2) duplicated collapses;
+    # (2,2) self-loop drops
+    rows = [(1, 2), (1, 2), (2, 2), (2, 3), (1, 3)]
+    got = _run(spark, rows, n_iters=4)
+    assert got == _twin(rows, n_iters=4)
+    assert got[3][1] == 0  # dangling
+
+
+def test_twin_bit_equality_random_graph(spark):
+    rows = []
+    for i in range(400):
+        s = (i * 7919) % 37
+        d = (i * 104729) % 37
+        rows.append((s, d))
+    got = _run(spark, rows, n_iters=10)
+    assert got == _twin(rows, n_iters=10)
+
+
+def test_damping_validation(spark):
+    df = spark.createDataFrame([(1, 2)], "src long, dst long")
+    with pytest.raises(ValueError, match="n_iters"):
+        pagerank(df, n_iters=0)
+    with pytest.raises(ValueError, match="damping"):
+        pagerank(df, damping_num=100, damping_den=100)
+
+
+def test_empty_graph(spark):
+    df = spark.createDataFrame([], "src long, dst long")
+    out = pagerank(df)
+    assert out.count() == 0
+    assert out.columns == ["node", "rank_e12", "out_degree"]
