@@ -5222,7 +5222,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # QA (role_sequence_audit for the transcript_qa family), declarative
     # data-quality verdicts (quality_checks for operators/checks.py), and one
     # representative each for sampling, the curation pipeline, text
-    # analysis, eval metrics, and multimodal. Entries 51+ are the family tails, verified
+    # analysis, eval metrics, and multimodal — plus the round-5 late
+    # families: Kaplan-Meier survival (km_survival) and the privacy audit
+    # (k_anonymity_summary). Entries 51+ are the family tails, verified
     # by scripts/check_oracle.py into CORRECTNESS_local.json (same
     # harness). Keep new entries AFTER position 50 unless they open a new
     # family; never push a family's only representative past 50.
@@ -5230,7 +5232,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": q_sessionize,
         "window_fills": q_window_fills,
         "turn_features_segmented": q_turn_features_segmented,
-        "top_events_per_user": q_top_events_per_user,
+        # round-5 late waves opened the survival + privacy families; their
+        # representatives take first-50 slots per the ordering contract —
+        # top_events_per_user moved to the windows family tail (the family
+        # keeps 4 window reps) and simhash_near_pairs to the dedup tail
+        # (the family keeps exact, minhash, ngram, CC)
+        "km_survival": q_km_survival,
         "asof_prior_purchase": q_asof_prior_purchase,
         "role_sequence_audit": q_role_sequence_audit,
         "event_transitions": q_event_transitions,
@@ -5256,7 +5263,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_dedup": q_stream_dedup,
         "dedup_exact": q_dedup_exact,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
-        "simhash_near_pairs": q_simhash_near_pairs,
+        "k_anonymity_summary": q_k_anonymity_summary,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         # round-5 wave 8 opened the feature-conditioning family
         # (scaling/encoding/correlation/decay); its representative takes a
@@ -5280,15 +5287,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_tokens": q_cms_tokens,
         "rater_agreement": q_rater_agreement,
         "doc_split": q_doc_split,
-        "weighted_topk": q_weighted_topk,
+        # sampling keeps ONE first-50 rep (doc_split); weighted_topk moved
+        # to the tail so bpe_pieces — its own family (trained tokenizer),
+        # previously off-by-one at slot 51 — actually sits in the window
+        # the contract claims
+        "bpe_pieces": q_bpe_pieces,
         "corpus_pipeline": q_corpus_pipeline,
         "lang_id": q_lang_id,
         "group_auc": q_group_auc,
         "media_features": q_media_features,
         "doc_perplexity": q_doc_perplexity,
         "dup_span_stats": q_dup_span_stats,
-        "bpe_pieces": q_bpe_pieces,
         # ---- entries 51+: family tails (locally gated) ----
+        "weighted_topk": q_weighted_topk,
+        "top_events_per_user": q_top_events_per_user,
+        "simhash_near_pairs": q_simhash_near_pairs,
         "ann_ivf_topk": q_ann_ivf_topk,
         "bloom_probe": q_bloom_probe,
         "asof_tolerance": q_asof_tolerance,
@@ -5422,9 +5435,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "attribution_first": q_attribution_first,
         "activity_streaks": q_activity_streaks,
         "item_neighbors": q_item_neighbors,
-        "km_survival": q_km_survival,
         "k_anonymity_groups": q_k_anonymity_groups,
-        "k_anonymity_summary": q_k_anonymity_summary,
         "pagerank_parts": q_pagerank_parts,
         "time_decay_rollup": q_time_decay_rollup,
         "feature_corr": q_feature_corr,
