@@ -4823,6 +4823,45 @@ def q_item_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_item_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact market-basket association (operators/cooccurrence.py::
+    item_lift): lift (= n_both·N/(n_a·n_b); log-lift IS PMI, so lift_ppm
+    ranks by pointwise mutual information) and Jaccard per co-ordered
+    part pair, both exact floor-ppm on DECIMAL intermediates. One
+    size-guarded pair expansion + one per-item aggregate + a broadcast
+    1-row total. Oracle = the distinct-pair self-join formulation with
+    DuckDB integer division."""
+    from funcify_feature_eng_spark.operators.cooccurrence import item_lift
+
+    return item_lift(
+        _t(spark, sf_dir, "lineitem"), "l_orderkey", "l_partkey", min_count=2
+    )
+
+
+def q_profile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-contract drift between two epochs (operators/checks.py::
+    column_profile + profile_drift): per-column nullability/cardinality
+    deltas plus added/dropped column detection — the contract-level
+    companion to the distribution-drift family (TVD/KS/MW/CUSUM). Epochs
+    are the deterministic event_id-parity split; the base epoch profiles
+    (user_id, event_type, value), the current (user_id, event_type,
+    props), so the gate exercises kept+added+dropped paths. One aggregate
+    pass per epoch, O(columns)-row outer join. Oracle = per-column UNION
+    ALL profiles full-outer-joined in DuckDB."""
+    from funcify_feature_eng_spark.operators.checks import (
+        column_profile,
+        profile_drift,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    base = ev.filter(F.col("event_id") % 2 == 0)
+    cur = ev.filter(F.col("event_id") % 2 == 1)
+    return profile_drift(
+        column_profile(base, columns=["user_id", "event_type", "value"]),
+        column_profile(cur, columns=["user_id", "event_type", "props"]),
+    )
+
+
 def q_pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank (operators/graph.py::pagerank) over the symmetrized
     thinned co-order part graph, 8 iterations, damping 85/100 — PINNED
@@ -5455,6 +5494,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_gram": q_emb_gram,
         # round-5 wave 16: z-order layout keys (sources/zorder.py)
         "zorder_keys": q_zorder_keys,
+        # round-5 wave 17: association strength + data-contract drift
+        "item_lift": q_item_lift,
+        "profile_drift": q_profile_drift,
     }
 
 
@@ -9366,5 +9408,76 @@ WITH g AS (
   WHERE user_id IS NOT NULL AND ts IS NOT NULL
 )
 SELECT event_id, {zvalue_sql(["gx", "gy"], bits=10)} AS zval FROM g
+"""
+    # item lift: same distinct-pair self-join as copart_edges, plus
+    # per-item counts and the 1-row distinct-group total; integer floor
+    # division replays the DECIMAL exact_floor_div (all values nonneg)
+    sqls["item_lift"] = """
+WITH gi AS (
+  SELECT DISTINCT l_orderkey AS g, l_partkey AS i FROM lineitem
+  WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL
+),
+cnt AS (SELECT i, COUNT(*) AS n FROM gi GROUP BY 1),
+tot AS (SELECT COUNT(DISTINCT g) AS n_tot FROM gi),
+e AS (
+  SELECT a.i AS item_a, b.i AS item_b, COUNT(*) AS n_both
+  FROM gi a JOIN gi b ON a.g = b.g AND a.i < b.i
+  GROUP BY 1, 2 HAVING COUNT(*) >= 2
+)
+SELECT e.item_a, e.item_b, CAST(e.n_both AS BIGINT) AS n_both,
+       CAST(ca.n AS BIGINT) AS n_a, CAST(cb.n AS BIGINT) AS n_b,
+       CAST(t.n_tot AS BIGINT) AS n_groups_total,
+       CAST((e.n_both * t.n_tot * 1000000) // (ca.n * cb.n) AS BIGINT)
+         AS lift_ppm,
+       CAST((e.n_both * 1000000) // (ca.n + cb.n - e.n_both) AS BIGINT)
+         AS jaccard_ppm
+FROM e
+JOIN cnt ca ON ca.i = e.item_a
+JOIN cnt cb ON cb.i = e.item_b
+CROSS JOIN tot t
+"""
+    # profile drift: per-column UNION ALL profiles of the two parity
+    # epochs, full-outer-joined; integer // replays Spark's LONG div
+    _PROF_COLS = {
+        "base": ["user_id", "event_type", "value"],
+        "cur": ["user_id", "event_type", "props"],
+    }
+    _prof_cte = lambda side: " UNION ALL ".join(  # noqa: E731
+        f"SELECT '{c}' AS col, COUNT(*) AS n_rows, COUNT({c}) AS n_nonnull,"
+        f" COUNT(DISTINCT {c}) AS n_distinct FROM {side}"
+        for c in _PROF_COLS[side]
+    )
+    sqls["profile_drift"] = f"""
+WITH base AS (SELECT * FROM events WHERE event_id % 2 = 0),
+cur AS (SELECT * FROM events WHERE event_id % 2 = 1),
+bp AS ({_prof_cte("base")}),
+cp AS ({_prof_cte("cur")}),
+bq AS (
+  SELECT *, CASE WHEN n_rows = 0 THEN 0
+                 ELSE ((n_rows - n_nonnull) * 1000000) // n_rows
+            END AS null_ppm FROM bp
+),
+cq AS (
+  SELECT *, CASE WHEN n_rows = 0 THEN 0
+                 ELSE ((n_rows - n_nonnull) * 1000000) // n_rows
+            END AS null_ppm FROM cp
+)
+SELECT COALESCE(b.col, c.col) AS "column",
+       CASE WHEN b.col IS NOT NULL AND c.col IS NOT NULL THEN 'kept'
+            WHEN b.col IS NULL THEN 'added' ELSE 'dropped' END AS status,
+       CAST(b.n_rows AS BIGINT) AS n_rows_base,
+       CAST(c.n_rows AS BIGINT) AS n_rows_cur,
+       CAST(b.null_ppm AS BIGINT) AS null_ppm_base,
+       CAST(c.null_ppm AS BIGINT) AS null_ppm_cur,
+       CAST(CASE WHEN b.col IS NOT NULL AND c.col IS NOT NULL
+                 THEN c.null_ppm - b.null_ppm END AS BIGINT)
+         AS null_ppm_delta,
+       CAST(b.n_distinct AS BIGINT) AS n_distinct_base,
+       CAST(c.n_distinct AS BIGINT) AS n_distinct_cur,
+       CAST(CASE WHEN b.col IS NOT NULL AND c.col IS NOT NULL
+                  AND b.n_distinct > 0
+                 THEN (c.n_distinct * 1000000) // b.n_distinct END AS BIGINT)
+         AS distinct_ratio_ppm
+FROM bq b FULL OUTER JOIN cq c ON b.col = c.col
 """
     return sqls

@@ -57,6 +57,7 @@ __all__ = [
     "check_state", "merge_check_states", "check_verdicts",
     "detect_metric_anomalies", "suggest_constraints",
     "constraints_from_suggestions", "referential_integrity",
+    "column_profile", "profile_drift",
 ]
 
 _PPM = 1_000_000
@@ -617,4 +618,130 @@ def referential_integrity(
         F.lit(relation).alias("relation"),
         "n_child", "n_checked", "n_orphans",
         (F.col("n_orphans") == 0).alias("ok"),
+    )
+
+
+def column_profile(
+    df: DataFrame,
+    *,
+    columns: Sequence[str] | None = None,
+) -> DataFrame:
+    """Per-column shape profile as a small DataFrame — the distributed,
+    value-gateable sibling of :func:`suggest_constraints` (which collects
+    a 1-row profile to render contract suggestions; this one stays on the
+    cluster so two epochs' profiles can be joined by
+    :func:`profile_drift`).
+
+    One aggregate pass over the data (count + per-column non-NULL count +
+    exact distinct), then an unpivot of the single profile row into
+    ``(column, n_rows, n_nonnull, n_distinct, null_ppm)`` — the unpivot is
+    a stack over a 1-row frame, so the whole thing is one job with a
+    1-row shuffle-free tail. ``null_ppm`` is the exact floor ppm of NULLs
+    over all rows (0 when the frame is empty: no rows, no nulls).
+
+    At 100 TB: exact count-distinct per column expands to one
+    partial-aggregate pass per column under Spark's expand; for profile
+    MONITORING at that scale swap in approx_count_distinct — drift
+    detection tolerates sketch error, the contract gate here prefers
+    exactness (and is what an independent engine can reproduce).
+    """
+    cols = list(columns) if columns is not None else list(df.columns)
+    schema = {f.name for f in df.schema.fields}
+    for c in cols:
+        if c not in schema:
+            raise ValueError(f"column_profile: unknown column {c!r}")
+    if not cols:
+        raise ValueError("column_profile: no columns")
+    aggs: list[Column] = [F.count(F.lit(1)).cast("bigint").alias("__n")]
+    for i, c in enumerate(cols):
+        aggs.append(F.count(F.col(c)).cast("bigint").alias(f"__c{i}"))
+        aggs.append(F.count_distinct(F.col(c)).cast("bigint").alias(f"__d{i}"))
+    prof = df.agg(*aggs)
+    stack_args: list[Column] = []
+    for i, c in enumerate(cols):
+        stack_args += [
+            F.lit(c),
+            F.col(f"__c{i}"),
+            F.col(f"__d{i}"),
+        ]
+    unp = prof.select(
+        F.col("__n").alias("n_rows"),
+        F.stack(
+            F.lit(len(cols)), *stack_args
+        ).alias("column", "n_nonnull", "n_distinct"),
+    )
+    return unp.select(
+        "column",
+        "n_rows",
+        "n_nonnull",
+        "n_distinct",
+        # LONG `div` keeps the ppm exact (long `/` is double — drifts past
+        # 2^53); (n_rows · 1e6) fits LONG to ~9e12 rows
+        F.when(F.col("n_rows") == 0, F.lit(0).cast("bigint"))
+        .otherwise(
+            F.expr(f"((n_rows - n_nonnull) * {_PPM}) div n_rows")
+        )
+        .cast("bigint")
+        .alias("null_ppm"),
+    )
+
+
+def profile_drift(base: DataFrame, cur: DataFrame) -> DataFrame:
+    """Schema/profile drift between two epochs of the same table — the
+    data-contract diff: which columns appeared or vanished, whose
+    nullability moved, whose cardinality grew or collapsed. The companion
+    to the DISTRIBUTION drift family (drift.py TVD, KS/MW shift tests):
+    those watch a value column's shape; this watches the table's contract.
+
+    Inputs are two :func:`column_profile` outputs (base epoch, current
+    epoch). Output, one row per column in either profile::
+
+        (column, status, n_rows_base, n_rows_cur,
+         null_ppm_base, null_ppm_cur, null_ppm_delta,
+         n_distinct_base, n_distinct_cur, distinct_ratio_ppm)
+
+    ``status`` ∈ added | dropped | kept; ``null_ppm_delta`` = cur − base
+    (kept rows only); ``distinct_ratio_ppm`` = floor(distinct_cur · 1e6 /
+    distinct_base), NULL when base distinct is 0 or the column isn't kept
+    — >1e6 means cardinality grew. Deterministic, integer-exact, and a
+    pure 2-sided outer join of two constraints-sized frames (profiles are
+    O(columns) rows — the join is trivially broadcast).
+    """
+    b = base.select(
+        F.col("column"),
+        F.col("n_rows").alias("n_rows_base"),
+        F.col("n_nonnull").alias("n_nonnull_base"),
+        F.col("n_distinct").alias("n_distinct_base"),
+        F.col("null_ppm").alias("null_ppm_base"),
+    )
+    c = cur.select(
+        F.col("column"),
+        F.col("n_rows").alias("n_rows_cur"),
+        F.col("n_nonnull").alias("n_nonnull_cur"),
+        F.col("n_distinct").alias("n_distinct_cur"),
+        F.col("null_ppm").alias("null_ppm_cur"),
+    )
+    j = b.join(c, on="column", how="full_outer")
+    kept = F.col("n_rows_base").isNotNull() & F.col("n_rows_cur").isNotNull()
+    return j.select(
+        "column",
+        F.when(kept, F.lit("kept"))
+        .when(F.col("n_rows_base").isNull(), F.lit("added"))
+        .otherwise(F.lit("dropped"))
+        .alias("status"),
+        "n_rows_base",
+        "n_rows_cur",
+        "null_ppm_base",
+        "null_ppm_cur",
+        F.when(kept, F.col("null_ppm_cur") - F.col("null_ppm_base")).alias(
+            "null_ppm_delta"
+        ),
+        "n_distinct_base",
+        "n_distinct_cur",
+        F.when(
+            kept & (F.col("n_distinct_base") > 0),
+            F.expr(f"(n_distinct_cur * {_PPM}) div n_distinct_base"),
+        )
+        .cast("bigint")
+        .alias("distinct_ratio_ppm"),
     )

@@ -36,7 +36,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["co_occurrence_edges", "item_neighbors", "triangle_stats"]
+__all__ = ["co_occurrence_edges", "item_lift", "item_neighbors", "triangle_stats"]
 
 _PPM = 1_000_000
 
@@ -313,4 +313,105 @@ def triangle_stats(
     ).localCheckpoint()
     release(canon)
     release(deg)
+    return out
+
+
+def item_lift(
+    df: DataFrame,
+    group_col: str,
+    item_col: str,
+    *,
+    min_count: int = 1,
+    max_group: int = 1_000,
+    on_oversize: str = "error",
+) -> DataFrame:
+    """Exact association strength per co-occurring pair: **lift** and
+    **Jaccard**, both on the repo-wide integer ppm grid.
+
+    ``lift(a,b) = P(a,b) / (P(a)·P(b)) = n_both·N / (n_a·n_b)`` where N is
+    the number of distinct non-NULL groups. Lift > 1 means the pair
+    co-occurs more than independence predicts; it is the market-basket
+    association measure, and ``log(lift)`` IS pointwise mutual information
+    — so ranking by ``lift_ppm`` ranks by PMI with no transcendental in
+    the result. ``jaccard_ppm = n_both·1e6 / (n_a + n_b − n_both)`` is the
+    set-overlap companion. Both carried as exact floor ppm on
+    DECIMAL(38,0) intermediates (n_both·N·1e6 overflows LONG past
+    ~3e6-group corpora; decimal holds ~1e38).
+
+    Output: ``(item_a, item_b, n_both:bigint, n_a:bigint, n_b:bigint,
+    n_groups_total:bigint, lift_ppm:bigint, jaccard_ppm:bigint)`` with the
+    canonical ``item_a < item_b`` ordering inherited from
+    :func:`co_occurrence_edges`.
+
+    Physical shape: the edge list is the size-guarded per-group pair
+    expansion (one shuffle); per-item counts are one aggregate on the
+    deduped (group, item) frame; N is a ONE-ROW aggregate attached by
+    broadcast crossJoin (no collect, no second pass). At 100 TB the cost
+    is the edge list's — everything after is O(edges) map-side.
+
+    Reference parity anchor: no graph/association tier in the reference
+    (closest: per-entity batching, ``materializer/.../
+    BatchedDataElementCallable.kt``) — SURVEY §2 extension beside
+    item_neighbors.
+    """
+    from .util import exact_floor_div, release
+
+    edges = co_occurrence_edges(
+        df,
+        group_col,
+        item_col,
+        min_count=min_count,
+        max_group=max_group,
+        on_oversize=on_oversize,
+    ).localCheckpoint()
+    g, i = F.col(group_col), F.col(item_col)
+    gi = (
+        df.filter(g.isNotNull() & i.isNotNull())
+        .select(g.alias("__g"), i.alias("__i"))
+        .distinct()
+    )
+    cnt = gi.groupBy(F.col("__i").alias("__item")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("__n")
+    )
+    total = gi.agg(
+        F.count_distinct(F.col("__g")).cast("bigint").alias("n_groups_total")
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    out = (
+        edges.join(
+            cnt.select(F.col("__item").alias("item_a"), F.col("__n").alias("n_a")),
+            on="item_a",
+        )
+        .join(
+            cnt.select(F.col("__item").alias("item_b"), F.col("__n").alias("n_b")),
+            on="item_b",
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "item_a",
+            "item_b",
+            F.col("n_groups").alias("n_both"),
+            "n_a",
+            "n_b",
+            "n_groups_total",
+        )
+        .withColumn(
+            "lift_ppm",
+            exact_floor_div(
+                dec(F.col("n_both"))
+                * dec(F.col("n_groups_total"))
+                * dec(F.lit(_PPM)),
+                dec(F.col("n_a")) * dec(F.col("n_b")),
+            ),
+        )
+        .withColumn(
+            "jaccard_ppm",
+            exact_floor_div(
+                dec(F.col("n_both")) * dec(F.lit(_PPM)),
+                dec(F.col("n_a") + F.col("n_b") - F.col("n_both")),
+            ),
+        )
+        .localCheckpoint()
+    )
+    release(edges)
     return out

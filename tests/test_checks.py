@@ -269,3 +269,58 @@ def test_referential_integrity_orphans_and_nulls(spark):
     import pytest as _pt
     with _pt.raises(ValueError, match="empty key list"):
         referential_integrity(child, parent, on=[])
+
+
+def test_column_profile_exact(spark):
+    from funcify_feature_eng_spark.operators.checks import column_profile
+
+    df = spark.createDataFrame(
+        [(1, "x"), (2, None), (3, "y")], "id int, s string"
+    )
+    rows = {r["column"]: r for r in column_profile(df).collect()}
+    assert set(rows) == {"id", "s"}
+    assert (rows["id"]["n_rows"], rows["id"]["n_nonnull"],
+            rows["id"]["n_distinct"], rows["id"]["null_ppm"]) == (3, 3, 3, 0)
+    # 1 NULL of 3 rows -> floor(1e6/3)
+    assert (rows["s"]["n_nonnull"], rows["s"]["n_distinct"],
+            rows["s"]["null_ppm"]) == (2, 2, 333_333)
+
+
+def test_column_profile_empty_and_unknown(spark):
+    import pytest
+
+    from funcify_feature_eng_spark.operators.checks import column_profile
+
+    df = spark.createDataFrame([], "id int")
+    [r] = column_profile(df).collect()
+    assert (r["n_rows"], r["n_nonnull"], r["n_distinct"], r["null_ppm"]) == (
+        0, 0, 0, 0,
+    )
+    with pytest.raises(ValueError, match="unknown column"):
+        column_profile(df, columns=["nope"])
+
+
+def test_profile_drift_added_dropped_kept(spark):
+    from funcify_feature_eng_spark.operators.checks import (
+        column_profile,
+        profile_drift,
+    )
+
+    base = spark.createDataFrame([(1, "x"), (2, None), (3, "y")], "id int, s string")
+    cur = spark.createDataFrame(
+        [(1, "p"), (1, "q"), (None, "p"), (4, None)], "id int, t string"
+    )
+    rows = {
+        r["column"]: r
+        for r in profile_drift(column_profile(base), column_profile(cur)).collect()
+    }
+    assert rows["s"]["status"] == "dropped" and rows["t"]["status"] == "added"
+    kept = rows["id"]
+    assert kept["status"] == "kept"
+    assert kept["null_ppm_base"] == 0 and kept["null_ppm_cur"] == 250_000
+    assert kept["null_ppm_delta"] == 250_000
+    # distinct 3 -> 2: floor(2e6/3)
+    assert kept["distinct_ratio_ppm"] == 666_666
+    # added/dropped rows carry NULL deltas
+    assert rows["t"]["null_ppm_delta"] is None
+    assert rows["s"]["distinct_ratio_ppm"] is None

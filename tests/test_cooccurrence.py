@@ -157,3 +157,34 @@ def test_item_neighbors_validation(spark, baskets):
 
     with pytest.raises(ValueError, match="k must be"):
         item_neighbors(baskets, "g", "i", k=0)
+
+
+def test_item_lift_exact(spark, baskets):
+    from funcify_feature_eng_spark.operators.cooccurrence import item_lift
+
+    rows = {
+        (r["item_a"], r["item_b"]): r for r in item_lift(baskets, "g", "i").collect()
+    }
+    # distinct groups with >=1 non-NULL item: {1..6} -> N = 6
+    assert set(rows) == {("a", "b"), ("a", "c"), ("b", "c"), ("c", "d")}
+    ab = rows[("a", "b")]
+    assert (ab["n_both"], ab["n_a"], ab["n_b"], ab["n_groups_total"]) == (3, 3, 3, 6)
+    # lift = n_both*N/(n_a*n_b): 3*6/(3*3) = 2.0 -> 2_000_000 ppm
+    assert ab["lift_ppm"] == 2_000_000
+    # jaccard = 3/(3+3-3) = 1.0
+    assert ab["jaccard_ppm"] == 1_000_000
+    assert rows[("a", "c")]["lift_ppm"] == 1_000_000
+    assert rows[("a", "c")]["jaccard_ppm"] == 250_000
+    cd = rows[("c", "d")]
+    assert cd["lift_ppm"] == 1_500_000      # 1*6/(2*2) = 1.5
+    assert cd["jaccard_ppm"] == 333_333     # floor(1e6/3)
+
+
+def test_item_lift_min_count(spark, baskets):
+    from funcify_feature_eng_spark.operators.cooccurrence import item_lift
+
+    got = {
+        (r["item_a"], r["item_b"])
+        for r in item_lift(baskets, "g", "i", min_count=2).collect()
+    }
+    assert got == {("a", "b")}
