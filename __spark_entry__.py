@@ -4862,6 +4862,42 @@ def q_profile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact frequent users above a 0.7% share (operators/sketches.py::
+    heavy_hitters): CMS candidate pass packed into ONE broadcast row,
+    map-side probe (CMS never underestimates, so candidates are a
+    guaranteed superset), exact groupBy over candidates only, exact
+    re-test — the shuffle carries candidate keys, never the distinct-key
+    space. Oracle = plain GROUP BY ... HAVING with the same integer
+    threshold; the sketch changes the PLAN, never the rows."""
+    from funcify_feature_eng_spark.operators.sketches import heavy_hitters
+
+    return heavy_hitters(
+        _t(spark, sf_dir, "events"), "user_id", min_share_ppm=7_000
+    )
+
+
+def q_bloom_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered equi-join (operators/sketches.py::
+    bloom_prefilter_join): lineitem (fact) joined to the urgent-priority
+    order subset; the fact side probes a broadcast bloom of the subset's
+    keys MAP-SIDE and only maybe-matching rows shuffle into the exact
+    join. No false negatives, exact join removes false positives — the
+    result is bit-identical to the plain join (the oracle), only the
+    shuffle volume differs."""
+    from funcify_feature_eng_spark.operators.sketches import bloom_prefilter_join
+
+    urgent = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_orderkey").alias("l_orderkey"), "o_totalprice")
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity"
+    )
+    return bloom_prefilter_join(li, urgent, "l_orderkey", m_bits=1 << 16)
+
+
 def q_pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank (operators/graph.py::pagerank) over the symmetrized
     thinned co-order part graph, 8 iterations, damping 85/100 — PINNED
@@ -5497,6 +5533,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-5 wave 17: association strength + data-contract drift
         "item_lift": q_item_lift,
         "profile_drift": q_profile_drift,
+        # round-5 wave 18: CMS heavy hitters + bloom-prefiltered join
+        "heavy_hitters": q_heavy_hitters,
+        "bloom_join": q_bloom_join,
     }
 
 
@@ -9479,5 +9518,27 @@ SELECT COALESCE(b.col, c.col) AS "column",
                  THEN (c.n_distinct * 1000000) // b.n_distinct END AS BIGINT)
          AS distinct_ratio_ppm
 FROM bq b FULL OUTER JOIN cq c ON b.col = c.col
+"""
+    # heavy hitters: the CMS candidate pass changes only the PLAN; the
+    # value contract is the plain GROUP BY ... HAVING with the exact
+    # integer threshold (count*1e6 >= ppm*n) and floor-ppm share
+    sqls["heavy_hitters"] = """
+WITH nn AS (SELECT user_id FROM events WHERE user_id IS NOT NULL),
+tot AS (SELECT COUNT(*) AS n FROM nn),
+c AS (SELECT user_id, COUNT(*) AS n_count FROM nn GROUP BY 1)
+SELECT c.user_id, CAST(c.n_count AS BIGINT) AS n_count,
+       CAST(t.n AS BIGINT) AS n_total,
+       CAST((c.n_count * 1000000) // t.n AS BIGINT) AS share_ppm
+FROM c CROSS JOIN tot t
+WHERE c.n_count * 1000000 >= 7000 * t.n
+"""
+    # bloom-prefiltered join: the bloom is a plan-level row filter with no
+    # false negatives; the value contract is the plain inner equi-join
+    sqls["bloom_join"] = """
+SELECT l.l_orderkey, l.l_partkey, l.l_quantity, o.o_totalprice
+FROM lineitem l
+JOIN (SELECT o_orderkey, o_totalprice FROM orders
+      WHERE o_orderpriority = '1-URGENT') o
+  ON l.l_orderkey = o.o_orderkey
 """
     return sqls

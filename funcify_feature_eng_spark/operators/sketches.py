@@ -461,3 +461,229 @@ def histogram_quantiles(
             for p in percents
         ],
     )
+
+
+def heavy_hitters(
+    df: DataFrame,
+    value_col: str,
+    *,
+    min_share_ppm: int,
+    width: int = 1024,
+    depth: int = 4,
+    broadcast: bool = True,
+) -> DataFrame:
+    """Exact frequent items above a share threshold, found WITHOUT
+    shuffling the distinct-key space: the classic two-pass CMS-candidate
+    scheme (Cormode & Muthukrishnan 2005; also the "frequent items" recipe
+    in the Misra-Gries lineage — here the summary is the CMS because it is
+    already the repo's deterministic frequency sketch).
+
+    A value is a heavy hitter iff its exact count satisfies
+    ``count * 1e6 >= min_share_ppm * n`` (n = non-NULL rows). Pass 1
+    builds the CMS (ONE combinable shuffle of O(width x depth) counters)
+    and packs it into a single broadcast row. Pass 2 probes every row
+    MAP-SIDE against the packed sketch — CMS never underestimates, so
+    rows whose estimate clears the threshold are a guaranteed SUPERSET of
+    the true heavy hitters — and only those candidate rows enter the
+    exact groupBy. The final filter re-tests the EXACT count, so the
+    output is exact regardless of sketch collisions.
+
+    Why not :func:`~funcify_feature_eng_spark.operators.profiling.
+    key_skew_report`? That one shuffles every distinct key (fine for
+    top-k diagnostics); at 100 TB with billions of distinct keys this
+    operator's shuffle carries candidates only — with a sane width the
+    long tail never leaves the mappers (map-side partial aggregation
+    bounds the candidate shuffle at candidates x partitions).
+
+    Output: ``(value_col, n_count:bigint, n_total:bigint,
+    share_ppm:bigint)`` — exact counts, exact floor ppm. Deterministic
+    and oracle-reproducible (plain GROUP BY ... HAVING in any engine).
+    NULLs drop (no frequency). ``min_share_ppm`` in [1, 1e6]; the ppm
+    grid assumes n <= ~9e12 (LONG), the repo-wide convention.
+
+    Reference anchor: no frequency tier in the reference (its registry is
+    exact per-feature metadata, ``materializer`` module) — SURVEY §2
+    extension beside cms_sketch.
+    """
+    from .util import exact_floor_div
+
+    if not (1 <= int(min_share_ppm) <= 1_000_000):
+        raise ValueError(
+            f"heavy_hitters: min_share_ppm must be in [1, 1e6], got {min_share_ppm}"
+        )
+    if width * depth > (1 << 22):
+        raise ValueError(
+            f"heavy_hitters: width*depth = {width * depth} exceeds the broadcast "
+            "cap (1<<22 counters); a wider sketch should be a pre-aggregated table"
+        )
+    ppm = int(min_share_ppm)
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    sk = cms_sketch(df, value_col, width=width, depth=depth)
+    # pack to ONE row: map[(d*width + bucket)] -> cnt, plus the exact total
+    # (each value increments exactly one bucket per depth row, so the d=0
+    # slice sums to n — no second pass over the data)
+    packed = (
+        sk.groupBy()
+        .agg(
+            F.map_from_entries(
+                F.collect_list(
+                    F.struct(
+                        (F.col("d").cast("long") * width + F.col("bucket"))
+                        .cast("int")
+                        .alias("key"),
+                        F.col("cnt").alias("value"),
+                    )
+                )
+            ).alias("__cms"),
+            F.coalesce(
+                F.sum(F.when(F.col("d") == 0, F.col("cnt"))), F.lit(0)
+            )
+            .cast("long")
+            .alias("__tot"),
+        )
+        .withColumn(
+            # ceil(ppm * n / 1e6) on DECIMAL — candidates must clear the
+            # integer threshold the exact test uses
+            "__thr",
+            exact_floor_div(
+                dec(F.col("__tot")) * F.lit(ppm) + F.lit(1_000_000 - 1),
+                dec(F.lit(1_000_000)),
+            ),
+        )
+        # sever lineage from df: packed derives from the SAME input, so the
+        # probe filter's columns share exprIds with the sketch subtree and
+        # Catalyst can push the probe below the crossJoin onto the packed
+        # side (runtime ATTRIBUTE_NOT_FOUND). One eager row — negligible.
+        .localCheckpoint()
+    )
+    v = F.col(value_col)
+    # depth is a plan-time int: unroll the probe instead of a HOF lambda —
+    # a transform() lambda in a join-side filter trips the optimizer's
+    # reference tracking (the predicate gets pushed to the broadcast side
+    # it can't bind on), and the unrolled F.least is cheaper anyway
+    est = F.least(
+        *[
+            F.coalesce(
+                F.element_at(
+                    F.col("__cms"),
+                    (
+                        F.lit(d * width).cast("long")
+                        + F.pmod(F.xxhash64(F.lit(d).cast("int"), v), F.lit(width))
+                    ).cast("int"),
+                ),
+                F.lit(0).cast("long"),
+            )
+            for d in range(depth)
+        ]
+    ) if depth > 1 else F.coalesce(
+        F.element_at(
+            F.col("__cms"),
+            F.pmod(F.xxhash64(F.lit(0).cast("int"), v), F.lit(width)).cast("int"),
+        ),
+        F.lit(0).cast("long"),
+    )
+    rhs = F.broadcast(packed) if broadcast else packed
+    cand = (
+        df.filter(v.isNotNull())
+        .crossJoin(rhs)
+        .filter(est >= F.col("__thr"))
+        .select(v.alias(value_col), F.col("__tot"))
+    )
+    return (
+        cand.groupBy(value_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_count"),
+            F.first("__tot").alias("n_total"),
+        )
+        # exact re-test on DECIMAL (count*1e6 and ppm*n both near-LONG)
+        .filter(
+            dec(F.col("n_count")) * F.lit(1_000_000)
+            >= F.lit(ppm) * dec(F.col("n_total"))
+        )
+        .select(
+            value_col,
+            "n_count",
+            "n_total",
+            exact_floor_div(
+                dec(F.col("n_count")) * F.lit(1_000_000), dec(F.col("n_total"))
+            ).alias("share_ppm"),
+        )
+    )
+
+
+def bloom_prefilter_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | Sequence[str],
+    *,
+    how: str = "inner",
+    m_bits: int = 1 << 20,
+    depth: int = 3,
+    broadcast: bool = True,
+) -> DataFrame:
+    """Equi-join with an explicit runtime row filter: build a
+    :func:`bloom_sketch` of the RIGHT side's join keys, probe the LEFT
+    side MAP-SIDE against the broadcast sketch, and shuffle only the rows
+    that might match into the exact join. Bloom has no false negatives,
+    so no matching row is lost; false positives are removed by the exact
+    join — the OUTPUT equals ``left.join(right, on, how)`` exactly, only
+    the shuffle volume changes.
+
+    This is the 100 TB join pattern Spark's own runtime-bloom filter
+    (spark.sql.optimizer.runtime.bloomFilter.enabled) applies opportunistically,
+    made EXPLICIT and deterministic: when the left side is a wide fact
+    table and the right side matches a small fraction of its keys, the
+    left side's non-matching rows never leave the mappers. Worth it when
+    |right keys| << |left rows| and the join would otherwise shuffle the
+    full left side; useless when most left rows match (the probe keeps
+    everything) — size ``m_bits >= ~10x`` the right key count for ~1% FP
+    at depth 3.
+
+    ``how`` is restricted to ``inner`` / ``semi`` (``left_semi``): an
+    outer flavor must keep non-matching rows, which is exactly what the
+    prefilter drops. Composite keys hash through one chained xxhash64
+    column on both sides (the bloom is over the combined key). NULL keys
+    never match an equi-join and the probe already maps them to False.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    if not keys:
+        raise ValueError("bloom_prefilter_join: empty join key list")
+    hows = {"inner": "inner", "semi": "left_semi", "left_semi": "left_semi"}
+    if how not in hows:
+        raise ValueError(
+            f"bloom_prefilter_join: how must be inner or semi (got {how!r}); "
+            "outer joins must keep the rows a prefilter drops"
+        )
+    if len(keys) == 1:
+        kcol = keys[0]
+        lprobe, rbuild, probe_col, tmp = left, right, kcol, None
+    else:
+        # one combined hash key on both sides; NULL in any component makes
+        # the equi-join false anyway, so hashing NULL-containing tuples to
+        # a shared bucket costs only a (removed) false positive
+        tmp = "__bpj_k"
+        null_any = None
+        for k in keys:
+            c = F.col(k).isNull()
+            null_any = c if null_any is None else (null_any | c)
+        lprobe = left.withColumn(
+            tmp, F.when(null_any, F.lit(None)).otherwise(F.xxhash64(*keys))
+        )
+        rbuild = right.withColumn(
+            tmp, F.when(null_any, F.lit(None)).otherwise(F.xxhash64(*keys))
+        )
+        probe_col = tmp
+    sk = bloom_sketch(rbuild, probe_col, m_bits=m_bits, depth=depth)
+    filt = bloom_contains(
+        sk,
+        lprobe,
+        probe_col,
+        m_bits=m_bits,
+        depth=depth,
+        broadcast=broadcast,
+        out_col="__bpj_maybe",
+    )
+    pre = filt.filter(F.col("__bpj_maybe")).drop("__bpj_maybe")
+    if tmp is not None:
+        pre = pre.drop(tmp)
+    return pre.join(right, keys, hows[how])

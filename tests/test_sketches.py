@@ -392,3 +392,97 @@ def test_bloom_keyless_roundtrip(spark):
     sk = bloom_sketch(data, "v", m_bits=4096, depth=3)
     out = bloom_contains(sk, data, "v", m_bits=4096, depth=3)
     assert out.filter(~F.col("maybe_present")).count() == 0
+
+
+def test_heavy_hitters_exact_vs_groupby(spark):
+    from funcify_feature_eng_spark.operators.sketches import heavy_hitters
+
+    rows = [("a",)] * 50 + [("b",)] * 30 + [("c",)] * 15 + [("d",)] * 4 + [(None,)]
+    df = spark.createDataFrame(rows, "v string").repartition(4)
+    # n = 99 non-NULL; threshold 15% -> ceil(0.15*99) = 15: a, b, c pass
+    got = {r["v"]: r for r in heavy_hitters(df, "v", min_share_ppm=150_000).collect()}
+    assert set(got) == {"a", "b", "c"}
+    assert got["a"]["n_count"] == 50 and got["a"]["n_total"] == 99
+    assert got["a"]["share_ppm"] == 50 * 1_000_000 // 99
+    assert got["c"]["n_count"] == 15
+    # boundary: exactly at the threshold passes (count*1e6 >= ppm*n)
+    assert got["c"]["share_ppm"] == 15 * 1_000_000 // 99
+
+
+def test_heavy_hitters_collision_superset_still_exact(spark):
+    from funcify_feature_eng_spark.operators.sketches import heavy_hitters
+
+    # width=2 forces heavy CMS collisions: candidates over-admit, but the
+    # exact re-test must still produce exactly the true heavy hitters
+    rows = [(f"k{i}",) for i in range(40)] + [("hot",)] * 60
+    df = spark.createDataFrame(rows, "v string").repartition(8)
+    got = heavy_hitters(df, "v", min_share_ppm=500_000, width=2, depth=1).collect()
+    assert [(r["v"], r["n_count"]) for r in got] == [("hot", 60)]
+
+
+def test_heavy_hitters_empty_and_validation(spark):
+    import pytest
+
+    from funcify_feature_eng_spark.operators.sketches import heavy_hitters
+
+    df = spark.createDataFrame([], "v string")
+    assert heavy_hitters(df, "v", min_share_ppm=1).collect() == []
+    with pytest.raises(ValueError, match="min_share_ppm"):
+        heavy_hitters(df, "v", min_share_ppm=0)
+    with pytest.raises(ValueError, match="broadcast cap"):
+        heavy_hitters(df, "v", min_share_ppm=1, width=1 << 22, depth=2)
+
+
+def test_bloom_prefilter_join_equals_plain_join(spark):
+    from funcify_feature_eng_spark.operators.sketches import bloom_prefilter_join
+
+    left = spark.createDataFrame(
+        [(i, f"p{i % 7}") for i in range(200)] + [(None, "pn")], "k long, tag string"
+    )
+    right = spark.createDataFrame(
+        [(3, "x"), (77, "y"), (150, "z"), (999, "absent"), (None, "rn")],
+        "k long, val string",
+    )
+    got = bloom_prefilter_join(left, right, "k").orderBy("k").collect()
+    want = left.join(right, "k", "inner").orderBy("k").collect()
+    assert got == want and len(got) == 3
+    semi = bloom_prefilter_join(left, right, "k", how="semi").orderBy("k").collect()
+    want_semi = left.join(right, "k", "left_semi").orderBy("k").collect()
+    assert semi == want_semi
+
+
+def test_bloom_prefilter_join_tiny_filter_composite_and_validation(spark):
+    import pytest
+
+    from funcify_feature_eng_spark.operators.sketches import bloom_prefilter_join
+
+    # m_bits=64 saturates the bloom (all-FP prefilter) -- output must STILL
+    # be the exact join, just without shuffle savings
+    left = spark.createDataFrame(
+        [(i % 5, i % 3, i) for i in range(60)], "a int, b int, x long"
+    )
+    right = spark.createDataFrame([(1, 2, "m"), (4, 0, "n")], "a int, b int, y string")
+    got = (
+        bloom_prefilter_join(left, right, ["a", "b"], m_bits=64, depth=2)
+        .orderBy("x")
+        .collect()
+    )
+    want = left.join(right, ["a", "b"], "inner").orderBy("x").collect()
+    assert got == want and len(want) > 0
+    assert "__bpj_k" not in {c for r in got for c in r.asDict()}
+    with pytest.raises(ValueError, match="how must be"):
+        bloom_prefilter_join(left, right, ["a", "b"], how="left")
+    with pytest.raises(ValueError, match="empty join key"):
+        bloom_prefilter_join(left, right, [])
+
+
+def test_bloom_prefilter_join_probe_is_below_the_join(spark):
+    from funcify_feature_eng_spark.operators.sketches import bloom_prefilter_join
+
+    left = spark.createDataFrame([(i,) for i in range(500)], "k long")
+    right = spark.createDataFrame([(7,), (13,)], "k long")
+    out = bloom_prefilter_join(left, right, "k", broadcast=True)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the probe (a forall over xxhash64 positions) must appear in a Filter
+    # stage, i.e. rows are dropped before the exact join
+    assert "xxhash64" in plan and "Filter" in plan
