@@ -4898,6 +4898,113 @@ def q_bloom_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bloom_prefilter_join(li, urgent, "l_orderkey", m_bits=1 << 16)
 
 
+def _events_hh_stream_files(spark: SparkSession, sf_dir: str) -> str:
+    """2-file micro-batch split of events by event_id parity for the
+    streaming heavy-hitter gate — each batch carries roughly half of
+    every user's rows, so the counters provably accumulate across the
+    batch boundary. Content-stamped scaffolding like _doc_stream_files."""
+
+    def parts():
+        pdf = (
+            _t(spark, sf_dir, "events")
+            .select("event_id", "user_id")
+            .orderBy("event_id")
+            .toPandas()
+        )
+        return [pdf[pdf["event_id"] % 2 == 0], pdf[pdf["event_id"] % 2 == 1]]
+
+    tmp = os.path.join(
+        "/tmp", f"spark_graft_hh_stream_{os.path.basename(os.path.normpath(sf_dir))}"
+    )
+    return _write_micro_batches(
+        tmp, os.path.join(sf_dir, "events.parquet"), "1", parts
+    )
+
+
+def q_stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming frequency monitor feeding the exact heavy-hitter readout
+    (streaming/runner.py::cms_monitor_stream + operators/sketches.py::
+    heavy_hitters(sketch=...)): CMS counters maintained as a NATIVE
+    update-mode streaming aggregate across 2 micro-batches (events split
+    by event_id parity — state must cross the boundary), final state =
+    max cnt per (d, bucket), handed to the batch exact-verify pass as the
+    candidate sketch. The hashed property is stream ≡ batch twice over:
+    the streamed counters equal cms_sketch of the corpus, so the output
+    equals the plain GROUP BY ... HAVING oracle at the same integer
+    threshold. No Python stage anywhere; state is bounded at width x
+    depth counters no matter the stream length."""
+    from funcify_feature_eng_spark.operators.sketches import heavy_hitters
+
+    width, depth = 1024, 4
+    tmp = _events_hh_stream_files(spark, sf_dir)
+    sch = spark.read.parquet(tmp).schema
+    stream = (
+        spark.readStream.schema(sch).option("maxFilesPerTrigger", "1").parquet(tmp)
+    )
+    from funcify_feature_eng_spark.streaming.runner import cms_monitor_stream
+
+    out = cms_monitor_stream(stream, value_col="user_id", width=width, depth=depth)
+    _STREAM_GATE_SEQ[0] += 1
+    qname = f"stream_hh_sink_{_STREAM_GATE_SEQ[0]}"
+    shuffle_conf = "spark.sql.shuffle.partitions"
+    session_parts = spark.conf.get(shuffle_conf)
+    spark.conf.set(shuffle_conf, "4")
+    try:
+        q = (
+            out.writeStream.format("memory").queryName(qname)
+            .outputMode("update").trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set(shuffle_conf, session_parts)
+    final = (
+        spark.table(qname).groupBy("d", "bucket").agg(F.max("cnt").alias("cnt"))
+    )
+    return heavy_hitters(
+        _t(spark, sf_dir, "events"),
+        "user_id",
+        min_share_ppm=8_000,
+        width=width,
+        depth=depth,
+        sketch=final,
+    )
+
+
+def q_ranking_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality eval (operators/metrics.py::ranking_metrics):
+    precision@5 / recall@5 / reciprocal rank per order, exact ppm. The
+    predicted ranking is each order's parts by summed quantity (ties by
+    part key — deterministic); the relevant set is the order's returned
+    (l_returnflag='R') parts. Group-grain aggregates + one (query, doc)
+    equi-join; nothing windows over the corpus. Oracle = the identical
+    ROW_NUMBER + join formulation in DuckDB with integer division."""
+    from funcify_feature_eng_spark.operators.metrics import ranking_metrics
+
+    li = _t(spark, sf_dir, "lineitem")
+    scored = li.groupBy("l_orderkey", "l_partkey").agg(
+        F.sum("l_quantity").alias("__score")
+    )
+    w = Window.partitionBy("l_orderkey").orderBy(
+        F.col("__score").desc(), F.col("l_partkey").asc()
+    )
+    results = scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= 5
+    )
+    truth = (
+        li.filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    return ranking_metrics(
+        results,
+        truth,
+        query_col="l_orderkey",
+        doc_col="l_partkey",
+        rank_col="rank",
+        k=5,
+    )
+
+
 def q_pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank (operators/graph.py::pagerank) over the symmetrized
     thinned co-order part graph, 8 iterations, damping 85/100 — PINNED
@@ -5536,6 +5643,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-5 wave 18: CMS heavy hitters + bloom-prefiltered join
         "heavy_hitters": q_heavy_hitters,
         "bloom_join": q_bloom_join,
+        # round-5 wave 19: retrieval-quality eval metrics
+        "ranking_metrics": q_ranking_metrics,
+        # round-5 wave 20: streaming CMS monitor -> exact heavy hitters
+        "stream_heavy_hitters": q_stream_heavy_hitters,
     }
 
 
@@ -9540,5 +9651,60 @@ FROM lineitem l
 JOIN (SELECT o_orderkey, o_totalprice FROM orders
       WHERE o_orderpriority = '1-URGENT') o
   ON l.l_orderkey = o.o_orderkey
+"""
+    # ranking metrics: identical ROW_NUMBER ranking + hit join; integer //
+    # replays the LONG div; NULL where the denominator is 0 (precision
+    # with nothing retrieved, recall with nothing relevant), rr 0 on miss
+    sqls["ranking_metrics"] = """
+WITH scored AS (
+  SELECT l_orderkey, l_partkey, SUM(l_quantity) AS score
+  FROM lineitem GROUP BY 1, 2
+),
+res AS (
+  SELECT l_orderkey, l_partkey, rnk FROM (
+    SELECT l_orderkey, l_partkey,
+           ROW_NUMBER() OVER (PARTITION BY l_orderkey
+                              ORDER BY score DESC, l_partkey ASC) AS rnk
+    FROM scored
+  ) WHERE rnk <= 5
+),
+tru AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+  WHERE l_returnflag = 'R'
+),
+ret AS (SELECT l_orderkey, COUNT(*) AS n_retrieved FROM res GROUP BY 1),
+rel AS (SELECT l_orderkey, COUNT(*) AS n_relevant FROM tru GROUP BY 1),
+hit AS (
+  SELECT r.l_orderkey, COUNT(*) AS n_hits, MIN(r.rnk) AS first_hit
+  FROM res r JOIN tru t
+    ON r.l_orderkey = t.l_orderkey AND r.l_partkey = t.l_partkey
+  GROUP BY 1
+)
+SELECT COALESCE(rel.l_orderkey, ret.l_orderkey) AS l_orderkey,
+       CAST(COALESCE(rel.n_relevant, 0) AS BIGINT) AS n_relevant,
+       CAST(COALESCE(ret.n_retrieved, 0) AS BIGINT) AS n_retrieved,
+       CAST(COALESCE(hit.n_hits, 0) AS BIGINT) AS n_hits,
+       CAST(CASE WHEN COALESCE(ret.n_retrieved, 0) > 0
+                 THEN (COALESCE(hit.n_hits, 0) * 1000000)
+                      // ret.n_retrieved END AS BIGINT) AS precision_ppm,
+       CAST(CASE WHEN COALESCE(rel.n_relevant, 0) > 0
+                 THEN (COALESCE(hit.n_hits, 0) * 1000000)
+                      // rel.n_relevant END AS BIGINT) AS recall_ppm,
+       CAST(COALESCE(1000000 // hit.first_hit, 0) AS BIGINT) AS rr_ppm
+FROM rel FULL OUTER JOIN ret ON rel.l_orderkey = ret.l_orderkey
+LEFT JOIN hit ON COALESCE(rel.l_orderkey, ret.l_orderkey) = hit.l_orderkey
+"""
+    # streaming heavy hitters: the streamed CMS state only shapes the
+    # candidate plan; the value contract is the same exact GROUP BY ...
+    # HAVING as the batch gate, at the 0.8% threshold
+    sqls["stream_heavy_hitters"] = """
+WITH nn AS (SELECT user_id FROM events WHERE user_id IS NOT NULL),
+tot AS (SELECT COUNT(*) AS n FROM nn),
+c AS (SELECT user_id, COUNT(*) AS n_count FROM nn GROUP BY 1)
+SELECT c.user_id, CAST(c.n_count AS BIGINT) AS n_count,
+       CAST(t.n AS BIGINT) AS n_total,
+       CAST((c.n_count * 1000000) // t.n AS BIGINT) AS share_ppm
+FROM c CROSS JOIN tot t
+WHERE c.n_count * 1000000 >= 8000 * t.n
 """
     return sqls

@@ -288,3 +288,97 @@ def bootstrap_ci(
         _pick(med_rank).alias("median_e6"),
         _pick(hi_rank).alias("hi_e6"),
     )
+
+
+def ranking_metrics(
+    results: DataFrame,
+    truth: DataFrame,
+    *,
+    query_col: str,
+    doc_col: str,
+    rank_col: str,
+    k: int,
+) -> DataFrame:
+    """Exact per-query retrieval quality on the integer ppm grid:
+    precision@k, recall@k, and reciprocal rank — the eval harness for the
+    retrieval family (bm25_topk, ann_*_topk, hybrid_rrf), whose outputs
+    are exactly this ``(query, doc, rank)`` shape.
+
+    Inputs: ``results`` holds predicted rankings (``rank_col`` 1-based;
+    rows with rank > k or NULL ignored); ``truth`` holds the relevant
+    ``(query, doc)`` pairs (binary relevance; duplicates collapse). Output
+    one row per query appearing in EITHER side::
+
+        (query_col, n_relevant, n_retrieved, n_hits,
+         precision_ppm, recall_ppm, rr_ppm)
+
+    ``precision_ppm = floor(hits*1e6 / n_retrieved)`` (NULL when the query
+    retrieved nothing), ``recall_ppm = floor(hits*1e6 / n_relevant)``
+    (NULL when the query has no relevant docs — undefined, not zero), and
+    ``rr_ppm = floor(1e6 / first_hit_rank)`` (0 when no hit in the top k —
+    the MRR convention). All exact LONG division; any engine reproduces
+    the numbers from the same rows.
+
+    Plan shape: ONE combinable aggregate per side plus an inner join of
+    results x truth on (query, doc) for the hit set — every shuffle is on
+    (query) or (query, doc) keys at group grain; nothing is windowed over
+    the corpus. Skewed queries cost what their own top-k costs.
+
+    Reference anchor: the reference computes features, not metrics —
+    SURVEY §2 extension beside group_auc / knn_label_eval.
+    """
+    if k < 1:
+        raise ValueError(f"ranking_metrics: k must be >= 1, got {k}")
+    q, d, r = F.col(query_col), F.col(doc_col), F.col(rank_col)
+    res = results.filter(
+        q.isNotNull() & d.isNotNull() & r.isNotNull() & (r <= k) & (r >= 1)
+    ).select(q.alias("__q"), d.alias("__d"), r.cast("long").alias("__r"))
+    tru = (
+        truth.filter(q.isNotNull() & d.isNotNull())
+        .select(q.alias("__q"), d.alias("__d"))
+        .distinct()
+    )
+    ret = res.groupBy("__q").agg(F.count(F.lit(1)).cast("long").alias("n_retrieved"))
+    rel = tru.groupBy("__q").agg(F.count(F.lit(1)).cast("long").alias("n_relevant"))
+    hits = (
+        res.join(tru, ["__q", "__d"])
+        .groupBy("__q")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_hits"),
+            F.min("__r").alias("__first_hit"),
+        )
+    )
+    j = (
+        rel.join(ret, "__q", "full_outer")
+        .join(hits, "__q", "left")
+        .select(
+            F.col("__q").alias(query_col),
+            F.coalesce("n_relevant", F.lit(0)).cast("long").alias("n_relevant"),
+            F.coalesce("n_retrieved", F.lit(0)).cast("long").alias("n_retrieved"),
+            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+            F.col("__first_hit"),
+        )
+    )
+    return j.select(
+        query_col,
+        "n_relevant",
+        "n_retrieved",
+        "n_hits",
+        F.when(
+            F.col("n_retrieved") > 0,
+            F.expr("(n_hits * 1000000L) div n_retrieved"),
+        )
+        .cast("long")
+        .alias("precision_ppm"),
+        F.when(
+            F.col("n_relevant") > 0,
+            F.expr("(n_hits * 1000000L) div n_relevant"),
+        )
+        .cast("long")
+        .alias("recall_ppm"),
+        F.coalesce(
+            F.expr("1000000L div __first_hit"), F.lit(0)
+        )
+        .cast("long")
+        .alias("rr_ppm"),
+    )

@@ -471,6 +471,7 @@ def heavy_hitters(
     width: int = 1024,
     depth: int = 4,
     broadcast: bool = True,
+    sketch: DataFrame | None = None,
 ) -> DataFrame:
     """Exact frequent items above a share threshold, found WITHOUT
     shuffling the distinct-key space: the classic two-pass CMS-candidate
@@ -501,6 +502,17 @@ def heavy_hitters(
     NULLs drop (no frequency). ``min_share_ppm`` in [1, 1e6]; the ppm
     grid assumes n <= ~9e12 (LONG), the repo-wide convention.
 
+    ``sketch`` optionally supplies a prebuilt counter table in the
+    :func:`cms_sketch` shape ``(d, bucket, cnt)`` — same width/depth —
+    skipping pass 1. This is how a STREAMING sketch feeds the same exact
+    readout: ``streaming/runner.py::cms_monitor_stream`` maintains these
+    counters live; hand its current state here with the same corpus and
+    the output is still exact. The sketch MUST be the sketch of exactly
+    ``df``'s rows (n_total and the candidate threshold both derive from
+    its d=0 slice): a sketch of fewer rows can undercount a true heavy
+    hitter out of the candidate set, one of more rows inflates the
+    threshold — both directions can silently drop true heavy hitters.
+
     Reference anchor: no frequency tier in the reference (its registry is
     exact per-feature metadata, ``materializer`` module) — SURVEY §2
     extension beside cms_sketch.
@@ -518,7 +530,9 @@ def heavy_hitters(
         )
     ppm = int(min_share_ppm)
     dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
-    sk = cms_sketch(df, value_col, width=width, depth=depth)
+    sk = sketch if sketch is not None else cms_sketch(
+        df, value_col, width=width, depth=depth
+    )
     # pack to ONE row: map[(d*width + bucket)] -> cnt, plus the exact total
     # (each value increments exactly one bucket per depth row, so the d=0
     # slice sums to n — no second pass over the data)

@@ -841,3 +841,46 @@ def decay_monitor_stream(
         )
 
     return _start_foreach_batch(stream_df, process, checkpoint_dir, trigger_seconds)
+
+
+def cms_monitor_stream(
+    stream_df: DataFrame,
+    *,
+    value_col: str,
+    width: int = 1024,
+    depth: int = 4,
+) -> DataFrame:
+    """Streaming count-min frequency monitor: the live twin of
+    ``operators/sketches.py::cms_sketch``, maintained as a NATIVE
+    update-mode streaming aggregate — no Python stage, no custom state
+    handler; the state store holds at most ``width x depth`` counter rows
+    no matter how many events or distinct values flow through (the whole
+    point of sketching a 10^12-row stream).
+
+    Each arriving value increments one bucket per depth row
+    (``xxhash64(d, value) pmod width`` — byte-identical to the batch
+    sketch and the pure-Python fixture twin), so after ANY prefix of the
+    stream the counters equal ``cms_sketch`` of that prefix EXACTLY:
+    stream ≡ batch, the property the driver gate hashes. Counters are
+    monotone; a downstream reader of an update-mode sink takes the max
+    cnt per (d, bucket) for the current sketch, probes it with
+    ``cms_estimate``, or feeds it to ``heavy_hitters(..., sketch=...)``
+    for an exact frequent-items readout.
+
+    Reference anchor: the reference's stream module recomputes
+    per-message features only (``stream-functions/.../StreamFunctions.kt``)
+    — cross-batch mergeable frequency state is the Spark-side capability
+    on top (SURVEY §2.8 extension beside stateful_kmv_stream).
+    """
+    from funcify_feature_eng_spark.operators.sketches import _cms_buckets
+
+    if width < 2 or depth < 1:
+        raise ValueError(
+            f"cms_monitor_stream: need width >= 2, depth >= 1; got {width}, {depth}"
+        )
+    ex = stream_df.filter(F.col(value_col).isNotNull()).select(
+        F.posexplode(_cms_buckets(value_col, width, depth)).alias("d", "bucket")
+    )
+    return ex.groupBy("d", "bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )

@@ -185,3 +185,58 @@ def test_bootstrap_ci_empty_means_yields_null_endpoints(spark):
     # the SQL twin's ms[1] on an empty list), never an ANSI index crash
     assert row["n_replicates"] == 0
     assert row["lo_e6"] is None and row["hi_e6"] is None
+
+
+def test_ranking_metrics_exact(spark):
+    from funcify_feature_eng_spark.operators.metrics import ranking_metrics
+
+    results = spark.createDataFrame(
+        [
+            # q1: hits at ranks 2 and 3 of 3 retrieved
+            ("q1", "a", 1), ("q1", "b", 2), ("q1", "c", 3),
+            # q2: no hits in top k (rank 6 is beyond k=5)
+            ("q2", "x", 1), ("q2", "b", 6),
+            # q3: retrieved but no truth row at all
+            ("q3", "z", 1),
+            # NULL/odd ranks ignored
+            ("q1", "zz", None), ("q1", "zy", 0),
+        ],
+        "q string, doc string, rank int",
+    )
+    truth = spark.createDataFrame(
+        [("q1", "b"), ("q1", "c"), ("q1", "d"), ("q2", "b"), ("q2", "b"),
+         ("q4", "only-truth")],
+        "q string, doc string",
+    )
+    rows = {
+        r["q"]: r
+        for r in ranking_metrics(
+            results, truth, query_col="q", doc_col="doc", rank_col="rank", k=5
+        ).collect()
+    }
+    assert set(rows) == {"q1", "q2", "q3", "q4"}
+    q1 = rows["q1"]
+    assert (q1["n_relevant"], q1["n_retrieved"], q1["n_hits"]) == (3, 3, 2)
+    assert q1["precision_ppm"] == 2 * 1_000_000 // 3
+    assert q1["recall_ppm"] == 2 * 1_000_000 // 3
+    assert q1["rr_ppm"] == 500_000  # first hit at rank 2
+    q2 = rows["q2"]
+    assert (q2["n_relevant"], q2["n_retrieved"], q2["n_hits"]) == (1, 1, 0)
+    assert q2["precision_ppm"] == 0 and q2["recall_ppm"] == 0 and q2["rr_ppm"] == 0
+    q3 = rows["q3"]
+    assert q3["n_relevant"] == 0 and q3["recall_ppm"] is None
+    assert q3["precision_ppm"] == 0
+    q4 = rows["q4"]
+    assert q4["n_retrieved"] == 0 and q4["precision_ppm"] is None
+    assert q4["recall_ppm"] == 0 and q4["rr_ppm"] == 0
+
+
+def test_ranking_metrics_validation(spark):
+    import pytest
+
+    from funcify_feature_eng_spark.operators.metrics import ranking_metrics
+
+    df = spark.createDataFrame([("q", "d", 1)], "q string, doc string, rank int")
+    with pytest.raises(ValueError, match="k must be"):
+        ranking_metrics(df, df.select("q", "doc"), query_col="q", doc_col="doc",
+                        rank_col="rank", k=0)

@@ -887,3 +887,72 @@ def test_store_publish_stream_cross_batch_and_bitemporal(spark, tmp_path):
     assert vals() == {"u1": 11.0, "u2": 21.0}
     # bitemporal: before batch 1's knowledge stamp, batch 0's world only
     assert vals("2025-01-01 12:00:00") == {"u1": 10.0, "u2": 20.0}
+
+
+def test_cms_monitor_stream_equals_batch_sketch(spark, tmp_path):
+    """Streaming CMS ≡ batch CMS: two micro-batches; the final (max-cnt)
+    counter per (d, bucket) must equal cms_sketch of the whole input, and
+    feeding that state to heavy_hitters(sketch=...) must give the exact
+    frequent items."""
+    import os as _os
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from funcify_feature_eng_spark.operators.sketches import (
+        cms_sketch,
+        heavy_hitters,
+    )
+    from funcify_feature_eng_spark.streaming.runner import cms_monitor_stream
+
+    src = str(tmp_path / "csrc")
+    _os.makedirs(src)
+    b0 = pd.DataFrame({"v": ["hot"] * 30 + [f"k{i}" for i in range(10)]})
+    b1 = pd.DataFrame({"v": ["hot"] * 20 + ["warm"] * 25 + [None]})
+    for i, part in enumerate((b0, b1)):
+        fp = _os.path.join(src, f"b{i}.parquet")
+        part.to_parquet(fp)
+        _os.utime(fp, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    width, depth = 64, 3
+    sch = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(sch).option("maxFilesPerTrigger", "1").parquet(src)
+    )
+    out = cms_monitor_stream(stream, value_col="v", width=width, depth=depth)
+    q = (
+        out.writeStream.format("memory").queryName("cms_test_sink")
+        .outputMode("update").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(180)
+    final = (
+        spark.table("cms_test_sink")
+        .groupBy("d", "bucket")
+        .agg(F.max("cnt").alias("cnt"))
+    )
+    batch_all = spark.read.parquet(src)
+    want = {
+        (r["d"], r["bucket"]): r["cnt"]
+        for r in cms_sketch(batch_all, "v", width=width, depth=depth).collect()
+    }
+    got = {(r["d"], r["bucket"]): r["cnt"] for r in final.collect()}
+    assert got == want and sum(c for (d, _), c in got.items() if d == 0) == 85
+    # the stream state feeds the exact heavy-hitter readout (>= 25%)
+    hh = {
+        r["v"]: r["n_count"]
+        for r in heavy_hitters(
+            batch_all, "v", min_share_ppm=250_000, width=width, depth=depth,
+            sketch=final,
+        ).collect()
+    }
+    assert hh == {"hot": 50, "warm": 25}
+
+
+def test_cms_monitor_stream_validation(spark):
+    import pytest
+
+    from funcify_feature_eng_spark.streaming.runner import cms_monitor_stream
+
+    df = spark.createDataFrame([("x",)], "v string")
+    with pytest.raises(ValueError, match="width"):
+        cms_monitor_stream(df, value_col="v", width=1)
