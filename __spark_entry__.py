@@ -36,7 +36,7 @@ from funcify_feature_eng_spark.functions.text import (
     token_count,
 )
 from funcify_feature_eng_spark.functions.vectors import cosine
-from funcify_feature_eng_spark.operators.asof import asof_join
+from funcify_feature_eng_spark.operators.asof import asof_join, asof_topk
 from funcify_feature_eng_spark.operators.dedup import (
     exact_dup_groups,
     minhash_lsh_pairs,
@@ -5382,6 +5382,57 @@ def q_zorder_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select("event_id", zvalue([gx, gy], bits=10).alias("zval"))
 
 
+def q_asof_topk_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-deep as-of join (operators/asof.py::asof_topk): each event picks
+    up its THREE most recent strictly-prior purchases per user — rank 1 =
+    newest — the "last k prior states" feature a single-row as-of can't
+    express. Plan: right-side row_number index, ONE union-window pass
+    carrying the latest visible index (identical leakage contract to
+    asof_join), ≤k-candidate explode, equi-join back — two entity-grain
+    shuffles, explode factor k, never a history-length collect. Oracle =
+    DuckDB LEFT JOIN LATERAL ... ORDER BY ts DESC LIMIT 3 with the same
+    (ts, event_id) tie-break."""
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    out = asof_topk(
+        ev.select("event_id", "user_id", "ts"),
+        purchases,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        value_cols={"value": "prior_value"},
+        k=3,
+        allow_exact_matches=False,
+        right_order=["event_id"],
+    )
+    return out.select("event_id", "user_id", "asof_rank", "prior_value")
+
+
+def q_session_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-stacking sweep (operators/intervals.py::
+    concurrency_profile): peak simultaneously-open sessions per day across
+    all users — sessions are the sessionize gate's (start, end+60s)
+    half-open spans. The classic sweep line needs ONE global running sum;
+    this plan splits it into a per-day-bucket window (parallel across
+    buckets) plus a bucket-grain carry-in prefix sum (thousands of rows,
+    not billions) — exact integers, two bucket-grain shuffles. Oracle =
+    the identical two-level prefix-sum formulation in SQL."""
+    from funcify_feature_eng_spark.operators.intervals import (
+        concurrency_profile,
+    )
+
+    sess = q_sessionize(spark, sf_dir).select(
+        F.col("session_start").alias("s"),
+        (
+            F.col("session_end").cast("timestamp")
+            + F.expr("INTERVAL 60 SECONDS")
+        ).alias("e"),
+    )
+    return concurrency_profile(sess, start_col="s", end_col="e", bucket="day")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: windowed turn features + strictly-prior as-of join at sf0.001."""
     sf_dir = "/root/testdata/sf0.001"
@@ -5647,6 +5698,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ranking_metrics": q_ranking_metrics,
         # round-5 wave 20: streaming CMS monitor -> exact heavy hitters
         "stream_heavy_hitters": q_stream_heavy_hitters,
+        # round-5 wave 21: k-deep as-of (asof family tail) + interval
+        # stacking (intervals family tail)
+        "asof_topk_purchases": q_asof_topk_purchases,
+        "session_concurrency": q_session_concurrency,
     }
 
 
@@ -9706,5 +9761,65 @@ SELECT c.user_id, CAST(c.n_count AS BIGINT) AS n_count,
        CAST((c.n_count * 1000000) // t.n AS BIGINT) AS share_ppm
 FROM c CROSS JOIN tot t
 WHERE c.n_count * 1000000 >= 8000 * t.n
+"""
+    # k-deep as-of: LATERAL top-3 strictly-prior purchases, same
+    # (ts DESC, event_id DESC) newest-first order as asof_topk's
+    # row_number index + right_order tie-break; LEFT ... ON TRUE keeps
+    # zero-prior events with NULL rank/payload (the left-join contract)
+    sqls["asof_topk_purchases"] = """
+SELECT e.event_id, e.user_id, t.asof_rank, t.prior_value
+FROM events e LEFT JOIN LATERAL (
+  SELECT CAST(row_number() OVER (ORDER BY p.ts DESC, p.event_id DESC) AS INT)
+           AS asof_rank,
+         p.value AS prior_value
+  FROM events p
+  WHERE p.user_id = e.user_id AND p.event_type = 'purchase' AND p.ts < e.ts
+  ORDER BY p.ts DESC, p.event_id DESC LIMIT 3
+) t ON TRUE
+"""
+    # session concurrency: sessionize CTE reused verbatim, then the same
+    # two-level sweep — per-day running sum + bucket-grain carry-in.
+    # MAX(r) per bucket is order-invariant among equal (t, d) ties, so
+    # engine-side tie ordering can't flip the value.
+    sqls["session_concurrency"] = f"""
+WITH g AS (
+  SELECT user_id, ts, event_id,
+         (epoch_us(ts) - epoch_us(lag(ts) OVER w)) / 1000000.0 AS gap_secs
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT user_id, ts,
+         CAST(SUM(CASE WHEN gap_secs > {GAP_S} THEN 1 ELSE 0 END)
+              OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS INT)
+           AS session_id
+  FROM g
+), sess AS (
+  SELECT MIN(ts) AS st, MAX(ts) + INTERVAL 60 SECOND AS en
+  FROM s GROUP BY user_id, session_id
+), sweep AS (
+  SELECT CAST(date_trunc('day', st) AS TIMESTAMP) AS b, st AS t, 1 AS d
+  FROM sess
+  UNION ALL
+  SELECT CAST(date_trunc('day', en) AS TIMESTAMP) AS b, en AS t, -1 AS d
+  FROM sess
+), run AS (
+  SELECT b, d,
+         SUM(d) OVER (PARTITION BY b ORDER BY t, d
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS r
+  FROM sweep
+), per_bucket AS (
+  SELECT b, MAX(r) AS peak, SUM(d) AS net,
+         SUM(CASE WHEN d = 1 THEN 1 ELSE 0 END) AS n_starts,
+         SUM(CASE WHEN d = -1 THEN 1 ELSE 0 END) AS n_ends
+  FROM run GROUP BY b
+)
+SELECT b AS bucket_ts,
+       CAST(COALESCE(SUM(net) OVER (ORDER BY b
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + peak
+            AS BIGINT) AS max_concurrent,
+       CAST(n_starts AS BIGINT) AS n_starts,
+       CAST(n_ends AS BIGINT) AS n_ends
+FROM per_bucket
 """
     return sqls

@@ -634,3 +634,94 @@ def choose_asof_strategy(
             salt_max_right_bytes = 4 * broadcast_bytes
         return "salted" if est <= salt_max_right_bytes else "segmented"
     return "union_window"
+
+
+def asof_topk(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    on: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    value_cols: Sequence[str] | dict[str, str],
+    k: int,
+    rank_col: str = "asof_rank",
+    allow_exact_matches: bool = True,
+    right_order: Sequence[str] = (),
+) -> DataFrame:
+    """k-deep as-of join: for each left row, the ``k`` MOST RECENT right
+    rows with ``right_ts <= left_ts`` (``<`` when
+    ``allow_exact_matches=False``), per ``on`` entity — the "last k prior
+    purchases / tool calls / turns" feature family that a single-row as-of
+    (:func:`asof_join`, reference semantics at
+    ``schema/feature/FeatureJsonValueStore.kt:11-18``) can't express.
+
+    Output grain: one row per (left row, visible prior) with ``rank_col``
+    = 1 for the newest visible prior, 2 for the next, ... up to ``k``;
+    left rows with ZERO visible priors survive once with NULL rank and
+    payload (left-join semantics, same contract as ``asof_join``). Ties
+    among right rows at equal ``right_ts`` break by ``right_order``.
+
+    Plan (exact, bounded state — never a per-row collect of the whole
+    history): (1) index right rows per entity with ``row_number`` ordered
+    by (ts, right_order); (2) the union-window forward-fill of
+    :func:`asof_join` carries the LATEST visible index ``r*`` onto each
+    left row — one window pass, identical leakage contract; (3) each left
+    row explodes the index range ``[max(r*-k+1, 1) .. r*]`` (≤ k
+    candidates) and equi-joins back to the indexed right side on
+    (entity, index). Two entity-grain shuffles + one equi-join; the
+    explode factor is k, not history length, so a hot entity with a
+    million priors costs the same per left row as a cold one.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    vals = _normalize_values(value_cols)
+    _validate(left, on, [*vals.values(), rank_col])
+    ridx = "__asof_topk_ridx"
+    cand = "__asof_topk_cand"
+    pos = "__asof_topk_pos"
+    w_idx = Window.partitionBy(*on).orderBy(
+        F.col(right_ts).asc(), *[F.col(c).asc_nulls_first() for c in right_order]
+    )
+    indexed = right.withColumn(ridx, F.row_number().over(w_idx))
+    # Step 2: latest visible index per left row — exactly asof_join's
+    # union-window pass with the index as the (only) payload, so the
+    # allow_exact_matches side-ordering contract is inherited verbatim.
+    u = _tagged_union(
+        left, indexed.select(*on, right_ts, ridx),
+        on, left_ts, right_ts, {ridx: ridx}, right_order=(),
+    )
+    latest = _ffill_and_project(
+        u, left.columns, on, {ridx: ridx}, allow_exact_matches, 0
+    )
+    # Step 3: ≤k candidate indices, newest first; NULL r* keeps one
+    # NULL-candidate row so zero-prior left rows survive the left join.
+    lo = F.greatest(F.col(ridx) - F.lit(k - 1), F.lit(1))
+    cands = F.when(
+        F.col(ridx).isNull(), F.array(F.lit(None).cast("int"))
+    ).otherwise(F.sequence(F.col(ridx), lo, F.lit(-1)))
+    exploded = latest.select(
+        *left.columns, F.posexplode_outer(cands).alias(pos, cand)
+    )
+    payload = indexed.select(
+        *[F.col(c).alias(f"__asof_topk_on_{i}") for i, c in enumerate(on)],
+        F.col(ridx).alias(cand),
+        *[F.col(rc).alias(out) for rc, out in vals.items()],
+    )
+    joined = exploded.alias("__l").join(
+        payload.alias("__r"),
+        on=[
+            F.col(f"__l.{c}") == F.col(f"__r.__asof_topk_on_{i}")
+            for i, c in enumerate(on)
+        ]
+        + [F.col(f"__l.{cand}") == F.col(f"__r.{cand}")],
+        how="left",
+    )
+    rank = F.when(
+        F.col(f"__l.{cand}").isNotNull(), F.col(pos) + F.lit(1)
+    ).cast("int")
+    return joined.select(
+        *[F.col(f"__l.{c}") for c in left.columns],
+        rank.alias(rank_col),
+        *[F.col(f"__r.{out}").alias(out) for out in vals.values()],
+    )

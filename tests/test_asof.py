@@ -458,3 +458,86 @@ def test_nearest_tie_goes_backward_and_tolerance_applies(spark):
     # but 390 > 300 tolerance... backward candidate at s(110) gap=390 > tol
     # -> nulled in the backward pass; forward 1500 > tol -> NULL overall
     assert got[2] is None
+
+
+def oracle_topk(left_pd, right_pd, k, exact):
+    rows = []
+    for _, lr in left_pd.iterrows():
+        r = right_pd[right_pd.conv_id == lr.conv_id]
+        vis = r[r.value_at_ts <= lr.ts] if exact else r[r.value_at_ts < lr.ts]
+        vis = vis.sort_values(["value_at_ts", "value"], kind="stable").tail(k)
+        if len(vis) == 0:
+            rows.append((lr.conv_id, lr.turn_idx, None, None))
+        else:
+            for i, (_, rr) in enumerate(vis.iloc[::-1].iterrows(), 1):
+                rows.append((lr.conv_id, lr.turn_idx, i, rr.value))
+    return (
+        pd.DataFrame(rows, columns=["conv_id", "turn_idx", "asof_rank", "pv"])
+        .sort_values(["conv_id", "turn_idx", "asof_rank"], kind="stable")
+        .reset_index(drop=True)
+    )
+
+
+@pytest.mark.parametrize("exact", [True, False])
+@pytest.mark.parametrize("k", [1, 3, 100])
+def test_asof_topk_matches_bruteforce(
+    spark, transcripts, feature_store, transcripts_pd, feature_store_pd, exact, k
+):
+    from funcify_feature_eng_spark.operators.asof import asof_topk
+
+    got = (
+        asof_topk(
+            transcripts.select("conv_id", "turn_idx", "ts"),
+            feature_store,
+            on=["conv_id"],
+            left_ts="ts",
+            right_ts="value_at_ts",
+            value_cols={"value": "pv"},
+            k=k,
+            allow_exact_matches=exact,
+            right_order=["value"],
+        )
+        .orderBy("conv_id", "turn_idx", "asof_rank")
+        .toPandas()
+        .reset_index(drop=True)
+    )
+    exp = oracle_topk(transcripts_pd, feature_store_pd, k, exact)
+    assert len(got) == len(exp)
+    for col in ["conv_id", "turn_idx", "asof_rank", "pv"]:
+        g = got[col].to_numpy(object)
+        e = exp[col].to_numpy(object)
+        same = (g == e) | (pd.isna(g.astype(object)) & pd.isna(e.astype(object)))
+        assert same.all(), f"{col}: {got[~same].head()} vs {exp[~same].head()}"
+
+
+def test_asof_topk_k1_equals_asof_join(spark, transcripts, feature_store):
+    from funcify_feature_eng_spark.operators.asof import asof_topk
+
+    single = asof_join(
+        transcripts.select("conv_id", "turn_idx", "ts"),
+        feature_store,
+        on=["conv_id"],
+        left_ts="ts",
+        right_ts="value_at_ts",
+        value_cols={"value": "pv"},
+        allow_exact_matches=False,
+        right_order=["value"],
+    ).orderBy("conv_id", "turn_idx").toPandas()
+    topk = (
+        asof_topk(
+            transcripts.select("conv_id", "turn_idx", "ts"),
+            feature_store,
+            on=["conv_id"],
+            left_ts="ts",
+            right_ts="value_at_ts",
+            value_cols={"value": "pv"},
+            k=1,
+            allow_exact_matches=False,
+            right_order=["value"],
+        )
+        .orderBy("conv_id", "turn_idx")
+        .toPandas()
+    )
+    assert len(single) == len(topk)
+    g, e = topk["pv"].to_numpy(object), single["pv"].to_numpy(object)
+    assert ((g == e) | (pd.isna(g.astype(object)) & pd.isna(e.astype(object)))).all()

@@ -517,3 +517,96 @@ def test_scd2_apply_late_change_errors_or_drops(spark):
                              on_late="ignore")
     rows = _epochs(out)
     assert len(rows) == 1 and rows[0][:2] == ("u1", "A") and rows[0][3] is None
+
+
+class TestConcurrencyProfile:
+    def _brute(self, iv, bucket_fn):
+        # oracle: evaluate open-count at every sweep-event instant
+        import collections
+
+        events = []
+        for s, e in iv:
+            events.append((s, 1))
+            events.append((e, -1))
+        events.sort(key=lambda x: (x[0], x[1]))
+        per_bucket = collections.defaultdict(lambda: [0, 0, 0])  # peak, starts, ends
+        open_n = 0
+        seen = set()
+        for t, d in events:
+            open_n += d
+            b = bucket_fn(t)
+            if b not in seen:
+                seen.add(b)
+                per_bucket[b][0] = open_n
+            per_bucket[b][0] = max(per_bucket[b][0], open_n)
+            if d == 1:
+                per_bucket[b][1] += 1
+            else:
+                per_bucket[b][2] += 1
+        return {b: tuple(v) for b, v in per_bucket.items()}
+
+    def test_matches_bruteforce_sweep(self, spark):
+        import datetime as dt
+        import random
+
+        from funcify_feature_eng_spark.operators.intervals import (
+            concurrency_profile,
+        )
+
+        rng = random.Random(42)
+        base = dt.datetime(2024, 1, 1)
+        iv = []
+        for _ in range(400):
+            s = base + dt.timedelta(minutes=rng.randrange(0, 60 * 24 * 7))
+            e = s + dt.timedelta(minutes=rng.randrange(1, 60 * 30))
+            iv.append((s, e))
+        # adversarial: end == start of another (half-open: NOT concurrent)
+        iv.append((base, base + dt.timedelta(hours=1)))
+        iv.append((base + dt.timedelta(hours=1), base + dt.timedelta(hours=2)))
+        df = spark.createDataFrame(iv, ["s", "e"])
+        got = {
+            r["bucket_ts"]: (r["max_concurrent"], r["n_starts"], r["n_ends"])
+            for r in concurrency_profile(
+                df, start_col="s", end_col="e", bucket="day"
+            ).collect()
+        }
+        exp = self._brute(
+            iv, lambda t: t.replace(hour=0, minute=0, second=0, microsecond=0)
+        )
+        assert got == exp
+
+    def test_half_open_touching_intervals_not_concurrent(self, spark):
+        import datetime as dt
+
+        from funcify_feature_eng_spark.operators.intervals import (
+            concurrency_profile,
+        )
+
+        b = dt.datetime(2024, 5, 1)
+        df = spark.createDataFrame(
+            [(b, b + dt.timedelta(hours=1)),
+             (b + dt.timedelta(hours=1), b + dt.timedelta(hours=2))],
+            ["s", "e"],
+        )
+        rows = concurrency_profile(df, start_col="s", end_col="e").collect()
+        assert len(rows) == 1 and rows[0]["max_concurrent"] == 1
+
+    def test_carry_across_buckets(self, spark):
+        import datetime as dt
+
+        from funcify_feature_eng_spark.operators.intervals import (
+            concurrency_profile,
+        )
+
+        b = dt.datetime(2024, 5, 1)
+        # one interval spans 3 days; a second joins on day 3
+        df = spark.createDataFrame(
+            [(b, b + dt.timedelta(days=2, hours=5)),
+             (b + dt.timedelta(days=2, hours=1), b + dt.timedelta(days=2, hours=2))],
+            ["s", "e"],
+        )
+        got = {
+            str(r["bucket_ts"].date()): r["max_concurrent"]
+            for r in concurrency_profile(df, start_col="s", end_col="e").collect()
+        }
+        assert got == {"2024-05-01": 1, "2024-05-03": 2}
