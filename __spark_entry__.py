@@ -5433,6 +5433,44 @@ def q_session_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     return concurrency_profile(sess, start_col="s", end_col="e", bucket="day")
 
 
+def q_benford_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-digit Benford audit (operators/checks.py::benford_audit)
+    over order totals: value → 10^-2 DECIMAL grid → integer units →
+    first character of the decimal string — no log10, no float; the
+    Benford expectations are pinned literal ppm constants identical in
+    both engines. One digit-grain aggregate + a 9-row window."""
+    from funcify_feature_eng_spark.operators.checks import benford_audit
+
+    return benford_audit(_t(spark, sf_dir, "orders"), "o_totalprice", scale=2)
+
+
+def q_mad_outlier_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier flags (operators/scaling.py::mad_outliers): per-
+    priority Hampel identifier |x - median| > 3.5·MAD with the doubled-
+    median trick — median_x2 = lo + hi order stats, dev_x2 = |2x -
+    median_x2|, mad_x2 = doubled median of deviations, flag by the
+    cross-multiplied integer comparison dev_x2·4 > mad_x2·7. No division
+    anywhere; everything stays on the DECIMAL(28,2) grid so the oracle
+    replays it bit-for-bit. Two rank-sort Exchanges at group grain."""
+    from funcify_feature_eng_spark.operators.scaling import mad_outliers
+
+    out = mad_outliers(
+        _t(spark, sf_dir, "orders"),
+        "o_totalprice",
+        k_num=7,
+        k_den=2,
+        group_by=["o_orderpriority"],
+    )
+    return out.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.col("dev_x2").cast("decimal(28,2)").alias("dev_x2"),
+        F.col("median_x2").cast("decimal(28,2)").alias("median_x2"),
+        F.col("mad_x2").cast("decimal(28,2)").alias("mad_x2"),
+        "is_outlier",
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: windowed turn features + strictly-prior as-of join at sf0.001."""
     sf_dir = "/root/testdata/sf0.001"
@@ -5702,6 +5740,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # stacking (intervals family tail)
         "asof_topk_purchases": q_asof_topk_purchases,
         "session_concurrency": q_session_concurrency,
+        # round-5 wave 22: Benford digit audit (checks family tail) +
+        # MAD robust outliers (conditioning family tail)
+        "benford_prices": q_benford_prices,
+        "mad_outlier_prices": q_mad_outlier_prices,
     }
 
 
@@ -9821,5 +9863,64 @@ SELECT b AS bucket_ts,
        CAST(n_starts AS BIGINT) AS n_starts,
        CAST(n_ends AS BIGINT) AS n_ends
 FROM per_bucket
+"""
+    # Benford: same pinned log10(1+1/d) ppm literals, same string-based
+    # first digit over integer cents — neither engine computes a log
+    sqls["benford_prices"] = """
+WITH u AS (
+  SELECT CAST(CAST(o_totalprice AS DECIMAL(28,2)) * 100 AS DECIMAL(38,0))
+           AS units
+  FROM orders WHERE o_totalprice IS NOT NULL
+), d AS (
+  SELECT CAST(substring(CAST(units AS VARCHAR), 1, 1) AS INT) AS digit
+  FROM u WHERE units > 0
+), c AS (SELECT digit, COUNT(*) AS n FROM d GROUP BY 1),
+t AS (SELECT SUM(n) AS n_total FROM c),
+e AS (SELECT * FROM (VALUES (1,301030),(2,176091),(3,124939),(4,96910),
+      (5,79181),(6,66947),(7,57992),(8,51153),(9,45757)) v(digit, exp_ppm))
+SELECT c.digit, CAST(c.n AS BIGINT) AS n, CAST(t.n_total AS BIGINT) AS n_total,
+       CAST((c.n * 1000000) // t.n_total AS BIGINT) AS observed_ppm,
+       CAST(e.exp_ppm AS BIGINT) AS expected_ppm,
+       CAST((c.n * 1000000) // t.n_total - e.exp_ppm AS BIGINT) AS delta_ppm
+FROM c CROSS JOIN t JOIN e ON e.digit = c.digit
+"""
+    # MAD outliers: identical doubled-median order statistics + the same
+    # cross-multiplied flag — no division on either engine
+    sqls["mad_outlier_prices"] = """
+WITH v AS (
+  SELECT o_orderkey, o_orderpriority,
+         CAST(o_totalprice AS DECIMAL(28,2)) AS v
+  FROM orders
+), r AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY o_orderpriority ORDER BY v) AS rn,
+         COUNT(v) OVER (PARTITION BY o_orderpriority) AS n
+  FROM v
+), m AS (
+  SELECT o_orderpriority,
+         SUM(CASE WHEN rn = (n+1)//2 THEN v END)
+         + SUM(CASE WHEN rn = (n+2)//2 THEN v END) AS median_x2
+  FROM r GROUP BY 1
+), d AS (
+  SELECT r.o_orderkey, r.o_orderpriority, r.v, m.median_x2,
+         CAST(ABS(r.v * 2 - m.median_x2) AS DECIMAL(28,2)) AS dev_x2
+  FROM r JOIN m USING (o_orderpriority)
+), r2 AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY o_orderpriority ORDER BY dev_x2)
+           AS rn2,
+         COUNT(dev_x2) OVER (PARTITION BY o_orderpriority) AS n2
+  FROM d
+), m2 AS (
+  SELECT o_orderpriority,
+         SUM(CASE WHEN rn2 = (n2+1)//2 THEN dev_x2 END)
+         + SUM(CASE WHEN rn2 = (n2+2)//2 THEN dev_x2 END) AS mad_x2
+  FROM r2 GROUP BY 1
+)
+SELECT d.o_orderkey, d.o_orderpriority, d.dev_x2,
+       CAST(d.median_x2 AS DECIMAL(28,2)) AS median_x2,
+       CAST(m2.mad_x2 AS DECIMAL(28,2)) AS mad_x2,
+       d.dev_x2 * 4 > m2.mad_x2 * 7 AS is_outlier
+FROM d JOIN m2 USING (o_orderpriority)
 """
     return sqls

@@ -745,3 +745,66 @@ def profile_drift(base: DataFrame, cur: DataFrame) -> DataFrame:
         .cast("bigint")
         .alias("distinct_ratio_ppm"),
     )
+
+
+# log10(1 + 1/d) in parts-per-million, pinned as literals so NEITHER
+# engine evaluates a logarithm — the same constants appear verbatim in
+# any oracle replaying the audit
+BENFORD_FIRST_DIGIT_PPM = {
+    1: 301030, 2: 176091, 3: 124939, 4: 96910, 5: 79181,
+    6: 66947, 7: 57992, 8: 51153, 9: 45757,
+}
+
+
+def benford_audit(
+    df: DataFrame,
+    value_col: str,
+    *,
+    scale: int = 2,
+    group_by: Sequence[str] = (),
+) -> DataFrame:
+    """First-significant-digit distribution vs Benford's law — the
+    fraud/synthetic-data screen for naturally-occurring amounts
+    (prices, durations, counts). Emits one row per (``group_by``...,
+    ``digit``) with exact ``n``, total ``n_total``, floor-ppm
+    ``observed_ppm``, the pinned Benford ``expected_ppm``, and
+    ``delta_ppm`` = observed - expected.
+
+    Exactness: the value lands on a 10^-scale DECIMAL grid, scales to
+    integer units, and the first digit is the first character of the
+    integer's decimal string — no log10, no float anywhere (the Benford
+    expectations themselves are pinned literal constants,
+    ``BENFORD_FIRST_DIGIT_PPM``). Non-positive and NULL values are
+    excluded (Benford is defined on positive magnitudes).
+
+    Scale: one digit-grain aggregate (≤ 9 rows per group) + a window to
+    attach the group total — nothing row-grain ever shuffles twice."""
+    dec = f"decimal(28,{scale})"
+    units = (F.col(value_col).cast(dec) * F.lit(10**scale)).cast("decimal(38,0)")
+    digit = F.substring(units.cast("string"), 1, 1).cast("int")
+    from pyspark.sql import Window
+
+    keys = list(group_by)
+    counted = (
+        df.filter(F.col(value_col).isNotNull() & (units > 0))
+        .select(*keys, digit.alias("digit"))
+        .groupBy(*keys, "digit")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    wn = Window.partitionBy(*[F.col(k) for k in keys])
+    expected = F.create_map(
+        *[F.lit(x) for kv in BENFORD_FIRST_DIGIT_PPM.items() for x in kv]
+    )
+    return (
+        counted.withColumn("n_total", F.sum("n").over(wn).cast("bigint"))
+        .withColumn(
+            "observed_ppm",
+            _ratio_ppm(F.col("n"), F.col("n_total")).cast("bigint"),
+        )
+        .withColumn(
+            "expected_ppm", expected[F.col("digit")].cast("bigint")
+        )
+        .withColumn(
+            "delta_ppm", (F.col("observed_ppm") - F.col("expected_ppm")).cast("bigint")
+        )
+    )

@@ -431,3 +431,83 @@ def rank_quantiles(
             F.col("__n").alias("n_values"),
         )
     )
+
+
+def mad_outliers(
+    df: DataFrame,
+    value_col: str,
+    *,
+    k_num: int,
+    k_den: int = 1,
+    scale: int = 2,
+    group_by: Sequence[str] = (),
+    out_col: str = "is_outlier",
+) -> DataFrame:
+    """Robust per-group outlier flags via median absolute deviation:
+    ``|x - median| > (k_num/k_den) * MAD`` — the classic robust z-score
+    (Hampel identifier) that winsorization and standardization both
+    assume someone already ran. NULL values pass through unflagged
+    (NULL ``out_col``).
+
+    Exactness: no division ever happens. The doubled-median trick keeps
+    everything on the DECIMAL grid — ``median_x2 = lo + hi`` (the two
+    middle order statistics; equal when n is odd), per-row deviation
+    ``dev_x2 = |2x - median_x2|`` (= 2|x - median|), ``mad_x2`` = the
+    doubled median of the deviations (= 4·MAD), and the flag is the
+    cross-multiplied integer comparison ``2·dev_x2·k_den > k_num·mad_x2``
+    (⇔ |x-median| > k·MAD). Any engine replays it bit-for-bit; fractional
+    k comes in as a ratio (3.5 → k_num=7, k_den=2).
+
+    Output: input columns + ``dev_x2``, ``median_x2``, ``mad_x2``,
+    ``out_col`` — row grain preserved.
+
+    Scale: two rank-sort Exchanges at group grain (one per median), both
+    medians attached as window aggregates — no group-grain join, no
+    collect. The exact answer costs what exact medians cost; use
+    hist_quantiles for the one-pass approximate variant."""
+    if k_num < 0 or k_den <= 0:
+        raise ValueError(f"mad_outliers: bad k ratio {k_num}/{k_den}")
+    dec = f"decimal(28,{scale})"
+    v = F.col(value_col).cast(dec)
+    keys = [F.col(k) for k in group_by]
+    wn = Window.partitionBy(*keys)
+
+    def doubled_median(col: Column, frame: DataFrame) -> DataFrame:
+        # lo = order stat at rank (n+1)//2, hi at rank (n+2)//2; ties in
+        # the sort are value-identical at a given rank, so row_number's
+        # arbitrary tie order can't change the picked VALUES
+        w = Window.partitionBy(*keys).orderBy(col.asc_nulls_last())
+        rn = F.row_number().over(w).cast("long")
+        n = F.count(col).over(wn).cast("long")
+        return (
+            frame.withColumn("__rn", rn)
+            .withColumn("__lo_r", F.floor((n + F.lit(1)) / F.lit(2)))
+            .withColumn("__hi_r", F.floor((n + F.lit(2)) / F.lit(2)))
+        )
+
+    # pass 1: median of the values (NULLs sort last and are not counted —
+    # count(col) ignores them; their __rn rows sit past every valid rank)
+    p1 = doubled_median(v, df)
+    med2 = (
+        F.sum(F.when(F.col("__rn") == F.col("__lo_r"), v)).over(wn)
+        + F.sum(F.when(F.col("__rn") == F.col("__hi_r"), v)).over(wn)
+    ).alias("median_x2")
+    p1 = p1.withColumn("median_x2", med2).drop("__rn", "__lo_r", "__hi_r")
+    dev = F.when(
+        v.isNotNull(),
+        F.abs(v * F.lit(2) - F.col("median_x2")),
+    ).cast(dec)
+    p1 = p1.withColumn("dev_x2", dev)
+    # pass 2: median of the deviations
+    d = F.col("dev_x2")
+    p2 = doubled_median(d, p1)
+    mad2 = (
+        F.sum(F.when(F.col("__rn") == F.col("__lo_r"), d)).over(wn)
+        + F.sum(F.when(F.col("__rn") == F.col("__hi_r"), d)).over(wn)
+    ).alias("mad_x2")
+    p2 = p2.withColumn("mad_x2", mad2).drop("__rn", "__lo_r", "__hi_r")
+    flag = F.when(
+        d.isNotNull(),
+        (d * F.lit(2 * k_den)) > (F.col("mad_x2") * F.lit(k_num)),
+    )
+    return p2.withColumn(out_col, flag)

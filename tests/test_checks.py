@@ -324,3 +324,33 @@ def test_profile_drift_added_dropped_kept(spark):
     # added/dropped rows carry NULL deltas
     assert rows["t"]["null_ppm_delta"] is None
     assert rows["s"]["distinct_ratio_ppm"] is None
+
+
+class TestBenfordAudit:
+    def test_exact_counts_and_ppm(self, spark):
+        from funcify_feature_eng_spark.operators.checks import (
+            BENFORD_FIRST_DIGIT_PPM,
+            benford_audit,
+        )
+
+        # crafted: 6x values starting with 1, 3x with 2, 1x with 9;
+        # zero, negative and NULL excluded
+        vals = [1.23, 10.0, 199.99, 0.15, 0.0012, 1000.0,
+                2.5, 0.29, 25.0, 9.99, 0.0, -5.0, None]
+        df = spark.createDataFrame([(v,) for v in vals], ["v"])
+        rows = {r["digit"]: r for r in benford_audit(df, "v", scale=4).collect()}
+        assert rows[1]["n"] == 6 and rows[2]["n"] == 3 and rows[9]["n"] == 1
+        assert all(r["n_total"] == 10 for r in rows.values())
+        assert rows[1]["observed_ppm"] == 600_000
+        assert rows[1]["expected_ppm"] == BENFORD_FIRST_DIGIT_PPM[1]
+        assert rows[9]["delta_ppm"] == 100_000 - BENFORD_FIRST_DIGIT_PPM[9]
+
+    def test_grouped(self, spark):
+        from funcify_feature_eng_spark.operators.checks import benford_audit
+
+        df = spark.createDataFrame(
+            [("x", 1.0), ("x", 12.0), ("y", 9.0)], ["g", "v"]
+        )
+        rows = {(r["g"], r["digit"]): (r["n"], r["n_total"])
+                for r in benford_audit(df, "v", group_by=["g"]).collect()}
+        assert rows[("x", 1)] == (2, 2) and rows[("y", 9)] == (1, 1)

@@ -480,3 +480,62 @@ def test_rank_quantiles_matches_pure_python(spark):
     cuts = sorted({got[("g0", p)][0] for p in (250_000, 500_000, 750_000)})
     binned = bin_by_cuts(df.filter(F.col("g") == "g0"), "v", cuts)
     assert binned.filter(F.col("bin").isNull()).count() == 1  # the NULL row
+
+
+class TestMadOutliers:
+    def _brute(self, vals, k):
+        import statistics
+
+        med = statistics.median(vals)
+        devs = [abs(v - med) for v in vals]
+        mad = statistics.median(devs)
+        return [abs(v - med) > k * mad for v in vals]
+
+    def test_matches_bruteforce(self, spark):
+        import random
+
+        from funcify_feature_eng_spark.operators.scaling import mad_outliers
+
+        rng = random.Random(7)
+        rows = []
+        for g in ["a", "b"]:
+            base = [round(rng.uniform(10, 20), 2) for _ in range(51 if g == "a" else 40)]
+            base += [999.99, -500.25]  # gross outliers
+            rows += [(g, i, v) for i, v in enumerate(base)]
+        df = spark.createDataFrame(rows, ["g", "i", "v"])
+        got = (
+            mad_outliers(df, "v", k_num=7, k_den=2, group_by=["g"])
+            .orderBy("g", "i")
+            .collect()
+        )
+        import collections
+
+        by_g = collections.defaultdict(list)
+        for g, i, v in rows:
+            by_g[g].append(v)
+        exp = {g: self._brute(vs, 3.5) for g, vs in by_g.items()}
+        for r in got:
+            assert r["is_outlier"] == exp[r["g"]][r["i"]], (r["g"], r["i"])
+
+    def test_nulls_pass_through_unflagged(self, spark):
+        from funcify_feature_eng_spark.operators.scaling import mad_outliers
+
+        df = spark.createDataFrame(
+            [("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", None), ("a", 100.0)],
+            ["g", "v"],
+        )
+        got = {r["v"]: r["is_outlier"] for r in mad_outliers(
+            df, "v", k_num=3, group_by=["g"]
+        ).collect()}
+        assert got[None] is None
+        assert got[100.0] is True and got[2.0] is False
+
+    def test_even_count_doubled_median(self, spark):
+        from funcify_feature_eng_spark.operators.scaling import mad_outliers
+
+        df = spark.createDataFrame(
+            [(1.0,), (2.0,), (3.0,), (10.0,)], ["v"]
+        )
+        r = mad_outliers(df, "v", k_num=3).collect()[0]
+        # median = 2.5 -> median_x2 = 5.00 exactly on the decimal grid
+        assert str(r["median_x2"]) == "5.00"
