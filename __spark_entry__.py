@@ -5471,6 +5471,42 @@ def q_mad_outlier_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_value_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function (operators/correlation.py::acf): per
+    event-type lag-1..3 Pearson r of (x_t, x_{t+k}) over the
+    (ts, event_id)-ordered cents-grid series. ONE window pass emits all
+    three leads, then one (type, lag)-grain exact-DECIMAL moment
+    aggregate; the final r is the IEEE-deterministic /,*,sqrt chain the
+    oracle replays bit-for-bit. No self-join of the series."""
+    from funcify_feature_eng_spark.operators.correlation import acf
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        "ts",
+        "event_id",
+        (F.col("value").cast("decimal(18,2)") * 100).cast("long").alias("cents"),
+    )
+    return acf(
+        ev, "cents", ts_col="ts", order_col="event_id", max_lag=3,
+        group_by=["event_type"],
+    )
+
+
+def q_hourly_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality profile (operators/profiling.py::seasonality_profile):
+    hour-of-week activity distribution of events — exact counts,
+    floor-ppm share, and index_ppm = share vs the uniform 1/168
+    expectation ×1e6 (1_000_000 = flat). One slot-grain aggregate + a
+    ≤168-row window; integer arithmetic only."""
+    from funcify_feature_eng_spark.operators.profiling import (
+        seasonality_profile,
+    )
+
+    return seasonality_profile(
+        _t(spark, sf_dir, "events"), "ts", grain="hour_of_week"
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: windowed turn features + strictly-prior as-of join at sf0.001."""
     sf_dir = "/root/testdata/sf0.001"
@@ -5744,6 +5780,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # MAD robust outliers (conditioning family tail)
         "benford_prices": q_benford_prices,
         "mad_outlier_prices": q_mad_outlier_prices,
+        # round-5 wave 23: autocorrelation (correlation family tail) +
+        # calendar seasonality profile (profiling family tail)
+        "value_acf": q_value_acf,
+        "hourly_seasonality": q_hourly_seasonality,
     }
 
 
@@ -9922,5 +9962,52 @@ SELECT d.o_orderkey, d.o_orderpriority, d.dev_x2,
        CAST(m2.mad_x2 AS DECIMAL(28,2)) AS mad_x2,
        d.dev_x2 * 4 > m2.mad_x2 * 7 AS is_outlier
 FROM d JOIN m2 USING (o_orderpriority)
+"""
+    # ACF: identical lead columns in one window, exact HUGEINT moments,
+    # the same guarded /,*,sqrt double chain as feature_corr
+    sqls["value_acf"] = """
+WITH s AS (
+  SELECT event_type, ts, event_id,
+         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS x
+  FROM events
+), l AS (
+  SELECT event_type, x,
+         lead(x, 1) OVER w AS y1,
+         lead(x, 2) OVER w AS y2,
+         lead(x, 3) OVER w AS y3
+  FROM s WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+), p AS (
+  SELECT event_type, 1 AS lag, x, y1 AS y FROM l
+  UNION ALL SELECT event_type, 2, x, y2 FROM l
+  UNION ALL SELECT event_type, 3, x, y3 FROM l
+), m AS (
+  SELECT event_type, lag,
+         COUNT(CASE WHEN x IS NOT NULL AND y IS NOT NULL THEN 1 END) AS n,
+         COALESCE(SUM(CASE WHEN y IS NOT NULL THEN x END), 0) AS sx,
+         COALESCE(SUM(CASE WHEN x IS NOT NULL THEN y END), 0) AS sy,
+         COALESCE(SUM(CASE WHEN y IS NOT NULL THEN x * x END), 0) AS sxx,
+         COALESCE(SUM(CASE WHEN x IS NOT NULL THEN y * y END), 0) AS syy,
+         COALESCE(SUM(x * y), 0) AS sxy
+  FROM p GROUP BY 1, 2
+)
+SELECT event_type, CAST(lag AS INT) AS lag, CAST(n AS BIGINT) AS n_pairs,
+       CASE WHEN n * sxx - sx * sx <= 0 OR n * syy - sy * sy <= 0 THEN NULL
+            ELSE CAST(n * sxy - sx * sy AS DOUBLE)
+                 / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                    * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+       END AS acf_r
+FROM m
+"""
+    # seasonality: isodow/hour slots, floor-ppm share, uniform index
+    sqls["hourly_seasonality"] = """
+WITH s AS (
+  SELECT (isodow(ts) - 1) * 24 + hour(ts) AS slot
+  FROM events WHERE ts IS NOT NULL
+), c AS (SELECT CAST(slot AS INT) AS slot, COUNT(*) AS n FROM s GROUP BY 1),
+t AS (SELECT SUM(n) AS n_total FROM c)
+SELECT c.slot, CAST(c.n AS BIGINT) AS n, CAST(t.n_total AS BIGINT) AS n_total,
+       CAST((c.n * 1000000) // t.n_total AS BIGINT) AS share_ppm,
+       CAST((c.n * 1000000 * 168) // t.n_total AS BIGINT) AS index_ppm
+FROM c CROSS JOIN t
 """
     return sqls

@@ -249,3 +249,70 @@ def spearman_corr(
     return pearson_corr(
         ranked, "__rx", "__ry", group_by=keys, out_col=out_col
     )
+
+
+def acf(
+    df: DataFrame,
+    value_col: str,
+    *,
+    ts_col: str,
+    order_col: str,
+    max_lag: int,
+    group_by: Sequence[str] = (),
+) -> DataFrame:
+    """Per-group autocorrelation function at lags 1..``max_lag``: the
+    exact Pearson correlation of the pairs (x_t, x_{t+k}) over the
+    series ordered by (``ts_col``, ``order_col``) — the correlogram
+    estimator with per-pair-set means (each lag's r uses the means of
+    exactly its own paired subsequences; the textbook global-mean
+    variant differs only by O(k/n) edge terms and needs a separate
+    global pass). Same integral-grid contract as :func:`pearson_corr`
+    (|value| < 2^31, guard-asserted).
+
+    Output: (``group_by``..., ``lag`` int, ``n_pairs`` bigint, ``acf_r``
+    double in [-1, 1], NULL when degenerate). The double is IEEE-
+    deterministic — exact DECIMAL moments, then one correctly-rounded
+    /, *, sqrt chain — so an independent engine reproduces it bit-for-
+    bit.
+
+    Scale: ONE window sort Exchange produces every lag's lead column in
+    the same pass; the explode factor is ``max_lag`` (small), then one
+    (group, lag)-grain aggregate. Nothing quadratic, no self-join of the
+    series."""
+    if max_lag < 1:
+        raise ValueError(f"acf: max_lag must be >= 1, got {max_lag}")
+    _check_integral(df, (value_col,), "acf")
+    keys = list(group_by)
+    w = Window.partitionBy(*[F.col(k) for k in keys]).orderBy(
+        F.col(ts_col).asc(), F.col(order_col).asc()
+    )
+    v = F.col(value_col)
+    # window expressions can't appear inside a generator — materialize
+    # every lead in ONE window pass, then explode plain columns
+    with_leads = df.select(
+        *keys, v.alias("__x0"),
+        *[F.lead(v, k).over(w).alias(f"__y{k}") for k in range(1, max_lag + 1)],
+    )
+    pairs = F.array(*[
+        F.struct(
+            F.lit(k).alias("lag"),
+            F.col("__x0").alias("x"),
+            F.col(f"__y{k}").alias("y"),
+        )
+        for k in range(1, max_lag + 1)
+    ])
+    exploded = with_leads.select(*keys, F.explode(pairs).alias("__p")).select(
+        *keys,
+        F.col("__p.lag").alias("lag"),
+        F.col("__p.x").alias("__x"),
+        F.col("__p.y").alias("__y"),
+    )
+    agg = exploded.groupBy(*keys, "lag").agg(
+        *_pair_moments(F.col("__x"), F.col("__y"), "0"),
+        *_abs_guards(["__x"]),
+    )
+    n, r = _r_from_moments("0")
+    return agg.select(
+        *keys, "lag", (n + _guard_col(["__x"])).alias("n_pairs"),
+        r.alias("acf_r"),
+    )

@@ -539,3 +539,75 @@ class TestMadOutliers:
         r = mad_outliers(df, "v", k_num=3).collect()[0]
         # median = 2.5 -> median_x2 = 5.00 exactly on the decimal grid
         assert str(r["median_x2"]) == "5.00"
+
+
+class TestAcf:
+    def test_matches_numpy_pearson_on_lagged_pairs(self, spark):
+        import numpy as np
+
+        from funcify_feature_eng_spark.operators.correlation import acf
+
+        rng = np.random.default_rng(11)
+        series = {
+            "a": rng.integers(0, 1000, 80),
+            "b": np.arange(60) * 7 % 101,  # strong periodic structure
+        }
+        rows = [
+            (g, int(i), int(v)) for g, vs in series.items() for i, v in enumerate(vs)
+        ]
+        df = spark.createDataFrame(rows, ["g", "i", "v"])
+        got = {
+            (r["g"], r["lag"]): (r["n_pairs"], r["acf_r"])
+            for r in acf(
+                df, "v", ts_col="i", order_col="i", max_lag=3, group_by=["g"]
+            ).collect()
+        }
+        for g, vs in series.items():
+            for k in (1, 2, 3):
+                x, y = vs[:-k].astype(float), vs[k:].astype(float)
+                exp = np.corrcoef(x, y)[0, 1]
+                n, r = got[(g, k)]
+                assert n == len(x)
+                assert abs(r - exp) < 1e-12, (g, k, r, exp)
+
+    def test_degenerate_constant_series_null(self, spark):
+        from funcify_feature_eng_spark.operators.correlation import acf
+
+        df = spark.createDataFrame([(i, 5) for i in range(10)], ["i", "v"])
+        rows = acf(df, "v", ts_col="i", order_col="i", max_lag=2).collect()
+        assert all(r["acf_r"] is None for r in rows)
+
+
+class TestSeasonalityProfile:
+    def test_hour_of_day_exact(self, spark):
+        import datetime as dt
+
+        from funcify_feature_eng_spark.operators.profiling import (
+            seasonality_profile,
+        )
+
+        base = dt.datetime(2024, 3, 4)  # a Monday
+        rows = [(base + dt.timedelta(hours=9, minutes=m),) for m in range(6)]
+        rows += [(base + dt.timedelta(hours=18, minutes=m),) for m in range(2)]
+        df = spark.createDataFrame(rows, ["ts"])
+        got = {r["slot"]: r for r in seasonality_profile(df, "ts").collect()}
+        assert got[9]["n"] == 6 and got[18]["n"] == 2
+        assert got[9]["share_ppm"] == 750_000
+        assert got[9]["index_ppm"] == 18_000_000  # 0.75 * 24 * 1e6
+        assert got[18]["index_ppm"] == 6_000_000
+
+    def test_hour_of_week_slots(self, spark):
+        import datetime as dt
+
+        from funcify_feature_eng_spark.operators.profiling import (
+            seasonality_profile,
+        )
+
+        mon9 = dt.datetime(2024, 3, 4, 9)   # Monday 09h -> slot 9
+        sun23 = dt.datetime(2024, 3, 10, 23)  # Sunday 23h -> slot 167
+        df = spark.createDataFrame([(mon9,), (sun23,)], ["ts"])
+        got = {r["slot"]: r["index_ppm"] for r in seasonality_profile(
+            df, "ts", grain="hour_of_week"
+        ).collect()}
+        assert set(got) == {9, 167}
+        assert got[9] == 84_000_000  # 0.5 * 168 * 1e6
