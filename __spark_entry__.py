@@ -5507,6 +5507,42 @@ def q_hourly_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pareto_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline (operators/selection.py::pareto_front): per-brand
+    pareto-optimal parts on (minimize price, minimize size). The naive
+    definition is an O(n²) self-join; this plan is sort + two RANGE-
+    frame running mins over ONE per-group sort Exchange — no join. The
+    oracle IS the naive NOT EXISTS definition, so the optimized plan is
+    value-checked against the semantics, not against itself."""
+    from funcify_feature_eng_spark.operators.selection import pareto_front
+
+    p = _t(spark, sf_dir, "part").select(
+        "p_partkey",
+        "p_brand",
+        (F.col("p_retailprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("price_e2"),
+        F.col("p_size").cast("long").alias("psize"),
+    )
+    return pareto_front(p, "price_e2", "psize", group_by=["p_brand"])
+
+
+def q_priority_evidence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-of-evidence category table without the log (operators/
+    encoding.py::woe_ratio_encode): per order priority, the ratio of its
+    share of finished orders to its share of unfinished ones in exact
+    integer ppm — ln of it IS the WOE, so ranking on evidence_ratio_ppm
+    ranks on WOE with no transcendental (the item_lift/PMI device). One
+    category-grain aggregate + a 5-row window."""
+    from funcify_feature_eng_spark.operators.encoding import woe_ratio_encode
+
+    return woe_ratio_encode(
+        _t(spark, sf_dir, "orders"),
+        category_col="o_orderpriority",
+        label_col=F.col("o_orderstatus") == "F",
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: windowed turn features + strictly-prior as-of join at sf0.001."""
     sf_dir = "/root/testdata/sf0.001"
@@ -5784,6 +5820,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # calendar seasonality profile (profiling family tail)
         "value_acf": q_value_acf,
         "hourly_seasonality": q_hourly_seasonality,
+        # round-5 wave 24: 2-D skyline (selection family tail) + WOE
+        # evidence-ratio encoder (encoding family tail)
+        "pareto_parts": q_pareto_parts,
+        "priority_evidence": q_priority_evidence,
     }
 
 
@@ -10009,5 +10049,44 @@ SELECT c.slot, CAST(c.n AS BIGINT) AS n, CAST(t.n_total AS BIGINT) AS n_total,
        CAST((c.n * 1000000) // t.n_total AS BIGINT) AS share_ppm,
        CAST((c.n * 1000000 * 168) // t.n_total AS BIGINT) AS index_ppm
 FROM c CROSS JOIN t
+"""
+    # skyline: the oracle is the NAIVE quadratic NOT EXISTS definition —
+    # the optimized running-min plan is value-checked against semantics
+    sqls["pareto_parts"] = """
+WITH t AS (
+  SELECT p_partkey, p_brand,
+         CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+           AS price_e2,
+         CAST(p_size AS BIGINT) AS psize
+  FROM part
+)
+SELECT r.p_partkey, r.p_brand, r.price_e2, r.psize,
+       NOT EXISTS (
+         SELECT 1 FROM t s
+         WHERE s.p_brand = r.p_brand
+           AND s.price_e2 <= r.price_e2 AND s.psize <= r.psize
+           AND (s.price_e2 < r.price_e2 OR s.psize < r.psize)
+       ) AS on_front
+FROM t r
+"""
+    # WOE evidence ratio: same integer ppm shares and cross-multiplied
+    # ratio; NULL where negatives (or group positives) vanish
+    sqls["priority_evidence"] = """
+WITH c AS (
+  SELECT o_orderpriority AS category, COUNT(*) AS n,
+         SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_pos
+  FROM orders WHERE o_orderstatus IS NOT NULL GROUP BY 1
+), w AS (SELECT *, n - n_pos AS n_neg FROM c),
+t AS (SELECT SUM(n_pos) AS tp, SUM(n_neg) AS tn FROM w)
+SELECT w.category, CAST(w.n AS BIGINT) AS n,
+       CAST(w.n_pos AS BIGINT) AS n_pos, CAST(w.n_neg AS BIGINT) AS n_neg,
+       CAST(CASE WHEN t.tp > 0 THEN (w.n_pos * 1000000) // t.tp END
+            AS BIGINT) AS pos_share_ppm,
+       CAST(CASE WHEN t.tn > 0 THEN (w.n_neg * 1000000) // t.tn END
+            AS BIGINT) AS neg_share_ppm,
+       CAST(CASE WHEN w.n_neg > 0 AND t.tp > 0
+                 THEN (w.n_pos * t.tn * 1000000) // (w.n_neg * t.tp) END
+            AS BIGINT) AS evidence_ratio_ppm
+FROM w CROSS JOIN t
 """
     return sqls

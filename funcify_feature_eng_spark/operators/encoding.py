@@ -169,3 +169,66 @@ def hash_cross(
             "int"
         ),
     )
+
+
+def woe_ratio_encode(
+    df: DataFrame,
+    *,
+    category_col: str,
+    label_col: Column | str,
+    group_by: Sequence[str] = (),
+) -> DataFrame:
+    """Weight-of-evidence category table WITHOUT the logarithm: per
+    category, the ratio of its share of positives to its share of
+    negatives, in exact integer ppm —
+    ``evidence_ratio_ppm = (n_pos_c · N_neg · 1e6) // (n_neg_c · N_pos)``.
+    WOE is the natural log of exactly this ratio, so ranking / binning /
+    thresholding on ``evidence_ratio_ppm`` IS ranking on WOE with no
+    transcendental anywhere (the item_lift / PMI device —
+    ``cooccurrence.py::item_lift``); apply ln driver-side on the tiny
+    category table if a model insists on the log scale.
+
+    Output: one row per (``group_by``..., ``category``) with ``n``,
+    ``n_pos``, ``n_neg``, ``pos_share_ppm``, ``neg_share_ppm``,
+    ``evidence_ratio_ppm`` (NULL when the category has zero negatives or
+    the group has zero positives — infinite/undefined evidence, the
+    caller's smoothing decision, not ours). NULL labels are excluded;
+    NULL categories form their own row (missingness is evidence).
+
+    Scale: one category-grain aggregate + a category-table window for
+    the group totals — the encoded table is categories-sized, never
+    data-sized; join it back broadcast."""
+    from funcify_feature_eng_spark.operators.util import exact_floor_div
+
+    lab = F.col(label_col) if isinstance(label_col, str) else label_col
+    keys = list(group_by)
+    dec = "decimal(38,0)"
+    per_cat = (
+        df.filter(lab.isNotNull())
+        .select(*keys, F.col(category_col).alias("category"), lab.alias("__y"))
+        .groupBy(*keys, "category")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.when(F.col("__y").cast("boolean"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_pos"),
+        )
+        .withColumn("n_neg", (F.col("n") - F.col("n_pos")).cast("bigint"))
+    )
+    wn = Window.partitionBy(*[F.col(k) for k in keys])
+    tot_pos = F.sum("n_pos").over(wn).cast(dec)
+    tot_neg = F.sum("n_neg").over(wn).cast(dec)
+    npd = F.col("n_pos").cast(dec)
+    nnd = F.col("n_neg").cast(dec)
+    share = lambda num, den: F.when(  # noqa: E731
+        den > 0, exact_floor_div(num * F.lit(1_000_000), den)
+    ).cast("bigint")
+    ratio = F.when(
+        (F.col("n_neg") > 0) & (tot_pos > 0),
+        exact_floor_div(npd * tot_neg * F.lit(1_000_000), nnd * tot_pos),
+    ).cast("bigint")
+    return (
+        per_cat.withColumn("pos_share_ppm", share(npd, tot_pos))
+        .withColumn("neg_share_ppm", share(nnd, tot_neg))
+        .withColumn("evidence_ratio_ppm", ratio)
+    )

@@ -39,6 +39,8 @@ from __future__ import annotations
 
 import math
 
+from collections.abc import Sequence
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -296,3 +298,51 @@ def preference_pairs(
     if not strict and min_margin is None:
         return out
     return out.where(cond)
+
+
+def pareto_front(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    *,
+    group_by: Sequence[str] = (),
+    out_col: str = "on_front",
+) -> DataFrame:
+    """2-D skyline: flag rows not strictly dominated on (minimize
+    ``x_col``, minimize ``y_col``) within each group — "the cheapest
+    option at every quality level", the multi-objective selection
+    primitive behind price/size trade-off picks and quality/cost corpus
+    curation. A row is dominated iff some other row is <= on both
+    dimensions and < on at least one; exact ties on both dimensions
+    dominate nothing (both survive).
+
+    Plan: the naive definition is an O(n²) self-join. This is the sort +
+    running-min formulation instead: ordered by (x, y), a row is
+    dominated exactly when ``min(y) over rows with smaller x`` <= its y,
+    or ``min(y) over rows with x <= its x`` < its y (the second clause
+    catches equal-x dominators). Two RANGE-frame aggregates over ONE
+    sort Exchange per group — no join at all. Rows with NULL in either
+    dimension get NULL ``out_col`` (incomparable). ``x_col`` must be
+    numeric (RANGE frame requirement); put decimals on an integer grid
+    first.
+
+    Scale: one group-grain sort shuffle, O(n) after it."""
+    from pyspark.sql import Window
+
+    x, y = F.col(x_col), F.col(y_col)
+    keys = [F.col(k) for k in group_by]
+    valid = x.isNotNull() & y.isNotNull()
+    w_lt = (
+        Window.partitionBy(*keys)
+        .orderBy(x.asc())
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    w_le = (
+        Window.partitionBy(*keys)
+        .orderBy(x.asc())
+        .rangeBetween(Window.unboundedPreceding, 0)
+    )
+    m_lt = F.min(F.when(valid, y)).over(w_lt)
+    m_le = F.min(F.when(valid, y)).over(w_le)
+    dominated = (m_lt.isNotNull() & (m_lt <= y)) | (m_le < y)
+    return df.withColumn(out_col, F.when(valid, ~dominated))

@@ -611,3 +611,38 @@ class TestSeasonalityProfile:
         ).collect()}
         assert set(got) == {9, 167}
         assert got[9] == 84_000_000  # 0.5 * 168 * 1e6
+
+
+class TestWoeRatioEncode:
+    def test_exact_ratio(self, spark):
+        import pyspark.sql.functions as SF
+
+        from funcify_feature_eng_spark.operators.encoding import (
+            woe_ratio_encode,
+        )
+
+        # cat A: 3 pos / 1 neg; cat B: 1 pos / 3 neg; totals 4 pos / 4 neg
+        rows = [("A", 1)] * 3 + [("A", 0)] + [("B", 1)] + [("B", 0)] * 3
+        df = spark.createDataFrame(rows, ["c", "y"])
+        got = {r["category"]: r for r in woe_ratio_encode(
+            df, category_col="c", label_col=SF.col("y") == 1
+        ).collect()}
+        # A: (3 * 4 * 1e6) // (1 * 4) = 3_000_000; B: (1*4*1e6)//(3*4)
+        assert got["A"]["evidence_ratio_ppm"] == 3_000_000
+        assert got["B"]["evidence_ratio_ppm"] == 333_333
+        assert got["A"]["pos_share_ppm"] == 750_000
+        assert got["A"]["n"] == 4 and got["A"]["n_neg"] == 1
+
+    def test_zero_neg_category_null(self, spark):
+        import pyspark.sql.functions as SF
+
+        from funcify_feature_eng_spark.operators.encoding import (
+            woe_ratio_encode,
+        )
+
+        rows = [("A", 1), ("A", 1), ("B", 0)]
+        df = spark.createDataFrame(rows, ["c", "y"])
+        got = {r["category"]: r["evidence_ratio_ppm"] for r in woe_ratio_encode(
+            df, category_col="c", label_col=SF.col("y") == 1
+        ).collect()}
+        assert got["A"] is None and got["B"] == 0

@@ -229,3 +229,62 @@ def test_preference_pairs_text_path_single_shuffle(spark):
     )._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan
     assert plan.count("Exchange") <= 1
+
+
+class TestParetoFront:
+    def _brute(self, pts):
+        out = []
+        for i, (x, y) in enumerate(pts):
+            dom = any(
+                (sx <= x and sy <= y and (sx < x or sy < y))
+                for j, (sx, sy) in enumerate(pts) if j != i
+            )
+            out.append(not dom)
+        return out
+
+    def test_matches_bruteforce(self, spark):
+        import random
+
+        from funcify_feature_eng_spark.operators.selection import pareto_front
+
+        rng = random.Random(3)
+        for trial in range(3):
+            pts = [(rng.randrange(0, 20), rng.randrange(0, 20)) for _ in range(120)]
+            exp = self._brute(pts)
+            df = spark.createDataFrame(
+                [(i, x, y) for i, (x, y) in enumerate(pts)], ["i", "x", "y"]
+            )
+            got = {r["i"]: r["on_front"] for r in pareto_front(df, "x", "y").collect()}
+            for i, e in enumerate(exp):
+                assert got[i] == e, (trial, i, pts[i])
+
+    def test_exact_ties_both_survive(self, spark):
+        from funcify_feature_eng_spark.operators.selection import pareto_front
+
+        df = spark.createDataFrame(
+            [(1, 5, 5), (2, 5, 5), (3, 6, 6)], ["i", "x", "y"]
+        )
+        got = {r["i"]: r["on_front"] for r in pareto_front(df, "x", "y").collect()}
+        assert got == {1: True, 2: True, 3: False}
+
+    def test_nulls_incomparable(self, spark):
+        from funcify_feature_eng_spark.operators.selection import pareto_front
+
+        df = spark.createDataFrame(
+            [(1, 5, 5), (2, None, 1), (3, 1, None)], ["i", "x", "y"]
+        )
+        got = {r["i"]: r["on_front"] for r in pareto_front(df, "x", "y").collect()}
+        assert got[1] is True and got[2] is None and got[3] is None
+
+    def test_grouped(self, spark):
+        from funcify_feature_eng_spark.operators.selection import pareto_front
+
+        df = spark.createDataFrame(
+            [("a", 1, 9), ("a", 2, 1), ("b", 2, 1), ("b", 1, 9)],
+            ["g", "x", "y"],
+        )
+        got = [
+            r["on_front"]
+            for r in pareto_front(df, "x", "y", group_by=["g"]).collect()
+        ]
+        assert all(got)  # within each group both points are incomparable
