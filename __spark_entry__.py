@@ -5543,6 +5543,29 @@ def q_priority_evidence(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_part_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection (operators/graph.py::label_propagation) over
+    the symmetrized thinned co-order part graph, 3 synchronous
+    iterations — PINNED deterministic semantics (label_0 = node id,
+    pure neighbor majority, ties to the smallest label; classic LPA's
+    random tie-break is useless as a cross-engine contract), so the
+    DuckDB oracle replays the identical fold as 3 unrolled CTE layers.
+    One join + one count + one argmax aggregate per iteration; per-round
+    checkpoints released as superseded."""
+    from funcify_feature_eng_spark.operators.cooccurrence import (
+        co_occurrence_edges,
+    )
+    from funcify_feature_eng_spark.operators.graph import label_propagation
+
+    edges = co_occurrence_edges(
+        _t(spark, sf_dir, "lineitem"), "l_orderkey", "l_partkey", min_count=2
+    )
+    return label_propagation(
+        edges.select(F.col("item_a").alias("src"), F.col("item_b").alias("dst")),
+        n_iters=3,
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: windowed turn features + strictly-prior as-of join at sf0.001."""
     sf_dir = "/root/testdata/sf0.001"
@@ -5824,6 +5847,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # evidence-ratio encoder (encoding family tail)
         "pareto_parts": q_pareto_parts,
         "priority_evidence": q_priority_evidence,
+        # round-5 wave 25: label-propagation communities (graph tail)
+        "part_communities": q_part_communities,
     }
 
 
@@ -10088,5 +10113,30 @@ SELECT w.category, CAST(w.n AS BIGINT) AS n,
                  THEN (w.n_pos * t.tn * 1000000) // (w.n_neg * t.tp) END
             AS BIGINT) AS evidence_ratio_ppm
 FROM w CROSS JOIN t
+"""
+    # label propagation: the pinned fold unrolled — per layer, neighbor
+    # label counts then argmax via (count DESC, label ASC) row_number
+    _lpa_layers = ["l0 AS (SELECT s AS v, s AS label FROM e GROUP BY s)"]
+    for _k in range(1, 4):
+        _lpa_layers.append(f"""
+l{_k} AS (
+  SELECT v, label FROM (
+    SELECT e.d AS v, p.label, count(*) AS cnt,
+           row_number() OVER (PARTITION BY e.d
+                              ORDER BY count(*) DESC, p.label ASC) AS rn
+    FROM e JOIN l{_k - 1} p ON p.v = e.s
+    GROUP BY e.d, p.label
+  ) WHERE rn = 1
+)""")
+    sqls["part_communities"] = f"""
+WITH sym AS (
+  SELECT item_a AS s, item_b AS d FROM ({_COPART_EDGES_SQL})
+  UNION ALL
+  SELECT item_b, item_a FROM ({_COPART_EDGES_SQL})
+),
+e AS (SELECT DISTINCT s, d FROM sym
+      WHERE s IS NOT NULL AND d IS NOT NULL AND s <> d),
+{",".join(_lpa_layers)}
+SELECT v AS node, CAST(label AS BIGINT) AS label FROM l3
 """
     return sqls

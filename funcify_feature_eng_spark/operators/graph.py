@@ -392,3 +392,77 @@ def pagerank(
     release(ed)
     release(node_deg)
     return out
+
+
+def label_propagation(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    *,
+    n_iters: int = 3,
+) -> DataFrame:
+    """Community detection by synchronous label propagation with PINNED
+    deterministic semantics (the :func:`pagerank` posture: classic LPA
+    breaks ties randomly and is run-order dependent — useless as a
+    cross-engine contract):
+
+    - Undirected simple graph: the edge set is symmetrized, NULL
+      endpoints and self-loops drop, duplicates collapse. Nodes = union
+      of endpoints; node ids must be orderable (they seed the labels).
+    - ``label_0(v) = v``.
+    - ``label_{k+1}(v)`` = the most frequent label among v's neighbors'
+      ``label_k`` (the node's own label does NOT vote — pure neighbor
+      majority); ties break to the SMALLEST label. Synchronous: every
+      node updates from the same snapshot. Exactly ``n_iters``
+      iterations, no convergence test.
+
+    Output: ``(node, label)`` — nodes sharing a label after the last
+    iteration are one community.
+
+    Physical shape: one join (labels onto edge sources) + one
+    (node, label)-grain count + one argmax per iteration — the argmax is
+    ``min(struct(-cnt, label))``, an ordinary aggregate, no window.
+    O(n_iters) shuffles; per-iteration checkpoints released as
+    superseded (the connected_components loop discipline)."""
+    if n_iters < 1:
+        raise ValueError(f"label_propagation: n_iters must be >= 1, got {n_iters}")
+    from .util import release
+
+    spark = edges.sparkSession
+    sc = spark.sparkContext
+    s, d = F.col(src), F.col(dst)
+    base = edges.filter(s.isNotNull() & d.isNotNull() & (s != d)).select(
+        s.alias("s"), d.alias("d")
+    )
+    e = (
+        base.unionByName(base.select(F.col("d").alias("s"), F.col("s").alias("d")))
+        .distinct()
+        .localCheckpoint()
+    )
+    nodes = e.select(F.col("s").alias("node")).distinct().localCheckpoint()
+    labels = nodes.select("node", F.col("node").alias("label")).localCheckpoint()
+    round_ids: set[int] = set()
+    for _ in range(int(n_iters)):
+        known = _persistent_rdd_ids(sc)
+        votes = (
+            e.join(labels.withColumnRenamed("node", "s"), on="s")
+            .groupBy(F.col("d").alias("node"), "label")
+            .agg(F.count(F.lit(1)).cast("long").alias("__cnt"))
+        )
+        labels = (
+            votes.groupBy("node")
+            .agg(
+                F.min(
+                    F.struct((-F.col("__cnt")).alias("__neg"), F.col("label"))
+                ).alias("__best")
+            )
+            .select("node", F.col("__best.label").alias("label"))
+            .localCheckpoint()
+        )
+        _release_rdds(sc, round_ids)
+        round_ids = _persistent_rdd_ids(sc) - known
+    out = labels.localCheckpoint()
+    _release_rdds(sc, round_ids)
+    release(e)
+    release(nodes)
+    return out

@@ -86,3 +86,53 @@ def test_empty_graph(spark):
     out = pagerank(df)
     assert out.count() == 0
     assert out.columns == ["node", "rank_e12", "out_degree"]
+
+
+class TestLabelPropagation:
+    def _brute(self, edges, n_iters):
+        import collections
+
+        adj = collections.defaultdict(set)
+        for a, b in edges:
+            if a is not None and b is not None and a != b:
+                adj[a].add(b)
+                adj[b].add(a)
+        labels = {v: v for v in adj}
+        for _ in range(n_iters):
+            nxt = {}
+            for v, nbrs in adj.items():
+                cnt = collections.Counter(labels[u] for u in nbrs)
+                top = max(cnt.values())
+                nxt[v] = min(l for l, c in cnt.items() if c == top)
+            labels = nxt
+        return labels
+
+    def test_matches_bruteforce(self, spark):
+        import random
+
+        from funcify_feature_eng_spark.operators.graph import label_propagation
+
+        rng = random.Random(5)
+        edges = list({(rng.randrange(30), rng.randrange(30)) for _ in range(120)})
+        df = spark.createDataFrame(edges, ["src", "dst"])
+        got = {
+            r["node"]: r["label"]
+            for r in label_propagation(df, n_iters=3).collect()
+        }
+        exp = self._brute(edges, 3)
+        assert got == exp
+
+    def test_two_cliques_converge(self, spark):
+        from funcify_feature_eng_spark.operators.graph import label_propagation
+
+        clique = lambda base: [  # noqa: E731
+            (base + i, base + j) for i in range(4) for j in range(i + 1, 4)
+        ]
+        df = spark.createDataFrame(clique(0) + clique(100), ["src", "dst"])
+        got = {
+            r["node"]: r["label"]
+            for r in label_propagation(df, n_iters=4).collect()
+        }
+        assert len({got[i] for i in range(4)}) == 1
+        assert len({got[100 + i] for i in range(4)}) == 1
+        assert got[0] != got[100]
