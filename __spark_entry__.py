@@ -5566,6 +5566,35 @@ def q_part_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_source_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus concentration (operators/profiling.py::
+    concentration_report): documents-per-source HHI, unbiased Simpson
+    collision probability, top share — all exact integer ppm (hhi =
+    floor(Σ nᵢ²·1e6 / N²), no float share squared). One category-grain
+    count + one fold; output is 1 row."""
+    from funcify_feature_eng_spark.operators.profiling import (
+        concentration_report,
+    )
+
+    return concentration_report(_t(spark, sf_dir, "documents"), "source")
+
+
+def q_price_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Gini inequality (operators/profiling.py::gini_coefficient)
+    of order totals per priority on the cents grid: sort formula
+    G = (2Σi·x − (n+1)Σx)/(nΣx) in floor-ppm, tie runs invariant to
+    intra-tie order so no tiebreak column is needed. ONE rank-sort
+    Exchange per group + one fold."""
+    from funcify_feature_eng_spark.operators.profiling import gini_coefficient
+
+    return gini_coefficient(
+        _t(spark, sf_dir, "orders"),
+        "o_totalprice",
+        scale=2,
+        group_by=["o_orderpriority"],
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: windowed turn features + strictly-prior as-of join at sf0.001."""
     sf_dir = "/root/testdata/sf0.001"
@@ -5849,6 +5878,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "priority_evidence": q_priority_evidence,
         # round-5 wave 25: label-propagation communities (graph tail)
         "part_communities": q_part_communities,
+        # round-5 wave 26: concentration/diversity + exact Gini
+        # (profiling family tail)
+        "source_concentration": q_source_concentration,
+        "price_gini": q_price_gini,
     }
 
 
@@ -10138,5 +10171,40 @@ e AS (SELECT DISTINCT s, d FROM sym
       WHERE s IS NOT NULL AND d IS NOT NULL AND s <> d),
 {",".join(_lpa_layers)}
 SELECT v AS node, CAST(label AS BIGINT) AS label FROM l3
+"""
+    # concentration: same integer HHI / unbiased-Simpson floor-ppm fold
+    sqls["source_concentration"] = """
+WITH c AS (SELECT source AS cat, COUNT(*) AS n FROM documents GROUP BY 1),
+g AS (SELECT SUM(n) AS n_rows, COUNT(*) AS n_categories, MAX(n) AS top,
+             SUM(n * n) AS sq, SUM(n * (n - 1)) AS coll FROM c)
+SELECT CAST(n_rows AS BIGINT) AS n_rows,
+       CAST(n_categories AS BIGINT) AS n_categories,
+       CAST((top * 1000000) // n_rows AS BIGINT) AS top_share_ppm,
+       CAST((sq * 1000000) // (n_rows * n_rows) AS BIGINT) AS hhi_ppm,
+       CAST(CASE WHEN n_rows > 1
+                 THEN (coll * 1000000) // (n_rows * (n_rows - 1)) END
+            AS BIGINT) AS simpson_d_ppm
+FROM g
+"""
+    # gini: identical sort formula on the cents grid; tie runs are
+    # order-invariant (x * sum(i) over the run), so no tiebreak needed
+    sqls["price_gini"] = """
+WITH u AS (
+  SELECT o_orderpriority,
+         CAST(CAST(o_totalprice AS DECIMAL(28,2)) * 100 AS BIGINT) AS u
+  FROM orders WHERE o_totalprice IS NOT NULL
+), r AS (
+  SELECT o_orderpriority, u,
+         row_number() OVER (PARTITION BY o_orderpriority ORDER BY u) AS i
+  FROM u
+), s AS (
+  SELECT o_orderpriority, COUNT(*) AS n, SUM(u) AS s1, SUM(i * u) AS s2
+  FROM r GROUP BY 1
+)
+SELECT o_orderpriority, CAST(n AS BIGINT) AS n_values,
+       CAST(CASE WHEN s1 > 0
+                 THEN ((2 * s2 - (n + 1) * s1) * 1000000) // (n * s1) END
+            AS BIGINT) AS gini_ppm
+FROM s
 """
     return sqls

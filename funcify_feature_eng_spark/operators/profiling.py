@@ -96,3 +96,112 @@ def seasonality_profile(
             exact_floor_div(num * F.lit(n_slots), total).cast("bigint"),
         )
     )
+
+
+def concentration_report(
+    df: DataFrame,
+    category_col: str,
+    *,
+    group_by: Sequence[str] = (),
+) -> DataFrame:
+    """Categorical concentration / diversity in one aggregate — the
+    "is this corpus dominated by one source" diagnostic behind mixture
+    budgeting and dedup triage. Per group: exact ``n_rows``,
+    ``n_categories``, ``top_share_ppm`` (largest category's floor-ppm
+    share), ``hhi_ppm`` = Σ share² ×1e6 (Herfindahl-Hirschman, 1e6 =
+    monopoly) and ``simpson_d_ppm`` = unbiased Simpson diversity
+    Σ nᵢ(nᵢ-1) / (N(N-1)) ×1e6 (probability two draws WITHOUT
+    replacement collide; 0 = all distinct) — all integer arithmetic:
+    hhi = floor(Σ nᵢ² ·1e6 / N²), no float share ever squared.
+
+    NULL categories count as their own category (missingness
+    concentrates too).
+
+    Scale: one category-grain count + one group-grain fold — the output
+    is groups-sized."""
+    from funcify_feature_eng_spark.operators.util import exact_floor_div
+
+    keys = list(group_by)
+    dec = "decimal(38,0)"
+    per_cat = df.groupBy(
+        *keys, F.col(category_col).alias("__cat")
+    ).agg(F.count(F.lit(1)).cast("long").alias("__n"))
+    nd = F.col("__n").cast(dec)
+    g = per_cat.groupBy(*keys).agg(
+        F.sum("__n").cast("bigint").alias("n_rows"),
+        F.count(F.lit(1)).cast("bigint").alias("n_categories"),
+        F.max("__n").cast(dec).alias("__top"),
+        F.sum(nd * nd).cast(dec).alias("__sq"),
+        F.sum(nd * (nd - F.lit(1))).cast(dec).alias("__coll"),
+    )
+    n = F.col("n_rows").cast(dec)
+    ppm = F.lit(1_000_000)
+    return g.select(
+        *keys,
+        "n_rows",
+        "n_categories",
+        exact_floor_div(F.col("__top") * ppm, n).cast("bigint").alias(
+            "top_share_ppm"
+        ),
+        exact_floor_div(F.col("__sq") * ppm, n * n).cast("bigint").alias(
+            "hhi_ppm"
+        ),
+        F.when(
+            F.col("n_rows") > 1,
+            exact_floor_div(F.col("__coll") * ppm, n * (n - F.lit(1))),
+        ).cast("bigint").alias("simpson_d_ppm"),
+    )
+
+
+def gini_coefficient(
+    df: DataFrame,
+    value_col: str,
+    *,
+    scale: int = 2,
+    group_by: Sequence[str] = (),
+) -> DataFrame:
+    """Exact Gini inequality coefficient per group over a non-negative
+    numeric column — "how unevenly is volume / spend / token mass
+    distributed across rows". Sort formula on the 10^-scale integer
+    grid: with x_(1) <= ... <= x_(n),
+    ``G = (2·Σ i·x_(i) − (n+1)·Σ x) / (n·Σ x)``, emitted as floor-ppm
+    ``gini_ppm`` (0 = perfectly equal, → 1e6·(n-1)/n as one row holds
+    everything). Tie runs contribute x·Σi regardless of intra-tie
+    order, so row_number's arbitrary tie placement cannot change the
+    value — deterministic without a tiebreak column. NULLs are
+    excluded; groups with Σ x = 0 emit NULL.
+
+    Scale: ONE rank-sort Exchange per group + one fold; DECIMAL(38)
+    sums keep i·x exact past 10^12-row groups."""
+    if scale < 0:
+        raise ValueError(f"gini_coefficient: scale must be >= 0, got {scale}")
+    from pyspark.sql import Window
+
+    from funcify_feature_eng_spark.operators.util import exact_floor_div
+
+    dec = "decimal(38,0)"
+    units = (
+        F.col(value_col).cast(f"decimal(28,{scale})") * F.lit(10**scale)
+    ).cast(dec)
+    keys = [F.col(k) for k in group_by]
+    w = Window.partitionBy(*keys).orderBy(F.col("__u").asc())
+    nn = df.filter(F.col(value_col).isNotNull()).select(
+        *group_by, units.alias("__u")
+    )
+    ranked = nn.withColumn("__i", F.row_number().over(w).cast(dec))
+    g = ranked.groupBy(*group_by).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_values"),
+        F.sum("__u").cast(dec).alias("__s1"),
+        F.sum(F.col("__i") * F.col("__u")).cast(dec).alias("__s2"),
+    )
+    n = F.col("n_values").cast(dec)
+    num = F.lit(2) * F.col("__s2") - (n + F.lit(1)) * F.col("__s1")
+    den = n * F.col("__s1")
+    return g.select(
+        *group_by,
+        "n_values",
+        F.when(
+            F.col("__s1") > 0,
+            exact_floor_div(num * F.lit(1_000_000), den),
+        ).cast("bigint").alias("gini_ppm"),
+    )

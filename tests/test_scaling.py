@@ -646,3 +646,65 @@ class TestWoeRatioEncode:
             df, category_col="c", label_col=SF.col("y") == 1
         ).collect()}
         assert got["A"] is None and got["B"] == 0
+
+
+class TestConcentrationReport:
+    def test_exact_values(self, spark):
+        from funcify_feature_eng_spark.operators.profiling import (
+            concentration_report,
+        )
+
+        # 6 a, 3 b, 1 c -> N=10
+        rows = [("a",)] * 6 + [("b",)] * 3 + [("c",)]
+        df = spark.createDataFrame(rows, ["s"])
+        r = concentration_report(df, "s").collect()[0]
+        assert r["n_rows"] == 10 and r["n_categories"] == 3
+        assert r["top_share_ppm"] == 600_000
+        assert r["hhi_ppm"] == (36 + 9 + 1) * 1_000_000 // 100
+        assert r["simpson_d_ppm"] == (30 + 6 + 0) * 1_000_000 // 90
+
+    def test_null_category_counts(self, spark):
+        from funcify_feature_eng_spark.operators.profiling import (
+            concentration_report,
+        )
+
+        df = spark.createDataFrame([("a",), (None,), (None,)], ["s"])
+        r = concentration_report(df, "s").collect()[0]
+        assert r["n_categories"] == 2 and r["top_share_ppm"] == 666_666
+
+
+class TestGiniCoefficient:
+    def _brute(self, vals):
+        xs = sorted(vals)
+        n = len(xs)
+        s1 = sum(xs)
+        s2 = sum((i + 1) * x for i, x in enumerate(xs))
+        return (2 * s2 - (n + 1) * s1) * 1_000_000 // (n * s1)
+
+    def test_matches_bruteforce(self, spark):
+        import random
+
+        from funcify_feature_eng_spark.operators.profiling import (
+            gini_coefficient,
+        )
+
+        rng = random.Random(9)
+        for vals in (
+            [1, 1, 1, 1],                      # perfectly equal -> 0
+            [0, 0, 0, 10],                     # extreme
+            [rng.randrange(0, 500) for _ in range(200)],
+        ):
+            df = spark.createDataFrame([(float(v),) for v in vals], ["v"])
+            r = gini_coefficient(df, "v", scale=0).collect()[0]
+            assert r["gini_ppm"] == self._brute(vals), vals
+        assert gini_coefficient(
+            spark.createDataFrame([(1.0,)], ["v"]), "v"
+        ).collect()[0]["gini_ppm"] == 0
+
+    def test_zero_sum_null(self, spark):
+        from funcify_feature_eng_spark.operators.profiling import (
+            gini_coefficient,
+        )
+
+        df = spark.createDataFrame([(0.0,), (0.0,)], ["v"])
+        assert gini_coefficient(df, "v").collect()[0]["gini_ppm"] is None
