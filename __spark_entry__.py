@@ -5595,6 +5595,57 @@ def q_price_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_window_purchase_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window temporal aggregate join (operators/asof.py::
+    sliding_window_join): per event, the COUNT and cents-exact SUM of
+    the user's purchases in the strictly-prior 7-day window — the
+    windowed companion to the as-of join. Plan = the sweep device
+    (birth/expiry deltas + probes through ONE per-entity sort window),
+    never a range join's per-probe re-scan. Oracle = the naive
+    correlated COUNT/SUM with the same half-open bounds, so the sweep
+    plan is checked against bare semantics."""
+    from funcify_feature_eng_spark.operators.asof import sliding_window_join
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        (F.col("value").cast("decimal(18,2)") * 100).cast("long").alias("cents"),
+    )
+    out = sliding_window_join(
+        ev.select("event_id", "user_id", "ts"),
+        purchases,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        window_s=7 * 86400,
+        sum_col="cents",
+    )
+    return out.select("event_id", "user_id", "w_count", "w_sum")
+
+
+def q_price_reference_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-epoch score normalization (operators/scaling.py::
+    reference_percentile): odd-key orders scored against the frozen
+    even-key epoch's price distribution — exact floor-ppm fraction of
+    reference values <= each probe, via the union-window device on the
+    value axis (one sort Exchange, never a per-probe reference scan).
+    Oracle = the naive correlated count."""
+    from funcify_feature_eng_spark.operators.scaling import (
+        reference_percentile,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    cents = (F.col("o_totalprice").cast("decimal(28,2)") * 100).cast("long")
+    ref = orders.filter(F.col("o_orderkey") % 2 == 0).select(
+        cents.alias("price_e2")
+    )
+    probe = orders.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", cents.alias("price_e2")
+    )
+    return reference_percentile(probe, ref, "price_e2")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: windowed turn features + strictly-prior as-of join at sf0.001."""
     sf_dir = "/root/testdata/sf0.001"
@@ -5882,6 +5933,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (profiling family tail)
         "source_concentration": q_source_concentration,
         "price_gini": q_price_gini,
+        # round-5 wave 27: sliding-window aggregate join (asof family
+        # tail) + cross-epoch reference percentile (conditioning tail)
+        "window_purchase_stats": q_window_purchase_stats,
+        "price_reference_pct": q_price_reference_pct,
     }
 
 
@@ -10206,5 +10261,39 @@ SELECT o_orderpriority, CAST(n AS BIGINT) AS n_values,
                  THEN ((2 * s2 - (n + 1) * s1) * 1000000) // (n * s1) END
             AS BIGINT) AS gini_ppm
 FROM s
+"""
+    # sliding-window join: the oracle is the NAIVE correlated aggregate
+    # with the pinned half-open bounds — plan vs semantics
+    sqls["window_purchase_stats"] = """
+SELECT e.event_id, e.user_id,
+       CAST((SELECT COUNT(*) FROM events p
+             WHERE p.user_id = e.user_id AND p.event_type = 'purchase'
+               AND p.ts < e.ts AND p.ts >= e.ts - INTERVAL 7 DAY)
+            AS BIGINT) AS w_count,
+       CAST(COALESCE((SELECT SUM(CAST(CAST(p.value AS DECIMAL(18,2)) * 100
+                                      AS BIGINT))
+             FROM events p
+             WHERE p.user_id = e.user_id AND p.event_type = 'purchase'
+               AND p.ts < e.ts AND p.ts >= e.ts - INTERVAL 7 DAY), 0)
+            AS BIGINT) AS w_sum
+FROM events e
+"""
+    # reference percentile: naive correlated count vs the union-window
+    # plan; <= convention pinned on both sides
+    sqls["price_reference_pct"] = """
+WITH ref AS (
+  SELECT CAST(CAST(o_totalprice AS DECIMAL(28,2)) * 100 AS BIGINT) AS v
+  FROM orders WHERE o_orderkey % 2 = 0 AND o_totalprice IS NOT NULL
+), n AS (SELECT COUNT(*) AS n_ref FROM ref),
+p AS (
+  SELECT o_orderkey,
+         CAST(CAST(o_totalprice AS DECIMAL(28,2)) * 100 AS BIGINT) AS price_e2
+  FROM orders WHERE o_orderkey % 2 = 1
+)
+SELECT p.o_orderkey, p.price_e2,
+       CAST(CASE WHEN p.price_e2 IS NOT NULL AND n.n_ref > 0
+                 THEN ((SELECT COUNT(*) FROM ref r WHERE r.v <= p.price_e2)
+                       * 1000000) // n.n_ref END AS BIGINT) AS ref_pct_ppm
+FROM p CROSS JOIN n
 """
     return sqls

@@ -725,3 +725,87 @@ def asof_topk(
         rank.alias(rank_col),
         *[F.col(f"__r.{out}").alias(out) for out in vals.values()],
     )
+
+
+def sliding_window_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    on: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    window_s: int,
+    sum_col: str | None = None,
+    count_name: str = "w_count",
+    sum_name: str = "w_sum",
+) -> DataFrame:
+    """Sliding-window temporal aggregate join: for each left row, the
+    COUNT (and optionally SUM of ``sum_col``) of right rows with
+    ``left_ts - window_s <= right_ts < left_ts`` per ``on`` entity —
+    "purchases in the last 7 days before this event", the windowed
+    companion to :func:`asof_join`'s latest-prior lookup. Strictly
+    prior (zero leakage of same-instant rows), pinned half-open window.
+
+    ``sum_col`` must be integral (put decimals on a fixed-point grid
+    first) so the running sums are exact.
+
+    Plan — the sweep device, NOT a range join (a raw
+    ``BETWEEN``-condition join plans as a nested loop and re-scans the
+    window per probe): every right row becomes a +delta at its
+    timestamp and a -delta at ``right_ts + window_s`` (its expiry);
+    left rows become probes; ONE per-entity sort window computes
+    running delta sums, and each probe reads its running totals. At
+    equal timestamps both birth and expiry sort AFTER the probe —
+    birth because the window is strictly-prior (a right row AT the
+    probe instant is invisible), expiry because a right row at exactly
+    ``left_ts - window_s`` is still inside the closed lower bound.
+    One union + one sort Exchange per entity — the asof cost, however
+    wide the window.
+    """
+    if window_s <= 0:
+        raise ValueError(f"window_s must be > 0, got {window_s}")
+    _validate(left, on, [count_name] + ([sum_name] if sum_col else []))
+    us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
+    w_us = int(window_s) * 1_000_000
+    val = (
+        F.col(sum_col).cast("decimal(38,0)")
+        if sum_col
+        else F.lit(0).cast("decimal(38,0)")
+    )
+    birth = right.select(
+        *on,
+        us(right_ts).alias("__t"),
+        F.lit(0).alias("__probe"),
+        F.lit(1).cast("long").alias("__dc"),
+        val.alias("__dv"),
+    )
+    expiry = right.select(
+        *on,
+        (us(right_ts) + F.lit(w_us)).alias("__t"),
+        F.lit(0).alias("__probe"),
+        F.lit(-1).cast("long").alias("__dc"),
+        (-val).alias("__dv"),
+    )
+    probes = left.select(
+        "*", us(left_ts).alias("__t"), F.lit(1).alias("__probe")
+    )
+    u = probes.unionByName(birth.unionByName(expiry), allowMissingColumns=True)
+    # probes sort BEFORE deltas at equal __t (see docstring); delta order
+    # among themselves is irrelevant (sums commute)
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(F.col("__t").asc(), F.col("__probe").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    run = u.withColumn(
+        count_name, F.coalesce(F.sum("__dc").over(w), F.lit(0)).cast("bigint")
+    )
+    out_cols = [*left.columns, count_name]
+    if sum_col:
+        run = run.withColumn(
+            sum_name,
+            F.coalesce(F.sum("__dv").over(w), F.lit(0).cast("decimal(38,0)"))
+            .cast("bigint"),
+        )
+        out_cols.append(sum_name)
+    return run.filter(F.col("__probe") == 1).select(*out_cols)

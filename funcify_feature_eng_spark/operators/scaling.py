@@ -43,6 +43,8 @@ __all__ = [
     "winsorize",
     "rank_normalize",
     "rank_quantiles",
+    "mad_outliers",
+    "reference_percentile",
 ]
 
 _PPM = 1_000_000
@@ -511,3 +513,62 @@ def mad_outliers(
         (d * F.lit(2 * k_den)) > (F.col("mad_x2") * F.lit(k_num)),
     )
     return p2.withColumn(out_col, flag)
+
+
+def reference_percentile(
+    probe: DataFrame,
+    ref: DataFrame,
+    value_col: str,
+    *,
+    ref_value_col: str | None = None,
+    group_by: Sequence[str] = (),
+    out_col: str = "ref_pct_ppm",
+) -> DataFrame:
+    """Score normalization against a FROZEN reference distribution: for
+    each probe row, the exact fraction of reference values <= its value,
+    in floor-ppm — "where does this score sit against last month's
+    epoch", the cross-table companion to :func:`rank_normalize` (which
+    ranks a table against itself). The <= convention is pinned (a probe
+    equal to a reference value includes it); NULL probe values emit NULL;
+    groups with an empty reference emit NULL.
+
+    Plan — the asof union-window device on the VALUE axis, not a join:
+    reference rows and probe rows union with a side tag, ONE per-group
+    sort window counts reference rows at-or-before each probe (reference
+    ties sort before the probe), and the group's reference count rides a
+    second frame of the same window. One union + one sort Exchange —
+    never a per-probe scan of the reference (the naive correlated count
+    is the oracle, not the plan).
+
+    Scale: the reference shuffles once alongside the probes; at 100 TB
+    probes vs a compact reference epoch this is the same cost class as
+    the union-window as-of."""
+    rv = ref_value_col or value_col
+    if out_col in probe.columns:
+        raise ValueError(f"reference_percentile: {out_col!r} already exists")
+    keys = list(group_by)
+    r = ref.filter(F.col(rv).isNotNull()).select(
+        *keys, F.col(rv).alias("__v"), F.lit(0).alias("__side")
+    )
+    p = probe.select(
+        "*", F.col(value_col).alias("__v"), F.lit(1).alias("__side")
+    )
+    u = p.unionByName(r, allowMissingColumns=True)
+    w = (
+        Window.partitionBy(*[F.col(k) for k in keys])
+        .orderBy(F.col("__v").asc_nulls_last(), F.col("__side").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wn = Window.partitionBy(*[F.col(k) for k in keys])
+    is_ref = F.when(F.col("__side") == 0, 1).otherwise(0)
+    cum = F.sum(is_ref).over(w).cast("decimal(38,0)")
+    n_ref = F.sum(is_ref).over(wn).cast("decimal(38,0)")
+    pct = F.when(
+        F.col("__v").isNotNull() & (n_ref > 0),
+        exact_floor_div(cum * F.lit(1_000_000), n_ref),
+    ).cast("bigint")
+    return (
+        u.withColumn(out_col, pct)
+        .filter(F.col("__side") == 1)
+        .drop("__v", "__side")
+    )

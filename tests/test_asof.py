@@ -6,6 +6,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pytest
+from pyspark.sql import functions as F
 
 from funcify_feature_eng_spark.operators.asof import asof_join
 
@@ -541,3 +542,123 @@ def test_asof_topk_k1_equals_asof_join(spark, transcripts, feature_store):
     assert len(single) == len(topk)
     g, e = topk["pv"].to_numpy(object), single["pv"].to_numpy(object)
     assert ((g == e) | (pd.isna(g.astype(object)) & pd.isna(e.astype(object)))).all()
+
+
+class TestSlidingWindowJoin:
+    def _brute(self, left, right, window_s):
+        out = []
+        for key, lt in left:
+            vis = [
+                (rv,)
+                for rk, rt, rv in right
+                if rk == key and rt < lt and rt >= lt - window_s
+            ]
+            out.append((key, lt, len(vis), sum(v for (v,) in vis)))
+        return out
+
+    def test_matches_bruteforce(self, spark):
+        import random
+
+        rng = random.Random(13)
+        left = [(rng.randrange(4), rng.randrange(0, 5000)) for _ in range(150)]
+        right = [
+            (rng.randrange(4), rng.randrange(0, 5000), rng.randrange(1, 50))
+            for _ in range(300)
+        ]
+        from funcify_feature_eng_spark.operators.asof import sliding_window_join
+
+        ldf = spark.createDataFrame(
+            [(k, t) for k, t in left], ["k", "lt"]
+        ).select("k", F.timestamp_seconds(F.col("lt")).alias("lt"))
+        rdf = spark.createDataFrame(right, ["k", "rt", "v"]).select(
+            "k", F.timestamp_seconds(F.col("rt")).alias("rt"), "v"
+        )
+        got = (
+            sliding_window_join(
+                ldf, rdf, on=["k"], left_ts="lt", right_ts="rt",
+                window_s=600, sum_col="v",
+            )
+            .select("k", F.unix_seconds("lt").alias("lt"), "w_count", "w_sum")
+            .collect()
+        )
+        exp = {}
+        for k, lt, c, s in self._brute(left, right, 600):
+            exp.setdefault((k, lt), []).append((c, s))
+        got_m = {}
+        for r in got:
+            got_m.setdefault((r["k"], r["lt"]), []).append(
+                (r["w_count"], r["w_sum"])
+            )
+        assert {k: sorted(v) for k, v in got_m.items()} == {
+            k: sorted(v) for k, v in exp.items()
+        }
+
+    def test_boundary_semantics(self, spark):
+        # right at exactly left_ts: EXCLUDED; right at exactly
+        # left_ts - window: INCLUDED
+        from funcify_feature_eng_spark.operators.asof import sliding_window_join
+
+        ldf = spark.createDataFrame([(1, 1000)], ["k", "lt"]).select(
+            "k", F.timestamp_seconds(F.col("lt")).alias("lt")
+        )
+        rdf = spark.createDataFrame(
+            [(1, 1000, 5), (1, 400, 7), (1, 399, 100)], ["k", "rt", "v"]
+        ).select("k", F.timestamp_seconds(F.col("rt")).alias("rt"), "v")
+        r = sliding_window_join(
+            ldf, rdf, on=["k"], left_ts="lt", right_ts="rt",
+            window_s=600, sum_col="v",
+        ).collect()[0]
+        assert r["w_count"] == 1 and r["w_sum"] == 7
+
+
+class TestReferencePercentile:
+    def test_matches_bruteforce(self, spark):
+        import random
+
+        from funcify_feature_eng_spark.operators.scaling import (
+            reference_percentile,
+        )
+
+        rng = random.Random(21)
+        refs = [rng.randrange(0, 100) for _ in range(80)]
+        probes = [rng.randrange(0, 100) for _ in range(50)] + [None]
+        rdf = spark.createDataFrame([(v,) for v in refs], ["v"])
+        pdf = spark.createDataFrame(
+            [(i, v) for i, v in enumerate(probes)], ["i", "v"]
+        )
+        got = {
+            r["i"]: r["ref_pct_ppm"]
+            for r in reference_percentile(pdf, rdf, "v").collect()
+        }
+        for i, v in enumerate(probes):
+            if v is None:
+                assert got[i] is None
+            else:
+                exp = sum(1 for x in refs if x <= v) * 1_000_000 // len(refs)
+                assert got[i] == exp, (i, v)
+
+    def test_empty_reference_null(self, spark):
+        from funcify_feature_eng_spark.operators.scaling import (
+            reference_percentile,
+        )
+
+        rdf = spark.createDataFrame([(None,)], "v: int").filter("v IS NOT NULL")
+        pdf = spark.createDataFrame([(1, 5)], ["i", "v"])
+        assert reference_percentile(pdf, rdf, "v").collect()[0][
+            "ref_pct_ppm"
+        ] is None
+
+    def test_grouped(self, spark):
+        from funcify_feature_eng_spark.operators.scaling import (
+            reference_percentile,
+        )
+
+        rdf = spark.createDataFrame(
+            [("a", 10), ("a", 20), ("b", 100)], ["g", "v"]
+        )
+        pdf = spark.createDataFrame([("a", 15), ("b", 100)], ["g", "v"])
+        got = {
+            (r["g"], r["v"]): r["ref_pct_ppm"]
+            for r in reference_percentile(pdf, rdf, "v", group_by=["g"]).collect()
+        }
+        assert got[("a", 15)] == 500_000 and got[("b", 100)] == 1_000_000
