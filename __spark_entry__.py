@@ -5646,6 +5646,48 @@ def q_price_reference_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return reference_percentile(probe, ref, "price_e2")
 
 
+def q_throttle_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-bucket admission replay (operators/throttle.py::
+    token_bucket_audit): per user, capacity 2 tokens refilling 1/week,
+    each event costs 1 — which events would a rate limiter have
+    dropped. Sequential state (min(cap, tok + rate·Δt) − cost) can't be
+    a window prefix-sum; it runs as a per-entity JVM F.aggregate fold
+    on the exact rate_den·1e6 micro-token grid. Oracle = a DuckDB
+    RECURSIVE CTE replaying the identical integer fold — a structurally
+    different evaluation of the same pinned semantics."""
+    from funcify_feature_eng_spark.operators.throttle import (
+        token_bucket_audit,
+    )
+
+    return token_bucket_audit(
+        _t(spark, sf_dir, "events"),
+        entity_col="user_id",
+        ts_col="ts",
+        order_col="event_id",
+        id_cols=["event_id"],
+        cap=2,
+        rate_num=1,
+        rate_den_s=7 * 86400,
+    )
+
+
+def q_state_dwell(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-in-state (operators/windows.py::state_dwell_times): exact
+    total/mean microseconds spent in each event type — a state lasts
+    until the user's next event; each user's last event has no dwell
+    and is excluded. ONE per-entity sort window + one state-grain
+    aggregate, all integers."""
+    from funcify_feature_eng_spark.operators.windows import state_dwell_times
+
+    return state_dwell_times(
+        _t(spark, sf_dir, "events"),
+        entity_col="user_id",
+        ts_col="ts",
+        order_col="event_id",
+        state_col="event_type",
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: windowed turn features + strictly-prior as-of join at sf0.001."""
     sf_dir = "/root/testdata/sf0.001"
@@ -5937,6 +5979,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # tail) + cross-epoch reference percentile (conditioning tail)
         "window_purchase_stats": q_window_purchase_stats,
         "price_reference_pct": q_price_reference_pct,
+        # round-5 wave 28: token-bucket admission replay (stateful JVM
+        # fold, recursive-CTE oracle) + time-in-state dwell
+        "throttle_audit": q_throttle_audit,
+        "state_dwell": q_state_dwell,
     }
 
 
@@ -10295,5 +10341,51 @@ SELECT p.o_orderkey, p.price_e2,
                  THEN ((SELECT COUNT(*) FROM ref r WHERE r.v <= p.price_e2)
                        * 1000000) // n.n_ref END AS BIGINT) AS ref_pct_ppm
 FROM p CROSS JOIN n
+"""
+    # token bucket: recursive CTE replays the identical integer fold —
+    # cap 2 tokens, 1/week refill, cost 1, on the rate_den*1e6 grid
+    _tb_unit = 7 * 86400 * 1_000_000
+    _tb_cap, _tb_cost, _tb_rate = 2 * _tb_unit, 1 * _tb_unit, 1
+    sqls["throttle_audit"] = f"""
+WITH RECURSIVE seq AS (
+  SELECT user_id, event_id, epoch_us(ts) AS t,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS i
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+),
+r AS (
+  SELECT user_id, event_id, t, i,
+         {_tb_cap} >= {_tb_cost} AS admitted,
+         CASE WHEN {_tb_cap} >= {_tb_cost}
+              THEN {_tb_cap} - {_tb_cost} ELSE {_tb_cap} END AS tok
+  FROM seq WHERE i = 1
+  UNION ALL
+  SELECT s.user_id, s.event_id, s.t, s.i,
+         LEAST({_tb_cap}, r.tok + (s.t - r.t) * {_tb_rate}) >= {_tb_cost}
+           AS admitted,
+         CASE WHEN LEAST({_tb_cap}, r.tok + (s.t - r.t) * {_tb_rate})
+                   >= {_tb_cost}
+              THEN LEAST({_tb_cap}, r.tok + (s.t - r.t) * {_tb_rate})
+                   - {_tb_cost}
+              ELSE LEAST({_tb_cap}, r.tok + (s.t - r.t) * {_tb_rate})
+         END AS tok
+  FROM seq s JOIN r ON s.user_id = r.user_id AND s.i = r.i + 1
+)
+SELECT user_id, event_id, admitted,
+       CAST(tok AS BIGINT) AS tokens_after_e6den
+FROM r
+"""
+    # dwell: lead-window spans, state-grain integer aggregate
+    sqls["state_dwell"] = """
+WITH s AS (
+  SELECT event_type AS state,
+         lead(epoch_us(ts)) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id)
+           - epoch_us(ts) AS d
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+)
+SELECT state, CAST(COUNT(*) AS BIGINT) AS n_spells,
+       CAST(SUM(d) AS BIGINT) AS total_dwell_us,
+       CAST(SUM(d) // COUNT(*) AS BIGINT) AS mean_dwell_us
+FROM s WHERE d IS NOT NULL GROUP BY 1
 """
     return sqls

@@ -310,3 +310,55 @@ def collect_ordered(
         F.transform(F.sort_array(F.collect_list(pairs)), lambda s: s["__v"]).alias(out_col)
     )
     return agg
+
+
+def state_dwell_times(
+    df: DataFrame,
+    *,
+    entity_col: str,
+    ts_col: str,
+    order_col: str,
+    state_col: str,
+    group_keys: Sequence[str] = (),
+) -> DataFrame:
+    """Time-in-state: per state, the exact total/mean microseconds an
+    entity dwells in it — a state "lasts" from its event until the
+    entity's NEXT event of any kind (the last event per entity has no
+    dwell and is excluded; pinning the dataset max-ts as a phantom end
+    would silently couple every entity's tail to one global value).
+
+    Output: one row per (``group_keys``..., ``state``) with
+    ``n_spells``, ``total_dwell_us``, ``mean_dwell_us`` (floor) — all
+    exact integers.
+
+    Scale: ONE per-entity sort window (the lead) + one state-grain
+    aggregate."""
+    from funcify_feature_eng_spark.operators.util import exact_floor_div
+
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    w = Window.partitionBy(F.col(entity_col)).orderBy(
+        F.col(ts_col).asc(), F.col(order_col).asc()
+    )
+    nxt = F.lead(us).over(w)
+    spans = (
+        df.filter(F.col(entity_col).isNotNull() & F.col(ts_col).isNotNull())
+        .select(
+            *group_keys,
+            F.col(state_col).alias("state"),
+            (nxt - us).alias("__dwell"),
+        )
+        .filter(F.col("__dwell").isNotNull())
+    )
+    g = spans.groupBy(*group_keys, "state").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_spells"),
+        F.sum("__dwell").cast("decimal(38,0)").alias("__tot"),
+    )
+    return g.select(
+        *group_keys,
+        "state",
+        "n_spells",
+        F.col("__tot").cast("bigint").alias("total_dwell_us"),
+        exact_floor_div(
+            F.col("__tot"), F.col("n_spells").cast("decimal(38,0)")
+        ).cast("bigint").alias("mean_dwell_us"),
+    )

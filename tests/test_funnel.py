@@ -158,3 +158,107 @@ def test_retention_cohorts(spark, activity):
 def test_retention_validation(spark, activity):
     with pytest.raises(ValueError, match="period_s"):
         retention_cohorts(activity, period_s=0)
+
+
+class TestTokenBucketAudit:
+    def _brute(self, events, cap, rate_num, rate_den_s, cost):
+        # events: list of (entity, t_us, order, eid) — replay per entity
+        import collections
+
+        unit = rate_den_s * 1_000_000
+        cap_u, cost_u = cap * unit, cost * unit
+        out = {}
+        by_e = collections.defaultdict(list)
+        for e, t, o, i in events:
+            by_e[e].append((t, o, i))
+        for e, evs in by_e.items():
+            tok, prev = cap_u, None
+            for t, o, i in sorted(evs):
+                avail = min(cap_u, tok + (0 if prev is None else (t - prev) * rate_num))
+                adm = avail >= cost_u
+                tok = avail - cost_u if adm else avail
+                prev = t
+                out[i] = (adm, tok)
+        return out
+
+    def test_matches_bruteforce(self, spark):
+        import random
+
+        from pyspark.sql import functions as SF
+
+        from funcify_feature_eng_spark.operators.throttle import (
+            token_bucket_audit,
+        )
+
+        rng = random.Random(17)
+        events = []
+        eid = 0
+        for e in range(5):
+            t = 0
+            for _ in range(60):
+                t += rng.randrange(0, 120) * 1_000_000
+                events.append((e, t, eid, eid))
+                eid += 1
+        df = spark.createDataFrame(
+            [(e, t // 1_000_000, o, i) for e, t, o, i in events],
+            ["ent", "tsec", "o", "eid"],
+        ).select(
+            "ent", SF.timestamp_seconds(SF.col("tsec")).alias("ts"), "o", "eid"
+        )
+        got = {
+            r["eid"]: (r["admitted"], r["tokens_after_e6den"])
+            for r in token_bucket_audit(
+                df, entity_col="ent", ts_col="ts", order_col="o",
+                id_cols=["eid"], cap=5, rate_num=1, rate_den_s=60,
+            ).collect()
+        }
+        exp = self._brute(events, 5, 1, 60, 1)
+        assert got == exp
+
+    def test_burst_then_refill(self, spark):
+        from pyspark.sql import functions as SF
+
+        from funcify_feature_eng_spark.operators.throttle import (
+            token_bucket_audit,
+        )
+
+        # 4 instant events on cap=2: first 2 admitted; after 60s one
+        # token refills -> 5th admitted
+        rows = [(1, 0, i, i) for i in range(4)] + [(1, 60, 4, 4)]
+        df = spark.createDataFrame(rows, ["ent", "tsec", "o", "eid"]).select(
+            "ent", SF.timestamp_seconds(SF.col("tsec")).alias("ts"), "o", "eid"
+        )
+        got = {
+            r["eid"]: r["admitted"]
+            for r in token_bucket_audit(
+                df, entity_col="ent", ts_col="ts", order_col="o",
+                id_cols=["eid"], cap=2, rate_num=1, rate_den_s=60,
+            ).collect()
+        }
+        assert got == {0: True, 1: True, 2: False, 3: False, 4: True}
+
+
+class TestStateDwellTimes:
+    def test_exact_dwell(self, spark):
+        from pyspark.sql import functions as SF
+
+        from funcify_feature_eng_spark.operators.windows import (
+            state_dwell_times,
+        )
+
+        # entity 1: a(0) -> b(10) -> a(25) -> end(40, excluded as last)
+        rows = [(1, 0, 0, "a"), (1, 10, 1, "b"), (1, 25, 2, "a"),
+                (1, 40, 3, "end"), (2, 0, 4, "b"), (2, 7, 5, "end")]
+        df = spark.createDataFrame(rows, ["ent", "tsec", "o", "st"]).select(
+            "ent", SF.timestamp_seconds(SF.col("tsec")).alias("ts"), "o", "st"
+        )
+        got = {
+            r["state"]: (r["n_spells"], r["total_dwell_us"], r["mean_dwell_us"])
+            for r in state_dwell_times(
+                df, entity_col="ent", ts_col="ts", order_col="o",
+                state_col="st",
+            ).collect()
+        }
+        assert got["a"] == (2, 25_000_000, 12_500_000)
+        assert got["b"] == (2, 22_000_000, 11_000_000)
+        assert "end" not in got
