@@ -708,10 +708,14 @@ def asof_topk(
         F.col(ridx).alias(cand),
         *[F.col(rc).alias(out) for rc, out in vals.items()],
     )
+    # eqNullSafe on the entity keys: the union-window ffill treats a NULL
+    # entity as a real group (asof_join parity), so the join back must
+    # match it too — null-unsafe equality would emit rank-without-payload
+    # rows for NULL-keyed lefts
     joined = exploded.alias("__l").join(
         payload.alias("__r"),
         on=[
-            F.col(f"__l.{c}") == F.col(f"__r.__asof_topk_on_{i}")
+            F.col(f"__l.{c}").eqNullSafe(F.col(f"__r.__asof_topk_on_{i}"))
             for i, c in enumerate(on)
         ]
         + [F.col(f"__l.{cand}") == F.col(f"__r.{cand}")],
@@ -772,6 +776,9 @@ def sliding_window_join(
         if sum_col
         else F.lit(0).cast("decimal(38,0)")
     )
+    # a right row with a NULL timestamp would become a +delta sorting
+    # before every probe (nulls first) and pollute ALL running counts
+    right = right.filter(F.col(right_ts).isNotNull())
     birth = right.select(
         *on,
         us(right_ts).alias("__t"),
@@ -797,15 +804,22 @@ def sliding_window_join(
         .orderBy(F.col("__t").asc(), F.col("__probe").desc())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
+    # NULL-ts probes have no place on the time axis: NULL counts, not 0
+    probe_ok = F.col(left_ts).isNotNull()
     run = u.withColumn(
-        count_name, F.coalesce(F.sum("__dc").over(w), F.lit(0)).cast("bigint")
+        count_name,
+        F.when(
+            probe_ok, F.coalesce(F.sum("__dc").over(w), F.lit(0))
+        ).cast("bigint"),
     )
     out_cols = [*left.columns, count_name]
     if sum_col:
         run = run.withColumn(
             sum_name,
-            F.coalesce(F.sum("__dv").over(w), F.lit(0).cast("decimal(38,0)"))
-            .cast("bigint"),
+            F.when(
+                probe_ok,
+                F.coalesce(F.sum("__dv").over(w), F.lit(0).cast("decimal(38,0)")),
+            ).cast("bigint"),
         )
         out_cols.append(sum_name)
     return run.filter(F.col("__probe") == 1).select(*out_cols)

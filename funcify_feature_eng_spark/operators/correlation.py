@@ -283,6 +283,10 @@ def acf(
         raise ValueError(f"acf: max_lag must be >= 1, got {max_lag}")
     _check_integral(df, (value_col,), "acf")
     keys = list(group_by)
+    # a NULL timestamp has no position in the series — and engines
+    # disagree on NULL sort placement (Spark asc = nulls FIRST, ANSI
+    # default LAST), so rows without one must not shift anyone's lead
+    df = df.filter(F.col(ts_col).isNotNull())
     w = Window.partitionBy(*[F.col(k) for k in keys]).orderBy(
         F.col(ts_col).asc(), F.col(order_col).asc()
     )

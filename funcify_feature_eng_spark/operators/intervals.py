@@ -485,6 +485,11 @@ def concurrency_profile(
     buckets with no events are absent (their concurrency is constant =
     the carry-in, peakless). Two shuffles, both bucket-grain.
     """
+    # intervals with a NULL endpoint are undefined under the half-open
+    # convention and are dropped up front (interval_join's posture)
+    intervals = intervals.filter(
+        F.col(start_col).isNotNull() & F.col(end_col).isNotNull()
+    )
     sweep = intervals.select(
         *group_by,
         F.date_trunc(bucket, F.col(start_col)).alias("__b"),

@@ -54,6 +54,12 @@ OPS = [
     "priority_evidence",
     "pareto_parts",
     "part_communities",
+    "source_concentration",
+    "price_gini",
+    "window_purchase_stats",
+    "price_reference_pct",
+    "throttle_audit",
+    "state_dwell",
 ]
 
 
@@ -81,6 +87,9 @@ def upscale(spark, sf_dir: str, out_dir: str, n_copies: int = 10) -> str:
         "orders": {"o_orderkey": 100_000_000},
         "part": {"p_partkey": 100_000_000},
         "lineitem": {"l_orderkey": 100_000_000},
+        # doc_id shifts, source labels UNCHANGED — the concentration
+        # report's category table stays fixed while rows grow 10x
+        "documents": {"doc_id": 100_000_000},
     }
     for table, shifts in plan.items():
         df = spark.read.parquet(os.path.join(sf_dir, f"{table}.parquet"))

@@ -662,3 +662,46 @@ class TestReferencePercentile:
             for r in reference_percentile(pdf, rdf, "v", group_by=["g"]).collect()
         }
         assert got[("a", 15)] == 500_000 and got[("b", 100)] == 1_000_000
+
+
+def test_asof_topk_null_entity_matches_asof_join(spark):
+    # NULL entity is a real group in the union-window ffill; the join
+    # back must be null-safe or rank-without-payload rows leak out
+    import datetime as dt
+
+    from funcify_feature_eng_spark.operators.asof import asof_topk
+
+    b = dt.datetime(2024, 1, 1)
+    left = spark.createDataFrame(
+        [(None, 1, b + dt.timedelta(hours=2))], "k: int, i: int, ts: timestamp"
+    )
+    right = spark.createDataFrame(
+        [(None, b + dt.timedelta(hours=1), 7)], "k: int, rts: timestamp, v: int"
+    )
+    r = asof_topk(
+        left, right, on=["k"], left_ts="ts", right_ts="rts",
+        value_cols={"v": "pv"}, k=2,
+    ).collect()
+    assert len(r) == 1 and r[0]["asof_rank"] == 1 and r[0]["pv"] == 7
+
+
+def test_sliding_window_join_null_ts_rows(spark):
+    import datetime as dt
+
+    from funcify_feature_eng_spark.operators.asof import sliding_window_join
+
+    b = dt.datetime(2024, 1, 1)
+    left = spark.createDataFrame(
+        [(1, 1, b), (1, 2, None)], "k: int, i: int, ts: timestamp"
+    )
+    right = spark.createDataFrame(
+        [(1, b - dt.timedelta(hours=1), 5), (1, None, 100)],
+        "k: int, rts: timestamp, v: int",
+    )
+    got = {r["i"]: (r["w_count"], r["w_sum"]) for r in sliding_window_join(
+        left, right, on=["k"], left_ts="ts", right_ts="rts",
+        window_s=86400, sum_col="v",
+    ).collect()}
+    # NULL-ts right row must not pollute the count; NULL-ts probe -> NULL
+    assert got[1] == (1, 5)
+    assert got[2] == (None, None)

@@ -610,3 +610,21 @@ class TestConcurrencyProfile:
             for r in concurrency_profile(df, start_col="s", end_col="e").collect()
         }
         assert got == {"2024-05-01": 1, "2024-05-03": 2}
+
+
+def test_concurrency_profile_null_endpoints_dropped(spark):
+    import datetime as dt
+
+    from funcify_feature_eng_spark.operators.intervals import (
+        concurrency_profile,
+    )
+
+    b = dt.datetime(2024, 5, 1)
+    df = spark.createDataFrame(
+        [(b, b + dt.timedelta(hours=1)), (None, b + dt.timedelta(hours=2)),
+         (b, None)],
+        "s: timestamp, e: timestamp",
+    )
+    rows = concurrency_profile(df, start_col="s", end_col="e").collect()
+    assert len(rows) == 1
+    assert rows[0]["n_starts"] == 1 and rows[0]["n_ends"] == 1

@@ -708,3 +708,24 @@ class TestGiniCoefficient:
 
         df = spark.createDataFrame([(0.0,), (0.0,)], ["v"])
         assert gini_coefficient(df, "v").collect()[0]["gini_ppm"] is None
+
+
+class TestAcfNullTs:
+    def test_null_ts_rows_do_not_shift_leads(self, spark):
+        from funcify_feature_eng_spark.operators.correlation import acf
+
+        # without the filter, the NULL-ts row sorts FIRST in Spark and
+        # LAST in ANSI engines — its value would shift every lead
+        clean = spark.createDataFrame(
+            [(i, i, (i * 37) % 11) for i in range(20)], ["i", "o", "v"]
+        )
+        dirty = clean.unionByName(
+            spark.createDataFrame([(None, 99, 999)], "i: bigint, o: bigint, v: bigint")
+        )
+        a = {(r["lag"]): (r["n_pairs"], r["acf_r"]) for r in acf(
+            clean, "v", ts_col="i", order_col="o", max_lag=2
+        ).collect()}
+        b = {(r["lag"]): (r["n_pairs"], r["acf_r"]) for r in acf(
+            dirty, "v", ts_col="i", order_col="o", max_lag=2
+        ).collect()}
+        assert a == b
