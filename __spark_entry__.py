@@ -5688,6 +5688,27 @@ def q_state_dwell(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_price_quantile_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-matching transform (operators/scaling.py::
+    quantile_match): odd-key order totals mapped onto the even-key
+    epoch's distribution — each probe takes the reference order
+    statistic at its own exact rank fraction (rank max(1, c), clamping
+    below-min probes to the reference minimum). Two sort Exchanges +
+    one rank equi-join, never a per-probe scan; oracle = the naive
+    correlated count + rank-indexed lookup."""
+    from funcify_feature_eng_spark.operators.scaling import quantile_match
+
+    orders = _t(spark, sf_dir, "orders")
+    cents = (F.col("o_totalprice").cast("decimal(28,2)") * 100).cast("long")
+    ref = orders.filter(F.col("o_orderkey") % 2 == 0).select(
+        cents.alias("price_e2")
+    )
+    probe = orders.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", cents.alias("price_e2")
+    )
+    return quantile_match(probe, ref, "price_e2")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: windowed turn features + strictly-prior as-of join at sf0.001."""
     sf_dir = "/root/testdata/sf0.001"
@@ -5983,6 +6004,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # fold, recursive-CTE oracle) + time-in-state dwell
         "throttle_audit": q_throttle_audit,
         "state_dwell": q_state_dwell,
+        # round-5 wave 29: quantile-matching transform (conditioning
+        # family tail)
+        "price_quantile_match": q_price_quantile_match,
     }
 
 
@@ -10387,5 +10411,30 @@ SELECT state, CAST(COUNT(*) AS BIGINT) AS n_spells,
        CAST(SUM(d) AS BIGINT) AS total_dwell_us,
        CAST(SUM(d) // COUNT(*) AS BIGINT) AS mean_dwell_us
 FROM s WHERE d IS NOT NULL GROUP BY 1
+"""
+    # quantile match: naive correlated rank + order-statistic lookup vs
+    # the two-pass union-window plan
+    sqls["price_quantile_match"] = """
+WITH ref AS (
+  SELECT CAST(CAST(o_totalprice AS DECIMAL(28,2)) * 100 AS BIGINT) AS v
+  FROM orders WHERE o_orderkey % 2 = 0 AND o_totalprice IS NOT NULL
+),
+idx AS (SELECT v, row_number() OVER (ORDER BY v) AS rk FROM ref),
+n AS (SELECT COUNT(*) AS n_ref FROM ref),
+p AS (
+  SELECT o_orderkey,
+         CAST(CAST(o_totalprice AS DECIMAL(28,2)) * 100 AS BIGINT) AS price_e2
+  FROM orders WHERE o_orderkey % 2 = 1
+),
+c AS (
+  SELECT p.*,
+         GREATEST(1, (SELECT COUNT(*) FROM ref r WHERE r.v <= p.price_e2))
+           AS rk
+  FROM p
+)
+SELECT c.o_orderkey, c.price_e2,
+       CASE WHEN c.price_e2 IS NOT NULL AND n.n_ref > 0 THEN i.v END
+         AS matched_value
+FROM c CROSS JOIN n LEFT JOIN idx i ON i.rk = c.rk
 """
     return sqls

@@ -45,6 +45,7 @@ __all__ = [
     "rank_quantiles",
     "mad_outliers",
     "reference_percentile",
+    "quantile_match",
 ]
 
 _PPM = 1_000_000
@@ -571,4 +572,83 @@ def reference_percentile(
         u.withColumn(out_col, pct)
         .filter(F.col("__side") == 1)
         .drop("__v", "__side")
+    )
+
+
+def quantile_match(
+    probe: DataFrame,
+    ref: DataFrame,
+    value_col: str,
+    *,
+    ref_value_col: str | None = None,
+    group_by: Sequence[str] = (),
+    out_col: str = "matched_value",
+) -> DataFrame:
+    """Quantile-matching transform (quantile "normalization"): replace
+    each probe value with the reference distribution's value at the SAME
+    rank fraction — the distribution-shape transfer behind cross-epoch
+    score calibration ("make this month's scores comparable to last
+    month's grid"). Pinned exact semantics: a probe whose value sits
+    at-or-above ``c`` of ``n_ref`` reference values maps to the
+    reference order statistic at rank ``max(1, c)`` (probes below every
+    reference value clamp to the reference minimum; NULL probes and
+    empty-reference groups emit NULL).
+
+    Plan: pass 1 is :func:`reference_percentile`'s union-window on the
+    value axis carrying the exact cum-count; pass 2 indexes the
+    reference by ``row_number`` and equi-joins on the rank — two sort
+    Exchanges + one equi-join, never a per-probe reference scan.
+
+    Ties in the reference: the order statistic at a rank is the same
+    VALUE under any intra-tie order, so no tiebreak column is needed."""
+    rv = ref_value_col or value_col
+    if out_col in probe.columns:
+        raise ValueError(f"quantile_match: {out_col!r} already exists")
+    keys = list(group_by)
+    r = ref.filter(F.col(rv).isNotNull()).select(
+        *keys, F.col(rv).alias("__v"), F.lit(0).alias("__side")
+    )
+    p = probe.select(
+        "*", F.col(value_col).alias("__v"), F.lit(1).alias("__side")
+    )
+    u = p.unionByName(r, allowMissingColumns=True)
+    w = (
+        Window.partitionBy(*[F.col(k) for k in keys])
+        .orderBy(F.col("__v").asc_nulls_last(), F.col("__side").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wn = Window.partitionBy(*[F.col(k) for k in keys])
+    is_ref = F.when(F.col("__side") == 0, 1).otherwise(0)
+    cum = F.sum(is_ref).over(w).cast("long")
+    n_ref = F.sum(is_ref).over(wn).cast("long")
+    rank = F.when(
+        F.col("__v").isNotNull() & (n_ref > 0),
+        F.greatest(F.lit(1).cast("long"), cum),
+    )
+    probes = (
+        u.withColumn("__rank", rank)
+        .filter(F.col("__side") == 1)
+        .drop("__v", "__side")
+    )
+    w_idx = Window.partitionBy(*[F.col(k) for k in keys]).orderBy(
+        F.col("__v").asc()
+    )
+    indexed = r.withColumn("__rank", F.row_number().over(w_idx).cast("long"))
+    payload = indexed.select(
+        *[F.col(k).alias(f"__qm_k{i}") for i, k in enumerate(keys)],
+        "__rank",
+        F.col("__v").alias(out_col),
+    )
+    joined = probes.alias("__l").join(
+        payload.alias("__r"),
+        on=[
+            F.col(f"__l.{k}").eqNullSafe(F.col(f"__r.__qm_k{i}"))
+            for i, k in enumerate(keys)
+        ]
+        + [F.col(f"__l.__rank") == F.col("__r.__rank")],
+        how="left",
+    )
+    return joined.select(
+        *[F.col(f"__l.{c}") for c in probe.columns],
+        F.col(f"__r.{out_col}").alias(out_col),
     )

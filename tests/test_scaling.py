@@ -729,3 +729,62 @@ class TestAcfNullTs:
             dirty, "v", ts_col="i", order_col="o", max_lag=2
         ).collect()}
         assert a == b
+
+
+class TestQuantileMatch:
+    def _brute(self, probes, refs):
+        rs = sorted(refs)
+        out = []
+        for v in probes:
+            if v is None or not rs:
+                out.append(None)
+                continue
+            c = sum(1 for x in rs if x <= v)
+            out.append(rs[max(1, c) - 1])
+        return out
+
+    def test_matches_bruteforce(self, spark):
+        import random
+
+        from funcify_feature_eng_spark.operators.scaling import quantile_match
+
+        rng = random.Random(31)
+        refs = [rng.randrange(0, 60) for _ in range(40)]
+        probes = [rng.randrange(-5, 70) for _ in range(60)] + [None]
+        rdf = spark.createDataFrame([(v,) for v in refs], "v: int")
+        pdf = spark.createDataFrame(
+            [(i, v) for i, v in enumerate(probes)], "i: int, v: int"
+        )
+        got = {
+            r["i"]: r["matched_value"]
+            for r in quantile_match(pdf, rdf, "v").collect()
+        }
+        exp = self._brute(probes, refs)
+        for i in range(len(probes)):
+            assert got[i] == exp[i], (i, probes[i])
+
+    def test_below_min_clamps_and_identity(self, spark):
+        from funcify_feature_eng_spark.operators.scaling import quantile_match
+
+        rdf = spark.createDataFrame([(10,), (20,), (30,)], "v: int")
+        pdf = spark.createDataFrame(
+            [(1, 5), (2, 20), (3, 999)], "i: int, v: int"
+        )
+        got = {
+            r["i"]: r["matched_value"]
+            for r in quantile_match(pdf, rdf, "v").collect()
+        }
+        assert got == {1: 10, 2: 20, 3: 30}
+
+    def test_grouped_and_empty_ref_group(self, spark):
+        from funcify_feature_eng_spark.operators.scaling import quantile_match
+
+        rdf = spark.createDataFrame([("a", 100), ("a", 200)], "g: string, v: int")
+        pdf = spark.createDataFrame(
+            [("a", 1, 150), ("b", 2, 7)], "g: string, i: int, v: int"
+        )
+        got = {
+            r["i"]: r["matched_value"]
+            for r in quantile_match(pdf, rdf, "v", group_by=["g"]).collect()
+        }
+        assert got[1] == 100 and got[2] is None
