@@ -5709,6 +5709,79 @@ def q_price_quantile_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quantile_match(probe, ref, "price_e2")
 
 
+def _events_throttle_stream_files(spark: SparkSession, sf_dir: str) -> str:
+    """2-file micro-batch split of events in EVENT-TIME order (first half
+    by (ts, event_id), then the rest) — the token-bucket fold is
+    sequential per entity, so batches must not interleave an entity's
+    rows out of order. Content-stamped scaffolding like
+    _events_hh_stream_files."""
+
+    def parts():
+        pdf = (
+            _t(spark, sf_dir, "events")
+            .select("event_id", "user_id", "ts")
+            .orderBy("ts", "event_id")
+            .toPandas()
+        )
+        half = len(pdf) // 2
+        return [pdf.iloc[:half], pdf.iloc[half:]]
+
+    tmp = os.path.join(
+        "/tmp",
+        f"spark_graft_throttle_stream_{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    return _write_micro_batches(
+        tmp, os.path.join(sf_dir, "events.parquet"), "1", parts,
+        {"coerce_timestamps": "us", "allow_truncated_timestamps": True},
+    )
+
+
+def q_stream_throttle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming token-bucket admission (streaming/runner.py::
+    stateful_throttle_stream): the wave-28 rate limiter as a live
+    stateful operator — per-user (tokens, last-ts) GroupState crosses
+    the micro-batch boundary (events split in event-time order), each
+    batch replays its rows through the identical integer fold. Stream ≡
+    batch: the emitted decisions hash against the SAME recursive-CTE
+    oracle as the batch throttle_audit gate — the stateful-streaming
+    parity contract, cap 2 tokens / 1 per week / cost 1."""
+    from funcify_feature_eng_spark.streaming.runner import (
+        stateful_throttle_stream,
+    )
+
+    tmp = _events_throttle_stream_files(spark, sf_dir)
+    sch = spark.read.parquet(tmp).schema
+    stream = (
+        spark.readStream.schema(sch).option("maxFilesPerTrigger", "1").parquet(tmp)
+    )
+    out = stateful_throttle_stream(
+        stream,
+        entity_col="user_id",
+        ts_col="ts",
+        order_col="event_id",
+        id_col="event_id",
+        cap=2,
+        rate_num=1,
+        rate_den_s=7 * 86400,
+    )
+    _STREAM_GATE_SEQ[0] += 1
+    qname = f"stream_throttle_sink_{_STREAM_GATE_SEQ[0]}"
+    shuffle_conf = "spark.sql.shuffle.partitions"
+    session_parts = spark.conf.get(shuffle_conf)
+    spark.conf.set(shuffle_conf, "4")
+    try:
+        q = (
+            out.writeStream.format("memory").queryName(qname)
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set(shuffle_conf, session_parts)
+    return spark.table(qname).select(
+        "user_id", "event_id", "admitted", "tokens_after_e6den"
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: windowed turn features + strictly-prior as-of join at sf0.001."""
     sf_dir = "/root/testdata/sf0.001"
@@ -6007,6 +6080,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-5 wave 29: quantile-matching transform (conditioning
         # family tail)
         "price_quantile_match": q_price_quantile_match,
+        # round-5 wave 30: streaming token-bucket twin (streaming tail)
+        "stream_throttle": q_stream_throttle,
     }
 
 
@@ -10437,4 +10512,32 @@ SELECT c.o_orderkey, c.price_e2,
          AS matched_value
 FROM c CROSS JOIN n LEFT JOIN idx i ON i.rk = c.rk
 """
+    # streaming throttle: stream ≡ batch — the same recursive-CTE fold,
+    # minus the batch gate's ts column ordering differences (none: the
+    # output schema is user_id, event_id, admitted, tokens_after_e6den)
+    sqls["stream_throttle"] = """
+WITH RECURSIVE seq AS (
+  SELECT user_id, event_id, epoch_us(ts) AS t,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS i
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+),
+r AS (
+  SELECT user_id, event_id, t, i,
+         {cap} >= {cost} AS admitted,
+         CASE WHEN {cap} >= {cost} THEN {cap} - {cost} ELSE {cap} END AS tok
+  FROM seq WHERE i = 1
+  UNION ALL
+  SELECT s.user_id, s.event_id, s.t, s.i,
+         LEAST({cap}, r.tok + (s.t - r.t) * {rate}) >= {cost} AS admitted,
+         CASE WHEN LEAST({cap}, r.tok + (s.t - r.t) * {rate}) >= {cost}
+              THEN LEAST({cap}, r.tok + (s.t - r.t) * {rate}) - {cost}
+              ELSE LEAST({cap}, r.tok + (s.t - r.t) * {rate})
+         END AS tok
+  FROM seq s JOIN r ON s.user_id = r.user_id AND s.i = r.i + 1
+)
+SELECT user_id, event_id, admitted,
+       CAST(tok AS BIGINT) AS tokens_after_e6den
+FROM r
+""".format(cap=2 * 7 * 86400 * 1_000_000 * 1,
+            cost=7 * 86400 * 1_000_000, rate=1)
     return sqls

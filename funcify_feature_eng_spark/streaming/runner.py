@@ -884,3 +884,83 @@ def cms_monitor_stream(
     return ex.groupBy("d", "bucket").agg(
         F.count(F.lit(1)).cast("long").alias("cnt")
     )
+
+
+def stateful_throttle_stream(
+    stream_df: DataFrame,
+    *,
+    entity_col: str,
+    ts_col: str,
+    order_col: str,
+    id_col: str,
+    cap: int,
+    rate_num: int,
+    rate_den_s: int,
+    cost: int = 1,
+) -> DataFrame:
+    """Streaming token-bucket admission with cross-batch state — the
+    live twin of ``operators/throttle.py::token_bucket_audit``. Per
+    entity, GroupState carries (tokens on the rate_den·1e6 micro-token
+    grid, last-event micros); each micro-batch replays its rows in
+    (``ts_col``, ``order_col``) order through the identical integer
+    fold and emits one decision row per event.
+
+    Stream ≡ batch contract: with micro-batches split in event-time
+    order (no entity's rows interleave across the boundary out of
+    order), the emitted decisions equal the batch replay of the whole
+    stream EXACTLY — the same pinned semantics the recursive-CTE oracle
+    evaluates. State is O(1) per entity (two longs) with NO timeout
+    (an admission counter is lifetime state; add a watermark TTL as in
+    :func:`stateful_turn_features_stream` for bounded horizons).
+
+    The Python stage only folds integers over already-shuffled Arrow
+    batches — no text, no float."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    if cap < 1 or rate_num < 1 or rate_den_s < 1 or cost < 1:
+        raise ValueError(
+            "stateful_throttle_stream: cap, rate_num, rate_den_s, cost >= 1"
+        )
+    unit = int(rate_den_s) * 1_000_000
+    cap_u, cost_u = int(cap) * unit, int(cost) * unit
+    in_types = {f.name: f.dataType.simpleString() for f in stream_df.schema.fields}
+    out_schema = (
+        f"{entity_col} {in_types[entity_col]}, {id_col} {in_types[id_col]}, "
+        "admitted boolean, tokens_after_e6den bigint"
+    )
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        rows = pd.concat(list(pdfs), ignore_index=True).sort_values(
+            [ts_col, order_col], kind="stable"
+        )
+        tok, prev = state.get if state.exists else (cap_u, None)
+        t_us = (rows[ts_col].astype("int64") // 1000).tolist()
+        ids, adm, after = [], [], []
+        for i, t in zip(rows[id_col].tolist(), t_us):
+            refill = 0 if prev is None else (t - prev) * rate_num
+            avail = min(cap_u, tok + refill)
+            ok = avail >= cost_u
+            tok = avail - cost_u if ok else avail
+            prev = t
+            ids.append(i)
+            adm.append(ok)
+            after.append(tok)
+        state.update((int(tok), None if prev is None else int(prev)))
+        yield pd.DataFrame(
+            {
+                entity_col: [key[0]] * len(ids),
+                id_col: ids,
+                "admitted": adm,
+                "tokens_after_e6den": after,
+            }
+        )
+
+    return stream_df.groupBy(entity_col).applyInPandasWithState(
+        update,
+        out_schema,
+        "tok bigint, prev bigint",
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )

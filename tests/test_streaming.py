@@ -956,3 +956,64 @@ def test_cms_monitor_stream_validation(spark):
     df = spark.createDataFrame([("x",)], "v string")
     with pytest.raises(ValueError, match="width"):
         cms_monitor_stream(df, value_col="v", width=1)
+
+
+def test_stateful_throttle_stream_state_crosses_batches(spark, tmp_path):
+    """Streaming token bucket ≡ batch replay: the boundary splits a burst,
+    so batch 2's first decision depends on batch 1's final (tokens,
+    last-ts) state."""
+    import os as _os
+
+    import pandas as pd
+
+    from funcify_feature_eng_spark.operators.throttle import token_bucket_audit
+    from funcify_feature_eng_spark.streaming.runner import (
+        stateful_throttle_stream,
+    )
+
+    base = pd.Timestamp("2024-01-01")
+    rows = [
+        (1, base, 0),
+        (1, base + pd.Timedelta(seconds=1), 1),   # burst: cap 2 exhausted
+        (1, base + pd.Timedelta(seconds=2), 2),   # denied
+        # --- batch boundary ---
+        (1, base + pd.Timedelta(seconds=3), 3),   # still denied (state!)
+        (1, base + pd.Timedelta(seconds=70), 4),  # 1 token refilled -> admit
+    ]
+    pdf = pd.DataFrame(rows, columns=["ent", "ts", "eid"])
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    src = str(tmp_path / "tsrc")
+    _os.makedirs(src)
+    for i, part in enumerate((pdf.iloc[:3], pdf.iloc[3:])):
+        fp = _os.path.join(src, f"b{i}.parquet")
+        part.to_parquet(fp)
+        _os.utime(fp, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    kw = dict(cap=2, rate_num=1, rate_den_s=60)
+    sch = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(sch).option("maxFilesPerTrigger", "1").parquet(src)
+    )
+    out = stateful_throttle_stream(
+        stream, entity_col="ent", ts_col="ts", order_col="eid",
+        id_col="eid", **kw,
+    )
+    qname = "throttle_unit_sink"
+    q = (
+        out.writeStream.format("memory").queryName(qname)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    got = {
+        r["eid"]: (r["admitted"], r["tokens_after_e6den"])
+        for r in spark.table(qname).collect()
+    }
+    batch = {
+        r["eid"]: (r["admitted"], r["tokens_after_e6den"])
+        for r in token_bucket_audit(
+            spark.createDataFrame(pdf), entity_col="ent", ts_col="ts",
+            order_col="eid", id_cols=["eid"], **kw,
+        ).collect()
+    }
+    assert got == batch
+    assert [got[i][0] for i in range(5)] == [True, True, False, False, True]
