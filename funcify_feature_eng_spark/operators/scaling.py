@@ -543,7 +543,11 @@ def reference_percentile(
 
     Scale: the reference shuffles once alongside the probes; at 100 TB
     probes vs a compact reference epoch this is the same cost class as
-    the union-window as-of."""
+    the union-window as-of. Keyless (``group_by=()``) sorts ONE
+    partition — the same bounded-frame caveat as keyless
+    :func:`quantile_bin`; shard with ``group_by`` (or pre-bin with
+    :func:`bin_by_cuts` cut points from the reference) for corpus-sized
+    probes."""
     rv = ref_value_col or value_col
     if out_col in probe.columns:
         raise ValueError(f"reference_percentile: {out_col!r} already exists")
@@ -600,7 +604,11 @@ def quantile_match(
     Exchanges + one equi-join, never a per-probe reference scan.
 
     Ties in the reference: the order statistic at a rank is the same
-    VALUE under any intra-tie order, so no tiebreak column is needed."""
+    VALUE under any intra-tie order, so no tiebreak column is needed.
+
+    Keyless (``group_by=()``) sorts ONE partition per pass — bounded
+    frames only (the :func:`reference_percentile` caveat); shard with
+    ``group_by`` for corpus-sized probes."""
     rv = ref_value_col or value_col
     if out_col in probe.columns:
         raise ValueError(f"quantile_match: {out_col!r} already exists")

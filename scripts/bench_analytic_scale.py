@@ -60,6 +60,7 @@ OPS = [
     "price_reference_pct",
     "throttle_audit",
     "state_dwell",
+    "price_quantile_match",
 ]
 
 
