@@ -5782,6 +5782,29 @@ def q_stream_throttle(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease on the integer milli-point grid (functions/
+    text.py::flesch_milli): three pinned regexp counts (non-space runs,
+    [.!?]+ runs floored at 1, [aeiouy]+ vowel runs) and two exact floor
+    divisions — no float anywhere, pure Column expressions inside
+    whole-stage codegen. Oracle = the same three regexp_extract_all
+    counts + integer // in DuckDB."""
+    from funcify_feature_eng_spark.functions.text import (
+        flesch_milli,
+        readability_counts,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    w, s, y = readability_counts(F.col("text"))
+    return d.select(
+        "doc_id",
+        w.alias("n_words"),
+        s.alias("n_sentences"),
+        y.alias("n_syllables"),
+        flesch_milli(F.col("text")).alias("flesch_milli"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: windowed turn features + strictly-prior as-of join at sf0.001."""
     sf_dir = "/root/testdata/sf0.001"
@@ -6082,6 +6105,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "price_quantile_match": q_price_quantile_match,
         # round-5 wave 30: streaming token-bucket twin (streaming tail)
         "stream_throttle": q_stream_throttle,
+        # round-5 wave 31: integer-grid Flesch readability (text tail)
+        "doc_readability": q_doc_readability,
     }
 
 
@@ -10540,4 +10565,26 @@ SELECT user_id, event_id, admitted,
 FROM r
 """.format(cap=2 * 7 * 86400 * 1_000_000 * 1,
             cost=7 * 86400 * 1_000_000, rate=1)
+    # readability: same three regexp counts + integer floor divisions
+    sqls["doc_readability"] = r"""
+WITH c AS (
+  SELECT doc_id,
+         CASE WHEN text IS NOT NULL
+              THEN len(regexp_extract_all(text, '\S+')) END AS n_words,
+         len(regexp_extract_all(text, '[.!?]+')) AS sraw,
+         CASE WHEN text IS NOT NULL
+              THEN len(regexp_extract_all(lower(text), '[aeiouy]+'))
+         END AS n_syllables
+  FROM documents
+)
+SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+       CAST(CASE WHEN n_words > 0 THEN GREATEST(1, sraw) END AS BIGINT)
+         AS n_sentences,
+       CAST(n_syllables AS BIGINT) AS n_syllables,
+       CAST(CASE WHEN n_words > 0
+                 THEN 206835 - (n_words * 1015) // GREATEST(1, sraw)
+                      - (n_syllables * 84600) // n_words END AS BIGINT)
+         AS flesch_milli
+FROM c
+"""
     return sqls

@@ -263,3 +263,47 @@ def compression_stats(c: Column, *, level: int = 6) -> Column:
                              "compression_ppm": ppm})
 
     return F.pandas_udf(_comp, fields)(c)
+
+
+def readability_counts(c: Column) -> tuple[Column, Column, Column]:
+    """(n_words, n_sentences, n_syllables) under PINNED counting rules —
+    words = non-whitespace runs, sentences = max(1, runs of [.!?]) for
+    any doc with at least one word, syllables = [aeiouy]+ runs in the
+    lowercased text (the classic vowel-run heuristic; no per-word
+    minimum — pinned so an independent engine reproduces it with three
+    regexp counts). NULL text -> NULL counts."""
+    words = F.regexp_count(c, F.lit(r"\S+")).cast("bigint")
+    sents = F.greatest(
+        F.lit(1).cast("bigint"),
+        F.regexp_count(c, F.lit(r"[.!?]+")).cast("bigint"),
+    )
+    syll = F.regexp_count(F.lower(c), F.lit("[aeiouy]+")).cast("bigint")
+    none = F.lit(None).cast("bigint")
+    return (
+        F.when(c.isNotNull(), words).otherwise(none),
+        F.when(c.isNotNull() & (words > 0), sents).otherwise(none),
+        F.when(c.isNotNull(), syll).otherwise(none),
+    )
+
+
+def flesch_milli(c: Column) -> Column:
+    """Flesch reading-ease on the integer milli-point grid:
+    ``206835 - floor(1015·words/sentences) - floor(84600·syllables/words)``
+    with :func:`readability_counts`'s pinned counting rules — no float
+    anywhere, so the score is bit-reproducible in any engine (divide by
+    1000 for the classic scale; ~90000 = very easy, <30000 = academic).
+    NULL for empty/NULL docs."""
+    from funcify_feature_eng_spark.operators.util import exact_floor_div
+
+    words, sents, syll = readability_counts(c)
+    dec = "decimal(38,0)"
+    return F.when(
+        words > 0,
+        F.lit(206835).cast("bigint")
+        - exact_floor_div(
+            (words * F.lit(1015)).cast(dec), sents.cast(dec)
+        ).cast("bigint")
+        - exact_floor_div(
+            (syll * F.lit(84600)).cast(dec), words.cast(dec)
+        ).cast("bigint"),
+    ).cast("bigint")
