@@ -193,6 +193,8 @@ def run_default() -> None:
         "stream_calibration": "calibration_bins",
         "stream_store_publish": "store_lifecycle",
         "stream_decay": "time_decay_rollup",
+        "stream_heavy_hitters": "heavy_hitters",
+        "stream_throttle": "throttle_audit",
     }
     streaming_gates = {
         s: {
