@@ -5709,33 +5709,6 @@ def q_price_quantile_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quantile_match(probe, ref, "price_e2")
 
 
-def _events_throttle_stream_files(spark: SparkSession, sf_dir: str) -> str:
-    """2-file micro-batch split of events in EVENT-TIME order (first half
-    by (ts, event_id), then the rest) — the token-bucket fold is
-    sequential per entity, so batches must not interleave an entity's
-    rows out of order. Content-stamped scaffolding like
-    _events_hh_stream_files."""
-
-    def parts():
-        pdf = (
-            _t(spark, sf_dir, "events")
-            .select("event_id", "user_id", "ts")
-            .orderBy("ts", "event_id")
-            .toPandas()
-        )
-        half = len(pdf) // 2
-        return [pdf.iloc[:half], pdf.iloc[half:]]
-
-    tmp = os.path.join(
-        "/tmp",
-        f"spark_graft_throttle_stream_{os.path.basename(os.path.normpath(sf_dir))}",
-    )
-    return _write_micro_batches(
-        tmp, os.path.join(sf_dir, "events.parquet"), "1", parts,
-        {"coerce_timestamps": "us", "allow_truncated_timestamps": True},
-    )
-
-
 def q_stream_throttle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming token-bucket admission (streaming/runner.py::
     stateful_throttle_stream): the wave-28 rate limiter as a live
@@ -5744,12 +5717,16 @@ def q_stream_throttle(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch replays its rows through the identical integer fold. Stream ≡
     batch: the emitted decisions hash against the SAME recursive-CTE
     oracle as the batch throttle_audit gate — the stateful-streaming
-    parity contract, cap 2 tokens / 1 per week / cost 1."""
+    parity contract, cap 2 tokens / 1 per week / cost 1. Reuses the
+    shared _stream_batch_files split (same (ts, event_id) order + half
+    boundary; the extra `role` column passes through the stateful fold
+    untouched since the output schema projects only entity/id/decision
+    columns)."""
     from funcify_feature_eng_spark.streaming.runner import (
         stateful_throttle_stream,
     )
 
-    tmp = _events_throttle_stream_files(spark, sf_dir)
+    tmp = _stream_batch_files(spark, sf_dir)
     sch = spark.read.parquet(tmp).schema
     stream = (
         spark.readStream.schema(sch).option("maxFilesPerTrigger", "1").parquet(tmp)

@@ -612,6 +612,14 @@ def quantile_match(
     rv = ref_value_col or value_col
     if out_col in probe.columns:
         raise ValueError(f"quantile_match: {out_col!r} already exists")
+    taken = {"__v", "__side", "__rank"} & set(probe.columns)
+    if taken:
+        # without this, a probe '__rank' would be silently replaced by the
+        # internal rank and returned under the caller's column name
+        raise ValueError(
+            f"quantile_match: probe columns {sorted(taken)} collide with "
+            "reserved internal names (__v, __side, __rank) — rename them"
+        )
     keys = list(group_by)
     r = ref.filter(F.col(rv).isNotNull()).select(
         *keys, F.col(rv).alias("__v"), F.lit(0).alias("__side")

@@ -932,11 +932,28 @@ def stateful_throttle_stream(
     def update(key, pdfs, state: GroupState):
         import pandas as pd
 
-        rows = pd.concat(list(pdfs), ignore_index=True).sort_values(
+        # batch-twin contract (throttle.py: "NULL entity/ts rows are
+        # excluded"): a NULL entity key emits nothing and keeps no state,
+        # and NaT rows are dropped BEFORE the fold — pandas would otherwise
+        # silently turn NaT into INT64_MIN and poison `prev` for the
+        # entity's every later batch (refill ~ 9.2e18 -> all admitted).
+        # pd.isna, not `is None`: a NULL numeric key reaches the Python
+        # worker as NaN (pandas has no null in float columns); a genuine
+        # float-NaN key is indistinguishable and also dropped
+        if key[0] is None or pd.isna(key[0]):
+            return
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        rows = rows[rows[ts_col].notna()].sort_values(
             [ts_col, order_col], kind="stable"
         )
+        if len(rows) == 0:
+            return
         tok, prev = state.get if state.exists else (cap_u, None)
-        t_us = (rows[ts_col].astype("int64") // 1000).tolist()
+        # explicit [us] normalization (same as the sibling folds above):
+        # Arrow may hand pandas datetime64[ns] OR [us] depending on the
+        # conversion path, and a raw astype('int64') on [us] would be read
+        # as millis here — a silent 1000x refill error
+        t_us = rows[ts_col].astype("datetime64[us]").astype("int64").tolist()
         ids, adm, after = [], [], []
         for i, t in zip(rows[id_col].tolist(), t_us):
             refill = 0 if prev is None else (t - prev) * rate_num

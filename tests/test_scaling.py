@@ -788,3 +788,14 @@ class TestQuantileMatch:
             for r in quantile_match(pdf, rdf, "v", group_by=["g"]).collect()
         }
         assert got[1] == 100 and got[2] is None
+
+    def test_reserved_probe_column_rejected(self, spark):
+        import pytest
+
+        from funcify_feature_eng_spark.operators.scaling import quantile_match
+
+        rdf = spark.createDataFrame([(10,)], "v: int")
+        pdf = spark.createDataFrame([(1, 5, 9)], "i: int, v: int, __rank: int")
+        # silently clobbering the caller's __rank is worse than an error
+        with pytest.raises(ValueError, match="reserved"):
+            quantile_match(pdf, rdf, "v")

@@ -1017,3 +1017,69 @@ def test_stateful_throttle_stream_state_crosses_batches(spark, tmp_path):
     }
     assert got == batch
     assert [got[i][0] for i in range(5)] == [True, True, False, False, True]
+
+
+def test_stateful_throttle_stream_null_rows_excluded(spark, tmp_path):
+    """Stream ≡ batch on the NULL contract (throttle.py: 'NULL entity/ts
+    rows are excluded'): a NaT row must not poison the entity's carried
+    last-ts (pandas would cast NaT to INT64_MIN -> infinite refill), and
+    a NULL entity key must emit nothing."""
+    import os as _os
+
+    import pandas as pd
+
+    from funcify_feature_eng_spark.operators.throttle import token_bucket_audit
+    from funcify_feature_eng_spark.streaming.runner import (
+        stateful_throttle_stream,
+    )
+
+    base = pd.Timestamp("2024-01-01")
+    rows = [
+        (1, base, 0),
+        (1, base + pd.Timedelta(seconds=1), 1),   # burst: cap 2 exhausted
+        (1, pd.NaT, 2),                           # excluded, must not poison prev
+        (None, base + pd.Timedelta(seconds=2), 3),  # NULL entity: excluded
+        # --- batch boundary ---
+        (1, base + pd.Timedelta(seconds=3), 4),   # denied ONLY if prev survived clean
+        (1, base + pd.Timedelta(seconds=70), 5),  # 1 token refilled -> admit
+    ]
+    pdf = pd.DataFrame(rows, columns=["ent", "ts", "eid"])
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    src = str(tmp_path / "tsrc_null")
+    _os.makedirs(src)
+    for i, part in enumerate((pdf.iloc[:4], pdf.iloc[4:])):
+        fp = _os.path.join(src, f"b{i}.parquet")
+        part.to_parquet(fp)
+        _os.utime(fp, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    kw = dict(cap=2, rate_num=1, rate_den_s=60)
+    sch = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(sch).option("maxFilesPerTrigger", "1").parquet(src)
+    )
+    out = stateful_throttle_stream(
+        stream, entity_col="ent", ts_col="ts", order_col="eid",
+        id_col="eid", **kw,
+    )
+    qname = "throttle_null_sink"
+    q = (
+        out.writeStream.format("memory").queryName(qname)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    got = {
+        r["eid"]: (r["admitted"], r["tokens_after_e6den"])
+        for r in spark.table(qname).collect()
+    }
+    batch = {
+        r["eid"]: (r["admitted"], r["tokens_after_e6den"])
+        for r in token_bucket_audit(
+            spark.createDataFrame(pdf), entity_col="ent", ts_col="ts",
+            order_col="eid", id_cols=["eid"], **kw,
+        ).collect()
+    }
+    assert got == batch
+    assert sorted(got) == [0, 1, 4, 5]  # eids 2 (NaT) and 3 (NULL ent) excluded
+    # if NaT had poisoned prev, refill would read the bucket full and
+    # eid 4 would be (wrongly) admitted
+    assert [got[i][0] for i in (0, 1, 4, 5)] == [True, True, False, True]
