@@ -10195,14 +10195,19 @@ WITH g AS (
          SUM(CASE WHEN d = 1 THEN 1 ELSE 0 END) AS n_starts,
          SUM(CASE WHEN d = -1 THEN 1 ELSE 0 END) AS n_ends
   FROM run GROUP BY b
+), carried AS (
+  SELECT b, peak, n_starts, n_ends,
+         COALESCE(SUM(net) OVER (ORDER BY b
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS carry
+  FROM per_bucket
 )
 SELECT b AS bucket_ts,
-       CAST(COALESCE(SUM(net) OVER (ORDER BY b
-              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + peak
-            AS BIGINT) AS max_concurrent,
+       -- greatest(carry, carry+peak): a bucket opening with end events
+       -- peaked at its carry-in level (mirrors the operator)
+       CAST(GREATEST(carry, carry + peak) AS BIGINT) AS max_concurrent,
        CAST(n_starts AS BIGINT) AS n_starts,
        CAST(n_ends AS BIGINT) AS n_ends
-FROM per_bucket
+FROM carried
 """
     # Benford: same pinned log10(1+1/d) ppm literals, same string-based
     # first digit over integer cents — neither engine computes a log
@@ -10270,6 +10275,7 @@ WITH s AS (
   SELECT event_type, ts, event_id,
          CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS x
   FROM events
+  WHERE ts IS NOT NULL  -- acf() drops NULL-ts rows (they'd shift every lead)
 ), l AS (
   SELECT event_type, x,
          lead(x, 1) OVER w AS y1,
@@ -10413,15 +10419,19 @@ FROM s
     # with the pinned half-open bounds — plan vs semantics
     sqls["window_purchase_stats"] = """
 SELECT e.event_id, e.user_id,
-       CAST((SELECT COUNT(*) FROM events p
+       -- NULL-ts probes pin NULL (sliding_window_join contract), not the
+       -- correlated COUNT's 0
+       CAST(CASE WHEN e.ts IS NULL THEN NULL ELSE
+            (SELECT COUNT(*) FROM events p
              WHERE p.user_id = e.user_id AND p.event_type = 'purchase'
-               AND p.ts < e.ts AND p.ts >= e.ts - INTERVAL 7 DAY)
+               AND p.ts < e.ts AND p.ts >= e.ts - INTERVAL 7 DAY) END
             AS BIGINT) AS w_count,
-       CAST(COALESCE((SELECT SUM(CAST(CAST(p.value AS DECIMAL(18,2)) * 100
+       CAST(CASE WHEN e.ts IS NULL THEN NULL ELSE
+            COALESCE((SELECT SUM(CAST(CAST(p.value AS DECIMAL(18,2)) * 100
                                       AS BIGINT))
              FROM events p
              WHERE p.user_id = e.user_id AND p.event_type = 'purchase'
-               AND p.ts < e.ts AND p.ts >= e.ts - INTERVAL 7 DAY), 0)
+               AND p.ts < e.ts AND p.ts >= e.ts - INTERVAL 7 DAY), 0) END
             AS BIGINT) AS w_sum
 FROM events e
 """

@@ -687,12 +687,18 @@ def asof_topk(
     # Step 2: latest visible index per left row — exactly asof_join's
     # union-window pass with the index as the (only) payload, so the
     # allow_exact_matches side-ordering contract is inherited verbatim.
+    # ridx doubles as the tie column: right rows sharing (entity, ts)
+    # must carry the MAX index (the newest under the right_order
+    # tie-break) — with no tie column the window sort's order among tied
+    # rows is arbitrary at scale (local sorts happen to preserve input
+    # order, a real shuffle need not), and carrying a smaller ridx would
+    # silently exclude the newer tied rows from the candidate range
     u = _tagged_union(
         left, indexed.select(*on, right_ts, ridx),
-        on, left_ts, right_ts, {ridx: ridx}, right_order=(),
+        on, left_ts, right_ts, {ridx: ridx}, right_order=(ridx,),
     )
     latest = _ffill_and_project(
-        u, left.columns, on, {ridx: ridx}, allow_exact_matches, 0
+        u, left.columns, on, {ridx: ridx}, allow_exact_matches, 1
     )
     # Step 3: ≤k candidate indices, newest first; NULL r* keeps one
     # NULL-candidate row so zero-prior left rows survive the left join.

@@ -83,6 +83,16 @@ def attribute_conversions(
         raise ValueError(
             f"attribute_conversions: lookback_s must be >= 1, got {lookback_s}"
         )
+    oid_t = df.schema[order_col].dataType.simpleString()
+    if oid_t not in ("tinyint", "smallint", "int", "bigint"):
+        # the bigint cast below would silently turn a string/UUID id into
+        # NULL, degenerating the (ts, oid) tie-break AND emitting NULL
+        # conversion_id for every row — fail loudly instead
+        raise ValueError(
+            f"attribute_conversions: order_col {order_col!r} must be an "
+            f"integral event id (got {oid_t}); hash or index non-numeric "
+            "ids first (e.g. F.xxhash64)"
+        )
 
     base = df.filter(
         F.col(user_col).isNotNull()

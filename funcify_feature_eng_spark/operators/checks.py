@@ -57,7 +57,7 @@ __all__ = [
     "check_state", "merge_check_states", "check_verdicts",
     "detect_metric_anomalies", "suggest_constraints",
     "constraints_from_suggestions", "referential_integrity",
-    "column_profile", "profile_drift",
+    "column_profile", "profile_drift", "benford_audit",
 ]
 
 _PPM = 1_000_000

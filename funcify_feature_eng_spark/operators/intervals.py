@@ -466,10 +466,11 @@ def concurrency_profile(
     "how many sessions / conversations / jobs were live at once", the
     interval-stacking readout behind capacity planning and contention
     audits. Returns one row per (``group_by``..., ``bucket_ts``) with
-    ``max_concurrent`` (peak simultaneously-open intervals measured at
-    the sweep-event instants inside the bucket — the instants where
-    concurrency can change), ``n_starts`` and ``n_ends`` — exact
-    integers.
+    ``max_concurrent`` (peak simultaneously-open intervals at ANY instant
+    inside the bucket — including the carry-in level that holds before
+    the bucket's first sweep event: a bucket whose events are all ends
+    still peaked at the carried-in open count), ``n_starts`` and
+    ``n_ends`` — exact integers.
 
     Half-open convention: an interval ending at instant t and another
     starting at t do NOT overlap (the -1 sweep event sorts before the +1
@@ -526,7 +527,13 @@ def concurrency_profile(
     return out.select(
         *group_by,
         F.col("__b").alias("bucket_ts"),
-        (F.col("__carry") + F.col("__peak")).cast("bigint").alias("max_concurrent"),
+        # greatest(carry, carry+peak): when the bucket opens with end
+        # events the within-bucket running max is negative and the true
+        # peak is the carry-in itself (the level held before the first
+        # event) — carry + peak alone would under-report it
+        F.greatest(
+            F.col("__carry"), F.col("__carry") + F.col("__peak")
+        ).cast("bigint").alias("max_concurrent"),
         F.col("n_starts").cast("bigint").alias("n_starts"),
         F.col("n_ends").cast("bigint").alias("n_ends"),
     )

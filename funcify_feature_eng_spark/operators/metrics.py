@@ -305,8 +305,10 @@ def ranking_metrics(
     are exactly this ``(query, doc, rank)`` shape.
 
     Inputs: ``results`` holds predicted rankings (``rank_col`` 1-based;
-    rows with rank > k or NULL ignored); ``truth`` holds the relevant
-    ``(query, doc)`` pairs (binary relevance; duplicates collapse). Output
+    rows with rank > k or NULL ignored; duplicate ``(query, doc)`` rows
+    collapse to their best rank — sets, not bags, on BOTH sides); ``truth``
+    holds the relevant ``(query, doc)`` pairs (binary relevance;
+    duplicates collapse). Output
     one row per query appearing in EITHER side::
 
         (query_col, n_relevant, n_retrieved, n_hits,
@@ -330,9 +332,17 @@ def ranking_metrics(
     if k < 1:
         raise ValueError(f"ranking_metrics: k must be >= 1, got {k}")
     q, d, r = F.col(query_col), F.col(doc_col), F.col(rank_col)
-    res = results.filter(
-        q.isNotNull() & d.isNotNull() & r.isNotNull() & (r <= k) & (r >= 1)
-    ).select(q.alias("__q"), d.alias("__d"), r.cast("long").alias("__r"))
+    res = (
+        results.filter(
+            q.isNotNull() & d.isNotNull() & r.isNotNull() & (r <= k) & (r >= 1)
+        )
+        .select(q.alias("__q"), d.alias("__d"), r.cast("long").alias("__r"))
+        # sets, not bags: a doc listed at two ranks within the top k counts
+        # once (best rank) — truth is already deduped, and bag semantics
+        # would inflate n_hits/precision past the true hit-set size
+        .groupBy("__q", "__d")
+        .agg(F.min("__r").alias("__r"))
+    )
     tru = (
         truth.filter(q.isNotNull() & d.isNotNull())
         .select(q.alias("__q"), d.alias("__d"))

@@ -14,8 +14,11 @@ sampling — because a privacy audit that under-counts a singleton group is
 worse than none.
 
 Physical shape: ONE data-sized shuffle onto QI grain (map-side combined
-count + distinct-sensitive collect bounded by ``l_max_track``); the
-summary variant folds the group table (never data-sized) a second time.
+count + an exact ``count(DISTINCT sensitive)`` expand — exact because an
+under-counted l leaks; sensitive-attribute cardinality per QI group is
+small in practice, so the expand is bounded by the data's own diversity);
+the summary variant folds the group table (never data-sized) a second
+time.
 At 100 TB the QI-grain table is the dataset's QI cardinality — exactly
 what a partitioned count handles; no windows, no joins.
 

@@ -685,6 +685,39 @@ def test_asof_topk_null_entity_matches_asof_join(spark):
     assert len(r) == 1 and r[0]["asof_rank"] == 1 and r[0]["pv"] == 7
 
 
+def test_asof_topk_tied_right_ts_carries_all_ties(spark):
+    """Right rows tied on (entity, right_ts) must ALL stay reachable and
+    rank by right_order. The right side is fed in DESCENDING right_order
+    so a tie-blind union-window ffill (stable sort preserves input order,
+    F.last picks the input-last = MIN index) would carry ridx=1 and
+    silently drop the newer tied row — the arbitrary order a shuffle
+    produces at scale, made deterministic here."""
+    import datetime as dt
+
+    from funcify_feature_eng_spark.operators.asof import asof_topk
+
+    b = dt.datetime(2024, 1, 1)
+    left = spark.createDataFrame(
+        [(1, 10, b + dt.timedelta(hours=2))], "k: int, i: int, ts: timestamp"
+    )
+    right = spark.createDataFrame(
+        [  # input order: eid 2 BEFORE eid 1, both at the same instant
+            (1, b + dt.timedelta(hours=1), 2, 200),
+            (1, b + dt.timedelta(hours=1), 1, 100),
+        ],
+        "k: int, rts: timestamp, eid: int, v: int",
+    ).coalesce(1)
+    rows = {
+        r["asof_rank"]: r["pv"]
+        for r in asof_topk(
+            left, right, on=["k"], left_ts="ts", right_ts="rts",
+            value_cols={"v": "pv"}, k=2, right_order=["eid"],
+        ).collect()
+    }
+    # rank 1 = newest under the (rts, eid) tie-break = eid 2
+    assert rows == {1: 200, 2: 100}
+
+
 def test_sliding_window_join_null_ts_rows(spark):
     import datetime as dt
 

@@ -117,3 +117,14 @@ def test_validation(spark):
         )
     with pytest.raises(ValueError, match="required"):
         attribute_conversions(df, touch_types=[], conversion_types=["b"])
+
+
+def test_non_integral_order_col_rejected(spark):
+    # a string/UUID event id would silently cast to NULL and corrupt the
+    # (ts, oid) tie-break — must fail loudly instead
+    df = spark.createDataFrame(
+        [("evt-00017", 1, "a", _ts(0))],
+        "event_id string, user_id long, event_type string, ts timestamp",
+    )
+    with pytest.raises(ValueError, match="integral event id"):
+        attribute_conversions(df, touch_types=["a"], conversion_types=["b"])

@@ -533,11 +533,14 @@ class TestConcurrencyProfile:
         open_n = 0
         seen = set()
         for t, d in events:
-            open_n += d
             b = bucket_fn(t)
             if b not in seen:
+                # the carry-in level holds before the bucket's first event
+                # and is itself a candidate peak (an all-ends bucket
+                # peaked at its carry)
                 seen.add(b)
                 per_bucket[b][0] = open_n
+            open_n += d
             per_bucket[b][0] = max(per_bucket[b][0], open_n)
             if d == 1:
                 per_bucket[b][1] += 1
@@ -610,6 +613,28 @@ class TestConcurrencyProfile:
             for r in concurrency_profile(df, start_col="s", end_col="e").collect()
         }
         assert got == {"2024-05-01": 1, "2024-05-03": 2}
+
+    def test_all_ends_bucket_peaks_at_carry(self, spark):
+        import datetime as dt
+
+        from funcify_feature_eng_spark.operators.intervals import (
+            concurrency_profile,
+        )
+
+        b = dt.datetime(2024, 5, 1)
+        # 3 sessions open Monday, ALL ending Tuesday at distinct instants
+        # with no Tuesday starts: Tuesday's within-bucket running sums are
+        # -1,-2,-3, but 3 sessions were simultaneously open before the
+        # first end — the peak is the carry-in, not carry + max(run)
+        df = spark.createDataFrame(
+            [(b, b + dt.timedelta(days=1, hours=h)) for h in (1, 2, 3)],
+            ["s", "e"],
+        )
+        got = {
+            str(r["bucket_ts"].date()): r["max_concurrent"]
+            for r in concurrency_profile(df, start_col="s", end_col="e").collect()
+        }
+        assert got == {"2024-05-01": 3, "2024-05-02": 3}
 
 
 def test_concurrency_profile_null_endpoints_dropped(spark):

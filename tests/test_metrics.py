@@ -240,3 +240,21 @@ def test_ranking_metrics_validation(spark):
     with pytest.raises(ValueError, match="k must be"):
         ranking_metrics(df, df.select("q", "doc"), query_col="q", doc_col="doc",
                         rank_col="rank", k=0)
+
+
+def test_ranking_metrics_duplicate_doc_collapses_to_best_rank(spark):
+    # sets, not bags: a doc listed at two ranks counts once (best rank) —
+    # bag semantics would report precision_ppm 1e6 with n_hits 2 here
+    from funcify_feature_eng_spark.operators.metrics import ranking_metrics
+
+    res = spark.createDataFrame(
+        [("q1", "docA", 1), ("q1", "docA", 3), ("q1", "docB", 2)],
+        "q string, doc string, rank int",
+    )
+    tru = spark.createDataFrame([("q1", "docA")], "q string, doc string")
+    r = ranking_metrics(
+        res, tru, query_col="q", doc_col="doc", rank_col="rank", k=5
+    ).collect()[0]
+    assert r["n_retrieved"] == 2 and r["n_hits"] == 1
+    assert r["precision_ppm"] == 500_000 and r["recall_ppm"] == 1_000_000
+    assert r["rr_ppm"] == 1_000_000  # first hit at rank 1
