@@ -167,12 +167,25 @@ def item_neighbors(
         on_oversize=on_oversize,
     ).localCheckpoint()
     g, i = F.col(group_col), F.col(item_col)
-    cnt = (
+    base = (
         df.filter(g.isNotNull() & i.isNotNull())
         .select(g.alias("__g"), i.alias("item"))
         .distinct()
-        .groupBy("item")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n_item"))
+    )
+    if on_oversize == "skip":
+        # the incidence counts must live in the SAME retained-groups
+        # universe the edges were built from: skip drops oversized groups
+        # from n_both, so counting n_item over ALL groups would
+        # systematically understate cosine (identical incidence vectors
+        # would no longer reach 1e6) and could invert ranks
+        w_g = Window.partitionBy("__g")
+        base = (
+            base.withColumn("__gn", F.count(F.lit(1)).over(w_g))
+            .filter(F.col("__gn") <= F.lit(int(max_group)))
+            .drop("__gn")
+        )
+    cnt = base.groupBy("item").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_item")
     )
     sym = edges.select(
         F.col("item_a").alias("item"),

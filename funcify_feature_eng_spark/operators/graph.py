@@ -354,6 +354,10 @@ def pagerank(
     ranks = node_deg.select(
         "node", F.lit(e12 // n).cast("bigint").alias("rank_e12")
     ).localCheckpoint()
+    # r0 predates the loop's first `known` snapshot, so no round_ids set
+    # ever contains it — keep its own handle or it leaks one O(N)-row
+    # checkpoint per pagerank() call for the life of the session
+    r0 = ranks
     round_ids: set[int] = set()
     for _ in range(int(n_iters)):
         known = _persistent_rdd_ids(sc)
@@ -391,6 +395,7 @@ def pagerank(
     _release_rdds(sc, round_ids)
     release(ed)
     release(node_deg)
+    release(r0)
     return out
 
 
@@ -441,6 +446,9 @@ def label_propagation(
     )
     nodes = e.select(F.col("s").alias("node")).distinct().localCheckpoint()
     labels = nodes.select("node", F.col("node").alias("label")).localCheckpoint()
+    # same r0 bookkeeping as pagerank: the seed checkpoint predates the
+    # first `known` snapshot and must be released by its own handle
+    l0 = labels
     round_ids: set[int] = set()
     for _ in range(int(n_iters)):
         known = _persistent_rdd_ids(sc)
@@ -465,4 +473,5 @@ def label_propagation(
     _release_rdds(sc, round_ids)
     release(e)
     release(nodes)
+    release(l0)
     return out

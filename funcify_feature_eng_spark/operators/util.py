@@ -36,8 +36,24 @@ def release(df: DataFrame) -> None:
     """Release the storage behind an eagerly-materialized (localCheckpoint)
     DataFrame returned by the dedup operators. The frame must not be used
     afterwards: a local checkpoint truncates lineage, so its data cannot be
-    recomputed once unpersisted."""
-    df.rdd.unpersist()
+    recomputed once unpersisted.
+
+    ``df.rdd.unpersist()`` would be a SILENT NO-OP here: ``df.rdd`` builds
+    a fresh Python-conversion RDD pipeline over the checkpoint, and
+    unpersisting that new RDD never touches the checkpointed one. The
+    actual storage handle lives on the ``LogicalRDD`` leaf the checkpoint
+    planted in the logical plan — walk the leaves and unpersist those RDDs
+    directly (non-blocking). Any leaf checkpoint reachable from ``df`` is
+    released, which is exactly the do-not-use-afterwards contract."""
+    plan = df._jdf.queryExecution().optimizedPlan()
+    leaves = plan.collectLeaves()
+    for i in range(leaves.size()):
+        leaf = leaves.apply(i)
+        if leaf.getClass().getName().endswith("LogicalRDD"):
+            leaf.rdd().unpersist(False)
+    # persist()-cached frames (no LogicalRDD leaf) release through the
+    # regular Dataset cache path; harmless no-op otherwise
+    df.unpersist()
 
 
 def exact_floor_div(num, den):

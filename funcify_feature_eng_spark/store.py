@@ -36,6 +36,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from funcify_feature_eng_spark.operators.asof import asof_join
+from funcify_feature_eng_spark.operators.util import release
 
 STORE_COLUMNS = ["feature_id", "conv_id", "params_hash", "value", "value_at_ts", "calculated_ts"]
 
@@ -401,7 +402,10 @@ class FeatureStore:
                 out.writeTo(self.location).overwritePartitions()
             finally:
                 if staged is not None:
-                    staged.rdd.unpersist()
+                    # NOT staged.rdd.unpersist(): that builds a fresh
+                    # Python-conversion RDD and silently misses the
+                    # checkpointed one (see util.release)
+                    release(staged)
             n_after = self.spark.read.table(self.location).count()
             return {"rows_before": n_before, "rows_after": n_after}
         loc = self.location.removeprefix("file:")

@@ -159,6 +159,47 @@ def test_item_neighbors_validation(spark, baskets):
         item_neighbors(baskets, "g", "i", k=0)
 
 
+def test_item_neighbors_skip_counts_retained_universe_only(spark):
+    """on_oversize='skip' must drop oversized groups from the incidence
+    COUNTS too, not just the edges — otherwise two items co-occurring in
+    every retained basket score 250000 instead of 1e6 and ranks can
+    invert."""
+    from funcify_feature_eng_spark.operators.cooccurrence import item_neighbors
+
+    rows = [("g1", "a"), ("g1", "b")]  # retained: a,b together
+    # oversized group (4 items > max_group=3) also contains a and b
+    rows += [("big", x) for x in ("a", "b", "x", "y")]
+    df = spark.createDataFrame(rows, "g string, i string")
+    got = {
+        (r["item"], r["neighbor"]): (
+            r["n_both"], r["n_item"], r["n_neighbor"], r["cosine2_ppm"]
+        )
+        for r in item_neighbors(
+            df, "g", "i", k=5, max_group=3, on_oversize="skip"
+        ).collect()
+    }
+    # within the retained universe a and b have identical incidence
+    # vectors: n_both = n_a = n_b = 1 -> squared cosine exactly 1e6
+    assert got[("a", "b")] == (1, 1, 1, 1_000_000)
+    assert got[("b", "a")] == (1, 1, 1, 1_000_000)
+
+
+def test_pagerank_releases_seed_checkpoint(spark):
+    """The r0 seed checkpoint predates the loop's bookkeeping snapshot and
+    needs its own release — at most one extra persisted RDD (the returned
+    frame) may survive a call."""
+    from funcify_feature_eng_spark.operators.graph import pagerank
+
+    sc = spark.sparkContext
+    edges = spark.createDataFrame(
+        [(i, (i + 1) % 50) for i in range(50)], "src long, dst long"
+    )
+    before = {int(k) for k in sc._jsc.getPersistentRDDs().keySet().toArray()}
+    pagerank(edges, n_iters=2).count()
+    after = {int(k) for k in sc._jsc.getPersistentRDDs().keySet().toArray()}
+    assert len(after - before) <= 1
+
+
 def test_item_lift_exact(spark, baskets):
     from funcify_feature_eng_spark.operators.cooccurrence import item_lift
 
