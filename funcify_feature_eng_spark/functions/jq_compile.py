@@ -784,16 +784,26 @@ def _compile(node, cur: Column, t: str) -> tuple[Column, str]:
                         and isinstance(step_n[1], (int, float))
                         and step_n[1] <= 0
                     )
-                    if neg_lit or zero_or_neg:
+                    frac_lit = (
+                        step_n[0] == "lit"
+                        and isinstance(step_n[1], float)
+                        and step_n[1] != int(step_n[1])
+                    )
+                    if neg_lit or zero_or_neg or frac_lit:
                         raise ValueError(
-                            "jq: range step must be positive in the "
-                            "columnar subset"
+                            "jq: range step must be a positive integer in "
+                            "the columnar subset (fractional steps would "
+                            "silently truncate under the integer grid)"
                         )
                     st = _compile(step_n, cur, t)[0].cast("long")
                     last = lo + F.floor((hi - lo - 1) / st).cast("long") * st
-                    base = F.when(hi > lo, F.sequence(lo, last, st)).otherwise(
-                        F.array().cast("array<bigint>")
-                    )
+                    # the st > 0 runtime guard covers DYNAMIC steps the
+                    # literal check can't see: a nonpositive step yields
+                    # the empty stream instead of an opaque F.sequence
+                    # IllegalArgumentException mid-job
+                    base = F.when(
+                        (hi > lo) & (st > 0), F.sequence(lo, last, st)
+                    ).otherwise(F.array().cast("array<bigint>"))
                 else:
                     base, bt = _compile(stages[0][1], cur, t)
                     if bt not in ("array", "any"):
@@ -844,14 +854,21 @@ def _compile(node, cur: Column, t: str) -> tuple[Column, str]:
         if t != "object":
             raise ValueError(f"jq: .{k} |= needs an object input (got {t})")
         if _map_backed(t):
-            # old value (NULL when absent) → f → re-insert: handles both
-            # existing and new keys (transform_values alone would silently
-            # no-op absent keys)
+            # old value (NULL when absent) → f → re-insert. Key ORDER is
+            # part of jq's object semantics (keys_unsorted/to_entries
+            # observe it): an existing key updates IN PLACE via
+            # transform_values; only an absent key appends. A
+            # filter-then-concat form would move updated keys to the end.
+            # (val re-evaluates per entry inside the HOF — fine at jq
+            # object sizes.)
             val = _compile(rhs, cur.getItem(k), "any")[0]
+            updated = F.transform_values(
+                cur, lambda mk, mv: F.when(mk == F.lit(k), val).otherwise(mv)
+            )
+            has_k = F.array_contains(F.map_keys(cur), F.lit(k))
             return (
-                F.map_concat(
-                    F.map_filter(cur, lambda mk, _v: mk != F.lit(k)),
-                    F.create_map(F.lit(k), val),
+                F.when(has_k, updated).otherwise(
+                    F.map_concat(cur, F.create_map(F.lit(k), val))
                 ),
                 _ObjT(map_backed=True),
             )
@@ -883,12 +900,15 @@ def _compile(node, cur: Column, t: str) -> tuple[Column, str]:
             raise ValueError(f"jq: .{k} = needs an object input (got {t})")
         val = _compile(rhs, cur, t)[0]
         if _map_backed(t):
-            # drop any existing k, then concat the new entry (map_concat
-            # raises on duplicate keys under the default dedup policy)
+            # same order contract as |=: existing key updates in place,
+            # absent key appends (filter-then-concat would reorder)
+            updated = F.transform_values(
+                cur, lambda mk, mv: F.when(mk == F.lit(k), val).otherwise(mv)
+            )
+            has_k = F.array_contains(F.map_keys(cur), F.lit(k))
             return (
-                F.map_concat(
-                    F.map_filter(cur, lambda mk, _v: mk != F.lit(k)),
-                    F.create_map(F.lit(k), val),
+                F.when(has_k, updated).otherwise(
+                    F.map_concat(cur, F.create_map(F.lit(k), val))
                 ),
                 _ObjT(map_backed=True),
             )

@@ -276,13 +276,16 @@ def preference_pairs(
         )
         top, bot = F.max_by(payload, ordkey), F.min_by(payload, ordkey)
     agg = scored.groupBy(group_col).agg(top.alias("__hi"), bot.alias("__lo"))
+    # getField, not F.col(f"__hi.{name}"): a dotted user column name would
+    # parse as a deeper nested reference in the string form
+    hi, lo = F.col("__hi"), F.col("__lo")
     out = agg.select(
         group_col,
-        F.col(f"__hi.{id_col}").alias("chosen_id"),
-        F.col(f"__lo.{id_col}").alias("rejected_id"),
-        F.col(f"__hi.{score_col}").alias("chosen_score"),
-        F.col(f"__lo.{score_col}").alias("rejected_score"),
-        (F.col(f"__hi.{score_col}") - F.col(f"__lo.{score_col}")).alias("margin"),
+        hi.getField(id_col).alias("chosen_id"),
+        lo.getField(id_col).alias("rejected_id"),
+        hi.getField(score_col).alias("chosen_score"),
+        lo.getField(score_col).alias("rejected_score"),
+        (hi.getField(score_col) - lo.getField(score_col)).alias("margin"),
         *(
             []
             if text_col is None

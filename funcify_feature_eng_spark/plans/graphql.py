@@ -789,12 +789,21 @@ def materialize_graphql(
 
     filtered = spine
     for col_name, v in lowered.filters.items():
-        # kind == "column" is guaranteed by validate_request above (the
-        # single owner of the entity-lookup contract); this resolution only
-        # fetches the resolved spine column name
+        # validate_request guaranteed kind == "column" against the BASE
+        # model — but this resolution runs on the request-scoped clone
+        # AFTER ad-hoc transformer outputs registered, and an output named
+        # like the lookup argument would shadow the spine column in the
+        # exact-feature tier; re-assert the kind so the collision is a
+        # precise error, not an AnalysisException on a wrong column
         _kind, resolved = req.resolve_name(
             col_name, spine.columns, tuple(merged_vars)
         )
+        if _kind != "column":
+            raise PlanError(
+                f"GraphQL: entity-lookup argument {col_name!r} collides "
+                f"with a request-scoped {_kind} of the same name — rename "
+                "the transformer output alias"
+            )
         value = v
         if isinstance(v, str) and v.startswith("$"):
             vname = v[1:]

@@ -420,12 +420,21 @@ def bpe_merges(texts: list[str]) -> list[tuple[int, str, str]]:
     return [(i, a, b) for i, (a, b) in enumerate(merges)]
 
 
-def bpe_pieces(rows: list[tuple[int, str]]) -> list[tuple[int, int, str]]:
+def bpe_pieces(
+    rows: list[tuple[int, str]],
+    merges: list[tuple[int, str, str]] | None = None,
+) -> list[tuple[int, int, str]]:
     """Independent pure-Python BPE apply (mirror of operators/bpe.py::
     bpe_tokenize): per word, repeatedly merge ALL non-overlapping
     occurrences of the lowest-rank adjacent pair. Returns
-    (doc_id, n_pieces, pieces joined by space)."""
-    ranks = {(a, b): r for r, a, b in bpe_merges([t for _, t in rows])}
+    (doc_id, n_pieces, pieces joined by space). Pass the precomputed
+    ``merges`` so the pieces fixture is generated against the SAME merge
+    table as the merges fixture (re-training here would both double the
+    O(vocab x merges) cost and risk silent divergence if the call sites
+    ever feed different corpora)."""
+    if merges is None:
+        merges = bpe_merges([t for _, t in rows])
+    ranks = {(a, b): r for r, a, b in merges}
 
     def apply(sym: tuple, pair: tuple) -> tuple:
         out, i = [], 0
@@ -873,7 +882,7 @@ def main(sf_dir: str | None = None) -> None:
     )
     print(f"bpe_merges_{sf}.parquet: {len(bm)} merges")
 
-    bp2 = bpe_pieces(docs)
+    bp2 = bpe_pieces(docs, merges=bm)
     pq.write_table(
         pa.table(
             {

@@ -161,6 +161,25 @@ def test_graphql_entity_lookup_filter(spark):
     assert [r["turns_idx"] for r in rows] == list(range(6))
 
 
+def test_graphql_lookup_arg_colliding_transformer_alias_rejected(spark):
+    """An ad-hoc transformer output aliased like the entity-lookup argument
+    would shadow the spine column in the request-scoped clone's
+    exact-feature tier — must be one precise PlanError, not a wrong-column
+    filter or AnalysisException."""
+    src = """
+    query Q($uid: Int!) {
+        transformer { jq { userId: negative_to_null(input: 1) } }
+        dataElement {
+            user(userId: $uid) {
+                userId
+            }
+        }
+    }
+    """
+    with pytest.raises(PlanError, match="collides"):
+        materialize_graphql(_model(), _events(spark), src, variables={"uid": 2})
+
+
 def test_graphql_required_variable_missing(spark):
     src = "query Q($uid: Int!) { user(userId: $uid) { userId } }"
     with pytest.raises(PlanError, match="required variable"):

@@ -435,7 +435,7 @@ def test_left_join_dotted_fact_column_name(spark, facts, intervals):
     out = interval_join(facts_d, intervals, on="user_id", how="left")
     rows = out.collect()
     assert len(rows) == len(EXPECTED) + 1  # e5 unmatched, once
-    assert all(r["`a.b`" if False else "a.b"] == "v" for r in rows)
+    assert all(r["a.b"] == "v" for r in rows)
 
 
 # ---------------------------------------------------------------------------

@@ -702,6 +702,17 @@ def test_update_assignment(spark):
     bm = compile_jq(".z |= 7 | .z", input_type="object", map_input=True)
     dfm = spark.createDataFrame([({"x": 1},)], "m map<string,int>")
     assert dfm.select(bm(F.col("m")).alias("o")).collect()[0]["o"] == 7
+    # jq preserves key POSITION on update (keys_unsorted observes it): an
+    # existing key must update in place, not move to the end
+    dfo = spark.createDataFrame([({"x": 1, "y": 2},)], "m map<string,int>")
+    bo = compile_jq(
+        ".x |= (. + 1) | keys_unsorted", input_type="object", map_input=True
+    )
+    assert dfo.select(bo(F.col("m")).alias("o")).collect()[0]["o"] == ["x", "y"]
+    bo2 = compile_jq(
+        ".x = 9 | keys_unsorted", input_type="object", map_input=True
+    )
+    assert dfo.select(bo2(F.col("m")).alias("o")).collect()[0]["o"] == ["x", "y"]
     with pytest.raises(ValueError, match="single field path"):
         compile_jq(".a.b |= 1", input_type="object", input_fields=["a"])(F.lit(1))
 
@@ -725,6 +736,16 @@ def test_range_collect_forms(spark):
         compile_jq("range(3)", input_type="number")(F.lit(1.0))
     with pytest.raises(ValueError, match="positive"):
         compile_jq("[range(3; 0; -1)]", input_type="number")(F.lit(1.0))
+    # fractional literal step would silently truncate under the integer
+    # grid ([range(0;2;1.5)] would return [0,1] instead of jq's [0,1.5])
+    with pytest.raises(ValueError, match="integer"):
+        compile_jq("[range(0; 2; 1.5)]", input_type="number")(F.lit(1.0))
+    # DYNAMIC nonpositive step: runtime guard yields the empty stream, not
+    # an opaque F.sequence error mid-job
+    dfn = spark.createDataFrame([(-1.0,), (2.0,)], "n double")
+    b = compile_jq("[range(0; 4; .)]", input_type="number")
+    got = [r["o"] for r in dfn.select(b(F.col("n")).alias("o")).collect()]
+    assert got == [[], [0, 2]]
 
 
 def test_plain_assignment(spark):
