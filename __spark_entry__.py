@@ -1231,8 +1231,9 @@ def q_future_label(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts",
         F.when(F.col("event_type") == "purchase", F.lit(1)).alias("is_p"),
     )
-    es = F.floor(F.unix_micros(F.col("ts").cast("timestamp")) / F.lit(1000000)).cast("long")
-    base = ev.withColumn("__es", es)
+    from funcify_feature_eng_spark.operators.windows import epoch_seconds
+
+    base = ev.withColumn("__es", epoch_seconds("ts"))
     w = time_range_window(["user_id"], "__es", 1, 604800)
     return base.select(
         "event_id",
@@ -4000,10 +4001,14 @@ def q_backfill_run(spark: SparkSession, sf_dir: str) -> DataFrame:
         read_backfill,
     )
 
+    from funcify_feature_eng_spark.operators.windows import epoch_seconds
+
     ev = _bf_events(spark, sf_dir)
-    es = F.floor(
-        F.unix_micros(F.col("ts").cast("timestamp")) / F.lit(1000000)
-    ).cast("long")
+    # the CANONICAL epoch-seconds key (windows.epoch_seconds): bucket
+    # ranges here must line up exactly with backfill_partitions' internal
+    # bucketing, so a hand-inlined twin expression would silently diverge
+    # if the canonical one ever changes
+    es = epoch_seconds("ts")
     lo, hi = ev.agg(F.min(es), F.max(es)).first()
     lo, hi = int(lo), int(hi)
     bucket_s = max(1, (hi - lo) // 4 + 1)  # ~5 buckets at any sf

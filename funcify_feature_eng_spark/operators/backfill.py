@@ -130,10 +130,15 @@ def backfill_partitions(
     pass ``resume=False`` to force-recompute (repair) every bucket in the
     range. Returns ``{"buckets_total", "computed", "skipped"}``.
 
-    The resume check inspects the driver-local filesystem (a committed
-    partition directory exists iff Spark's staged commit moved it there —
-    half-written output lives under ``_temporary`` and never looks
-    committed), so ``resume=True`` supports LOCAL ``out_path`` only —
+    The resume check inspects the driver-local filesystem for an explicit
+    per-bucket ``_bf_done_<b>`` marker the driver writes AFTER the
+    bucket's write returns. A bare directory-exists check would be wrong
+    in the crash-mid-job-commit window: task outputs move from
+    ``_temporary`` into the partition dir one at a time (v1 committer;
+    continuously under the v2 committer), so a partition dir can exist
+    with a subset of its rows — the marker can't, because the driver only
+    writes it once the write call has committed the whole bucket. Markers
+    are driver-local files, so ``resume=True`` supports LOCAL ``out_path`` only —
     same contract as ``FeatureStore.compact``'s parquet fallback. Remote
     paths (``hdfs://``, ``s3a://``) must pass ``resume=False`` (each
     bucket's dynamic-partition overwrite is idempotent, so a re-run is
@@ -160,10 +165,10 @@ def backfill_partitions(
     computed = skipped = 0
     try:
         for b in range(b_lo, b_hi + 1):
-            part_dir = os.path.join(
-                out_path.removeprefix("file:"), f"{partition_col}={b}"
+            marker = os.path.join(
+                out_path.removeprefix("file:"), f"_bf_done_{b}"
             )
-            if resume and os.path.isdir(part_dir):
+            if resume and os.path.exists(marker):
                 skipped += 1
                 continue
             es = epoch_seconds(ts_col)
@@ -180,6 +185,12 @@ def backfill_partitions(
                 .partitionBy(partition_col)
                 .parquet(out_path)
             )
+            # marker AFTER the write returns: the commit is complete, so
+            # a crash before this line re-computes the bucket (idempotent
+            # dynamic overwrite), never skips a partial one. Leading "_"
+            # keeps Spark readers from listing it as data.
+            with open(marker, "w") as mf:
+                mf.write("")
             computed += 1
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)

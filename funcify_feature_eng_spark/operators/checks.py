@@ -345,8 +345,12 @@ def check_verdicts(
     exactly: ``(check_id, kind, column, metric, threshold, passed)``;
     the invariant ``check_verdicts(check_state(df, cs), cs) ≡
     check_constraints(df, cs)`` is property-tested. For ``unique``,
-    surplus = Σ key counts − number of distinct keys = ``sum(m) −
-    count(fp)`` over its frequency rows.
+    surplus = Σ key counts − number of DISTINCT keys (``sum(m) −
+    count(distinct fp)``) — distinct, not a row count, so a raw
+    ``unionByName`` of per-batch states (where the same key appears in
+    several states' frequency rows) verdicts identically to the
+    :func:`merge_check_states` output; every other kind already sums
+    correctly over raw unions.
     """
     if not constraints:
         raise ValueError("check_verdicts: empty constraint list")
@@ -354,7 +358,7 @@ def check_verdicts(
         F.sum("n").alias("__n"),
         F.sum("m").alias("__m"),
         F.sum("d").alias("__d"),
-        F.count("fp").alias("__k"),
+        F.count_distinct(F.col("fp")).alias("__k"),
     )
     metric_w: Column | None = None
     thr_w: Column | None = None
@@ -478,9 +482,10 @@ def suggest_constraints(
     data's observed shape, then let them tighten it).
 
     One aggregate pass computes per-column non-NULL and exact distinct
-    counts plus numeric min/max; string columns whose cardinality is
-    within ``low_card_max`` get one bounded follow-up aggregate to fetch
-    the value set (Deequ's two-phase profile). The 1-row profile and the
+    counts plus numeric min/max; ALL string columns whose cardinality is
+    within ``low_card_max`` share one combined follow-up aggregate that
+    fetches every value set in a single second pass (Deequ's two-phase
+    profile — never one scan per column). The 1-row profile and the
     ≤ ``low_card_max`` value sets are the only driver-side collects —
     both constraints-sized, never data-sized.
 
@@ -520,6 +525,23 @@ def suggest_constraints(
     prof = df.agg(*aggs).head()
 
     n = prof["__n"]
+    # ONE combined follow-up aggregate for every low-cardinality string
+    # column (the Deequ two-phase shape): a per-column df.agg loop would
+    # re-scan the whole table once per suggested isin
+    low_card = [
+        c for i, c in enumerate(cols)
+        if isinstance(schema[c], T.StringType)
+        and 1 <= prof[f"__d{i}"] <= low_card_max
+    ]
+    value_sets: dict[str, list] = {}
+    if low_card:
+        vrow = df.agg(
+            *[
+                F.sort_array(F.collect_set(F.col(c))).alias(f"__v{j}")
+                for j, c in enumerate(low_card)
+            ]
+        ).head()
+        value_sets = {c: vrow[f"__v{j}"] for j, c in enumerate(low_card)}
     out: list[tuple] = []
     for i, c in enumerate(cols):
         nonnull, distinct = prof[f"__c{i}"], prof[f"__d{i}"]
@@ -527,13 +549,10 @@ def suggest_constraints(
         out.append((c, "complete", None, None, ppm))
         if nonnull > 0 and distinct == nonnull:
             out.append((c, "unique", None, None, distinct))
-        if isinstance(schema[c], T.StringType) and 1 <= distinct <= low_card_max:
-            values = df.agg(
-                F.sort_array(F.collect_set(F.col(c))).alias("v")
-            ).head()["v"]
+        if c in value_sets:
             out.append((
                 c, "isin", None,
-                json.dumps(list(values), separators=(",", ":")),
+                json.dumps(list(value_sets[c]), separators=(",", ":")),
                 distinct,
             ))
         if isinstance(schema[c], T.NumericType) and nonnull > 0:
@@ -610,10 +629,15 @@ def referential_integrity(
         *[F.col(p).alias(c) for c, p in pairs]
     ).dropDuplicates(ckeys)
     orphans = checked.join(parent_keys, on=ckeys, how="left_anti")
-    agg = checked.agg(F.count(F.lit(1)).cast("bigint").alias("n_checked"))
-    total = child.agg(F.count(F.lit(1)).cast("bigint").alias("n_child"))
+    # n_child and n_checked come from ONE aggregate over the child (a
+    # separate count per subplan would scan the table twice more)
+    counts = child.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_child"),
+        F.coalesce(F.sum(F.when(nonnull, 1)), F.lit(0))
+        .cast("bigint").alias("n_checked"),
+    )
     orph = orphans.agg(F.count(F.lit(1)).cast("bigint").alias("n_orphans"))
-    out = total.crossJoin(agg).crossJoin(orph)
+    out = counts.crossJoin(orph)
     return out.select(
         F.lit(relation).alias("relation"),
         "n_child", "n_checked", "n_orphans",

@@ -56,11 +56,39 @@ def _is_float(dt: T.DataType) -> bool:
     return isinstance(dt, (T.FloatType, T.DoubleType))
 
 
+def _is_exact(dt: T.DataType) -> bool:
+    return isinstance(
+        dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType, T.DecimalType)
+    )
+
+
+def _exact_abs_diff(e: Column, a: Column, dt: T.DataType, dt2: T.DataType) -> Column:
+    # integral/decimal pairs subtract in DECIMAL so 64-bit values past
+    # 2^53 keep their low bits; only the final |diff| drops to double
+    if isinstance(dt, T.DecimalType) or isinstance(dt2, T.DecimalType):
+        return F.abs(e - a).cast("double")
+    return F.abs(e.cast("decimal(38,0)") - a.cast("decimal(38,0)")).cast("double")
+
+
 def _scalar_close(
     e: Column, a: Column, dt: T.DataType, rtol: float, atol: float,
-    equal_nan: bool,
+    equal_nan: bool, dt2: T.DataType | None = None,
 ) -> Column:
-    """True when the non-NULL pair (e, a) is close (numpy.isclose rule)."""
+    """True when the non-NULL pair (e, a) is close (numpy.isclose rule).
+
+    When BOTH sides are exact types (integral/decimal), equality is
+    evaluated in the native exact type — a double cast would declare
+    bigints differing past 2^53 equal even at rtol=atol=0, silently
+    passing a real regression through the parity gate."""
+    if _is_exact(dt) and _is_exact(dt2 if dt2 is not None else dt):
+        eq = e == a
+        if rtol == 0.0 and atol == 0.0:
+            return eq
+        dd = _exact_abs_diff(e, a, dt, dt2 if dt2 is not None else dt)
+        return eq | (
+            dd <= F.lit(float(atol))
+            + F.lit(float(rtol)) * F.abs(e.cast("double"))
+        )
     ed, ad = e.cast("double"), a.cast("double")
     close = (ed == ad) | (
         F.abs(ed - ad) <= F.lit(float(atol)) + F.lit(float(rtol)) * F.abs(ed)
@@ -160,31 +188,45 @@ def frame_diff(
         edt, adt = e_schema[c], a_schema[c]
         diff: Column | None = None
         if _is_numeric(edt) and _is_numeric(adt):
-            close = _scalar_close(ec, ac, edt, rtol, atol, equal_nan)
-            diff = F.abs(ec.cast("double") - ac.cast("double"))
+            close = _scalar_close(ec, ac, edt, rtol, atol, equal_nan, adt)
+            if _is_exact(edt) and _is_exact(adt):
+                diff = _exact_abs_diff(ec, ac, edt, adt)
+            else:
+                diff = F.abs(ec.cast("double") - ac.cast("double"))
         elif (
             isinstance(edt, T.ArrayType) and isinstance(adt, T.ArrayType)
             and _is_numeric(edt.elementType) and _is_numeric(adt.elementType)
         ):
             elem_dt = edt.elementType
+            a_elem_dt = adt.elementType
             pair_bad = F.exists(
                 F.zip_with(
                     ec, ac,
                     lambda x, y: F.when(
                         x.isNull() & y.isNull(), F.lit(False)
                     ).when(x.isNull() | y.isNull(), F.lit(True)).otherwise(
-                        ~_scalar_close(x, y, elem_dt, rtol, atol, equal_nan)
+                        ~_scalar_close(
+                            x, y, elem_dt, rtol, atol, equal_nan, a_elem_dt
+                        )
                     ),
                 ),
                 lambda b: b,
             )
             close = ~((F.size(ec) != F.size(ac)) | pair_bad)
-            diff = F.array_max(
-                F.zip_with(
-                    ec, ac,
-                    lambda x, y: F.abs(x.cast("double") - y.cast("double")),
+            if _is_exact(elem_dt) and _is_exact(a_elem_dt):
+                diff = F.array_max(
+                    F.zip_with(
+                        ec, ac,
+                        lambda x, y: _exact_abs_diff(x, y, elem_dt, a_elem_dt),
+                    )
                 )
-            )
+            else:
+                diff = F.array_max(
+                    F.zip_with(
+                        ec, ac,
+                        lambda x, y: F.abs(x.cast("double") - y.cast("double")),
+                    )
+                )
         else:
             close = None
         mism = _pair_mismatch(ec, ac, close)

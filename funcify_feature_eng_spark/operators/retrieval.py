@@ -280,12 +280,18 @@ def ranking_metrics(
         F.col(query_col).alias("__q"), F.col(doc_col).alias("__d"),
         F.col(rel_col).cast("bigint").alias("__rel"),
     )
+    # sets, not bags, on both sides: duplicate judgments (merged files)
+    # resolve to the STRONGEST relevance, and a doc listed at two ranks
+    # counts once at its best placement — bag semantics would multiply
+    # hits/DCG/n_rel_total through the join with no error
+    lab = lab.groupBy("__q", "__d").agg(F.max("__rel").alias("__rel"))
     res = results.filter(
         (F.col(rank_col) >= 1) & (F.col(rank_col) <= k)
     ).select(
         F.col(query_col).alias("__q"), F.col(doc_col).alias("__d"),
         F.col(rank_col).cast("int").alias("__rk"),
     )
+    res = res.groupBy("__q", "__d").agg(F.min("__rk").alias("__rk"))
     j = res.join(lab, on=["__q", "__d"], how="left").withColumn(
         "__rel", F.coalesce(F.col("__rel"), F.lit(0))
     )

@@ -115,6 +115,24 @@ def test_merged_batch_states_equal_whole(spark):
     assert inc == whole
 
 
+def test_unique_verdict_on_raw_union_of_states(spark):
+    """check_verdicts must verdict a raw unionByName of per-batch states
+    identically to merge_check_states: a key duplicated ACROSS batches
+    has one frequency row per state, and a plain row count (instead of
+    count distinct) would cancel the surplus and pass a broken key."""
+    from funcify_feature_eng_spark.operators.checks import unique
+
+    cs = [unique("id")]
+    b0 = spark.createDataFrame([(5,), (6,)], "id long")
+    b1 = spark.createDataFrame([(5,), (7,)], "id long")  # 5 again
+    raw = check_state(b0, cs).unionByName(check_state(b1, cs))
+    v = check_verdicts(raw, cs).collect()[0]
+    assert v["metric"] == 1 and not v["passed"]
+    merged = merge_check_states(check_state(b0, cs), check_state(b1, cs))
+    vm = check_verdicts(merged, cs).collect()[0]
+    assert (v["metric"], v["passed"]) == (vm["metric"], vm["passed"])
+
+
 def test_merge_is_associative_and_reusable(spark):
     df = _df(spark)
     import pyspark.sql.functions as F

@@ -87,6 +87,21 @@ def test_one_null_side_is_mismatch_and_int_cols(spark):
     assert out["x"]["max_abs_diff"] is None  # no both-non-null pair
 
 
+def test_bigint_past_double_mantissa_detected(spark):
+    """A 64-bit counter differing past 2^53 must mismatch at rtol=atol=0 —
+    a double-cast comparison would declare them equal and pass a real
+    regression through the parity gate."""
+    exp = spark.createDataFrame(
+        [(1, 9007199254740993)], "id long, ctr long"
+    )
+    act = spark.createDataFrame(
+        [(1, 9007199254740992)], "id long, ctr long"
+    )
+    out = {r["column"]: r for r in frame_diff(exp, act, keys=["id"]).collect()}
+    assert out["ctr"]["n_mismatch"] == 1
+    assert out["ctr"]["max_abs_diff"] == 1.0
+
+
 def test_validation_errors(spark):
     exp, act = _pair(spark)
     with pytest.raises(ValueError, match="keys must be non-empty"):
