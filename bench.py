@@ -115,6 +115,7 @@ def run_default() -> None:
     # and "degraded": true marks a suite where no clean window was found.
     canaries = [canary_start]
     flagship_block_clean = False
+    clean_attempt = None
     try:
         for attempt in range(3):
             for _ in range(3):
@@ -131,6 +132,7 @@ def run_default() -> None:
             lo, hi = min(canaries[-2:]), max(canaries[-2:])
             if hi <= 1.5 * lo:
                 flagship_block_clean = True
+                clean_attempt = attempt
                 break
     finally:
         brestore()
@@ -235,6 +237,15 @@ def run_default() -> None:
         # not code
         "canaries_sec": canaries,
         "flagship_block_clean": flagship_block_clean,
+        # WHICH alternating block was canary-clean (0-based; each block is
+        # 3 plain/bucketed pairs, so its ratios are
+        # pair_ratios[3*i : 3*i+3]) — dirty-block samples stay published
+        # but a reader no longer has to reverse-engineer block boundaries
+        "clean_attempt": clean_attempt,
+        "clean_block_pair_ratios": (
+            pair_ratios[3 * clean_attempt : 3 * clean_attempt + 3]
+            if clean_attempt is not None else None
+        ),
         "degraded": degraded,
         "streaming_gates": streaming_gates,
         # no silent caps: the two intrinsically-quadratic EXACT all-pairs
@@ -254,7 +265,7 @@ def run_default() -> None:
             "pre-ingested bucketed+sorted table, timed strictly "
             "alternating with plain; bucketed_over_plain = ratio of "
             "per-side minima (steal only inflates, so each min is that "
-            "side's cleanest window), per-pair ratios published; "
+            "side's cleanest window), per-pair ratios published (clean_block_pair_ratios identifies the canary-clean block's pairs; dirty-attempt pairs remain in the full arrays); "
             "degraded=true self-disqualifies the artifact (no clean "
             "flagship bracket and/or suite start/end canaries disagree "
             ">1.5x); streaming_gates pairs each harness cost with its "

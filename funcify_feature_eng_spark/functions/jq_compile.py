@@ -1192,8 +1192,37 @@ def _builtin(name: str, cur: Column, t: str) -> tuple[Column, str]:
                 e.getField("value").alias("value"),
             ),
         )
-        return F.map_from_entries(ents), _ObjT(map_backed=True)
+        return F.map_from_entries(_last_wins(ents)), _ObjT(map_backed=True)
     raise ValueError(f"jq: unsupported builtin {name!r}")
+
+
+def _last_wins(ents: Column) -> Column:
+    """jq duplicate-key semantics for entry arrays: the key keeps its
+    FIRST-occurrence position with its LAST-occurrence value
+    ({key:a,v:1},{key:b},{key:a,v:3} → a:3, b — what jq's from_entries /
+    object construction do). Without this, map_from_entries raises
+    SparkRuntimeException mid-job on one duplicate key under the default
+    mapKeyDedupPolicy=EXCEPTION. O(n²) HOFs per row — jq-object scale."""
+    firsts = F.filter(
+        ents,
+        lambda e, i: ~F.exists(
+            F.slice(ents, 1, i),
+            lambda p: p.getField("key").eqNullSafe(e.getField("key")),
+        ),
+    )
+    return F.transform(
+        firsts,
+        lambda e: F.struct(
+            e.getField("key").alias("key"),
+            F.element_at(
+                F.filter(
+                    ents,
+                    lambda p: p.getField("key").eqNullSafe(e.getField("key")),
+                ),
+                -1,
+            ).getField("value").alias("value"),
+        ),
+    )
 
 
 def _pipe_stages(n):
@@ -1360,7 +1389,9 @@ def _call(name: str, arg_node, cur: Column, t: str) -> tuple[Column, str]:
                 e.getField("value").alias("value"),
             ),
         )
-        return F.map_from_entries(packed), _ObjT(map_backed=True)
+        # a key-mapping f can COLLIDE keys (.key |= ascii_downcase over
+        # "A" and "a") — jq resolves last-wins, not a runtime exception
+        return F.map_from_entries(_last_wins(packed)), _ObjT(map_backed=True)
     if name == "getpath":
         if arg_node[0] != "arr" or not arg_node[1] or any(
             n[0] != "lit" or not isinstance(n[1], str) for n in arg_node[1]
@@ -1483,6 +1514,17 @@ def _call(name: str, arg_node, cur: Column, t: str) -> tuple[Column, str]:
                 "boolean",
             )
         if t in ("array", "any"):
+            if t == "any" and isinstance(lit, str):
+                # a string key means OBJECT membership, which the untyped
+                # fallback below cannot answer: array-index semantics on a
+                # map column would coerce the string key to a number and
+                # return all-NULL — silently wrong. Pin the type instead.
+                raise ValueError(
+                    'jq: has("k") on a statically-untyped input compiles '
+                    "to ARRAY index semantics — pin the object type first "
+                    "(map_input=True / input_fields, or construct with "
+                    "{...} / from_entries) so object membership compiles"
+                )
             # has(n) over an array: the index exists
             return (
                 F.when(cur.isNotNull(), (arg >= 0) & (arg < F.size(cur))),

@@ -363,10 +363,12 @@ def bloom_contains(
         F.map_from_entries(F.collect_list(F.struct("word", "bits"))).alias("__bloom")
     )
     if not keys:
-        # keyless probes join on a constant key with how='left' so every
-        # probe survives an EMPTY sketch table (a crossJoin against zero
-        # packed rows would silently drop all probes instead of answering
-        # maybe_present=False); the NULL map coalesces to a definitive miss
+        # NOTE: a keyless groupBy().agg() is a GLOBAL aggregate and always
+        # yields exactly one packed row (empty input → empty map), so a
+        # crossJoin would also keep every probe; the constant-key left
+        # join is kept as belt-and-braces (a future refactor that filters
+        # packed rows can't drop probes) and costs the same broadcast. The
+        # empty/NULL map coalesces to a definitive maybe_present=False.
         packed = packed.withColumn("__one", F.lit(1))
     rhs = F.broadcast(packed) if broadcast else packed
     if keys:

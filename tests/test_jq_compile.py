@@ -787,3 +787,42 @@ def test_interpolation_nested_escaped_quote(spark):
     b2 = compile_jq(r'"y\(ltrimstr(\"(\"))"', input_type="string")
     df2 = spark.createDataFrame([("(z",)], "v string")
     assert df2.select(b2(F.col("v")).alias("o")).collect()[0]["o"] == "yz"
+
+
+def test_from_entries_duplicate_keys_last_wins(spark):
+    """jq duplicate-key semantics: first-occurrence POSITION, LAST value —
+    {"a":3,"b":2} — not a SparkRuntimeException from map_from_entries
+    under the default mapKeyDedupPolicy=EXCEPTION."""
+    df = spark.createDataFrame([(1,)], "x int")
+    b = compile_jq(
+        '[{key:"a",value:1},{key:"b",value:2},{key:"a",value:3}]'
+        " | from_entries | [.a, .b]",
+        input_type="number",
+    )
+    assert df.select(b(F.col("x")).alias("o")).collect()[0]["o"] == [3, 2]
+    # position: the deduped key keeps its first slot
+    bk = compile_jq(
+        '[{key:"a",value:1},{key:"b",value:2},{key:"a",value:3}]'
+        " | from_entries | keys_unsorted",
+        input_type="number",
+    )
+    assert df.select(bk(F.col("x")).alias("o")).collect()[0]["o"] == ["a", "b"]
+
+
+def test_with_entries_key_collision_last_wins(spark):
+    """A key-mapping f that collides keys resolves last-wins like jq, not
+    with a mid-job duplicate-map-key exception."""
+    dfm = spark.createDataFrame([({"A": 1, "B": 2},)], "m map<string,int>")
+    b = compile_jq(
+        'with_entries(.key |= "z") | .z', input_type="object", map_input=True
+    )
+    assert dfm.select(b(F.col("m")).alias("o")).collect()[0]["o"] == 2
+
+
+def test_has_string_key_on_untyped_input_rejected(spark):
+    """has("k") where the static type degraded to "any" would compile to
+    ARRAY index semantics and return all-NULL on a map column — must be a
+    loud compile error telling the user to pin the object type."""
+    with pytest.raises(ValueError, match="statically-untyped"):
+        compile_jq('.payload | has("amount")', input_type="object",
+                   map_input=True)(F.lit("x"))
