@@ -719,11 +719,16 @@ def incremental_minhash_dedup(
         .distinct()
     )
 
+    # checkpoint only the SMALL frames before releasing the persisted
+    # signature base: the dropped id set and the batch signatures (k longs
+    # per doc). `kept` is ~the whole ingest batch WITH full text —
+    # checkpointing it would copy the corpus to executor-local storage on
+    # every ingest; left lazy it rebuilds from the caller's batch plus the
+    # checkpointed dropped set, never re-running the minhash pipeline.
+    dropped = dropped.localCheckpoint()
     kept = winners.join(
         dropped.withColumnRenamed("doc", id_col), on=id_col, how="left_anti"
     ).drop("__fp")
-    # eager pair of small results so the persisted signature base releases
-    kept = kept.localCheckpoint()
     new_sigs = sigs.localCheckpoint()
     sigs.unpersist()
     return kept, new_sigs

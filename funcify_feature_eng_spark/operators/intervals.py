@@ -372,12 +372,19 @@ def scd2_apply_changes(
     closed = affected.where(F.col("valid_to").isNotNull())
     open_e = affected.where(F.col("valid_to").isNull())
 
-    # late-change guard / drop: compare each change against the key's open
-    # epoch start (keys new to the table pass — no open epoch to precede)
+    # late-change guard / drop: compare each change against the key's
+    # latest boundary — the open epoch's start when one exists, else (a
+    # TERMINATED key: every epoch closed) the max valid_to, so a change
+    # landing inside closed history cannot silently rebuild an
+    # overlapping open epoch. Brand-new keys (no epochs at all) pass.
     bk = {c: f"__bk_{c}" for c in keys}
-    bound = open_e.select(
-        *[F.col(c).alias(n) for c, n in bk.items()],
-        F.col("valid_from").alias("__open_vf"),
+    bound = affected.groupBy(
+        *[F.col(c).alias(n) for c, n in bk.items()]
+    ).agg(
+        F.max(
+            F.when(F.col("valid_to").isNull(), F.col("valid_from"))
+        ).alias("__open_vf"),
+        F.max("valid_to").alias("__max_vt"),
     )
     bcond = None
     for c, n in bk.items():
@@ -388,7 +395,11 @@ def scd2_apply_changes(
         .join(bound, bcond, "left")
         .drop(*bk.values())
     )
-    in_order = F.col("__open_vf").isNull() | (F.col(ts) >= F.col("__open_vf"))
+    in_order = F.when(
+        F.col("__open_vf").isNotNull(), F.col(ts) >= F.col("__open_vf")
+    ).when(
+        F.col("__max_vt").isNotNull(), F.col(ts) >= F.col("__max_vt")
+    ).otherwise(F.lit(True))
     if on_late == "error":
         # assert rides the ts column actually used downstream, so column
         # pruning cannot drop it (the budget_mixture guard convention)
@@ -399,8 +410,10 @@ def scd2_apply_changes(
                     in_order,
                     F.lit(
                         "scd2_apply_changes: change earlier than its key's "
-                        "open epoch — CDC batches must be per-key ordered; "
-                        "rebuild from the full log for out-of-order history"
+                        "latest epoch boundary (open-epoch start, or last "
+                        "valid_to for a terminated key) — CDC batches must "
+                        "be per-key ordered; rebuild from the full log for "
+                        "out-of-order history"
                     ),
                 ).isNull(),
                 F.col(ts),
@@ -408,7 +421,7 @@ def scd2_apply_changes(
         )
     else:
         ch = ch.where(in_order)
-    ch = ch.drop("__open_vf")
+    ch = ch.drop("__open_vf", "__max_vt")
 
     # re-open the open epoch as a change row at its own start instant and
     # rebuild just that slice; closed history never enters the build

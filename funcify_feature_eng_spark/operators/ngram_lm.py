@@ -71,24 +71,38 @@ def ngram_counts(
     if n < 1:
         raise ValueError(f"n must be >= 1, got {n}")
     toks = tokens(F.lower(F.col(text_col)))
+    sz = F.size(toks)
 
-    def _gram_at(k: int):
-        # single-arg lambda via closure factory: a `k=k` default arg would
-        # flip pyspark's transform into (element, index) mode and silently
-        # rebind k to the array index
-        def f(i):
-            return F.struct(
-                F.lit(k).alias("ord"),
-                F.array_join(F.slice(toks, i, k), " ").alias("gram"),
-            )
+    # grams via zip_with over shifted slices, NOT transform(sequence, i ->
+    # slice(toks, i, k)): a lambda capturing `toks` re-evaluates the whole
+    # trim/lower/split pipeline once PER GRAM POSITION (the repo-wide HOF
+    # hazard, measured 64x on shingles) — zip_with's children evaluate
+    # once per row, so this is k token-array evaluations total. The struct
+    # wrap below captures only lit(k), which is free per element.
+    def _wrap(k: int):
+        # closure factory, NOT a `_k=k` default arg — a second parameter
+        # (even defaulted) flips pyspark's transform into (element, index)
+        # mode and silently rebinds k to the array index
+        def f(g):
+            return F.struct(F.lit(k).alias("ord"), g.alias("gram"))
 
         return f
 
     per_order = []
     for k in range(1, n + 1):
+        if k == 1:
+            gk = toks
+        else:
+            acc = toks
+            for j in range(1, k):
+                acc = F.zip_with(
+                    acc,
+                    F.slice(toks, j + 1, F.greatest(sz - j, F.lit(1))),
+                    lambda a, b: F.concat(a, F.lit(" "), b),
+                )
+            gk = F.slice(acc, 1, F.greatest(sz - k + 1, F.lit(1)))
         grams_k = F.when(
-            F.size(toks) >= k,
-            F.transform(F.sequence(F.lit(1), F.size(toks) - k + 1), _gram_at(k)),
+            sz >= k, F.transform(gk, _wrap(k))
         ).otherwise(F.array().cast("array<struct<ord:int,gram:string>>"))
         per_order.append(grams_k)
     out = (

@@ -40,15 +40,24 @@ __all__ = ["dup_span_stats", "drop_dup_spans"]
 
 
 def _positioned_grams(df: DataFrame, id_col: str, text_col: str, k: int, hashed: bool):
-    """(id, pos, gram) for every k-gram position; pos is 1-based."""
+    """(id, pos, gram) for every k-gram position; pos is 1-based.
+
+    Grams build via zip_with over shifted slices, NOT
+    ``transform(sequence, i -> slice(toks, i, k))`` — a lambda capturing
+    ``toks`` re-runs the trim/lower/split pipeline once PER POSITION
+    (O(len²) per row, the repo-wide HOF hazard measured 64x on shingles);
+    zip_with's children evaluate once per row."""
     toks = tokens(F.lower(F.col(text_col)))
-
-    def _gram_at(i):
-        return F.array_join(F.slice(toks, i, k), " ")
-
+    sz = F.size(toks)
+    acc = toks
+    for j in range(1, k):
+        acc = F.zip_with(
+            acc,
+            F.slice(toks, j + 1, F.greatest(sz - j, F.lit(1))),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
     grams = F.when(
-        F.size(toks) >= k,
-        F.transform(F.sequence(F.lit(1), F.size(toks) - k + 1), _gram_at),
+        sz >= k, F.slice(acc, 1, F.greatest(sz - k + 1, F.lit(1)))
     ).otherwise(F.array().cast("array<string>"))
     out = df.select(
         F.col(id_col),

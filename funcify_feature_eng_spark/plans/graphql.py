@@ -301,7 +301,8 @@ class _GqlParser:
         if k == "str":
             body = v[1:-1]
             return (body.replace(r"\\", "\x00").replace(r"\"", '"')
-                    .replace(r"\n", "\n").replace(r"\t", "\t").replace("\x00", "\\"))
+                    .replace(r"\n", "\n").replace(r"\t", "\t")
+                    .replace(r"\r", "\r").replace("\x00", "\\"))
         if k == "name":
             if v == "true":
                 return True
@@ -338,25 +339,48 @@ _WRAPPERS = ("dataElement", "data_element", "transformer", "features")
 
 
 def _expand_fragments(
-    sels: list[Field], frags: dict[str, tuple[str, list[Field]]], depth: int = 0
+    sels: list[Field], frags: dict[str, tuple[str, list[Field]]], depth: int = 0,
+    cond_vars: dict[str, Any] | None = None,
 ) -> list[Field]:
+    """Expand fragment spreads; when ``cond_vars`` is given, ALSO evaluate
+    @skip/@include during the walk. Interleaving the two matters:
+
+    - a fragment's directives must be evaluated only when the fragment is
+      actually REACHED from the selected operation — pruning every parsed
+      fragment up front raised on variables declared by OTHER operations
+      in a multi-operation document (spec: variable usage is per-op);
+    - a grouping field can only be declared empty AFTER its spreads
+      expand — pruning before expansion let a fragment whose whole body
+      was @skip'd leave an empty selection set behind the emptiness
+      guard, silently materializing nothing.
+
+    Spread-site directives (``...F @include(if: $x)``) are evaluated on
+    the spread itself before its body expands."""
     if depth > 16:
         raise PlanError("GraphQL: fragment expansion too deep (cycle?)")
     out: list[Field] = []
     for f in sels:
+        if cond_vars is not None and not _directive_included(f, cond_vars):
+            continue
         if f.name.startswith("...on "):
-            out.extend(_expand_fragments(f.selections or [], frags, depth + 1))
+            out.extend(
+                _expand_fragments(f.selections or [], frags, depth + 1, cond_vars)
+            )
         elif f.name.startswith("..."):
             fname = f.name[3:]
             if fname not in frags:
                 raise PlanError(
                     f"GraphQL: undefined fragment {fname!r} (defined: {sorted(frags)})"
                 )
-            out.extend(_expand_fragments(frags[fname][1], frags, depth + 1))
+            out.extend(
+                _expand_fragments(frags[fname][1], frags, depth + 1, cond_vars)
+            )
         else:
             if f.selections is not None:
-                f = Field(f.name, f.alias, f.args, f.directives,
-                          _expand_fragments(f.selections, frags, depth + 1))
+                inner = _expand_fragments(f.selections, frags, depth + 1, cond_vars)
+                if cond_vars is not None and not inner:
+                    continue
+                f = Field(f.name, f.alias, f.args, f.directives, inner)
             out.append(f)
     return out
 
@@ -395,25 +419,6 @@ def _directive_included(f: Field, variables: dict[str, Any]) -> bool:
         if dname == "include" and not v:
             included = False
     return included
-
-
-def _prune_directives(
-    sels: list[Field], variables: dict[str, Any]
-) -> list[Field]:
-    """Drop selections excluded by @skip/@include, recursively. A grouping
-    field whose entire selection set is skipped is dropped with it (there
-    is nothing left to select under it)."""
-    out: list[Field] = []
-    for f in sels:
-        if not _directive_included(f, variables):
-            continue
-        if f.selections is not None:
-            inner = _prune_directives(f.selections, variables)
-            if not inner:
-                continue
-            f = Field(f.name, f.alias, f.args, f.directives, inner)
-        out.append(f)
-    return out
 
 
 def _resolve_value(v: Any, variables: dict[str, Any]) -> Any:
@@ -475,15 +480,16 @@ def lower_graphql(
     for vname, vdef in op.variable_defs.items():
         if vname not in cond_vars and "default" in vdef:
             cond_vars[vname] = vdef["default"]
-    op = Operation(op.name, op.variable_defs,
-                   _prune_directives(op.selections, cond_vars))
-    frags = {k: (t, _prune_directives(b, cond_vars))
-             for k, (t, b) in frags.items()}
-    if not op.selections:
+    # expansion + directive pruning interleave in ONE walk (see
+    # _expand_fragments): fragments prune only when reached, and
+    # emptiness is judged on the fully-expanded tree
+    expanded_top = _expand_fragments(op.selections, frags, 0, cond_vars)
+    if not expanded_top:
         raise PlanError(
             "GraphQL: every top-level selection was removed by "
             "@skip/@include — nothing to materialize"
         )
+    op = Operation(op.name, op.variable_defs, expanded_top)
 
     features: dict[str, dict] = {}
     collections: dict[str, dict] = {}
@@ -576,11 +582,11 @@ def lower_graphql(
                 }
                 paths[f.out_name] = f"{prefix}.{f.name}"
 
-    top = _expand_fragments(op.selections, frags)
+    top = op.selections  # already expanded + directive-pruned above
     wrapper_seen = any(f.name in _WRAPPERS for f in top)
     for f in top:
         if f.name in ("dataElement", "data_element") and f.selections:
-            walk_data_element(_expand_fragments(f.selections, frags), f.name)
+            walk_data_element(f.selections, f.name)
         elif f.name == "transformer" and f.selections:
             walk_transformer(f.selections, f.name)
         elif f.name == "features" and f.selections:

@@ -54,7 +54,14 @@ def _sdl_value(v: Any) -> str:
     if v is None:
         return "null"
     if isinstance(v, str):
-        return '"' + v.replace("\\", "\\\\").replace('"', '\\"') + '"'
+        # escape control characters too: the GraphQL string token forbids
+        # raw newlines, so an unescaped \n would render SDL the lexer
+        # cannot tokenize and break the from_sdl(to_sdl(m)) round-trip law
+        esc = (
+            v.replace("\\", "\\\\").replace('"', '\\"')
+            .replace("\n", "\\n").replace("\r", "\\r").replace("\t", "\\t")
+        )
+        return '"' + esc + '"'
     if isinstance(v, (list, tuple)):
         return "[" + ", ".join(_sdl_value(x) for x in v) + "]"
     if isinstance(v, float):

@@ -218,7 +218,19 @@ def read_jsonl(
         reader = spark.read.schema(schema).option("mode", "FAILFAST")
     df = reader.json(path)
     if predicate is not None:
-        df = df.filter(predicate)
+        if permissive:
+            # the predicate applies to VALID rows only: a malformed line
+            # parses to all-NULL declared fields + corrupt_col, where the
+            # predicate evaluates NULL and a bare filter() would silently
+            # drop the very rows quarantine mode exists to surface
+            pred = predicate if isinstance(predicate, Column) else F.expr(predicate)
+            df = df.filter(pred | F.col(corrupt_col).isNotNull())
+        else:
+            df = df.filter(predicate)
     if columns:
-        df = df.select(*columns)
+        cols = list(columns)
+        if permissive and corrupt_col not in cols:
+            # projection must not silently drop the quarantine column
+            cols.append(corrupt_col)
+        df = df.select(*cols)
     return df

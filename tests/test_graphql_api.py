@@ -465,6 +465,36 @@ def test_skip_everything_errors():
         lower_graphql(src)
 
 
+def test_fragment_of_other_operation_not_pruned():
+    """Directive pruning must only touch fragments REACHED from the
+    selected operation: operation B's fragment reads $bFlag which A never
+    declares — valid per the spec (variable usage is per-operation)."""
+    src = """
+    query A { features { u { x: event_seq } } }
+    query B { features { u { ...BF } } }
+    fragment BF on U { y: event_seq @include(if: $bFlag) }
+    """
+    lowered = lower_graphql(src, operation_name="A")
+    assert "x" in lowered.doc["select"]["features"]
+    # and selecting B without $bFlag still errors precisely
+    with pytest.raises(PlanError, match="bFlag"):
+        lower_graphql(src, operation_name="B")
+
+
+def test_fragment_emptied_by_directive_fires_empty_guard():
+    """A fragment whose whole body is @skip'd must not leave an empty
+    grouping selection behind the emptiness guard (expansion and pruning
+    interleave, so emptiness is judged on the expanded tree)."""
+    src = """
+    query Q($d: Boolean = false) {
+        features { u { ...S } }
+    }
+    fragment S on U { a: event_seq @include(if: $d) }
+    """
+    with pytest.raises(PlanError, match="every top-level selection"):
+        lower_graphql(src)
+
+
 def test_skip_include_materializes_identically_to_plain_doc(spark):
     src = """
     query Q($verbose: Boolean = false) {

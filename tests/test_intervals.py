@@ -511,12 +511,42 @@ def test_scd2_apply_late_change_errors_or_drops(spark):
         on="k", state_cols=["state"],
     )
     late = spark.createDataFrame([("u1", _ts(50), "B")], "k string, ts timestamp, state string")
-    with pytest.raises(Exception, match="open epoch"):
+    with pytest.raises(Exception, match="latest epoch boundary"):
         scd2_apply_changes(cur, late, on="k", state_cols=["state"]).collect()
     out = scd2_apply_changes(cur, late, on="k", state_cols=["state"],
                              on_late="ignore")
     rows = _epochs(out)
     assert len(rows) == 1 and rows[0][:2] == ("u1", "A") and rows[0][3] is None
+
+
+def test_scd2_apply_late_change_on_terminated_key_guarded(spark):
+    """A key whose every epoch is CLOSED (terminated) must still reject a
+    change landing inside its closed history — the open-epoch-only bound
+    treated it as brand-new and rebuilt an overlapping epoch. A change at
+    or after the last valid_to reopens the key cleanly."""
+    from funcify_feature_eng_spark.operators.intervals import scd2_apply_changes
+
+    cur = spark.createDataFrame(
+        [("u1", "A", _ts(0), _ts(100)), ("u1", "B", _ts(100), _ts(200))],
+        "k string, state string, valid_from timestamp, valid_to timestamp",
+    )
+    inside = spark.createDataFrame(
+        [("u1", _ts(50), "C")], "k string, ts timestamp, state string"
+    )
+    with pytest.raises(Exception, match="latest epoch boundary"):
+        scd2_apply_changes(cur, inside, on="k", state_cols=["state"]).collect()
+    ok = spark.createDataFrame(
+        [("u1", _ts(250), "C")], "k string, ts timestamp, state string"
+    )
+    rows = sorted(
+        (r["state"], r["valid_from"], r["valid_to"])
+        for r in scd2_apply_changes(
+            cur, ok, on="k", state_cols=["state"]
+        ).collect()
+    )
+    # closed history untouched; the key reopens at t=250 with no overlap
+    assert [s for s, *_ in rows] == ["A", "B", "C"]
+    assert rows[2][1] == _ts(250).replace(tzinfo=None) and rows[2][2] is None
 
 
 class TestConcurrencyProfile:

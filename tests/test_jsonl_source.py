@@ -57,3 +57,24 @@ def test_read_jsonl_permissive_quarantines(spark, tmp_path):
     assert corrupt[0]["_corrupt_record"] == bad
     assert all(r["event_id"] in (1, 2, 3) for r in out
                if r["_corrupt_record"] is None)
+
+
+def test_read_jsonl_permissive_predicate_keeps_quarantine(spark, tmp_path):
+    """A caller predicate must filter VALID rows only: a malformed line
+    parses to all-NULL declared fields, where the predicate evaluates
+    NULL and a bare filter() would silently drop the quarantined row —
+    the exact loss quarantine mode exists to prevent. Projection likewise
+    must not drop the corrupt column."""
+    from pyspark.sql import functions as F
+
+    bad = '{"event_id": broken'
+    src = _write(tmp_path, GOOD + [bad])
+    out = read_jsonl(
+        spark, src, SCHEMA, permissive=True,
+        predicate=F.col("event_id") >= 2,
+        columns=["event_id"],
+    ).collect()
+    corrupt = [r for r in out if r["_corrupt_record"] is not None]
+    assert len(corrupt) == 1 and corrupt[0]["_corrupt_record"] == bad
+    assert sorted(r["event_id"] for r in out if r["_corrupt_record"] is None) \
+        == [2, 3]

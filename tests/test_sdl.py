@@ -158,3 +158,19 @@ def test_sdl_scaling_verbs_round_trip(spark):
                spine, ["user_id", "turn_idx", "v_z", "v_mm"]).collect()}
     assert got[("u1", 1)][1] == 1_000_000 and got[("u1", 0)][1] == 0
     assert got[("u2", 0)] == (None, 0)
+
+
+def test_sdl_value_control_characters_round_trip():
+    """String params with newlines/tabs/CRs must survive to_sdl∘from_sdl:
+    the GraphQL string token forbids raw newlines, so an unescaped \\n
+    rendered SDL the lexer could not tokenize."""
+    from funcify_feature_eng_spark.plans.model import FeatureModel
+    from funcify_feature_eng_spark.plans.sdl import from_sdl, to_sdl
+
+    m = FeatureModel(entity_key="user_id", order=("ts", "event_id"),
+                     event_time="ts")
+    val = 'line1\nline2\t"q"\r back\\slash'
+    m.declare_window_feature("f", op="lag", col="x", default=val)
+    m2 = from_sdl(to_sdl(m))
+    assert m2._features["f"].params["default"] == val
+    assert to_sdl(m2) == to_sdl(m)
