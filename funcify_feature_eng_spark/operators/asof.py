@@ -123,6 +123,13 @@ def asof_join(
     _validate(left, on, list(vals.values()))
     if direction not in ("backward", "forward", "nearest"):
         raise ValueError(f"unknown direction {direction!r}")
+    # a right row with NULL right_ts has UNKNOWN time and can match
+    # nothing (sliding_window_join's posture) — without this filter the
+    # union-window strategies sorted it BEFORE every real row (nulls
+    # first) and forward-filled its payload as "known before all time", a
+    # temporal leak; broadcast dropped it and pandas merge_asof raised,
+    # so strategy="auto" silently changed results by plan choice
+    right = right.filter(F.col(right_ts).isNotNull())
     if direction == "nearest":
         # pandas merge_asof direction='nearest': the closer of the backward
         # and forward matches, ties to the PRIOR one (pandas' convention).
@@ -606,7 +613,16 @@ def choose_asof_strategy(
     if broadcast_bytes is None:
         try:
             raw = left.sparkSession.conf.get("spark.sql.autoBroadcastJoinThreshold")
-            broadcast_bytes = int(str(raw).lower().removesuffix("b"))
+            # Spark accepts "10485760", "100MB", "10m", "1g", ... — parse
+            # the full byte-string grammar; a bare trailing-'b' strip
+            # silently fell back to 10 MiB on '100MB' (int('100m') raises)
+            # and mis-sized both the broadcast gate and the salted bound
+            txt = str(raw).strip().lower().removesuffix("b")
+            mult = 1
+            if txt and txt[-1] in "kmgt":
+                mult = 1024 ** ("kmgt".index(txt[-1]) + 1)
+                txt = txt[:-1]
+            broadcast_bytes = int(txt) * mult
         except Exception:
             broadcast_bytes = 10 << 20
     try:
@@ -677,6 +693,8 @@ def asof_topk(
         raise ValueError(f"k must be >= 1, got {k}")
     vals = _normalize_values(value_cols)
     _validate(left, on, [*vals.values(), rank_col])
+    # NULL right_ts rows match nothing (same contract as asof_join)
+    right = right.filter(F.col(right_ts).isNotNull())
     ridx = "__asof_topk_ridx"
     cand = "__asof_topk_cand"
     pos = "__asof_topk_pos"

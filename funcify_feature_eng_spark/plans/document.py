@@ -297,6 +297,12 @@ def materialize_document(
         _doc_cache_key(doc),
         json.dumps(doc.get("variables", {}), sort_keys=True, default=str),
         tuple(sorted(spine.columns)),
+        # model mutation counter: compile snapshots the model's feature/
+        # alias/source registries into the request model, so a declaration
+        # made AFTER a document ran must invalidate that snapshot — the
+        # tabular path's _plan_cache clears on mutation, and without this
+        # term the two entry points disagreed on a mutated model
+        getattr(model, "_mutations", 0),
     )
     hit = cache.get(key)
     if hit is None:

@@ -113,6 +113,10 @@ class FeatureModel:
         # temporal attribute (LastUpdatedCoordinatesRegistry.kt:22-35)
         self._last_updated: dict[str, str] = {}
         self._plan_cache: dict[tuple[str, ...], list[FeatureSpec]] = {}
+        # bumped on every declaration/alias/source registration; external
+        # caches snapshotting this model (plans/document._doc_cache) fold
+        # it into their keys so model mutation invalidates them
+        self._mutations: int = 0
 
     # ------------------------------------------------------------- declare
     def register_store(self, name: str, store, last_updated: str | None = None) -> None:
@@ -132,6 +136,9 @@ class FeatureModel:
                 )
             self._last_updated[name] = last_updated
         self._stores[name] = store
+        # re-registering a store swaps its backing data: document-cache
+        # snapshots must not keep serving the old frame
+        self._mutations += 1
 
     def register_source(
         self, name: str, df: DataFrame, join_key: str | None = None, broadcast: bool = True
@@ -146,10 +153,15 @@ class FeatureModel:
             raise PlanError(f"source {name!r}: join key {key!r} not in its columns")
         self._sources[name] = (df, key, broadcast)
         self._plan_cache.clear()
+        self._mutations += 1
 
     def alias(self, alias: str, target: str) -> None:
         """@alias directive analog (AliasCoordinatesRegistry)."""
         self._aliases[to_snake_case(alias)] = target
+        # the alias tier outranks the convention tier, so any cached plan
+        # that resolved the name conventionally is now stale
+        self._plan_cache.clear()
+        self._mutations += 1
 
     def declare_transformer_feature(
         self, name: str, transformer: str, args: Sequence[str], **params: Any
@@ -226,6 +238,7 @@ class FeatureModel:
             raise PlanError(f"feature {spec.name!r} already declared")
         self._features[spec.name] = spec
         self._plan_cache.clear()
+        self._mutations += 1
 
     # ------------------------------------------------------------- compile
     def resolve_name(
@@ -415,6 +428,25 @@ class FeatureModel:
                 # tier-4 convention match used as a feature ARGUMENT: the
                 # stage lowers F.col(<name as written>), so alias it in
                 df = df.withColumn(req, F.col(res))
+        # tier-4 convention match resolving to a declared FEATURE: the
+        # resolved column only exists once its stage has run, so the alias
+        # is applied mid-plan as each stage lands (compile accepted the
+        # wiring; without this the dependent stage's F.col(<as written>)
+        # failed at analysis with an unresolved column)
+        feat_aliases = {
+            req: res
+            for req, (kind, res) in needed.items()
+            if kind == "feature" and res != req
+        }
+
+        def _land_feat_aliases(frame):
+            for req, res in list(feat_aliases.items()):
+                if res in frame.columns and req not in frame.columns:
+                    frame = frame.withColumn(req, F.col(res))
+                    del feat_aliases[req]
+            return frame
+
+        df = _land_feat_aliases(df)
         keys, order = (self.entity_key,), self.order
 
         # group consecutive same-kind stages so transformer batches stay in
@@ -435,6 +467,7 @@ class FeatureModel:
                         self._validate_transformer_input(s, df)
                     exprs[s.name] = self._lower_one(s, keys, order)
                     df = df.withColumn(s.name, exprs[s.name])
+                    df = _land_feat_aliases(df)
             elif spec.kind == "interval":
                 from funcify_feature_eng_spark.operators.intervals import (
                     guarded_disjoint,
@@ -460,6 +493,7 @@ class FeatureModel:
                     bucket_s=int(spec.params.get("bucket_s", 3600)),
                     null_end_is_open=True,
                 ).drop(spec.start_col, spec.end_col)
+                df = _land_feat_aliases(df)
                 i += 1
                 continue
             else:  # asof
@@ -502,6 +536,7 @@ class FeatureModel:
                         tolerance_s=spec.tolerance_s,
                         direction=spec.direction,
                     )
+                df = _land_feat_aliases(df)
                 i += 1
 
         out_cols = []
