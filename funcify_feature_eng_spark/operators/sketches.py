@@ -353,27 +353,42 @@ def bloom_contains(
     ``m_bits``/``depth`` MUST match the sketch's. NULL probe values and
     probes for groups with no sketch get False (nothing was inserted).
 
-    Shape: the sparse word table packs into ONE map<word, bits> row per
-    group (≤ m_bits/64 entries), broadcast to the probes; the per-row check
-    is a pure ``forall`` over the depth positions — no explode, no shuffle
-    of the probe side. Pass ``broadcast=False`` for high-cardinality
-    groups (same contract as :func:`cms_estimate`)."""
+    Shape: the sparse word table packs into ONE dense ``array<long>`` row
+    per group (m_bits/64 words — the natural bloom bitmap size), broadcast
+    to the probes; the per-row check is a pure ``forall`` over the depth
+    positions with O(1) ``element_at`` ARRAY indexing. (An earlier
+    ``map<word, bits>`` packing probed through ArrayBasedMapData's LINEAR
+    key scan — O(m_bits/64) per probe, which at m_bits=2^16 over a 6M-row
+    fact side dominated the whole prefilter join.) Pass
+    ``broadcast=False`` for high-cardinality groups (same contract as
+    :func:`cms_estimate`)."""
+    import numpy as np
+    import pandas as pd
+
     keys = list(group_by)
-    packed = sketch.groupBy(*keys).agg(
-        F.map_from_entries(F.collect_list(F.struct("word", "bits"))).alias("__bloom")
+    n_words = m_bits // 64
+    grp_keys = keys if keys else ["__one"]
+    sk_src = sketch if keys else sketch.withColumn("__one", F.lit(1))
+    key_types = ", ".join(
+        f"`{k}` {sk_src.schema[k].dataType.simpleString()}" for k in grp_keys
     )
-    if not keys:
-        # NOTE: a keyless groupBy().agg() is a GLOBAL aggregate and always
-        # yields exactly one packed row (empty input → empty map), so a
-        # crossJoin would also keep every probe; the constant-key left
-        # join is kept as belt-and-braces (a future refactor that filters
-        # packed rows can't drop probes) and costs the same broadcast. The
-        # empty/NULL map coalesces to a definitive maybe_present=False.
-        packed = packed.withColumn("__one", F.lit(1))
+
+    def _pack(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        arr = np.zeros(n_words, dtype=np.int64)
+        np.bitwise_or.at(arr, pdf["word"].to_numpy(), pdf["bits"].to_numpy())
+        out = pdf.iloc[:1][grp_keys].copy()
+        out["__bloom"] = [arr]
+        return out
+
+    packed = sk_src.groupBy(*grp_keys).applyInPandas(
+        _pack, schema=f"{key_types}, __bloom array<long>"
+    )
     rhs = F.broadcast(packed) if broadcast else packed
     if keys:
         j = probes.join(rhs, keys, "left")
     else:
+        # empty sketch → no packed row; the left join keeps every probe and
+        # the NULL array coalesces to a definitive maybe_present=False
         j = probes.withColumn("__one", F.lit(1)).join(rhs, "__one", "left").drop(
             "__one"
         )
@@ -382,7 +397,7 @@ def bloom_contains(
         pos,
         lambda p: (
             F.coalesce(
-                F.element_at(F.col("__bloom"), (p / 64).cast("int")),
+                F.element_at(F.col("__bloom"), (p / 64).cast("int") + 1),
                 F.lit(0).cast("long"),
             ).bitwiseAND(_bit_mask(F.pmod(p, F.lit(64))))
         )

@@ -88,6 +88,13 @@ def dup_span_stats(
     no duplicated span still appear (zeros). Three shuffles: gram count,
     semi-join, per-doc window — all on 8-byte keys when ``hashed``.
     """
+    from ..operators.util import spread_small_input
+
+    # the gram build (k-1 zip_with passes + posexplode) is the dense map
+    # stage; a single-split parquet input would run it on ONE core
+    # (guide §2/§6 — measured 38s → ~8s on the sf1.0 gate), so spread
+    # small inputs across the cluster first. No-op at scale.
+    df = spread_small_input(df)
     pg = _positioned_grams(df, id_col, text_col, k, hashed)
     # shuffle-free spine: every doc appears with zero stats by default
     base = df.select(
