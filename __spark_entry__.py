@@ -499,7 +499,12 @@ transformers:
     jq: 'test("ER"; "i")'
     input_schema: {type: string}
 """)
-    ev = _t(spark, sf_dir, "events")
+    from funcify_feature_eng_spark.operators.util import spread_small_input
+
+    # ~28 compiled jq expressions over 1M rows is the densest map stage in
+    # the suite; a single-split parquet input runs it all on ONE core
+    # (guide §6 — measured 22.8s → ~2s at sf1.0)
+    ev = spread_small_input(_t(spark, sf_dir, "events"))
     return ev.select(
         "event_id",
         reg.get("negative_to_null")(F.col("value") - F.lit(100.0)).alias("v_nn"),
@@ -612,8 +617,11 @@ def q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     from funcify_feature_eng_spark.functions.text import lang_id_from_tokens, tokens
+    from funcify_feature_eng_spark.operators.util import spread_small_input
 
-    docs = _t(spark, sf_dir, "documents")
+    # the stopword-profile expression is compute-dense; spread the
+    # single-split input across cores (guide §6)
+    docs = spread_small_input(_t(spark, sf_dir, "documents"))
     # tokenize once in its own projection: 4x smaller codegen tree
     tok = docs.select("doc_id", tokens(F.lower(F.col("text"))).alias("__tk"))
     return tok.select("doc_id", lang_id_from_tokens(F.col("__tk")).alias("lang_pred"))
@@ -1851,7 +1859,11 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         keep_best_per_cluster,
     )
 
-    docs = _t(spark, sf_dir, "documents")
+    from funcify_feature_eng_spark.operators.util import spread_small_input
+
+    # quality + lang-id expressions are the dense map stage; spread the
+    # single-split input (guide §6; the minhash leg spreads internally)
+    docs = spread_small_input(_t(spark, sf_dir, "documents"))
     n = F.length("text")
     len_score = (
         F.when((n >= 50) & (n <= 5000), F.lit(1.0)).when(n > 0, F.lit(0.5)).otherwise(F.lit(0.0))
@@ -1888,9 +1900,12 @@ def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         stopword_ratio,
         tokens,
     )
+    from funcify_feature_eng_spark.operators.util import spread_small_input
     from funcify_feature_eng_spark.pipeline import CorpusPipeline
 
-    docs = _t(spark, sf_dir, "documents")
+    # same spread as the hand-composed capstone (value identity holds:
+    # round-robin placement never feeds any result)
+    docs = spread_small_input(_t(spark, sf_dir, "documents"))
     n = F.length("text")
     len_score = (
         F.when((n >= 50) & (n <= 5000), F.lit(1.0)).when(n > 0, F.lit(0.5)).otherwise(F.lit(0.0))
@@ -2521,6 +2536,22 @@ def q_value_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
 _STREAM_GATE_SEQ = [0]
 
 
+def _stream_parts(spark: SparkSession, src_dir: str) -> str:
+    """Scale-adaptive shuffle/state-partition count for the streaming
+    gates (guide §2: never a constant tuned to one scale). Each micro-batch
+    spins up one state-store partition per shuffle partition, so tiny
+    inputs want few partitions (32x4 empty-ish state stores are pure
+    overhead at gate scale) while sf1.0's 500k-row batches are
+    Python-state-bound and want every core. The row count is a parquet
+    metadata read of the already-written micro-batch dir, not a data scan."""
+    try:
+        n = spark.read.parquet(src_dir).count()
+    except Exception:
+        n = 0
+    cores = spark.sparkContext.defaultParallelism
+    return str(max(4, min(cores, n // 25_000 + 1)))
+
+
 def q_store_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S8 publish + store maintenance in the DRIVER gate: publish the same
     deterministic feature twice (the replayed-job shape — identical values,
@@ -2749,7 +2780,7 @@ def q_stream_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     qname = f"stream_kmv_sink_{_STREAM_GATE_SEQ[0]}"
     shuffle_conf = "spark.sql.shuffle.partitions"
     session_parts = spark.conf.get(shuffle_conf)
-    spark.conf.set(shuffle_conf, "4")
+    spark.conf.set(shuffle_conf, _stream_parts(spark, tmp))
     try:
         q = (
             out.writeStream.format("memory").queryName(qname)
@@ -2788,7 +2819,7 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     qname = f"stream_dedup_sink_{_STREAM_GATE_SEQ[0]}"
     shuffle_conf = "spark.sql.shuffle.partitions"
     session_parts = spark.conf.get(shuffle_conf)
-    spark.conf.set(shuffle_conf, "4")
+    spark.conf.set(shuffle_conf, _stream_parts(spark, tmp))
     try:
         q = (
             out.writeStream.format("memory").queryName(qname)
@@ -2860,7 +2891,7 @@ def q_stream_turn_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     # overhead, so scope the conf down for the stream's lifetime
     shuffle_conf = "spark.sql.shuffle.partitions"
     session_parts = spark.conf.get(shuffle_conf)
-    spark.conf.set(shuffle_conf, "4")
+    spark.conf.set(shuffle_conf, _stream_parts(spark, tmp))
     try:
         q = (
             out.writeStream.format("memory").queryName(qname)
@@ -2961,7 +2992,7 @@ def q_stream_disorder_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     qname = f"stream_disorder_sink_{_STREAM_GATE_SEQ[0]}"
     shuffle_conf = "spark.sql.shuffle.partitions"
     session_parts = spark.conf.get(shuffle_conf)
-    spark.conf.set(shuffle_conf, "4")
+    spark.conf.set(shuffle_conf, _stream_parts(spark, tmp))
     try:
         q = (
             out.writeStream.format("memory").queryName(qname)
@@ -3128,7 +3159,7 @@ def q_stream_role_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     qname = f"stream_roleaudit_sink_{_STREAM_GATE_SEQ[0]}"
     shuffle_conf = "spark.sql.shuffle.partitions"
     session_parts = spark.conf.get(shuffle_conf)
-    spark.conf.set(shuffle_conf, "4")
+    spark.conf.set(shuffle_conf, _stream_parts(spark, tmp))
     try:
         q = (
             out.writeStream.format("memory").queryName(qname)
@@ -3326,7 +3357,7 @@ def q_stream_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree(ckpt, ignore_errors=True)
     shuffle_conf = "spark.sql.shuffle.partitions"
     session_parts = spark.conf.get(shuffle_conf)
-    spark.conf.set(shuffle_conf, "4")
+    spark.conf.set(shuffle_conf, _stream_parts(spark, tmp))
     try:
         q = quality_monitor_stream(
             stream, constraints, ledger_dir=ledger, checkpoint_dir=ckpt
@@ -3425,7 +3456,7 @@ def q_stream_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree(ckpt, ignore_errors=True)
     shuffle_conf = "spark.sql.shuffle.partitions"
     session_parts = spark.conf.get(shuffle_conf)
-    spark.conf.set(shuffle_conf, "4")
+    spark.conf.set(shuffle_conf, _stream_parts(spark, tmp))
     try:
         q = calibration_monitor_stream(
             scored, ledger, score_e6="score_e6", label="y",
@@ -4963,7 +4994,7 @@ def q_stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     qname = f"stream_hh_sink_{_STREAM_GATE_SEQ[0]}"
     shuffle_conf = "spark.sql.shuffle.partitions"
     session_parts = spark.conf.get(shuffle_conf)
-    spark.conf.set(shuffle_conf, "4")
+    spark.conf.set(shuffle_conf, _stream_parts(spark, tmp))
     try:
         q = (
             out.writeStream.format("memory").queryName(qname)
@@ -5204,7 +5235,7 @@ def q_stream_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree(ckpt, ignore_errors=True)
     shuffle_conf = "spark.sql.shuffle.partitions"
     session_parts = spark.conf.get(shuffle_conf)
-    spark.conf.set(shuffle_conf, "4")
+    spark.conf.set(shuffle_conf, _stream_parts(spark, tmp))
     try:
         q = decay_monitor_stream(
             staged, ledger, value_col="v_e6", ts_col="ts", keys=["user_id"],
@@ -5760,7 +5791,7 @@ def q_stream_throttle(spark: SparkSession, sf_dir: str) -> DataFrame:
     qname = f"stream_throttle_sink_{_STREAM_GATE_SEQ[0]}"
     shuffle_conf = "spark.sql.shuffle.partitions"
     session_parts = spark.conf.get(shuffle_conf)
-    spark.conf.set(shuffle_conf, "4")
+    spark.conf.set(shuffle_conf, _stream_parts(spark, tmp))
     try:
         q = (
             out.writeStream.format("memory").queryName(qname)

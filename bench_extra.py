@@ -68,9 +68,12 @@ def main() -> None:
             t0 = time.time()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             samples.append(round(time.time() - t0, 3))
-        out[name] = samples
-        print(json.dumps({"query": name, "samples": samples,
-                          "min": min(samples), "sf_dir": sf_dir}), flush=True)
+        if samples:
+            out[name] = samples
+            print(json.dumps({"query": name, "samples": samples,
+                              "min": min(samples), "sf_dir": sf_dir}), flush=True)
+        else:
+            print(json.dumps({"query": name, "plan_only": True}), flush=True)
         spark.sparkContext.setJobDescription(None)
     print(json.dumps({"all": {k: min(v) for k, v in out.items()}}))
     spark.stop()

@@ -70,6 +70,11 @@ def ngram_counts(
     """
     if n < 1:
         raise ValueError(f"n must be >= 1, got {n}")
+    from funcify_feature_eng_spark.operators.util import spread_small_input
+
+    # the zip_with gram build + explode is compute-dense; spread a
+    # single-split input across cores first (no-op at scale)
+    df = spread_small_input(df)
     toks = tokens(F.lower(F.col(text_col)))
     sz = F.size(toks)
 
@@ -141,13 +146,20 @@ def train_ngram_lm(
         total = int(total_row["t"])
         order_maps: list[dict[str, int]] = []
         for k in range(1, n + 1):
-            rows = (
+            # Arrow collect: at max_grams=200k the Row-object path spends
+            # seconds per order on driver-side deserialization alone
+            tbl = (
                 counts.where((F.col("ord") == k) & (F.col("cnt") >= min_count))
                 .orderBy(F.col("cnt").desc(), F.col("gram").asc())
                 .limit(max_grams)
-                .collect()
+                .toArrow()
             )
-            order_maps.append({r["gram"]: int(r["cnt"]) for r in rows})
+            order_maps.append(
+                dict(
+                    zip(tbl.column("gram").to_pylist(),
+                        (int(c) for c in tbl.column("cnt").to_pylist()))
+                )
+            )
     finally:
         counts.unpersist()
     return {"n": n, "total": total, "counts": order_maps}
@@ -227,6 +239,11 @@ def lm_score(
             out["ppl_micro"].append(int(math.floor(ppl * 1e6 + 0.5)))
         return pd.DataFrame(out)
 
+    from funcify_feature_eng_spark.operators.util import spread_small_input
+
+    # the Python scoring pass inherits the input split count — spread a
+    # single-split input so every core runs a worker (no-op at scale)
+    df = spread_small_input(df)
     return df.select(*id_cols, _score(F.col(text_col)).alias("__s")).select(
         *id_cols, "__s.n_tokens", "__s.lp_micro", "__s.ppl_micro"
     )

@@ -116,7 +116,13 @@ def dsir_scores(
     """
     if n_buckets <= 0:
         raise ValueError("n_buckets must be positive")
+    from funcify_feature_eng_spark.operators.util import spread_small_input
+
     spark = df.sparkSession
+    # the gram explode runs twice (count pass + score pass) and is the
+    # dense map stage; spread a single-split input across cores (no-op at
+    # scale)
+    df = spread_small_input(df)
     exploded = df.select(
         F.col(id_col),
         target.cast("boolean").alias("__is_tgt"),

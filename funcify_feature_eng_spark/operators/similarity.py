@@ -518,7 +518,13 @@ def semantic_dedup(
     """
     from funcify_feature_eng_spark.functions.vectors import dot_raw, norm
 
-    assigned = ivf_assign(df, centroids, vec_col=vec_col, out_col=cluster_col)
+    from funcify_feature_eng_spark.operators.util import spread_small_input
+
+    # the greatest-over-centroids assignment is the dense map stage;
+    # spread a single-split input across cores first (no-op at scale)
+    assigned = ivf_assign(
+        spread_small_input(df), centroids, vec_col=vec_col, out_col=cluster_col
+    )
     id_dtype = df.schema[id_col].dataType
     numeric_id = id_dtype.simpleString() in ("tinyint", "smallint", "int", "bigint")
     vec_floating = df.schema[vec_col].dataType.simpleString() in (

@@ -353,51 +353,92 @@ def bloom_contains(
     ``m_bits``/``depth`` MUST match the sketch's. NULL probe values and
     probes for groups with no sketch get False (nothing was inserted).
 
-    Shape: the sparse word table packs into ONE dense ``array<long>`` row
-    per group (m_bits/64 words — the natural bloom bitmap size), broadcast
-    to the probes; the per-row check is a pure ``forall`` over the depth
-    positions with O(1) ``element_at`` ARRAY indexing. (An earlier
-    ``map<word, bits>`` packing probed through ArrayBasedMapData's LINEAR
-    key scan — O(m_bits/64) per probe, which at m_bits=2^16 over a 6M-row
-    fact side dominated the whole prefilter join.) Pass
-    ``broadcast=False`` for high-cardinality groups (same contract as
-    :func:`cms_estimate`)."""
-    import numpy as np
-    import pandas as pd
-
+    Shape (``broadcast=True``, the default): the sparse word table is a
+    BOUNDED driver collect (≤ groups × m_bits/64 rows — the same bytes a
+    packed broadcast would ship) into per-group dense NumPy bitmaps; the
+    depth positions compute JVM-side (one ``xxhash64`` array per row) and a
+    vectorized pandas UDF tests the bits against the broadcast bitmaps.
+    Crucially the bitmap NEVER rides a join: earlier packings (map or dense
+    array joined onto the probe side) copied the whole O(m_bits) structure
+    into EVERY joined output row, which at real sketch sizes dominated the
+    probe scan by orders of magnitude. Pass ``broadcast=False`` for
+    high-cardinality groups (same contract as :func:`cms_estimate`) —
+    that path keeps the per-group packed-map join and never drives the
+    sketch through the driver."""
     keys = list(group_by)
-    n_words = m_bits // 64
-    grp_keys = keys if keys else ["__one"]
-    sk_src = sketch if keys else sketch.withColumn("__one", F.lit(1))
-    key_types = ", ".join(
-        f"`{k}` {sk_src.schema[k].dataType.simpleString()}" for k in grp_keys
-    )
+    pos_col = _bloom_positions(value_col, m_bits, depth)
+    if broadcast:
+        import numpy as np
 
-    def _pack(pdf: "pd.DataFrame") -> "pd.DataFrame":
-        arr = np.zeros(n_words, dtype=np.int64)
-        np.bitwise_or.at(arr, pdf["word"].to_numpy(), pdf["bits"].to_numpy())
-        out = pdf.iloc[:1][grp_keys].copy()
-        out["__bloom"] = [arr]
-        return out
+        n_words = m_bits // 64
+        tbl = sketch.select(*keys, "word", "bits").toArrow()
+        words = tbl.column("word").to_numpy(zero_copy_only=False)
+        bits = tbl.column("bits").to_numpy(zero_copy_only=False)
+        key_cols = [tbl.column(k).to_pylist() for k in keys]
+        tables: dict = {}
+        for i in range(len(words)):
+            kt = tuple(kc[i] for kc in key_cols)
+            if any(k is None for k in kt):
+                # a NULL group key never matches an equi-join — mirror the
+                # join path by leaving such sketch rows unreachable
+                continue
+            arr = tables.get(kt)
+            if arr is None:
+                arr = tables[kt] = np.zeros(n_words, dtype=np.int64)
+            arr[int(words[i])] |= int(bits[i])
+        bc = probes.sparkSession.sparkContext.broadcast(tables)
+        n_keys = len(keys)
 
-    packed = sk_src.groupBy(*grp_keys).applyInPandas(
-        _pack, schema=f"{key_types}, __bloom array<long>"
+        @F.pandas_udf("boolean")
+        def _probe(*cols):
+            import pandas as pd
+
+            tabs = bc.value
+            pos = cols[-1]
+            n = len(pos)
+            out = np.zeros(n, dtype=bool)
+            if n == 0 or not tabs:
+                return pd.Series(out)
+            P = np.stack(pos.to_numpy()).astype(np.int64)
+            W = P >> 6
+            S = P & 63
+            if n_keys == 0:
+                arr = tabs.get(())
+                if arr is not None:
+                    out = (((arr[W] >> S) & 1) == 1).all(axis=1)
+            else:
+                kf = pd.DataFrame({i: cols[i] for i in range(n_keys)})
+                for kt, idx in kf.groupby(
+                    list(range(n_keys)), dropna=False, sort=False
+                ).indices.items():
+                    arr = tabs.get(kt if n_keys > 1 else (kt,))
+                    if arr is not None:
+                        out[idx] = (((arr[W[idx]] >> S[idx]) & 1) == 1).all(axis=1)
+            return pd.Series(out)
+
+        probe_args = [F.col(k) for k in keys] + [pos_col]
+        return probes.withColumn(
+            out_col,
+            F.when(F.col(value_col).isNull(), F.lit(False)).otherwise(
+                F.coalesce(_probe(*probe_args), F.lit(False))
+            ),
+        )
+    packed = sketch.groupBy(*keys).agg(
+        F.map_from_entries(F.collect_list(F.struct("word", "bits"))).alias("__bloom")
     )
-    rhs = F.broadcast(packed) if broadcast else packed
+    if not keys:
+        packed = packed.withColumn("__one", F.lit(1))
     if keys:
-        j = probes.join(rhs, keys, "left")
+        j = probes.join(packed, keys, "left")
     else:
-        # empty sketch → no packed row; the left join keeps every probe and
-        # the NULL array coalesces to a definitive maybe_present=False
-        j = probes.withColumn("__one", F.lit(1)).join(rhs, "__one", "left").drop(
+        j = probes.withColumn("__one", F.lit(1)).join(packed, "__one", "left").drop(
             "__one"
         )
-    pos = _bloom_positions(value_col, m_bits, depth)
     hit_all = F.forall(
-        pos,
+        pos_col,
         lambda p: (
             F.coalesce(
-                F.element_at(F.col("__bloom"), (p / 64).cast("int") + 1),
+                F.element_at(F.col("__bloom"), (p / 64).cast("int")),
                 F.lit(0).cast("long"),
             ).bitwiseAND(_bit_mask(F.pmod(p, F.lit(64))))
         )

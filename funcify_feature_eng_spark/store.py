@@ -182,7 +182,12 @@ class FeatureStore:
             if calculated_at is not None
             else F.current_timestamp()
         )
-        rows = calculated.select(
+        from funcify_feature_eng_spark.operators.util import spread_small_input
+
+        # the JSON-serialize + write stage inherits the input split count;
+        # a single-split source would write the whole publish on one core
+        # (guide §6 — no-op at scale, where inputs have many splits)
+        rows = spread_small_input(calculated).select(
             F.lit(feature_id).alias("feature_id"),
             F.col(self.entity_col).alias("conv_id"),
             F.lit(params_hash or contextual_params_hash(params)).alias("params_hash"),
