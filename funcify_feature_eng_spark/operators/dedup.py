@@ -14,7 +14,29 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from funcify_feature_eng_spark.functions.text import char_ngrams, fingerprint64, shingles
-from funcify_feature_eng_spark.operators.util import spread_small_input
+from funcify_feature_eng_spark.operators.util import (
+    materialize_small,
+    release,
+    spread_small_input,
+)
+
+
+def _ordered_pairs(col):
+    """Every (a, b), a < b pair from a SORTED distinct array column, as
+    ``struct(doc_a, doc_b)`` — pure JVM HOF expansion (element k pairs
+    with every later element), replacing a row-level self-join. The
+    caller bounds the array size (bucket/group caps), so the quadratic
+    expansion is bounded too."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.flatten(
+        F.transform(
+            c,
+            lambda x, k: F.transform(
+                F.slice(c, k + F.lit(2), F.size(c)),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
+        )
+    )
 
 
 def exact_dup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -232,29 +254,38 @@ def minhash_lsh_pairs(
     assert num_hashes % bands == 0
     rows_per_band = num_hashes // bands
 
-    # 1) collapse exact duplicates: one representative text per fingerprint.
-    # membership is a map-only projection (fingerprint is per-row); the rep
-    # pick is ONE min_by aggregation with map-side partial combine — cheaper
-    # than a window sort, and the only corpus-wide shuffle in the collapse.
+    # 1) collapse exact duplicates: ONE corpus-wide shuffle (by text
+    # fingerprint) produces BOTH the representative row and the sorted
+    # exact-dup member array per distinct text — the member arrays make
+    # every later membership lookup a probe of the persisted base instead
+    # of a re-scan of the corpus.
     docs = df.select(
         F.col(id_col).alias("doc"),
         F.col(text_col).alias("__text"),
         fingerprint64(F.col(text_col)).alias("fp"),
     )
-    membership = docs.select("doc", "fp")
     reps = (
         docs.groupBy("fp")
-        .agg(F.min_by(F.struct("doc", "__text"), F.col("doc")).alias("__r"))
-        .select(F.col("__r.doc").alias("doc"), "fp", F.col("__r.__text").alias("__text"))
+        .agg(
+            F.min_by(F.struct("doc", "__text"), F.col("doc")).alias("__r"),
+            F.array_sort(F.collect_list("doc")).alias("members"),
+        )
+        .select(
+            F.col("__r.doc").alias("doc"), "fp",
+            F.col("__r.__text").alias("__text"), "members",
+        )
     )
 
-    # 2) signature + gram-hash base, persisted (reused 3x: banding, verify
-    # a/b). Signatures via double hashing — 2 string hashes per shingle,
-    # not num_hashes (see _minhash_sig_expr).
+    # 2) signature + gram-hash base, persisted (reused by banding, both
+    # verify fetches and re-expansion). Signatures via double hashing —
+    # 2 string hashes per shingle, not num_hashes (see _minhash_sig_expr);
+    # the dense signature map runs post-exchange, so it is parallel even
+    # when the input arrives as a single split.
     sh = F.array_distinct(shingles(F.col("__text"), shingle_k))
     gs = F.array_distinct(F.transform(sh, lambda s: F.xxhash64(s)))
     base = reps.select(
-        "doc", "fp", gs.alias("gs"), _minhash_sig_expr(sh, num_hashes).alias("sig")
+        "doc", "fp", gs.alias("gs"), _minhash_sig_expr(sh, num_hashes).alias("sig"),
+        "members",
     ).persist()
 
     band_cols = [
@@ -270,23 +301,27 @@ def minhash_lsh_pairs(
         "doc", F.col("bk.band").alias("band"), F.col("bk.bsig").alias("bsig")
     )
 
-    # 3) cap oversized buckets before the self-join goes quadratic
+    # 3) one bucket aggregation replaces the count + join + self-join
+    # chain (3 exchanges + 2 sort-merge joins): collect each bucket's
+    # (distinct, ≤cap) doc ids and expand the ordered pairs with JVM HOFs
+    # — identical candidate set (every a<b pair sharing a bucket of ≤cap
+    # docs), one light (band, bsig, doc) shuffle. The cap bounds the
+    # per-bucket array AND the quadratic expansion exactly as before.
+    buckets = banded.groupBy("band", "bsig").agg(
+        F.array_sort(F.collect_list("doc")).alias("__ds")
+    )
     if bucket_cap:
-        ok_buckets = (
-            banded.groupBy("band", "bsig")
-            .agg(F.count(F.lit(1)).alias("__bn"))
-            .filter(F.col("__bn") <= bucket_cap)
-            .select("band", "bsig")
-        )
-        banded = banded.join(ok_buckets, on=["band", "bsig"])
-
+        buckets = buckets.filter(F.size("__ds") <= F.lit(int(bucket_cap)))
     cand = (
-        banded.alias("a")
-        .join(banded.alias("b"), on=["band", "bsig"])
-        .filter(F.col("a.doc") < F.col("b.doc"))
-        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        buckets.select(F.explode(_ordered_pairs("__ds")).alias("__p"))
+        .select("__p.doc_a", "__p.doc_b")
         .distinct()
     )
+    # candidates survive LSH + the cap — orders of magnitude smaller than
+    # the corpus. Materialize + measure; when small, the payload joins
+    # below become broadcast probes of the persisted base (zero payload
+    # exchanges) instead of sort-merge joins (guide §3.1).
+    cand, _n_cand = materialize_small(cand)
 
     # 4) + 5) pre-filter on signature agreement, then exact verify
     side_a = base.select(
@@ -302,9 +337,13 @@ def minhash_lsh_pairs(
             F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda m: m
         )
     )
+    half1 = cand.join(side_a, "doc_a")
+    if _n_cand <= 1_000_000:
+        # keep the broadcast chain alive through the second fetch: the
+        # joined intermediate is n_cand rows of sig+gs payload, still tiny
+        half1 = F.broadcast(half1)
     rep_pairs = (
-        cand.join(side_a, "doc_a")
-        .join(side_b, "doc_b")
+        half1.join(side_b, "doc_b")
         .filter(agree >= F.lit(int((verify_threshold - prefilter_margin) * num_hashes)))
         .withColumn(
             "jaccard",
@@ -317,29 +356,42 @@ def minhash_lsh_pairs(
         .filter(F.col("jaccard") >= verify_threshold)
         .select("fp_a", "fp_b", "jaccard")
     )
+    rep_pairs, _n_rep = materialize_small(rep_pairs)
+    release(cand)
 
     # re-expand exact-dup groups: cross-group pairs inherit the rep pair's
-    # jaccard (same texts); within-group pairs are jaccard 1.0 by identity
-    ma = membership.select(F.col("fp").alias("fp_a"), F.col("doc").alias("da"))
-    mb = membership.select(F.col("fp").alias("fp_b"), F.col("doc").alias("db"))
-    cross = (
-        rep_pairs.join(ma, "fp_a")
-        .join(mb, "fp_b")
-        .select(
-            F.least("da", "db").alias("doc_a"),
-            F.greatest("da", "db").alias("doc_b"),
-            "jaccard",
+    # jaccard (same texts); within-group pairs are jaccard 1.0 by identity.
+    # Member ids were collected in the base aggregation, so re-expansion is
+    # two (broadcast-when-small) fetches of the member arrays plus a HOF
+    # cross product — the corpus is never re-scanned for membership.
+    ca = base.select(F.col("fp").alias("fp_a"), F.col("members").alias("__ma"))
+    cb = base.select(F.col("fp").alias("fp_b"), F.col("members").alias("__mb"))
+    half2 = rep_pairs.join(ca, "fp_a")
+    if _n_rep <= 1_000_000:
+        half2 = F.broadcast(half2)
+    cross_expr = F.flatten(
+        F.transform(
+            F.col("__ma"),
+            lambda x: F.transform(
+                F.col("__mb"),
+                lambda y: F.struct(
+                    F.least(x, y).alias("doc_a"), F.greatest(x, y).alias("doc_b")
+                ),
+            ),
         )
     )
+    cross = (
+        half2.join(cb, "fp_b")
+        .select(F.explode(cross_expr).alias("__p"), "jaccard")
+        .select(F.col("__p.doc_a").alias("doc_a"),
+                F.col("__p.doc_b").alias("doc_b"), "jaccard")
+    )
     within = (
-        membership.alias("x")
-        .join(membership.alias("y"), on="fp")
-        .filter(F.col("x.doc") < F.col("y.doc"))
-        .select(
-            F.col("x.doc").alias("doc_a"),
-            F.col("y.doc").alias("doc_b"),
-            F.lit(1.0).alias("jaccard"),
-        )
+        base.filter(F.size("members") >= 2)
+        .select(F.explode(_ordered_pairs("members")).alias("__p"))
+        .select(F.col("__p.doc_a").alias("doc_a"),
+                F.col("__p.doc_b").alias("doc_b"),
+                F.lit(1.0).alias("jaccard"))
     )
     out = cross.unionByName(within) if verify_threshold <= 1.0 else cross
     # the pair list is orders of magnitude smaller than the signature base:
@@ -347,6 +399,7 @@ def minhash_lsh_pairs(
     # RELEASED before returning — a long-lived session (driver gate, bench
     # loop) must not accumulate executor storage across repeated calls
     out = out.localCheckpoint()
+    release(rep_pairs)
     base.unpersist()
     return out
 
@@ -671,46 +724,67 @@ def incremental_minhash_dedup(
         )
         bk_old = _minhash_band_keys(store, num_hashes, bands)
 
-    # 3) bucket cap on COMBINED occupancy (batch + store): an oversized
-    # bucket is collision noise / boilerplate; both sides skip it
-    if bucket_cap:
-        occ = bk_new.select("band", "bsig")
-        if store is not None:
-            occ = occ.unionByName(bk_old.select("band", "bsig"))
-        ok = (
-            occ.groupBy("band", "bsig")
-            .agg(F.count(F.lit(1)).alias("__bn"))
-            .filter(F.col("__bn") <= bucket_cap)
-            .select("band", "bsig")
+    # 3) + 4) ONE bucket aggregation replaces the occupancy-count + cap
+    # joins + bucket self/cross joins (4 exchanges + 3 sort-merge joins):
+    # each (band, bsig) bucket collects its batch docs and store docs into
+    # two sorted arrays, the COMBINED occupancy cap filters whole buckets
+    # (same rule as before — both sides skip an oversized bucket), and the
+    # candidate pairs expand as JVM HOFs over the bounded arrays.
+    occ = bk_new.select("band", "bsig", "doc", F.lit(0).alias("__side"))
+    if store is not None:
+        occ = occ.unionByName(
+            bk_old.select("band", "bsig", "doc", F.lit(1).alias("__side"))
         )
-        bk_new = bk_new.join(ok, on=["band", "bsig"])
-        if store is not None:
-            bk_old = bk_old.join(ok, on=["band", "bsig"])
-
-    # 4) candidates: batch-batch (smaller-id witness) + batch-store
+    buckets = occ.groupBy("band", "bsig").agg(
+        F.array_sort(
+            F.collect_list(F.when(F.col("__side") == 0, F.col("doc")))
+        ).alias("__new"),
+        F.array_sort(
+            F.collect_list(F.when(F.col("__side") == 1, F.col("doc")))
+        ).alias("__old"),
+    )
+    if bucket_cap:
+        buckets = buckets.filter(
+            (F.size("__new") + F.size("__old")) <= F.lit(int(bucket_cap))
+        )
+    # batch-batch: every unordered in-batch pair, larger id = doc, smaller
+    # = witness (the _ordered_pairs struct is (doc_a < doc_b))
+    batch_pairs = F.transform(
+        _ordered_pairs("__new"),
+        lambda p: F.struct(p["doc_b"].alias("doc"), p["doc_a"].alias("wit")),
+    )
+    # batch-store: full cross product, store doc is always the witness
+    cross_pairs = F.flatten(
+        F.transform(
+            F.col("__new"),
+            lambda x: F.transform(
+                F.col("__old"),
+                lambda y: F.struct(x.alias("doc"), y.alias("wit")),
+            ),
+        )
+    )
     cand = (
-        bk_new.alias("a")
-        .join(bk_new.alias("b"), on=["band", "bsig"])
-        .filter(F.col("a.doc") > F.col("b.doc"))
-        .select(F.col("a.doc").alias("doc"), F.col("b.doc").alias("wit"))
+        buckets.select(
+            F.explode(F.concat(batch_pairs, cross_pairs)).alias("__p")
+        )
+        .select("__p.doc", "__p.wit")
         .distinct()
     )
-    if store is not None:
-        cand = cand.unionByName(
-            bk_new.alias("a")
-            .join(bk_old.alias("o"), on=["band", "bsig"])
-            .select(F.col("a.doc").alias("doc"), F.col("o.doc").alias("wit"))
-            .distinct()
-        )
+    # candidate pairs survive LSH + the cap — far smaller than either
+    # signature table; broadcast-when-small turns both signature fetches
+    # into probes (guide §3.1) instead of sort-merge joins
+    cand, _n_cand = materialize_small(cand)
 
     # 5) signature-agreement decision
     all_sigs = sigs if store is None else sigs.unionByName(store)
     agree = F.size(
         F.filter(F.zip_with("sig", "wit_sig", lambda x, y: x == y), lambda m: m)
     )
+    half = cand.join(sigs.select("doc", "sig"), "doc")
+    if _n_cand <= 1_000_000:
+        half = F.broadcast(half)
     dropped = (
-        cand.join(sigs.select("doc", "sig"), "doc")
-        .join(
+        half.join(
             all_sigs.select(F.col("doc").alias("wit"), F.col("sig").alias("wit_sig")),
             "wit",
         )
@@ -725,7 +799,11 @@ def incremental_minhash_dedup(
     # checkpointing it would copy the corpus to executor-local storage on
     # every ingest; left lazy it rebuilds from the caller's batch plus the
     # checkpointed dropped set, never re-running the minhash pipeline.
-    dropped = dropped.localCheckpoint()
+    # materialize_small doubles as the anti-join build-side hint: the
+    # dropped id set is tiny, so the anti-join becomes a broadcast probe
+    # of the batch instead of shuffling the full-text winners.
+    dropped, _ = materialize_small(dropped)
+    release(cand)
     kept = winners.join(
         dropped.withColumnRenamed("doc", id_col), on=id_col, how="left_anti"
     ).drop("__fp")

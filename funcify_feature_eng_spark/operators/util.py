@@ -32,6 +32,33 @@ def spread_small_input(df: DataFrame) -> DataFrame:
     return df
 
 
+def materialize_small(df: DataFrame, broadcast_rows: int = 1_000_000):
+    """Materialize a DECISION frame (candidate pairs, surviving ids) that is
+    expected to be orders of magnitude smaller than the payload tables it
+    will be joined against, and broadcast-hint it when the MEASURED row
+    count says it fits.
+
+    Why (guide §3.1): a multi-stage candidate subtree has no usable size
+    estimate, so Spark plans its payload-fetch joins as sort-merge — both
+    exchanges are paid before AQE can see the true (tiny) size. Counting
+    the materialized frame and hinting explicitly removes the payload
+    side's exchange entirely. The threshold is a ROW COUNT measured at run
+    time, not a local tuning constant: at 100 TB a billion-candidate frame
+    simply fails the test and the sort-merge path proceeds unchanged.
+
+    Returns ``(frame, n_rows)``; the frame is localCheckpoint-backed either
+    way (callers were already re-using these frames across several jobs).
+    Call :func:`release` on it when done.
+    """
+    from pyspark.sql import functions as F
+
+    handle = df.localCheckpoint()
+    n = handle.count()
+    if n <= broadcast_rows:
+        return F.broadcast(handle), n
+    return handle, n
+
+
 def release(df: DataFrame) -> None:
     """Release the storage behind an eagerly-materialized (localCheckpoint)
     DataFrame returned by the dedup operators. The frame must not be used
