@@ -67,11 +67,21 @@ def co_occurrence_edges(
         raise ValueError(f"on_oversize must be 'error'|'skip' (got {on_oversize!r})")
     if min_count < 1:
         raise ValueError(f"co_occurrence_edges: min_count must be >= 1, got {min_count}")
+    from .util import spread_by_key
+
     g, i = F.col(group_col), F.col(item_col)
+    # the per-group set build is an ObjectHashAggregate whose PARTIAL pass
+    # runs on the scan splits — a single-split input serializes it on one
+    # core (guide §6); pre-hash by the group key (exchange reused by the
+    # groupBy, no-op at scale)
     grouped = (
-        df.filter(g.isNotNull() & i.isNotNull())
-        .groupBy(g.alias("__g"))
-        .agg(F.array_sort(F.collect_set(i)).alias("__items"))
+        spread_by_key(
+            df.filter(g.isNotNull() & i.isNotNull())
+            .select(g.alias("__g"), i.alias("__i")),
+            "__g",
+        )
+        .groupBy("__g")
+        .agg(F.array_sort(F.collect_set("__i")).alias("__items"))
     )
     n = F.size("__items")
     if on_oversize == "error":
@@ -167,9 +177,17 @@ def item_neighbors(
         on_oversize=on_oversize,
     ).localCheckpoint()
     g, i = F.col(group_col), F.col(item_col)
+    from .util import spread_by_key
+
+    # hash by the ITEM key alone: a subset-key hash partitioning satisfies
+    # the (group, item) distinct's clustering requirement AND the per-item
+    # count aggregation right after it — one exchange serves both
     base = (
-        df.filter(g.isNotNull() & i.isNotNull())
-        .select(g.alias("__g"), i.alias("item"))
+        spread_by_key(
+            df.filter(g.isNotNull() & i.isNotNull())
+            .select(g.alias("__g"), i.alias("item")),
+            "item",
+        )
         .distinct()
     )
     if on_oversize == "skip":
@@ -378,9 +396,16 @@ def item_lift(
         on_oversize=on_oversize,
     ).localCheckpoint()
     g, i = F.col(group_col), F.col(item_col)
+    from .util import spread_by_key
+
+    # hash by the item key alone (subset-key partitioning satisfies the
+    # distinct AND the per-item count — one exchange serves both)
     gi = (
-        df.filter(g.isNotNull() & i.isNotNull())
-        .select(g.alias("__g"), i.alias("__i"))
+        spread_by_key(
+            df.filter(g.isNotNull() & i.isNotNull())
+            .select(g.alias("__g"), i.alias("__i")),
+            "__i",
+        )
         .distinct()
     )
     cnt = gi.groupBy(F.col("__i").alias("__item")).agg(

@@ -263,6 +263,53 @@ def keep_best_per_cluster(
     )
 
 
+def _integer_id_type(dt) -> bool:
+    from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
+
+    return isinstance(dt, (ByteType, ShortType, IntegerType, LongType))
+
+
+def _pagerank_driver(spark, e, id_type, n_iters, num, den):
+    """Driver-side exact replay of the pinned fixed-point PageRank fold
+    over a collected small edge set (NumPy int64; every product stays
+    under 2^63: num·r ≤ 85·1e12, den·outdeg ≤ den·E ≤ 1e8 at the 1e6
+    edge cap, per-node contribution sums ≤ total mass ≤ 1e12). Same
+    canonical outputs as the distributed loop — pinned by
+    tests/test_pagerank.py::test_driver_fast_path_equals_distributed."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import StructField, StructType, LongType
+
+    ep = e.toPandas()
+    s = ep["s"].to_numpy(np.int64)
+    d = ep["d"].to_numpy(np.int64)
+    nodes = np.unique(np.concatenate([s, d]))
+    n = len(nodes)
+    s_idx = np.searchsorted(nodes, s)
+    d_idx = np.searchsorted(nodes, d)
+    outdeg = np.bincount(s_idx, minlength=n).astype(np.int64)
+    e12 = 10**12
+    base = ((den - num) * e12) // (den * n)
+    r = np.full(n, e12 // n, dtype=np.int64)
+    order = np.argsort(d_idx, kind="stable")
+    ds, ss = d_idx[order], s_idx[order]
+    den_out = den * outdeg[ss]
+    seg_starts = np.flatnonzero(np.r_[True, ds[1:] != ds[:-1]])
+    seg_nodes = ds[seg_starts]
+    for _ in range(int(n_iters)):
+        contrib = (num * r[ss]) // den_out
+        sums = np.add.reduceat(contrib, seg_starts)
+        r = np.full(n, base, dtype=np.int64)
+        r[seg_nodes] += sums
+    out = pd.DataFrame({"node": nodes, "rank_e12": r, "out_degree": outdeg})
+    schema = StructType([
+        StructField("node", id_type, False),
+        StructField("rank_e12", LongType(), False),
+        StructField("out_degree", LongType(), False),
+    ])
+    return spark.createDataFrame(out, schema)
+
+
 def pagerank(
     edges: DataFrame,
     src: str = "src",
@@ -271,6 +318,7 @@ def pagerank(
     n_iters: int = 10,
     damping_num: int = 85,
     damping_den: int = 100,
+    driver_threshold: int = 1_000_000,
 ) -> DataFrame:
     """PageRank with PINNED integer fixed-point semantics — reproducible
     bit-for-bit by any engine (the Kaplan-Meier posture applied to an
@@ -316,6 +364,22 @@ def pagerank(
         .distinct()
         .localCheckpoint()
     )
+    # small-graph fast path (the connected_components posture): thinned
+    # similarity/co-occurrence graphs are usually tiny even when the
+    # corpus is not, and 8-10 distributed rounds of join+agg+join are
+    # pure stage latency there. ≤1e6 collected edges is ~16 MB on the
+    # driver; the NumPy replay is bit-exact (see _pagerank_driver) and
+    # the distributed loop below remains the genuinely-large-graph path
+    # (tests pin it via driver_threshold=0).
+    m_edges = e.count()
+    id_type = edges.schema[src].dataType
+    if 0 < m_edges <= driver_threshold and _integer_id_type(id_type):
+        try:
+            return _pagerank_driver(
+                spark, e, id_type, n_iters, damping_num, damping_den
+            )
+        finally:
+            release(e)
     nodes = (
         e.select(F.col("s").alias("node"))
         .unionByName(e.select(F.col("d").alias("node")))
@@ -399,12 +463,53 @@ def pagerank(
     return out
 
 
+def _label_propagation_driver(spark, e, id_type, n_iters):
+    """Driver-side exact replay of the pinned synchronous LPA fold over a
+    collected small symmetrized edge set. Dense node indices are assigned
+    in sorted-id order, so index comparisons reproduce the id-order
+    smallest-label tie-break bit-for-bit; the per-node argmax is
+    (count DESC, label ASC), identical to the distributed
+    min(struct(-cnt, label)). Pinned by tests/test_pagerank.py::
+    test_lpa_driver_fast_path_equals_distributed."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import StructField, StructType
+
+    ep = e.toPandas()
+    s = ep["s"].to_numpy(np.int64)
+    d = ep["d"].to_numpy(np.int64)
+    nodes = np.unique(np.concatenate([s, d]))
+    n = len(nodes)
+    s_idx = np.searchsorted(nodes, s)
+    d_idx = np.searchsorted(nodes, d)
+    lab = np.arange(n, dtype=np.int64)
+    for _ in range(int(n_iters)):
+        key = d_idx * np.int64(n) + lab[s_idx]
+        uk, cnt = np.unique(key, return_counts=True)
+        vn, vl = uk // n, uk % n
+        order = np.lexsort((vl, -cnt, vn))
+        vn_o = vn[order]
+        first = np.flatnonzero(np.r_[True, vn_o[1:] != vn_o[:-1]])
+        new_lab = np.empty(n, dtype=np.int64)
+        # symmetrized graph: every node has >= 1 in-edge, so every node
+        # receives votes and new_lab is fully assigned
+        new_lab[vn_o[first]] = vl[order][first]
+        lab = new_lab
+    out = pd.DataFrame({"node": nodes, "label": nodes[lab]})
+    schema = StructType([
+        StructField("node", id_type, False),
+        StructField("label", id_type, False),
+    ])
+    return spark.createDataFrame(out, schema)
+
+
 def label_propagation(
     edges: DataFrame,
     src: str = "src",
     dst: str = "dst",
     *,
     n_iters: int = 3,
+    driver_threshold: int = 1_000_000,
 ) -> DataFrame:
     """Community detection by synchronous label propagation with PINNED
     deterministic semantics (the :func:`pagerank` posture: classic LPA
@@ -444,6 +549,14 @@ def label_propagation(
         .distinct()
         .localCheckpoint()
     )
+    # small-graph fast path (the connected_components / pagerank posture)
+    m_edges = e.count()
+    id_type = edges.schema[src].dataType
+    if 0 < m_edges <= driver_threshold and _integer_id_type(id_type):
+        try:
+            return _label_propagation_driver(spark, e, id_type, n_iters)
+        finally:
+            release(e)
     nodes = e.select(F.col("s").alias("node")).distinct().localCheckpoint()
     labels = nodes.select("node", F.col("node").alias("label")).localCheckpoint()
     # same r0 bookkeeping as pagerank: the seed checkpoint predates the

@@ -32,6 +32,34 @@ def spread_small_input(df: DataFrame) -> DataFrame:
     return df
 
 
+def spread_by_key(df: DataFrame, *cols: str) -> DataFrame:
+    """Hash-repartition a few-split input on the key its NEXT aggregation /
+    distinct will group by — and leave it untouched otherwise.
+
+    The keyless round-robin spread (:func:`spread_small_input`) pays a
+    local sort of its input before repartitioning (Spark's
+    sortBeforeRepartition, needed for deterministic retries) — on a
+    single-split multi-million-row table that sort runs on one core and
+    costs more than it saves. Hash partitioning needs no such sort, and
+    when the downstream groupBy/distinct uses the same key the exchange is
+    REUSED (guide §2.4): the plan keeps exactly one exchange, but the
+    dense aggregation work runs on ``defaultParallelism`` partitions
+    instead of on the scan's single split. At scale the input has more
+    splits than cores and this is a no-op.
+
+    Same probe discipline as spread_small_input: plans that already
+    contain an Exchange are returned untouched without probing.
+    """
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    if "Exchange" in plan:
+        return df
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target, *cols)
+    return df
+
+
 def materialize_small(df: DataFrame, broadcast_rows: int = 1_000_000):
     """Materialize a DECISION frame (candidate pairs, surviving ids) that is
     expected to be orders of magnitude smaller than the payload tables it

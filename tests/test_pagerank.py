@@ -136,3 +136,34 @@ class TestLabelPropagation:
         assert len({got[i] for i in range(4)}) == 1
         assert len({got[100 + i] for i in range(4)}) == 1
         assert got[0] != got[100]
+
+
+def test_driver_fast_path_equals_distributed(spark):
+    import random
+
+    rng = random.Random(11)
+    rows = list({(rng.randrange(60), rng.randrange(60)) for _ in range(400)})
+    fast = _run(spark, rows, n_iters=6)                      # fast path (small graph)
+    dist = _run(spark, rows, n_iters=6, driver_threshold=0)  # forced distributed
+    assert fast == dist
+    assert fast == {
+        v: rd for v, rd in _twin(rows, n_iters=6).items()
+    }
+
+
+def test_lpa_driver_fast_path_equals_distributed(spark):
+    import random
+
+    from funcify_feature_eng_spark.operators.graph import label_propagation
+
+    rng = random.Random(12)
+    edges = list({(rng.randrange(40), rng.randrange(40)) for _ in range(200)})
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    fast = {
+        r["node"]: r["label"] for r in label_propagation(df, n_iters=3).collect()
+    }
+    dist = {
+        r["node"]: r["label"]
+        for r in label_propagation(df, n_iters=3, driver_threshold=0).collect()
+    }
+    assert fast == dist
