@@ -337,6 +337,38 @@ def bloom_sketch(
     )
 
 
+def _bloom_positions_np(v, m_bits: int, depth: int):
+    """Vectorized NumPy replica of :func:`_bloom_positions` for LongType
+    probe values: ``pmod(xxhash64(int(d), long(v)), m_bits)`` — the
+    XxHash64 int→long chain from functions/xxh64.py in uint64 array math
+    (the per-value lane mix is shared across depths). Bit-equality with
+    the JVM expression is pinned by tests/test_sketches.py::
+    test_bloom_positions_np_matches_jvm. Returns ``(depth, n)`` int64."""
+    import numpy as np
+
+    from ..functions.xxh64 import _M, P1, P2, P3, P4, P5, xxh64_int
+
+    u = np.uint64
+    with np.errstate(over="ignore"):
+        x = v.astype(np.uint64)
+        lane = x * u(P2)
+        lane = ((lane << u(31)) | (lane >> u(33))) * u(P1)
+        out = np.empty((depth, len(v)), dtype=np.int64)
+        for d in range(depth):
+            seed = xxh64_int(d, 42)
+            h = u((seed + P5 + 8) & _M) ^ lane
+            h = ((h << u(27)) | (h >> u(37))) * u(P1) + u(P4)
+            h ^= h >> u(33)
+            h *= u(P2)
+            h ^= h >> u(29)
+            h *= u(P3)
+            h ^= h >> u(32)
+            # numpy % follows Python sign semantics: result is non-negative
+            # for a positive modulus — exactly Spark's pmod
+            out[d] = h.astype(np.int64) % m_bits
+    return out
+
+
 def bloom_contains(
     sketch: DataFrame,
     probes: DataFrame,
@@ -388,35 +420,82 @@ def bloom_contains(
             arr[int(words[i])] |= int(bits[i])
         bc = probes.sparkSession.sparkContext.broadcast(tables)
         n_keys = len(keys)
+        from pyspark.sql.types import LongType
 
-        @F.pandas_udf("boolean")
-        def _probe(*cols):
-            import pandas as pd
+        long_probe = isinstance(probes.schema[value_col].dataType, LongType)
+        if long_probe:
+            # LongType probes ship ONLY the 8-byte key; the depth positions
+            # compute inside the worker as one uint64 vector pass — no
+            # per-row position array is built, serialized, or re-stacked.
+            # NULL keys are coalesced to 0 JVM-side so the batch keeps a
+            # clean int64 dtype (a null in the batch would otherwise
+            # convert the whole column to float64 and corrupt > 2^53
+            # keys); their probe result is discarded by the isNull guard.
+            @F.pandas_udf("boolean")
+            def _probe(*cols):
+                import pandas as pd
 
-            tabs = bc.value
-            pos = cols[-1]
-            n = len(pos)
-            out = np.zeros(n, dtype=bool)
-            if n == 0 or not tabs:
-                return pd.Series(out)
-            P = np.stack(pos.to_numpy()).astype(np.int64)
-            W = P >> 6
-            S = P & 63
-            if n_keys == 0:
-                arr = tabs.get(())
-                if arr is not None:
-                    out = (((arr[W] >> S) & 1) == 1).all(axis=1)
-            else:
-                kf = pd.DataFrame({i: cols[i] for i in range(n_keys)})
-                for kt, idx in kf.groupby(
-                    list(range(n_keys)), dropna=False, sort=False
-                ).indices.items():
-                    arr = tabs.get(kt if n_keys > 1 else (kt,))
+                tabs = bc.value
+                vals = cols[-1]
+                n = len(vals)
+                out = np.zeros(n, dtype=bool)
+                if n == 0 or not tabs:
+                    return pd.Series(out)
+                P = _bloom_positions_np(vals.to_numpy(np.int64), m_bits, depth)
+                W = P >> 6
+                S = P & 63
+                if n_keys == 0:
+                    arr = tabs.get(())
                     if arr is not None:
-                        out[idx] = (((arr[W[idx]] >> S[idx]) & 1) == 1).all(axis=1)
-            return pd.Series(out)
+                        out = np.ones(n, dtype=bool)
+                        for d in range(depth):
+                            out &= ((arr[W[d]] >> S[d]) & 1) == 1
+                else:
+                    kf = pd.DataFrame({i: cols[i] for i in range(n_keys)})
+                    for kt, idx in kf.groupby(
+                        list(range(n_keys)), dropna=False, sort=False
+                    ).indices.items():
+                        arr = tabs.get(kt if n_keys > 1 else (kt,))
+                        if arr is not None:
+                            hit = np.ones(len(idx), dtype=bool)
+                            for d in range(depth):
+                                hit &= ((arr[W[d][idx]] >> S[d][idx]) & 1) == 1
+                            out[idx] = hit
+                return pd.Series(out)
 
-        probe_args = [F.col(k) for k in keys] + [pos_col]
+            probe_args = [F.col(k) for k in keys] + [
+                F.coalesce(F.col(value_col), F.lit(0).cast("long"))
+            ]
+        else:
+
+            @F.pandas_udf("boolean")
+            def _probe(*cols):
+                import pandas as pd
+
+                tabs = bc.value
+                pos = cols[-1]
+                n = len(pos)
+                out = np.zeros(n, dtype=bool)
+                if n == 0 or not tabs:
+                    return pd.Series(out)
+                P = np.stack(pos.to_numpy()).astype(np.int64)
+                W = P >> 6
+                S = P & 63
+                if n_keys == 0:
+                    arr = tabs.get(())
+                    if arr is not None:
+                        out = (((arr[W] >> S) & 1) == 1).all(axis=1)
+                else:
+                    kf = pd.DataFrame({i: cols[i] for i in range(n_keys)})
+                    for kt, idx in kf.groupby(
+                        list(range(n_keys)), dropna=False, sort=False
+                    ).indices.items():
+                        arr = tabs.get(kt if n_keys > 1 else (kt,))
+                        if arr is not None:
+                            out[idx] = (((arr[W[idx]] >> S[idx]) & 1) == 1).all(axis=1)
+                return pd.Series(out)
+
+            probe_args = [F.col(k) for k in keys] + [pos_col]
         return probes.withColumn(
             out_col,
             F.when(F.col(value_col).isNull(), F.lit(False)).otherwise(
@@ -591,6 +670,76 @@ def heavy_hitters(
     sk = sketch if sketch is not None else cms_sketch(
         df, value_col, width=width, depth=depth
     )
+    v = F.col(value_col)
+    from pyspark.sql.types import LongType
+
+    if broadcast and isinstance(df.schema[value_col].dataType, LongType):
+        # LongType fast path: the packed map previously rode the crossJoin
+        # into EVERY probed row (O(width·depth) bytes copied per row) and
+        # each element_at was a linear scan of the map. Collect the
+        # counters into a dense (depth, width) NumPy grid ONCE (bounded by
+        # the 1<<22 cap above), compute the buckets worker-side with the
+        # vectorized xxhash64 replica (same chain as the bloom positions,
+        # pinned by tests), and probe as one vector min — the sketch never
+        # rides a join row and no Python-side structure is rebuilt per
+        # batch. The exact groupBy + exact re-test below are unchanged, so
+        # the output is exact either way.
+        import numpy as np
+
+        tbl = sk.select("d", "bucket", "cnt").toArrow()
+        d_a = tbl.column("d").to_numpy(zero_copy_only=False).astype(np.int64)
+        b_a = tbl.column("bucket").to_numpy(zero_copy_only=False).astype(np.int64)
+        c_a = tbl.column("cnt").to_numpy(zero_copy_only=False).astype(np.int64)
+        cms = np.zeros((depth, width), dtype=np.int64)
+        cms[d_a, b_a] = c_a
+        n_tot = int(cms[0].sum())
+        thr = (n_tot * ppm + 999_999) // 1_000_000
+        bc = df.sparkSession.sparkContext.broadcast(cms)
+
+        @F.pandas_udf("boolean")
+        def _cand(vals):
+            import pandas as pd
+
+            V = vals.to_numpy(np.int64)
+            if len(V) == 0:
+                return pd.Series(np.zeros(0, dtype=bool))
+            grid = bc.value
+            P = _bloom_positions_np(V, width, depth)
+            est_v = grid[0][P[0]]
+            for d in range(1, depth):
+                est_v = np.minimum(est_v, grid[d][P[d]])
+            return pd.Series(est_v >= thr)
+
+        from .util import spread_by_key
+
+        # hash by the value column: parallelizes the probe on few-split
+        # inputs AND is reused by the exact groupBy right after (no-op at
+        # scale)
+        nn = spread_by_key(df.filter(v.isNotNull()).select(v.alias(value_col)),
+                           value_col)
+        cand = nn.filter(_cand(F.coalesce(v, F.lit(0)))).select(
+            v.alias(value_col), F.lit(n_tot).cast("long").alias("__tot")
+        )
+        return (
+            cand.groupBy(value_col)
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_count"),
+                F.first("__tot").alias("n_total"),
+            )
+            .filter(
+                dec(F.col("n_count")) * F.lit(1_000_000)
+                >= F.lit(ppm) * dec(F.col("n_total"))
+            )
+            .select(
+                value_col,
+                "n_count",
+                "n_total",
+                exact_floor_div(
+                    dec(F.col("n_count")) * F.lit(1_000_000), dec(F.col("n_total"))
+                ).alias("share_ppm"),
+            )
+        )
+
     # pack to ONE row: map[(d*width + bucket)] -> cnt, plus the exact total
     # (each value increments exactly one bucket per depth row, so the d=0
     # slice sums to n — no second pass over the data)
@@ -628,7 +777,6 @@ def heavy_hitters(
         # side (runtime ATTRIBUTE_NOT_FOUND). One eager row — negligible.
         .localCheckpoint()
     )
-    v = F.col(value_col)
     # depth is a plan-time int: unroll the probe instead of a HOF lambda —
     # a transform() lambda in a join-side filter trips the optimizer's
     # reference tracking (the predicate gets pushed to the broadcast side
@@ -745,6 +893,13 @@ def bloom_prefilter_join(
             tmp, F.when(null_any, F.lit(None)).otherwise(F.xxhash64(*keys))
         )
         probe_col = tmp
+    # the probe is a pure map chain over the fact side: on a few-split
+    # input the scan, the Python probe and the filter would all run inside
+    # ONE task — spread by the join key first (hash repartition, no sort;
+    # no-op at scale where the fact side has more splits than cores)
+    from .util import spread_by_key
+
+    lprobe = spread_by_key(lprobe, keys[0] if len(keys) == 1 else tmp)
     sk = bloom_sketch(rbuild, probe_col, m_bits=m_bits, depth=depth)
     filt = bloom_contains(
         sk,

@@ -483,6 +483,40 @@ def test_bloom_prefilter_join_probe_is_below_the_join(spark):
     right = spark.createDataFrame([(7,), (13,)], "k long")
     out = bloom_prefilter_join(left, right, "k", broadcast=True)
     plan = out._jdf.queryExecution().executedPlan().toString()
-    # the probe (a forall over xxhash64 positions) must appear in a Filter
-    # stage, i.e. rows are dropped before the exact join
-    assert "xxhash64" in plan and "Filter" in plan
+    # the probe must appear in a Filter stage below the exact join, i.e.
+    # rows are dropped before they shuffle. LongType keys probe via the
+    # vectorized worker-side position replica (a pythonUDF filter); other
+    # types carry the JVM xxhash64 position array into the probe.
+    assert "Filter" in plan
+    assert "pythonUDF" in plan or "xxhash64" in plan
+    join_pos = max(plan.find("SortMergeJoin"), plan.find("BroadcastHashJoin"),
+                   plan.find("ShuffledHashJoin"))
+    probe_pos = plan.find("pythonUDF")
+    if probe_pos == -1:
+        probe_pos = plan.find("xxhash64")
+    # physical plans print top-down: the probe being AFTER the join node in
+    # the text means it executes BELOW (before) the join
+    assert join_pos != -1 and probe_pos > join_pos
+
+
+def test_bloom_positions_np_matches_jvm(spark):
+    """The NumPy probe-position replica must be bit-equal to the JVM
+    xxhash64 chain for LongType values, including negatives and extremes."""
+    import numpy as np
+
+    from funcify_feature_eng_spark.operators.sketches import (
+        _bloom_positions,
+        _bloom_positions_np,
+    )
+
+    vals = [0, 1, -1, 42, -42, 2**62, -(2**62), 2**63 - 1, -(2**63),
+            123456789123456789, -987654321987654321] + list(range(-50, 50, 7))
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    m_bits, depth = 1 << 20, 3
+    jvm = {
+        r["v"]: list(r["p"])
+        for r in df.select("v", _bloom_positions("v", m_bits, depth).alias("p")).collect()
+    }
+    P = _bloom_positions_np(np.array(vals, dtype=np.int64), m_bits, depth)
+    for i, v in enumerate(vals):
+        assert [int(P[d][i]) for d in range(depth)] == jvm[v], v
