@@ -551,6 +551,13 @@ def reference_percentile(
     rv = ref_value_col or value_col
     if out_col in probe.columns:
         raise ValueError(f"reference_percentile: {out_col!r} already exists")
+    reserved = {"__v", "__side", "__pid", "__cum_l", "__pfx", "__nref"}
+    clash = reserved & set(probe.columns)
+    if clash:
+        raise ValueError(
+            f"reference_percentile: probe columns {sorted(clash)} collide "
+            "with reserved internal names — rename them first"
+        )
     keys = list(group_by)
     r = ref.filter(F.col(rv).isNotNull()).select(
         *keys, F.col(rv).alias("__v"), F.lit(0).alias("__side")
@@ -559,13 +566,66 @@ def reference_percentile(
         "*", F.col(value_col).alias("__v"), F.lit(1).alias("__side")
     )
     u = p.unionByName(r, allowMissingColumns=True)
+    is_ref = F.when(F.col("__side") == 0, 1).otherwise(0)
+    if not keys:
+        # keyless: ONE sort window would serialize the whole union on a
+        # single task (the documented caveat). Range-shard the VALUE axis
+        # instead and stitch with a distributed prefix sum — bit-identical
+        # cum / n_ref: equal (__v, __side) tuples land in one range
+        # partition, refs at a boundary value sort into the earlier
+        # partition and are counted by the prefix. This is also the
+        # 100 TB-correct shape for a global normalization.
+        sc = probe.sparkSession.sparkContext
+        # the shard id MUST be materialized once: spark_partition_id is
+        # nondeterministic and the range exchange samples its boundaries,
+        # so two plan branches (rows + per-shard totals) could otherwise
+        # see DIFFERENT pid assignments and mis-stitch the prefix sum
+        # (observed as a wrong cum on ~1% of probes before this pin)
+        u2 = (
+            u.repartitionByRange(
+                sc.defaultParallelism,
+                F.col("__v").asc_nulls_last(), F.col("__side").asc(),
+            )
+            .withColumn("__pid", F.spark_partition_id())
+            .localCheckpoint()
+        )
+        wl = (
+            Window.partitionBy("__pid")
+            .orderBy(F.col("__v").asc_nulls_last(), F.col("__side").asc())
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        uw = u2.withColumn("__cum_l", F.sum(is_ref).over(wl))
+        wp = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+        wt = Window.orderBy("__pid").rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+        psum = (
+            u2.groupBy("__pid")
+            .agg(F.sum(is_ref).alias("__p_ref"))
+            .select(
+                "__pid",
+                F.coalesce(F.sum("__p_ref").over(wp), F.lit(0)).alias("__pfx"),
+                F.sum("__p_ref").over(wt).alias("__nref"),
+            )
+        )
+        u3 = uw.join(F.broadcast(psum), "__pid")
+        cum = (F.col("__cum_l") + F.col("__pfx")).cast("decimal(38,0)")
+        n_ref = F.col("__nref").cast("decimal(38,0)")
+        pct = F.when(
+            F.col("__v").isNotNull() & (n_ref > 0),
+            exact_floor_div(cum * F.lit(1_000_000), n_ref),
+        ).cast("bigint")
+        return (
+            u3.withColumn(out_col, pct)
+            .filter(F.col("__side") == 1)
+            .drop("__v", "__side", "__pid", "__cum_l", "__pfx", "__nref")
+        )
     w = (
         Window.partitionBy(*[F.col(k) for k in keys])
         .orderBy(F.col("__v").asc_nulls_last(), F.col("__side").asc())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     wn = Window.partitionBy(*[F.col(k) for k in keys])
-    is_ref = F.when(F.col("__side") == 0, 1).otherwise(0)
     cum = F.sum(is_ref).over(w).cast("decimal(38,0)")
     n_ref = F.sum(is_ref).over(wn).cast("decimal(38,0)")
     pct = F.when(
