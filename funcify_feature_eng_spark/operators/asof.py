@@ -793,6 +793,15 @@ def sliding_window_join(
     if window_s <= 0:
         raise ValueError(f"window_s must be > 0, got {window_s}")
     _validate(left, on, [count_name] + ([sum_name] if sum_col else []))
+    # the sweep plants its own working columns on the left side (ADVICE
+    # r5): a pre-existing one would surface as an ambiguous-column error
+    # deep inside the window plan instead of a nameable cause
+    clash = {"__t", "__probe", "__dc", "__dv"} & set(left.columns)
+    if clash:
+        raise ValueError(
+            f"sliding_window_join: left columns {sorted(clash)} collide "
+            "with reserved internal names — rename them first"
+        )
     us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
     w_us = int(window_s) * 1_000_000
     val = (
@@ -838,12 +847,23 @@ def sliding_window_join(
     )
     out_cols = [*left.columns, count_name]
     if sum_col:
+        s_dec = F.coalesce(F.sum("__dv").over(w), F.lit(0).cast("decimal(38,0)"))
+        # the running sum is exact in decimal(38,0); an out-of-LONG value
+        # would cast to NULL silently under non-ANSI mode (ADVICE r5) —
+        # make it a loud witness instead (same posture as the correlation
+        # module's 2^31 guard)
+        lo, hi = -(2**63), 2**63 - 1
+        s_guarded = F.when(
+            (s_dec < F.lit(lo).cast("decimal(38,0)"))
+            | (s_dec > F.lit(hi).cast("decimal(38,0)")),
+            F.raise_error(F.concat(
+                F.lit(f"sliding_window_join: {sum_name} overflows BIGINT ("),
+                s_dec.cast("string"),
+                F.lit(") — narrow the window or rescale sum_col"),
+            )).cast("decimal(38,0)"),
+        ).otherwise(s_dec)
         run = run.withColumn(
-            sum_name,
-            F.when(
-                probe_ok,
-                F.coalesce(F.sum("__dv").over(w), F.lit(0).cast("decimal(38,0)")),
-            ).cast("bigint"),
+            sum_name, F.when(probe_ok, s_guarded).cast("bigint")
         )
         out_cols.append(sum_name)
     return run.filter(F.col("__probe") == 1).select(*out_cols)

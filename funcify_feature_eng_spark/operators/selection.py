@@ -338,6 +338,14 @@ def pareto_front(
     Scale: one group-grain sort shuffle, O(n) after it."""
     from pyspark.sql import Window
 
+    # the rangeBetween(-1) clause equals "x strictly less" ONLY on an
+    # integer grid: a fractional dominator with x in (x_probe - 1,
+    # x_probe) and equal y would be invisible to both window clauses and
+    # the dominated row silently flagged on_front — enforce the contract
+    # instead of relying on the docstring (ADVICE r5)
+    from .correlation import _check_integral
+
+    _check_integral(df, (x_col,), "pareto_front")
     x, y = F.col(x_col), F.col(y_col)
     keys = [F.col(k) for k in group_by]
     valid = x.isNotNull() & y.isNotNull()

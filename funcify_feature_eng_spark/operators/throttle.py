@@ -58,6 +58,11 @@ def token_bucket_audit(
         raise ValueError(
             "token_bucket_audit: cap, rate_num, rate_den_s, cost must be >= 1"
         )
+    if not list(id_cols):
+        # an empty id list would build the cast type string
+        # 'array<struct<,admitted:...>>' (leading comma) and die with an
+        # opaque DDL parse error (ADVICE r5) — name the real problem
+        raise ValueError("token_bucket_audit: id_cols must be non-empty")
     unit = int(rate_den_s) * 1_000_000
     cap_u = int(cap) * unit
     cost_u = int(cost) * unit
