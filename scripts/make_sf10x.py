@@ -14,9 +14,12 @@ external data, no randomness):
 - embeddings are np.roll'ed per copy (norms and within-copy distance
   structure preserved, no cross-copy exact dups);
 - region/nation are fixed-size dims at every TPC-H sf and stay as-is;
-- each output table is ONE parquet file with ONE row group, mirroring the
-  driver's generated layout (this is what makes scans single-split, the
-  condition the spread_small_input work targets).
+- each output table is ONE parquet file with the pyarrow-default ~1Mi-row
+  row groups, mirroring the driver's generated layout (sf0.1's tables are
+  all single-row-group at <=600k rows, i.e. default writer settings — so
+  the driver's sf1.0 lineitem at 6M rows has ~6 row groups while every
+  other table is still ONE, which is the few-split condition the
+  spread_small_input/spread_by_key work targets).
 
 Timing-representative only — NOT a correctness oracle input (fixture
 oracles are pinned to sf0.01).
@@ -88,7 +91,7 @@ def main() -> None:
         tbl = pq.read_table(os.path.join(src, fname))
         out_path = os.path.join(dst, fname)
         if name in COPY_AS_IS:
-            pq.write_table(tbl, out_path, row_group_size=1 << 30)
+            pq.write_table(tbl, out_path, row_group_size=1 << 20)
             print(f"{fname}: dim copied ({tbl.num_rows} rows)")
             continue
         copies = []
@@ -107,7 +110,7 @@ def main() -> None:
                     idx, "embedding", roll_embeddings(t.column("embedding"), c))
             copies.append(t)
         out = pa.concat_tables(copies)
-        pq.write_table(out, out_path, row_group_size=1 << 30)
+        pq.write_table(out, out_path, row_group_size=1 << 20)
         meta = pq.read_metadata(out_path)
         print(f"{fname}: {meta.num_rows} rows, {meta.num_row_groups} row group(s)")
     # bench.py looks for the completion marker the driver writes
